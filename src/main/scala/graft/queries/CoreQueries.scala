@@ -1,0 +1,343 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Predicates._
+
+/** Core relational operator coverage (SURVEY.md §2.2-§2.7) expressed over the
+  * driver's star-schema testdata. Each query maps 1:1 to an operator family in
+  * the reference (file:line cited per query) and has a DuckDB oracle twin in
+  * [[oracle]].
+  *
+  * Float determinism: money aggregates use [[graft.functions.Predicates.exactDecimalSum]]
+  * so Spark and the oracle produce bit-identical doubles regardless of
+  * aggregation order (values are integral at 2 decimals; integer sums are
+  * order-independent).
+  */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS); with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as LongType nanos.
+    * Convert with exact integer division (a double division would round —
+    * epoch-nanos exceed 2^53). */
+  private[queries] def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A2/A9 acquisition-collapse-style grouped aggregation
+    // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          exactDecimalSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          (sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")) / 10000.0)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order")
+        )
+    },
+
+    // P5 in_range predicate with NULL-bound semantics
+    // (python/lib/imaging.py:1260-1299)
+    "q02_range_filter" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          inRange(col("l_quantity"), Some(5.0), None) &&
+            inRange(col("l_discount"), Some(0.02), Some(0.08)) &&
+            inRange(col("l_tax"), None, None)
+        )
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("long")).as("sum_qty")
+        )
+    },
+
+    // J1 equi inner join + aggregation (python/lib/imaging.py:520-524)
+    "q03_revenue_by_segment" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          exactDecimalSum(col("o_totalprice"), 2).as("total_price")
+        )
+    },
+
+    // J2 multi-way broadcastable dictionary join
+    // (python/lib/database_lib/mri_protocol.py:108-129)
+    "q04_customers_per_region" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          exactDecimalSum(col("c_acctbal"), 2).as("total_acctbal")
+        )
+    },
+
+    // J3 left outer join + null-branch detection
+    // (uploadNeuroDB/NeuroDB/MRIProcessingUtility.pm:2056-2080)
+    "q05_customers_without_orders" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .filter(col("n_orders") === 0)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orderless_customers"))
+    },
+
+    // J6 left-semi join (IN-subquery)
+    // (python/loris_bids_importer/.../eeg/physiological.py:71-82)
+    "q06_active_customers_by_nation" -> { (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"),
+          "left_semi"
+        )
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"))
+    },
+
+    // J7 anti-join insert guard (python/lib/imaging.py:215-233)
+    "q07_parts_never_ordered" -> { (s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 40),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_unsold_parts"))
+    },
+
+    // J8 self-join lineage (tools/delete_imaging_upload.pl:1009-1035)
+    "q08_nation_pairs_same_region" -> { (s, dir) =>
+      val n1 = t(s, dir, "nation").select(
+        col("n_name").as("n1_name"), col("n_regionkey").as("rk1"))
+      val n2 = t(s, dir, "nation").select(
+        col("n_name").as("n2_name"), col("n_regionkey").as("rk2"))
+      n1.join(n2, col("rk1") === col("rk2") && col("n1_name") < col("n2_name"))
+        .select(col("n1_name"), col("n2_name"), col("rk1").as("regionkey"))
+    },
+
+    // W2 latest-row-per-group (ORDER BY .. DESC LIMIT 1 per key;
+    // uploadNeuroDB/NeuroDB/MRIProcessingUtility.pm:210-212)
+    "q09_latest_order_per_customer" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    },
+
+    // W1 AcqOrderPerModality rank write-back
+    // (uploadNeuroDB/NeuroDB/MRIProcessingUtility.pm:2209-2268)
+    "q10_line_order_within_order" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_shipdate"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("acq_order", row_number().over(w))
+        .select(col("l_orderkey"), col("l_linenumber"), col("acq_order"))
+    },
+
+    // W3+J11 lead() + as-of interval join (IntendedFor;
+    // python/lib/imaging.py:851-892,1112-1148)
+    "q11_asof_session_assignment" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val anchors = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+          col("event_id").as("anchor_id"))
+        .withColumn("next_ts",
+          lead(col("a_ts"), 1).over(
+            Window.partitionBy(col("a_user")).orderBy(col("a_ts"))))
+      val scans = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      scans.join(
+        anchors,
+        col("user_id") === col("a_user") &&
+          col("ts") >= col("a_ts") &&
+          (col("next_ts").isNull || col("ts") < col("next_ts"))
+      ).select(col("user_id"), col("event_id"), col("anchor_id"))
+    },
+
+    // U1 UNION-distinct of two selections (tools/delete_imaging_upload.pl:885-894)
+    "q12_union_flagged_customers" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val a = c.filter(col("c_acctbal") < 0).select(col("c_custkey"))
+      val b = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      a.union(b).distinct()
+    },
+
+    // U4 set-difference via anti-join (python/lib/utilities.py:42-84)
+    "q13_new_buyers_1997" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val y97 = o.filter(year(col("o_orderdate")) === 1997).select(col("o_custkey")).distinct()
+      val before = o.filter(year(col("o_orderdate")) < 1997).select(col("o_custkey")).distinct()
+      y97.join(before, Seq("o_custkey"), "left_anti")
+    },
+
+    // A5 DISTINCT projection (python/lib/database_lib/files.py:145-163)
+    "q14_distinct_status_priority" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+    },
+
+    // A4 next-visit-number: IFNULL(MAX(..),0)+1 per group over a left join
+    // (python/lib/database_lib/session_db.py:95-96)
+    "q15_next_event_seq" -> { (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg((coalesce(max(col("o_orderkey")), lit(0L)) + 1).as("next_no"))
+    },
+
+    // EAV pivot: long attribute rows -> wide conditional aggregation
+    // (parameter_file pivot, uploadNeuroDB/NeuroDB/File.pm:113)
+    "q16_event_type_pivot" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+          count(when(col("event_type") === "error", 1)).as("n_error"),
+          count(when(col("event_type") === "signup", 1)).as("n_signup")
+        )
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        | SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+        | SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT))/10000.0 AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_range_filter" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL AND l_quantity >= 5
+        |  AND l_discount IS NOT NULL AND l_discount >= 0.02 AND l_discount <= 0.08
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q03_revenue_by_segment" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        | SUM(CAST(ROUND(o_totalprice*100) AS BIGINT))/100.0 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q04_customers_per_region" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        | SUM(CAST(ROUND(c_acctbal*100) AS BIGINT))/100.0 AS total_acctbal
+        |FROM customer
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orderless_customers
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN (
+        |    SELECT * FROM orders WHERE o_orderstatus = 'P'
+        |  ) o ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_mktsegment
+        |) WHERE n_orders = 0 GROUP BY c_mktsegment""".stripMargin,
+
+    "q06_active_customers_by_nation" ->
+      """SELECT n_name, COUNT(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |GROUP BY n_name""".stripMargin,
+
+    "q07_parts_never_ordered" ->
+      """SELECT p_brand, COUNT(*) AS n_unsold_parts
+        |FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_quantity >= 40)
+        |GROUP BY p_brand""".stripMargin,
+
+    "q08_nation_pairs_same_region" ->
+      """SELECT n1.n_name AS n1_name, n2.n_name AS n2_name,
+        | n1.n_regionkey AS regionkey
+        |FROM nation n1 JOIN nation n2
+        | ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name""".stripMargin,
+
+    "q09_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders
+        |) WHERE rn = 1""".stripMargin,
+
+    "q10_line_order_within_order" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(ROW_NUMBER() OVER (
+        |   PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS INTEGER)
+        |   AS acq_order
+        |FROM lineitem""".stripMargin,
+
+    "q11_asof_session_assignment" ->
+      """WITH anchors AS (
+        |  SELECT user_id AS a_user, ts AS a_ts, event_id AS anchor_id,
+        |         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS next_ts
+        |  FROM events WHERE event_type = 'signup'
+        |), scans AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT s.user_id, s.event_id, a.anchor_id
+        |FROM scans s JOIN anchors a
+        |  ON s.user_id = a.a_user AND s.ts >= a.a_ts
+        |  AND (a.next_ts IS NULL OR s.ts < a.next_ts)""".stripMargin,
+
+    "q12_union_flagged_customers" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |UNION
+        |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q13_new_buyers_1997" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |WHERE EXTRACT(year FROM o_orderdate) = 1997
+        |AND o_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) < 1997)""".stripMargin,
+
+    "q14_distinct_status_priority" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q15_next_event_seq" ->
+      """SELECT c_custkey, COALESCE(MAX(o_orderkey), 0) + 1 AS next_no
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders WHERE o_orderstatus = 'P'
+        |) o ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+
+    "q16_event_type_pivot" ->
+      """SELECT user_id,
+        | COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup
+        |FROM events GROUP BY user_id""".stripMargin
+  )
+}
