@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Catalog maintenance operators: get-or-create dictionaries, id assignment,
+  * next-visit-number, rank write-backs, run-number dedup — the reference's
+  * row-at-a-time UPDATE/INSERT loops re-expressed as set-oriented jobs.
+  */
+object Catalog {
+
+  /** J10 get-or-create (`python/lib/database.py:210-253`
+    * `grep_id_from_lookup_table`; scanner variant
+    * `python/lib/imaging_lib/mri_scanner.py:23+`):
+    * returns the dictionary extended with any natural keys present in
+    * `incoming` but missing from `dict`, new ids assigned
+    * `max(existing)+dense_rank(naturalKey)` — deterministic, no
+    * `monotonically_increasing_id`, idempotent under re-runs (anti-join
+    * guard J7 built in).
+    *
+    * Scale posture: `incoming` is deduped before the anti-join; the
+    * dictionary side is typically small (broadcast), and the only wide
+    * operation is the dedup shuffle on the natural key.
+    */
+  def getOrCreate(
+      dict: DataFrame,
+      incoming: DataFrame,
+      naturalKey: Seq[String],
+      idCol: String
+  ): DataFrame = {
+    val keyCols = naturalKey.map(col)
+    val newKeys = incoming.select(keyCols: _*).distinct()
+      .join(broadcast(dict.select(keyCols: _*)), naturalKey, "left_anti")
+    val maxId = dict.select(coalesce(max(col(idCol)), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val assigned = newKeys.withColumn(
+      idCol,
+      (lit(maxId) + dense_rank().over(Window.orderBy(keyCols.map(_.asc_nulls_last): _*)))
+        .cast(dict.schema(idCol).dataType))
+    dict.select(col(idCol) +: keyCols: _*)
+      .unionByName(assigned.select(col(idCol) +: keyCols: _*))
+  }
+
+  /** A4 next visit number: `IFNULL(MAX(VisitNo),0)+1 ... GROUP BY CandID`
+    * (`python/lib/database_lib/session_db.py:95-96`). */
+  def nextVisitNo(sessions: DataFrame, candCol: String, visitNoCol: String): DataFrame =
+    sessions.groupBy(col(candCol))
+      .agg((coalesce(max(col(visitNoCol)), lit(0)) + 1).as("next_visit_no"))
+
+  /** W1 AcqOrderPerModality: rank files by series number within
+    * (TarchiveSource, MriScanTypeID) and write the rank back as a column
+    * (`uploadNeuroDB/NeuroDB/MRIProcessingUtility.pm:2209-2268`) — the
+    * reference's per-row UPDATE loop becomes one windowed projection. */
+  def acqOrderPerModality(
+      files: DataFrame,
+      tarchiveCol: String = "TarchiveSource",
+      scanTypeCol: String = "MriScanTypeID",
+      seriesNumberCol: String = "SeriesNumber",
+      tieBreak: String = "FileID"
+  ): DataFrame =
+    files.withColumn(
+      "AcqOrderPerModality",
+      row_number().over(
+        Window.partitionBy(col(tarchiveCol), col(scanTypeCol))
+          .orderBy(asc_nulls_last(seriesNumberCol), asc_nulls_last(tieBreak))))
+
+  /** W2 latest row per group (`ORDER BY ID DESC LIMIT 1` per candidate,
+    * `MRIProcessingUtility.pm:210-212`). */
+  def latestPerGroup(df: DataFrame, partitionCols: Seq[String], orderDesc: Seq[String]): DataFrame =
+    df.withColumn("rn",
+      row_number().over(
+        Window.partitionBy(partitionCols.map(col): _*)
+          .orderBy(orderDesc.map(c => col(c).desc): _*)))
+      .filter(col("rn") === 1).drop("rn")
+
+  /** W4 run-number assignment: smallest run-N making a BIDS name unique
+    * within (session, entity) (`nifti_insertion_pipeline.py:456-461`).
+    * The while-loop increment becomes a rank over a deterministic insertion
+    * order, offset by the max run already taken in `existing`. */
+  def assignRunNumbers(
+      incoming: DataFrame,
+      existing: DataFrame,
+      entityCols: Seq[String],
+      orderCol: String,
+      existingRunCol: String = "run_number"
+  ): DataFrame = {
+    val maxExisting = existing
+      .groupBy(entityCols.map(col): _*)
+      .agg(max(col(existingRunCol)).as("max_existing_run"))
+    incoming
+      .join(broadcast(maxExisting), entityCols, "left")
+      .withColumn("run_number",
+        coalesce(col("max_existing_run"), lit(0)) +
+          row_number().over(
+            Window.partitionBy(entityCols.map(col): _*).orderBy(col(orderCol))))
+      .drop("max_existing_run")
+  }
+
+  /** J11+W3 as-of interval assignment (the IntendedFor pass,
+    * `python/lib/imaging.py:851-892,1112-1148`): for each right-side row,
+    * find the left-side anchor with the greatest time <= its time within the
+    * same group — i.e. anchors claim the interval [t, next_t). Returns
+    * `right` columns + the anchor's `anchorIdCol`.
+    *
+    * Scale posture: the anchor side gets a `lead` window (one shuffle on
+    * groupCols) and the join is an equi-join on groupCols with a range
+    * residual — Spark executes it as a hash join on the group key, never a
+    * cartesian. */
+  def asOfAssign(
+      anchors: DataFrame,
+      right: DataFrame,
+      groupCols: Seq[String],
+      anchorTime: String,
+      rightTime: String,
+      anchorIdCol: String
+  ): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(anchorTime))
+    val a = anchors
+      .withColumn("__next_t", lead(col(anchorTime), 1).over(w))
+      .select((groupCols :+ anchorTime :+ "__next_t" :+ anchorIdCol).map(c =>
+        col(c).as(s"__a_$c")): _*)
+    val joinCond = groupCols.map(g => col(g) === col(s"__a_$g")).reduce(_ && _) &&
+      col(rightTime) >= col(s"__a_$anchorTime") &&
+      (col(s"__a___next_t").isNull || col(rightTime) < col(s"__a___next_t"))
+    right.join(a, joinCond, "left")
+      .select(right.columns.map(col) :+ col(s"__a_$anchorIdCol").as(anchorIdCol): _*)
+  }
+}

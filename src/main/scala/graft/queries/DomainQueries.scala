@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.ProtocolMatcher
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Catalog, DicomSummary, ProtocolMatcher}
 
 /** Oracle-checked queries that drive the Loris-domain operators
   * (SURVEY.md §2.2 J4/J5, §2.4 A6/A10) over the driver's testdata: the
@@ -80,6 +81,27 @@ object DomainQueries {
       ProtocolMatcher.runExtraChecks(scansWithType, params, checks)
         .select(col("scan_id"), col("Header"), col("Severity"), col("Value"),
           col("MriProtocolChecksGroupID"))
+    },
+
+    // J10 get-or-create: dictionary extended with unseen natural keys, new
+    // ids = max(existing) + dense_rank (python/lib/database.py:210-253)
+    "q19_get_or_create" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val dict = part.filter(col("p_size") <= 10).select(col("p_brand")).distinct()
+        .withColumn("brand_id",
+          dense_rank().over(Window.orderBy(col("p_brand"))).cast("long"))
+      Catalog.getOrCreate(dict, part, Seq("p_brand"), "brand_id")
+    },
+
+    // A11 age-at-scan: reference formula years + months/12 + days/365 with
+    // raw component differences (summary_write.py:147-163)
+    "q20_age_at_scan" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(
+          col("o_orderkey"), col("l_linenumber"),
+          DicomSummary.ageAtScan(col("l_shipdate"), col("o_orderdate")).as("age_years")
+        )
     }
   )
 
@@ -141,6 +163,29 @@ object DomainQueries {
         |)
         |SELECT scan_id, header AS "Header", sev AS "Severity",
         |       value AS "Value", grp AS "MriProtocolChecksGroupID"
-        |FROM ev WHERE NOT (pass_range AND pass_regex)""".stripMargin
+        |FROM ev WHERE NOT (pass_range AND pass_regex)""".stripMargin,
+
+    "q19_get_or_create" ->
+      """WITH existing AS (
+        |  SELECT DISTINCT p_brand FROM part WHERE p_size <= 10
+        |), ex_ids AS (
+        |  SELECT p_brand, CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id
+        |  FROM existing
+        |), novel AS (
+        |  SELECT DISTINCT p_brand FROM part
+        |  WHERE p_brand NOT IN (SELECT p_brand FROM existing)
+        |), mx AS (SELECT COALESCE(MAX(brand_id), 0) AS m FROM ex_ids)
+        |SELECT brand_id, p_brand FROM ex_ids
+        |UNION ALL
+        |SELECT m + CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT), p_brand
+        |FROM novel, mx""".stripMargin,
+
+    "q20_age_at_scan" ->
+      """SELECT o_orderkey, l_linenumber,
+        |  ROUND(CAST(EXTRACT(year FROM l_shipdate) - EXTRACT(year FROM o_orderdate) AS DOUBLE)
+        |    + CAST(EXTRACT(month FROM l_shipdate) - EXTRACT(month FROM o_orderdate) AS DOUBLE)/12.0
+        |    + CAST(EXTRACT(day FROM l_shipdate) - EXTRACT(day FROM o_orderdate) AS DOUBLE)/365.0,
+        |    2) AS age_years
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
   )
 }
