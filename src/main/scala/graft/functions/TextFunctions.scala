@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline scalar library (LLM-data extensions, BASELINE.json north
+  * star): tokenization, shingling, portable hashing, quality features.
+  * Everything is pure `Column` expressions — no UDFs — so whole-stage
+  * codegen and pushdown stay intact at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish token counting: letter runs, single digits, single
+    * non-alphanumeric marks (a cheap stand-in for a real BPE vocab that
+    * preserves the scaling shape: count ∝ subword units, not words). */
+  val bpeTokenPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0)))
+
+  /** Word n-gram shingles from a token array: ["a","b","c"], n=2 ->
+    * ["a b","b c"]. Empty result when fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+
+  /** Stable 60-bit hash, portable across engines: the first 15 hex chars of
+    * md5 parsed as an integer. DuckDB twin:
+    * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`. Always >= 0. */
+  def portableHash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Universal-hash family over a base hash: h_ab(x) = (a*(x mod p) + b) mod p
+    * with p = 2^31 - 1 (products stay within Long). */
+  val MinhashPrime: Long = 2147483647L
+  def universalHash(x: Column, a: Long, b: Long): Column =
+    pmod(lit(a) * pmod(x, lit(MinhashPrime)) + lit(b), lit(MinhashPrime))
+
+  /** Deterministic (a, b) parameter list for a minhash family. */
+  def minhashParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1,
+      math.abs(rnd.nextLong()) % MinhashPrime))
+  }
+
+  /** MinHash signature: array of per-hash minima over the shingle-hash
+    * array. NULL when the shingle set is empty. */
+  def minhashSignature(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
+    when(size(shingleHashes) === 0, lit(null))
+      .otherwise(array(params.map { case (a, b) =>
+        array_min(transform(shingleHashes, x => universalHash(x, a, b)))
+      }: _*))
+
+  /** 32-bit SimHash over a token array, single pass: accumulate the
+    * ±1-per-bit sums in a 32-element array, then assemble the fingerprint
+    * (bit j set iff its weighted sum > 0). Engine-portable: integer-only
+    * math on [[portableHash60]] token hashes. */
+  def simhash32(toks: Column): Column = {
+    val perTokenBits = (x: Column) =>
+      array((0 until 32).map(j =>
+        (shiftright(x, j).bitwiseAND(lit(1L))) * 2 - 1): _*)
+    val sums = aggregate(
+      transform(toks, t => portableHash60(t)),
+      array_repeat(lit(0L), 32),
+      (acc, x) => zip_with(acc, perTokenBits(x), (s, d) => s + d))
+    (0 until 32).map(j =>
+      when(element_at(sums, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Rolling/polynomial document fingerprint: the minimum [[portableHash60]]
+    * over word `n`-shingles (1-hash MinHash — a winnowing-style content
+    * fingerprint stable under small reorderings of unrelated regions). */
+  def docFingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(shingles(tokens(text), n), s => portableHash60(s)))
+}

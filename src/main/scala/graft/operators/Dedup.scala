@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale text pipelines (BASELINE.json
+  * north star). Each variant trades exactness for scale differently:
+  *
+  *  - [[exact]]: hash-groupBy — one shuffle on the content hash.
+  *  - [[ngramJaccardPairs]]: exact n-gram Jaccard, brute-force within a
+  *    blocking column — O(block²); for bounded blocks only.
+  *  - [[minhashLshPairs]]: MinHash+LSH — the 100 TB path: per-doc signature
+  *    (narrow), band explode (×bands), shuffle on (band, bandSignature)
+  *    buckets, candidate pairs verified with exact Jaccard. No O(n²) stage;
+  *    skew-resistant because bucket sizes are bounded by collision
+  *    probability, and a `maxBucketSize` guard drops degenerate buckets
+  *    (e.g. empty-text clusters) the way production dedup pipelines do.
+  *  - [[simhashDocs]]: 32-bit SimHash fingerprint per doc; near-dup pairs =
+  *    equal fingerprints or banded hamming probes.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical row per content hash + copy count.
+    * (doc_id kept = min id per hash — deterministic.) */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking key.
+    * Returns (id_1, id_2, jaccard) for pairs >= threshold. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    val withShingles = df.select(
+      col(blockCol).as("block"),
+      col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+    val a = withShingles.select(col("block"), col("id").as("id_1"), col("sh").as("sh_1"))
+    val b = withShingles.select(col("block"), col("id").as("id_2"), col("sh").as("sh_2"))
+    a.join(b, Seq("block"))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_1"), col("sh_2"))).cast("double"))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  /** MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
+    *
+    * Pipeline: shingle → minhash signature (numHashes = bands*rowsPerBand) →
+    * explode into bands → group docs by (band index, band signature) →
+    * within-bucket candidate pairs → exact Jaccard on the original shingle
+    * sets → filter >= threshold. Docs with no shingles are dropped (no
+    * signature).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val params = minhashParams(bands * rowsPerBand)
+    val docs = df.select(
+      col(idCol).as("id"),
+      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(
+        transform(col("sh"), s => portableHash60(s)), params))
+
+    val banded = docs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_sig")
+
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_1"), col("ids"))
+      .select(col("id_1"), explode(col("ids")).as("id_2"))
+      .filter(col("id_1") < col("id_2"))
+      .distinct()
+
+    val sh1 = docs.select(col("id").as("id_1"), col("sh").as("sh_1"))
+    val sh2 = docs.select(col("id").as("id_2"), col("sh").as("sh_2"))
+    candidates
+      .join(sh1, "id_1").join(sh2, "id_2")
+      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_1"), col("sh_2"))).cast("double"))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  /** Per-doc 32-bit SimHash fingerprints. Exact-duplicate clusters share a
+    * fingerprint; near-dup detection joins on fingerprint bands. */
+  def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhash32(tokens(col(textCol))).as("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs within a blocking key (brute
+    * force within block; for unblocked 100 TB use [[Similarity.ivfTopK]]'s
+    * cluster assignment as the block). */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val a = v.select(col("block"), col("id").as("id_1"), col("v").as("v_1"))
+    val b = v.select(col("block"), col("id").as("id_2"), col("v").as("v_2"))
+    a.join(b, Seq("block"))
+      .filter(col("id_1") < col("id_2"))
+      .withColumn("cosine", round(Similarity.cosine(col("v_1"), col("v_2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_1"), col("id_2"), col("cosine"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Queries are broadcast; the corpus side streams partition-parallel, so
+  *    cost is O(|corpus| × |queries|) with no shuffle until the final top-k
+  *    window on the (small) query key space.
+  *  - [[ivfTopK]]: IVF-style scale path — corpus is bucketed by nearest
+  *    centroid once (narrow map after a centroid broadcast), queries probe
+  *    only their `nprobe` closest centroid buckets. At 100 TB the bucket
+  *    assignment becomes the partitioning/bucketing key, turning ANN search
+  *    into a partition-pruned scan.
+  *
+  * All arithmetic is sequential-order double math on `Column` expressions
+  * (`zip_with` + `aggregate`), bit-reproducible across engines that sum
+  * left-to-right.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (left-to-right summation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(vecCol: Column): Column =
+    transform(vecCol, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Returns (query_id, neighbor_id, cosine, rank), rank 1..k, excluding
+    * self-matches; ties broken by neighbor id. */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Assign each vector to its nearest centroid (squared-L2).
+    * Centroids: (centroid_id, vector) — broadcast. */
+  def assignClusters(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val cent = centroids.select(col("centroid_id"), asDouble(col("vec")).as("cent_vec"))
+    val dist = aggregate(
+      zip_with(asDouble(col(vecCol)), col("cent_vec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("centroid_id").asc)
+    df.join(broadcast(cent))
+      .withColumn("dist", dist)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("dist", "rn", "cent_vec")
+  }
+
+  /** Deterministic centroid pick for local IVF: the first `c` corpus vectors
+    * by id (a k-means stand-in — the operator contract only needs SOME fixed
+    * centroid set; plug a trained one in production). */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String, c: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(c)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("vec"))
+
+  /** IVF top-k: probe the `nprobe` nearest centroid buckets per query. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int
+  ): DataFrame = {
+    val bucketed = assignClusters(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"),
+        col("centroid_id").as("n_cluster"))
+    val cent = centroids.select(col("centroid_id"), asDouble(col("vec")).as("cent_vec"))
+    val qdist = aggregate(
+      zip_with(col("q_vec"), col("cent_vec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("qd").asc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .join(broadcast(cent))
+      .withColumn("qd", qdist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_vec"), col("centroid_id").as("n_cluster"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    bucketed.join(broadcast(probes), Seq("n_cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operators (BASELINE.json north star) over the
+  * `documents` and `embeddings` tables, each with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible. Engine-portable determinism:
+  * integer-only hashing ([[graft.functions.TextFunctions.portableHash60]]),
+  * sequential-order double sums, explicit rounding, deterministic
+  * tie-breaks.
+  */
+object DataQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** DuckDB twins of the Spark-side text primitives. */
+  private val sqlToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def sqlShingles(n: Int) =
+    s"""list_transform(
+       |  generate_series(1, greatest(len($sqlToks) - ${n - 1}, 0)),
+       |  i -> array_to_string(($sqlToks)[i:i+${n - 1}], ' '))""".stripMargin
+  private val sqlHash60 =
+    "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy, canonical = min id
+    "q21_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Quality scoring: counts, ratios, composite score
+    "q22_text_quality" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.nWords(col("text")).as("n_words"),
+        TextAnalysis.nPunct(col("text")).as("n_punct"),
+        TextAnalysis.stopwordCount(col("text")).as("n_stop"),
+        TextAnalysis.qualityScore(col("text")).as("quality")
+      )
+    },
+
+    // Token counting: whitespace + BPE-ish regex tokens
+    "q23_token_count" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.nWords(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens")
+      )
+    },
+
+    // Heuristic language ID vs the declared lang column
+    "q24_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // Document fingerprint: min 5-shingle hash (1-hash MinHash / winnowing)
+    "q25_doc_fingerprint" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        docFingerprint(col("text"), 5).as("fingerprint"),
+        size(array_distinct(shingles(tokens(col("text")), 5))).as("n_shingles")
+      )
+    },
+
+    // Exact n-gram Jaccard near-dup pairs, blocked by source
+    "q26_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", "source", n = 5, threshold = 0.2)
+    },
+
+    // MinHash+LSH near-dup pairs (bands=32 x rows=2), exact-verified at 0.5.
+    // Oracle = brute-force all-pairs Jaccard: valid because at threshold 0.5
+    // the banding scheme's candidate recall is 1 - (1-s^2)^32 >= 0.99989,
+    // verified exhaustively against this dataset (see DedupSpec).
+    "q27_minhash_lsh" -> { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 5, bands = 32, rowsPerBand = 2, threshold = 0.5)
+    },
+
+    // 32-bit SimHash fingerprints
+    "q28_simhash" -> { (s, dir) =>
+      Dedup.simhashDocs(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    // Brute-force cosine top-10 for the first 5 vectors
+    "q29_embedding_knn" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    },
+
+    // Embedding-cosine near-dup pairs within label blocks
+    "q30_embedding_neardup" -> { (s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.3)
+    },
+
+    // IVF approximate top-k (scale path; no SQL oracle - recall validated
+    // against bruteForceTopK in SimilaritySpec)
+    "q31_ann_ivf" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, centroids, nprobe = 2)
+    },
+
+    // Multimodal: binary payload + stub-decoded metadata struct
+    "q32_multimodal_meta" -> { (s, dir) =>
+      Multimodal.withImageMeta(
+        t(s, dir, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "payload")
+        .select(col("doc_id"), col("image_meta.byte_size").as("byte_size"),
+          col("image_meta.magic").as("magic"),
+          col("image_meta.width").as("width"),
+          col("image_meta.height").as("height"),
+          col("image_meta.n_frames").as("n_frames"))
+    }
+  )
+
+  private val sqlQuality =
+    """(CASE WHEN length(text) BETWEEN 100 AND 10000 THEN 1.0 ELSE 0.5 END) * 0.4
+      | + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0) <= 0.1
+      |     THEN 0.3 ELSE 0.1 END)
+      | + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 3.0, 0.3)""".stripMargin
+
+  private val enStops = "the|and|of|to|in|is|that|for"
+
+  val oracle: Map[String, String] = Map(
+    "q21_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q22_text_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    CAST(length(text) AS INTEGER) AS n_chars,
+         |    CAST(len($sqlToks) AS INTEGER) AS n_words,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b($enStops)\\b', 0)) AS INTEGER) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_chars, n_words, n_punct, n_stop,
+         |       round($sqlQuality, 6) AS quality
+         |FROM f""".stripMargin,
+
+    "q23_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($sqlToks) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS INTEGER) AS bpe_tokens
+         |FROM documents""".stripMargin,
+
+    "q24_lang_id" -> {
+      val markers = TextAnalysis.defaultMarkers
+      val cnts = markers.map { case (lang, ws) =>
+        s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b', 0)) AS c_$lang"
+      }.mkString(",\n    ")
+      val best = "greatest(" + markers.map("c_" + _._1).mkString(", ") + ")"
+      val chain = markers.map { case (lang, _) =>
+        s"WHEN c_$lang = best THEN '$lang'"
+      }.mkString(" ")
+      val cnames = markers.map("c_" + _._1).mkString(", ")
+      s"""WITH f AS (SELECT lang, $cnts FROM documents),
+         |g AS (SELECT lang, $best AS best, $cnames FROM f)
+         |SELECT lang,
+         |  CASE WHEN best <= 0 THEN 'und' $chain ELSE 'und' END AS lang_pred,
+         |  COUNT(*) AS n_docs
+         |FROM g GROUP BY 1, 2""".stripMargin
+    },
+
+    "q25_doc_fingerprint" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, ${sqlShingles(5)} AS shingles FROM documents
+         |)
+         |SELECT doc_id,
+         |  list_min(list_transform(shingles, s -> $sqlHash60)) AS fingerprint,
+         |  CAST(len(list_distinct(shingles)) AS INTEGER) AS n_shingles
+         |FROM sh""".stripMargin,
+
+    "q26_ngram_jaccard" ->
+      s"""WITH d AS (
+         |  SELECT source, doc_id, list_distinct(${sqlShingles(5)}) AS sh
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_distinct(a.sh || b.sh)) > 0
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)), 6) >= 0.2""".stripMargin,
+
+    "q27_minhash_lsh" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND len(list_distinct(a.sh || b.sh)) > 0
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    "q28_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id, $sqlHash60 AS hv FROM tok
+         |), bits AS (
+         |  SELECT doc_id, j, SUM(((hv >> j) & 1) * 2 - 1) AS bsum
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+         |  GROUP BY doc_id, j
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q29_embedding_knn" -> sqlKnn(
+      "e2.vec_id < 5", "rank <= 10"),
+
+    "q30_embedding_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
+        |         * sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2])))),
+        |      6) AS cosine
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_1, id_2, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+
+    "q32_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS byte_size,
+        |  upper(to_hex(ascii(substr(text, 1, 1)))) AS magic,
+        |  CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+        |  CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+        |  CAST(length(text) % 24 + 1 AS INTEGER) AS n_frames
+        |FROM documents""".stripMargin
+  )
+
+  /** Shared brute-force-KNN oracle shape. */
+  private def sqlKnn(queryPred: String, rankPred: String): String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT e2.vec_id AS query_id, e1.vec_id AS neighbor_id,
+       |    round(
+       |      list_sum(list_transform(list_zip(e2.v, e1.v), x -> x[1]*x[2]))
+       |      / (sqrt(list_sum(list_transform(list_zip(e2.v, e2.v), x -> x[1]*x[2])))
+       |         * sqrt(list_sum(list_transform(list_zip(e1.v, e1.v), x -> x[1]*x[2])))),
+       |      6) AS cosine
+       |  FROM v e1 JOIN v e2 ON e1.vec_id <> e2.vec_id
+       |  WHERE $queryPred
+       |), ranked AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE $rankPred""".stripMargin
+}

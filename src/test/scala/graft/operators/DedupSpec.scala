@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operator semantics on crafted fixtures + LSH-vs-brute-force
+  * equivalence on the real documents table. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today", "a"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow", "a"), // near dup
+      (4L, "completely different content about spark query engines and shuffles", "a"),
+      (5L, "", "b"), // empty text: no shingles
+      (6L, "short text", "b")
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup groups identical texts, canonical = min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.count() == 5)
+    val dup = out.filter(col("n_copies") === 2).collect()
+    assert(dup.length == 1 && dup.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("ngram jaccard finds exact and near dups, skips shingle-less docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source", 5, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(pairs.contains((2L, 3L)))
+    assert(pairs.size == 3) // doc 4 matches nothing; 5/6 have no 5-shingles
+  }
+
+  test("minhash LSH pairs == brute force pairs on the documents table at threshold 0.5") {
+    val real = spark.read.parquet(s"$sf001/documents.parquet")
+    val lsh = Dedup.minhashLshPairs(real, "doc_id", "text", 5, 32, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = Dedup.ngramJaccardPairs(
+      real.withColumn("all", lit(1)), "doc_id", "text", "all", 5, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute, s"LSH ${lsh.size} vs brute ${brute.size}")
+    assert(lsh.nonEmpty)
+  }
+
+  test("simhash: identical docs share fingerprints; unrelated docs differ") {
+    val out = Dedup.simhashDocs(docs.filter(col("doc_id") =!= 5), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(4L))
+    // near-dup docs should be close in hamming distance
+    val ham = java.lang.Long.bitCount(out(1L) ^ out(3L))
+    assert(ham <= 8, s"hamming distance $ham")
+  }
+}

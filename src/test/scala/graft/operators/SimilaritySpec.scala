@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 5)
+
+  test("bruteForceTopK: k results per query, self excluded, ranks contiguous") {
+    val out = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect()
+    assert(out.length == 5 * 10)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      // ranks ordered by descending cosine
+      val sorted = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ivfTopK recall@10 >= 0.2 vs brute force with 8 centroids, nprobe 2") {
+    // IVF is approximate: with random embeddings and 2/8 buckets probed the
+    // expected candidate coverage is ~25%; assert sane recall, exact
+    // agreement is not the contract.
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 10, cents, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == 50)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
+  test("cosine of identical vectors is 1") {
+    import spark.implicits._
+    val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val out = v.select(round(Similarity.cosine(
+      transform(col("embedding"), _.cast("double")),
+      transform(col("embedding"), _.cast("double"))), 6)).first().getDouble(0)
+    assert(out == 1.0)
+  }
+}
