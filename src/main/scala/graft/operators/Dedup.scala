@@ -39,14 +39,23 @@ object Dedup {
       n: Int,
       threshold: Double
   ): DataFrame = {
+    // shingles are hashed to longs before pairing: the O(pairs) join then
+    // moves/intersects compact long arrays instead of strings (the 60-bit
+    // hash is injective in practice; a cross-pair collision needs ~2^30
+    // distinct shingles per pair)
     val withShingles = df.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+      array_distinct(transform(shingles(tokens(col(textCol)), n),
+        s => portableHash60(s))).as("sh"))
     val a = withShingles.select(col("block"), col("id").as("id_1"), col("sh").as("sh_1"))
     val b = withShingles.select(col("block"), col("id").as("id_2"), col("sh").as("sh_2"))
     a.join(b, Seq("block"))
       .filter(col("id_1") < col("id_2"))
+      // size prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
+      // size ratio is already below threshold skip the set intersection
+      .filter(least(size(col("sh_1")), size(col("sh_2"))).cast("double") >=
+        lit(threshold) * greatest(size(col("sh_1")), size(col("sh_2"))))
       .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_1"), col("sh_2"))).cast("double"))
       .filter(col("uni") > 0)
@@ -76,10 +85,10 @@ object Dedup {
     val params = minhashParams(bands * rowsPerBand)
     val docs = df.select(
       col(idCol).as("id"),
-      array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+      array_distinct(transform(shingles(tokens(col(textCol)), n),
+        s => portableHash60(s))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(
-        transform(col("sh"), s => portableHash60(s)), params))
+      .withColumn("sig", minhashSignature(col("sh"), params))
 
     val banded = docs.select(
       col("id"),

@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.EphysChunker
+import graft.streaming.EventStream
+
+/** Time-series chunking (T1-T3) and streaming-analog (T5) queries over the
+  * events table: each user's event sequence plays an ephys channel
+  * (channel = user_id, sample_index = dense per-user order by event_id).
+  */
+object ChunkQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events → long-format samples; value scaled to integral doubles so
+    * averages are order-independent across engines. */
+  private def samples(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      col("user_id").as("channel"),
+      (row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("event_id"))) - 1)
+        .cast("long").as("sample_index"),
+      round(col("value") * 100).as("value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // T1: fixed-size chunk statistics with last-chunk valid samples
+    "q33_ephys_chunks" -> { (s, dir) =>
+      EphysChunker.chunkStats(samples(s, dir), 32)
+    },
+
+    // T2: integer-deterministic downsampling pyramid plan
+    "q34_pyramid_plan" -> { (s, dir) =>
+      EphysChunker.pyramidPlan(samples(s, dir), 8)
+    },
+
+    // T2: bucket-average downsample (exact: integral values)
+    "q35_downsample_avg" -> { (s, dir) =>
+      EphysChunker.downsampleAvg(samples(s, dir), 16L)
+    },
+
+    // T5: tumbling-window event aggregation (batch form of the streaming
+    // facade; epoch-second output for engine-neutral timestamps)
+    "q36_stream_windows" -> { (s, dir) =>
+      EventStream.windowedCounts(CoreQueries.events(s, dir),
+        windowDuration = "5 minutes", watermark = "0 seconds")
+        .select(
+          unix_timestamp(col("window_start")).as("ws"),
+          unix_timestamp(col("window_end")).as("we"),
+          col("event_type"), col("n_events"))
+    }
+  )
+
+  private val sqlSamples =
+    """SELECT user_id AS channel,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT)
+      |    AS sample_index,
+      |  round(value * 100) AS value
+      |FROM events""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q33_ephys_chunks" ->
+      s"""WITH s AS ($sqlSamples),
+         |c AS (
+         |  SELECT channel, sample_index // 32 AS chunk_index,
+         |    CAST(COUNT(*) AS INTEGER) AS n_samples,
+         |    MIN(value) AS chunk_min, MAX(value) AS chunk_max
+         |  FROM s GROUP BY channel, sample_index // 32
+         |)
+         |SELECT channel, chunk_index, n_samples, chunk_min, chunk_max,
+         |  chunk_index = MAX(chunk_index) OVER (PARTITION BY channel) AS is_last,
+         |  CASE WHEN chunk_index = MAX(chunk_index) OVER (PARTITION BY channel)
+         |       THEN n_samples ELSE 32 END AS valid_samples
+         |FROM c""".stripMargin,
+
+    "q34_pyramid_plan" ->
+      s"""WITH s AS ($sqlSamples),
+         |n AS (
+         |  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_samples FROM s GROUP BY channel
+         |), lv AS (
+         |  SELECT channel, n_samples,
+         |    CASE WHEN n_samples <= 1 THEN 0 WHEN n_samples <= 8 THEN 1
+         |         WHEN n_samples <= 64 THEN 2 WHEN n_samples <= 512 THEN 3
+         |         WHEN n_samples <= 4096 THEN 4 WHEN n_samples <= 32768 THEN 5
+         |         ELSE 6 END AS n_levels
+         |  FROM n
+         |), ex AS (
+         |  SELECT channel, n_samples, n_levels,
+         |    CAST(unnest(generate_series(0, greatest(n_levels - 1, 0))) AS INTEGER) AS level
+         |  FROM lv
+         |), sz AS (
+         |  SELECT channel, n_samples, n_levels, level,
+         |    CAST(power(8, level) AS BIGINT) AS bucket_size,
+         |    (n_samples + CAST(power(8, level) AS BIGINT) - 1)
+         |      // CAST(power(8, level) AS BIGINT) AS target_size
+         |  FROM ex
+         |)
+         |SELECT channel, n_samples, n_levels,
+         |  CAST(MIN(level) AS INTEGER) AS level,
+         |  MIN(bucket_size) AS bucket_size, target_size
+         |FROM sz GROUP BY channel, n_samples, n_levels, target_size""".stripMargin,
+
+    "q35_downsample_avg" ->
+      s"""WITH s AS ($sqlSamples)
+         |SELECT channel, sample_index // 16 AS sample_index, AVG(value) AS value
+         |FROM s GROUP BY channel, sample_index // 16""".stripMargin,
+
+    "q36_stream_windows" ->
+      """SELECT
+        |  CAST(epoch(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
+        |  CAST(epoch(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 AS we,
+        |  event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2, 3""".stripMargin
+  )
+}

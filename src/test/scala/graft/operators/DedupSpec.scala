@@ -37,7 +37,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH pairs == brute force pairs on the documents table at threshold 0.5") {
     val real = spark.read.parquet(s"$sf001/documents.parquet")
-    val lsh = Dedup.minhashLshPairs(real, "doc_id", "text", 5, 32, 2, 0.5)
+    val lsh = Dedup.minhashLshPairs(real, "doc_id", "text", 5, 16, 4, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val brute = Dedup.ngramJaccardPairs(
       real.withColumn("all", lit(1)), "doc_id", "text", "all", 5, 0.5)

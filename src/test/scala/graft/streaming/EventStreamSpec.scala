@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamSpec extends SparkSpec {
+
+  test("windowedCounts over a real stream (MemoryStream micro-batches)") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = EventStream.windowedCounts(events, windowDuration = "1 minute",
+      watermark = "0 seconds")
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    mem.addData(
+      (Timestamp.valueOf("2026-01-01 00:00:10"), "click"),
+      (Timestamp.valueOf("2026-01-01 00:00:50"), "click"),
+      (Timestamp.valueOf("2026-01-01 00:01:10"), "view"))
+    q.processAllAvailable()
+    val out = spark.table("wc").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+    q.stop()
+    assert(out == Set(
+      ("2026-01-01 00:00:00.0", "click", 2L),
+      ("2026-01-01 00:01:00.0", "view", 1L)))
+  }
+
+  test("windowedCounts is the same plan on batch input") {
+    import spark.implicits._
+    val batch = Seq(
+      (Timestamp.valueOf("2026-01-01 00:00:10"), "click"),
+      (Timestamp.valueOf("2026-01-01 00:00:50"), "click"))
+      .toDF("ts", "event_type")
+    val out = EventStream.windowedCounts(batch, windowDuration = "1 minute")
+      .collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_events") == 2L)
+  }
+
+  test("trackUploadStates: state machine over micro-batched upload events") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val mem = MemoryStream[EventStream.UploadEvent]
+    val q = EventStream.trackUploadStates(mem.toDS())
+      .writeStream.format("memory").queryName("us").outputMode("update").start()
+    mem.addData(
+      EventStream.UploadEvent(1L, 1L, "Inserting"),
+      EventStream.UploadEvent(2L, 1L, "Inserting"))
+    q.processAllAvailable()
+    mem.addData(EventStream.UploadEvent(1L, 2L, "InsertionComplete"))
+    q.processAllAvailable()
+    val out = spark.table("us").groupBy("upload_id")
+      .agg(max_by(col("status"), col("n_transitions")).as("status"),
+        max(col("n_transitions")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    q.stop()
+    assert(out(1L) == ("InsertionComplete", 2))
+    assert(out(2L) == ("Inserting", 1))
+  }
+}
