@@ -17,6 +17,20 @@ object DataQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** documents loader. NOTE: deliberately NOT repartitioned here — a
+    * round-robin exchange erases the parquet size statistics, which silently
+    * demotes the dedup self-joins from broadcast-hash to sort-merge (25x
+    * slower measured at sf0.1). Queries that are purely scalar-bound opt
+    * into [[docsParallel]] instead. */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  /** per-core parallelism for CPU-bound scalar stages: the local fixture is
+    * one parquet row group (= one partition); at 100 TB the source is many
+    * files and this is free, but locally it parallelizes hashing 8-32x. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   /** DuckDB twins of the Spark-side text primitives. */
   private val sqlToks = "regexp_split_to_array(trim(text), '\\s+')"
   private def sqlShingles(n: Int) =
@@ -29,12 +43,12 @@ object DataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, canonical = min id
     "q21_dedup_exact" -> { (s, dir) =>
-      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.exact(docs(s, dir), "doc_id", "text")
     },
 
     // Quality scoring: counts, ratios, composite score
     "q22_text_quality" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
+      val d = docs(s, dir)
       d.select(
         col("doc_id"),
         length(col("text")).as("n_chars"),
@@ -47,7 +61,7 @@ object DataQueries {
 
     // Token counting: whitespace + BPE-ish regex tokens
     "q23_token_count" -> { (s, dir) =>
-      t(s, dir, "documents").select(
+      docs(s, dir).select(
         col("doc_id"),
         TextAnalysis.nWords(col("text")).as("ws_tokens"),
         bpeTokenCount(col("text")).as("bpe_tokens")
@@ -56,7 +70,7 @@ object DataQueries {
 
     // Heuristic language ID vs the declared lang column
     "q24_lang_id" -> { (s, dir) =>
-      t(s, dir, "documents")
+      docs(s, dir)
         .select(col("lang"), TextAnalysis.languageId(col("text")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
@@ -64,7 +78,7 @@ object DataQueries {
 
     // Document fingerprint: min 5-shingle hash (1-hash MinHash / winnowing)
     "q25_doc_fingerprint" -> { (s, dir) =>
-      t(s, dir, "documents").select(
+      docsParallel(s, dir).select(
         col("doc_id"),
         docFingerprint(col("text"), 5).as("fingerprint"),
         size(array_distinct(shingles(tokens(col("text")), 5))).as("n_shingles")
@@ -73,7 +87,7 @@ object DataQueries {
 
     // Exact n-gram Jaccard near-dup pairs, blocked by source
     "q26_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+      Dedup.ngramJaccardPairs(docs(s, dir),
         "doc_id", "text", "source", n = 5, threshold = 0.2)
     },
 
@@ -83,13 +97,13 @@ object DataQueries {
     // r=4 keeps unrelated low-entropy docs (s~0.1, collision s^4=1e-4) out
     // of shared buckets, bounding bucket sizes (verified in DedupSpec).
     "q27_minhash_lsh" -> { (s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"),
+      Dedup.minhashLshPairs(docs(s, dir),
         "doc_id", "text", n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
     },
 
     // 32-bit SimHash fingerprints
     "q28_simhash" -> { (s, dir) =>
-      Dedup.simhashDocs(t(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
     },
 
     // Brute-force cosine top-10 for the first 5 vectors
@@ -117,7 +131,7 @@ object DataQueries {
     // Multimodal: binary payload + stub-decoded metadata struct
     "q32_multimodal_meta" -> { (s, dir) =>
       Multimodal.withImageMeta(
-        t(s, dir, "documents").select(col("doc_id"),
+        docs(s, dir).select(col("doc_id"),
           col("text").cast("binary").as("payload")),
         "payload")
         .select(col("doc_id"), col("image_meta.byte_size").as("byte_size"),

@@ -19,7 +19,7 @@ object DomainQueries {
   /** part → scan mapping: p_size plays `time`, p_retailprice/1000 plays
     * RepetitionTime (so the engine's s→ms ×1000 scaling recovers it),
     * p_type plays SeriesDescription. */
-  private def partAsScans(s: SparkSession, dir: String): DataFrame =
+  private[queries] def partAsScans(s: SparkSession, dir: String): DataFrame =
     ProtocolMatcher.padScanCols(
       t(s, dir, "part").select(
         col("p_partkey").as("scan_id"),
@@ -28,7 +28,7 @@ object DomainQueries {
         col("p_size").cast("double").as("time")
       ))
 
-  private def protocolFixture(s: SparkSession): DataFrame = {
+  private[queries] def protocolFixture(s: SparkSession): DataFrame = {
     import s.implicits._
     ProtocolMatcher.padProtocolCols(
       Seq(

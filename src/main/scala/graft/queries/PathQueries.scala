@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{BidsPath, TextFunctions}
+import graft.operators.ProtocolMatcher
+
+/** Remaining SURVEY §2 coverage: J9 EAV-hash semi-join, A9 insertion
+  * summary report, the patient-name decoder hook, and the BIDS filename
+  * builder — each oracle-checked.
+  */
+object PathQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J9 EAV hash semi-join (python/lib/db/queries/file.py:59-63): docs
+    // whose content fingerprint appears under more than one source —
+    // the "find file by hash value" lookup, set-oriented
+    "q37_eav_hash_semijoin" -> { (s, dir) =>
+      val p = t(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        TextFunctions.docFingerprint(col("text"), 5).as("h"))
+      val dup = p.groupBy(col("h"))
+        .agg(countDistinct(col("source")).as("ns"))
+        .filter(col("ns") > 1)
+        .select("h")
+      p.join(dup, Seq("h"), "left_semi").select("doc_id", "source")
+    },
+
+    // A9 insertion summary (dicom_archive_loader_pipeline.py:429-470):
+    // per-archive routing counts + ordered joined name list
+    "q38_insertion_summary" -> { (s, dir) =>
+      val parts = t(s, dir, "part").select(
+        col("p_partkey").as("scan_id"), col("p_brand"), col("p_name"))
+      ProtocolMatcher.identify(
+        DomainQueries.partAsScans(s, dir), DomainQueries.protocolFixture(s))
+        .join(parts, "scan_id")
+        .groupBy(col("p_brand"))
+        .agg(
+          count(when(col("protocol_status") === "identified", 1)).as("n_inserted"),
+          count(when(col("protocol_status") === "unknown", 1)).as("n_protocol_violated"),
+          count(when(col("protocol_status") === "ambiguous", 1)).as("n_ambiguous"),
+          concat_ws(", ",
+            array_sort(collect_list(
+              when(col("protocol_status") =!= "identified", col("p_name")))))
+            .as("violated_names"))
+    },
+
+    // get_session_config hook (get_session_info.py:87-105): default
+    // PSCID_CandID_Visit patient-name decoder
+    "q39_patient_decode" -> { (s, dir) =>
+      val named = t(s, dir, "customer").select(
+        col("c_custkey"),
+        concat(col("c_mktsegment"), lit("_"), col("c_custkey"), lit("_V1"))
+          .as("patient_name"))
+      named.select(
+        col("c_custkey"),
+        BidsPath.decodePatientName(col("patient_name")).as("d"))
+        .select(col("c_custkey"), col("d.pscid").as("pscid"),
+          col("d.cand_id").as("cand_id"), col("d.visit_label").as("visit_label"))
+    },
+
+    // BIDS filename builder (nifti_insertion_pipeline.py:464-514): fixed
+    // entity order, conditional entities skipped when absent
+    "q40_bids_filename" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val entities = map_filter(
+        map(
+          lit("sub"), col("o_custkey").cast("string"),
+          lit("ses"), lower(col("o_orderstatus")),
+          lit("acq"), when(col("o_totalprice") > 200000, lit("hi")),
+          lit("run"), substring(col("o_orderpriority"), 1, 1)),
+        (_, v) => v.isNotNull)
+      o.select(
+        col("o_orderkey"),
+        BidsPath.bidsFilename(entities, lit("T1w"), lit(".nii.gz")).as("filename"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q37_eav_hash_semijoin" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, source,
+        |    list_min(list_transform(
+        |      list_transform(generate_series(1, greatest(len(tk) - 4, 0)),
+        |                     i -> array_to_string(tk[i:i+4], ' ')),
+        |      s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT))) AS h
+        |  FROM toks
+        |), dup AS (
+        |  SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT source) > 1
+        |)
+        |SELECT doc_id, source FROM sh WHERE h IN (SELECT h FROM dup)""".stripMargin,
+
+    "q38_insertion_summary" ->
+      """WITH prot(stype, regex, tr_min, tr_max, time_min) AS (
+        |  VALUES (201, NULL, 900.005, 1200.005, NULL),
+        |         (202, 'brass', NULL, NULL, NULL),
+        |         (203, NULL, NULL, NULL, 40.0)
+        |), scans AS (
+        |  SELECT p_partkey AS scan_id, p_brand, p_name, p_type AS descr,
+        |         (p_retailprice/1000)*1000 AS tr_ms, CAST(p_size AS DOUBLE) AS tval
+        |  FROM part
+        |), m AS (
+        |  SELECT scan_id, stype FROM scans CROSS JOIN prot
+        |  WHERE CASE WHEN regex IS NOT NULL THEN regexp_matches(descr, regex, 'i')
+        |        ELSE ((tr_min IS NULL AND tr_max IS NULL)
+        |              OR (tr_ms IS NOT NULL AND (tr_min IS NULL OR tr_ms >= tr_min)
+        |                  AND (tr_max IS NULL OR tr_ms <= tr_max)))
+        |         AND ((time_min IS NULL) OR (tval IS NOT NULL AND tval >= time_min))
+        |        END
+        |), agg AS (
+        |  SELECT s.scan_id, s.p_brand, s.p_name, COUNT(DISTINCT m.stype) AS n
+        |  FROM scans s LEFT JOIN m ON s.scan_id = m.scan_id
+        |  GROUP BY s.scan_id, s.p_brand, s.p_name
+        |)
+        |SELECT p_brand,
+        |  COUNT(*) FILTER (WHERE n = 1) AS n_inserted,
+        |  COUNT(*) FILTER (WHERE n = 0) AS n_protocol_violated,
+        |  COUNT(*) FILTER (WHERE n > 1) AS n_ambiguous,
+        |  COALESCE(string_agg(CASE WHEN n <> 1 THEN p_name END, ', '
+        |                      ORDER BY CASE WHEN n <> 1 THEN p_name END), '')
+        |    AS violated_names
+        |FROM agg GROUP BY p_brand""".stripMargin,
+
+    "q39_patient_decode" ->
+      """WITH named AS (
+        |  SELECT c_custkey,
+        |    c_mktsegment || '_' || CAST(c_custkey AS VARCHAR) || '_V1' AS patient_name
+        |  FROM customer
+        |)
+        |SELECT c_custkey,
+        |  regexp_extract(patient_name, '^([^_]+)_([^_]+)_(.+)$', 1) AS pscid,
+        |  regexp_extract(patient_name, '^([^_]+)_([^_]+)_(.+)$', 2) AS cand_id,
+        |  regexp_extract(patient_name, '^([^_]+)_([^_]+)_(.+)$', 3) AS visit_label
+        |FROM named""".stripMargin,
+
+    "q40_bids_filename" ->
+      """SELECT o_orderkey,
+        |  'sub-' || CAST(o_custkey AS VARCHAR)
+        |  || '_ses-' || lower(o_orderstatus)
+        |  || CASE WHEN o_totalprice > 200000 THEN '_acq-hi' ELSE '' END
+        |  || '_run-' || substr(o_orderpriority, 1, 1)
+        |  || '_T1w.nii.gz' AS filename
+        |FROM orders""".stripMargin
+  )
+}

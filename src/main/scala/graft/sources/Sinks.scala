@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Catalog sinks (SURVEY.md §2.1 S9/S10/S13): the reference's INSERT /
+  * UPDATE / chunk-file writes re-expressed as set-oriented parquet
+  * operations. All are idempotent by construction (anti-join guards, key
+  * overwrite) — the batch analog of the reference's transactional upserts.
+  */
+object Sinks {
+
+  /** S9 batch INSERT with assigned ids: appends `incoming` rows absent from
+    * `existing` (anti-join on naturalKey), ids continuing from
+    * max(existing). Deterministic: ids ranked by naturalKey order. */
+  def appendWithIds(
+      existing: DataFrame,
+      incoming: DataFrame,
+      naturalKey: Seq[String],
+      idCol: String
+  ): DataFrame = {
+    val maxId = existing.select(coalesce(max(col(idCol)), lit(0L)).cast("long"))
+      .first().getLong(0)
+    val fresh = incoming
+      .join(existing.select(naturalKey.map(col): _*).distinct(), naturalKey, "left_anti")
+      .withColumn(idCol,
+        (lit(maxId) + row_number().over(
+          Window.orderBy(naturalKey.map(col): _*)))
+          .cast(existing.schema(idCol).dataType))
+    existing.unionByName(fresh.select(existing.columns.map(col): _*))
+  }
+
+  /** S10 targeted UPDATE by key: for every key present in `updates`, the
+    * listed columns take the update's value; all other rows/columns pass
+    * through (the read→when→overwrite rewrite of
+    * `python/lib/database.py:188-208`). */
+  def updateByKey(
+      existing: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String]
+  ): DataFrame = {
+    val u = updates.select(
+      keys.map(col) ++ updateCols.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = existing.join(u, keys, "left")
+    updateCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c, coalesce(col(s"__u_$c"), col(c)))
+    }.drop(updateCols.map(c => s"__u_$c"): _*)
+  }
+
+  /** S13 chunk sink: partitioned parquet layout
+    * (`downsampling`/`channel` directories — the reference's per-chunk
+    * protobuf tree becomes partition pruning keys). */
+  def writeChunks(chunks: DataFrame, outDir: String): Unit =
+    chunks.write
+      .partitionBy("downsampling", "channel")
+      .mode("overwrite")
+      .parquet(outDir)
+
+  /** S13 manifest: single JSON manifest row (index.json analog). */
+  def writeManifest(manifest: DataFrame, outDir: String): Unit =
+    manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/index")
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+
+  test("appendWithIds: anti-join guard + ids continue from max, idempotent") {
+    import spark.implicits._
+    val existing = Seq((5L, "a"), (9L, "b")).toDF("id", "name")
+    val incoming = Seq("b", "c", "d").toDF("name")
+    val out = Sinks.appendWithIds(existing, incoming, Seq("name"), "id")
+    val m = out.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+    assert(m == Map("a" -> 5L, "b" -> 9L, "c" -> 10L, "d" -> 11L))
+    val again = Sinks.appendWithIds(out, incoming, Seq("name"), "id")
+    assert(again.count() == 4)
+  }
+
+  test("updateByKey: targeted columns change, others pass through") {
+    import spark.implicits._
+    val existing = Seq((1L, "Inserting", "x"), (2L, "Inserting", "y"))
+      .toDF("upload_id", "status", "other")
+    val updates = Seq((1L, "InsertionComplete")).toDF("upload_id", "status")
+    val out = Sinks.updateByKey(existing, updates, Seq("upload_id"), Seq("status"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out(1L) == ("InsertionComplete", "x"))
+    assert(out(2L) == ("Inserting", "y"))
+  }
+
+  test("writeChunks partitions by downsampling/channel for pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("chunks").resolve("out").toString
+    val chunks = Seq((0, "ch1", 0L, Seq(1.0, 2.0)), (1, "ch1", 0L, Seq(1.5)),
+      (0, "ch2", 0L, Seq(3.0, 4.0)))
+      .toDF("downsampling", "channel", "chunk_index", "values")
+    Sinks.writeChunks(chunks, dir)
+    // partition directories exist -> partition pruning works on read
+    val pruned = spark.read.parquet(dir)
+      .filter(col("downsampling") === 0 && col("channel") === "ch1")
+    assert(pruned.count() == 1)
+    assert(new java.io.File(s"$dir/downsampling=0/channel=ch1").exists())
+  }
+}
