@@ -30,9 +30,14 @@ object TextFunctions {
 
   /** Stable 60-bit hash, portable across engines: the first 15 hex chars of
     * md5 parsed as an integer. DuckDB twin:
-    * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`. Always >= 0. */
-  def portableHash60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    * `CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)`. Always >= 0.
+    * Evaluated by the codegen'd [[expressions.Md5Prefix60]] (digest bytes
+    * directly — no hex-string round trip). */
+  def portableHash60(c: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      expressions.Md5Prefix60(GraftColumnBridge.expression(c.cast("binary"))))
+  }
 
   /** Universal-hash family over a base hash: h_ab(x) = (a*(x mod p) + b) mod p
     * with p = 2^31 - 1 (products stay within Long). */

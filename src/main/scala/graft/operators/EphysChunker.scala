@@ -33,15 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object EphysChunker {
 
-  /** Smallest L >= 0 with chunkSize^L >= n (integer `ceil(log_cs(n))`). */
-  def levelCount(n: Column, chunkSize: Int, maxLevels: Int = 12): Column = {
+  /** Smallest L >= 0 with chunkSize^L >= n (integer `ceil(log_cs(n))`).
+    * The CASE chain covers every representable power of chunkSize; inputs
+    * beyond the largest representable power get its level + 1 (correct for
+    * all Long n, since the next power exceeds Long.MaxValue >= n). */
+  def levelCount(n: Column, chunkSize: Int): Column = {
     require(chunkSize > 1)
-    (1 to maxLevels).foldLeft(when(n <= 1, 0)) { case (acc, l) =>
-      // chunkSize^l as a long literal; stop the chain once it overflows
-      val bound = math.pow(chunkSize.toDouble, l.toDouble)
-      if (bound > Long.MaxValue.toDouble / 2) acc
-      else acc.when(n <= lit(bound.toLong), l)
-    }.otherwise(maxLevels)
+    val bounds = Iterator.iterate(1L)(p =>
+      if (p > Long.MaxValue / chunkSize) -1L else p * chunkSize)
+      .takeWhile(_ > 0).toSeq // 1, cs, cs^2, ... up to the Long limit
+    bounds.zipWithIndex.drop(1)
+      .foldLeft(when(n <= 1, 0)) { case (acc, (bound, l)) =>
+        acc.when(n <= lit(bound), l)
+      }
+      .otherwise(bounds.length)
   }
 
   /** T1 chunk statistics: one row per (channel, chunk_index) with the real

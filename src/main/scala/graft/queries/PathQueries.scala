@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{BidsPath, TextFunctions}
-import graft.operators.ProtocolMatcher
+import graft.operators.{Catalog, ProtocolMatcher}
 
 /** Remaining SURVEY §2 coverage: J9 EAV-hash semi-join, A9 insertion
   * summary report, the patient-name decoder hook, and the BIDS filename
@@ -76,6 +76,36 @@ object PathQueries {
       o.select(
         col("o_orderkey"),
         BidsPath.bidsFilename(entities, lit("T1w"), lit(".nii.gz")).as("filename"))
+    },
+
+    // S7 JSON sidecar parsing: from_json over the events props column
+    // (nifti_insertion_pipeline.py:255-271 sidecar load)
+    "q41_json_sidecar" -> { (s, dir) =>
+      CoreQueries.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(col("k")).as("n_with_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k").cast("long")).as("sum_k"))
+    },
+
+    // W4 run-number assignment continuing above an existing per-entity max
+    // (nifti_insertion_pipeline.py:456-461)
+    "q42_run_numbers" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val existing = li.filter(col("l_linenumber") <= 2)
+        .select(col("l_orderkey"), col("l_linenumber").as("run_number"))
+      val incoming = li.filter(col("l_linenumber") > 2)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      Catalog.assignRunNumbers(incoming, existing,
+        Seq("l_orderkey"), "l_linenumber")
+        .select(col("l_orderkey"), col("l_linenumber"), col("run_number"))
     }
   )
 
@@ -146,6 +176,27 @@ object PathQueries {
         |  || CASE WHEN o_totalprice > 200000 THEN '_acq-hi' ELSE '' END
         |  || '_run-' || substr(o_orderpriority, 1, 1)
         |  || '_T1w.nii.gz' AS filename
-        |FROM orders""".stripMargin
+        |FROM orders""".stripMargin,
+
+    "q41_json_sidecar" ->
+      """SELECT event_type,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS n_with_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q42_run_numbers" ->
+      """WITH existing AS (
+        |  SELECT l_orderkey, MAX(l_linenumber) AS mx
+        |  FROM lineitem WHERE l_linenumber <= 2 GROUP BY l_orderkey
+        |), incoming AS (
+        |  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_linenumber > 2
+        |)
+        |SELECT i.l_orderkey, i.l_linenumber,
+        |  COALESCE(e.mx, 0) + CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY i.l_orderkey ORDER BY i.l_linenumber) AS INTEGER)
+        |    AS run_number
+        |FROM incoming i LEFT JOIN existing e ON i.l_orderkey = e.l_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Property-style tests (SURVEY.md §5 strategy): randomized inputs checked
+  * against executable models — in_range vs the reference truth table,
+  * collapse (A1) vs brute-force group counts, pyramid level count vs its
+  * mathematical definition. */
+class PropertySpec extends SparkSpec {
+
+  test("property: inRange matches the reference's Python semantics") {
+    // model of python/lib/imaging.py:1276-1299
+    def model(v: Option[Double], mn: Option[Double], mx: Option[Double]): Boolean =
+      (mn, mx) match {
+        case (None, None) => true
+        case _ => v.exists(x => mn.forall(x >= _) && mx.forall(x <= _))
+      }
+    val cases = (for {
+      v <- Seq(None, Some(-101.0), Some(0.0), Some(50.0), Some(101.0))
+      mn <- Seq(None, Some(-50.0), Some(0.0), Some(50.0))
+      mx <- Seq(None, Some(-50.0), Some(0.0), Some(50.0))
+    } yield (v, mn, mx)) ++ {
+      val rnd = new scala.util.Random(7)
+      Seq.fill(200)((
+        if (rnd.nextBoolean()) Some(rnd.nextDouble() * 200 - 100) else None,
+        if (rnd.nextBoolean()) Some(rnd.nextDouble() * 200 - 100) else None,
+        if (rnd.nextBoolean()) Some(rnd.nextDouble() * 200 - 100) else None))
+    }
+    val schema = StructType(Seq(
+      StructField("v", DoubleType), StructField("mn", DoubleType),
+      StructField("mx", DoubleType), StructField("exp", BooleanType, false)))
+    val rows = cases.map { case (v, mn, mx) =>
+      Row(v.map(Double.box).orNull, mn.map(Double.box).orNull,
+        mx.map(Double.box).orNull, model(v, mn, mx))
+    }
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+      .withColumn("got",
+        graft.functions.Predicates.inRange(col("v"), col("mn"), col("mx")))
+      .filter(col("got") =!= col("exp"))
+    assert(out.count() == 0)
+  }
+
+  test("property: series collapse NumberOfFiles == brute-force group counts") {
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    // random file rows over a small key space to force collisions
+    val rows = Seq.tabulate(500)(i => (
+      rnd.nextInt(5) + 1,                       // series_number
+      s"1.2.3.s${rnd.nextInt(4)}",              // series_uid
+      rnd.nextInt(3) + 1,                       // echo bucket -> echo_time
+      i))
+      .map { case (sn, uid, echo, i) =>
+        ("1.2.3.study", sn, uid, echo, i, s"f$i.dcm", echo * 10.0, true, "MR")
+      }
+    val df = rows.toDF("study_uid", "series_number", "series_uid",
+      "echo_number", "instance_number", "file_path", "echo_time",
+      "is_dicom", "modality")
+      .withColumn("series_description", lit("d"))
+      .withColumn("sequence_name", lit("sq"))
+      .withColumn("repetition_time", lit(2000.0))
+      .withColumn("inversion_time", lit(null).cast("double"))
+      .withColumn("slice_thickness", lit(1.0))
+      .withColumn("phase_encoding", lit("ROW"))
+      .withColumn("md5", col("file_path"))
+    val series = graft.operators.DicomSummary.series(df)
+      .select("SeriesNumber", "SeriesUID", "EchoTime", "NumberOfFiles")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)) -> r.getInt(3)).toMap
+    val brute = rows.groupBy(r => (r._2, r._3, r._7)).map { case (k, v) => k -> v.size }
+    assert(series.size == brute.size)
+    brute.foreach { case ((sn, uid, te), n) => assert(series((sn, uid, te)) == n) }
+  }
+
+  test("property: levelCount(n, cs) == smallest L with cs^L >= n") {
+    def mathL(n: Long, cs: Int): Int = {
+      var l = 0
+      var p = 1L
+      while (p < n) { p *= cs; l += 1 }
+      l
+    }
+    val rnd = new scala.util.Random(13)
+    val chunkSizes = Seq(2, 5, 8, 32, 5000)
+    val cases = for {
+      cs <- chunkSizes
+      n <- Seq.fill(40)(rnd.nextLong(2000000L) + 1) ++
+        Seq(1L, cs.toLong, cs.toLong + 1, cs.toLong * cs, cs.toLong * cs + 1)
+    } yield (n, cs)
+    import spark.implicits._
+    chunkSizes.foreach { cs =>
+      val ns = cases.filter(_._2 == cs).map(_._1)
+      val got = ns.toDF("n")
+        .select(col("n"), graft.operators.EphysChunker.levelCount(col("n"), cs))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      ns.foreach(n => assert(got(n) == mathL(n, cs), s"n=$n cs=$cs"))
+    }
+  }
+}
