@@ -83,12 +83,16 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     val params = minhashParams(bands * rowsPerBand)
+    // persisted: the shingle+signature subtree feeds three consumers (band
+    // explode, both sides of the verification join) — without persistence
+    // Spark recomputes the per-shingle hashing three times
     val docs = df.select(
       col(idCol).as("id"),
       array_distinct(transform(shingles(tokens(col(textCol)), n),
         s => portableHash60(s))).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), params))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = docs.select(
       col("id"),

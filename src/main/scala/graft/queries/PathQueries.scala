@@ -19,14 +19,17 @@ object PathQueries {
     // whose content fingerprint appears under more than one source —
     // the "find file by hash value" lookup, set-oriented
     "q37_eav_hash_semijoin" -> { (s, dir) =>
-      val p = t(s, dir, "documents").select(
-        col("doc_id"), col("source"),
-        TextFunctions.docFingerprint(col("text"), 5).as("h"))
-      val dup = p.groupBy(col("h"))
-        .agg(countDistinct(col("source")).as("ns"))
+      // fingerprint computed ONCE before the hash exchange; the semi-join
+      // becomes a windowed distinct-source count over the h partitioning
+      // (one shuffle total, no re-read of the expensive hash subtree)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      t(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          TextFunctions.docFingerprint(col("text"), 5).as("h"))
+        .withColumn("ns", size(collect_set(col("source")).over(w)))
         .filter(col("ns") > 1)
-        .select("h")
-      p.join(dup, Seq("h"), "left_semi").select("doc_id", "source")
+        .select("doc_id", "source")
     },
 
     // A9 insertion summary (dicom_archive_loader_pipeline.py:429-470):
