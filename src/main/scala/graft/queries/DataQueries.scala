@@ -128,6 +128,40 @@ object DataQueries {
         "vec_id", "embedding", k = 10, centroids, nprobe = 2)
     },
 
+    // Vocabulary top-k: global word frequencies (explode -> count -> rank)
+    "q43_vocab_topk" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("tf").desc, col("word").asc)
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+    },
+
+    // Term relative document frequency: tf * N / df as exact-integer-ratio
+    // doubles (deterministic without ln-based idf)
+    "q44_term_relfreq" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val n = d.count()
+      d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .filter(col("tf") >= 10)
+        .withColumn("rel_score",
+          round(col("tf").cast("double") * n / col("df"), 6))
+    },
+
+    // Normalization + exact dedup over the normalized form
+    "q45_normalize_dedup" -> { (s, dir) =>
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs(s, dir)
+        .groupBy(md5(norm.cast("binary")).as("norm_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
+    },
+
     // Multimodal: binary payload + stub-decoded metadata struct
     "q32_multimodal_meta" -> { (s, dir) =>
       Multimodal.withImageMeta(
@@ -260,6 +294,36 @@ object DataQueries {
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |)
         |SELECT id_1, id_2, cosine FROM p WHERE cosine >= 0.3""".stripMargin,
+
+    "q43_vocab_topk" ->
+      s"""WITH w AS (
+         |  SELECT unnest($sqlToks) AS word FROM documents
+         |), tf AS (
+         |  SELECT word, COUNT(*) AS tf FROM w GROUP BY word
+         |)
+         |SELECT word, tf,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, word ASC) AS INTEGER) AS rank
+         |FROM tf QUALIFY rank <= 20""".stripMargin,
+
+    "q44_term_relfreq" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS word FROM documents
+         |), tf AS (
+         |  SELECT word, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         |  FROM w GROUP BY word
+         |)
+         |SELECT word, tf, df,
+         |  round(CAST(tf AS DOUBLE) * (SELECT COUNT(*) FROM documents) / df, 6)
+         |    AS rel_score
+         |FROM tf WHERE tf >= 10""".stripMargin,
+
+    "q45_normalize_dedup" ->
+      """SELECT
+        |  md5(trim(regexp_replace(
+        |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+        |    AS norm_hash,
+        |  MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q32_multimodal_meta" ->
       """SELECT doc_id,
