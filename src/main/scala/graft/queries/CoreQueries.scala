@@ -206,6 +206,41 @@ object CoreQueries {
         .agg((coalesce(max(col("o_orderkey")), lit(0L)) + 1).as("next_no"))
     },
 
+    // J2 multi-way dictionary join (6 tables incl. a left-joined optional
+    // dim - the BIDS naming-info join shape, mri_protocol.py:108-129)
+    "q46_dictionary_chain" -> { (s, dir) =>
+      import s.implicits._
+      val optionalDim = Seq(("Brand#11", "legacy"), ("Brand#22", "preferred"))
+        .toDF("p_brand", "brand_class")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(optionalDim), Seq("p_brand"), "left")
+        .groupBy(col("r_name"), col("p_brand"),
+          coalesce(col("brand_class"), lit("unclassified")).as("brand_class"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          exactDecimalSum(col("l_extendedprice"), 2).as("total_price"))
+    },
+
+    // U2 union chain: three parameter selections unioned then deduped
+    // (tools/delete_imaging_upload.pl:1088-1146)
+    "q47_union_chain" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+      val b = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"))
+      val c = t(s, dir, "customer").filter(col("c_acctbal") < -900)
+        .select(col("c_custkey").as("o_custkey"))
+      a.unionByName(b).unionByName(c).distinct()
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_flagged"))
+    },
+
     // EAV pivot: long attribute rows -> wide conditional aggregation
     // (parameter_file pivot, uploadNeuroDB/NeuroDB/File.pm:113)
     "q16_event_type_pivot" -> { (s, dir) =>
@@ -330,6 +365,35 @@ object CoreQueries {
         |  SELECT * FROM orders WHERE o_orderstatus = 'P'
         |) o ON c_custkey = o_custkey
         |GROUP BY c_custkey""".stripMargin,
+
+    "q46_dictionary_chain" ->
+      """WITH optional_dim(p_brand, brand_class) AS (
+        |  VALUES ('Brand#11', 'legacy'), ('Brand#22', 'preferred')
+        |)
+        |SELECT r_name, p.p_brand,
+        |  COALESCE(d.brand_class, 'unclassified') AS brand_class,
+        |  COUNT(*) AS n_lines,
+        |  SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))/100.0 AS total_price
+        |FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | LEFT JOIN optional_dim d ON p.p_brand = d.p_brand
+        |GROUP BY r_name, p.p_brand, COALESCE(d.brand_class, 'unclassified')""".stripMargin,
+
+    "q47_union_chain" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |  UNION
+        |  SELECT o_custkey FROM lineitem
+        |    JOIN orders ON l_orderkey = o_orderkey WHERE l_quantity >= 49
+        |  UNION
+        |  SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal < -900
+        |)
+        |SELECT c_mktsegment, COUNT(*) AS n_flagged
+        |FROM flagged JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
 
     "q16_event_type_pivot" ->
       """SELECT user_id,
