@@ -109,6 +109,24 @@ object PathQueries {
       Catalog.assignRunNumbers(incoming, existing,
         Seq("l_orderkey"), "l_linenumber")
         .select(col("l_orderkey"), col("l_linenumber"), col("run_number"))
+    },
+
+    // §2.8 date family: multi-format fallback parse (participants.py:38-51)
+    // - render each order date in a row-dependent format, then recover it
+    // through the coalesce-of-parses chain
+    "q48_multiformat_dates" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val rendered = o.withColumn("date_str",
+        when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "yyyyMMdd"))
+          .otherwise(date_format(col("o_orderdate"), "dd/MM/yyyy")))
+      rendered.select(
+        col("o_orderkey"), col("date_str"),
+        graft.functions.Dates.multiFormatDate(col("date_str"),
+          Seq("yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy")).as("parsed"),
+        (graft.functions.Dates.multiFormatDate(col("date_str"),
+          Seq("yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy"))
+          === col("o_orderdate").cast("date")).as("roundtrip_ok"))
     }
   )
 
@@ -200,6 +218,26 @@ object PathQueries {
         |  COALESCE(e.mx, 0) + CAST(ROW_NUMBER() OVER (
         |    PARTITION BY i.l_orderkey ORDER BY i.l_linenumber) AS INTEGER)
         |    AS run_number
-        |FROM incoming i LEFT JOIN existing e ON i.l_orderkey = e.l_orderkey""".stripMargin
+        |FROM incoming i LEFT JOIN existing e ON i.l_orderkey = e.l_orderkey""".stripMargin,
+
+    "q48_multiformat_dates" ->
+      """WITH rendered AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+        |         WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y%m%d')
+        |         ELSE strftime(o_orderdate, '%d/%m/%Y') END AS date_str
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, date_str,
+        |  CAST(COALESCE(
+        |    try_strptime(date_str, '%Y-%m-%d'),
+        |    try_strptime(date_str, '%Y%m%d'),
+        |    try_strptime(date_str, '%d/%m/%Y')) AS DATE) AS parsed,
+        |  CAST(COALESCE(
+        |    try_strptime(date_str, '%Y-%m-%d'),
+        |    try_strptime(date_str, '%Y%m%d'),
+        |    try_strptime(date_str, '%d/%m/%Y')) AS DATE)
+        |    = CAST(o_orderdate AS DATE) AS roundtrip_ok
+        |FROM rendered""".stripMargin
   )
 }
