@@ -52,21 +52,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** Assign each vector to its nearest centroid (squared-L2).
-    * Centroids: (centroid_id, vector) — broadcast. */
+  /** Assign each vector to its nearest centroid (squared-L2), MAP-ONLY:
+    * the centroid set rides along as one broadcast array row and the argmin
+    * is a higher-order `aggregate` per corpus row — no shuffle at all, the
+    * shape that keeps IVF assignment embarrassingly parallel at 100 TB.
+    * Ties break to the lowest centroid_id (strict-less keeps the first of
+    * the id-sorted array). */
   def assignClusters(df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
-    val cent = centroids.select(col("centroid_id"), asDouble(col("vec")).as("cent_vec"))
-    val dist = aggregate(
-      zip_with(asDouble(col(vecCol)), col("cent_vec"), (x, y) => (x - y) * (x - y)),
+    val centArr = centroids
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        asDouble(col("vec")).as("cent_vec"))
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("cent_vec"))))
+        .as("__cents"))
+    def sqDist(c: Column): Column = aggregate(
+      zip_with(asDouble(col(vecCol)), c, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("centroid_id").asc)
-    df.join(broadcast(cent))
-      .withColumn("dist", dist)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("dist", "rn", "cent_vec")
+    val best = aggregate(
+      col("__cents"),
+      struct(lit(null).cast("long").as("centroid_id"),
+        lit(Double.MaxValue).as("d")),
+      (acc, c) => {
+        val d = sqDist(c.getField("cent_vec"))
+        when(d < acc.getField("d"),
+          struct(c.getField("centroid_id").as("centroid_id"), d.as("d")))
+          .otherwise(acc)
+      })
+    df.crossJoin(broadcast(centArr))
+      .withColumn("centroid_id", best.getField("centroid_id"))
+      .drop("__cents")
   }
+
+  /** Deterministic Lloyd refinement: `iterations` assign/mean steps over a
+    * fixed centroid seed (each step: map-only assignment + one groupBy per
+    * dimension mean). A k-means stand-in good enough to shape IVF buckets;
+    * plug a trained model in production. */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, iterations: Int): DataFrame =
+    (1 to iterations).foldLeft(centroids) { (cents, _) =>
+      assignClusters(corpus, idCol, vecCol, cents)
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          e => e.getField("m").cast("float")).as("vec"))
+    }
 
   /** Deterministic centroid pick for local IVF: the first `c` corpus vectors
     * by id (a k-means stand-in — the operator contract only needs SOME fixed

@@ -36,6 +36,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall")
   }
 
+  test("refineCentroids: Lloyd steps keep k centroids and improve inertia") {
+    def inertia(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignClusters(emb, "vec_id", "embedding", cents)
+        .join(cents.select(col("centroid_id").cast("long").as("centroid_id"),
+          transform(col("vec"), _.cast("double")).as("cv")), Seq("centroid_id"))
+        .select(aggregate(
+          zip_with(transform(col("embedding"), _.cast("double")), col("cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x).as("d"))
+        .agg(sum(col("d"))).first().getDouble(0)
+    val seed = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val refined = Similarity.refineCentroids(emb, "vec_id", "embedding", seed, 2)
+    assert(refined.count() <= 8 && refined.count() >= 1)
+    assert(inertia(refined) < inertia(seed))
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
