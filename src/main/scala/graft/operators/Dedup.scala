@@ -57,7 +57,10 @@ object Dedup {
       .filter(least(size(col("sh_1")), size(col("sh_2"))).cast("double") >=
         lit(threshold) * greatest(size(col("sh_1")), size(col("sh_2"))))
       .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_1"), col("sh_2"))).cast("double"))
+      // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: skips materializing the
+      // union array (the second-most-expensive op of the verify stage)
+      .withColumn("uni",
+        (size(col("sh_1")) + size(col("sh_2"))).cast("double") - col("inter"))
       .filter(col("uni") > 0)
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= threshold)
@@ -117,7 +120,10 @@ object Dedup {
     candidates
       .join(sh1, "id_1").join(sh2, "id_2")
       .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_1"), col("sh_2"))).cast("double"))
+      // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: skips materializing the
+      // union array (the second-most-expensive op of the verify stage)
+      .withColumn("uni",
+        (size(col("sh_1")) + size(col("sh_2"))).cast("double") - col("inter"))
       .filter(col("uni") > 0)
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= threshold)

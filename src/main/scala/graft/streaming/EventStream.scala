@@ -30,6 +30,20 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"))
 
+  /** Streaming exact dedup: first occurrence per key within the watermark
+    * horizon survives (`dropDuplicates` with event-time watermark — the
+    * streaming form of [[graft.operators.Dedup.exact]]; state is bounded by
+    * the watermark, the property that keeps it runnable on an unbounded
+    * 100 TB/day stream). Batch inputs run the same plan (watermark no-op). */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   case class UploadEvent(upload_id: Long, seq: Long, status: String)
   case class UploadState(upload_id: Long, status: String, n_transitions: Int)
 

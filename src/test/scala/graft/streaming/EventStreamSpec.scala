@@ -41,6 +41,24 @@ class EventStreamSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n_events") == 2L)
   }
 
+  test("dedupStream drops in-stream duplicates across micro-batches") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = EventStream.dedupStream(
+      mem.toDF().toDF("ts", "content_hash"), Seq("content_hash"))
+      .writeStream.format("memory").queryName("dd").outputMode("append").start()
+    val t = Timestamp.valueOf("2026-01-01 00:00:10")
+    mem.addData((t, "h1"), (t, "h1"), (t, "h2"))
+    q.processAllAvailable()
+    mem.addData((t, "h1")) // duplicate arriving in a later batch
+    q.processAllAvailable()
+    val out = spark.table("dd").collect().map(_.getString(1)).sorted.toSeq
+    q.stop()
+    assert(out == Seq("h1", "h2"))
+  }
+
   test("trackUploadStates: state machine over micro-batched upload events") {
     val sqlc = spark.sqlContext
     import spark.implicits._
