@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{BidsPath, TextFunctions}
-import graft.operators.{Catalog, ProtocolMatcher}
+import graft.operators.{Catalog, ProtocolMatcher, SessionResolver}
 
 /** Remaining SURVEY §2 coverage: J9 EAV-hash semi-join, A9 insertion
   * summary report, the patient-name decoder hook, and the BIDS filename
@@ -127,6 +127,29 @@ object PathQueries {
         (graft.functions.Dates.multiFormatDate(col("date_str"),
           Seq("yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy"))
           === col("o_orderdate").cast("date")).as("roundtrip_ok"))
+    },
+
+    // §3.2 session resolution vertical: decode -> candidate validation ->
+    // existing-session lookup / next-visit-number, rolled up per outcome
+    "q49_session_resolution" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val scans = c.select(
+        col("c_custkey").as("scan_id"),
+        concat(
+          when(col("c_custkey") % 7 === 0, lit("XX")).otherwise(col("c_mktsegment")),
+          lit("_"), col("c_custkey"), lit("_V"), col("c_custkey") % 3 + 1)
+          .as("patient_name"))
+      val candidates = c.filter(col("c_custkey") < 1200)
+        .select(col("c_custkey").as("CandID"), col("c_mktsegment").as("PSCID"))
+      val sessions = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .groupBy(col("o_custkey").as("CandID"))
+        .agg(max(col("o_orderkey") % 7 + 1).cast("int").as("VisitNo"))
+        .withColumn("Visit_label", concat(lit("V"), col("VisitNo") % 3 + 1))
+      SessionResolver.resolve(scans, candidates, sessions)
+        .groupBy(col("resolution"))
+        .agg(count(lit(1)).as("n_scans"),
+          sum(col("VisitNo").cast("long")).as("sum_visit_no"))
     }
   )
 
@@ -238,6 +261,57 @@ object PathQueries {
         |    try_strptime(date_str, '%Y%m%d'),
         |    try_strptime(date_str, '%d/%m/%Y')) AS DATE)
         |    = CAST(o_orderdate AS DATE) AS roundtrip_ok
-        |FROM rendered""".stripMargin
+        |FROM rendered""".stripMargin,
+
+    "q49_session_resolution" ->
+      """WITH scans AS (
+        |  SELECT c_custkey AS scan_id,
+        |    (CASE WHEN c_custkey % 7 = 0 THEN 'XX' ELSE c_mktsegment END)
+        |      || '_' || CAST(c_custkey AS VARCHAR)
+        |      || '_V' || CAST(c_custkey % 3 + 1 AS VARCHAR) AS patient_name
+        |  FROM customer
+        |), decoded AS (
+        |  SELECT scan_id, patient_name,
+        |    regexp_extract(patient_name, '^([^_]+)_([^_]+)_(.+)$', 1) AS pscid,
+        |    CAST(regexp_extract(patient_name, '^([^_]+)_([^_]+)_(.+)$', 2) AS INTEGER)
+        |      AS cand_id,
+        |    regexp_extract(patient_name, '^([^_]+)_([^_]+)_(.+)$', 3) AS visit_label
+        |  FROM scans
+        |), cand AS (
+        |  SELECT c_custkey AS c_cand_id, c_mktsegment AS c_pscid
+        |  FROM customer WHERE c_custkey < 1200
+        |), sess AS (
+        |  SELECT o_custkey AS s_cand_id,
+        |    CAST(MAX(o_orderkey % 7 + 1) AS INTEGER) AS visit_no
+        |  FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_custkey
+        |), sess_lbl AS (
+        |  SELECT s_cand_id, visit_no, 'V' || CAST(visit_no % 3 + 1 AS VARCHAR) AS s_visit
+        |  FROM sess
+        |), next_no AS (
+        |  SELECT s_cand_id, COALESCE(MAX(visit_no), 0) + 1 AS nxt FROM sess_lbl
+        |  GROUP BY s_cand_id
+        |), joined AS (
+        |  SELECT d.*, c.c_cand_id, c.c_pscid, sl.visit_no AS existing_visit_no,
+        |    n.nxt
+        |  FROM decoded d
+        |  LEFT JOIN cand c ON d.cand_id = c.c_cand_id
+        |  LEFT JOIN sess_lbl sl
+        |    ON d.cand_id = sl.s_cand_id AND d.visit_label = sl.s_visit
+        |  LEFT JOIN next_no n ON d.cand_id = n.s_cand_id
+        |), res AS (
+        |  SELECT *,
+        |    CASE WHEN c_cand_id IS NULL THEN 'unknown_candidate'
+        |         WHEN c_pscid <> pscid THEN 'candidate_mismatch'
+        |         WHEN existing_visit_no IS NOT NULL THEN 'resolved'
+        |         ELSE 'new_session' END AS resolution,
+        |    CASE WHEN c_cand_id IS NULL THEN NULL
+        |         WHEN c_pscid <> pscid THEN NULL
+        |         WHEN existing_visit_no IS NOT NULL THEN existing_visit_no
+        |         ELSE COALESCE(nxt, 1) END AS visit_assigned
+        |  FROM joined
+        |)
+        |SELECT resolution, COUNT(*) AS n_scans,
+        |  CAST(SUM(visit_assigned) AS BIGINT) AS sum_visit_no
+        |FROM res GROUP BY resolution""".stripMargin
   )
 }
