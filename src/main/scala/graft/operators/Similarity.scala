@@ -100,6 +100,55 @@ object Similarity {
           e => e.getField("m").cast("float")).as("vec"))
     }
 
+  /** Deterministic random hyperplanes for cosine LSH (signs of Gaussian
+    * projections; seeded). */
+  def randomPlanes(nbits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-projection (SRP) signature: bit j = sign(v · plane_j). For two
+    * vectors at angle θ, P(bit match) = 1 - θ/π — the classic cosine LSH. */
+  def rpSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(asDouble(vec), planeArr) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Cosine near-dup pairs via SRP-LSH banding: `bands` bands of
+    * `bitsPerBand` signature bits bucket the corpus; within-bucket pairs
+    * are exact-cosine verified. The unblocked scale path for
+    * [[Dedup.embeddingNearDupPairs]]: no O(n²) stage; recall for a pair at
+    * cosine c is 1-(1-p^bitsPerBand)^bands with p = 1 - acos(c)/π. */
+  def rpLshNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 4,
+      seed: Long = 42L, maxBucketSize: Int = 10000
+  ): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withBands = (0 until bands).map { b =>
+      val planes = randomPlanes(bitsPerBand, dim, seed + b)
+      v.select(col("id"), lit(b).as("band"), rpSignature(col("v"), planes).as("sig"))
+    }.reduce(_ union _)
+    val buckets = withBands
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val candidates = buckets
+      .select(explode(col("ids")).as("id_1"), col("ids"))
+      .select(col("id_1"), explode(col("ids")).as("id_2"))
+      .filter(col("id_1") < col("id_2"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_1"), col("v").as("v_1")), "id_1")
+      .join(v.select(col("id").as("id_2"), col("v").as("v_2")), "id_2")
+      .withColumn("cosine", round(cosine(col("v_1"), col("v_2")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_1"), col("id_2"), col("cosine"))
+  }
+
   /** Deterministic centroid pick for local IVF: the first `c` corpus vectors
     * by id (a k-means stand-in — the operator contract only needs SOME fixed
     * centroid set; plug a trained one in production). */

@@ -52,6 +52,20 @@ class SimilaritySpec extends SparkSpec {
     assert(inertia(refined) < inertia(seed))
   }
 
+  test("rpLshNearDupPairs: sound (every pair verified >= threshold, subset of brute)") {
+    val brute = Dedup.embeddingNearDupPairs(
+      emb.withColumn("all", lit(1)), "vec_id", "embedding", "all", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.rpLshNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.forall(_._3 >= 0.3))
+    val lshPairs = lsh.map(p => (p._1, p._2)).toSet
+    assert(lshPairs.subsetOf(brute))
+    // recall is probabilistic at cos~0.3 (p-match ~0.6/bit); assert sane floor
+    assert(brute.isEmpty || lshPairs.size.toDouble / brute.size >= 0.1,
+      s"recall ${lshPairs.size}/${brute.size}")
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
