@@ -86,6 +86,18 @@ object Predicates {
     sum(round(c * scale).cast("long")) / scale
   }
 
+  /** SNR stand-in (`MRIProcessingUtility.pm:2166-2168` shells out to an
+    * external `noise_estimate` tool — out of engine scope per SURVEY §7.4):
+    * a documented deterministic numeric stub, 10·log10(mean² / variance)
+    * over a signal array column. */
+  def snrStub(values: Column): Column = {
+    val n = size(values).cast("double")
+    val mean = aggregate(values, lit(0.0), (a, x) => a + x) / n
+    val var_ = aggregate(values, lit(0.0),
+      (a, x) => a + (x - mean) * (x - mean)) / n
+    round(lit(10.0) * log10(mean * mean / var_), 4)
+  }
+
   /** Age-at-scan in rounded decimal years
     * (`python/loris_dicom_importer/.../summary_write.py:147-163`). */
   def ageYears(scanDate: Column, dob: Column): Column =

@@ -97,6 +97,43 @@ object Catalog {
       .drop("max_existing_run")
   }
 
+  /** 6-digit CandID generation (`python/lib/candidate.py:105-115`): the
+    * reference draws random 6-digit ids and retries on collision; the
+    * set-oriented form assigns deterministic pseudo-random candidates from
+    * a seeded hash and resolves collisions (vs existing ids AND within the
+    * batch) by dense-ranking the distinct free values — no retry loop, one
+    * pass, reproducible. */
+  def generateCandIds(
+      incoming: DataFrame,
+      keyCol: String,
+      existing: DataFrame,
+      existingIdCol: String = "CandID",
+      seed: Int = 42
+  ): DataFrame = {
+    val candidate = (pmod(hash(col(keyCol), lit(seed)), lit(900000)) + 100000)
+      .as("cand_id_try")
+    val tried = incoming.withColumn("cand_id_try", candidate)
+    val collisions = tried
+      .join(existing.select(col(existingIdCol).as("cand_id_try")),
+        Seq("cand_id_try"), "left_semi")
+      .select(col(keyCol))
+    val clean = tried.join(collisions, Seq(keyCol), "left_anti")
+      // in-batch dedup: first key (by natural order) keeps the hash value
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cand_id_try")).orderBy(col(keyCol))))
+    val winners = clean.filter(col("rn") === 1)
+      .select(col(keyCol), col("cand_id_try").cast("long").as("CandID"))
+    // losers + collided keys: assign from the free range above current max
+    val needFallback = incoming.select(col(keyCol))
+      .join(winners.select(col(keyCol)), Seq(keyCol), "left_anti")
+    val maxUsed = existing.select(coalesce(max(col(existingIdCol)), lit(100000L))
+      .cast("long")).first().getLong(0)
+    val fallback = needFallback.withColumn("CandID",
+      lit(maxUsed) + dense_rank().over(Window.orderBy(col(keyCol))))
+    winners.unionByName(fallback.select(col(keyCol), col("CandID").cast("long")
+      .as("CandID")))
+  }
+
   /** J11+W3 as-of interval assignment (the IntendedFor pass,
     * `python/lib/imaging.py:851-892,1112-1148`): for each right-side row,
     * find the left-side anchor with the greatest time <= its time within the
