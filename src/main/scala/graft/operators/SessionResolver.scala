@@ -11,6 +11,21 @@ import graft.functions.BidsPath
   * `uploadNeuroDB/NeuroDB/MRIProcessingUtility.pm:2056-2080`, as one
   * set-oriented pass over a batch of scans.
   */
+/** The reference's config-supplied `get_session_config` hook
+  * (`python/lib/get_session_info.py:87-105`) as a strategy trait: sites
+  * plug their own patient-name convention; the default is the LORIS
+  * `PSCID_CandID_VisitLabel` convention. Implementations return a struct
+  * column (pscid, cand_id, visit_label). */
+trait PatientIdDecoder extends Serializable {
+  def decode(patientName: Column): Column
+}
+
+/** Default LORIS convention decoder. */
+object LorisPatientIdDecoder extends PatientIdDecoder {
+  override def decode(patientName: Column): Column =
+    BidsPath.decodePatientName(patientName)
+}
+
 object SessionResolver {
 
   /** Resolve a batch of patient names against the candidate and session
@@ -24,9 +39,10 @@ object SessionResolver {
     *         new_session, candidate_mismatch, unknown_candidate} +
     *         VisitNo (existing or next per candidate)
     */
-  def resolve(scans: DataFrame, candidates: DataFrame, sessions: DataFrame): DataFrame = {
+  def resolve(scans: DataFrame, candidates: DataFrame, sessions: DataFrame,
+      decoder: PatientIdDecoder = LorisPatientIdDecoder): DataFrame = {
     val decoded = scans
-      .withColumn("__d", BidsPath.decodePatientName(col("patient_name")))
+      .withColumn("__d", decoder.decode(col("patient_name")))
       .withColumn("pscid", col("__d.pscid"))
       .withColumn("cand_id", col("__d.cand_id").cast("int"))
       .withColumn("visit_label", col("__d.visit_label"))

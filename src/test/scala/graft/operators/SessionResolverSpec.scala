@@ -32,6 +32,22 @@ class SessionResolverSpec extends SparkSpec {
     assert(out(5L) == ("new_session", Some(1)))  // no sessions -> IFNULL path
   }
 
+  test("custom PatientIdDecoder strategy plugs in (dash convention)") {
+    import spark.implicits._
+    val dashDecoder = new PatientIdDecoder {
+      override def decode(n: org.apache.spark.sql.Column) =
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.regexp_extract(n, "^([^-]+)-([^-]+)-(.+)$", 1).as("pscid"),
+          org.apache.spark.sql.functions.regexp_extract(n, "^([^-]+)-([^-]+)-(.+)$", 2).as("cand_id"),
+          org.apache.spark.sql.functions.regexp_extract(n, "^([^-]+)-([^-]+)-(.+)$", 3).as("visit_label"))
+    }
+    val scans = Seq((1L, "DCC001-300001-V1")).toDF("scan_id", "patient_name")
+    val candidates = Seq((300001, "DCC001")).toDF("CandID", "PSCID")
+    val sessions = Seq((300001, "V1", 1)).toDF("CandID", "Visit_label", "VisitNo")
+    val out = SessionResolver.resolve(scans, candidates, sessions, dashDecoder).first()
+    assert(out.getAs[String]("resolution") == "resolved")
+  }
+
   test("visit label matching is case-sensitive (P6 BINARY compare)") {
     import spark.implicits._
     val scans = Seq((1L, "DCC001_300001_v1")).toDF("scan_id", "patient_name")
