@@ -130,6 +130,48 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS from pairwise matches: connected components
+    * via iterative min-label propagation (the step that turns LSH pair
+    * output into canonical dedup groups — keep min id per cluster, drop the
+    * rest). Converges in graph-diameter iterations; near-dup components are
+    * shallow in practice, and `maxIter` bounds the loop. The per-iteration
+    * convergence check is the one intentional driver-side action (standard
+    * for iterative graph algorithms; each iteration is a bounded self-join
+    * on the pair set, not the corpus). */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (not persist): each iteration's plan would otherwise
+    // embed the whole prior lineage and planning time grows exponentially —
+    // the standard lineage-truncation requirement of iterative algorithms.
+    val edges = pairs.select(col("id_1").as("u"), col("id_2").as("v"))
+      .union(pairs.select(col("id_2").as("u"), col("id_1").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v")
+          .withColumnRenamed("cluster_id", "n_label"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("n_label")).as("n_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      val changes = updated.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).count()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    labels
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. Exact-duplicate clusters share a
     * fingerprint; near-dup detection joins on fingerprint bands. */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =

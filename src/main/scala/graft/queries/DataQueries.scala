@@ -101,6 +101,14 @@ object DataQueries {
         "doc_id", "text", n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
     },
 
+    // Near-dup clusters: connected components over the LSH pair output
+    // (canonical dedup groups; min id = cluster id)
+    "q50_neardup_clusters" -> { (s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
+    },
+
     // 32-bit SimHash fingerprints
     "q28_simhash" -> { (s, dir) =>
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
@@ -261,6 +269,26 @@ object DataQueries {
          |  AND len(list_distinct(a.sh || b.sh)) > 0
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |        / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
+
+    "q50_neardup_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), edges AS (
+         |  SELECT id_1 AS u, id_2 AS v FROM p
+         |  UNION SELECT id_2, id_1 FROM p
+         |), walk(id, label) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
+         |)
+         |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tok AS (
