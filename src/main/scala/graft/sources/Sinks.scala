@@ -34,7 +34,12 @@ object Sinks {
   /** S10 targeted UPDATE by key: for every key present in `updates`, the
     * listed columns take the update's value; all other rows/columns pass
     * through (the read→when→overwrite rewrite of
-    * `python/lib/database.py:188-208`). */
+    * `python/lib/database.py:188-208`).
+    *
+    * Caveat vs SQL UPDATE: a NULL in `updates` means "leave unchanged"
+    * (coalesce semantics), not "set NULL". To null a column out, pass a
+    * sentinel and map it with [[graft.functions.Predicates.nullifNa]]
+    * afterwards. */
   def updateByKey(
       existing: DataFrame,
       updates: DataFrame,
