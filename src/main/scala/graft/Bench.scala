@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to every core on the machine: the driver harness does not set
+    // SPARK_GRAFT_CPUS, and a 4-thread default silently benched round 1 at
+    // local[4] on a 32-core box
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,7 +43,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name: $dt%.3f s")
+      dt
     }
 
     // warmup: touch all inputs + exercise shuffle/codegen paths untimed

@@ -23,10 +23,13 @@ object Dates {
   val dobFormats: Seq[String] =
     Seq("yyyy-MM-dd", "yyyyMMdd", "dd/MM/yyyy", "yyyy/MM/dd")
 
-  /** Multi-COLUMN fallback: first non-null among alternative columns, then
-    * multi-format parse (participants.py `date_of_birth|birth_date|dob`). */
+  /** Multi-COLUMN fallback: first column that PARSES wins (participants.py
+    * `date_of_birth|birth_date|dob`). Coalescing per-column parses — not
+    * parsing the coalesced raw value — so a non-null but unparseable first
+    * column (e.g. date_of_birth='unknown') falls through to the next column
+    * like the reference does. */
   def dobFallback(cols: Seq[Column], formats: Seq[String] = dobFormats): Column =
-    multiFormatDate(coalesce(cols: _*), formats)
+    coalesce(cols.map(c => multiFormatDate(c, formats)): _*)
 
   /** DICOM `YYYYMMDD` date. */
   def dicomDate(c: Column): Column = try_to_timestamp(c, lit("yyyyMMdd")).cast("date")

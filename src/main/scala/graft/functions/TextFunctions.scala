@@ -53,8 +53,21 @@ object TextFunctions {
   }
 
   /** MinHash signature: array of per-hash minima over the shingle-hash
-    * array. NULL when the shingle set is empty. */
-  def minhashSignature(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
+    * array. NULL when the shingle set is empty. Evaluated by the codegen'd
+    * single-pass [[expressions.MinhashSig]] (one traversal updating all k
+    * minima — vs k interpreted `array_min(transform(...))` passes; the
+    * declarative twin is kept in MinhashSigSpec as the semantic oracle). */
+  def minhashSignature(shingleHashes: Column, params: Seq[(Long, Long)]): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(expressions.MinhashSig(
+      GraftColumnBridge.expression(shingleHashes),
+      params.map(_._1), params.map(_._2)))
+  }
+
+  /** The declarative (interpreted higher-order) form of [[minhashSignature]]
+    * — k separate passes. Retained as the spec oracle for the codegen'd
+    * expression; do not use on hot paths. */
+  def minhashSignatureHof(shingleHashes: Column, params: Seq[(Long, Long)]): Column =
     when(size(shingleHashes) === 0, lit(null))
       .otherwise(array(params.map { case (a, b) =>
         array_min(transform(shingleHashes, x => universalHash(x, a, b)))

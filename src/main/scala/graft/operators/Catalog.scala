@@ -34,10 +34,14 @@ object Catalog {
       .join(broadcast(dict.select(keyCols: _*)), naturalKey, "left_anti")
     val maxId = dict.select(coalesce(max(col(idCol)), lit(0L)).cast("long"))
       .first().getLong(0)
-    val assigned = newKeys.withColumn(
-      idCol,
-      (lit(maxId) + dense_rank().over(Window.orderBy(keyCols.map(_.asc_nulls_last): _*)))
-        .cast(dict.schema(idCol).dataType))
+    // newKeys is distinct, so the global ordinal == dense_rank; assigned via
+    // a distributed range-sort + zipWithIndex instead of an unpartitioned
+    // Window (single-partition collapse when the new-key batch is large)
+    val assigned = graft.functions.Ordinals
+      .withGlobalOrdinal(newKeys, naturalKey.map(col(_).asc_nulls_last), "__ord")
+      .withColumn(idCol,
+        (lit(maxId) + col("__ord")).cast(dict.schema(idCol).dataType))
+      .drop("__ord")
     dict.select(col(idCol) +: keyCols: _*)
       .unionByName(assigned.select(col(idCol) +: keyCols: _*))
   }
@@ -123,15 +127,27 @@ object Catalog {
         Window.partitionBy(col("cand_id_try")).orderBy(col(keyCol))))
     val winners = clean.filter(col("rn") === 1)
       .select(col(keyCol), col("cand_id_try").cast("long").as("CandID"))
-    // losers + collided keys: assign from the free range above current max
+    // losers + collided keys: assign the lowest FREE ids of the 6-digit
+    // domain, in key order. "Free" excludes existing ids AND this batch's
+    // hash-assigned winners, so winner-vs-fallback collisions are impossible
+    // by construction and every id stays within [100000, 999999] (the
+    // contract candidate.py:105-115 guarantees via its retry loop). The
+    // domain is a fixed 900k values, so enumerating it is scale-free; keys
+    // beyond a fully-exhausted domain are dropped (the reference would
+    // retry forever).
     val needFallback = incoming.select(col(keyCol))
       .join(winners.select(col(keyCol)), Seq(keyCol), "left_anti")
-    val maxUsed = existing.select(coalesce(max(col(existingIdCol)), lit(100000L))
-      .cast("long")).first().getLong(0)
-    val fallback = needFallback.withColumn("CandID",
-      lit(maxUsed) + dense_rank().over(Window.orderBy(col(keyCol))))
-    winners.unionByName(fallback.select(col(keyCol), col("CandID").cast("long")
-      .as("CandID")))
+    val used = existing.select(col(existingIdCol).cast("long").as("id"))
+      .unionByName(winners.select(col("CandID").as("id")))
+    val free = incoming.sparkSession.range(100000L, 1000000L).toDF("id")
+      .join(used, Seq("id"), "left_anti")
+    val freeRanked = graft.functions.Ordinals
+      .withGlobalOrdinal(free, Seq(col("id")), "__ord")
+    val needRanked = graft.functions.Ordinals
+      .withGlobalOrdinal(needFallback, Seq(col(keyCol)), "__ord")
+    val fallback = needRanked.join(freeRanked, Seq("__ord"))
+      .select(col(keyCol), col("id").as("CandID"))
+    winners.unionByName(fallback)
   }
 
   /** J11+W3 as-of interval assignment (the IntendedFor pass,

@@ -48,19 +48,32 @@ object Dedup {
       col(idCol).as("id"),
       array_distinct(transform(shingles(tokens(col(textCol)), n),
         s => portableHash60(s))).as("sh"))
-    val a = withShingles.select(col("block"), col("id").as("id_1"), col("sh").as("sh_1"))
-    val b = withShingles.select(col("block"), col("id").as("id_2"), col("sh").as("sh_2"))
-    a.join(b, Seq("block"))
+    // Inverted-index intersection instead of the all-pairs array join: a
+    // pair's |A∩B| is its co-occurrence count over (block, shingle) — so
+    // only narrow (block, shingle, id, |set|) rows ever shuffle, partial
+    // aggregation combines map-side, and non-overlapping pairs (the vast
+    // majority of any block²) are never materialized at all. The former
+    // shape joined the FULL shingle arrays across all block² pairs and
+    // intersected per pair — 369 s at sf0.1 and quadratic in block size.
+    // Skew note: a shingle shared by m docs in a block yields m² pair rows;
+    // at 100 TB prune ubiquitous shingles (df-cap) or pre-dedup exact
+    // copies first ([[exactDups]]) — boilerplate shingles are near-dup mass
+    // by definition.
+    val ex = withShingles.select(col("block"), col("id"),
+      size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val inter = ex.select(col("block"), col("s"), col("id").as("id_1"), col("n").as("n_1"))
+      .join(ex.select(col("block"), col("s"), col("id").as("id_2"), col("n").as("n_2")),
+        Seq("block", "s"))
       .filter(col("id_1") < col("id_2"))
-      // size prune: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
-      // size ratio is already below threshold skip the set intersection
-      .filter(least(size(col("sh_1")), size(col("sh_2"))).cast("double") >=
-        lit(threshold) * greatest(size(col("sh_1")), size(col("sh_2"))))
-      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
-      // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: skips materializing the
-      // union array (the second-most-expensive op of the verify stage)
-      .withColumn("uni",
-        (size(col("sh_1")) + size(col("sh_2"))).cast("double") - col("inter"))
+      // size prune: jaccard <= min(|A|,|B|)/max(|A|,|B|); dropping hopeless
+      // pairs BEFORE the count-aggregation shrinks the shuffle
+      .filter(least(col("n_1"), col("n_2")).cast("double") >=
+        lit(threshold) * greatest(col("n_1"), col("n_2")))
+      .groupBy(col("id_1"), col("id_2"), col("n_1"), col("n_2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      // |A∪B| = |A|+|B|-|A∩B| for distinct sets
+      .withColumn("uni", (col("n_1") + col("n_2")).cast("double") - col("inter"))
       .filter(col("uni") > 0)
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= threshold)
@@ -86,9 +99,11 @@ object Dedup {
       maxBucketSize: Int = 1000
   ): DataFrame = {
     val params = minhashParams(bands * rowsPerBand)
-    // persisted: the shingle+signature subtree feeds three consumers (band
-    // explode, both sides of the verification join) — without persistence
-    // Spark recomputes the per-shingle hashing three times
+    // persisted: the shingle+signature subtree feeds four consumers (band
+    // explode, the size-prune, both sides of the verification join) —
+    // without persistence Spark recomputes the per-shingle hashing each time.
+    // The handle is unpersisted below once the (small) pair result is
+    // materialized, so repeated library calls don't leak cached blocks.
     val docs = df.select(
       col(idCol).as("id"),
       array_distinct(transform(shingles(tokens(col(textCol)), n),
@@ -115,9 +130,20 @@ object Dedup {
       .filter(col("id_1") < col("id_2"))
       .distinct()
 
+    // size prune BEFORE the shingle arrays move: jaccard <= min/max sizes,
+    // so a pair whose size ratio is already below threshold never joins the
+    // (wide) array columns — only a 2-int-column projection shuffles here.
+    val sizes = docs.select(col("id"), size(col("sh")).as("n"))
+    val pruned = candidates
+      .join(sizes.select(col("id").as("id_1"), col("n").as("n_1")), "id_1")
+      .join(sizes.select(col("id").as("id_2"), col("n").as("n_2")), "id_2")
+      .filter(least(col("n_1"), col("n_2")).cast("double") >=
+        lit(threshold) * greatest(col("n_1"), col("n_2")))
+      .select(col("id_1"), col("id_2"))
+
     val sh1 = docs.select(col("id").as("id_1"), col("sh").as("sh_1"))
     val sh2 = docs.select(col("id").as("id_2"), col("sh").as("sh_2"))
-    candidates
+    val pairs = pruned
       .join(sh1, "id_1").join(sh2, "id_2")
       .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
       // |A∪B| = |A|+|B|-|A∩B| for distinct arrays: skips materializing the
@@ -128,6 +154,11 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_1"), col("id_2"), col("jaccard"))
+    // materialize the (pair-sized, small) result, then release the cached
+    // shingle blocks — callers get a plan with no live cache dependency
+    val out = pairs.localCheckpoint(true)
+    docs.unpersist()
+    out
   }
 
   /** Near-duplicate CLUSTERS from pairwise matches: connected components
@@ -187,13 +218,19 @@ object Dedup {
       blockCol: String,
       threshold: Double
   ): DataFrame = {
+    // normalize each vector ONCE (v / ||v||) so the per-pair work inside the
+    // O(block²) join is a single codegen'd dot product — not dot + two norm
+    // re-aggregations per candidate pair (3x the array passes, measured 25x
+    // wall-clock at sf0.1). The DuckDB oracle normalizes identically, so the
+    // elementwise division + sequential dot stay bit-reproducible.
+    val vd = transform(col(vecCol), x => x.cast("double"))
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      Similarity.normalize(vd).as("v"))
     val a = v.select(col("block"), col("id").as("id_1"), col("v").as("v_1"))
     val b = v.select(col("block"), col("id").as("id_2"), col("v").as("v_2"))
     a.join(b, Seq("block"))
       .filter(col("id_1") < col("id_2"))
-      .withColumn("cosine", round(Similarity.cosine(col("v_1"), col("v_2")), 6))
+      .withColumn("cosine", round(Similarity.dot(col("v_1"), col("v_2")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_1"), col("id_2"), col("cosine"))
   }

@@ -115,10 +115,15 @@ object DicomSummary {
     * negative — the reference does no borrowing), rounded to 2 decimals
     * (`summary_write.py:154-160`). */
   def ageAtScan(scanDate: Column, birthDate: Column): Column = {
-    val years = (year(scanDate) - year(birthDate)).cast("double")
-    val months = (month(scanDate) - month(birthDate)).cast("double")
-    val days = (dayofmonth(scanDate) - dayofmonth(birthDate)).cast("double")
-    round(years + months / 12.0 + days / 365.0, 2)
+    // exact-integer path: years + months/12 + days/365 == N/4380 with
+    // N = 4380y + 365m + 12d integral, so round-half-up to cents is
+    // floor((N*100 + 2190)/4380) — identical in any engine (Spark `round`
+    // decimalizes the double via shortest-string while DuckDB rounds the
+    // binary double, so the naive form splits on x.xx5 halfway values)
+    val n = (lit(4380L) * (year(scanDate) - year(birthDate)) +
+      lit(365L) * (month(scanDate) - month(birthDate)) +
+      lit(12L) * (dayofmonth(scanDate) - dayofmonth(birthDate))).cast("long")
+    floor((n * 100L + 2190L) / lit(4380.0)).cast("double") / 100.0
   }
 
   /** `tarchive`: one summary row per study — counts (A2), first-valid-DICOM

@@ -114,15 +114,15 @@ object EphysChunker {
       .agg(avg(col("value")).as("value"))
 
   /** T3: per-channel min/max plus the widened global series range. */
-  def channelRanges(samples: DataFrame): DataFrame =
-    samples.groupBy(col("channel"))
+  def channelRanges(samples: DataFrame): DataFrame = {
+    val per = samples.groupBy(col("channel"))
       .agg(min(col("value")).as("channel_min"), max(col("value")).as("channel_max"))
-      .withColumn("series_min",
-        min(col("channel_min")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy()))
-      .withColumn("series_max",
-        max(col("channel_max")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy()))
+    // global range via a broadcast 1-row agg, not an empty-partition Window
+    // (which would collapse the per-channel rows to a single partition)
+    val global = per.agg(min(col("channel_min")).as("series_min"),
+      max(col("channel_max")).as("series_max"))
+    per.crossJoin(broadcast(global))
+  }
 
   /** T4 manifest merge: channel metadata unioned by `index` with new-side
     * precedence, seriesRange widened (least/greatest). Both sides:

@@ -23,13 +23,27 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Dot product of two double arrays (left-to-right summation). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double arrays (left-to-right summation). Evaluated
+    * by the codegen'd allocation-free
+    * [[graft.functions.expressions.DotDoubleExpr]]; bit-identical to the
+    * interpreted `aggregate(zip_with(a,b,_*_), 0.0, _+_)` form (both sum in
+    * index order — SimilaritySpec pins the equivalence). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.DotDoubleExpr(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Unit-normalize a double array (v / ||v||): pay the norm ONCE per vector
+    * so downstream pairwise cosine is a single dot product. */
+  def normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => x / n)
+  }
 
   private def asDouble(vecCol: Column): Column =
     transform(vecCol, x => x.cast("double"))
@@ -126,7 +140,12 @@ object Similarity {
       seed: Long = 42L, maxBucketSize: Int = 10000
   ): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val v = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // normalize ONCE per vector: signatures are scale-invariant (sign of
+    // dot is unchanged by positive scaling... but the FP boundary cases are
+    // not, so the oracle twin must normalize identically), and the verify
+    // stage becomes a single dot per pair instead of dot + two norms
+    val v = df.select(col(idCol).as("id"),
+        normalize(asDouble(col(vecCol))).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withBands = (0 until bands).map { b =>
       val planes = randomPlanes(bitsPerBand, dim, seed + b)
@@ -141,12 +160,17 @@ object Similarity {
       .select(col("id_1"), explode(col("ids")).as("id_2"))
       .filter(col("id_1") < col("id_2"))
       .distinct()
-    candidates
+    val pairs = candidates
       .join(v.select(col("id").as("id_1"), col("v").as("v_1")), "id_1")
       .join(v.select(col("id").as("id_2"), col("v").as("v_2")), "id_2")
-      .withColumn("cosine", round(cosine(col("v_1"), col("v_2")), 6))
+      .withColumn("cosine", round(dot(col("v_1"), col("v_2")), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_1"), col("id_2"), col("cosine"))
+    // materialize the (small) pair set, then release the cached vectors so
+    // repeated library calls don't leak storage blocks
+    val out = pairs.localCheckpoint(true)
+    v.unpersist()
+    out
   }
 
   /** Deterministic centroid pick for local IVF: the first `c` corpus vectors

@@ -26,10 +26,15 @@ object SkewJoin {
       saltFactor: Int
   ): DataFrame = {
     require(saltFactor > 1)
-    // deterministic salt: hash of all non-key columns spreads rows of one
-    // hot key across partitions without rand()'s retry-nondeterminism
+    // salt = hash(non-key columns, partition id): rows of one hot key spread
+    // even when they are bit-identical in every column (the degenerate
+    // duplicate-row skew case, where a pure column hash is constant).
+    // spark_partition_id is stable for a given input partitioning; the join
+    // result set is identical for ANY salt value, so plan-level stability is
+    // not required for correctness.
+    val nonKey = skewed.columns.filterNot(keys.contains).map(col)
     val salted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col): _*), lit(saltFactor)))
+      pmod(hash(nonKey :+ spark_partition_id(): _*), lit(saltFactor)))
     val exploded = replicated.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(exploded, keys :+ "__salt").drop("__salt")

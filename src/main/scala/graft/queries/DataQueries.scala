@@ -121,14 +121,27 @@ object DataQueries {
         "vec_id", "embedding", k = 10)
     },
 
+    // SRP-LSH cosine near-dup pairs over the WHOLE table (no blocking): the
+    // unblocked 100 TB path — banded sign-signatures bucket the corpus, only
+    // within-bucket candidates are exact-verified. Recall for a pair at
+    // cosine c is 1-(1-p^4)^8 with p = 1-acos(c)/pi: 0.83 at c=0.5, 0.998
+    // at c=0.9 (documented; soundness is exact — every emitted pair is
+    // verified).
+    "q51_srp_neardup" -> { (s, dir) =>
+      Similarity.rpLshNearDupPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.5)
+    },
+
     // Embedding-cosine near-dup pairs within label blocks
     "q30_embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.3)
     },
 
-    // IVF approximate top-k (scale path; no SQL oracle - recall validated
-    // against bruteForceTopK in SimilaritySpec)
+    // IVF approximate top-k (scale path): fully deterministic — seeded
+    // centroids (first 8 ids), argmin ties to lowest centroid id, fixed
+    // nprobe — so it has an exact ANSI oracle below; recall additionally
+    // validated against bruteForceTopK in SimilaritySpec
     "q31_ann_ivf" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
@@ -136,16 +149,22 @@ object DataQueries {
         "vec_id", "embedding", k = 10, centroids, nprobe = 2)
     },
 
-    // Vocabulary top-k: global word frequencies (explode -> count -> rank)
+    // Vocabulary top-k: global word frequencies (explode -> count -> top-20).
+    // orderBy().limit() plans TakeOrderedAndProject (per-partition heaps +
+    // driver merge of 20-row heads) — NOT an unpartitioned Window, which
+    // would single-partition the full vocabulary (billions of words at
+    // 100 TB). Rank is assigned over the collected 20 rows.
     "q43_vocab_topk" -> { (s, dir) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("tf").desc, col("word").asc)
-      docs(s, dir)
+      val top = docs(s, dir)
         .select(explode(tokens(col("text"))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("tf"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 20)
+        .orderBy(col("tf").desc, col("word").asc)
+        .limit(20)
+      import s.implicits._
+      top.collect().toSeq.zipWithIndex
+        .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
+        .toDF("word", "tf", "rank")
     },
 
     // Term relative document frequency: tf * N / df as exact-integer-ratio
@@ -307,17 +326,75 @@ object DataQueries {
     "q29_embedding_knn" -> sqlKnn(
       "e2.vec_id < 5", "rank <= 10"),
 
-    "q30_embedding_neardup" ->
+    // exact twin of Similarity.ivfTopK with seedCentroids(8)/nprobe=2/k=10:
+    // centroid CTE (first 8 ids) -> squared-L2 argmin assignment (ties to
+    // lowest centroid_id, matching the strict-less fold over the id-sorted
+    // centroid array) -> per-query nprobe centroid ranking -> bucket-join ->
+    // cosine top-k. All distance/dot sums are sequential list_sum over
+    // list_zip — bit-identical to the Spark side's index-order summation.
+    "q31_ann_ivf" ->
       """WITH v AS (
-        |  SELECT vec_id, label,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv FROM v ORDER BY vec_id LIMIT 8
+        |), assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(a.v, c.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM v a CROSS JOIN cent c) t
+        |  WHERE rn = 1
+        |), bucketed AS (
+        |  SELECT a.vec_id AS neighbor_id, v.v AS c_vec, a.centroid_id AS n_cluster
+        |  FROM assign a JOIN v ON a.vec_id = v.vec_id
+        |), probes AS (
+        |  SELECT query_id, q_vec, centroid_id AS n_cluster FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS q_vec, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.v, c.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 5) t
+        |  WHERE rn <= 2
+        |), scored AS (
+        |  SELECT p.query_id, b.neighbor_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(p.q_vec, b.c_vec), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(list_zip(p.q_vec, p.q_vec), x -> x[1]*x[2])))
+        |         * sqrt(list_sum(list_transform(list_zip(b.c_vec, b.c_vec), x -> x[1]*x[2])))),
+        |      6) AS cosine
+        |  FROM probes p JOIN bucketed b ON p.n_cluster = b.n_cluster
+        |  WHERE b.neighbor_id <> p.query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    "q51_srp_neardup" -> sqlSrpNearDup(bands = 8, bitsPerBand = 4, dim = 64,
+      seed = 42L, threshold = 0.5, maxBucketSize = 10000),
+
+    // normalize-then-dot (not dot/(norm*norm)) to mirror the Spark side,
+    // which pre-normalizes each vector once so the O(block^2) join does a
+    // single dot per pair — the two forms differ in FP bits, so BOTH engines
+    // must use the normalized form
+    "q30_embedding_neardup" ->
+      """WITH d AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings
+        |), v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(vd, x -> x /
+        |      sqrt(list_sum(list_transform(list_zip(vd, vd), x -> x[1]*x[2])))) AS v
+        |  FROM d
         |), p AS (
         |  SELECT a.vec_id AS id_1, b.vec_id AS id_2,
         |    round(
-        |      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2]))
-        |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
-        |         * sqrt(list_sum(list_transform(list_zip(b.v, b.v), x -> x[1]*x[2])))),
+        |      list_sum(list_transform(list_zip(a.v, b.v), x -> x[1]*x[2])),
         |      6) AS cosine
         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
         |)
@@ -362,6 +439,51 @@ object DataQueries {
         |  CAST(length(text) % 24 + 1 AS INTEGER) AS n_frames
         |FROM documents""".stripMargin
   )
+
+  /** Exact ANSI twin of [[Similarity.rpLshNearDupPairs]] (q51): the seeded
+    * hyperplanes are rendered as literal arrays (Double.toString is
+    * shortest-roundtrip, so DuckDB parses back the identical binary double),
+    * and every stage — per-vector normalization, per-band sign-signature,
+    * bucket-size gate, within-bucket pairing, sequential-dot verify —
+    * mirrors the Spark dataflow operation for operation. */
+  private def sqlSrpNearDup(bands: Int, bitsPerBand: Int, dim: Int,
+      seed: Long, threshold: Double, maxBucketSize: Int): String = {
+    def planeLit(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val planes = graft.operators.Similarity.randomPlanes(bitsPerBand, dim, seed + b)
+      val bits = planes.zipWithIndex.map { case (p, j) =>
+        s"(CASE WHEN list_sum(list_transform(list_zip(v, ${planeLit(p)}), x -> x[1]*x[2])) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bits AS sig FROM v"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vec_id,
+       |    list_transform(vd, x -> x /
+       |      sqrt(list_sum(list_transform(list_zip(vd, vd), x -> x[1]*x[2])))) AS v
+       |  FROM d
+       |), sigs AS (
+       |  $bandSelects
+       |), ok AS (
+       |  SELECT band, sig FROM sigs GROUP BY band, sig
+       |  HAVING COUNT(*) BETWEEN 2 AND $maxBucketSize
+       |), cand AS (
+       |  SELECT DISTINCT s1.vec_id AS id_1, s2.vec_id AS id_2
+       |  FROM sigs s1
+       |  JOIN sigs s2 ON s1.band = s2.band AND s1.sig = s2.sig
+       |    AND s1.vec_id < s2.vec_id
+       |  JOIN ok ON ok.band = s1.band AND ok.sig = s1.sig
+       |), scored AS (
+       |  SELECT c.id_1, c.id_2,
+       |    round(list_sum(list_transform(list_zip(v1.v, v2.v), x -> x[1]*x[2])), 6)
+       |      AS cosine
+       |  FROM cand c JOIN v v1 ON v1.vec_id = c.id_1
+       |              JOIN v v2 ON v2.vec_id = c.id_2
+       |)
+       |SELECT id_1, id_2, cosine FROM scored WHERE cosine >= $threshold""".stripMargin
+  }
 
   /** Shared brute-force-KNN oracle shape. */
   private def sqlKnn(queryPred: String, rankPred: String): String =

@@ -87,10 +87,13 @@ object DomainQueries {
     // ids = max(existing) + dense_rank (python/lib/database.py:210-253)
     "q19_get_or_create" -> { (s, dir) =>
       val part = t(s, dir, "part")
-      val dict = part.filter(col("p_size") <= 10).select(col("p_brand")).distinct()
-        .withColumn("brand_id",
-          dense_rank().over(Window.orderBy(col("p_brand"))).cast("long"))
-      Catalog.getOrCreate(dict, part, Seq("p_brand"), "brand_id")
+      val existing = part.filter(col("p_size") <= 10).select(col("p_brand")).distinct()
+      // distinct brands -> global ordinal == dense_rank, assigned without an
+      // unpartitioned Window (see Ordinals)
+      val dict = graft.functions.Ordinals
+        .withGlobalOrdinal(existing, Seq(col("p_brand")), "brand_id")
+      Catalog.getOrCreate(dict.select(col("brand_id"), col("p_brand")),
+        part, Seq("p_brand"), "brand_id")
     },
 
     // A11 age-at-scan: reference formula years + months/12 + days/365 with
@@ -180,12 +183,18 @@ object DomainQueries {
         |SELECT m + CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT), p_brand
         |FROM novel, mx""".stripMargin,
 
+    // integer-scaled rounding (N/4380 cents via floor((N*100+2190)/4380)) —
+    // must mirror DicomSummary.ageAtScan exactly; see its comment
     "q20_age_at_scan" ->
-      """SELECT o_orderkey, l_linenumber,
-        |  ROUND(CAST(EXTRACT(year FROM l_shipdate) - EXTRACT(year FROM o_orderdate) AS DOUBLE)
-        |    + CAST(EXTRACT(month FROM l_shipdate) - EXTRACT(month FROM o_orderdate) AS DOUBLE)/12.0
-        |    + CAST(EXTRACT(day FROM l_shipdate) - EXTRACT(day FROM o_orderdate) AS DOUBLE)/365.0,
-        |    2) AS age_years
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+      """WITH n AS (
+        |  SELECT o_orderkey, l_linenumber,
+        |    4380 * (EXTRACT(year FROM l_shipdate) - EXTRACT(year FROM o_orderdate))
+        |    + 365 * (EXTRACT(month FROM l_shipdate) - EXTRACT(month FROM o_orderdate))
+        |    + 12 * (EXTRACT(day FROM l_shipdate) - EXTRACT(day FROM o_orderdate)) AS num
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |)
+        |SELECT o_orderkey, l_linenumber,
+        |  CAST(floor((num * 100 + 2190) / 4380.0) AS DOUBLE) / 100.0 AS age_years
+        |FROM n""".stripMargin
   )
 }

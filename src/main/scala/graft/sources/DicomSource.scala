@@ -30,17 +30,53 @@ object DicomSource {
     length(content) >= 132 &&
       substring(content, 129, 4).cast("string") === "DICM"
 
-  /** STUB header extraction: deterministic pseudo-values from content bytes
-    * (md5-derived). Swap for a real tag parser in production. */
-  def extractHeaderStub(df: DataFrame): DataFrame = {
-    val h = md5(col("content"))
+  /** `dicom_tags(content)`: the 26 DCMSUM summary fields as a string map
+    * (null for non-DICOM bytes) via the zero-dependency explicit/implicit-VR
+    * walker [[DicomTagParser]]. */
+  def dicomTags(content: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.DicomTagsExpr(
+      GraftColumnBridge.expression(content)))
+  }
+
+  /** Real header extraction (replaces the round-1 md5 stub): every DCMSUM
+    * field typed like the reference records it — IS tags to int, DS tags to
+    * double with the reference's `nearest(0.01)` rounding on TE/TR/TI/slice
+    * thickness (`DCMSUM.pm:806-809`), dates kept as raw `YYYYMMDD` strings
+    * for [[graft.functions.Dates.dicomDate]]. Non-DICOM files keep their
+    * scan row with null headers (the reference's `$fileIsDicom` branch). */
+  def extractHeaders(df: DataFrame): DataFrame = {
+    val nearest01 = (c: Column) =>
+      graft.functions.Predicates.nearest(0.01, c.cast("double"))
     df.select(
-      col("path").as("file_path"),
-      md5(col("content")).as("md5"),
-      isDicomMagic(col("content")).as("is_dicom"),
-      lit("1.2.3.stub.study").as("study_uid"),
-      (conv(substring(h, 1, 4), 16, 10).cast("int") % 16 + 1).as("series_number"),
-      (conv(substring(h, 5, 4), 16, 10).cast("int") % 512 + 1).as("instance_number"),
-      lit("MR").as("modality"))
+        col("path").as("file_path"),
+        md5(col("content")).as("md5"),
+        isDicomMagic(col("content")).as("is_dicom"),
+        dicomTags(col("content")).as("h"))
+      .select(
+        col("file_path"), col("md5"), col("is_dicom"),
+        col("h")("study_uid").as("study_uid"),
+        col("h")("series_number").cast("int").as("series_number"),
+        col("h")("echo_number").cast("int").as("echo_number"),
+        col("h")("instance_number").cast("int").as("instance_number"),
+        nearest01(col("h")("repetition_time")).as("repetition_time"),
+        nearest01(col("h")("echo_time")).as("echo_time"),
+        nearest01(col("h")("inversion_time")).as("inversion_time"),
+        col("h")("study_date").as("study_date"),
+        col("h")("patient_name").as("patient_name"),
+        col("h")("patient_dob").as("patient_dob"),
+        col("h")("patient_id").as("patient_id"),
+        col("h")("series_description").as("series_description"),
+        col("h")("patient_sex").as("patient_sex"),
+        col("h")("scanner_model").as("scanner_model"),
+        col("h")("software_version").as("software_version"),
+        col("h")("institution").as("institution"),
+        col("h")("sequence_name").as("sequence_name"),
+        nearest01(col("h")("slice_thickness")).as("slice_thickness"),
+        col("h")("phase_encoding").as("phase_encoding"),
+        col("h")("manufacturer").as("manufacturer"),
+        col("h")("scanner_serial").as("scanner_serial"),
+        col("h")("series_uid").as("series_uid"),
+        col("h")("modality").as("modality"))
   }
 }

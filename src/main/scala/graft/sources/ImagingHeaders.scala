@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   * pixdim floats live at fixed offsets, so the REAL header fields are
   * parseable with pure Column byte arithmetic (no codec): dim[0..4] are
   * little-endian int16 at offset 40, pixdim[1..3] float32 at offset 80.
-  * Float decoding from bytes needs bit-casting not expressible as a
-  * built-in; we surface the spatial dims (integers) for real and leave
-  * voxel steps to the stub boundary, mirroring the Multimodal decode
-  * posture.
+  * Float decoding from bytes needs a bit-cast not expressible as a
+  * built-in — [[graft.functions.expressions.Float32LEExpr]] supplies it, so
+  * voxel steps (pixdim[1..3], float32 LE at 0-based offsets 80/84/88) are
+  * parsed for real alongside the integer dims.
   */
 object ImagingHeaders {
 
@@ -40,16 +40,26 @@ object ImagingHeaders {
     length(content) >= 348 &&
       substring(content, 345, 3).cast("string").isin("n+1", "ni1")
 
-  /** S3: binaryFile scan + real dim parse + stubbed voxel steps (float
-    * bit-cast needs a codec boundary; deterministic stand-in documented). */
+  /** Float32 LE read at 0-based offset (NIfTI floats are packed LE on every
+    * modern producer; the dim-endianness probe of nifti.py applies to
+    * byte-swapped legacy files, detectable via dim[0] ∉ [1,7]). */
+  private def leFloat(bin: Column, off0: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.expressions.Float32LEExpr(
+      GraftColumnBridge.expression(bin), off0))
+  }
+
+  /** S3: binaryFile scan + real dim parse + REAL voxel steps — pixdim[1..3]
+    * float32 bit-cast from the fixed header offsets
+    * (`python/lib/imaging_lib/nifti.py:7-31`). */
   def readNiftiHeaders(scanned: DataFrame): DataFrame =
     scanned.select(
       col("path").as("file_path"),
       isNifti(col("content")).as("is_nifti"),
       niftiDims(col("content")).as("dims"),
-      // STUB voxel steps (real impl: Float.intBitsToFloat over pixdim bytes
-      // in a small Expression); deterministic stand-in from byte length
-      (pmod(length(col("content")), lit(40)) / 10.0 + 0.5).as("xstep_stub"))
+      leFloat(col("content"), 80).as("xstep"),
+      leFloat(col("content"), 84).as("ystep"),
+      leFloat(col("content"), 88).as("zstep"))
 
   /** S4: MINC "header fetch" — the reference greps fields from `mincheader`
     * text output; the dataflow form is a regexp_extract over a text column

@@ -22,12 +22,15 @@ object Sinks {
   ): DataFrame = {
     val maxId = existing.select(coalesce(max(col(idCol)), lit(0L)).cast("long"))
       .first().getLong(0)
-    val fresh = incoming
+    val anti = incoming
       .join(existing.select(naturalKey.map(col): _*).distinct(), naturalKey, "left_anti")
+    // distributed range-sort + zipWithIndex == row_number over naturalKey,
+    // without the single-partition unpartitioned-Window collapse
+    val fresh = graft.functions.Ordinals
+      .withGlobalOrdinal(anti, naturalKey.map(col), "__ord")
       .withColumn(idCol,
-        (lit(maxId) + row_number().over(
-          Window.orderBy(naturalKey.map(col): _*)))
-          .cast(existing.schema(idCol).dataType))
+        (lit(maxId) + col("__ord")).cast(existing.schema(idCol).dataType))
+      .drop("__ord")
     existing.unionByName(fresh.select(existing.columns.map(col): _*))
   }
 
@@ -46,8 +49,15 @@ object Sinks {
       keys: Seq[String],
       updateCols: Seq[String]
   ): DataFrame = {
-    val u = updates.select(
-      keys.map(col) ++ updateCols.map(c => col(c).as(s"__u_$c")): _*)
+    // guard against key fan-out: more than one update row per key would
+    // silently DUPLICATE matching existing rows through the left join below.
+    // Deterministic winner: greatest (updateCols...) tuple per key.
+    val winnerW = Window.partitionBy(keys.map(col): _*)
+      .orderBy(struct(updateCols.map(col): _*).desc_nulls_last)
+    val u = updates
+      .withColumn("__rn", row_number().over(winnerW))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) ++ updateCols.map(c => col(c).as(s"__u_$c")): _*)
     val joined = existing.join(u, keys, "left")
     updateCols.foldLeft(joined) { (df, c) =>
       df.withColumn(c, coalesce(col(s"__u_$c"), col(c)))

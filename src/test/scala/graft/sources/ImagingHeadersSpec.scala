@@ -9,7 +9,8 @@ class ImagingHeadersSpec extends SparkSpec {
 
   /** Build a real NIfTI-1 header: 348 bytes, dim[] at offset 40 LE,
     * magic "n+1\0" at 344. */
-  private def niftiHeader(x: Int, y: Int, z: Int, t: Int): Array[Byte] = {
+  private def niftiHeader(x: Int, y: Int, z: Int, t: Int,
+      steps: (Float, Float, Float) = (1.0f, 1.0f, 1.0f)): Array[Byte] = {
     val b = ByteBuffer.allocate(360).order(ByteOrder.LITTLE_ENDIAN)
     b.putInt(0, 348) // sizeof_hdr
     b.putShort(40, 4.toShort)
@@ -17,23 +18,32 @@ class ImagingHeadersSpec extends SparkSpec {
     b.putShort(44, y.toShort)
     b.putShort(46, z.toShort)
     b.putShort(48, t.toShort)
+    b.putFloat(80, steps._1) // pixdim[1..3]
+    b.putFloat(84, steps._2)
+    b.putFloat(88, steps._3)
     b.put(344, 'n'.toByte); b.put(345, '+'.toByte); b.put(346, '1'.toByte)
     b.array()
   }
 
-  test("niftiDims parses the real NIfTI-1 dim block from bytes") {
+  test("niftiDims + pixdim voxel steps parse the real NIfTI-1 header bytes") {
     val dir = Files.createTempDirectory("nifti")
-    Files.write(dir.resolve("scan.nii"), niftiHeader(192, 256, 160, 1))
+    Files.write(dir.resolve("scan.nii"),
+      niftiHeader(192, 256, 160, 1, (0.8f, 0.8f, 1.25f)))
     Files.write(dir.resolve("other.bin"), Array.fill[Byte](400)(7))
     val out = ImagingHeaders.readNiftiHeaders(
       DicomSource.scanDir(spark, dir.toString))
-      .collect().map(r => (r.getString(0).split("/").last,
-        r.getBoolean(1), r.getStruct(2))).toList
-    val scan = out.find(_._1 == "scan.nii").get
-    assert(scan._2)
-    assert((scan._3.getInt(1), scan._3.getInt(2), scan._3.getInt(3),
-      scan._3.getInt(4)) == (192, 256, 160, 1))
-    assert(!out.find(_._1 == "other.bin").get._2)
+      .collect().map(r => (r.getString(0).split("/").last, r)).toMap
+    val scan = out("scan.nii")
+    assert(scan.getBoolean(1))
+    val dims = scan.getStruct(2)
+    assert((dims.getInt(1), dims.getInt(2), dims.getInt(3),
+      dims.getInt(4)) == (192, 256, 160, 1))
+    // float32 round-trip: 0.8f widens to the exact double of that float bit
+    // pattern, like nibabel's float32 read (nifti.py:7-31)
+    assert(scan.getAs[Double]("xstep") == 0.8f.toDouble)
+    assert(scan.getAs[Double]("ystep") == 0.8f.toDouble)
+    assert(scan.getAs[Double]("zstep") == 1.25f.toDouble)
+    assert(!out("other.bin").getBoolean(1))
   }
 
   test("mincField greps numeric fields from header text") {
