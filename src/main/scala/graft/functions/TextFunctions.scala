@@ -39,6 +39,18 @@ object TextFunctions {
       expressions.Md5Prefix60(GraftColumnBridge.expression(c.cast("binary"))))
   }
 
+  /** Fused tokenize→shingle→hash→distinct in ONE codegen'd pass
+    * ([[expressions.ShingleHashesExpr]]): bit-identical to
+    * `array_distinct(transform(shingles(tokens(text), n), portableHash60))`
+    * (spec-pinned) but ~50× cheaper — the declarative chain runs as
+    * interpreted higher-order evals with a per-element md5 sub-eval, and it
+    * is the hot per-document stage of every dedup operator. */
+  def shingleHashes60(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(expressions.ShingleHashesExpr(
+      GraftColumnBridge.expression(text), n))
+  }
+
   /** Universal-hash family over a base hash: h_ab(x) = (a*(x mod p) + b) mod p
     * with p = 2^31 - 1 (products stay within Long). */
   val MinhashPrime: Long = 2147483647L
@@ -94,5 +106,5 @@ object TextFunctions {
     * over word `n`-shingles (1-hash MinHash — a winnowing-style content
     * fingerprint stable under small reorderings of unrelated regions). */
   def docFingerprint(text: Column, n: Int = 5): Column =
-    array_min(transform(shingles(tokens(text), n), s => portableHash60(s)))
+    array_min(shingleHashes60(text, n))
 }

@@ -46,8 +46,7 @@ object Dedup {
     val withShingles = df.select(
       col(blockCol).as("block"),
       col(idCol).as("id"),
-      array_distinct(transform(shingles(tokens(col(textCol)), n),
-        s => portableHash60(s))).as("sh"))
+      shingleHashes60(col(textCol), n).as("sh"))
     // Inverted-index intersection instead of the all-pairs array join: a
     // pair's |A∩B| is its co-occurrence count over (block, shingle) — so
     // only narrow (block, shingle, id, |set|) rows ever shuffle, partial
@@ -106,8 +105,7 @@ object Dedup {
     // materialized, so repeated library calls don't leak cached blocks.
     val docs = df.select(
       col(idCol).as("id"),
-      array_distinct(transform(shingles(tokens(col(textCol)), n),
-        s => portableHash60(s))).as("sh"))
+      shingleHashes60(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), params))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -18,6 +18,61 @@ object PathQueries {
     // J9 EAV hash semi-join (python/lib/db/queries/file.py:59-63): docs
     // whose content fingerprint appears under more than one source —
     // the "find file by hash value" lookup, set-oriented
+    // EAV vertical end-to-end (SURVEY hard-part 5): BIDS-named long params
+    // -> Alias->Name remap (imaging.py:531-553) -> typed store rows ->
+    // read-all-params join (File.pm:113) -> declared-set pivot. The oracle
+    // is the pipeline's algebraic collapse: SELECT key, brand, size FROM
+    // part — an identity the whole EAV round-trip must reproduce.
+    "q52_eav_pivot" -> { (s, dir) =>
+      import s.implicits._
+      val part = t(s, dir, "part")
+      val bidsLong = part.selectExpr("p_partkey AS FileID",
+        "stack(4, 'Brand', p_brand, 'Type', p_type, 'Size', CAST(p_size AS STRING), 'PartName', p_name) AS (Name, Value)")
+      val pt = Seq(
+        (101L, "acq:brand", Some("Brand")),
+        (102L, "acq:type", Option.empty[String]),
+        (103L, "acq:size", Some("Size")),
+        (104L, "acq:container", Option.empty[String])
+      ).toDF("ParameterTypeID", "Name", "Alias")
+      val withLoris = graft.operators.Eav.bidsToLorisRemap(bidsLong, pt)
+      // only dictionary-known names land in the store (insert-known-params)
+      val store = withLoris
+        .join(broadcast(pt.select(col("ParameterTypeID"), col("Name"))), Seq("Name"))
+        .select(col("FileID"), col("ParameterTypeID"), col("Value"))
+      val params = graft.operators.Eav.readParams(store, pt)
+      graft.operators.Eav.pivotParams(params, Seq("acq:brand", "acq:size"))
+    },
+
+    // Delete-cascade vertical (delete_imaging_upload.pl:885-1146): a
+    // lineage fixture derived from orders/lineitem — linenumber-1 items are
+    // "direct files" of the customer's archive, later linenumbers are
+    // intermediary outputs of linenumber 1 — cascaded from the lowest
+    // orderkey's upload. Output = the parameter_file rows to delete
+    // (exercises seed -> semi fan-out -> J8 lineage -> U1 union-dedup).
+    "q53_delete_cascade" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val files = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("FileID"),
+          when(col("l_linenumber") === 1, col("o_custkey")).as("TarchiveSource"),
+          when(col("l_linenumber") > 1, col("l_orderkey") * 8 + 1).as("SourceFileID"))
+        // testdata lineitem repeats (orderkey, linenumber) pairs; every
+        // derived column is functionally determined by them, so distinct()
+        // is a deterministic key-dedup for the fixture
+        .distinct()
+      val fi = files.filter(col("SourceFileID").isNotNull)
+        .select(col("FileID").as("IntermedID"), col("SourceFileID").as("Input_FileID"),
+          col("FileID").as("Output_FileID"))
+      val pf = files.select((col("FileID") * 2).as("ParameterFileID"), col("FileID"))
+      val up = orders.select(col("o_orderkey").as("UploadID"), col("o_custkey").as("TarchiveID"))
+      val uploadId = orders.agg(min(col("o_orderkey"))).first().getLong(0)
+      graft.operators.DeleteCascade.deleteImagingUpload(
+        Map("mri_upload" -> up, "files" -> files,
+          "files_intermediary" -> fi, "parameter_file" -> pf),
+        uploadId)("parameter_file")
+    },
+
     "q37_eav_hash_semijoin" -> { (s, dir) =>
       // fingerprint computed ONCE before the hash exchange; the semi-join
       // becomes a windowed distinct-source count over the h partitioning
@@ -154,6 +209,26 @@ object PathQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the EAV round-trip collapses to this identity (see the query comment)
+    "q52_eav_pivot" ->
+      """SELECT p_partkey AS FileID,
+        |  p_brand AS "acq:brand",
+        |  CAST(p_size AS VARCHAR) AS "acq:size"
+        |FROM part""".stripMargin,
+
+    "q53_delete_cascade" ->
+      """WITH m AS (SELECT min(o_orderkey) AS uid FROM orders),
+        |t AS (SELECT o_custkey AS tid FROM orders, m WHERE o_orderkey = uid),
+        |f AS (
+        |  SELECT l_orderkey*8 + l_linenumber AS FileID,
+        |    CASE WHEN l_linenumber = 1 THEN o_custkey END AS src,
+        |    CASE WHEN l_linenumber > 1 THEN l_orderkey*8 + 1 END AS parent
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), direct AS (SELECT FileID FROM f, t WHERE src = tid),
+        |intermed AS (SELECT f.FileID FROM f JOIN direct d ON f.parent = d.FileID),
+        |all_ids AS (SELECT FileID FROM direct UNION SELECT FileID FROM intermed)
+        |SELECT FileID*2 AS ParameterFileID, FileID FROM all_ids""".stripMargin,
+
     "q37_eav_hash_semijoin" ->
       """WITH toks AS (
         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS tk
