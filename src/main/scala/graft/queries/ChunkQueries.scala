@@ -41,6 +41,15 @@ object ChunkQueries {
       EphysChunker.downsampleAvg(samples(s, dir), 16L)
     },
 
+    // Gap-based sessionization (batch twin of streaming session windows):
+    // 30-minute inactivity gap per user; integer-microsecond arithmetic
+    "q55_sessionize" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"))
+      EventStream.sessionize(ev, "user_id", "us", "event_id",
+        gapMicros = 30L * 60 * 1000000)
+    },
+
     // T5: tumbling-window event aggregation (batch form of the streaming
     // facade; epoch-second output for engine-neutral timestamps)
     "q36_stream_windows" -> { (s, dir) =>
@@ -106,6 +115,26 @@ object ChunkQueries {
       s"""WITH s AS ($sqlSamples)
          |SELECT channel, sample_index // 16 AS sample_index, AVG(value) AS value
          |FROM s GROUP BY channel, sample_index // 16""".stripMargin,
+
+    "q55_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, us,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g
+        |)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  MIN(us) AS session_start, MAX(us) AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q36_stream_windows" ->
       """SELECT

@@ -114,6 +114,13 @@ object DataQueries {
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
     },
 
+    // SimHash banded near-dup pairs: 4 x 8-bit bands bucket the corpus,
+    // exact popcount-hamming verify at <= 3 — pigeonhole makes recall exact
+    // (<=3 differing bits leave >=1 of 4 bands untouched)
+    "q54_simhash_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")
+    },
+
     // Brute-force cosine top-10 for the first 5 vectors
     "q29_embedding_knn" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
@@ -322,6 +329,32 @@ object DataQueries {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // q28's simhash CTE + 4x8-bit banding + popcount-XOR verify
+    "q54_simhash_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), hh AS (
+         |  SELECT doc_id, $sqlHash60 AS hv FROM tok
+         |), bits AS (
+         |  SELECT doc_id, j, SUM(((hv >> j) & 1) * 2 - 1) AS bsum
+         |  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j)
+         |  GROUP BY doc_id, j
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS sig
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+         |), cand AS (
+         |  SELECT DISTINCT b1.doc_id AS id_1, b2.doc_id AS id_2,
+         |    b1.simhash AS h1, b2.simhash AS h2
+         |  FROM banded b1 JOIN banded b2
+         |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+         |)
+         |SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
 
     "q29_embedding_knn" -> sqlKnn(
       "e2.vec_id < 5", "rank <= 10"),

@@ -13,6 +13,34 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   */
 object EventStream {
 
+  /** Gap-based sessionization — the batch twin of streaming session windows
+    * (`session_window` / `flatMapGroupsWithState` timeout sessions): a new
+    * session opens when the gap since the user's previous event exceeds
+    * `gapMicros`. Pure integer-microsecond arithmetic with a total
+    * per-user ordering on (time, orderCol), so the result is deterministic
+    * and cross-engine reproducible. One shuffle on the user partitioning;
+    * sessions never cross partitions, the shape that scales. */
+  def sessionize(
+      events: DataFrame,
+      userCol: String,
+      usCol: String,
+      orderCol: String,
+      gapMicros: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(orderCol))
+    val prev = lag(col(usCol), 1).over(w)
+    events
+      .withColumn("__new_sess",
+        when(prev.isNull || col(usCol) - prev > gapMicros, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("__new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("sess_id"))
+      .agg(min(col(usCol)).as("session_start"),
+        max(col(usCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** T5: watermarked tumbling-window aggregation over an event-time column.
     * Works identically on batch and streaming inputs. */
   def windowedCounts(

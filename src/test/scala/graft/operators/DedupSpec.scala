@@ -55,4 +55,19 @@ class DedupSpec extends SparkSpec {
     val ham = java.lang.Long.bitCount(out(1L) ^ out(3L))
     assert(ham <= 8, s"hamming distance $ham")
   }
+
+  test("simhashNearDupPairs == brute-force hamming pairs (pigeonhole recall exact at <= bands-1)") {
+    val maxHamming = 3
+    val lsh = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+      bands = 4, maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val h = Dedup.simhashDocs(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i1, h1) <- h; (i2, h2) <- h if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= maxHamming
+    } yield (i1, i2, d)).toSet
+    assert(lsh == brute, s"banded ${lsh.size} vs brute ${brute.size}")
+    assert(lsh.nonEmpty) // fixture has exact dups (hamming 0)
+  }
 }
