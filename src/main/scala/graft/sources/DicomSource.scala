@@ -79,4 +79,23 @@ object DicomSource {
         col("h")("series_uid").as("series_uid"),
         col("h")("modality").as("modality"))
   }
+
+  /** Bridge the scan schema to [[graft.operators.DicomSummary]]'s input
+    * (the `dicom_files` fixture shape): DICOM `YYYYMMDD` strings become
+    * dates, scanner fields take the tarchive-facing names. Completes the
+    * dir-scan → header-parse → study-summary vertical on REAL headers. */
+  def toSummaryInput(headers: DataFrame): DataFrame = {
+    // non-DICOM strays carry no study_uid; they belong to the archive of
+    // their DIRECTORY (the reference's per-study-dir "other files" list,
+    // summary_get.py:57-58) — a dir-partitioned window, never global
+    val dirCol = regexp_replace(col("file_path"), "/[^/]+$", "")
+    headers
+      .withColumn("study_uid", coalesce(col("study_uid"),
+        max(col("study_uid")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(dirCol))))
+      .withColumn("study_date", graft.functions.Dates.dicomDate(col("study_date")))
+      .withColumn("patient_dob", graft.functions.Dates.dicomDate(col("patient_dob")))
+      .withColumnRenamed("manufacturer", "scanner_manufacturer")
+      .withColumnRenamed("software_version", "scanner_software")
+  }
 }

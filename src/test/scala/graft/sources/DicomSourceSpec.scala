@@ -148,6 +148,54 @@ class DicomSourceSpec extends SparkSpec {
     assert(tags != null && !tags.contains("modality")) // header ok, value cut off
   }
 
+  test("END-TO-END: dir scan -> real tag parse -> DicomSummary study tables") {
+    val dir = Files.createTempDirectory("dicom_study")
+    def file(series: Int, instance: Int, echoTime: String): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      o.write(explicitElem(0x0008, 0x0020, "DA", "20240131"))
+      o.write(explicitElem(0x0008, 0x0060, "CS", "MR"))
+      o.write(explicitElem(0x0008, 0x0070, "LO", "SIEMENS"))
+      o.write(explicitElem(0x0008, 0x1090, "LO", "Prisma"))
+      o.write(explicitElem(0x0010, 0x0010, "PN", "DOE^JANE"))
+      o.write(explicitElem(0x0010, 0x0020, "LO", "DCC0001_123456_V1"))
+      o.write(explicitElem(0x0010, 0x0030, "DA", "19900515"))
+      o.write(explicitElem(0x0010, 0x0040, "CS", "F"))
+      o.write(explicitElem(0x0018, 0x0081, "DS", echoTime))
+      o.write(explicitElem(0x0020, 0x000D, "UI", "1.2.3.study"))
+      o.write(explicitElem(0x0020, 0x000E, "UI", s"1.2.3.series.$series"))
+      o.write(explicitElem(0x0020, 0x0011, "IS", series.toString))
+      o.write(explicitElem(0x0020, 0x0013, "IS", instance.toString))
+      part10(ExplicitLE, o.toByteArray)
+    }
+    // series 1: two files; series 2: one file (distinct echo); plus a
+    // non-DICOM stray — the reference's "other file" branch
+    Files.write(dir.resolve("s1_i1.dcm"), file(1, 1, "2.98"))
+    Files.write(dir.resolve("s1_i2.dcm"), file(1, 2, "2.98"))
+    Files.write(dir.resolve("s2_i1.dcm"), file(2, 1, "10.5"))
+    Files.write(dir.resolve("notes.txt"), "not dicom".getBytes)
+
+    val scanned = DicomSource.toSummaryInput(
+      DicomSource.extractHeaders(DicomSource.scanDir(spark, dir.toString)))
+    val tables = graft.operators.DicomSummary.summarize(scanned)
+
+    val t = tables.tarchive.collect()(0)
+    assert(t.getAs[String]("DicomArchiveID") == "1.2.3.study")
+    assert(t.getAs[Int]("DicomFileCount") == 3)
+    assert(t.getAs[Int]("NonDicomFileCount") == 1)
+    assert(t.getAs[Int]("AcquisitionCount") == 2)
+    assert(t.getAs[String]("PatientName") == "DOE^JANE")
+    assert(t.getAs[String]("ScannerManufacturer") == "SIEMENS")
+    // 2024-01-31 minus 1990-05-15: 34y -4m +16d -> N=4380*34-365*4+12*16 =
+    // 147652; floor((14765200+2190)/4380)/100 = 33.71
+    assert(math.abs(t.getAs[Double]("AgeAtScan") - 33.71) < 1e-9)
+
+    val series = tables.series.collect()
+    assert(series.length == 2)
+    assert(series.map(_.getAs[Int]("NumberOfFiles")).sorted.toSeq == Seq(1, 2))
+    // TE parsed and nearest(0.01)-rounded from the DS tag
+    assert(series.map(_.getAs[Double]("EchoTime")).sorted.toSeq == Seq(2.98, 10.5))
+  }
+
   test("binaryFile scan + typed extractHeaders over a mixed directory") {
     val dir = Files.createTempDirectory("dicom")
     val sub = Files.createDirectory(dir.resolve("series1"))
