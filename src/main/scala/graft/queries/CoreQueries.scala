@@ -191,6 +191,32 @@ object CoreQueries {
       y97.join(before, Seq("o_custkey"), "left_anti")
     },
 
+    // P3 LIKE/substring + A8 existence/count checks (the reference's
+    // "WHERE File LIKE ?" lookups, e.g. imaging.py:1199-1201 basename
+    // matches, and its count-before-insert guards): parts whose type
+    // matches a substring pattern AND that have at least one lineitem,
+    // with the per-part order count
+    "q56_like_exists" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_lineitems"))
+      part.filter(col("p_type").like("%BRASS%"))
+        .join(counts, col("p_partkey") === col("l_partkey"), "left_semi")
+        .join(counts.withColumnRenamed("l_partkey", "p_partkey"), Seq("p_partkey"))
+        .select(col("p_partkey"), col("p_type"), col("n_lineitems"))
+    },
+
+    // Deterministic stratified sampling (training-data staple): per-source
+    // rate via the portable 60-bit hash of doc_id — reproducible across
+    // engines and runs, no rand(); sampling 100 TB this way is a pure
+    // map-side filter (no shuffle at all)
+    "q57_stratified_sample" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.filter(pmod(graft.functions.TextFunctions.portableHash60(
+          col("doc_id").cast("string")), lit(100)) < 20)
+        .select(col("doc_id"), col("source"))
+    },
+
     // A5 DISTINCT projection (python/lib/database_lib/files.py:145-163)
     "q14_distinct_status_priority" -> { (s, dir) =>
       t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()
@@ -358,6 +384,18 @@ object CoreQueries {
 
     "q14_distinct_status_priority" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q56_like_exists" ->
+      """WITH c AS (
+        |  SELECT l_partkey, COUNT(*) AS n_lineitems FROM lineitem GROUP BY 1
+        |)
+        |SELECT p_partkey, p_type, n_lineitems
+        |FROM part JOIN c ON p_partkey = l_partkey
+        |WHERE p_type LIKE '%BRASS%'""".stripMargin,
+
+    "q57_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20""".stripMargin,
 
     "q15_next_event_seq" ->
       """SELECT c_custkey, COALESCE(MAX(o_orderkey), 0) + 1 AS next_no
