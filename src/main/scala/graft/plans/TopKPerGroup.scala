@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator Catalyst extension: per-group top-k via bounded heaps.
+  *
+  * The window-rank formulation (`row_number().over(partitionBy(g).orderBy(o))
+  * <= k`) fully SORTS every group — at 100 TB that is a sort of the whole
+  * table just to keep k rows per key. This operator keeps a k-bounded heap
+  * per group instead, and runs TWICE (the aggregation partial/final
+  * pattern): a map-side pass bounds every partition's output at k rows per
+  * locally-seen group BEFORE the exchange, then the reduce-side pass
+  * finishes after clustering — so the shuffle moves at most
+  * partitions×groups×k rows, not the table, and nothing is ever globally
+  * sorted. The correctness identity: the true per-group top-k is contained
+  * in the union of per-partition top-k's.
+  *
+  * Registered as a [[SparkStrategy]] (the documented extension point —
+  * `spark.experimental.extraStrategies` / `SparkSessionExtensions
+  * .injectPlannerStrategy`); `EnsureRequirements` injects the hash exchange
+  * from the final node's `requiredChildDistribution`, so AQE still plans
+  * and coalesces the shuffle like any built-in aggregate.
+  *
+  * Reference shapes this serves: "latest N per candidate/session" lookups
+  * (W2, `session_db.py:95-96` max-visit; `files.py` latest-file queries)
+  * and every rank-then-filter query at scale.
+  */
+object TopKPerGroup {
+
+  /** Per-group top-k of `df`: the k FIRST rows of each group under
+    * `order` (pass `col.asc`/`col.desc` columns; make the order total —
+    * include a tiebreaker — for deterministic output). */
+  def apply(df: DataFrame, group: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    register(spark)
+    val groupExprs = group.map(GraftColumnBridge.eagerExpression)
+    val orderExprs = order.map(GraftColumnBridge.eagerExpression).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, Ascending)
+    }
+    GraftColumnBridge.ofRows(spark,
+      TopKPerGroupNode(groupExprs, orderExprs, k,
+        GraftColumnBridge.logicalPlan(df)))
+  }
+
+  /** Idempotently register the planning strategy on this session. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+}
+
+/** Logical node: declarative "keep first k rows per group under order". */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan
+) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerGroupNode =
+    copy(child = c)
+}
+
+/** Planner rule: logical node → partial exec (pre-shuffle bound) feeding
+  * final exec (post-shuffle finish). */
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical per-partition bounded-heap top-k. `partial = true` runs before
+  * the exchange (no distribution requirement — bounds shuffle volume);
+  * `partial = false` requires clustering on the group keys and emits each
+  * group's k rows in sort order. */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    orderExprs: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val orderE = orderExprs
+    val childOutput = child.output
+    val kk = k
+    child.execute().mapPartitions({ iter =>
+      val groupProj = UnsafeProjection.create(groupE, childOutput)
+      val ordering: Ordering[InternalRow] =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .create(orderE, childOutput).asInstanceOf[Ordering[InternalRow]]
+      // max-heap under the sort order: head = worst kept row, evicted when
+      // a better row arrives. UnsafeRow keys/values are COPIED (iterator
+      // rows are reused buffers).
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = groupProj(row)
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
+          heaps.put(key.copy(), pq)
+        }
+        if (pq.size < kk) pq.enqueue(row.copy())
+        else if (ordering.compare(row, pq.head) < 0) {
+          pq.dequeue(); pq.enqueue(row.copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      heaps.values().forEach { pq =>
+        out ++= pq.toSeq.sorted(ordering)
+      }
+      out.iterator
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
+    copy(child = c)
+}

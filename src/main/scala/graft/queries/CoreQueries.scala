@@ -217,6 +217,18 @@ object CoreQueries {
         .select(col("doc_id"), col("source"))
     },
 
+    // W2 at scale: per-group top-k through the custom bounded-heap
+    // physical operator (graft.plans.TopKPerGroup — partial pre-shuffle
+    // pass + clustered final pass; no per-group sort of the table). The
+    // oracle is the window-rank formulation, so this row proves the custom
+    // plan IS the window semantics.
+    "q58_topk_per_group" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      graft.plans.TopKPerGroup(o, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+    },
+
     // A5 DISTINCT projection (python/lib/database_lib/files.py:145-163)
     "q14_distinct_status_priority" -> { (s, dir) =>
       t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority")).distinct()
@@ -384,6 +396,14 @@ object CoreQueries {
 
     "q14_distinct_status_priority" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q58_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
 
     "q56_like_exists" ->
       """WITH c AS (

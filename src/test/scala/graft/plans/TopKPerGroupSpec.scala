@@ -1,0 +1,46 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+class TopKPerGroupSpec extends SparkSpec {
+
+  test("custom plan == window-rank formulation on orders (total order)") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val custom = TopKPerGroup(o, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val windowed = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom == windowed)
+    assert(custom.nonEmpty)
+  }
+
+  test("plans partial + final execs around one exchange; no Sort of the table") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val df = TopKPerGroup(o, Seq(col("o_custkey")),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerGroup \\[".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+    assert(!plan.contains("SortExec"), plan)
+  }
+
+  test("ties within k and groups smaller than k") {
+    import spark.implicits._
+    val df = Seq((1, 10, "a"), (1, 10, "b"), (1, 5, "c"), (2, 7, "z"))
+      .toDF("g", "v", "tag")
+    // total order via tag tiebreak
+    val out = TopKPerGroup(df, Seq(col("g")),
+      Seq(col("v").desc, col("tag").asc), k = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set((1, 10, "a"), (1, 10, "b"), (2, 7, "z")))
+  }
+}
