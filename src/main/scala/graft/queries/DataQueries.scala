@@ -114,6 +114,23 @@ object DataQueries {
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
     },
 
+    // The composed training-data prep pipeline (the BASELINE.json north
+    // star, end to end): normalize -> exact-dedup to canonical docs ->
+    // min-length quality gate -> deterministic 50% sample. Every stage is a
+    // narrow map or one hash shuffle; the whole pipeline is one job.
+    "q59_corpus_prep" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      d.select(col("doc_id"), norm.as("norm"))
+        .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+        .withColumn("n_tokens", size(tokens(col("norm"))))
+        .filter(col("n_tokens") >= 5)
+        .filter(pmod(graft.functions.TextFunctions.portableHash60(
+          col("doc_id").cast("string")), lit(100)) < 50)
+        .select(col("doc_id"), col("n_tokens"))
+    },
+
     // SimHash banded near-dup pairs: 4 x 8-bit bands bucket the corpus,
     // exact popcount-hamming verify at <= 3 — pigeonhole makes recall exact
     // (<=3 differing bits leave >=1 of 4 bands untouched)
@@ -329,6 +346,22 @@ object DataQueries {
          |SELECT doc_id,
          |  CAST(SUM(CASE WHEN bsum > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "q59_corpus_prep" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents
+        |), c AS (
+        |  SELECT norm, MIN(doc_id) AS doc_id FROM n GROUP BY 1
+        |), t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(norm), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM c
+        |)
+        |SELECT doc_id, n_tokens FROM t
+        |WHERE n_tokens >= 5
+        |  AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50""".stripMargin,
 
     // q28's simhash CTE + 4x8-bit banding + popcount-XOR verify
     "q54_simhash_neardup" ->
