@@ -173,6 +173,77 @@ object Similarity {
     out
   }
 
+  /** Product-quantization codes: the vector splits into `m` subspaces;
+    * each subspace gets a `k`-entry codebook (deterministic seed: the first
+    * `k` corpus vectors' sub-vectors, same stand-in policy as
+    * [[seedCentroids]]) and every vector stores its nearest code per
+    * subspace — 100 TB posture: vectors compress dim×4 bytes → m bytes,
+    * codebooks broadcast, assignment is map-only + one tiny window over
+    * n×m rows partitioned by (id, subspace).
+    *
+    * Returns (id, s, code, __qd_micro-free) rows: one code per subspace.
+    * Distances are integer-scaled micro-units (floor(d*1e6+0.5)) so every
+    * downstream sum is order-independent and cross-engine exact. */
+  def pqAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16): DataFrame = {
+    val sub = pqSubVectors(corpus, idCol, vecCol, m)
+    val cb = broadcast(sub.filter(col("id") < k)
+      .select(col("s"), col("id").as("code"), col("sv").as("cv")))
+    val w = Window.partitionBy(col("id"), col("s"))
+      .orderBy(col("d_micro").asc, col("code").asc)
+    sub.join(cb, Seq("s"))
+      .withColumn("d_micro", sqDistMicro(col("sv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("s"), col("code"))
+  }
+
+  /** PQ approximate top-k via asymmetric distance computation: per query,
+    * the m×k codebook distance table is computed ONCE (tiny, broadcast),
+    * then each corpus vector's distance is the INTEGER sum of its m code
+    * lookups — no per-pair vector math at all. The standard IVF+PQ serving
+    * shape at 100 TB (compose with [[assignClusters]] bucketing to prune
+    * the corpus side). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, kNeighbors: Int, m: Int = 8, k: Int = 16): DataFrame = {
+    val codes = pqAssign(corpus, idCol, vecCol, m, k)
+    val cb = pqSubVectors(corpus, idCol, vecCol, m).filter(col("id") < k)
+      .select(col("s"), col("id").as("code"), col("sv").as("cv"))
+    val qTable = pqSubVectors(queries, idCol, vecCol, m)
+      .select(col("id").as("query_id"), col("s"), col("sv"))
+      .join(cb, Seq("s"))
+      .withColumn("qd_micro", sqDistMicro(col("sv"), col("cv")))
+      .select(col("query_id"), col("s"), col("code"), col("qd_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    codes.withColumnRenamed("id", "neighbor_id")
+      .join(broadcast(qTable), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd_micro")).as("adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("neighbor_id"), col("adc_micro"), col("rank"))
+  }
+
+  /** (id, s, sv): subspace slices of the double-cast vector. */
+  private def pqSubVectors(df: DataFrame, idCol: String, vecCol: String,
+      m: Int): DataFrame = {
+    val dlen = size(col("sv_all")) / m
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("sv_all"))
+      .select(col("id"), col("sv_all"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("id"), col("s"),
+        slice(col("sv_all"), col("s") * dlen + 1, dlen).as("sv"))
+  }
+
+  /** Squared L2 in integer micro-units: floor(d*1e6 + 0.5) of the
+    * sequential (x-y)² sum — both engines compute the identical double,
+    * so the floor is identical, and integer sums are order-independent. */
+  private def sqDistMicro(a: Column, b: Column): Column =
+    floor(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x) * 1e6 + 0.5).cast("long")
+
   /** Deterministic centroid pick for local IVF: the first `c` corpus vectors
     * by id (a k-means stand-in — the operator contract only needs SOME fixed
     * centroid set; plug a trained one in production). */

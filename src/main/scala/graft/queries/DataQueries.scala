@@ -173,6 +173,15 @@ object DataQueries {
         "vec_id", "embedding", k = 10, centroids, nprobe = 2)
     },
 
+    // PQ approximate top-k (the IVF companion: m=8 subspaces, 16-entry
+    // codebooks, asymmetric-distance ranking in integer micro-units).
+    // Fully deterministic -> exact ANSI oracle.
+    "q60_ann_pq" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", kNeighbors = 10)
+    },
+
     // Vocabulary top-k: global word frequencies (explode -> count -> top-20).
     // orderBy().limit() plans TakeOrderedAndProject (per-partition heaps +
     // driver merge of 20-row heads) — NOT an unpartitioned Window, which
@@ -442,6 +451,42 @@ object DataQueries {
 
     "q51_srp_neardup" -> sqlSrpNearDup(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L, threshold = 0.5, maxBucketSize = 10000),
+
+    // exact twin of Similarity.pqTopK(m=8, k=16, queries = vec_id < 5):
+    // subspace slices -> seeded codebooks (first 16 ids) -> per-subspace
+    // argmin codes (ties to lowest code) -> ADC integer-micro sums -> top-10
+    "q60_ann_pq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), sub AS (
+        |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g
+        |), cb AS (
+        |  SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16
+        |), dist AS (
+        |  SELECT sub.vec_id, sub.s, cb.code,
+        |    CAST(floor(list_sum(list_transform(list_zip(sub.sv, cb.cv),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) * 1e6 + 0.5) AS BIGINT) AS d_micro
+        |  FROM sub JOIN cb ON sub.s = cb.s
+        |), assign AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, s ORDER BY d_micro ASC, code ASC) AS rn
+        |    FROM dist) t
+        |  WHERE rn = 1
+        |), adc AS (
+        |  SELECT qd.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    SUM(qd.d_micro) AS adc_micro
+        |  FROM assign a
+        |  JOIN dist qd ON qd.s = a.s AND qd.code = a.code
+        |  WHERE qd.vec_id < 5 AND a.vec_id <> qd.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adc_micro ASC, neighbor_id ASC) AS INTEGER) AS rank
+        |FROM adc QUALIFY rank <= 10""".stripMargin,
 
     // normalize-then-dot (not dot/(norm*norm)) to mirror the Spark side,
     // which pre-normalizes each vector once so the O(block^2) join does a

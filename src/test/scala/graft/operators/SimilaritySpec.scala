@@ -8,6 +8,28 @@ class SimilaritySpec extends SparkSpec {
   private lazy val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
   private lazy val queries = emb.filter(col("vec_id") < 5)
 
+  test("pqTopK: shape + recall@10 vs exact L2 top-10 (ADC is an L2 approximation)") {
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 10)
+      .collect()
+    assert(pq.length == 5 * 10)
+    pq.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    // exact squared-L2 ground truth, computed driver-side on the small SF
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 5L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(10).map(q -> _)
+    }.toSet
+    val got = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("bruteForceTopK: k results per query, self excluded, ranks contiguous") {
     val out = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
       .collect()

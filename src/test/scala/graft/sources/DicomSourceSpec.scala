@@ -138,6 +138,31 @@ class DicomSourceSpec extends SparkSpec {
     assert(tags("series_number") == "3")
   }
 
+  test("fuzz: random and mutated byte streams never crash or hang the walker") {
+    val rnd = new scala.util.Random(99)
+    // pure random garbage behind a valid magic
+    for (_ <- 1 to 200) {
+      val len = rnd.nextInt(600)
+      val b = new Array[Byte](132 + len)
+      rnd.nextBytes(b)
+      System.arraycopy("DICM".getBytes, 0, b, 128, 4)
+      val out = DicomTagParser.parse(b) // must terminate, never throw
+      assert(out != null)
+    }
+    // mutations of a valid stream: flip random bytes after the preamble
+    val o = new ByteArrayOutputStream()
+    o.write(explicitElem(0x0008, 0x0060, "CS", "MR"))
+    o.write(explicitElem(0x0020, 0x0011, "IS", "3"))
+    val valid = part10(ExplicitLE, o.toByteArray)
+    for (_ <- 1 to 300) {
+      val b = valid.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        b(132 + rnd.nextInt(b.length - 132)) = rnd.nextInt(256).toByte
+      }
+      DicomTagParser.parse(b) // any partial result is fine; no crash/hang
+    }
+  }
+
   test("non-DICOM bytes -> null map; truncated file returns partial without crashing") {
     assert(DicomTagParser.parse("not a dicom at all".getBytes) == null)
     val o = new ByteArrayOutputStream()
