@@ -1,0 +1,132 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Deterministic binary-fixture generators for the ingest verticals.
+  *
+  * The reference ships real DICOM/EDF test files with its test suite; this
+  * container carries none, so the driver-checked ingest queries (q61/q62)
+  * synthesize byte-exact fixtures at run time instead. Everything here is
+  * spec-derived construction (DICOM PS3.10 part-10 + explicit-VR LE
+  * encoding; EDF fixed-width header + int16 LE records) — the parsers are
+  * separately validated against INDEPENDENT writers in their specs; these
+  * builders just make the end-to-end verticals drivable and their outputs
+  * pin-able as oracle rows.
+  */
+object SyntheticFixtures {
+
+  // --- DICOM part-10, explicit-VR little-endian ---
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def evenPad(s: String): Array[Byte] = {
+    val b = s.getBytes(US_ASCII)
+    if (b.length % 2 == 0) b else b :+ ' '.toByte
+  }
+
+  /** One explicit-VR short-form element (text VRs only — all the summary
+    * tags are text). */
+  def dicomElem(group: Int, elem: Int, vr: String, value: String): Array[Byte] = {
+    val v = evenPad(value)
+    val o = new ByteArrayOutputStream()
+    o.write(le16(group)); o.write(le16(elem))
+    o.write(vr.getBytes(US_ASCII)); o.write(le16(v.length))
+    o.write(v)
+    o.toByteArray
+  }
+
+  /** Part-10 file: 128-byte preamble, DICM, minimal file meta declaring
+    * explicit-VR LE, then `elems` (must be in ascending tag order). */
+  def dicomBytes(elems: Seq[Array[Byte]]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(new Array[Byte](128))
+    o.write("DICM".getBytes(US_ASCII))
+    o.write(dicomElem(0x0002, 0x0010, "UI", "1.2.840.10008.1.2.1"))
+    elems.foreach(o.write)
+    o.toByteArray
+  }
+
+  /** A study-bundle archive in the reference's upload shape
+    * (`imaging.py:1150-1174`): an outer `.tar` holding a stray text file
+    * and a nested `.tar.gz` of DICOM slices, one series, fixed tag values.
+    */
+  def studyArchiveBytes(): Array[Byte] = {
+    def slice(instance: Int, echoTime: String): Array[Byte] = dicomBytes(Seq(
+      dicomElem(0x0008, 0x0020, "DA", "20240102"),
+      dicomElem(0x0008, 0x0060, "CS", "MR"),
+      dicomElem(0x0010, 0x0020, "LO", "SUB001"),
+      dicomElem(0x0018, 0x0081, "DS", echoTime),
+      dicomElem(0x0020, 0x000D, "UI", "1.2.3.9000"),
+      dicomElem(0x0020, 0x000E, "UI", "1.2.3.9000.1"),
+      dicomElem(0x0020, 0x0011, "IS", "2"),
+      dicomElem(0x0020, 0x0013, "IS", instance.toString)))
+    val inner = TarSink.tarBytes(Seq(
+      "study/" -> Array.emptyByteArray,
+      "study/001.dcm" -> slice(1, "25.5"),
+      "study/002.dcm" -> slice(2, "25.5"),
+      "study/003.dcm" -> slice(3, "50")))
+    TarSink.tarBytes(Seq(
+      "upload/notes.txt" -> "operator log".getBytes(US_ASCII),
+      "upload/study.tar.gz" -> TarSink.gzipBytes(inner)))
+  }
+
+  // --- EDF ---
+
+  private def fw(s: String, len: Int): Array[Byte] = {
+    require(s.length <= len, s"EDF field overflow: '$s' > $len")
+    (s + " " * (len - s.length)).getBytes(US_ASCII)
+  }
+
+  final case class EdfSig(label: String, physMin: String, physMax: String,
+      digMin: String, digMax: String, spr: Int)
+
+  /** EDF image with the given signals and per-record digital samples
+    * (records(r)(s) = samples of signal s in record r). */
+  def edfBytes(sigs: Seq[EdfSig], records: Seq[Seq[Array[Short]]],
+      recDurSec: String = "1"): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    val ns = sigs.length
+    o.write(fw("0", 8)); o.write(fw("sub X", 80)); o.write(fw("rec R", 80))
+    o.write(fw("02.01.24", 8)); o.write(fw("09.30.00", 8))
+    o.write(fw((256 + ns * 256).toString, 8)); o.write(fw("", 44))
+    o.write(fw(records.length.toString, 8))
+    o.write(fw(recDurSec, 8)); o.write(fw(ns.toString, 4))
+    sigs.foreach(s => o.write(fw(s.label, 16)))
+    sigs.foreach(_ => o.write(fw("AgAgCl", 80)))
+    sigs.foreach(_ => o.write(fw("uV", 8)))
+    sigs.foreach(s => o.write(fw(s.physMin, 8)))
+    sigs.foreach(s => o.write(fw(s.physMax, 8)))
+    sigs.foreach(s => o.write(fw(s.digMin, 8)))
+    sigs.foreach(s => o.write(fw(s.digMax, 8)))
+    sigs.foreach(_ => o.write(fw("", 80)))
+    sigs.foreach(s => o.write(fw(s.spr.toString, 8)))
+    sigs.foreach(_ => o.write(fw("", 32)))
+    records.foreach(_.foreach(_.foreach { v =>
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+    }))
+    o.toByteArray
+  }
+
+  /** Two-channel recording with EXACT binary calibrations (gain 1.0 and
+    * 0.5, offset 0) so every physical value — and thus the q62 oracle —
+    * is representable exactly in both engines. */
+  def recordingBytes(): Array[Byte] = edfBytes(
+    Seq(
+      EdfSig("C3", "-2048", "2047", "-2048", "2047", 6),
+      EdfSig("C4", "-16384", "16383.5", "-32768", "32767", 3)),
+    Seq(
+      Seq(Array[Short](1, 2, 3, 4, 5, 6), Array[Short](10, 20, 30)),
+      Seq(Array[Short](7, 8, 9, 10, 11, 12), Array[Short](40, 50, 60))))
+
+  /** Write `bytes` under a stable tmp path (idempotent overwrite) and
+    * return the directory — the binaryFile-scannable fixture root. */
+  def materialize(subdir: String, fileName: String, bytes: Array[Byte]): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_fixtures", subdir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(fileName), bytes)
+    dir.toString
+  }
+}

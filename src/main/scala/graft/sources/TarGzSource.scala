@@ -141,6 +141,63 @@ object TarArchive {
   }
 }
 
+/** The write side of S12: the reference also CREATES `.tar.gz` study
+  * bundles (`dicom-archive/dicomTar.pl` — tar the study dir, gzip, md5sum
+  * the result). Small, driver-side by nature (one archive = one file);
+  * the distributed path for bulk output stays parquet ([[Sinks]]). */
+object TarSink {
+
+  private def octalField(v: Long, len: Int): Array[Byte] = {
+    val s = java.lang.Long.toOctalString(v)
+    (("0" * (len - 1 - s.length)) + s + " ").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  /** POSIX ustar image of `entries` (name ≤ 100 chars; dirs end with '/'). */
+  def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      require(name.getBytes("UTF-8").length <= 100, s"name too long for ustar short field: $name")
+      val isDir = name.endsWith("/")
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, h, 0, nb.length)
+      System.arraycopy(octalField(420, 8), 0, h, 100, 8)
+      System.arraycopy(octalField(0, 8), 0, h, 108, 8)
+      System.arraycopy(octalField(0, 8), 0, h, 116, 8)
+      System.arraycopy(octalField(if (isDir) 0 else data.length.toLong, 12), 0, h, 124, 12)
+      System.arraycopy(octalField(0, 12), 0, h, 136, 12)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      h(156) = (if (isDir) '5' else '0').toByte
+      System.arraycopy("ustar 00".getBytes("UTF-8"), 0, h, 257, 8)
+      val sum = h.map(_ & 0xFF).sum.toLong
+      System.arraycopy(octalField(sum, 7), 0, h, 148, 7)
+      h(155) = ' '
+      out.write(h)
+      if (!isDir) {
+        out.write(data)
+        out.write(new Array[Byte]((512 - data.length % 512) % 512))
+      }
+    }
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** gzip wrap (JDK deflate, deterministic: no timestamp in the header). */
+  def gzipBytes(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bo)
+    g.write(bytes); g.close()
+    bo.toByteArray
+  }
+
+  /** The dicomTar.pl shape: tar → gzip → (bytes, md5 hex). */
+  def targzWithMd5(entries: Seq[(String, Array[Byte])]): (Array[Byte], String) = {
+    val gz = gzipBytes(tarBytes(entries))
+    val md = java.security.MessageDigest.getInstance("MD5").digest(gz)
+    (gz, md.map(b => f"$b%02x").mkString)
+  }
+}
+
 /** The Spark-facing S12 source. */
 object TarGzSource {
 
