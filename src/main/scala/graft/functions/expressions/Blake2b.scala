@@ -136,18 +136,6 @@ case class Blake2b(child: Expression, outLen: Int = 64)
   override def prettyName: String = "blake2b"
 }
 
-/** Session extension registering `blake2b` for SQL use:
-  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.expressions.GraftExtensions`. */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("blake2b"),
-      new ExpressionInfo(classOf[Blake2b].getName, "blake2b"),
-      (exprs: Seq[Expression]) => Blake2b(exprs.head)))
-  }
-}
-
 object Blake2b {
   /** Column form; accepts string or binary input. */
   def blake2b(c: Column): Column = {

@@ -40,10 +40,13 @@ object TarArchive {
   /** Bounded gunzip: stops at `maxBytes` (decompression-bomb guard) and
     * returns what it has — callers see a truncated payload, never an OOM. */
   def gunzip(bytes: Array[Byte], maxBytes: Long = 1L << 30): Array[Byte] = {
-    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
     val out = new java.io.ByteArrayOutputStream(math.min(bytes.length.toLong * 4, 1 << 20).toInt)
     val buf = new Array[Byte](64 * 1024)
+    var in: GZIPInputStream = null
+    // constructor AND reads throw on corrupt/truncated streams: both cases
+    // degrade to "keep whatever inflated so far", never a failed task
     try {
+      in = new GZIPInputStream(new ByteArrayInputStream(bytes))
       var total = 0L
       var n = in.read(buf)
       while (n > 0 && total < maxBytes) {
@@ -52,8 +55,8 @@ object TarArchive {
         total += take
         n = if (total < maxBytes) in.read(buf) else -1
       }
-    } catch { case _: java.io.IOException => () } // truncated/corrupt stream: keep prefix
-    finally in.close()
+    } catch { case _: java.io.IOException => () }
+    finally if (in != null) in.close()
     out.toByteArray
   }
 

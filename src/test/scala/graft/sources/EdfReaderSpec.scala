@@ -94,6 +94,23 @@ class EdfReaderSpec extends SparkSpec {
     assert(EdfReader.parseHeader(edfOf(Seq(flat), Seq(Seq(Array[Short](1, 2))), 1)).isEmpty)
   }
 
+  test("fuzz: random bytes, truncations and mutations never throw") {
+    val rnd = new scala.util.Random(20240812L)
+    val base = edfOf(Seq(eeg, ecg), Seq(
+      Seq(Array[Short](1, 2, 3, 4), Array[Short](10, 20)),
+      Seq(Array[Short](5, 6, 7, 8), Array[Short](30, 40))), 2)
+    (1 to 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(junk)
+      EdfReader.signalTraces(junk) // must not throw
+      val cut = java.util.Arrays.copyOfRange(base, 0, rnd.nextInt(base.length + 1))
+      EdfReader.signalTraces(cut)
+      val mut = base.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      EdfReader.signalTraces(mut)
+    }
+  }
+
   test("distributed scan feeds the chunker long format") {
     val dir = Files.createTempDirectory("edf").toFile
     dir.deleteOnExit()
