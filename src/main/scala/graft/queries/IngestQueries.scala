@@ -43,6 +43,48 @@ object IngestQueries {
         "q62", "r1.edf", SyntheticFixtures.recordingBytes())
       EphysChunker.chunkStats(
         EdfReader.asLongFormat(EdfReader.channels(s, dir)), chunkSize = 4)
+    },
+
+    // S3 end to end: NIfTI-1 header parse (real dim int16 + pixdim float32
+    // bit-cast, nifti.py:7-31); the junk file proves the magic gate
+    "q63_nifti_ingest" -> { (s, _) =>
+      val dir = SyntheticFixtures.materialize("q63", "scan1.nii",
+        SyntheticFixtures.niftiBytes(Seq(64, 64, 32), Seq(2.0f, 2.5f, 3.0f)))
+      SyntheticFixtures.materialize("q63", "junk.bin",
+        Array.fill[Byte](400)('x'.toByte))
+      graft.sources.ImagingHeaders
+        .readNiftiHeaders(DicomSource.scanDir(s, dir))
+        .filter(col("is_nifti"))
+        .select(
+          regexp_extract(col("file_path"), "([^/]+)$", 1).as("file_name"),
+          col("dims.ndim").as("ndim"), col("dims.xspace").as("xspace"),
+          col("dims.yspace").as("yspace"), col("dims.zspace").as("zspace"),
+          col("xstep"), col("ystep"), col("zstep"))
+    },
+
+    // §2.8 HED stack machine (hed.py:34-121) as its UDTF explosion, over
+    // fixture annotation strings; rows pinned from the reference's outputs
+    "q64_hed_parse" -> { (s, _) =>
+      import s.implicits._
+      val df = Seq(
+        (1L, "Sensory-event, (Red, Blue), Agent-action"),
+        (2L, "Event, (Intended-effect, (Cue, Target), Offset), End"))
+        .toDF("event_id", "hed")
+      graft.functions.HedParser.explodeHedString(df, "hed")
+        .select(col("event_id"), col("group_index"), col("member_index"),
+          col("tag"), col("has_pairing"), col("additional_members"))
+    },
+
+    // T6 upload state machine (mapGroupsWithState, base_pipeline.py:86-87,
+    // 269-272) on batch input: orders as upload events (seq = orderkey,
+    // status = orderstatus) -> last status + transition count per upload
+    "q65_upload_states" -> { (s, dir) =>
+      import s.implicits._
+      val events = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey").as("upload_id"),
+          col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
+        .as[graft.streaming.EventStream.UploadEvent]
+      graft.streaming.EventStream.trackUploadStates(events).toDF()
     }
   )
 
@@ -65,6 +107,32 @@ object IngestQueries {
         |  ('C4', CAST(0 AS BIGINT), 4,  5.0, 20.0, false, 4),
         |  ('C4', CAST(1 AS BIGINT), 2, 25.0, 30.0, true,  2)
         |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
-        |       is_last, valid_samples)""".stripMargin
+        |       is_last, valid_samples)""".stripMargin,
+
+    "q63_nifti_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('scan1.nii', 3, 64, 64, 32, 2.0, 2.5, 3.0)
+        |) AS t(file_name, ndim, xspace, yspace, zspace, xstep, ystep, zstep)""".stripMargin,
+
+    "q64_hed_parse" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 0, 0, 'Agent-action',    false, 0),
+        |  (CAST(1 AS BIGINT), 1, 0, 'Blue',            false, 0),
+        |  (CAST(1 AS BIGINT), 1, 1, 'Red',             true,  0),
+        |  (CAST(1 AS BIGINT), 2, 0, 'Sensory-event',   false, 0),
+        |  (CAST(2 AS BIGINT), 0, 0, 'End',             false, 0),
+        |  (CAST(2 AS BIGINT), 1, 0, 'Offset',          false, 0),
+        |  (CAST(2 AS BIGINT), 1, 1, 'Target',          false, 0),
+        |  (CAST(2 AS BIGINT), 1, 2, 'Cue',             true,  0),
+        |  (CAST(2 AS BIGINT), 1, 3, 'Intended-effect', true,  1),
+        |  (CAST(2 AS BIGINT), 2, 0, 'Event',           false, 0)
+        |) AS t(event_id, group_index, member_index, tag, has_pairing,
+        |       additional_members)""".stripMargin,
+
+    "q65_upload_states" ->
+      """SELECT o_custkey AS upload_id,
+        |       max_by(o_orderstatus, o_orderkey) AS status,
+        |       CAST(count(*) AS INTEGER) AS n_transitions
+        |FROM orders GROUP BY o_custkey""".stripMargin
   )
 }

@@ -72,6 +72,23 @@ object SyntheticFixtures {
       "upload/study.tar.gz" -> TarSink.gzipBytes(inner)))
   }
 
+  // --- NIfTI-1 ---
+
+  /** 348-byte NIfTI-1 header (+ "n+1\0" magic): sizeof_hdr, dim[] int16 LE
+    * at offset 40 (dim[0] = ndim), pixdim[] float32 LE at offset 76
+    * (pixdim[1] = x step at 80). Values chosen by callers should be exact
+    * in float32 so downstream oracles are float-stable. */
+  def niftiBytes(dims: Seq[Int], pixdims: Seq[Float]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(348)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0, 348)
+    b.putShort(40, dims.length.toShort)
+    dims.zipWithIndex.foreach { case (d, i) => b.putShort(42 + 2 * i, d.toShort) }
+    pixdims.zipWithIndex.foreach { case (p, i) => b.putFloat(80 + 4 * i, p) }
+    b.put(344, 'n'.toByte); b.put(345, '+'.toByte); b.put(346, '1'.toByte)
+    b.array()
+  }
+
   // --- EDF ---
 
   private def fw(s: String, len: Int): Array[Byte] = {

@@ -72,6 +72,23 @@ object EventStream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming dedup on the KEYS ALONE within the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): unlike [[dedupStream]] (which keys
+    * on `(keys, ts)`), a duplicate arriving with a DIFFERENT event time
+    * still collapses, and per-key state is evicted once the watermark
+    * passes its last-seen time — the semantics a content-hash dedup of an
+    * unbounded ingest stream needs. Re-uploads later than the horizon are
+    * new rows by design (bounded state is what keeps this runnable on a
+    * 100 TB/day stream; horizon = the dedup guarantee window). */
+  def dedupStreamByKey(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class UploadEvent(upload_id: Long, seq: Long, status: String)
   case class UploadState(upload_id: Long, status: String, n_transitions: Int)
 

@@ -59,6 +59,25 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Seq("h1", "h2"))
   }
 
+  test("dedupStreamByKey collapses duplicates with different event times") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = EventStream.dedupStreamByKey(
+      mem.toDF().toDF("ts", "content_hash"), Seq("content_hash"))
+      .writeStream.format("memory").queryName("ddk").outputMode("append").start()
+    val t1 = Timestamp.valueOf("2026-01-01 00:00:10")
+    val t2 = Timestamp.valueOf("2026-01-01 00:01:10")
+    mem.addData((t1, "h1"), (t2, "h1"), (t1, "h2")) // same hash, two event times
+    q.processAllAvailable()
+    mem.addData((t2, "h2")) // later-batch duplicate, different ts
+    q.processAllAvailable()
+    val out = spark.table("ddk").collect().map(_.getString(1)).sorted.toSeq
+    q.stop()
+    assert(out == Seq("h1", "h2")) // plain dedupStream would emit 4 rows here
+  }
+
   test("trackUploadStates: state machine over micro-batched upload events") {
     val sqlc = spark.sqlContext
     import spark.implicits._
