@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.TextFunctions._
+
+/** Corpus-preparation operators for LLM training-data pipelines (the
+  * BASELINE.json north star, widened beyond dedup): repetition-based
+  * quality filters, PII scrubbing, benchmark decontamination, deterministic
+  * shard-shuffling, and domain rebalancing.
+  *
+  * All operators are engine-portable-deterministic (integer counts,
+  * integer-ratio doubles with explicit rounding, [[portableHash60]] for any
+  * hash ordering) so each carries an exact DuckDB oracle in
+  * [[graft.queries.CorpusQueries]].
+  *
+  * 100 TB posture is noted per operator; none collects to the driver and
+  * none uses an unpartitioned window.
+  */
+object CorpusOps {
+
+  /** Repetition statistics per document — the Gopher-style (Rae et al.
+    * 2021, "Scaling Language Models", §A1.1) repetition quality signals,
+    * re-expressed as two-level aggregations:
+    *
+    *   - `n_tokens`      total whitespace tokens
+    *   - `distinct_frac` distinct tokens / total tokens (type-token ratio)
+    *   - `top_word_frac` occurrences of the most frequent token / total
+    *   - `top_bigram_frac` occurrences of the most frequent word 2-gram /
+    *     total 2-grams (NULL when the document has < 2 tokens)
+    *   - `keep`          the composite gate (thresholds are parameters)
+    *
+    * Shape: explode(tokens) → partial-agg count per (doc, token) → final
+    * agg per doc — the wordcount shape, one shuffle keyed by (doc, token)
+    * then one keyed by doc; both shuffles carry counts, not text. The
+    * bigram branch is the same shape on [[shingles]] output, and the two
+    * per-doc aggregates meet in an equi-join on the doc key (co-partitioned
+    * by the preceding aggregations). Scales linearly in corpus token count.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDistinctFrac: Double = 0.5,
+      maxTopWordFrac: Double = 0.12,
+      maxTopBigramFrac: Double = 0.10
+  ): DataFrame = {
+    val id = col(idCol)
+    val wordCounts = docs
+      .select(id, explode(tokens(col(textCol))).as("tok"))
+      .groupBy(id, col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(id)
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_word"))
+    val bigramCounts = docs
+      .select(id, explode(shingles(tokens(col(textCol)), 2)).as("bg"))
+      .groupBy(id, col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(id)
+      .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram"))
+    val distinctFrac =
+      round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+    val topWordFrac =
+      round(col("top_word").cast("double") / col("n_tokens"), 6)
+    val topBigramFrac =
+      round(col("top_bigram").cast("double") / col("n_bigrams"), 6)
+    wordCounts
+      .join(bigramCounts, Seq(idCol), "left")
+      .select(
+        id,
+        col("n_tokens"),
+        distinctFrac.as("distinct_frac"),
+        topWordFrac.as("top_word_frac"),
+        topBigramFrac.as("top_bigram_frac"),
+        (distinctFrac >= minDistinctFrac &&
+          topWordFrac <= maxTopWordFrac &&
+          coalesce(topBigramFrac <= maxTopBigramFrac, lit(false)))
+          .as("keep"))
+  }
+
+  /** PII patterns — deliberately restricted to constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): literal classes,
+    * bounded quantifiers, `\b` word boundaries. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumPattern = "\\b[0-9]{9,}\\b"
+
+  /** PII detection + scrub: counts each pattern class and emits the md5 of
+    * the scrubbed text (emails → `<EMAIL>`, IPv4 → `<IP>`, long digit runs
+    * → `<NUM>`). Map-only — no shuffle, fully codegen'd, trivially linear
+    * at 100 TB; the scrub hash lets a downstream exact-dedup run on the
+    * anonymized form. */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      LongNumPattern, "<NUM>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailPattern), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).as("n_ips"),
+      size(regexp_extract_all(t, lit(LongNumPattern), lit(0))).as("n_longnums"),
+      md5(scrubbed.cast("binary")).as("scrub_hash"))
+  }
+
+  /** Benchmark decontamination: flags every training document sharing at
+    * least one word `n`-gram with the benchmark set, with the count of
+    * distinct shared n-grams (the standard test-set-overlap check run
+    * before training; GPT-3 appendix C uses 13-grams — `n` is a
+    * parameter).
+    *
+    * Shape: both sides explode to distinct n-gram hashes
+    * ([[shingleHashes60]], one fused codegen pass per document), the
+    * benchmark side is deduplicated, and the contamination join shuffles
+    * BOTH sides by n-gram hash — at 100 TB this is the only correct
+    * distribution (the benchmark gram set can itself be large), and hot
+    * grams are bounded because each side carries each (doc, gram) at most
+    * once. Output is per-train-doc, one row per contaminated document.
+    */
+  def decontaminate(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val trainGrams = train.select(
+      col(idCol),
+      explode(shingleHashes60(col(textCol), n)).as("gram"))
+    val benchGrams = benchmark
+      .select(explode(shingleHashes60(col(textCol), n)).as("gram"))
+      .distinct()
+    trainGrams
+      .join(benchGrams, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Deterministic corpus shard-shuffle: the "global shuffle before
+    * training" step, reproducible across runs and engines. Each row gets
+    *   - `shard` = portableHash60(id) mod nShards
+    *   - `pos`   = its rank within the shard under (md5(id), id) order
+    * so any engine re-derives the identical epoch-0 data order.
+    *
+    * Shape: one hash partitioning by shard + per-shard sort (a partitioned
+    * window — never the unpartitioned kind). At 100 TB pick `nShards` ≈
+    * corpus/shard-size (thousands), which also bounds each per-shard sort;
+    * the md5 sort key is uniform so shards are balanced by construction. */
+  def shardShuffle(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val shard = pmod(portableHash60(idStr), lit(nShards))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(idStr.cast("binary")).asc, col(idCol).asc)
+    docs
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Domain rebalancing: cap every domain (source/language/bucket) at
+    * `targetPerDomain` documents, chosen deterministically by hash order —
+    * the "flatten the domain mixture" step of corpus assembly. Documents
+    * whose domain is under the cap all survive.
+    *
+    * Shape: partitioned window rank per domain (hash order), filter. The
+    * md5 rank key makes the selection a uniform random-but-reproducible
+    * sample of each domain. Skewed domains bound the per-partition sort;
+    * at extreme skew compose with a pre-filter `pmod(hash, K) < cap·K/cnt`
+    * to shed the bulk before ranking (documented, not needed at test SF).
+    */
+  def domainRebalance(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targetPerDomain: Int
+  ): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(idStr.cast("binary")).asc, col(idCol).asc)
+    docs
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= targetPerDomain)
+      .drop("__rk")
+  }
+}

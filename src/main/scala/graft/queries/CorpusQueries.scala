@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+/** Corpus-preparation queries (q66-q70) over the `documents` table — the
+  * training-data assembly stages beyond dedup: repetition quality gates,
+  * PII scrubbing, benchmark decontamination, deterministic shard-shuffle,
+  * domain rebalancing. Each has an exact DuckDB twin (integer-ratio
+  * doubles, portable md5 ordering — see README hash-match discipline).
+  */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** DuckDB twins of the Spark text primitives (same as DataQueries). */
+  private val sqlToks = "regexp_split_to_array(trim(text), '\\s+')"
+  private def sqlShingles(n: Int) =
+    s"""list_transform(
+       |  generate_series(1, greatest(len($sqlToks) - ${n - 1}, 0)),
+       |  i -> array_to_string(($sqlToks)[i:i+${n - 1}], ' '))""".stripMargin
+  private val sqlHash60 =
+    "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
+
+  /** The synthetic-PII injection column: the raw documents are letter-only
+    * word soup, so q67 appends one email, one IPv4, and one >=9-digit id
+    * derived from doc_id — making every regex do real per-row work while
+    * staying reproducible in both engines. */
+  private def injectedPii(idCol: String, textCol: String) =
+    concat(
+      col(textCol),
+      lit(" contact u"), col(idCol).cast("string"),
+      lit("@example.com via 10.0."),
+      pmod(col(idCol), lit(256)).cast("string"),
+      lit(".7 ref "),
+      (col(idCol) * 1000000007L + 123456789L).cast("string"))
+
+  private val sqlInjectedPii =
+    """text || ' contact u' || CAST(doc_id AS VARCHAR)
+      | || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+      | || '.7 ref ' || CAST(doc_id * 1000000007 + 123456789 AS VARCHAR)"""
+      .stripMargin.replace("\n", "")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style repetition gates: type-token ratio + top word/bigram
+    // fractions, thresholds picked to split the synthetic corpus
+    "q66_repetition_filter" -> { (s, dir) =>
+      CorpusOps.repetitionStats(docs(s, dir), "doc_id", "text",
+          minDistinctFrac = 0.45, maxTopWordFrac = 0.12,
+          maxTopBigramFrac = 0.10)
+        .withColumn("keep", col("keep").cast("int"))
+    },
+
+    // PII scrub over the injected-PII column (see injectedPii note)
+    "q67_pii_scrub" -> { (s, dir) =>
+      CorpusOps.piiScrub(
+        docs(s, dir).select(col("doc_id"),
+          injectedPii("doc_id", "text").as("text")),
+        "doc_id", "text")
+    },
+
+    // Benchmark decontamination: benchmark = every 50th doc_id, 3-gram
+    // overlap (3 beats the classic 13 on the 30-word synthetic vocab —
+    // 13-grams never collide there; n is an operator parameter)
+    "q68_decontamination" -> { (s, dir) =>
+      val d = docs(s, dir)
+      CorpusOps.decontaminate(
+        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3)
+    },
+
+    // Deterministic shard-shuffle: 8 shards, md5 epoch-0 order
+    "q69_shard_shuffle" -> { (s, dir) =>
+      CorpusOps.shardShuffle(docs(s, dir), "doc_id", nShards = 8)
+    },
+
+    // Domain rebalance: cap every source at 15 docs, hash-order selection
+    "q70_domain_rebalance" -> { (s, dir) =>
+      CorpusOps.domainRebalance(docs(s, dir), "doc_id", "source", 15)
+        .select(col("doc_id"), col("source"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q66_repetition_filter" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+         |), wc AS (
+         |  SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2
+         |), wd AS (
+         |  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
+         |         MAX(cnt) AS top_word
+         |  FROM wc GROUP BY 1
+         |), bgx AS (
+         |  SELECT doc_id, unnest(${sqlShingles(2)}) AS bg FROM documents
+         |), bc AS (
+         |  SELECT doc_id, bg, COUNT(*) AS cnt FROM bgx GROUP BY 1, 2
+         |), bd AS (
+         |  SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram
+         |  FROM bc GROUP BY 1
+         |), f AS (
+         |  SELECT wd.doc_id, wd.n_tokens,
+         |    round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_frac,
+         |    round(CAST(top_word AS DOUBLE) / n_tokens, 6) AS top_word_frac,
+         |    round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+         |  FROM wd LEFT JOIN bd ON wd.doc_id = bd.doc_id
+         |)
+         |SELECT doc_id, n_tokens, distinct_frac, top_word_frac,
+         |  top_bigram_frac,
+         |  CAST(distinct_frac >= 0.45 AND top_word_frac <= 0.12
+         |       AND coalesce(top_bigram_frac <= 0.10, FALSE) AS INTEGER)
+         |    AS keep
+         |FROM f""".stripMargin,
+
+    "q67_pii_scrub" ->
+      s"""WITH inj AS (
+         |  SELECT doc_id, $sqlInjectedPii AS text FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS INTEGER)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', 0)) AS INTEGER)
+         |    AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '\\b[0-9]{9,}\\b', 0)) AS INTEGER)
+         |    AS n_longnums,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         |    '\\b[0-9]{9,}\\b', '<NUM>', 'g')) AS scrub_hash
+         |FROM inj""".stripMargin,
+
+    "q68_decontamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${sqlShingles(3)}, s -> $sqlHash60))
+         |      AS g
+         |  FROM documents
+         |), tr AS (
+         |  SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 50 <> 0
+         |), b AS (
+         |  SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 50 = 0
+         |)
+         |SELECT tr.doc_id, COUNT(*) AS n_shared
+         |FROM tr JOIN b ON tr.gram = b.gram
+         |GROUP BY 1""".stripMargin,
+
+    "q69_shard_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 8
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INTEGER)
+        |    AS pos
+        |FROM documents""".stripMargin,
+
+    "q70_domain_rebalance" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents) t
+        |WHERE rk <= 15""".stripMargin
+  )
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+
+/** [[CorpusOps]] — repetition gates, PII scrub, decontamination, shard
+  * shuffle, domain rebalance. Hand-computed fixtures; the sf-scaled DuckDB
+  * twins live in the CORRECTNESS gate (q66-q70). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: hand-computed fractions and gate") {
+    val d = Seq(
+      (1L, "a b c d"),            // 4 tokens, all distinct, top=1
+      (2L, "x x x x x y"),        // 6 tokens, 2 distinct, top=5
+      (3L, "w")                   // 1 token — no bigrams -> NULL frac
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.repetitionStats(d, "doc_id", "text",
+        minDistinctFrac = 0.45, maxTopWordFrac = 0.5, maxTopBigramFrac = 0.5)
+      .orderBy("doc_id").collect()
+
+    assert(r(0).getAs[Long]("n_tokens") == 4L)
+    assert(r(0).getAs[Double]("distinct_frac") == 1.0)
+    assert(r(0).getAs[Double]("top_word_frac") == 0.25)
+    // bigrams of doc 1: "a b","b c","c d" all unique -> top frac 1/3
+    assert(r(0).getAs[Double]("top_bigram_frac") == 0.333333)
+    assert(r(0).getAs[Boolean]("keep"))
+
+    // doc 2: distinct 2/6=0.333 < 0.45 -> rejected; top_word 5/6
+    assert(r(1).getAs[Double]("distinct_frac") == 0.333333)
+    assert(r(1).getAs[Double]("top_word_frac") == 0.833333)
+    // bigrams: "x x"*4, "x y" -> top 4/5
+    assert(r(1).getAs[Double]("top_bigram_frac") == 0.8)
+    assert(!r(1).getAs[Boolean]("keep"))
+
+    // doc 3: no bigrams -> NULL top_bigram_frac -> gate fails closed
+    assert(r(2).isNullAt(r(2).fieldIndex("top_bigram_frac")))
+    assert(!r(2).getAs[Boolean]("keep"))
+  }
+
+  test("piiScrub: counts + scrub are exact on crafted text") {
+    val d = Seq(
+      (1L, "mail a@b.com and c.d+x@e.org ip 10.0.0.1 id 123456789 done"),
+      (2L, "clean text only")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.piiScrub(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_emails") == 2)
+    assert(r(0).getAs[Int]("n_ips") == 1)
+    assert(r(0).getAs[Int]("n_longnums") == 1)
+    // scrub hash == md5 of the fully-redacted string
+    val expected = d.sparkSession.sql(
+      "SELECT md5(CAST('mail <EMAIL> and <EMAIL> ip <IP> id <NUM> done' AS BINARY))")
+      .first().getString(0)
+    assert(r(0).getAs[String]("scrub_hash") == expected)
+    assert(r(1).getAs[Int]("n_emails") == 0)
+    assert(r(1).getAs[Int]("n_ips") == 0)
+    assert(r(1).getAs[Int]("n_longnums") == 0)
+  }
+
+  test("piiScrub: short digit runs and bare words are not PII") {
+    val d = Seq((1L, "v 1.2.3.4567 at 12345678 x99")).toDF("doc_id", "text")
+    val r = CorpusOps.piiScrub(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_ips") == 0)      // 4-digit octet breaks IPv4
+    assert(r.getAs[Int]("n_longnums") == 0) // 8 digits < 9
+  }
+
+  test("decontaminate: overlap counts are distinct shared n-grams") {
+    val train = Seq(
+      (10L, "a b c d e"),   // shares "a b c","b c d" with bench -> 2... plus "c d e"
+      (11L, "z z z z")      // no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c d q"), (2L, "c d e f")).toDF("doc_id", "text")
+    val r = CorpusOps.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // doc 10 grams: "a b c","b c d","c d e"; bench has "a b c","b c d","c d q","c d e","d e f"
+    assert(r == Map(10L -> 3L))
+  }
+
+  test("shardShuffle: deterministic, dense per-shard positions") {
+    val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val r = CorpusOps.shardShuffle(d, "doc_id", nShards = 4)
+    val rows = r.collect()
+    assert(rows.length == 100)
+    assert(rows.map(_.getLong(0)).toSet.size == 100)
+    // positions within each shard are 1..count(shard)
+    val byShard = rows.groupBy(_.getLong(1))
+    byShard.foreach { case (_, g) =>
+      assert(g.map(_.getInt(2)).sorted.toSeq == (1 to g.length))
+    }
+    // two runs produce the identical assignment
+    val again = CorpusOps.shardShuffle(d, "doc_id", nShards = 4).collect()
+    assert(rows.map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet ==
+      again.map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet)
+  }
+
+  test("domainRebalance: caps each domain, keeps small domains whole") {
+    val d = ((0L until 40L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val r = CorpusOps.domainRebalance(d, "doc_id", "source", 10)
+      .groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("big" -> 10L, "small" -> 3L))
+    // selection is deterministic
+    val ids1 = CorpusOps.domainRebalance(d, "doc_id", "source", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusOps.domainRebalance(d, "doc_id", "source", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+}
