@@ -102,6 +102,17 @@ object TextFunctions {
       .reduce(_ + _)
   }
 
+  /** Fused tokenize→hash→bit-vote SimHash in ONE codegen'd pass
+    * ([[expressions.SimHash32Expr]]): bit-identical to
+    * `simhash32(tokens(text))` (spec-pinned in SimHash32Spec) but avoids
+    * the interpreted per-token `aggregate`/`zip_with` evaluation — the hot
+    * stage of the SimHash dedup operators. */
+  def simhash32Fused(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(expressions.SimHash32Expr(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Rolling/polynomial document fingerprint: the minimum [[portableHash60]]
     * over word `n`-shingles (1-hash MinHash — a winnowing-style content
     * fingerprint stable under small reorderings of unrelated regions). */

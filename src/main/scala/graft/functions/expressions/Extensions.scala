@@ -53,7 +53,9 @@ object GraftFunctionRegistry {
       Float32LEExpr(exprs.head, litInt(exprs(1), "float32_le", "offset"))
     },
     // dicom_tags(bin): the 26 DCMSUM summary fields as map<string,string>
-    "dicom_tags" -> (exprs => DicomTagsExpr(exprs.head))
+    "dicom_tags" -> (exprs => DicomTagsExpr(exprs.head)),
+    // simhash32(text): fused tokenize -> md5-prefix hash -> bit-vote
+    "simhash32" -> (exprs => SimHash32Expr(exprs.head))
   )
 
   /** Install on a LIVE session (temp-function registry; extensions can only

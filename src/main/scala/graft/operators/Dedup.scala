@@ -204,7 +204,7 @@ object Dedup {
   /** Per-doc 32-bit SimHash fingerprints. Exact-duplicate clusters share a
     * fingerprint; near-dup detection joins on fingerprint bands. */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhash32(tokens(col(textCol))).as("simhash"))
+    df.select(col(idCol), simhash32Fused(col(textCol)).as("simhash"))
 
   /** SimHash near-dup pairs via banded hamming probes: the 32-bit
     * fingerprint splits into `bands` equal bit-bands; docs sharing ANY

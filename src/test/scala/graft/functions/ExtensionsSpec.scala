@@ -18,7 +18,8 @@ class ExtensionsSpec extends SparkSpec {
         |  minhash_sig(shingle_hashes('a b c d e f', 5), 8) AS mh,
         |  dot_double(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
         |  float32_le(X'0000803F', 0) AS f32,
-        |  dicom_tags(X'00') AS dt
+        |  dicom_tags(X'00') AS dt,
+        |  simhash32('a b c') AS sh32
         |""".stripMargin).first()
     assert(r.getAs[String]("b2").startsWith("ba80a53f981c4d0d"))
     assert(r.getAs[String]("b2_32").length === 64) // 32 bytes -> 64 hex chars
@@ -29,6 +30,9 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Double]("dp") === 11.0)
     assert(r.getAs[Float]("f32") === 1.0f)
     assert(r.getAs[Map[String, String]]("dt") === null) // no DICM magic
+    assert(r.getAs[Long]("sh32") ===
+      graft.functions.expressions.SimHash32.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c")))
   }
 
   test("SQL minhash_sig matches the Column-API signature") {
