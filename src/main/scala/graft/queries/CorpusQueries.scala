@@ -82,6 +82,36 @@ object CorpusQueries {
     "q70_domain_rebalance" -> { (s, dir) =>
       CorpusOps.domainRebalance(docs(s, dir), "doc_id", "source", 15)
         .select(col("doc_id"), col("source"))
+    },
+
+    // KMV distinct-count sketch: estimated distinct 5-gram shingles per
+    // source (k=64 minima via the TopKPerGroup bounded-heap plan); exact
+    // count retained alongside so the row exhibits the estimator accuracy
+    "q71_kmv_distinct" -> { (s, dir) =>
+      val hashed = docs(s, dir).select(col("source"),
+        explode(graft.functions.TextFunctions.shingleHashes60(col("text"), 5))
+          .as("h"))
+      graft.operators.Sketches.kmvDistinct(hashed, Seq("source"), "h", k = 64)
+    },
+
+    // Token-length distribution per source: exact type-7 quantiles at
+    // dyadic probabilities (0.25/0.5/0.75 are exact in binary, and the
+    // interpolation a + g*(b-a) over integer token counts is FP-exact in
+    // both engines — arbitrary probabilities would NOT hash-match)
+    "q72_length_stats" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tok"),
+          max(col("n_tokens")).as("max_tok"),
+          expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D))").as("__ps"))
+        .select(col("source"), col("n_docs"), col("min_tok"), col("max_tok"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p50"),
+          element_at(col("__ps"), 3).as("p75"))
     }
   )
 
@@ -167,6 +197,41 @@ object CorpusQueries {
         |    PARTITION BY source
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
         |  FROM documents) t
-        |WHERE rk <= 15""".stripMargin
+        |WHERE rk <= 15""".stripMargin,
+
+    "q71_kmv_distinct" ->
+      s"""WITH sh AS (
+         |  SELECT source,
+         |    unnest(list_distinct(list_transform(${sqlShingles(5)},
+         |      s -> $sqlHash60))) AS h
+         |  FROM documents
+         |), d AS (
+         |  SELECT DISTINCT source, h FROM sh
+         |), e AS (
+         |  SELECT source, COUNT(*) AS n_exact FROM d GROUP BY 1
+         |), r AS (
+         |  SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+         |  FROM d
+         |), m AS (
+         |  SELECT source, COUNT(*) AS n_seen, MAX(h) AS kth
+         |  FROM r WHERE rn <= 64 GROUP BY 1
+         |)
+         |SELECT e.source, n_exact,
+         |  CASE WHEN n_seen < 64 THEN n_seen
+         |       ELSE CAST(floor(63 * 1152921504606846976.0 / kth) AS BIGINT)
+         |  END AS est_distinct
+         |FROM e JOIN m ON e.source = m.source""".stripMargin,
+
+    "q72_length_stats" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(len($sqlToks) AS INTEGER) AS nt FROM documents
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  MIN(nt) AS min_tok, MAX(nt) AS max_tok,
+         |  quantile_cont(nt, 0.25) AS p25,
+         |  quantile_cont(nt, 0.5) AS p50,
+         |  quantile_cont(nt, 0.75) AS p75
+         |FROM t GROUP BY 1""".stripMargin
   )
 }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.Sketches
+
+/** [[Sketches.kmvDistinct]] — small-cardinality exactness, estimator
+  * accuracy on uniform hashes, and the bounded-state claim. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groups under k distinct values are counted exactly") {
+    val d = (0 until 40).map(i => ("g" + (i % 2), (i % 10).toLong))
+      .toDF("g", "h")
+    val r = Sketches.kmvDistinct(d, Seq("g"), "h", k = 64)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // 5 distinct h per group (i%10 splits 0,2,4,6,8 / 1,3,5,7,9)
+    assert(r == Map("g0" -> ((5L, 5L)), "g1" -> ((5L, 5L))))
+  }
+
+  test("estimate lands within 4 standard errors on uniform hashes") {
+    // seeded uniform 60-bit hashes: the estimator's model assumption holds,
+    // so |est/n - 1| <~ 4/sqrt(k-1) with overwhelming probability
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    val k = 128
+    val d = Seq.fill(n)(math.abs(rnd.nextLong()) % (1L << 60))
+      .distinct.map(("g", _)).toDF("g", "h")
+    val exact = d.select(col("h")).distinct().count()
+    val r = Sketches.kmvDistinct(d, Seq("g"), "h", k = k).collect()(0)
+    assert(r.getAs[Long]("n_exact") == exact)
+    val est = r.getAs[Long]("est_distinct").toDouble
+    val relErr = math.abs(est / exact - 1.0)
+    assert(relErr < 4.0 / math.sqrt(k - 1.0), s"relErr=$relErr est=$est n=$exact")
+  }
+
+  test("duplicate hashes do not inflate the estimate") {
+    val rnd = new scala.util.Random(11)
+    val base = Seq.fill(5000)(math.abs(rnd.nextLong()) % (1L << 60)).distinct
+    val dup = (base ++ base ++ base).map(("g", _)).toDF("g", "h")
+    val once = base.map(("g", _)).toDF("g", "h")
+    val a = Sketches.kmvDistinct(dup, Seq("g"), "h", k = 64).collect()(0)
+    val b = Sketches.kmvDistinct(once, Seq("g"), "h", k = 64).collect()(0)
+    assert(a.getAs[Long]("est_distinct") == b.getAs[Long]("est_distinct"))
+    assert(a.getAs[Long]("n_exact") == b.getAs[Long]("n_exact"))
+  }
+}
