@@ -55,7 +55,9 @@ object GraftFunctionRegistry {
     // dicom_tags(bin): the 26 DCMSUM summary fields as map<string,string>
     "dicom_tags" -> (exprs => DicomTagsExpr(exprs.head)),
     // simhash32(text): fused tokenize -> md5-prefix hash -> bit-vote
-    "simhash32" -> (exprs => SimHash32Expr(exprs.head))
+    "simhash32" -> (exprs => SimHash32Expr(exprs.head)),
+    // repetition_stats(text): per-document token/bigram repetition counts
+    "repetition_stats" -> (exprs => RepetitionStatsExpr(exprs.head))
   )
 
   /** Install on a LIVE session (temp-function registry; extensions can only

@@ -82,6 +82,45 @@ object CorpusOps {
           .as("keep"))
   }
 
+  /** [[repetitionStats]] in ONE codegen'd map-only pass
+    * ([[graft.functions.expressions.RepetitionStatsExpr]]): identical
+    * output (spec-pinned in RepetitionStatsSpec), zero shuffle. Repetition
+    * statistics are row-local, so at 100 TB they should never leave their
+    * partition — the explode→agg→join twin above is retained as the
+    * semantic oracle (it is also the DuckDB-oracle formulation). */
+  def repetitionStatsFused(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDistinctFrac: Double = 0.5,
+      maxTopWordFrac: Double = 0.12,
+      maxTopBigramFrac: Double = 0.10
+  ): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val stats = GraftColumnBridge.column(
+      graft.functions.expressions.RepetitionStatsExpr(
+        GraftColumnBridge.expression(col(textCol))))
+    val distinctFrac =
+      round(col("__s.n_distinct").cast("double") / col("__s.n_tokens"), 6)
+    val topWordFrac =
+      round(col("__s.top_word").cast("double") / col("__s.n_tokens"), 6)
+    val topBigramFrac = when(col("__s.n_bigrams") === 0, lit(null))
+      .otherwise(
+        round(col("__s.top_bigram").cast("double") / col("__s.n_bigrams"), 6))
+    docs
+      .withColumn("__s", stats)
+      .select(
+        col(idCol),
+        col("__s.n_tokens").as("n_tokens"),
+        distinctFrac.as("distinct_frac"),
+        topWordFrac.as("top_word_frac"),
+        topBigramFrac.as("top_bigram_frac"),
+        (distinctFrac >= minDistinctFrac &&
+          topWordFrac <= maxTopWordFrac &&
+          coalesce(topBigramFrac <= maxTopBigramFrac, lit(false)))
+          .as("keep"))
+  }
+
   /** PII patterns — deliberately restricted to constructs with identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): literal classes,
     * bounded quantifiers, `\b` word boundaries. */

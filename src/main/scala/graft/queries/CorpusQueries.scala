@@ -48,7 +48,7 @@ object CorpusQueries {
     // Gopher-style repetition gates: type-token ratio + top word/bigram
     // fractions, thresholds picked to split the synthetic corpus
     "q66_repetition_filter" -> { (s, dir) =>
-      CorpusOps.repetitionStats(docs(s, dir), "doc_id", "text",
+      CorpusOps.repetitionStatsFused(docs(s, dir), "doc_id", "text",
           minDistinctFrac = 0.45, maxTopWordFrac = 0.12,
           maxTopBigramFrac = 0.10)
         .withColumn("keep", col("keep").cast("int"))
