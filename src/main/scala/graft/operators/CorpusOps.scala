@@ -202,6 +202,51 @@ object CorpusOps {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Hashing-trick term-frequency featurizer (the HashingTF staple): each
+    * document becomes a dense `dim`-long count vector, bucket =
+    * portableHash60(token) mod dim — the deterministic, vocabulary-free
+    * featurization used before any learned embedding exists.
+    *
+    * Shape: explode → one shuffle keyed by doc with map-side partial
+    * conditional counts (the agg carries `dim` longs per doc, not tokens).
+    * Scales linearly; `dim` bounds both state and output width. */
+  def hashingTf(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int
+  ): DataFrame = {
+    require(dim >= 1, "dim must be >= 1")
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("__b", pmod(portableHash60(col("tok")), lit(dim)))
+      .groupBy(col(idCol))
+      .agg(array((0 until dim).map(i =>
+        count(when(col("__b") === i, lit(1)))): _*).as("tf_vec"))
+  }
+
+  /** Temperature-scaled domain mixing weights (the multilingual-corpus
+    * balancing rule, p_i ∝ n_i^(1/T) with T=2 i.e. sqrt): upweights small
+    * domains relative to proportional sampling. Engine-portable: the sqrt
+    * is integer-scaled to a long BEFORE the normalizing sum, so the total
+    * is an exact integer and the final division is a single deterministic
+    * FP op. The normalizer is a broadcast 1-row aggregate — no driver
+    * action, no unpartitioned window. */
+  def domainTemperatureWeights(
+      docs: DataFrame,
+      domainCol: String
+  ): DataFrame = {
+    val scaled = docs
+      .groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__s",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    scaled
+      .crossJoin(broadcast(scaled.agg(sum(col("__s")).as("__tot"))))
+      .select(col(domainCol), col("n_docs"),
+        round(col("__s").cast("double") / col("__tot"), 6).as("weight"))
+  }
+
   /** Domain rebalancing: cap every domain (source/language/bucket) at
     * `targetPerDomain` documents, chosen deterministically by hash order —
     * the "flatten the domain mixture" step of corpus assembly. Documents

@@ -112,6 +112,21 @@ object CorpusQueries {
           element_at(col("__ps"), 1).as("p25"),
           element_at(col("__ps"), 2).as("p50"),
           element_at(col("__ps"), 3).as("p75"))
+    },
+
+    // Hashing-trick TF vectors: vocabulary-free 16-dim count features
+    // (vector rendered as a comma string — the driver comparator hashes
+    // scalars, same convention as q38's collect_list output)
+    "q73_hashing_tf" -> { (s, dir) =>
+      CorpusOps.hashingTf(docs(s, dir), "doc_id", "text", dim = 16)
+        .select(col("doc_id"),
+          array_join(transform(col("tf_vec"), _.cast("string")), ",")
+            .as("tf_vec"))
+    },
+
+    // Temperature (T=2) domain mixing weights over sources
+    "q74_domain_temperature" -> { (s, dir) =>
+      CorpusOps.domainTemperatureWeights(docs(s, dir), "source")
     }
   )
 
@@ -232,6 +247,32 @@ object CorpusQueries {
          |  quantile_cont(nt, 0.25) AS p25,
          |  quantile_cont(nt, 0.5) AS p50,
          |  quantile_cont(nt, 0.75) AS p75
-         |FROM t GROUP BY 1""".stripMargin
+         |FROM t GROUP BY 1""".stripMargin,
+
+    "q73_hashing_tf" -> {
+      val sums = (0 until 16)
+        .map(i => s"COUNT(CASE WHEN b = $i THEN 1 END)").mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id, $sqlHash60 % 16 AS b FROM w
+         |)
+         |SELECT doc_id, array_to_string([$sums], ',') AS tf_vec
+         |FROM h GROUP BY 1""".stripMargin
+    },
+
+    "q74_domain_temperature" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        |), s AS (
+        |  SELECT source, n_docs,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS sc
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(SUM(sc) AS BIGINT) AS tot FROM s
+        |)
+        |SELECT source, n_docs,
+        |  round(CAST(sc AS DOUBLE) / tot, 6) AS weight
+        |FROM s, t""".stripMargin
   )
 }

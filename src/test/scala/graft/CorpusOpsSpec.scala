@@ -93,6 +93,29 @@ class CorpusOpsSpec extends SparkSpec {
       again.map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet)
   }
 
+  test("hashingTf: dense count vectors — mass preserved, deterministic") {
+    val d = Seq((1L, "a b c a"), (2L, "a b c a"), (3L, "z")).toDF("doc_id", "text")
+    val r = CorpusOps.hashingTf(d, "doc_id", "text", dim = 16)
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    assert(r.values.forall(_.length == 16))
+    assert(r(1L).sum == 4L)               // one bucket count per token
+    assert(r(1L) == r(2L))                // identical docs -> identical vectors
+    assert(r(3L).sum == 1L)
+    assert(r(1L).max == 2L)               // "a" twice -> one bucket holds 2
+  }
+
+  test("domainTemperatureWeights: sqrt upweights small domains, sums to ~1") {
+    val d = ((0 until 100).map(i => (i.toLong, "big")) ++ Seq((900L, "small")))
+      .toDF("doc_id", "source")
+    val r = CorpusOps.domainTemperatureWeights(d, "source")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r("big")._1 == 100L && r("small")._1 == 1L)
+    // sqrt: 10 vs 1 -> weights 10/11, 1/11; proportional would be 100/101
+    assert(math.abs(r("big")._2 - 10.0 / 11) < 1e-5)
+    assert(math.abs(r("small")._2 - 1.0 / 11) < 1e-5)
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
   test("domainRebalance: caps each domain, keeps small domains whole") {
     val d = ((0L until 40L).map(i => (i, "big")) ++
       (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "source")
