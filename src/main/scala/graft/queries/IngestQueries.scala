@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.EphysChunker
-import graft.sources.{DicomSource, EdfReader, SyntheticFixtures, TarGzSource}
+import graft.sources.{BrainVisionReader, DicomSource, EdfReader, SyntheticFixtures, TarGzSource}
 
 /** Binary-ingest verticals under the driver's correctness gate.
   *
@@ -43,6 +43,19 @@ object IngestQueries {
         "q62", "r1.edf", SyntheticFixtures.recordingBytes())
       EphysChunker.chunkStats(
         EdfReader.asLongFormat(EdfReader.channels(s, dir)), chunkSize = 4)
+    },
+
+    // S14 BrainVision end to end: vhdr header parse → broadcast pair with
+    // the .eeg payload → INT_16 decode with per-channel resolution →
+    // chunker (eeg/main.py:249 registers the vhdr/vmrk/eeg triple)
+    "q75_brainvision_ingest" -> { (s, _) =>
+      val (vhdr, eeg, vmrk) = SyntheticFixtures.brainVisionBytes()
+      val dir = SyntheticFixtures.materialize("q75", "rec1.vhdr", vhdr)
+      SyntheticFixtures.materialize("q75", "rec1.eeg", eeg)
+      SyntheticFixtures.materialize("q75", "rec1.vmrk", vmrk)
+      EphysChunker.chunkStats(
+        BrainVisionReader.asLongFormat(BrainVisionReader.channels(s, dir)),
+        chunkSize = 4)
     },
 
     // S3 end to end: NIfTI-1 header parse (real dim int16 + pixdim float32
@@ -98,6 +111,17 @@ object IngestQueries {
         |  ('study/003.dcm', 'upload/study.tar.gz', true, '1.2.3.9000', 2, 3, 'SUB001', 50.0, 'MR')
         |) AS t(member_path, nested_in, is_dicom, study_uid, series_number,
         |       instance_number, patient_id, echo_time, modality)""".stripMargin,
+
+    "q75_brainvision_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('Fp1', CAST(0 AS BIGINT), 4,  1.0,   4.0, false, 4),
+        |  ('Fp1', CAST(1 AS BIGINT), 4,  5.0,   8.0, false, 4),
+        |  ('Fp1', CAST(2 AS BIGINT), 2,  9.0,  10.0, true,  2),
+        |  ('Cz',  CAST(0 AS BIGINT), 4, 10.0,  40.0, false, 4),
+        |  ('Cz',  CAST(1 AS BIGINT), 4, 50.0,  80.0, false, 4),
+        |  ('Cz',  CAST(2 AS BIGINT), 2, 90.0, 100.0, true,  2)
+        |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
+        |       is_last, valid_samples)""".stripMargin,
 
     "q62_edf_ingest" ->
       """SELECT * FROM (VALUES

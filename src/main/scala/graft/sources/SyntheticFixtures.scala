@@ -139,6 +139,39 @@ object SyntheticFixtures {
 
   /** Write `bytes` under a stable tmp path (idempotent overwrite) and
     * return the directory — the binaryFile-scannable fixture root. */
+  /** BrainVision triple (vhdr, eeg, vmrk): 2 channels × 10 samples at 4 Hz,
+    * INT_16 multiplexed; Fp1 carries resolution 0.5 (digital 2,4,…,20 →
+    * physical 1..10), Cz resolution 1 (10,20,…,100). Written independently
+    * of [[BrainVisionReader]] (spec cross-check discipline). */
+  def brainVisionBytes(): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val vhdr = ("Brain Vision Data Exchange Header File Version 1.0\n" +
+      "[Common Infos]\n" +
+      "DataFormat=BINARY\n" +
+      "DataOrientation=MULTIPLEXED\n" +
+      "DataFile=rec1.eeg\n" +
+      "MarkerFile=rec1.vmrk\n" +
+      "NumberOfChannels=2\n" +
+      "SamplingInterval=250000\n" +
+      "[Binary Infos]\n" +
+      "BinaryFormat=INT_16\n" +
+      "[Channel Infos]\n" +
+      "; name,reference,resolution,unit\n" +
+      "Ch1=Fp1,,0.5,uV\n" +
+      "Ch2=Cz,,1,uV\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = java.nio.ByteBuffer.allocate(2 * 2 * 10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (1 to 10).foreach { s =>
+      bb.putShort((s * 2).toShort)   // Fp1 digital
+      bb.putShort((s * 10).toShort)  // Cz digital
+    }
+    val vmrk = ("Brain Vision Data Exchange Marker File Version 1.0\n" +
+      "[Marker Infos]\n" +
+      "Mk1=New Segment,,1,1,0\n" +
+      "Mk2=Stimulus,S  1,3,1,0\n" +
+      "Mk3=Response,R  8,7,1,2\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    (vhdr, bb.array(), vmrk)
+  }
+
   def materialize(subdir: String, fileName: String, bytes: Array[Byte]): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_fixtures", subdir)
