@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.EphysChunker
-import graft.sources.{BrainVisionReader, DicomSource, EdfReader, SyntheticFixtures, TarGzSource}
+import graft.sources.{BidsTabular, BrainVisionReader, DicomSource, EdfReader, SyntheticFixtures, TarGzSource}
 
 /** Binary-ingest verticals under the driver's correctness gate.
   *
@@ -56,6 +56,43 @@ object IngestQueries {
       EphysChunker.chunkStats(
         BrainVisionReader.asLongFormat(BrainVisionReader.channels(s, dir)),
         chunkSize = 4)
+    },
+
+    // S5/S6/U4/P8 end to end: TSV ingest with 'n/a'/''→NULL, union-of-keys
+    // merge, anti-join append guard, then a writeTsv→readTsv round trip
+    // (tsv.py:23-73, utilities.py:42-84) — NULLs survive as 'n/a' on disk
+    "q76_tsv_ingest" -> { (s, _) =>
+      val f1 = "participant_id\tage\tsex\n" +
+        "sub-01\t25\tM\n" + "sub-02\tn/a\tF\n" + "sub-03\t30\tn/a\n"
+      val f2 = "participant_id\tage\tgroup\n" +
+        "sub-03\t31\tctrl\n" + "sub-04\t\tpat\n"
+      val d1 = SyntheticFixtures.materialize("q76", "participants.tsv",
+        f1.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      SyntheticFixtures.materialize("q76", "extra.tsv",
+        f2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val a = BidsTabular.readTsv(s, s"$d1/participants.tsv")
+      val b = BidsTabular.readTsv(s, s"$d1/extra.tsv")
+      val merged = BidsTabular.appendNewRows(a, b, Seq("participant_id"))
+      val outDir = s"$d1/roundtrip"
+      BidsTabular.writeTsv(merged, outDir)
+      BidsTabular.readTsv(s, outDir)
+        .select(col("participant_id"), col("age"), col("sex"), col("group"))
+    },
+
+    // S10 end to end: targeted UPDATE-by-key over real tables — updates
+    // fan in multiple rows per key (one per 1995 order status), the
+    // deterministic winner survives, untouched rows/columns pass through
+    // (database.py:188-208)
+    "q77_update_by_key" -> { (s, dir) =>
+      val customer = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val updates = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"),
+          concat(lit("st_"), col("o_orderstatus")).as("c_mktsegment"))
+      graft.sources.Sinks.updateByKey(customer, updates,
+        keys = Seq("c_custkey"), updateCols = Seq("c_mktsegment"))
     },
 
     // S3 end to end: NIfTI-1 header parse (real dim int16 + pixdim float32
@@ -111,6 +148,28 @@ object IngestQueries {
         |  ('study/003.dcm', 'upload/study.tar.gz', true, '1.2.3.9000', 2, 3, 'SUB001', 50.0, 'MR')
         |) AS t(member_path, nested_in, is_dicom, study_uid, series_number,
         |       instance_number, patient_id, echo_time, modality)""".stripMargin,
+
+    "q76_tsv_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('sub-01', '25', 'M', CAST(NULL AS VARCHAR)),
+        |  ('sub-02', CAST(NULL AS VARCHAR), 'F', CAST(NULL AS VARCHAR)),
+        |  ('sub-03', '30', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+        |  ('sub-04', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'pat')
+        |) AS t(participant_id, age, sex, "group")""".stripMargin,
+
+    "q77_update_by_key" ->
+      """WITH u AS (
+        |  SELECT c_custkey, MAX(c_seg) AS u_seg FROM (
+        |    SELECT o_custkey AS c_custkey,
+        |           'st_' || o_orderstatus AS c_seg
+        |    FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |      AND o_orderdate <  TIMESTAMP '1996-01-01') s
+        |  GROUP BY 1
+        |)
+        |SELECT c.c_custkey, c.c_name,
+        |       coalesce(u.u_seg, c.c_mktsegment) AS c_mktsegment
+        |FROM customer c LEFT JOIN u ON c.c_custkey = u.c_custkey""".stripMargin,
 
     "q75_brainvision_ingest" ->
       """SELECT * FROM (VALUES
