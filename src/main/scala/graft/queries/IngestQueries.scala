@@ -95,6 +95,32 @@ object IngestQueries {
         keys = Seq("c_custkey"), updateCols = Seq("c_mktsegment"))
     },
 
+    // S13 + T4 end to end: chunk arrays at two pyramid levels → partitioned
+    // chunk sink (downsampling/channel pruning keys) → read back → joined
+    // with the MERGED manifest (new-side channel ranges, widened series
+    // range) — the chunker's protobuf-tree + index.json analog as parquet
+    "q78_chunk_sink" -> { (s, _) =>
+      val dir = SyntheticFixtures.materialize(
+        "q78", "r1.edf", SyntheticFixtures.recordingBytes())
+      val long0 = EdfReader.asLongFormat(EdfReader.channels(s, dir))
+      val ds = EphysChunker.downsampleAvg(long0, 4)
+      val chunks = EphysChunker.chunkArrays(long0, 4)
+        .withColumn("downsampling", lit(0))
+        .unionByName(EphysChunker.chunkArrays(ds, 4)
+          .withColumn("downsampling", lit(1)))
+      val outDir = s"$dir/chunks_out"
+      graft.sources.Sinks.writeChunks(chunks, outDir)
+      val manifest = EphysChunker.mergeManifest(
+        EphysChunker.channelRanges(long0).withColumnRenamed("channel", "index"),
+        EphysChunker.channelRanges(ds).withColumnRenamed("channel", "index"))
+      s.read.parquet(outDir)
+        .join(manifest, col("channel") === col("index"))
+        .select(col("downsampling"), col("channel"), col("chunk_index"),
+          array_join(transform(col("values"), _.cast("string")), ",").as("vals"),
+          col("valid_samples"), col("channel_min"), col("channel_max"),
+          col("series_min"), col("series_max"))
+    },
+
     // S3 end to end: NIfTI-1 header parse (real dim int16 + pixdim float32
     // bit-cast, nifti.py:7-31); the junk file proves the magic gate
     "q63_nifti_ingest" -> { (s, _) =>
@@ -148,6 +174,18 @@ object IngestQueries {
         |  ('study/003.dcm', 'upload/study.tar.gz', true, '1.2.3.9000', 2, 3, 'SUB001', 50.0, 'MR')
         |) AS t(member_path, nested_in, is_dicom, study_uid, series_number,
         |       instance_number, patient_id, echo_time, modality)""".stripMargin,
+
+    "q78_chunk_sink" ->
+      """SELECT * FROM (VALUES
+        |  (0, 'C3', CAST(0 AS BIGINT), '1.0,2.0,3.0,4.0',     4, 2.5, 10.5, 1.0, 30.0),
+        |  (0, 'C3', CAST(1 AS BIGINT), '5.0,6.0,7.0,8.0',     4, 2.5, 10.5, 1.0, 30.0),
+        |  (0, 'C3', CAST(2 AS BIGINT), '9.0,10.0,11.0,12.0',  4, 2.5, 10.5, 1.0, 30.0),
+        |  (0, 'C4', CAST(0 AS BIGINT), '5.0,10.0,15.0,20.0',  4, 12.5, 27.5, 1.0, 30.0),
+        |  (0, 'C4', CAST(1 AS BIGINT), '25.0,30.0,30.0,30.0', 2, 12.5, 27.5, 1.0, 30.0),
+        |  (1, 'C3', CAST(0 AS BIGINT), '2.5,6.5,10.5,10.5',   3, 2.5, 10.5, 1.0, 30.0),
+        |  (1, 'C4', CAST(0 AS BIGINT), '12.5,27.5,27.5,27.5', 2, 12.5, 27.5, 1.0, 30.0)
+        |) AS t(downsampling, channel, chunk_index, vals, valid_samples,
+        |       channel_min, channel_max, series_min, series_max)""".stripMargin,
 
     "q76_tsv_ingest" ->
       """SELECT * FROM (VALUES
