@@ -138,6 +138,34 @@ object IngestQueries {
           col("xstep"), col("ystep"), col("zstep"))
     },
 
+    // A2/A3/P7 end to end: the dicomTar.pl study summarization — archive
+    // members → real header parse → single-study assertion (A3, throws on
+    // violation) → tarchive summary row with file counts (A2) where the
+    // modality gate (P7) splits Dicom vs NonDicom members
+    "q79_dicom_summary" -> { (s, _) =>
+      val dir = SyntheticFixtures.materialize(
+        "q79", "upload.tar", SyntheticFixtures.studyArchiveBytes())
+      val members = TarGzSource.members(s, dir, glob = "*.tar").toDF()
+        .filter(!col("is_dir"))
+        .select(col("member_path").as("path"), col("content"))
+      val headers = DicomSource.extractHeaders(members)
+      graft.operators.DicomSummary.requireSingleStudy(headers)
+      // every archive member belongs to the (asserted single) study: fill
+      // the non-DICOM rows' study key from the broadcast 1-row study uid
+      val su = headers.agg(min(col("study_uid")).as("archive_uid"))
+      val all = headers.crossJoin(broadcast(su))
+        .withColumn("study_uid",
+          coalesce(col("study_uid"), col("archive_uid")))
+        // DCMSUM field names -> the §1.3 tarchive column contract
+        .withColumnRenamed("manufacturer", "scanner_manufacturer")
+        .withColumnRenamed("software_version", "scanner_software")
+      graft.operators.DicomSummary.tarchive(all)
+        .select(col("DicomArchiveID"), col("PatientID"),
+          col("DateAcquired"), col("AcquisitionCount"),
+          col("NonDicomFileCount"), col("DicomFileCount"),
+          col("TotalFileCount"), col("md5sumDicomOnly"))
+    },
+
     // §2.8 HED stack machine (hed.py:34-121) as its UDTF explosion, over
     // fixture annotation strings; rows pinned from the reference's outputs
     "q64_hed_parse" -> { (s, _) =>
@@ -174,6 +202,16 @@ object IngestQueries {
         |  ('study/003.dcm', 'upload/study.tar.gz', true, '1.2.3.9000', 2, 3, 'SUB001', 50.0, 'MR')
         |) AS t(member_path, nested_in, is_dicom, study_uid, series_number,
         |       instance_number, patient_id, echo_time, modality)""".stripMargin,
+
+    // md5sumDicomOnly independently recomputed (python tarfile/gzip/hashlib
+    // over the fixture bytes): md5 of the comma-joined sorted member md5s
+    "q79_dicom_summary" ->
+      """SELECT * FROM (VALUES
+        |  ('1.2.3.9000', 'SUB001', '20240102', 2, 2, 3, 5,
+        |   'dfc28a8aff8ce6fb808f74373ef8f484')
+        |) AS t(DicomArchiveID, PatientID, DateAcquired, AcquisitionCount,
+        |       NonDicomFileCount, DicomFileCount, TotalFileCount,
+        |       md5sumDicomOnly)""".stripMargin,
 
     "q78_chunk_sink" ->
       """SELECT * FROM (VALUES
