@@ -166,6 +166,30 @@ object IngestQueries {
           col("TotalFileCount"), col("md5sumDicomOnly"))
     },
 
+    // S4 end to end: MINC header-dump field grep (the reference shells out
+    // `mincheader` and greps step/length fields — imaging.py MINC branch);
+    // junk file proves no-match → NULL
+    "q80_minc_ingest" -> { (s, _) =>
+      val hdr = ("image: signed__ short 0 to 4095\n" +
+        "xspace:length = 224\nyspace:length = 256\nzspace:length = 176\n" +
+        "xspace:step = 1.5\nyspace:step = -0.977\nzspace:step = 0.977\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val dir = SyntheticFixtures.materialize("q80", "scan1.mnc.hdr", hdr)
+      SyntheticFixtures.materialize("q80", "junk.hdr",
+        "no fields here".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      DicomSource.scanDir(s, dir, "*.hdr")
+        .select(
+          regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+          col("content").cast("string").as("hdr"))
+        .select(col("file_name"),
+          graft.sources.ImagingHeaders.mincField(col("hdr"), "xspace:length").as("xlength"),
+          graft.sources.ImagingHeaders.mincField(col("hdr"), "yspace:length").as("ylength"),
+          graft.sources.ImagingHeaders.mincField(col("hdr"), "zspace:length").as("zlength"),
+          graft.sources.ImagingHeaders.mincField(col("hdr"), "xspace:step").as("xstep"),
+          graft.sources.ImagingHeaders.mincField(col("hdr"), "yspace:step").as("ystep"),
+          graft.sources.ImagingHeaders.mincField(col("hdr"), "zspace:step").as("zstep"))
+    },
+
     // §2.8 HED stack machine (hed.py:34-121) as its UDTF explosion, over
     // fixture annotation strings; rows pinned from the reference's outputs
     "q64_hed_parse" -> { (s, _) =>
@@ -212,6 +236,14 @@ object IngestQueries {
         |) AS t(DicomArchiveID, PatientID, DateAcquired, AcquisitionCount,
         |       NonDicomFileCount, DicomFileCount, TotalFileCount,
         |       md5sumDicomOnly)""".stripMargin,
+
+    "q80_minc_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('scan1.mnc.hdr', 224.0, 256.0, 176.0, 1.5, -0.977, 0.977),
+        |  ('junk.hdr', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |   CAST(NULL AS DOUBLE))
+        |) AS t(file_name, xlength, ylength, zlength, xstep, ystep, zstep)""".stripMargin,
 
     "q78_chunk_sink" ->
       """SELECT * FROM (VALUES

@@ -65,6 +65,8 @@ object ImagingHeaders {
     * text output; the dataflow form is a regexp_extract over a text column
     * (field name as data). */
   def mincField(headerText: Column, field: String): Column =
+    // try_cast: a header without the field extracts "" — under ANSI mode a
+    // plain cast would fail the whole scan stage instead of yielding NULL
     regexp_extract(headerText, field + "\\s*=\\s*([-0-9.eE]+)", 1)
-      .cast("double")
+      .try_cast(org.apache.spark.sql.types.DoubleType)
 }
