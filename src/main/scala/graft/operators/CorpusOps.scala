@@ -247,6 +247,39 @@ object CorpusOps {
         round(col("__s").cast("double") / col("__tot"), 6).as("weight"))
   }
 
+  /** Sequence packing: assign every document its position in the
+    * fixed-length training-sequence stream (the concat-and-chunk step that
+    * turns a shuffled corpus into model batches). Within each shard
+    * (deterministic [[shardShuffle]] order), documents concatenate in md5
+    * order; a document starting at running token offset `o` lands in
+    * sequence `o div seqLen` at offset `o mod seqLen` (documents may span
+    * sequence boundaries — the packer records starts, the trainer masks).
+    *
+    * Shape: one map for token counts, one hash partition by shard, one
+    * per-shard ordered running sum (partitioned window, never global).
+    * `nShards` sized to corpus/shard-size bounds each sort at 100 TB. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      seqLen: Int
+  ): DataFrame = {
+    require(nShards >= 1 && seqLen >= 1)
+    val idStr = col(idCol).cast("string")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(idStr.cast("binary")).asc, col(idCol).asc)
+    docs
+      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(portableHash60(idStr), lit(nShards)))
+      .withColumn("__end", sum(col("n_tokens")).over(w))
+      .withColumn("__start", col("__end") - col("n_tokens"))
+      .select(
+        col(idCol), col("shard"), col("n_tokens"),
+        expr(s"__start div $seqLen").as("seq_id"),
+        pmod(col("__start"), lit(seqLen.toLong)).as("seq_offset"))
+  }
+
   /** Domain rebalancing: cap every domain (source/language/bucket) at
     * `targetPerDomain` documents, chosen deterministically by hash order —
     * the "flatten the domain mixture" step of corpus assembly. Documents

@@ -43,7 +43,13 @@ object Sketches {
   ): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
     val g = groupCols.map(col)
-    val distinctHashes = df.select((g :+ col(hashCol).as("__h")): _*).distinct()
+    // both output branches (exact count, k-minima) consume the distinct
+    // frame: a lazy localCheckpoint computes it once and shares the blocks
+    // (lifecycle is the RDD's own — the ContextCleaner frees them, no
+    // manual unpersist contract for callers), instead of re-running the
+    // upstream hash/explode subtree per branch
+    val distinctHashes = df.select((g :+ col(hashCol).as("__h")): _*)
+      .distinct().localCheckpoint(false)
     val exact = distinctHashes.groupBy(g: _*)
       .agg(count(lit(1)).as("n_exact"))
     val minima = graft.plans.TopKPerGroup(

@@ -127,6 +127,13 @@ object CorpusQueries {
     // Temperature (T=2) domain mixing weights over sources
     "q74_domain_temperature" -> { (s, dir) =>
       CorpusOps.domainTemperatureWeights(docs(s, dir), "source")
+    },
+
+    // Sequence packing: concat-and-chunk positions in 128-token training
+    // sequences, 8 shards in the q69 shuffle order
+    "q81_sequence_packing" -> { (s, dir) =>
+      CorpusOps.packSequences(docs(s, dir), "doc_id", "text",
+        nShards = 8, seqLen = 128)
     }
   )
 
@@ -248,6 +255,25 @@ object CorpusQueries {
          |  quantile_cont(nt, 0.5) AS p50,
          |  quantile_cont(nt, 0.75) AS p75
          |FROM t GROUP BY 1""".stripMargin,
+
+    "q81_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 8 AS shard,
+         |    md5(CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard
+         |      ORDER BY ord ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+         |  FROM t
+         |)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  st // 128 AS seq_id, st % 128 AS seq_offset
+         |FROM r""".stripMargin,
 
     "q73_hashing_tf" -> {
       val sums = (0 until 16)

@@ -116,6 +116,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-5)
   }
 
+  test("packSequences: contiguous offsets, boundary math, determinism") {
+    val d = (0L until 50L).map(i => (i, ("w " * (i.toInt % 7 + 1)).trim))
+      .toDF("doc_id", "text") // 1..7 tokens per doc
+    val r = CorpusOps.packSequences(d, "doc_id", "text",
+      nShards = 1, seqLen = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.length == 50)
+    // reconstruct the stream: sorted by (seq_id, seq_offset) the absolute
+    // starts (seq_id*10+offset) must be the exclusive prefix sums of
+    // n_tokens — no gaps, no overlaps
+    val ordered = r.sortBy(x => (x._3, x._4))
+    val starts = ordered.map(x => x._3 * 10 + x._4)
+    val expectedStarts = ordered.map(_._2).scanLeft(0L)(_ + _).init
+    assert(starts.toSeq == expectedStarts.toSeq)
+    assert(r.forall(x => x._4 >= 0 && x._4 < 10))
+    // deterministic across runs
+    val again = CorpusOps.packSequences(d, "doc_id", "text", 1, 10)
+      .collect().map(x => (x.getLong(0), x.getLong(3), x.getLong(4))).toSet
+    assert(again == r.map(x => (x._1, x._3, x._4)).toSet)
+  }
+
   test("domainRebalance: caps each domain, keeps small domains whole") {
     val d = ((0L until 40L).map(i => (i, "big")) ++
       (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "source")
