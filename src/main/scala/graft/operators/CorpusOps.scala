@@ -280,6 +280,88 @@ object CorpusOps {
         pmod(col("__start"), lit(seqLen.toLong)).as("seq_offset"))
   }
 
+  /** Intra-corpus duplicated-span statistics — the "how much of this
+    * document is copied from elsewhere in the corpus" signal behind
+    * substring-level dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed at n-gram granularity: a
+    * duplicated 50-token span is a run of duplicated n-grams). Per
+    * document:
+    *
+    *   - `n_grams`     distinct word n-gram hashes in the document
+    *   - `n_dup_grams` how many of those occur in ≥ `minDocFreq` documents
+    *   - `dup_frac`    n_dup_grams / n_grams (NULL when n_grams = 0)
+    *
+    * Shape: fused per-doc shingle hashing ([[shingleHashes60]], distinct
+    * within doc) → one count shuffle keyed by gram (map-side combine; each
+    * (doc, gram) appears once so gram doc-frequency == row count) → one
+    * join back keyed by gram → per-doc agg. Both shuffles carry 60-bit
+    * hashes, never text; hot grams are bounded because each doc contributes
+    * a gram once. Linear in corpus gram count at 100 TB. */
+  def duplicatedNgramStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocFreq: Int = 2
+  ): DataFrame = {
+    val grams = docs.select(
+      col(idCol), explode(shingleHashes60(col(textCol), n)).as("gram"))
+    val gramDf = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val perDoc = grams
+      .join(gramDf, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        count(when(col("df") >= minDocFreq, lit(1))).as("__nd"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_grams"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_grams"),
+        when(col("__n").isNull, lit(null).cast("double"))
+          .otherwise(round(col("__nd").cast("double") / col("__n"), 6))
+          .as("dup_frac"))
+  }
+
+  /** Deterministic integer weight for hashed-feature bucket `j`: a value in
+    * [-10, 10] derived from md5 — identical in any engine that can md5
+    * (DuckDB twin: `CAST(concat('0x', substr(md5('w' || j), 1, 15)) AS
+    * BIGINT) % 21 - 10`). */
+  def bucketWeight(j: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"w$j".getBytes("UTF-8"))
+    val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 21L - 10L
+  }
+
+  /** Linear classifier inference over hashed features — the "run the
+    * quality/toxicity model over the whole corpus" step, expressed as a
+    * query: score(doc) = Σ_j tf_j · w_j over the [[hashingTf]] buckets,
+    * with fixed integer weights ([[bucketWeight]]; swap in trained weights
+    * in production — the plan shape is identical). All-integer arithmetic →
+    * bit-exact in any engine, order-independent.
+    *
+    * Shape: one wordcount-style shuffle keyed by doc (the hashingTf agg),
+    * then a map-only weighted fold of the dense vector. The weight vector
+    * is a plan literal — broadcast for free inside codegen. Linear at
+    * 100 TB; `dim` bounds agg state and output width. */
+  def scoreHashedLinear(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int
+  ): DataFrame = {
+    val weights = array((0 until dim).map(j => lit(bucketWeight(j))): _*)
+    hashingTf(docs, idCol, textCol, dim)
+      .withColumn("score",
+        aggregate(zip_with(col("tf_vec"), weights, (t, w) => t * w),
+          lit(0L), (acc, x) => acc + x))
+      .select(col(idCol), col("score"),
+        (col("score") >= 0L).cast("int").as("keep"))
+  }
+
   /** Domain rebalancing: cap every domain (source/language/bucket) at
     * `targetPerDomain` documents, chosen deterministically by hash order —
     * the "flatten the domain mixture" step of corpus assembly. Documents

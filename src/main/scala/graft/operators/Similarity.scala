@@ -173,6 +173,51 @@ object Similarity {
     out
   }
 
+  /** Cluster-bounded semantic dedup (the SemDeDup shape — Abbas et al.
+    * 2023: k-means the embedding space, then prune near-duplicate pairs
+    * WITHIN each cluster only). A document is dropped when some
+    * lower-id document in the same cluster has cosine ≥ `threshold`;
+    * the returned rows are the dropped documents with their lowest-id
+    * duplicate and that pair's cosine. Not a transitive closure —
+    * chain-duplicates across clusters are [[Dedup.nearDupClusters]]'s job;
+    * this is the intra-cluster prune that makes the O(n²) affordable.
+    *
+    * Shape: map-only centroid assignment ([[assignClusters]], broadcast
+    * centroids) → normalize once per vector → within-cluster self-join
+    * keyed by centroid_id → integer-struct min per dropped id. The
+    * pairwise stage is O(Σ_c |cluster_c|²): at 100 TB the centroid count
+    * is sized so clusters hold ~10⁴ vectors (SemDeDup uses k≈10⁵ for
+    * 10⁹ docs), which bounds every bucket; `maxClusterSize` guards the
+    * degenerate hot cluster (skipped pairs are counted, never silent). */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, threshold: Double,
+      maxClusterSize: Int = 100000
+  ): DataFrame = {
+    val v = assignClusters(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col("centroid_id"),
+        normalize(asDouble(col(vecCol))).as("v"))
+    val bounded = v
+      .withColumn("__csz",
+        count(lit(1)).over(Window.partitionBy(col("centroid_id"))))
+      .filter(col("__csz") <= maxClusterSize)
+      .drop("__csz")
+    val a = bounded.select(col("centroid_id"), col("id").as("keep_id"),
+      col("v").as("v_a"))
+    val b = bounded.select(col("centroid_id"), col("id").as("id"),
+      col("v").as("v_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("keep_id") < col("id"))
+      .withColumn("cosine", round(dot(col("v_a"), col("v_b")), 6))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id"))
+      .agg(
+        min(col("centroid_id")).as("centroid_id"),
+        min(struct(col("keep_id"), col("cosine"))).as("__m"))
+      .select(col("id"), col("centroid_id"),
+        col("__m.keep_id").as("dup_of"), col("__m.cosine").as("cosine"))
+  }
+
   /** Product-quantization codes: the vector splits into `m` subspaces;
     * each subspace gets a `k`-entry codebook (deterministic seed: the first
     * `k` corpus vectors' sub-vectors, same stand-in policy as

@@ -134,6 +134,19 @@ object CorpusQueries {
     "q81_sequence_packing" -> { (s, dir) =>
       CorpusOps.packSequences(docs(s, dir), "doc_id", "text",
         nShards = 8, seqLen = 128)
+    },
+
+    // Intra-corpus duplicated-span stats: fraction of each doc's distinct
+    // 5-grams that appear in >= 2 documents (substring-level dup signal)
+    "q82_dup_spans" -> { (s, dir) =>
+      CorpusOps.duplicatedNgramStats(docs(s, dir), "doc_id", "text",
+        n = 5, minDocFreq = 2)
+    },
+
+    // Linear classifier inference over 16 hashed-feature buckets with
+    // deterministic integer weights (exact in both engines)
+    "q84_classifier_score" -> { (s, dir) =>
+      CorpusOps.scoreHashedLinear(docs(s, dir), "doc_id", "text", dim = 16)
     }
   )
 
@@ -286,6 +299,42 @@ object CorpusQueries {
          |SELECT doc_id, array_to_string([$sums], ',') AS tf_vec
          |FROM h GROUP BY 1""".stripMargin
     },
+
+    "q82_dup_spans" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${sqlShingles(5)}, s -> $sqlHash60))
+         |      AS g
+         |  FROM documents
+         |), e AS (
+         |  SELECT doc_id, unnest(g) AS gram FROM sh
+         |), d AS (
+         |  SELECT gram, COUNT(*) AS df FROM e GROUP BY 1
+         |), pd AS (
+         |  SELECT e.doc_id, COUNT(*) AS n,
+         |    COUNT(CASE WHEN d.df >= 2 THEN 1 END) AS nd
+         |  FROM e JOIN d USING (gram) GROUP BY 1
+         |)
+         |SELECT doc.doc_id,
+         |  coalesce(n, 0) AS n_grams,
+         |  coalesce(nd, 0) AS n_dup_grams,
+         |  CASE WHEN n IS NULL THEN NULL
+         |       ELSE round(CAST(nd AS DOUBLE) / n, 6) END AS dup_frac
+         |FROM documents doc LEFT JOIN pd ON doc.doc_id = pd.doc_id""".stripMargin,
+
+    "q84_classifier_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id, $sqlHash60 % 16 AS b FROM w
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(concat('0x', substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 21 - 10) AS BIGINT) AS score
+         |  FROM h GROUP BY 1
+         |)
+         |SELECT doc_id, score, CAST(score >= 0 AS INTEGER) AS keep
+         |FROM sc""".stripMargin,
 
     "q74_domain_temperature" ->
       """WITH c AS (

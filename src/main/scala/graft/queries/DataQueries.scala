@@ -162,6 +162,26 @@ object DataQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
     },
 
+    // Cluster-bounded semantic dedup (SemDeDup): map-only centroid
+    // assignment bounds the pairwise stage to within-cluster; a doc is
+    // dropped when a lower-id cluster-mate has cosine >= 0.3
+    "q83_semantic_dedup" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      Similarity.semanticDedup(e, "vec_id", "embedding", centroids,
+        threshold = 0.3)
+    },
+
+    // Sparse lexical top-k via inverted-index postings: integer tf-idf
+    // (w = floor(1e6/df)), df > 390 shed (the stopword/skew bound doing
+    // real work on the 31-term synthetic vocab)
+    "q85_sparse_topk" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.InvertedIndex.tfIdfTopK(
+        d, d.filter(col("doc_id") < 5), "doc_id", "text",
+        k = 10, maxDf = 390L)
+    },
+
     // IVF approximate top-k (scale path): fully deterministic — seeded
     // centroids (first 8 ids), argmin ties to lowest centroid id, fixed
     // nprobe — so it has an exact ANSI oracle below; recall additionally
@@ -451,6 +471,70 @@ object DataQueries {
 
     "q51_srp_neardup" -> sqlSrpNearDup(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L, threshold = 0.5, maxBucketSize = 10000),
+
+    // exact twin of Similarity.semanticDedup(seedCentroids(8), 0.3):
+    // centroid CTE + squared-L2 argmin (q31's assignment shape), per-vector
+    // normalization (q51's shape), within-cluster pair join, min-struct
+    // winner per dropped id
+    "q83_semantic_dedup" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, vd AS cv FROM v ORDER BY vec_id LIMIT 8
+        |), assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(a.vd, c.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM v a CROSS JOIN cent c) t
+        |  WHERE rn = 1
+        |), nv AS (
+        |  SELECT v.vec_id, a.centroid_id,
+        |    list_transform(vd, x -> x /
+        |      sqrt(list_sum(list_transform(list_zip(vd, vd), x -> x[1]*x[2]))))
+        |      AS nvec
+        |  FROM v JOIN assign a ON v.vec_id = a.vec_id
+        |), p AS (
+        |  SELECT b.vec_id AS id, b.centroid_id, a.vec_id AS keep_id,
+        |    round(list_sum(list_transform(list_zip(a.nvec, b.nvec),
+        |      x -> x[1]*x[2])), 6) AS cosine
+        |  FROM nv a JOIN nv b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        |)
+        |SELECT id, centroid_id, dup_of, cosine FROM (
+        |  SELECT id, centroid_id, keep_id AS dup_of, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY id
+        |      ORDER BY keep_id ASC, cosine ASC) AS rn
+        |  FROM p WHERE cosine >= 0.3) t
+        |WHERE rn = 1""".stripMargin,
+
+    // exact twin of InvertedIndex.tfIdfTopK(k=10, maxDf=390, queries =
+    // doc_id < 5): wordcount postings, integer idf floor(1e6/df), integer
+    // partial-product sum, rank ties to lower neighbor id
+    "q85_sparse_topk" ->
+      s"""WITH post AS (
+         |  SELECT doc_id AS id, s AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS s FROM documents) w
+         |  GROUP BY 1, 2
+         |), tw AS (
+         |  SELECT term, CAST(floor(1000000.0 / COUNT(*)) AS BIGINT) AS w
+         |  FROM post GROUP BY term HAVING COUNT(*) <= 390
+         |), qp AS (
+         |  SELECT id AS query_id, term, tf AS tf_q FROM post WHERE id < 5
+         |), scored AS (
+         |  SELECT q.query_id, p.id AS neighbor_id,
+         |    CAST(SUM(p.tf * q.tf_q * tw.w) AS BIGINT) AS score
+         |  FROM post p JOIN tw USING (term) JOIN qp q USING (term)
+         |  WHERE p.id <> q.query_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, neighbor_id, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |FROM scored QUALIFY rank <= 10""".stripMargin,
 
     // exact twin of Similarity.pqTopK(m=8, k=16, queries = vec_id < 5):
     // subspace slices -> seeded codebooks (first 16 ids) -> per-subspace

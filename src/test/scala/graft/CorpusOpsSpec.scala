@@ -137,6 +137,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == r.map(x => (x._1, x._3, x._4)).toSet)
   }
 
+  test("duplicatedNgramStats: shared bigram counted, gramless doc NULL") {
+    val d = Seq(
+      (1L, "a b c"),   // bigrams {a b, b c}
+      (2L, "a b x"),   // bigrams {a b, b x}
+      (3L, "z")        // no bigrams
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.duplicatedNgramStats(d, "doc_id", "text",
+        n = 2, minDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_grams") == 2L)
+    assert(r(0).getAs[Long]("n_dup_grams") == 1L)   // "a b" in docs 1+2
+    assert(r(0).getAs[Double]("dup_frac") == 0.5)
+    assert(r(1).getAs[Long]("n_dup_grams") == 1L)
+    assert(r(2).getAs[Long]("n_grams") == 0L)
+    assert(r(2).isNullAt(r(2).fieldIndex("dup_frac")))
+  }
+
+  test("scoreHashedLinear: score == independent md5 bucket-weight sum") {
+    // independent twin of portableHash60 + bucketWeight for the expectation
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def expected(text: String): Long =
+      text.split("\\s+").map { t =>
+        val b = (h60(t) % 16).toInt
+        h60(s"w$b") % 21L - 10L
+      }.sum
+    val d = Seq((1L, "alpha alpha beta"), (2L, "gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.scoreHashedLinear(d, "doc_id", "text", dim = 16)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("score") == expected("alpha alpha beta"))
+    assert(r(1).getAs[Long]("score") == expected("gamma delta epsilon zeta"))
+    assert(r(0).getAs[Int]("keep") ==
+      (if (expected("alpha alpha beta") >= 0) 1 else 0))
+  }
+
   test("domainRebalance: caps each domain, keeps small domains whole") {
     val d = ((0L until 40L).map(i => (i, "big")) ++
       (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "source")

@@ -88,6 +88,34 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${lshPairs.size}/${brute.size}")
   }
 
+  test("semanticDedup: drops higher-id near-dups within cluster only") {
+    import spark.implicits._
+    val cents = Seq((0L, Seq(0.0f, 1.0f)), (1L, Seq(1.0f, 0.0f)))
+      .toDF("centroid_id", "vec")
+    val corpus = Seq(
+      (1L, Seq(0.0f, 1.0f)),    // cluster 0, kept (lowest id)
+      (2L, Seq(0.0f, 0.9f)),    // cluster 0, cosine 1.0 with id 1 -> dropped
+      (3L, Seq(0.05f, 1.0f)),   // cluster 0, cos ~0.9988 with id 1 -> dropped
+      (4L, Seq(1.0f, 0.0f)),    // cluster 1, kept
+      (5L, Seq(0.9f, 0.1f))     // cluster 1, cos ~0.9939 with id 4 -> dropped
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        cents, threshold = 0.99)
+      .orderBy("id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((2L, 0L, 1L), (3L, 0L, 1L), (5L, 1L, 4L)))
+
+    // dup_of is the LOWEST qualifying cluster-mate, not just any
+    val r2 = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      cents, threshold = 0.99)
+    assert(r2.filter(col("id") === 3L).select("dup_of")
+      .first().getLong(0) == 1L)
+
+    // hot-cluster guard: maxClusterSize below the cluster size -> no pairs
+    assert(Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      cents, threshold = 0.99, maxClusterSize = 1).count() == 0L)
+  }
+
   test("cosine of identical vectors is 1") {
     import spark.implicits._
     val v = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
