@@ -78,5 +78,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    e.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
 }

@@ -89,6 +89,46 @@ object EventStream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: enrich each left event with the right
+    * events for the same key whose event time lies in
+    * `[left_ts, left_ts + maxDelay]` — the "match the QC flag to the scan
+    * that preceded it" correlation shape (the reference polls
+    * mri_upload/violation tables for this; here both sides are unbounded
+    * streams). Inner join; unmatched left rows drop.
+    *
+    * Both sides are watermarked, and the time-range predicate is what lets
+    * Spark BOUND the join state: a buffered left row can be evicted once
+    * the right watermark passes `left_ts + maxDelay`, a right row once the
+    * left watermark passes its time. Without the range condition the state
+    * grows without limit — the difference between a demo and something
+    * runnable on an unbounded ingest. Column names: the right side's ts is
+    * exposed as `right_ts` (names must differ across sides for the range
+    * predicate to be expressible). Batch DataFrames run the identical plan
+    * (watermarks no-op).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      maxDelay: String = "10 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame = {
+    require(keyCols.nonEmpty)
+    val l = left.withWatermark(tsCol, watermark)
+    val r0 = right.withColumnRenamed(tsCol, "right_ts")
+    val r = r0.withWatermark("right_ts", watermark)
+    val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r("right_ts") >= l(tsCol) &&
+      r("right_ts") <= l(tsCol) + expr(s"INTERVAL $maxDelay")
+    l.join(r, keyEq && range, "inner")
+      .select(keyCols.map(l(_)) ++
+        Seq(l(tsCol)) ++
+        l.columns.filterNot(c => keyCols.contains(c) || c == tsCol).map(l(_)) ++
+        Seq(r("right_ts")) ++
+        r.columns.filterNot(c => keyCols.contains(c) || c == "right_ts").map(r(_)): _*)
+  }
+
   case class UploadEvent(upload_id: Long, seq: Long, status: String)
   case class UploadState(upload_id: Long, status: String, n_transitions: Int)
 

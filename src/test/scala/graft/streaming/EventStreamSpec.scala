@@ -78,6 +78,47 @@ class EventStreamSpec extends SparkSpec {
     assert(out == Seq("h1", "h2")) // plain dedupStream would emit 4 rows here
   }
 
+  test("intervalJoin: stream-stream, in-range matches only, across batches") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val scans = MemoryStream[(Timestamp, Long, String)]
+    val flags = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.intervalJoin(
+        scans.toDF().toDF("ts", "session_id", "scan_type"),
+        flags.toDF().toDF("ts", "session_id", "flag"),
+        keyCols = Seq("session_id"),
+        maxDelay = "5 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ij").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t3 = Timestamp.valueOf("2026-01-01 00:03:00")
+    val t9 = Timestamp.valueOf("2026-01-01 00:09:00")
+    scans.addData((t0, 1L, "T1w"), (t0, 2L, "bold"))
+    q.processAllAvailable()
+    // later micro-batch: flag within 5 min of session 1's scan; session 2's
+    // flag too late; session 3 has no scan at all
+    flags.addData((t3, 1L, "ok"), (t9, 2L, "late"), (t3, 3L, "orphan"))
+    q.processAllAvailable()
+    val out = spark.table("ij").collect()
+      .map(r => (r.getAs[Long]("session_id"), r.getAs[String]("scan_type"),
+        r.getAs[String]("flag"))).toSet
+    q.stop()
+    assert(out == Set((1L, "T1w", "ok")))
+  }
+
+  test("intervalJoin: identical plan on batch inputs") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t3 = Timestamp.valueOf("2026-01-01 00:03:00")
+    val scans = Seq((t0, 1L, "T1w")).toDF("ts", "session_id", "scan_type")
+    val flags = Seq((t3, 1L, "ok"), (t0, 9L, "x"))
+      .toDF("ts", "session_id", "flag")
+    val out = EventStream.intervalJoin(scans, flags, Seq("session_id"),
+      maxDelay = "5 minutes").collect()
+    assert(out.length == 1 && out.head.getAs[String]("flag") == "ok")
+    assert(out.head.getAs[Timestamp]("right_ts") == t3)
+  }
+
   test("trackUploadStates: state machine over micro-batched upload events") {
     val sqlc = spark.sqlContext
     import spark.implicits._
