@@ -147,10 +147,14 @@ object Similarity {
     val v = df.select(col(idCol).as("id"),
         normalize(asDouble(col(vecCol))).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withBands = (0 until bands).map { b =>
-      val planes = randomPlanes(bitsPerBand, dim, seed + b)
-      v.select(col("id"), lit(b).as("band"), rpSignature(col("v"), planes).as("sig"))
-    }.reduce(_ union _)
+    // all band signatures in ONE pass over the cached vectors (a union of
+    // per-band selects re-scans v `bands` times; posexplode of the 8-slot
+    // signature array is one scan and the identical (band, sig) rows)
+    val sigArr = array((0 until bands).map { b =>
+      rpSignature(col("v"), randomPlanes(bitsPerBand, dim, seed + b))
+    }: _*)
+    val withBands = v.select(col("id"),
+      posexplode(sigArr).as(Seq("band", "sig")))
     val buckets = withBands
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(col("id")).as("ids"))
