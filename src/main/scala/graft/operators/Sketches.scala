@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{portableHash60, universalHash, minhashParams}
 
 /** Distributed sketches with engine-portable determinism.
   *
@@ -63,5 +64,71 @@ object Sketches {
             lit((k - 1).toDouble) * lit(Hash60Space)
               / col("__kth").cast("double")).cast("long")))
       .drop("__n_seen", "__kth")
+  }
+
+  /** Bucket of `item` in CMS row `j`: universal-hash the 60-bit item hash,
+    * then mod width. All-integer, engine-portable. */
+  private def cmsBucket(item: Column, params: Seq[(Long, Long)], j: Int,
+      width: Int): Column =
+    pmod(universalHash(portableHash60(item), params(j)._1, params(j)._2),
+      lit(width))
+
+  /** Count-Min sketch per group (Cormode & Muthukrishnan 2005): a
+    * `depth`×`width` integer count matrix; point-frequency estimates via
+    * [[cmsEstimate]] are upper bounds that overshoot by at most
+    * ε·N (ε ≈ e/width) with probability 1-δ (δ ≈ e^-depth). The
+    * frequency-estimation companion to [[kmvDistinct]], and like it
+    * bit-reproducible in any engine (fixed universal-hash params on
+    * [[portableHash60]], integer adds — order-independent), so it gets an
+    * exact DuckDB oracle, not a tolerance check.
+    *
+    * 100 TB shape: ONE aggregation shuffle keyed by group whose partial
+    * state is the depth×width long matrix — the input stream never
+    * re-shuffles and per-group state is constant-size regardless of item
+    * cardinality (the sketch property). Output: groupCols + `cms`
+    * (array[depth] of array[width] counts). Merging sketches across
+    * partitions/days is element-wise addition — the same agg run again. */
+  def countMin(
+      items: DataFrame,
+      groupCols: Seq[String],
+      itemCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long = 7L
+  ): DataFrame = {
+    require(width >= 2 && depth >= 1)
+    val params = minhashParams(depth, seed)
+    val g = groupCols.map(col)
+    val withBuckets = (0 until depth).foldLeft(items) { (df, j) =>
+      df.withColumn(s"__b$j", cmsBucket(col(itemCol), params, j, width))
+    }
+    withBuckets.groupBy(g: _*)
+      .agg(array((0 until depth).map { j =>
+        array((0 until width).map(i =>
+          count(when(col(s"__b$j") === i, lit(1)))): _*)
+      }: _*).as("cms"))
+  }
+
+  /** Point-frequency estimates from a [[countMin]] sketch: for every
+    * (group, probe) pair, `est_count` = min over the depth rows of the
+    * probe's bucket count — ≥ the true count always, = for items whose
+    * buckets saw no collisions. The sketch side is one row per group —
+    * broadcast — so estimation is map-only over the probe stream. */
+  def cmsEstimate(
+      sketch: DataFrame,
+      probes: DataFrame,
+      itemCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long = 7L
+  ): DataFrame = {
+    val params = minhashParams(depth, seed)
+    val est = least((0 until depth).map { j =>
+      element_at(element_at(col("cms"), j + 1),
+        (cmsBucket(col(itemCol), params, j, width) + 1).cast("int"))
+    }: _*)
+    probes.crossJoin(broadcast(sketch))
+      .withColumn("est_count", est)
+      .drop("cms")
   }
 }

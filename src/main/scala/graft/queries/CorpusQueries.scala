@@ -147,6 +147,23 @@ object CorpusQueries {
     // deterministic integer weights (exact in both engines)
     "q84_classifier_score" -> { (s, dir) =>
       CorpusOps.scoreHashedLinear(docs(s, dir), "doc_id", "text", dim = 16)
+    },
+
+    // Count-Min sketch (4x16) per source + point estimates for every
+    // distinct token, exact counts alongside — width 16 < the 31-term
+    // vocab, so collisions are real and the est >= exact bound shows
+    "q86_countmin_freq" -> { (s, dir) =>
+      val toks = docs(s, dir).select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val sk = graft.operators.Sketches.countMin(
+        toks, Seq("source"), "tok", width = 16, depth = 4)
+      val probes = toks.select(col("tok")).distinct()
+      val est = graft.operators.Sketches.cmsEstimate(sk, probes, "tok", 16, 4)
+      val exact = toks.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("__n"))
+      est.join(exact, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"), col("est_count"),
+          coalesce(col("__n"), lit(0L)).as("n_exact"))
     }
   )
 
@@ -335,6 +352,46 @@ object CorpusQueries {
          |)
          |SELECT doc_id, score, CAST(score >= 0 AS INTEGER) AS keep
          |FROM sc""".stripMargin,
+
+    "q86_countmin_freq" -> {
+      // inline the same seeded universal-hash params the Spark side uses
+      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
+      val vals = ps.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT source, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT source, s, $sqlHash60 AS hx FROM toks
+         |), d(j, a, b) AS (VALUES $vals
+         |), b AS (
+         |  SELECT source, j,
+         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  FROM h CROSS JOIN d
+         |), cnts AS (
+         |  SELECT source, j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
+         |), probes AS (
+         |  SELECT DISTINCT s, hx FROM h
+         |), pb AS (
+         |  SELECT s, j,
+         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  FROM probes CROSS JOIN d
+         |), srcs AS (
+         |  SELECT DISTINCT source FROM documents
+         |), est AS (
+         |  SELECT srcs.source, pb.s, MIN(coalesce(c.c, 0)) AS est_count
+         |  FROM srcs CROSS JOIN pb
+         |  LEFT JOIN cnts c
+         |    ON c.source = srcs.source AND c.j = pb.j AND c.bk = pb.bk
+         |  GROUP BY 1, 2
+         |), exact AS (
+         |  SELECT source, s, COUNT(*) AS n FROM toks GROUP BY 1, 2
+         |)
+         |SELECT est.source, est.s AS tok,
+         |  CAST(est.est_count AS BIGINT) AS est_count,
+         |  coalesce(CAST(exact.n AS BIGINT), 0) AS n_exact
+         |FROM est LEFT JOIN exact
+         |  ON est.source = exact.source AND est.s = exact.s""".stripMargin
+    },
 
     "q74_domain_temperature" ->
       """WITH c AS (

@@ -44,4 +44,49 @@ class SketchesSpec extends SparkSpec {
     assert(a.getAs[Long]("est_distinct") == b.getAs[Long]("est_distinct"))
     assert(a.getAs[Long]("n_exact") == b.getAs[Long]("n_exact"))
   }
+
+  test("countMin: estimates are upper bounds, exact when width is ample") {
+    val items = (0 until 100).map(i => ("g" + (i % 2), "item" + (i % 7)))
+      .toDF("g", "item")
+    val probes = items.select(col("item")).distinct()
+    val exact = items.groupBy("g", "item").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // narrow sketch: collisions possible, bound must hold
+    val narrow = Sketches.cmsEstimate(
+        Sketches.countMin(items, Seq("g"), "item", width = 4, depth = 3),
+        probes, "item", width = 4, depth = 3)
+      .collect().map(r => (r.getString(1), r.getString(0),
+        r.getLong(r.fieldIndex("est_count"))))
+    narrow.foreach { case (g, item, est) =>
+      assert(est >= exact.getOrElse((g, item), 0L), s"($g,$item)")
+    }
+
+    // wide sketch: 64 buckets for 7 items at depth 4 — at least one
+    // collision-free row per item is near-certain, so est == exact
+    val wide = Sketches.cmsEstimate(
+        Sketches.countMin(items, Seq("g"), "item", width = 64, depth = 4),
+        probes, "item", width = 64, depth = 4)
+      .collect().map(r => (r.getString(1), r.getString(0),
+        r.getLong(r.fieldIndex("est_count"))))
+    wide.foreach { case (g, item, est) =>
+      assert(est == exact.getOrElse((g, item), 0L), s"($g,$item)")
+    }
+  }
+
+  test("countMin: sketches merge by element-wise addition") {
+    val half1 = (0 until 30).map(i => ("g", "i" + (i % 5))).toDF("g", "item")
+    val half2 = (30 until 60).map(i => ("g", "i" + (i % 5))).toDF("g", "item")
+    val all = half1.union(half2)
+    def matrix(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      Sketches.countMin(df, Seq("g"), "item", width = 8, depth = 2)
+        .collect()(0).getSeq[scala.collection.Seq[Long]](1)
+        .map(_.toSeq).toSeq
+    val full = matrix(all)
+    val m1 = matrix(half1)
+    val m2 = matrix(half2)
+    val summed = m1.zip(m2).map { case (r1, r2) =>
+      r1.zip(r2).map { case (a, b) => a + b } }
+    assert(full == summed)
+  }
 }
