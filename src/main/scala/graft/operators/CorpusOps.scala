@@ -362,6 +362,66 @@ object CorpusOps {
         (col("score") >= 0L).cast("int").as("keep"))
   }
 
+  /** Apply a mixture: deterministic per-domain proportional sample. Given
+    * per-domain row targets (e.g. `floor(weight × budget)` from
+    * [[domainTemperatureWeights]]), keep each domain's first `n_target`
+    * documents in md5-hash order — the step that turns computed mixing
+    * weights into an actual training corpus. Domains holding fewer than
+    * their target keep everything (the weights loop handles re-allocation;
+    * this operator is the mechanical apply).
+    *
+    * Shape: targets are one row per domain — broadcast; then the
+    * [[domainRebalance]] partitioned-rank shape with a per-domain dynamic
+    * cap. One shuffle keyed by domain; extreme-skew pre-shedding composes
+    * the same way as domainRebalance's. */
+  def applyMixture(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: DataFrame,
+      targetCol: String = "n_target"
+  ): DataFrame = {
+    val idStr = col(idCol).cast("string")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(idStr.cast("binary")).asc, col(idCol).asc)
+    docs
+      .join(broadcast(targets.select(col(domainCol), col(targetCol))),
+        Seq(domainCol))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col(targetCol))
+      .drop("__rk", targetCol)
+  }
+
+  /** Surprisal-proxy document scoring on Count-Min estimates: rarity(t) =
+    * floor(10⁶ / est_count(t)) from a GLOBAL [[Sketches.countMin]] sketch;
+    * doc score = Σ_tokens rarity — high for documents of rare vocabulary,
+    * the all-integer stand-in for "sum of -log p(t)" (a float log would not
+    * hash-match across engines; the ranking shape is identical). The
+    * composition matters at 100 TB: the corpus-wide frequency table is a
+    * constant-size sketch (never a vocabulary-sized join side), estimates
+    * attach to the distinct-token set, and scoring is one explode + one
+    * token-keyed join (AQE broadcasts it while the vocabulary fits) + one
+    * per-doc sum. */
+  def surprisalScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int = 1024,
+      depth: Int = 4
+  ): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val sketch = Sketches.countMin(toks, Seq.empty, "tok", width, depth)
+    val rarity = Sketches
+      .cmsEstimate(sketch, toks.select(col("tok")).distinct(), "tok",
+        width, depth)
+      .select(col("tok"),
+        floor(lit(1000000.0) / col("est_count").cast("double"))
+          .cast("long").as("__r"))
+    toks.join(rarity, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__r")).as("surprisal"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Domain rebalancing: cap every domain (source/language/bucket) at
     * `targetPerDomain` documents, chosen deterministically by hash order —
     * the "flatten the domain mixture" step of corpus assembly. Documents

@@ -164,6 +164,24 @@ object CorpusQueries {
       est.join(exact, Seq("source", "tok"), "left")
         .select(col("source"), col("tok"), col("est_count"),
           coalesce(col("__n"), lit(0L)).as("n_exact"))
+    },
+
+    // Apply the q74 temperature weights as an actual per-source sample:
+    // n_target = floor(weight * 200) docs per source, md5-order selection
+    "q87_apply_mixture" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val targets = CorpusOps.domainTemperatureWeights(d, "source")
+        .select(col("source"),
+          floor(col("weight") * 200).cast("int").as("n_target"))
+      CorpusOps.applyMixture(d, "doc_id", "source", targets)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // Surprisal-proxy scoring off a GLOBAL 4x16 Count-Min sketch:
+    // rarity = floor(1e6/est), doc score = sum of token rarities
+    "q88_surprisal_score" -> { (s, dir) =>
+      CorpusOps.surprisalScore(docs(s, dir), "doc_id", "text",
+        width = 16, depth = 4)
     }
   )
 
@@ -391,6 +409,62 @@ object CorpusQueries {
          |  coalesce(CAST(exact.n AS BIGINT), 0) AS n_exact
          |FROM est LEFT JOIN exact
          |  ON est.source = exact.source AND est.s = exact.s""".stripMargin
+    },
+
+    "q87_apply_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+        |), s AS (
+        |  SELECT source,
+        |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS sc
+        |  FROM c
+        |), t AS (
+        |  SELECT CAST(SUM(sc) AS BIGINT) AS tot FROM s
+        |), tg AS (
+        |  SELECT source,
+        |    CAST(floor(round(CAST(sc AS DOUBLE) / tot, 6) * 200) AS INTEGER)
+        |      AS n_target
+        |  FROM s, t
+        |)
+        |SELECT doc_id, source FROM (
+        |  SELECT d.doc_id, d.source, tg.n_target, ROW_NUMBER() OVER (
+        |    PARTITION BY d.source
+        |    ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) AS rk
+        |  FROM documents d JOIN tg USING (source)) x
+        |WHERE rk <= n_target""".stripMargin,
+
+    "q88_surprisal_score" -> {
+      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
+      val vals = ps.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id, s, $sqlHash60 AS hx FROM toks
+         |), d(j, a, b) AS (VALUES $vals
+         |), bx AS (
+         |  SELECT j, ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  FROM h CROSS JOIN d
+         |), cnts AS (
+         |  SELECT j, bk, COUNT(*) AS c FROM bx GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT DISTINCT s, hx FROM h
+         |), pb AS (
+         |  SELECT s, j,
+         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  FROM probes CROSS JOIN d
+         |), est AS (
+         |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS e
+         |  FROM pb LEFT JOIN cnts c ON c.j = pb.j AND c.bk = pb.bk
+         |  GROUP BY 1
+         |), r AS (
+         |  SELECT s, CAST(floor(1000000.0 / CAST(e AS DOUBLE)) AS BIGINT) AS rr
+         |  FROM est
+         |)
+         |SELECT t.doc_id, CAST(SUM(r.rr) AS BIGINT) AS surprisal,
+         |  COUNT(*) AS n_tokens
+         |FROM toks t JOIN r ON t.s = r.s
+         |GROUP BY 1""".stripMargin
     },
 
     "q74_domain_temperature" ->

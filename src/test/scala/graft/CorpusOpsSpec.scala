@@ -177,6 +177,32 @@ class CorpusOpsSpec extends SparkSpec {
       (if (expected("alpha alpha beta") >= 0) 1 else 0))
   }
 
+  test("applyMixture: per-domain dynamic caps, under-target domains whole") {
+    val d = ((0L until 5L).map(i => (i, "big")) ++
+      (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val targets = Seq(("big", 2), ("small", 10)).toDF("source", "n_target")
+    val r = CorpusOps.applyMixture(d, "doc_id", "source", targets)
+      .groupBy("source").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r == Map("big" -> 2L, "small" -> 3L))
+    // deterministic selection
+    val ids1 = CorpusOps.applyMixture(d, "doc_id", "source", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = CorpusOps.applyMixture(d, "doc_id", "source", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2 && ids1.size == 5)
+  }
+
+  test("surprisalScore: rare vocabulary scores higher (collision-free width)") {
+    val d = Seq((1L, "x x x x"), (2L, "y z")).toDF("doc_id", "text")
+    val r = CorpusOps.surprisalScore(d, "doc_id", "text",
+        width = 64, depth = 4)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // freq: x=4 -> rarity 250000; y=z=1 -> rarity 1000000 each
+    assert(r.toSeq == Seq((1L, 1000000L, 4L), (2L, 2000000L, 2L)))
+  }
+
   test("domainRebalance: caps each domain, keeps small domains whole") {
     val d = ((0L until 40L).map(i => (i, "big")) ++
       (100L until 103L).map(i => (i, "small"))).toDF("doc_id", "source")
