@@ -182,6 +182,21 @@ object CorpusQueries {
     "q88_surprisal_score" -> { (s, dir) =>
       CorpusOps.surprisalScore(docs(s, dir), "doc_id", "text",
         width = 16, depth = 4)
+    },
+
+    // Window-family widening (§2.5): percent_rank + framed trailing sum
+    // per source over a TOTAL (n_tokens, doc_id) order — percentile
+    // normalization of a quality signal and the rolling-stat frame shape
+    "q89_quality_windows" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_tokens").asc, col("doc_id").asc)
+      d.select(col("doc_id"), col("source"), col("n_tokens"),
+        round(percent_rank().over(w), 6).as("pr"),
+        sum(col("n_tokens"))
+          .over(w.rowsBetween(-3, Window.currentRow)).as("trail_sum"))
     }
   )
 
@@ -466,6 +481,19 @@ object CorpusQueries {
          |FROM toks t JOIN r ON t.s = r.s
          |GROUP BY 1""".stripMargin
     },
+
+    "q89_quality_windows" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($sqlToks) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |  round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY n_tokens ASC, doc_id ASC), 6) AS pr,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY n_tokens ASC, doc_id ASC
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail_sum
+         |FROM t""".stripMargin,
 
     "q74_domain_temperature" ->
       """WITH c AS (

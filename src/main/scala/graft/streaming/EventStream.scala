@@ -129,6 +129,47 @@ object EventStream {
         r.columns.filterNot(c => keyCols.contains(c) || c == "right_ts").map(r(_)): _*)
   }
 
+  /** Exactly-once file sink for an update-mode streaming aggregation:
+    * `foreachBatch` writes every micro-batch to its own
+    * `batch_id=N` partition directory with OVERWRITE — a replayed batch
+    * (restart between sink write and checkpoint commit, the failure window
+    * every foreachBatch sink has) rewrites the same directory with the
+    * same deterministic content instead of appending duplicates. Readers
+    * reconcile with [[readUpserted]] (latest batch per key wins — the
+    * upsert view). This is the file-system analog of the reference's
+    * transactional UPDATE loop, and the pattern that makes a streaming
+    * pipeline land in the same parquet catalog the batch operators read. */
+  def writeUpsertBatches(
+      stream: DataFrame,
+      outDir: String,
+      checkpointDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$id")
+        ()
+      }
+      .start()
+
+  /** Reconciled view over a [[writeUpsertBatches]] directory: one row per
+    * key, from the highest batch that wrote it. Partition pruning applies
+    * on batch_id; the per-key window is partitioned (keys ≫ cores). */
+  def readUpserted(
+      spark: SparkSession,
+      outDir: String,
+      keyCols: Seq[String]
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = spark.read.parquet(outDir)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("batch_id").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   case class UploadEvent(upload_id: Long, seq: Long, status: String)
   case class UploadState(upload_id: Long, status: String, n_transitions: Int)
 
