@@ -19,6 +19,41 @@ import graft.sources.{BidsTabular, BrainVisionReader, DicomSource, EdfReader, Sy
 object IngestQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §3.1 composed loader: the run_dicom_archive_loader lifecycle as ONE
+    // plan — tar archive -> DICOM tag walk -> single-study assert ->
+    // acquisition collapse (series, echo) -> protocol identification.
+    // DICOM TE is ms; the matcher's x1000 scale expects seconds, so the
+    // protocol ranges here are in scaled units (25.5 -> 25500).
+    "q90_archive_loader" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.{DicomSummary, ProtocolMatcher}
+      val dir = SyntheticFixtures.materialize(
+        "q90", "upload.tar", SyntheticFixtures.studyArchiveBytes())
+      val members = TarGzSource.members(s, dir, glob = "*.tar").toDF()
+        .filter(!col("is_dir"))
+        .select(col("member_path").as("path"), col("content"))
+      val headers = DicomSource.extractHeaders(members).filter(col("is_dicom"))
+      DicomSummary.requireSingleStudy(headers)
+      val acq = headers
+        .groupBy(col("series_number"), col("echo_time"))
+        .agg(count(lit(1)).as("n_files"),
+          min(col("series_description")).as("SeriesDescription"),
+          min(col("repetition_time")).as("RepetitionTime"))
+      val scans = ProtocolMatcher.padScanCols(acq.select(
+        (col("series_number") * 100 + floor(col("echo_time")))
+          .cast("long").as("scan_id"),
+        col("series_number"), col("echo_time").as("EchoTime"),
+        col("n_files"), col("SeriesDescription"), col("RepetitionTime")))
+      val protocols = ProtocolMatcher.padProtocolCols(Seq(
+        (1, 1, 301, Some(25000.0), Some(26000.0)),
+        (2, 1, 302, Some(49000.0), Some(51000.0))
+      ).toDF("MriProtocolID", "MriProtocolGroupID", "MriScanTypeID",
+        "TE_min", "TE_max"))
+      ProtocolMatcher.identify(scans, protocols)
+        .select(col("series_number"), col("EchoTime").as("echo_time"),
+          col("n_files"), col("MriScanTypeID"), col("protocol_status"))
+    },
+
     // S12 + S1/S2 end to end: upload .tar -> nested .tar.gz -> DICOM tag
     // parse (imaging.py:1150-1174 into DCMSUM.pm:751-817)
     "q61_archive_ingest" -> { (s, _) =>
@@ -217,6 +252,15 @@ object IngestQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // pinned-fixture twin of the composed loader: the study archive holds
+    // one study, series 2, echoes 25.5 (2 files) and 50.0 (1 file); the
+    // TE-range protocols route them to scan types 301/302
+    "q90_archive_loader" ->
+      """SELECT * FROM (VALUES
+        |  (2, 25.5, CAST(2 AS BIGINT), 301, 'identified'),
+        |  (2, 50.0, CAST(1 AS BIGINT), 302, 'identified')
+        |) AS t(series_number, echo_time, n_files, MriScanTypeID,
+        |       protocol_status)""".stripMargin,
     "q61_archive_ingest" ->
       """SELECT * FROM (VALUES
         |  ('upload/notes.txt',   CAST(NULL AS VARCHAR),  false, CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)),
