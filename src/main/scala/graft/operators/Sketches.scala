@@ -123,10 +123,11 @@ object Sketches {
       seed: Long = 7L
   ): DataFrame = {
     val params = minhashParams(depth, seed)
-    val est = least((0 until depth).map { j =>
+    val rows = (0 until depth).map { j =>
       element_at(element_at(col("cms"), j + 1),
         (cmsBucket(col(itemCol), params, j, width) + 1).cast("int"))
-    }: _*)
+    }
+    val est = if (depth == 1) rows.head else least(rows: _*)
     probes.crossJoin(broadcast(sketch))
       .withColumn("est_count", est)
       .drop("cms")

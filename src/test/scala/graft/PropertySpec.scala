@@ -97,4 +97,69 @@ class PropertySpec extends SparkSpec {
       ns.foreach(n => assert(got(n) == mathL(n, cs), s"n=$n cs=$cs"))
     }
   }
+
+  test("property: Count-Min estimate >= exact count on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("a", "bb", "ccc", "dd dd", "é", "0", "tok7", "x")
+    val items = Seq.fill(300)(("g" + rnd.nextInt(3),
+      vocab(rnd.nextInt(vocab.size)))).toDF("g", "item")
+    val exact = items.groupBy("g", "item").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (width <- Seq(2, 5, 16); depth <- Seq(1, 3)) {
+      val sk = graft.operators.Sketches.countMin(
+        items, Seq("g"), "item", width, depth)
+      val est = graft.operators.Sketches.cmsEstimate(
+          sk, items.select(col("item")).distinct(), "item", width, depth)
+        .collect()
+      est.foreach { r =>
+        val key = (r.getString(1), r.getString(0))
+        assert(r.getLong(r.fieldIndex("est_count")) >=
+          exact.getOrElse(key, 0L), s"$key w=$width d=$depth")
+      }
+    }
+  }
+
+  test("property: packSequences start offsets are exact prefix sums per shard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = (0L until 120L).map(i =>
+      (i, Seq.fill(rnd.nextInt(9) + 1)("w").mkString(" "))).toDF("doc_id", "text")
+    for (seqLen <- Seq(1, 7, 32)) {
+      val r = graft.operators.CorpusOps
+        .packSequences(docs, "doc_id", "text", nShards = 4, seqLen = seqLen)
+        .collect()
+        .map(x => (x.getLong(1), x.getLong(3) * seqLen + x.getLong(4),
+          x.getLong(2)))
+      r.groupBy(_._1).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val expectedStarts = sorted.map(_._3).scanLeft(0L)(_ + _).init
+        assert(sorted.map(_._2).toSeq == expectedStarts.toSeq)
+      }
+    }
+  }
+
+  test("property: duplicatedNgramStats fractions bounded, counts consistent") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val words = Seq("p", "q", "r", "s")
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(rnd.nextInt(8))(words(rnd.nextInt(words.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val r = graft.operators.CorpusOps
+      .duplicatedNgramStats(docs, "doc_id", "text", n = 2)
+      .collect()
+    assert(r.length == 60)
+    r.foreach { x =>
+      val (n, nd) = (x.getLong(1), x.getLong(2))
+      assert(nd >= 0 && nd <= n)
+      if (n == 0) assert(x.isNullAt(3))
+      else {
+        val f = x.getDouble(3)
+        assert(f >= 0.0 && f <= 1.0)
+        assert(f == BigDecimal(nd.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+  }
 }
