@@ -272,4 +272,41 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_1"), col("id_2"), col("cosine"))
   }
+
+  /** Single-deletion neighborhood of a string (FastSS, k=1): the string
+    * itself plus every single-character deletion. Two strings at
+    * Levenshtein distance ≤ 1 ALWAYS share a member (delete the differing
+    * position from both, or the inserted character) — exact recall, no
+    * probability. */
+  def deletionVariants(s: Column): Column =
+    when(length(s) === 0, array(s)).otherwise(array_distinct(concat(
+      array(s),
+      transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))))
+
+  /** Edit-distance-≤1 pairs over DISTINCT strings via deletion-neighborhood
+    * blocking (the FastSS shape) — fuzzy matching for near-identical
+    * identifiers (patient names/IDs with one-character typos — the
+    * reference resolves these manually in its candidate-conflict UI; here
+    * it is a query). Returns (s_1, s_2, dist), s_1 < s_2.
+    *
+    * Shape at 100 TB: explode ≤ len+1 variants per string (narrow rows),
+    * ONE shuffle keyed by variant, within-bucket pairs verified with the
+    * exact `levenshtein` — sound (every pair verified) AND complete for
+    * dist ≤ 1 (pigeonhole above). Bucket sizes are bounded by how many
+    * strings share a deletion — for identifier-shaped data that is the
+    * alphabet at the deleted position; a degenerate hot variant (all-equal
+    * strings) cannot occur because the input is distinct. */
+  def editNeighborPairs(df: DataFrame, strCol: String): DataFrame = {
+    val v = df.select(col(strCol).as("s")).distinct()
+      .select(col("s"), explode(deletionVariants(col("s"))).as("variant"))
+    val a = v.select(col("variant"), col("s").as("s_1"))
+    val b = v.select(col("variant"), col("s").as("s_2"))
+    a.join(b, Seq("variant"))
+      .filter(col("s_1") < col("s_2"))
+      .select(col("s_1"), col("s_2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_1"), col("s_2")))
+      .filter(col("dist") <= 1)
+  }
 }

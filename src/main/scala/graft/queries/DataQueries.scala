@@ -162,6 +162,13 @@ object DataQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
     },
 
+    // Edit-distance fuzzy matching (FastSS single-deletion blocking):
+    // customer names at Levenshtein distance <= 1 — exact recall by
+    // pigeonhole, every candidate verified
+    "q91_fuzzy_names" -> { (s, dir) =>
+      Dedup.editNeighborPairs(t(s, dir, "customer"), "c_name")
+    },
+
     // Cluster-bounded semantic dedup (SemDeDup): map-only centroid
     // assignment bounds the pairwise stage to within-cluster; a doc is
     // dropped when a lower-id cluster-mate has cosine >= 0.3
@@ -471,6 +478,21 @@ object DataQueries {
 
     "q51_srp_neardup" -> sqlSrpNearDup(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L, threshold = 0.5, maxBucketSize = 10000),
+
+    "q91_fuzzy_names" ->
+      """WITH c AS (
+        |  SELECT DISTINCT c_name AS s FROM customer
+        |), v AS (
+        |  SELECT s, unnest(list_distinct(list_append(
+        |    list_transform(generate_series(1, len(s)),
+        |      i -> substr(s, 1, i-1) || substr(s, i+1)), s))) AS variant
+        |  FROM c
+        |), p AS (
+        |  SELECT DISTINCT a.s AS s_1, b.s AS s_2
+        |  FROM v a JOIN v b ON a.variant = b.variant AND a.s < b.s
+        |)
+        |SELECT s_1, s_2, CAST(levenshtein(s_1, s_2) AS INTEGER) AS dist
+        |FROM p WHERE levenshtein(s_1, s_2) <= 1""".stripMargin,
 
     // exact twin of Similarity.semanticDedup(seedCentroids(8), 0.3):
     // centroid CTE + squared-L2 argmin (q31's assignment shape), per-vector

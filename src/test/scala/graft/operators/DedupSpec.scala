@@ -70,4 +70,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh == brute, s"banded ${lsh.size} vs brute ${brute.size}")
     assert(lsh.nonEmpty) // fixture has exact dups (hamming 0)
   }
+
+  test("editNeighborPairs == brute-force levenshtein <= 1 (FastSS complete)") {
+    import spark.implicits._
+    val names = Seq("abc", "abd", "ab", "abcd", "xyz", "xxyz", "q", "", "qq")
+    val got = Dedup.editNeighborPairs(names.toDF("s"), "s")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- names; b <- names if a < b
+      d = lev(a, b) if d <= 1
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(got((("abc", "abd", 1))))   // substitution
+    assert(got((("ab", "abc", 1))))    // insertion
+    assert(got((("", "q", 1))))        // empty-string edge
+  }
 }
