@@ -184,6 +184,22 @@ object CorpusQueries {
         width = 16, depth = 4)
     },
 
+    // Cross-source overlap matrix: distinct shared 5-grams per source
+    // pair — the "how much does dataset A leak into dataset B" analytics.
+    // Bounded fan-out: a gram row joins at most (sources sharing it choose
+    // 2) pairs, and both shuffles carry 60-bit hashes
+    "q92_source_overlap" -> { (s, dir) =>
+      val g = docs(s, dir).select(col("source"),
+        explode(graft.functions.TextFunctions.shingleHashes60(col("text"), 5))
+          .as("gram")).distinct()
+      val a = g.select(col("gram"), col("source").as("source_1"))
+      val b = g.select(col("gram"), col("source").as("source_2"))
+      a.join(b, Seq("gram"))
+        .filter(col("source_1") < col("source_2"))
+        .groupBy(col("source_1"), col("source_2"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+    },
+
     // Window-family widening (§2.5): percent_rank + framed trailing sum
     // per source over a TOTAL (n_tokens, doc_id) order — percentile
     // normalization of a quality signal and the rolling-stat frame shape
@@ -481,6 +497,20 @@ object CorpusQueries {
          |FROM toks t JOIN r ON t.s = r.s
          |GROUP BY 1""".stripMargin
     },
+
+    "q92_source_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT source,
+         |    unnest(list_distinct(list_transform(${sqlShingles(5)},
+         |      s -> $sqlHash60))) AS gram
+         |  FROM documents
+         |), g AS (
+         |  SELECT DISTINCT source, gram FROM sh
+         |)
+         |SELECT a.source AS source_1, b.source AS source_2,
+         |  COUNT(*) AS n_shared_grams
+         |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     "q89_quality_windows" ->
       s"""WITH t AS (
