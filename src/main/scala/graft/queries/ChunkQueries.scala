@@ -50,6 +50,16 @@ object ChunkQueries {
         gapMicros = 30L * 60 * 1000000)
     },
 
+    // Irregular -> regular resample with forward fill: 6-hour grid per
+    // user, last observation carried forward (integer-µs ticks, integer-
+    // scaled values; duplicate-timestamp tie = max value, see operator)
+    "q93_resample_fill" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("us"), round(col("value") * 100).as("v"))
+      EventStream.resampleFill(ev, "user_id", "us", "v",
+        stepMicros = 21600L * 1000000)
+    },
+
     // T5: tumbling-window event aggregation (batch form of the streaming
     // facade; epoch-second output for engine-neutral timestamps)
     "q36_stream_windows" -> { (s, dir) =>
@@ -135,6 +145,28 @@ object ChunkQueries {
         |  MIN(us) AS session_start, MAX(us) AS session_end,
         |  COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q93_resample_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS us, round(value * 100) AS v
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, MIN(us) AS t0, MAX(us) AS t1 FROM e GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(t0, t1, 21600000000)) AS us
+        |  FROM b
+        |), allr AS (
+        |  SELECT user_id, us, v, 0 AS g FROM e
+        |  UNION ALL
+        |  SELECT user_id, us, NULL, 1 FROM grid
+        |), f AS (
+        |  SELECT user_id, us, g,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, g ASC, v ASC NULLS LAST
+        |      ROWS UNBOUNDED PRECEDING) AS fv
+        |  FROM allr
+        |)
+        |SELECT user_id, us AS grid_us, fv AS v FROM f WHERE g = 1""".stripMargin,
 
     "q36_stream_windows" ->
       """SELECT

@@ -89,6 +89,45 @@ object EventStream {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Resample each user's event series onto a regular `stepMicros` grid
+    * with forward fill (last observation carried forward) — the
+    * irregular-to-regular step every downstream window/downsample operator
+    * assumes (the reference's ephys chunking gets regular input from the
+    * recorder; telemetry does not). Grid ticks span [min(ts), max(ts)] per
+    * user, so every tick has a preceding observation — no NULL fills.
+    *
+    * Shape: per-user bounds agg (tiny) → grid explode → single-pass
+    * running `last(ignoreNulls)` over ONE per-user ordered window shared
+    * by events and ticks — no as-of join, no per-tick probe. The order is
+    * total (us, is-grid, value), so duplicate-timestamp events resolve
+    * deterministically (max value wins — documented tie rule, mirrored in
+    * the oracle). Scales per user like sessionize: users ≫ cores. */
+  def resampleFill(
+      events: DataFrame,
+      userCol: String,
+      usCol: String,
+      valueCol: String,
+      stepMicros: Long
+  ): DataFrame = {
+    require(stepMicros > 0)
+    import org.apache.spark.sql.expressions.Window
+    val u = col(userCol); val ts = col(usCol); val v = col(valueCol)
+    val vType = events.schema(valueCol).dataType
+    val bounds = events.groupBy(u).agg(min(ts).as("__t0"), max(ts).as("__t1"))
+    val grid = bounds.select(u,
+        explode(sequence(col("__t0"), col("__t1"), lit(stepMicros))).as(usCol))
+      .withColumn(valueCol, lit(null).cast(vType))
+      .withColumn("__grid", lit(1))
+    val all = events.select(u, ts, v).withColumn("__grid", lit(0))
+      .unionByName(grid)
+    val w = Window.partitionBy(u)
+      .orderBy(ts.asc, col("__grid").asc, v.asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    all.withColumn("__fv", last(v, ignoreNulls = true).over(w))
+      .filter(col("__grid") === 1)
+      .select(u, ts.as("grid_us"), col("__fv").as(valueCol))
+  }
+
   /** Stream-stream interval join: enrich each left event with the right
     * events for the same key whose event time lies in
     * `[left_ts, left_ts + maxDelay]` — the "match the QC flag to the scan

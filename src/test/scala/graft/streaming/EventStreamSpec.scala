@@ -154,6 +154,25 @@ class EventStreamSpec extends SparkSpec {
     assert(reconciled == Set(("click", 2L)))
   }
 
+  test("resampleFill: regular grid, forward fill, duplicate-ts tie = max") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 0L, 10.0),
+      (1L, 5L, 20.0),
+      (1L, 5L, 15.0),   // duplicate timestamp — max (20.0) must win
+      (1L, 23L, 30.0),
+      (2L, 100L, 1.0)
+    ).toDF("user_id", "us", "v")
+    val r = EventStream.resampleFill(ev, "user_id", "us", "v", stepMicros = 10L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(r == Set(
+      (1L, 0L, 10.0),    // tick at t0: the t0 observation itself
+      (1L, 10L, 20.0),   // carried forward past the duplicate-ts pair
+      (1L, 20L, 20.0),
+      (2L, 100L, 1.0)    // single-event user: one tick
+    ))
+  }
+
   test("trackUploadStates: state machine over micro-batched upload events") {
     val sqlc = spark.sqlContext
     import spark.implicits._
