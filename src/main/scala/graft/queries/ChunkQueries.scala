@@ -60,6 +60,36 @@ object ChunkQueries {
         stepMicros = 21600L * 1000000)
     },
 
+    // First-seen analytics: new users per UTC day + running cumulative —
+    // the "daily actives vs total reach" pair. The cumulative window runs
+    // over one row PER DAY (a ~30-row frame — the documented
+    // small-dictionary exception to the no-unpartitioned-window rule;
+    // day count grows with time, not data volume)
+    "q94_user_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val firstDay = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      firstDay.groupBy(col("first_day"))
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_users", sum(col("n_new")).over(
+          Window.orderBy(col("first_day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    },
+
+    // Cohort retention matrix: users bucketed by first-activity week ×
+    // weeks they were active — two count shuffles, output |weeks|² max
+    "q95_cohort_retention" -> { (s, dir) =>
+      val weeks = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 604800000000000").as("week"))
+        .distinct()
+      val cohort = weeks.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(count(lit(1)).as("n_active"))
+    },
+
     // T5: tumbling-window event aggregation (batch form of the streaming
     // facade; epoch-second output for engine-neutral timestamps)
     "q36_stream_windows" -> { (s, dir) =>
@@ -167,6 +197,29 @@ object ChunkQueries {
         |  FROM allr
         |)
         |SELECT user_id, us AS grid_us, fv AS v FROM f WHERE g = 1""".stripMargin,
+
+    "q94_user_growth" ->
+      """WITH f AS (
+        |  SELECT user_id, MIN(epoch_ns(ts) // 86400000000000) AS first_day
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT first_day, COUNT(*) AS n_new FROM f GROUP BY 1
+        |)
+        |SELECT first_day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY first_day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM d""".stripMargin,
+
+    "q95_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1
+        |)
+        |SELECT c.cohort_week, w.week, COUNT(*) AS n_active
+        |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q36_stream_windows" ->
       """SELECT
