@@ -90,6 +90,43 @@ object ChunkQueries {
         .agg(count(lit(1)).as("n_active"))
     },
 
+    // First-touch funnel: users whose first signup/view/click/purchase
+    // times are in funnel order — one conditional-min agg per user, one
+    // global count row (broadcast-friendly: no per-step joins)
+    "q96_funnel" -> { (s, dir) =>
+      val firsts = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("us"))).as("t1"),
+          min(when(col("event_type") === "view", col("us"))).as("t2"),
+          min(when(col("event_type") === "click", col("us"))).as("t3"),
+          min(when(col("event_type") === "purchase", col("us"))).as("t4"))
+      firsts.agg(
+        count(col("t1")).as("n_signup"),
+        count(when(col("t2") >= col("t1"), lit(1))).as("n_view"),
+        count(when(col("t2") >= col("t1") && col("t3") >= col("t2"), lit(1)))
+          .as("n_click"),
+        count(when(col("t2") >= col("t1") && col("t3") >= col("t2") &&
+          col("t4") >= col("t3"), lit(1))).as("n_purchase"))
+    },
+
+    // Event-type transition matrix: consecutive-event pairs per user under
+    // the total (us, event_id) order — the Markov-chain count table
+    "q97_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("us"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // T5: tumbling-window event aggregation (batch form of the streaming
     // facade; epoch-second output for engine-neutral timestamps)
     "q36_stream_windows" -> { (s, dir) =>
@@ -219,6 +256,36 @@ object ChunkQueries {
         |)
         |SELECT c.cohort_week, w.week, COUNT(*) AS n_active
         |FROM w JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q96_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000 END) AS t1,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t2,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t3,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t4
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT COUNT(t1) AS n_signup,
+        |  COUNT(CASE WHEN t2 >= t1 THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN t2 >= t1 AND t3 >= t2 THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN t2 >= t1 AND t3 >= t2 AND t4 >= t3 THEN 1 END)
+        |    AS n_purchase
+        |FROM f""".stripMargin,
+
+    "q97_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events
+        |), p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS to_type
+        |  FROM e
+        |)
+        |SELECT from_type, to_type, COUNT(*) AS n
+        |FROM p WHERE to_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
 
     "q36_stream_windows" ->
