@@ -61,20 +61,23 @@ object ChunkQueries {
     },
 
     // First-seen analytics: new users per UTC day + running cumulative —
-    // the "daily actives vs total reach" pair. The cumulative window runs
-    // over one row PER DAY (a ~30-row frame — the documented
-    // small-dictionary exception to the no-unpartitioned-window rule;
-    // day count grows with time, not data volume)
+    // the "daily actives vs total reach" pair. The prefix sum runs as a
+    // triangular BROADCAST join over the per-day frame (day count grows
+    // with calendar time, not data volume — thousands of rows at most),
+    // which keeps the plan partition-parallel instead of collapsing an
+    // unpartitioned window to one task
     "q94_user_growth" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val firstDay = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
         .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
-      firstDay.groupBy(col("first_day"))
+      val daily = firstDay.groupBy(col("first_day"))
         .agg(count(lit(1)).as("n_new"))
-        .withColumn("cum_users", sum(col("n_new")).over(
-          Window.orderBy(col("first_day"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      daily
+        .join(broadcast(daily.select(col("first_day").as("__d"),
+          col("n_new").as("__n"))), col("__d") <= col("first_day"))
+        .groupBy(col("first_day"), col("n_new"))
+        .agg(sum(col("__n")).as("cum_users"))
+        .select(col("first_day"), col("n_new"), col("cum_users"))
     },
 
     // Cohort retention matrix: users bucketed by first-activity week ×
