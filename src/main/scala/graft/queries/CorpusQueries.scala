@@ -200,6 +200,26 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_shared_grams"))
     },
 
+    // Robust outlier detection: per-source median/MAD over token counts,
+    // flag docs deviating > 3 MAD — the quantile-based quality gate that
+    // survives heavy tails (mean/stddev would not). Two tiny grouped
+    // medians broadcast back; dyadic 0.5 keeps the interpolation FP-exact
+    // in both engines (same argument as q72)
+    "q98_robust_outliers" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+      val med = d.groupBy(col("source"))
+        .agg(expr("percentile(n_tokens, 0.5D)").as("med"))
+      val dev = d.join(broadcast(med), Seq("source"))
+        .withColumn("adev", abs(col("n_tokens") - col("med")))
+      val mad = dev.groupBy(col("source"))
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), Seq("source"))
+        .filter(col("adev") > lit(3.0) * col("mad"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("med"), col("mad"))
+    },
+
     // Window-family widening (§2.5): percent_rank + framed trailing sum
     // per source over a TOTAL (n_tokens, doc_id) order — percentile
     // normalization of a quality signal and the rolling-stat frame shape
@@ -511,6 +531,24 @@ object CorpusQueries {
          |  COUNT(*) AS n_shared_grams
          |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    "q98_robust_outliers" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($sqlToks) AS INTEGER) AS n_tokens
+         |  FROM documents
+         |), m AS (
+         |  SELECT source, quantile_cont(n_tokens, 0.5) AS med
+         |  FROM t GROUP BY 1
+         |), d AS (
+         |  SELECT t.doc_id, t.source, t.n_tokens, m.med,
+         |    abs(n_tokens - med) AS adev
+         |  FROM t JOIN m USING (source)
+         |), md AS (
+         |  SELECT source, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1
+         |)
+         |SELECT doc_id, d.source, n_tokens, med, mad
+         |FROM d JOIN md USING (source)
+         |WHERE adev > 3 * mad""".stripMargin,
 
     "q89_quality_windows" ->
       s"""WITH t AS (
