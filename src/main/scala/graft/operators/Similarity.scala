@@ -275,6 +275,62 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("adc_micro"), col("rank"))
   }
 
+  /** IVF + PQ composed serving path — the production ANN shape at 100 TB:
+    * the corpus is bucketed ONCE by nearest centroid ([[assignClusters]],
+    * map-only) and compressed ONCE to m-byte PQ codes ([[pqAssign]]);
+    * a query probes its `nprobe` closest buckets and ranks ONLY those
+    * candidates by the integer ADC sum — per query the work is
+    * |probed buckets| code lookups, never a corpus scan. Candidates are
+    * pruned BEFORE the ADC join so full-corpus code rows outside the
+    * probed buckets never enter the scoring shuffle. Fully deterministic
+    * (seeded centroids + codebooks, integer micro-distances, id
+    * tie-breaks) — exact ANSI twin in q100. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, kNeighbors: Int,
+      centroids: DataFrame, nprobe: Int,
+      m: Int = 8, kCodes: Int = 16
+  ): DataFrame = {
+    val bucketed = assignClusters(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id").as("n_cluster"))
+    val cent = centroids.select(col("centroid_id"),
+      asDouble(col("vec")).as("cent_vec"))
+    val qdist = aggregate(
+      zip_with(col("q_vec"), col("cent_vec"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("qd").asc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .join(broadcast(cent))
+      .withColumn("qd", qdist)
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id").as("n_cluster"))
+    val candidates = bucketed.join(broadcast(probes), Seq("n_cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val codes = pqAssign(corpus, idCol, vecCol, m, kCodes)
+      .withColumnRenamed("id", "neighbor_id")
+    val cb = pqSubVectors(corpus, idCol, vecCol, m).filter(col("id") < kCodes)
+      .select(col("s"), col("id").as("code"), col("sv").as("cv"))
+    val qTable = pqSubVectors(queries, idCol, vecCol, m)
+      .select(col("id").as("query_id"), col("s"), col("sv"))
+      .join(cb, Seq("s"))
+      .withColumn("qd_micro", sqDistMicro(col("sv"), col("cv")))
+      .select(col("query_id"), col("s"), col("code"), col("qd_micro"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    candidates
+      .join(codes, Seq("neighbor_id"))
+      .join(broadcast(qTable), Seq("query_id", "s", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("qd_micro")).as("adc_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("query_id"), col("neighbor_id"), col("adc_micro"), col("rank"))
+  }
+
   /** (id, s, sv): subspace slices of the double-cast vector. */
   private def pqSubVectors(df: DataFrame, idCol: String, vecCol: String,
       m: Int): DataFrame = {

@@ -200,6 +200,34 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_shared_grams"))
     },
 
+    // The full corpus-assembly pipeline as ONE declarative plan:
+    // normalize -> exact-dedup (min id per normal form) -> length gate ->
+    // benchmark decontamination (3-gram anti-join; benchmark = every 50th
+    // doc) -> pack survivors into 64-token training sequences (4 shards).
+    // Every stage is an operator proven alone (q45/q59/q68/q81); the point
+    // here is the composition Catalyst gets to optimize END TO END.
+    "q99_corpus_assembly" -> { (s, dir) =>
+      import graft.functions.TextFunctions.{shingleHashes60, tokens}
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      val normed = docs(s, dir).select(col("doc_id"), norm.as("norm"))
+      val gated = normed
+        .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+        .withColumn("n_tokens", size(tokens(col("norm"))))
+        .filter(col("n_tokens") >= 5)
+      val benchGrams = normed.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(explode(shingleHashes60(col("norm"), 3)).as("gram"))
+        .distinct()
+      val contaminated = gated
+        .select(col("doc_id"), explode(shingleHashes60(col("norm"), 3)).as("gram"))
+        .join(benchGrams, Seq("gram"))
+        .select(col("doc_id")).distinct()
+      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
+      CorpusOps.packSequences(
+        clean.select(col("doc_id"), col("norm").as("text")),
+        "doc_id", "text", nShards = 4, seqLen = 64)
+    },
+
     // Robust outlier detection: per-source median/MAD over token counts,
     // flag docs deviating > 3 MAD — the quantile-based quality gate that
     // survives heavy tails (mean/stddev would not). Two tiny grouped
@@ -531,6 +559,49 @@ object CorpusQueries {
          |  COUNT(*) AS n_shared_grams
          |FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
+
+    "q99_corpus_assembly" -> {
+      val toksN = "regexp_split_to_array(trim(norm), '\\s+')"
+      val grams3N =
+        s"""list_distinct(list_transform(
+           |    list_transform(generate_series(1, greatest(len($toksN) - 2, 0)),
+           |      i -> array_to_string(($toksN)[i:i+2], ' ')),
+           |    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)))"""
+          .stripMargin
+      s"""WITH n AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents
+         |), c AS (
+         |  SELECT norm, MIN(doc_id) AS doc_id FROM n GROUP BY 1
+         |), g AS (
+         |  SELECT doc_id, norm, CAST(len($toksN) AS BIGINT) AS n_tokens
+         |  FROM c WHERE len($toksN) >= 5
+         |), bg AS (
+         |  SELECT DISTINCT unnest($grams3N) AS gram
+         |  FROM n WHERE doc_id % 50 = 0
+         |), tg AS (
+         |  SELECT doc_id, unnest($grams3N) AS gram FROM g
+         |), cont AS (
+         |  SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)
+         |), clean AS (
+         |  SELECT * FROM g WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |), r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 4 AS shard,
+         |    md5(CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM clean
+         |), p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+         |  FROM r
+         |)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+         |  st // 64 AS seq_id, st % 64 AS seq_offset
+         |FROM p""".stripMargin
+    },
 
     "q98_robust_outliers" ->
       s"""WITH t AS (

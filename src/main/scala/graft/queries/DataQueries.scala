@@ -209,6 +209,16 @@ object DataQueries {
         "vec_id", "embedding", kNeighbors = 10)
     },
 
+    // IVF + PQ composed: centroid-bucketed candidate pruning (q31's
+    // shape) feeding integer-ADC ranking (q60's shape) — the production
+    // serving path, fully deterministic
+    "q100_ivfpq" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", kNeighbors = 10, centroids, nprobe = 2)
+    },
+
     // Vocabulary top-k: global word frequencies (explode -> count -> top-20).
     // orderBy().limit() plans TakeOrderedAndProject (per-partition heaps +
     // driver merge of 20-row heads) — NOT an unpartitioned Window, which
@@ -557,6 +567,68 @@ object DataQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
          |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    // exact twin of Similarity.ivfPqTopK(seedCentroids(8), nprobe=2,
+    // m=8, kCodes=16): q31's cluster assignment + probe CTEs restrict the
+    // candidate set; q60's PQ code/ADC CTEs rank it
+    "q100_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv FROM v ORDER BY vec_id LIMIT 8
+        |), casg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(a.v, c.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM v a CROSS JOIN cent c) t
+        |  WHERE rn = 1
+        |), probes AS (
+        |  SELECT query_id, centroid_id AS n_cluster FROM (
+        |    SELECT q.vec_id AS query_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.v, c.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 5) t
+        |  WHERE rn <= 2
+        |), cand AS (
+        |  SELECT p.query_id, b.vec_id AS neighbor_id
+        |  FROM casg b JOIN probes p ON b.centroid_id = p.n_cluster
+        |  WHERE b.vec_id <> p.query_id
+        |), sub AS (
+        |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g
+        |), cb AS (
+        |  SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16
+        |), dist AS (
+        |  SELECT sub.vec_id, sub.s, cb.code,
+        |    CAST(floor(list_sum(list_transform(list_zip(sub.sv, cb.cv),
+        |      x -> (x[1]-x[2])*(x[1]-x[2]))) * 1e6 + 0.5) AS BIGINT) AS d_micro
+        |  FROM sub JOIN cb ON sub.s = cb.s
+        |), pasg AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, s ORDER BY d_micro ASC, code ASC) AS rn
+        |    FROM dist) t
+        |  WHERE rn = 1
+        |), adc AS (
+        |  SELECT qd.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    SUM(qd.d_micro) AS adc_micro
+        |  FROM pasg a
+        |  JOIN dist qd ON qd.s = a.s AND qd.code = a.code
+        |  JOIN cand ON cand.query_id = qd.vec_id
+        |    AND cand.neighbor_id = a.vec_id
+        |  WHERE qd.vec_id < 5
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adc_micro ASC, neighbor_id ASC) AS INTEGER) AS rank
+        |FROM adc QUALIFY rank <= 10""".stripMargin,
 
     // exact twin of Similarity.pqTopK(m=8, k=16, queries = vec_id < 5):
     // subspace slices -> seeded codebooks (first 16 ids) -> per-subspace

@@ -88,6 +88,35 @@ class SimilaritySpec extends SparkSpec {
       s"recall ${lshPairs.size}/${brute.size}")
   }
 
+  test("ivfPqTopK: probed-bucket subset of pqTopK with identical ADC sums") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val full = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        kNeighbors = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ivf = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        kNeighbors = 10, cents, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3)))
+    assert(ivf.nonEmpty)
+    // ADC of every returned pair equals the unpruned PQ distance
+    ivf.foreach { case (q, n, adc, _) =>
+      assert(full((q, n)) == adc, s"($q,$n)")
+    }
+    // every neighbor lies in one of the query's nprobe probed clusters
+    val assigned = Similarity.assignClusters(emb, "vec_id", "embedding", cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ranks = ivf.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq)
+    ranks.foreach { case (_, rs) => assert(rs == (1 to rs.size)) }
+    ivf.foreach { case (q, n, _, _) =>
+      // probed = 2 closest centroids of q; neighbor's cluster must be one
+      val qProbed = ivf.filter(_._1 == q).map(x => assigned(x._2)).toSet
+      assert(qProbed.size <= 2, s"query $q spans ${qProbed.size} clusters")
+      assert(qProbed.contains(assigned(n)))
+    }
+  }
+
   test("semanticDedup: drops higher-id near-dups within cluster only") {
     import spark.implicits._
     val cents = Seq((0L, Seq(0.0f, 1.0f)), (1L, Seq(1.0f, 0.0f)))
