@@ -25,11 +25,19 @@ object CorpusOps {
     * re-expressed as two-level aggregations:
     *
     *   - `n_tokens`      total whitespace tokens
-    *   - `distinct_frac` distinct tokens / total tokens (type-token ratio)
-    *   - `top_word_frac` occurrences of the most frequent token / total
-    *   - `top_bigram_frac` occurrences of the most frequent word 2-gram /
-    *     total 2-grams (NULL when the document has < 2 tokens)
+    *   - `distinct_ppm`  floor(1e6 · distinct tokens / total tokens) — the
+    *     type-token ratio as an integer parts-per-million fraction
+    *   - `top_word_ppm`  floor(1e6 · top-token occurrences / total)
+    *   - `top_bigram_ppm` floor(1e6 · top-2-gram occurrences / total
+    *     2-grams) (NULL when the document has < 2 tokens)
     *   - `keep`          the composite gate (thresholds are parameters)
+    *
+    * Fractions are integer-scaled BIGINTs, never FP-rounded doubles: both
+    * multiplication by 1e6 and IEEE division are exact/correctly-rounded in
+    * every engine, and floor of a rational with denominator ≤ n_tokens can
+    * never sit within an ulp of the boundary — whereas `round(x, 6)`
+    * half-way behavior differs between Spark and DuckDB (the q20 lesson,
+    * re-learned on q66 in round 2's driver gate).
     *
     * Shape: explode(tokens) → partial-agg count per (doc, token) → final
     * agg per doc — the wordcount shape, one shuffle keyed by (doc, token)
@@ -62,25 +70,28 @@ object CorpusOps {
       .agg(count(lit(1)).as("cnt"))
       .groupBy(id)
       .agg(sum(col("cnt")).as("n_bigrams"), max(col("cnt")).as("top_bigram"))
-    val distinctFrac =
-      round(col("n_distinct").cast("double") / col("n_tokens"), 6)
-    val topWordFrac =
-      round(col("top_word").cast("double") / col("n_tokens"), 6)
-    val topBigramFrac =
-      round(col("top_bigram").cast("double") / col("n_bigrams"), 6)
+    val distinctPpm =
+      floor(lit(1e6) * col("n_distinct") / col("n_tokens")).cast("long")
+    val topWordPpm =
+      floor(lit(1e6) * col("top_word") / col("n_tokens")).cast("long")
+    val topBigramPpm =
+      floor(lit(1e6) * col("top_bigram") / col("n_bigrams")).cast("long")
     wordCounts
       .join(bigramCounts, Seq(idCol), "left")
       .select(
         id,
         col("n_tokens"),
-        distinctFrac.as("distinct_frac"),
-        topWordFrac.as("top_word_frac"),
-        topBigramFrac.as("top_bigram_frac"),
-        (distinctFrac >= minDistinctFrac &&
-          topWordFrac <= maxTopWordFrac &&
-          coalesce(topBigramFrac <= maxTopBigramFrac, lit(false)))
+        distinctPpm.as("distinct_ppm"),
+        topWordPpm.as("top_word_ppm"),
+        topBigramPpm.as("top_bigram_ppm"),
+        (distinctPpm >= ppm(minDistinctFrac) &&
+          topWordPpm <= ppm(maxTopWordFrac) &&
+          coalesce(topBigramPpm <= ppm(maxTopBigramFrac), lit(false)))
           .as("keep"))
   }
+
+  /** A fraction threshold as its exact parts-per-million integer. */
+  private def ppm(frac: Double): Long = math.round(frac * 1e6)
 
   /** [[repetitionStats]] in ONE codegen'd map-only pass
     * ([[graft.functions.expressions.RepetitionStatsExpr]]): identical
@@ -100,24 +111,25 @@ object CorpusOps {
     val stats = GraftColumnBridge.column(
       graft.functions.expressions.RepetitionStatsExpr(
         GraftColumnBridge.expression(col(textCol))))
-    val distinctFrac =
-      round(col("__s.n_distinct").cast("double") / col("__s.n_tokens"), 6)
-    val topWordFrac =
-      round(col("__s.top_word").cast("double") / col("__s.n_tokens"), 6)
-    val topBigramFrac = when(col("__s.n_bigrams") === 0, lit(null))
+    val distinctPpm =
+      floor(lit(1e6) * col("__s.n_distinct") / col("__s.n_tokens")).cast("long")
+    val topWordPpm =
+      floor(lit(1e6) * col("__s.top_word") / col("__s.n_tokens")).cast("long")
+    val topBigramPpm = when(col("__s.n_bigrams") === 0, lit(null).cast("long"))
       .otherwise(
-        round(col("__s.top_bigram").cast("double") / col("__s.n_bigrams"), 6))
+        floor(lit(1e6) * col("__s.top_bigram") / col("__s.n_bigrams"))
+          .cast("long"))
     docs
       .withColumn("__s", stats)
       .select(
         col(idCol),
         col("__s.n_tokens").as("n_tokens"),
-        distinctFrac.as("distinct_frac"),
-        topWordFrac.as("top_word_frac"),
-        topBigramFrac.as("top_bigram_frac"),
-        (distinctFrac >= minDistinctFrac &&
-          topWordFrac <= maxTopWordFrac &&
-          coalesce(topBigramFrac <= maxTopBigramFrac, lit(false)))
+        distinctPpm.as("distinct_ppm"),
+        topWordPpm.as("top_word_ppm"),
+        topBigramPpm.as("top_bigram_ppm"),
+        (distinctPpm >= ppm(minDistinctFrac) &&
+          topWordPpm <= ppm(maxTopWordFrac) &&
+          coalesce(topBigramPpm <= ppm(maxTopBigramFrac), lit(false)))
           .as("keep"))
   }
 

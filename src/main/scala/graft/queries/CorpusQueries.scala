@@ -265,33 +265,42 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // Fractions are integer-scaled ppm BIGINTs — FP `round(x, 6)` half-way
+    // behavior differs between engines; CAST(SUM(...)) because DuckDB
+    // SUM(BIGINT) is HUGEINT whose client-side conversion is
+    // version-sensitive (the round-2 driver-gate failure mode)
     "q66_repetition_filter" ->
       s"""WITH w AS (
          |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
          |), wc AS (
          |  SELECT doc_id, tok, COUNT(*) AS cnt FROM w GROUP BY 1, 2
          |), wd AS (
-         |  SELECT doc_id, SUM(cnt) AS n_tokens, COUNT(*) AS n_distinct,
-         |         MAX(cnt) AS top_word
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         |         CAST(MAX(cnt) AS BIGINT) AS top_word
          |  FROM wc GROUP BY 1
          |), bgx AS (
          |  SELECT doc_id, unnest(${sqlShingles(2)}) AS bg FROM documents
          |), bc AS (
          |  SELECT doc_id, bg, COUNT(*) AS cnt FROM bgx GROUP BY 1, 2
          |), bd AS (
-         |  SELECT doc_id, SUM(cnt) AS n_bigrams, MAX(cnt) AS top_bigram
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+         |         CAST(MAX(cnt) AS BIGINT) AS top_bigram
          |  FROM bc GROUP BY 1
          |), f AS (
          |  SELECT wd.doc_id, wd.n_tokens,
-         |    round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_frac,
-         |    round(CAST(top_word AS DOUBLE) / n_tokens, 6) AS top_word_frac,
-         |    round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+         |    CAST(floor(1000000.0 * n_distinct / n_tokens) AS BIGINT)
+         |      AS distinct_ppm,
+         |    CAST(floor(1000000.0 * top_word / n_tokens) AS BIGINT)
+         |      AS top_word_ppm,
+         |    CAST(floor(1000000.0 * top_bigram / n_bigrams) AS BIGINT)
+         |      AS top_bigram_ppm
          |  FROM wd LEFT JOIN bd ON wd.doc_id = bd.doc_id
          |)
-         |SELECT doc_id, n_tokens, distinct_frac, top_word_frac,
-         |  top_bigram_frac,
-         |  CAST(distinct_frac >= 0.45 AND top_word_frac <= 0.12
-         |       AND coalesce(top_bigram_frac <= 0.10, FALSE) AS INTEGER)
+         |SELECT doc_id, n_tokens, distinct_ppm, top_word_ppm,
+         |  top_bigram_ppm,
+         |  CAST(distinct_ppm >= 450000 AND top_word_ppm <= 120000
+         |       AND coalesce(top_bigram_ppm <= 100000, FALSE) AS INTEGER)
          |    AS keep
          |FROM f""".stripMargin,
 
@@ -383,6 +392,11 @@ object CorpusQueries {
          |  quantile_cont(nt, 0.75) AS p75
          |FROM t GROUP BY 1""".stripMargin,
 
+    // The running sum is CAST to BIGINT (DuckDB window SUM(BIGINT) is
+    // HUGEINT — client-conversion is version-sensitive), and floor
+    // division is spelled floor(x / k.0) instead of `//` so no
+    // version-specific integer-division operator is relied on. st >= 0 and
+    // bounded by corpus tokens, so the double quotient is exact-safe.
     "q81_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id,
@@ -393,13 +407,14 @@ object CorpusQueries {
          |  FROM documents
          |), r AS (
          |  SELECT doc_id, shard, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY shard
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard
          |      ORDER BY ord ASC, doc_id ASC
-         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS st
          |  FROM t
          |)
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
-         |  st // 128 AS seq_id, st % 128 AS seq_offset
+         |  CAST(floor(st / 128.0) AS BIGINT) AS seq_id,
+         |  CAST(st % 128 AS BIGINT) AS seq_offset
          |FROM r""".stripMargin,
 
     "q73_hashing_tf" -> {
@@ -594,12 +609,13 @@ object CorpusQueries {
          |  FROM clean
          |), p AS (
          |  SELECT doc_id, shard, n_tokens,
-         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
-         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS st
          |  FROM r
          |)
          |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
-         |  st // 64 AS seq_id, st % 64 AS seq_offset
+         |  CAST(floor(st / 64.0) AS BIGINT) AS seq_id,
+         |  CAST(st % 64 AS BIGINT) AS seq_offset
          |FROM p""".stripMargin
     },
 

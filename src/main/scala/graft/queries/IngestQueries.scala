@@ -257,8 +257,8 @@ object IngestQueries {
     // TE-range protocols route them to scan types 301/302
     "q90_archive_loader" ->
       """SELECT * FROM (VALUES
-        |  (2, 25.5, CAST(2 AS BIGINT), 301, 'identified'),
-        |  (2, 50.0, CAST(1 AS BIGINT), 302, 'identified')
+        |  (2, CAST(25.5 AS DOUBLE), CAST(2 AS BIGINT), 301, 'identified'),
+        |  (2, CAST(50.0 AS DOUBLE), CAST(1 AS BIGINT), 302, 'identified')
         |) AS t(series_number, echo_time, n_files, MriScanTypeID,
         |       protocol_status)""".stripMargin,
     "q61_archive_ingest" ->
@@ -291,7 +291,9 @@ object IngestQueries {
 
     "q78_chunk_sink" ->
       """SELECT * FROM (VALUES
-        |  (0, 'C3', CAST(0 AS BIGINT), '1.0,2.0,3.0,4.0',     4, 2.5, 10.5, 1.0, 30.0),
+        |  (0, 'C3', CAST(0 AS BIGINT), '1.0,2.0,3.0,4.0',     4,
+        |   CAST(2.5 AS DOUBLE), CAST(10.5 AS DOUBLE),
+        |   CAST(1.0 AS DOUBLE), CAST(30.0 AS DOUBLE)),
         |  (0, 'C3', CAST(1 AS BIGINT), '5.0,6.0,7.0,8.0',     4, 2.5, 10.5, 1.0, 30.0),
         |  (0, 'C3', CAST(2 AS BIGINT), '9.0,10.0,11.0,12.0',  4, 2.5, 10.5, 1.0, 30.0),
         |  (0, 'C4', CAST(0 AS BIGINT), '5.0,10.0,15.0,20.0',  4, 12.5, 27.5, 1.0, 30.0),
@@ -325,7 +327,8 @@ object IngestQueries {
 
     "q75_brainvision_ingest" ->
       """SELECT * FROM (VALUES
-        |  ('Fp1', CAST(0 AS BIGINT), 4,  1.0,   4.0, false, 4),
+        |  ('Fp1', CAST(0 AS BIGINT), 4,
+        |   CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE), false, 4),
         |  ('Fp1', CAST(1 AS BIGINT), 4,  5.0,   8.0, false, 4),
         |  ('Fp1', CAST(2 AS BIGINT), 2,  9.0,  10.0, true,  2),
         |  ('Cz',  CAST(0 AS BIGINT), 4, 10.0,  40.0, false, 4),
@@ -336,7 +339,8 @@ object IngestQueries {
 
     "q62_edf_ingest" ->
       """SELECT * FROM (VALUES
-        |  ('C3', CAST(0 AS BIGINT), 4,  1.0,  4.0, false, 4),
+        |  ('C3', CAST(0 AS BIGINT), 4,
+        |   CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE), false, 4),
         |  ('C3', CAST(1 AS BIGINT), 4,  5.0,  8.0, false, 4),
         |  ('C3', CAST(2 AS BIGINT), 4,  9.0, 12.0, true,  4),
         |  ('C4', CAST(0 AS BIGINT), 4,  5.0, 20.0, false, 4),
@@ -346,7 +350,8 @@ object IngestQueries {
 
     "q63_nifti_ingest" ->
       """SELECT * FROM (VALUES
-        |  ('scan1.nii', 3, 64, 64, 32, 2.0, 2.5, 3.0)
+        |  ('scan1.nii', 3, 64, 64, 32,
+        |   CAST(2.0 AS DOUBLE), CAST(2.5 AS DOUBLE), CAST(3.0 AS DOUBLE))
         |) AS t(file_name, ndim, xspace, yspace, zspace, xstep, ystep, zstep)""".stripMargin,
 
     "q64_hed_parse" ->

@@ -9,7 +9,7 @@ import graft.operators.CorpusOps
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("repetitionStats: hand-computed fractions and gate") {
+  test("repetitionStats: hand-computed ppm fractions and gate") {
     val d = Seq(
       (1L, "a b c d"),            // 4 tokens, all distinct, top=1
       (2L, "x x x x x y"),        // 6 tokens, 2 distinct, top=5
@@ -20,22 +20,53 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
 
     assert(r(0).getAs[Long]("n_tokens") == 4L)
-    assert(r(0).getAs[Double]("distinct_frac") == 1.0)
-    assert(r(0).getAs[Double]("top_word_frac") == 0.25)
-    // bigrams of doc 1: "a b","b c","c d" all unique -> top frac 1/3
-    assert(r(0).getAs[Double]("top_bigram_frac") == 0.333333)
+    assert(r(0).getAs[Long]("distinct_ppm") == 1000000L)
+    assert(r(0).getAs[Long]("top_word_ppm") == 250000L)
+    // bigrams of doc 1: "a b","b c","c d" all unique -> floor(1e6/3)
+    assert(r(0).getAs[Long]("top_bigram_ppm") == 333333L)
     assert(r(0).getAs[Boolean]("keep"))
 
-    // doc 2: distinct 2/6=0.333 < 0.45 -> rejected; top_word 5/6
-    assert(r(1).getAs[Double]("distinct_frac") == 0.333333)
-    assert(r(1).getAs[Double]("top_word_frac") == 0.833333)
+    // doc 2: distinct 2/6 -> 333333 < 450000 -> rejected; top_word 5/6
+    assert(r(1).getAs[Long]("distinct_ppm") == 333333L)
+    assert(r(1).getAs[Long]("top_word_ppm") == 833333L)
     // bigrams: "x x"*4, "x y" -> top 4/5
-    assert(r(1).getAs[Double]("top_bigram_frac") == 0.8)
+    assert(r(1).getAs[Long]("top_bigram_ppm") == 800000L)
     assert(!r(1).getAs[Boolean]("keep"))
 
-    // doc 3: no bigrams -> NULL top_bigram_frac -> gate fails closed
-    assert(r(2).isNullAt(r(2).fieldIndex("top_bigram_frac")))
+    // doc 3: no bigrams -> NULL top_bigram_ppm -> gate fails closed
+    assert(r(2).isNullAt(r(2).fieldIndex("top_bigram_ppm")))
     assert(!r(2).getAs[Boolean]("keep"))
+  }
+
+  test("repetitionStats: portability fixtures — empty/whitespace docs and " +
+      "exact-threshold fractions gate identically in fused and unfused") {
+    // the round-2 driver-gate lesson: adversarial inputs must produce the
+    // same BIGINT ppm values in the agg twin, the fused expression, and
+    // (via q66's oracle) DuckDB — no FP rounding anywhere
+    val d = Seq(
+      (1L, ""),              // empty -> split yields [""] -> 1 token
+      (2L, "   "),           // whitespace-only -> same single "" token
+      (3L, "x x y z"),       // top_word 2/4 == threshold 0.5 exactly
+      (4L, "a a b"),         // top_word 2/3 -> floor -> 666666
+      (5L, "p q p q p q p q")// bigram "q p" 3/7 vs "p q" 4/7 -> 571428
+    ).toDF("doc_id", "text")
+    val unfused = CorpusOps.repetitionStats(d, "doc_id", "text",
+      minDistinctFrac = 0.45, maxTopWordFrac = 0.5, maxTopBigramFrac = 0.6)
+    val fused = CorpusOps.repetitionStatsFused(d, "doc_id", "text",
+      minDistinctFrac = 0.45, maxTopWordFrac = 0.5, maxTopBigramFrac = 0.6)
+    val u = unfused.orderBy("doc_id").collect()
+    val f = fused.orderBy("doc_id").collect()
+    assert(u.map(_.toSeq).toSeq == f.map(_.toSeq).toSeq)
+    // empty & whitespace: one "" token, all distinct, no bigrams
+    assert(u(0).getAs[Long]("n_tokens") == 1L)
+    assert(u(0).getAs[Long]("distinct_ppm") == 1000000L)
+    assert(u(0).isNullAt(u(0).fieldIndex("top_bigram_ppm")))
+    assert(u(1).toSeq.drop(1) == u(0).toSeq.drop(1))
+    // exact-threshold equality keeps (<= is inclusive), floor is exact
+    assert(u(2).getAs[Long]("top_word_ppm") == 500000L)
+    assert(u(2).getAs[Boolean]("keep"))
+    assert(u(3).getAs[Long]("top_word_ppm") == 666666L)
+    assert(u(4).getAs[Long]("top_bigram_ppm") == 571428L)
   }
 
   test("piiScrub: counts + scrub are exact on crafted text") {

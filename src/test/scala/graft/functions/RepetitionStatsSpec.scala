@@ -25,7 +25,9 @@ class RepetitionStatsSpec extends SparkSpec {
       (2L, "x x x x x y"),
       (3L, "w"),                    // single token -> NULL bigram frac
       (4L, "  padded   tokens  "),
-      (5L, "p q p q p q")           // dominant bigram both directions
+      (5L, "p q p q p q"),          // dominant bigram both directions
+      (6L, ""),                     // empty -> [""] single token
+      (7L, "   ")                   // whitespace-only -> same
     ).toDF("doc_id", "text"))
   }
 

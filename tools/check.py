@@ -51,7 +51,19 @@ def main():
             n_noracle += 1
             continue
         try:
-            exp = con.sql(oracle[name]).df()
+            res = con.sql(oracle[name])
+            # HUGEINT/DECIMAL oracle outputs convert differently across
+            # duckdb client versions (round-2 q66/q81/q99 driver-gate
+            # failure mode): flag them HERE so the local replica catches
+            # what the lenient dtype coercion below would mask.
+            bad = [f.name for f in res.arrow().schema
+                   if str(f.type).startswith("decimal")]
+            if bad:
+                print(f"PORTABILITY  {name}: HUGEINT/DECIMAL output cols "
+                      f"{bad} — CAST to BIGINT/DOUBLE in the oracle")
+                n_fail += 1
+                continue
+            exp = res.df()
         except Exception as e:
             print(f"ORACLE-ERR   {name}: {e}")
             n_fail += 1
