@@ -23,47 +23,49 @@ object Sketches {
 
   /** KMV distinct-count estimate per group over a pre-hashed value column.
     *
-    * Output: group columns + `n_exact` (exact distinct hashes — retained so
-    * the query itself exhibits the estimator's accuracy) + `est_distinct`
-    * (the KMV estimate; groups with fewer than k distinct values fall back
-    * to the exact count, the standard small-cardinality regime).
+    * Output: group columns + `est_distinct` (the KMV estimate; groups with
+    * fewer than k distinct values fall back to the exact count, the
+    * standard small-cardinality regime). With `includeExact = true` an
+    * `n_exact` column (exact distinct hashes) is added so a demo/accuracy
+    * run exhibits the estimator error — that branch re-aggregates the full
+    * distinct frame and is NOT the production shape; the estimate alone is
+    * the product, and the default keeps the sketch's single bounded pass.
     *
-    * 100 TB shape: one shuffle to distinct (group, hash); the k-minima ride
-    * [[graft.plans.TopKPerGroup]], whose partial bounded-heap pass caps
-    * each partition at k rows per group BEFORE the exchange — the sketch
-    * property (fixed k-row state per group) holds end-to-end, which is the
-    * point of a sketch. `n_exact` costs one extra count per group on the
-    * same pre-distincted frame; drop it at true scale (documented) since
-    * the estimate is the product.
+    * 100 TB shape (default): one shuffle to distinct (group, hash); the
+    * k-minima ride [[graft.plans.TopKPerGroup]], whose partial bounded-heap
+    * pass caps each partition at k rows per group BEFORE the exchange — the
+    * sketch property (fixed k-row state per group) holds end-to-end, which
+    * is the point of a sketch.
     */
   def kmvDistinct(
       df: DataFrame,
       groupCols: Seq[String],
       hashCol: String,
-      k: Int
+      k: Int,
+      includeExact: Boolean = false
   ): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
     val g = groupCols.map(col)
-    // both output branches (exact count, k-minima) consume the distinct
-    // frame: a lazy localCheckpoint computes it once and shares the blocks
-    // (lifecycle is the RDD's own — the ContextCleaner frees them, no
-    // manual unpersist contract for callers), instead of re-running the
-    // upstream hash/explode subtree per branch
-    val distinctHashes = df.select((g :+ col(hashCol).as("__h")): _*)
-      .distinct().localCheckpoint(false)
-    val exact = distinctHashes.groupBy(g: _*)
-      .agg(count(lit(1)).as("n_exact"))
+    val distinctBase = df.select((g :+ col(hashCol).as("__h")): _*).distinct()
+    // with the exact branch on, two consumers read the distinct frame: a
+    // lazy localCheckpoint computes it once and shares the blocks
+    // (lifecycle is the RDD's own — the ContextCleaner frees them)
+    val distinctHashes =
+      if (includeExact) distinctBase.localCheckpoint(false) else distinctBase
     val minima = graft.plans.TopKPerGroup(
       distinctHashes, g, Seq(col("__h").asc), k)
       .groupBy(g: _*)
       .agg(count(lit(1)).as("__n_seen"), max(col("__h")).as("__kth"))
-    exact.join(minima, groupCols)
+    val withEst = minima
       .withColumn("est_distinct",
         when(col("__n_seen") < k, col("__n_seen"))
           .otherwise(floor(
             lit((k - 1).toDouble) * lit(Hash60Space)
               / col("__kth").cast("double")).cast("long")))
       .drop("__n_seen", "__kth")
+    if (!includeExact) withEst
+    else distinctHashes.groupBy(g: _*).agg(count(lit(1)).as("n_exact"))
+      .join(withEst, groupCols)
   }
 
   /** Bucket of `item` in CMS row `j`: universal-hash the 60-bit item hash,

@@ -85,8 +85,9 @@ object CorpusQueries {
     },
 
     // KMV distinct-count sketch: estimated distinct 5-gram shingles per
-    // source (k=64 minima via the TopKPerGroup bounded-heap plan); exact
-    // count retained alongside so the row exhibits the estimator accuracy
+    // source (k=64 minima via the TopKPerGroup bounded-heap plan).
+    // Estimate-only — the production shape; the n_exact accuracy branch is
+    // opt-in (includeExact) and demoed in SketchesSpec, not benched
     "q71_kmv_distinct" -> { (s, dir) =>
       val hashed = docs(s, dir).select(col("source"),
         explode(graft.functions.TextFunctions.shingleHashes60(col("text"), 5))
@@ -365,8 +366,6 @@ object CorpusQueries {
          |  FROM documents
          |), d AS (
          |  SELECT DISTINCT source, h FROM sh
-         |), e AS (
-         |  SELECT source, COUNT(*) AS n_exact FROM d GROUP BY 1
          |), r AS (
          |  SELECT source, h,
          |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
@@ -375,11 +374,11 @@ object CorpusQueries {
          |  SELECT source, COUNT(*) AS n_seen, MAX(h) AS kth
          |  FROM r WHERE rn <= 64 GROUP BY 1
          |)
-         |SELECT e.source, n_exact,
+         |SELECT source,
          |  CASE WHEN n_seen < 64 THEN n_seen
          |       ELSE CAST(floor(63 * 1152921504606846976.0 / kth) AS BIGINT)
          |  END AS est_distinct
-         |FROM e JOIN m ON e.source = m.source""".stripMargin,
+         |FROM m""".stripMargin,
 
     "q72_length_stats" ->
       s"""WITH t AS (

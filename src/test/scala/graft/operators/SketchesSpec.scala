@@ -12,10 +12,15 @@ class SketchesSpec extends SparkSpec {
   test("groups under k distinct values are counted exactly") {
     val d = (0 until 40).map(i => ("g" + (i % 2), (i % 10).toLong))
       .toDF("g", "h")
-    val r = Sketches.kmvDistinct(d, Seq("g"), "h", k = 64)
+    val r = Sketches.kmvDistinct(d, Seq("g"), "h", k = 64, includeExact = true)
       .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
     // 5 distinct h per group (i%10 splits 0,2,4,6,8 / 1,3,5,7,9)
     assert(r == Map("g0" -> ((5L, 5L)), "g1" -> ((5L, 5L))))
+    // the default (production) shape is estimate-only — no exact branch
+    val est = Sketches.kmvDistinct(d, Seq("g"), "h", k = 64)
+    assert(est.columns.toSeq == Seq("g", "est_distinct"))
+    assert(est.collect().map(x => x.getString(0) -> x.getLong(1)).toMap ==
+      Map("g0" -> 5L, "g1" -> 5L))
   }
 
   test("estimate lands within 4 standard errors on uniform hashes") {
@@ -27,7 +32,8 @@ class SketchesSpec extends SparkSpec {
     val d = Seq.fill(n)(math.abs(rnd.nextLong()) % (1L << 60))
       .distinct.map(("g", _)).toDF("g", "h")
     val exact = d.select(col("h")).distinct().count()
-    val r = Sketches.kmvDistinct(d, Seq("g"), "h", k = k).collect()(0)
+    val r = Sketches.kmvDistinct(d, Seq("g"), "h", k = k,
+      includeExact = true).collect()(0)
     assert(r.getAs[Long]("n_exact") == exact)
     val est = r.getAs[Long]("est_distinct").toDouble
     val relErr = math.abs(est / exact - 1.0)
@@ -39,8 +45,10 @@ class SketchesSpec extends SparkSpec {
     val base = Seq.fill(5000)(math.abs(rnd.nextLong()) % (1L << 60)).distinct
     val dup = (base ++ base ++ base).map(("g", _)).toDF("g", "h")
     val once = base.map(("g", _)).toDF("g", "h")
-    val a = Sketches.kmvDistinct(dup, Seq("g"), "h", k = 64).collect()(0)
-    val b = Sketches.kmvDistinct(once, Seq("g"), "h", k = 64).collect()(0)
+    val a = Sketches.kmvDistinct(dup, Seq("g"), "h", k = 64,
+      includeExact = true).collect()(0)
+    val b = Sketches.kmvDistinct(once, Seq("g"), "h", k = 64,
+      includeExact = true).collect()(0)
     assert(a.getAs[Long]("est_distinct") == b.getAs[Long]("est_distinct"))
     assert(a.getAs[Long]("n_exact") == b.getAs[Long]("n_exact"))
   }
