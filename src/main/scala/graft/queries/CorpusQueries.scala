@@ -13,8 +13,7 @@ import graft.operators.CorpusOps
 object CorpusQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spreadIfSmall(s, dir, "documents")
 
   /** DuckDB twins of the Spark text primitives (same as DataQueries). */
   private val sqlToks = "regexp_split_to_array(trim(text), '\\s+')"

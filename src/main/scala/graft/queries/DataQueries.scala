@@ -25,11 +25,11 @@ object DataQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
 
-  /** per-core parallelism for CPU-bound scalar stages: the local fixture is
-    * one parquet row group (= one partition); at 100 TB the source is many
-    * files and this is free, but locally it parallelizes hashing 8-32x. */
+  /** per-core parallelism for CPU-bound scalar stages: size-conditional
+    * ([[Tables.spreadIfSmall]]) — the local one-row-group fixture spreads
+    * 8-32x, a real multi-split table is untouched. */
   private def docsParallel(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+    Tables.spreadIfSmall(s, dir, "documents")
 
   /** DuckDB twins of the Spark-side text primitives. */
   private val sqlToks = "regexp_split_to_array(trim(text), '\\s+')"

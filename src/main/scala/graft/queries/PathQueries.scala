@@ -78,8 +78,7 @@ object PathQueries {
       // becomes a windowed distinct-source count over the h partitioning
       // (one shuffle total, no re-read of the expensive hash subtree)
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-      t(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      Tables.spreadIfSmall(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextFunctions.docFingerprint(col("text"), 5).as("h"))
         .withColumn("ns", size(collect_set(col("source")).over(w)))
