@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.EphysChunker
-import graft.sources.{BidsTabular, BrainVisionReader, DicomSource, EdfReader, SyntheticFixtures, TarGzSource}
+import graft.sources.{BidsTabular, BrainVisionReader, CtfReader, DicomSource, EdfReader, SyntheticFixtures, TarGzSource}
 
 /** Binary-ingest verticals under the driver's correctness gate.
   *
@@ -91,6 +91,18 @@ object IngestQueries {
       EphysChunker.chunkStats(
         BrainVisionReader.asLongFormat(BrainVisionReader.channels(s, dir)),
         chunkSize = 4)
+    },
+
+    // S14 CTF MEG end to end: res4 big-endian header parse (self-sized
+    // run-description/filter navigation, clean_names) → sibling meg4
+    // int32-BE trial blocks → calibrate raw/(properGain·qGain) → chunker
+    // (ctf_to_chunks.py:1-75 does the same via MNE's read_raw_ctf)
+    "q101_ctf_ingest" -> { (s, _) =>
+      val (res4, meg4) = SyntheticFixtures.ctfRecordingBytes()
+      val dir = SyntheticFixtures.materialize("q101", "rec1.res4", res4)
+      SyntheticFixtures.materialize("q101", "rec1.meg4", meg4)
+      EphysChunker.chunkStats(
+        CtfReader.asLongFormat(CtfReader.channels(s, dir)), chunkSize = 4)
     },
 
     // S5/S6/U4/P8 end to end: TSV ingest with 'n/a'/''→NULL, union-of-keys
@@ -334,6 +346,18 @@ object IngestQueries {
         |  ('Cz',  CAST(0 AS BIGINT), 4, 10.0,  40.0, false, 4),
         |  ('Cz',  CAST(1 AS BIGINT), 4, 50.0,  80.0, false, 4),
         |  ('Cz',  CAST(2 AS BIGINT), 2, 90.0, 100.0, true,  2)
+        |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
+        |       is_last, valid_samples)""".stripMargin,
+
+    "q101_ctf_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('MLC11', CAST(0 AS BIGINT), 4,
+        |   CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE), false, 4),
+        |  ('MLC11', CAST(1 AS BIGINT), 4,  5.0,   8.0, false, 4),
+        |  ('MLC11', CAST(2 AS BIGINT), 2,  9.0,  10.0, true,  2),
+        |  ('MZC01', CAST(0 AS BIGINT), 4, 10.0,  40.0, false, 4),
+        |  ('MZC01', CAST(1 AS BIGINT), 4, 50.0,  80.0, false, 4),
+        |  ('MZC01', CAST(2 AS BIGINT), 2, 90.0, 100.0, true,  2)
         |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
         |       is_last, valid_samples)""".stripMargin,
 

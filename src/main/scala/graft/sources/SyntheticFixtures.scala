@@ -172,6 +172,94 @@ object SyntheticFixtures {
     (vhdr, bb.array(), vmrk)
   }
 
+  // --- CTF .ds (res4/meg4) ---
+
+  private def be16(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write((v >> 8) & 0xFF); o.write(v & 0xFF)
+  }
+  private def be32(o: ByteArrayOutputStream, v: Int): Unit = {
+    o.write((v >> 24) & 0xFF); o.write((v >> 16) & 0xFF)
+    o.write((v >> 8) & 0xFF); o.write(v & 0xFF)
+  }
+  private def beF64(o: ByteArrayOutputStream, v: Double): Unit = {
+    val bits = java.lang.Double.doubleToLongBits(v)
+    var i = 7
+    while (i >= 0) { o.write(((bits >> (8 * i)) & 0xFF).toInt); i -= 1 }
+  }
+  private def padded(o: ByteArrayOutputStream, s: String, len: Int): Unit = {
+    val b = s.getBytes(US_ASCII)
+    require(b.length < len, s"CTF field overflow: '$s' >= $len")
+    o.write(b); o.write(new Array[Byte](len - b.length))
+  }
+
+  final case class CtfChan(name: String, properGain: Double, qGain: Double)
+
+  /** CTF `.res4`/`.meg4` pair written SEQUENTIALLY (field after field, the
+    * structure narrated by the published format description) — independent
+    * of [[CtfReader]]'s absolute-offset parse, so the spec cross-checks
+    * both. `trials(t)(c)` = raw int32 samples of channel c in trial t; a
+    * run description and one 2-parameter filter record are included so the
+    * reader's variable-length navigation is actually exercised. */
+  def ctfBytes(chans: Seq[CtfChan], trials: Seq[Seq[Array[Int]]],
+      sampleRateHz: Double = 4.0): (Array[Byte], Array[Byte]) = {
+    val nSamp = if (trials.isEmpty) 0 else trials.head.head.length
+    val r = new ByteArrayOutputStream()
+    r.write("MEG41RS".getBytes(US_ASCII)); r.write(0)
+    padded(r, "graft synthetic", 256)     // appName
+    padded(r, "nowhere", 256)             // dataOrigin
+    padded(r, "fixture", 256)             // dataDescription
+    be16(r, 1)                            // no_trials_avgd
+    padded(r, "09:30", 255)               // data_time
+    padded(r, "2024-01-02", 255)          // data_date
+    be32(r, nSamp)                        // gSetUp.no_samples (per trial)
+    be16(r, chans.length)                 // gSetUp.no_channels
+    be16(r, 0)                            // alignment pad
+    beF64(r, sampleRateHz)                // gSetUp.sample_rate
+    beF64(r, nSamp / sampleRateHz)        // gSetUp.epoch_time
+    be16(r, trials.length)                // gSetUp.no_trials
+    be16(r, 0)                            // alignment pad
+    be32(r, 0)                            // preTrigPts
+    be16(r, trials.length); be16(r, 1)    // no_trials_done, no_trials_display
+    be32(r, 0)                            // save_trials
+    padded(r, "", 32)                     // primary trigger block
+    padded(r, "run1", 32)                 // run_name
+    padded(r, "graft ctf fixture", 256)   // run_title
+    padded(r, "synth", 32)                // instruments
+    padded(r, "collect", 32)              // collect_descriptor
+    padded(r, "SUB001", 32)               // subject_id
+    padded(r, "graft", 32)                // operator
+    val runDesc = "synthetic run description".getBytes(US_ASCII)
+    be32(r, runDesc.length); r.write(runDesc)
+    be16(r, 1)                            // one filter record
+    beF64(r, 60.0); be32(r, 1); be32(r, 0)
+    be16(r, 2); beF64(r, 0.1); beF64(r, 0.2)
+    chans.foreach(c => padded(r, c.name, 32))
+    chans.foreach { c =>                  // 1328-byte sensor records
+      be16(r, 5); be16(r, 0)              // sensorTypeIndex (MEG), run no
+      be32(r, 0)                          // coilShape
+      beF64(r, c.properGain); beF64(r, c.qGain)
+      beF64(r, 1.0); beF64(r, 0.0)        // ioGain, ioOffset
+      be16(r, 1); be16(r, 0)              // numCoils, gradOrderNo
+      be32(r, 0)                          // pad
+      r.write(new Array[Byte](2 * 8 * 80))// coil + head-coil tables
+    }
+    val m = new ByteArrayOutputStream()
+    m.write("MEG41CP".getBytes(US_ASCII)); m.write(0)
+    trials.foreach(_.foreach(_.foreach(v => be32(m, v))))
+    (r.toByteArray, m.toByteArray)
+  }
+
+  /** Two-channel, two-trial CTF recording with exact power-of-two
+    * calibrations (properGain·qGain = 2 → value = raw/2) and suffixed raw
+    * channel names (clean_names coverage). Physical traces: MLC11 = 1..10,
+    * MZC01 = 10,20,…,100 — the q75 shape, so the chunker oracle rows are
+    * directly comparable. */
+  def ctfRecordingBytes(): (Array[Byte], Array[Byte]) = ctfBytes(
+    Seq(CtfChan("MLC11-2805", 0.5, 4.0), CtfChan("MZC01-2805", 0.5, 4.0)),
+    Seq(
+      Seq(Array(2, 4, 6, 8, 10), Array(20, 40, 60, 80, 100)),
+      Seq(Array(12, 14, 16, 18, 20), Array(120, 140, 160, 180, 200))))
+
   def materialize(subdir: String, fileName: String, bytes: Array[Byte]): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_fixtures", subdir)
