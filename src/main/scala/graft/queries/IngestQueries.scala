@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.EphysChunker
-import graft.sources.{BidsTabular, BrainVisionReader, CtfReader, DicomSource, EdfReader, SyntheticFixtures, TarGzSource}
+import graft.sources.{BidsTabular, BrainVisionReader, CtfReader, DicomSource, EdfReader, EeglabReader, SyntheticFixtures, TarGzSource}
 
 /** Binary-ingest verticals under the driver's correctness gate.
   *
@@ -103,6 +103,16 @@ object IngestQueries {
       SyntheticFixtures.materialize("q101", "rec1.meg4", meg4)
       EphysChunker.chunkStats(
         CtfReader.asLongFormat(CtfReader.channels(s, dir)), chunkSize = 4)
+    },
+
+    // S14 EEGLAB end to end: .set MAT v6 walk (EEG struct → data matrix,
+    // srate, chanlocs labels; trials concatenated column-major) → chunker
+    // (eeglab_to_chunks.py:1-66 does the same via MNE's read_raw_eeglab)
+    "q102_eeglab_ingest" -> { (s, _) =>
+      val (set, _) = SyntheticFixtures.eeglabRecordingBytes()
+      val dir = SyntheticFixtures.materialize("q102", "rec1.set", set)
+      EphysChunker.chunkStats(
+        EeglabReader.asLongFormat(EeglabReader.channels(s, dir)), chunkSize = 4)
     },
 
     // S5/S6/U4/P8 end to end: TSV ingest with 'n/a'/''→NULL, union-of-keys
@@ -358,6 +368,18 @@ object IngestQueries {
         |  ('MZC01', CAST(0 AS BIGINT), 4, 10.0,  40.0, false, 4),
         |  ('MZC01', CAST(1 AS BIGINT), 4, 50.0,  80.0, false, 4),
         |  ('MZC01', CAST(2 AS BIGINT), 2, 90.0, 100.0, true,  2)
+        |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
+        |       is_last, valid_samples)""".stripMargin,
+
+    "q102_eeglab_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('Fz', CAST(0 AS BIGINT), 4,
+        |   CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE), false, 4),
+        |  ('Fz', CAST(1 AS BIGINT), 4,  5.0,   8.0, false, 4),
+        |  ('Fz', CAST(2 AS BIGINT), 2,  9.0,  10.0, true,  2),
+        |  ('Pz', CAST(0 AS BIGINT), 4, 10.0,  40.0, false, 4),
+        |  ('Pz', CAST(1 AS BIGINT), 4, 50.0,  80.0, false, 4),
+        |  ('Pz', CAST(2 AS BIGINT), 2, 90.0, 100.0, true,  2)
         |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
         |       is_last, valid_samples)""".stripMargin,
 

@@ -1,0 +1,331 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** S14 EEG raw reader, EEGLAB `.set` (SURVEY.md §2.1): the reference loads
+  * these through MNE in
+  * `python/loris_ephys_chunker/.../scripts/eeglab_to_chunks.py:1-66`
+  * (`_check_load_mat` → channel names → the shared chunk writer). A `.set`
+  * file is a MATLAB Level-5 MAT-file whose `EEG` struct carries `data`
+  * (channels × samples [× trials] numeric matrix, or the name of a sibling
+  * `.fdt` float32 file), `srate`, and `chanlocs(..).labels`.
+  *
+  * Scope: the v6 UNCOMPRESSED little-endian case — tag/payload element
+  * walking (including small-element tags), numeric classes
+  * double/single/int8..int32, char class, struct arrays
+  * (element-major/field-minor subelement order), column-major dimension
+  * reshape, and the `.fdt` sibling (float32 LE, channel-fastest — MATLAB
+  * column-major `fwrite`). v7 (zlib-compressed elements) and v7.3 (HDF5)
+  * are out of scope and yield None, as does anything malformed — untrusted
+  * bytes never kill a scan stage. Values stay in file units (µV), matching
+  * [[EdfReader]]/[[BrainVisionReader]].
+  *
+  * Distribution shape: identical to [[CtfReader]] — binaryFile scan over
+  * the `.set` headers, task-local sibling `.fdt` stream, zero shuffle
+  * before the chunker's groupBy.
+  */
+object EeglabReader {
+
+  // MAT Level-5 type codes
+  private val MiInt8 = 1
+  private val MiUInt8 = 2
+  private val MiInt16 = 3
+  private val MiUInt16 = 4
+  private val MiInt32 = 5
+  private val MiUInt32 = 6
+  private val MiSingle = 7
+  private val MiDouble = 9
+  private val MiMatrix = 14
+  private val MiUtf8 = 16
+
+  // mxArray class codes
+  private val MxChar = 4
+  private val MxDouble = 6
+  private val MxSingle = 7
+  private val MxInt8 = 8
+  private val MxUInt8 = 9
+  private val MxInt16 = 10
+  private val MxUInt16 = 11
+  private val MxInt32 = 12
+  private val MxUInt32 = 13
+  private val MxStruct = 2
+
+  /** One parsed mxArray: numeric (column-major doubles + dims), char, or a
+    * struct array (element-major rows of field → value). */
+  sealed trait MatValue
+  final case class MatNum(dims: Seq[Int], data: Array[Double]) extends MatValue
+  final case class MatStr(s: String) extends MatValue
+  final case class MatStruct(elems: Seq[Map[String, MatValue]]) extends MatValue
+
+  private final case class Elem(miType: Int, payload: ByteBuffer)
+
+  /** Read the element at the buffer's position (tag + payload, handling
+    * the packed small-element form), advancing past its 8-byte padding. */
+  private def readElem(b: ByteBuffer): Option[Elem] = {
+    if (b.remaining() < 8) return None
+    val tag = b.getInt()
+    val small = (tag >>> 16) != 0
+    val miType = tag & 0xFFFF
+    val size = if (small) tag >>> 16 else b.getInt()
+    if (small) {
+      if (b.remaining() < 4) return None
+      val payload = b.slice().order(ByteOrder.LITTLE_ENDIAN)
+      payload.limit(size)
+      b.position(b.position() + 4)
+      Some(Elem(miType, payload))
+    } else {
+      if (size < 0 || b.remaining() < size) return None
+      val payload = b.slice().order(ByteOrder.LITTLE_ENDIAN)
+      payload.limit(size)
+      val padded = (size + 7) / 8 * 8
+      b.position(b.position() + math.min(padded, b.remaining()))
+      Some(Elem(miType, payload))
+    }
+  }
+
+  private def numericData(e: Elem): Option[Array[Double]] = {
+    val b = e.payload
+    val n = b.remaining()
+    e.miType match {
+      case MiDouble => Some(Array.fill(n / 8)(b.getDouble()))
+      case MiSingle => Some(Array.fill(n / 4)(b.getFloat().toDouble))
+      case MiInt32 => Some(Array.fill(n / 4)(b.getInt().toDouble))
+      case MiUInt32 => Some(Array.fill(n / 4)((b.getInt().toLong & 0xFFFFFFFFL).toDouble))
+      case MiInt16 => Some(Array.fill(n / 2)(b.getShort().toDouble))
+      case MiUInt16 => Some(Array.fill(n / 2)((b.getShort() & 0xFFFF).toDouble))
+      case MiInt8 => Some(Array.fill(n)(b.get().toDouble))
+      case MiUInt8 => Some(Array.fill(n)((b.get() & 0xFF).toDouble))
+      case _ => None
+    }
+  }
+
+  private def charData(e: Elem): Option[String] = {
+    val b = e.payload
+    e.miType match {
+      case MiUInt16 | 17 => // miUINT16 / miUTF16
+        Some(new String(Array.fill(b.remaining() / 2)(b.getShort().toChar)))
+      case MiInt8 | MiUInt8 | MiUtf8 =>
+        val a = new Array[Byte](b.remaining()); b.get(a)
+        Some(new String(a, "UTF-8"))
+      case _ => None
+    }
+  }
+
+  /** Parse one miMATRIX payload into a [[MatValue]] (+ array name). */
+  private def parseMatrix(buf: ByteBuffer): Option[(String, MatValue)] = {
+    for {
+      flags <- readElem(buf)
+      if flags.miType == MiUInt32 && flags.payload.remaining() >= 4
+      clazz = flags.payload.getInt() & 0xFF
+      dimsE <- readElem(buf)
+      if dimsE.miType == MiInt32
+      dims = Seq.fill(dimsE.payload.remaining() / 4)(dimsE.payload.getInt())
+      nameE <- readElem(buf)
+      name <- {
+        val a = new Array[Byte](nameE.payload.remaining())
+        nameE.payload.get(a)
+        Some(new String(a, US_ASCII))
+      }
+      value <- parseBody(buf, clazz, dims)
+    } yield (name, value)
+  }
+
+  private def parseBody(buf: ByteBuffer, clazz: Int, dims: Seq[Int]): Option[MatValue] =
+    clazz match {
+      case MxDouble | MxSingle | MxInt8 | MxUInt8 | MxInt16 | MxUInt16 |
+          MxInt32 | MxUInt32 =>
+        readElem(buf).flatMap(numericData).map(MatNum(dims, _))
+      case MxChar =>
+        readElem(buf).flatMap(charData).map(MatStr(_))
+      case MxStruct =>
+        for {
+          lenE <- readElem(buf)
+          if lenE.miType == MiInt32 && lenE.payload.remaining() >= 4
+          fieldLen = lenE.payload.getInt()
+          if fieldLen > 0 && fieldLen <= 64
+          namesE <- readElem(buf)
+          if namesE.miType == MiInt8
+          nFields = namesE.payload.remaining() / fieldLen
+          fields = (0 until nFields).map { i =>
+            val a = new Array[Byte](fieldLen)
+            namesE.payload.position(i * fieldLen)
+            namesE.payload.get(a)
+            new String(a.takeWhile(_ != 0), US_ASCII)
+          }
+          nElems = math.max(dims.product, 0)
+          if nElems <= 1000000
+          elems <- {
+            // element-major, field-minor subelement order
+            val out = Seq.newBuilder[Map[String, MatValue]]
+            var ok = true
+            var e = 0
+            while (ok && e < nElems) {
+              var m = Map.empty[String, MatValue]
+              var f = 0
+              while (ok && f < nFields) {
+                readElem(buf) match {
+                  case Some(el) if el.miType == MiMatrix =>
+                    parseMatrix(el.payload) match {
+                      case Some((_, v)) => m += fields(f) -> v
+                      case None => ok = false
+                    }
+                  case _ => ok = false
+                }
+                f += 1
+              }
+              if (ok) out += m
+              e += 1
+            }
+            if (ok) Some(out.result()) else None
+          }
+        } yield MatStruct(elems)
+      case _ => None // cell/object/sparse out of scope
+    }
+
+  /** Top-level variables of a v6 uncompressed little-endian MAT file. */
+  def parseMat(bytes: Array[Byte]): Option[Map[String, MatValue]] = {
+    if (bytes.length < 128) return None
+    // header: 116-byte text, 8-byte subsys, version i16, endian i16 "IM"
+    if (bytes(126) != 'I'.toByte || bytes(127) != 'M'.toByte) return None
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    b.position(128)
+    val out = Map.newBuilder[String, MatValue]
+    var go = true
+    while (go && b.remaining() >= 8) {
+      readElem(b) match {
+        case Some(e) if e.miType == MiMatrix =>
+          parseMatrix(e.payload) match {
+            case Some((name, v)) => out += name -> v
+            case None => go = false
+          }
+        case Some(e) if e.miType == 15 => return None // miCOMPRESSED: v7
+        case _ => go = false
+      }
+    }
+    Some(out.result())
+  }
+
+  final case class SetRecording(
+      channelNames: IndexedSeq[String],
+      sampleRateHz: Double,
+      /** data(c) = channel c's full trace, trials concatenated. */
+      data: IndexedSeq[Array[Double]],
+      /** Some(name) when samples live in a sibling `.fdt` file. */
+      fdtFile: Option[String])
+
+  private def scalarOf(v: MatValue): Option[Double] = v match {
+    case MatNum(_, d) if d.nonEmpty => Some(d(0))
+    case _ => None
+  }
+
+  /** Reshape a column-major [nbchan, pnts(, trials)] block into per-channel
+    * traces (trials concatenated along samples — MNE's reshape). */
+  private def toTraces(nChan: Int, flat: Array[Double]): IndexedSeq[Array[Double]] = {
+    if (nChan <= 0 || flat.length % nChan != 0) return IndexedSeq.empty
+    val nSamp = flat.length / nChan
+    val out = IndexedSeq.fill(nChan)(new Array[Double](nSamp))
+    var i = 0
+    while (i < flat.length) {
+      out(i % nChan)(i / nChan) = flat(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Hardened `.set` parse. Accepts both layouts MNE's `_check_load_mat`
+    * handles: a single struct variable `EEG`, or the struct fields saved
+    * as top-level variables. */
+  def parseSet(bytes: Array[Byte]): Option[SetRecording] = {
+    parseMat(bytes).flatMap { vars =>
+      val fields: Map[String, MatValue] = vars.get("EEG") match {
+        case Some(MatStruct(Seq(one))) => one
+        case _ => vars
+      }
+      for {
+        srate <- fields.get("srate").flatMap(scalarOf)
+        nbchan <- fields.get("nbchan").flatMap(scalarOf).map(_.toInt)
+        if nbchan > 0 && nbchan <= 100000
+        dataV <- fields.get("data")
+        names = fields.get("chanlocs") match {
+          case Some(MatStruct(elems)) =>
+            elems.toIndexedSeq.map(_.get("labels") match {
+              case Some(MatStr(s)) => s
+              case _ => ""
+            })
+          case _ => IndexedSeq.empty[String]
+        }
+        named = if (names.length == nbchan && names.forall(_.nonEmpty)) names
+          else (1 to nbchan).map(i => s"E$i")
+        rec <- dataV match {
+          case MatNum(_, flat) =>
+            val traces = toTraces(nbchan, flat)
+            if (traces.isEmpty) None
+            else Some(SetRecording(named, srate, traces, None))
+          case MatStr(fdt) =>
+            Some(SetRecording(named, srate, IndexedSeq.empty, Some(fdt)))
+          case _ => None
+        }
+      } yield rec
+    }
+  }
+
+  /** Decode a sibling `.fdt` payload (float32 LE, channel index fastest —
+    * MATLAB column-major `fwrite(fid, EEG.data, 'float32')`). */
+  def fdtTraces(nChan: Int, bytes: Array[Byte]): IndexedSeq[Array[Double]] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val flat = Array.fill(bytes.length / 4)(b.getFloat().toDouble)
+    toTraces(nChan, flat)
+  }
+
+  final case class EeglabChannel(
+      file_path: String,
+      channel: String,
+      sampling_rate_hz: Double,
+      n_samples: Long,
+      values: Array[Double])
+
+  /** Distributed scan: every `.set` under `dir` parsed partition-parallel;
+    * a `data`-as-filename recording streams its `.fdt` task-locally (same
+    * sibling pattern as [[CtfReader.channels]]). One row per channel,
+    * ready for [[EphysSource.channelArraysToLong]] →
+    * [[graft.operators.EphysChunker]]. */
+  def channels(spark: SparkSession, dir: String,
+      glob: String = "*.set"): Dataset[EeglabChannel] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    DicomSource.scanDir(spark, dir, glob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseSet(bytes).toSeq.flatMap { rec =>
+          val traces = rec.fdtFile match {
+            case None => rec.data
+            case Some(fdtName) =>
+              val setPath = new org.apache.hadoop.fs.Path(p.stripPrefix("file:"))
+              val fdtPath = new org.apache.hadoop.fs.Path(
+                setPath.getParent, new org.apache.hadoop.fs.Path(fdtName).getName)
+              try {
+                val fs = fdtPath.getFileSystem(conf.value)
+                val st = fs.getFileStatus(fdtPath)
+                val in = fs.open(fdtPath)
+                try {
+                  val buf = new Array[Byte](st.getLen.toInt)
+                  in.readFully(0, buf)
+                  fdtTraces(rec.channelNames.length, buf)
+                } finally in.close()
+              } catch { case _: Exception => IndexedSeq.empty }
+          }
+          rec.channelNames.zip(traces).map { case (name, vals) =>
+            EeglabChannel(p, name, rec.sampleRateHz, vals.length.toLong, vals)
+          }
+        }
+      }
+  }
+
+  /** channels → the chunker's long input (channel, sample_index, value). */
+  def asLongFormat(channels: Dataset[EeglabChannel]): DataFrame =
+    EphysSource.channelArraysToLong(channels.toDF())
+}

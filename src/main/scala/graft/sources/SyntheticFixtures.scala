@@ -260,6 +260,122 @@ object SyntheticFixtures {
       Seq(Array(2, 4, 6, 8, 10), Array(20, 40, 60, 80, 100)),
       Seq(Array(12, 14, 16, 18, 20), Array(120, 140, 160, 180, 200))))
 
+  // --- EEGLAB .set (MAT Level-5, v6 uncompressed little-endian) ---
+
+  private def leBytes(n: Int)(put: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    put(b)
+    b.array()
+  }
+
+  /** Full-form MAT element: 8-byte tag (type, size) + payload padded to 8. */
+  private def matElem(miType: Int, payload: Array[Byte]): Array[Byte] = {
+    val pad = (8 - payload.length % 8) % 8
+    leBytes(8 + payload.length + pad) { b =>
+      b.putInt(miType); b.putInt(payload.length); b.put(payload)
+    }
+  }
+
+  private def matDoubles(vals: Seq[Double]): Array[Byte] =
+    matElem(9, leBytes(vals.length * 8)(b => vals.foreach(b.putDouble)))
+
+  private def matInt32s(vals: Seq[Int]): Array[Byte] =
+    matElem(5, leBytes(vals.length * 4)(b => vals.foreach(b.putInt)))
+
+  /** miMATRIX wrapper: array flags (class), dims, name, then body. */
+  private def matMatrix(name: String, clazz: Int, dims: Seq[Int],
+      body: Array[Byte]*): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(matElem(6, leBytes(8)(b => { b.putInt(clazz); b.putInt(0) })))
+    o.write(matInt32s(dims))
+    o.write(matElem(1, name.getBytes(US_ASCII)))
+    body.foreach(o.write)
+    matElem(14, o.toByteArray)
+  }
+
+  private def matNumeric(name: String, dims: Seq[Int], vals: Seq[Double]): Array[Byte] =
+    matMatrix(name, 6, dims, matDoubles(vals))
+
+  private def matChar(name: String, s: String): Array[Byte] =
+    matMatrix(name, 4, Seq(1, s.length),
+      matElem(4, leBytes(s.length * 2)(b => s.foreach(c => b.putShort(c.toShort)))))
+
+  /** Struct array: field-name-length + 32-byte field names, then one
+    * nameless miMATRIX per (element, field), element-major. */
+  private def matStruct(name: String, dims: Seq[Int], fields: Seq[String],
+      elems: Seq[Seq[Array[Byte]]]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(matElem(6, leBytes(8)(b => { b.putInt(2); b.putInt(0) })))
+    o.write(matInt32s(dims))
+    o.write(matElem(1, name.getBytes(US_ASCII)))
+    o.write(matInt32s(Seq(32)))
+    o.write(matElem(1, leBytes(32 * fields.length) { b =>
+      fields.foreach { f =>
+        val fb = f.getBytes(US_ASCII)
+        b.put(fb); b.put(new Array[Byte](32 - fb.length))
+      }
+    }))
+    elems.foreach(_.foreach(o.write))
+    matElem(14, o.toByteArray)
+  }
+
+  /** EEGLAB `.set` written SEQUENTIALLY from the published MAT Level-5
+    * layout (128-byte header, tagged elements, column-major numerics,
+    * element-major struct subelements) — independent of
+    * [[EeglabReader]]'s walker. `data(c)(s)`: per-channel traces, split
+    * into `trials` equal trials on disk ([nbchan, pnts, trials]
+    * column-major). `asFdt` stores data as a sibling-file name instead and
+    * returns the float32 payload second. */
+  def eeglabBytes(channelLabels: Seq[String], data: Seq[Array[Double]],
+      srateHz: Double, trials: Int = 1,
+      asFdt: Option[String] = None): (Array[Byte], Array[Byte]) = {
+    val nChan = channelLabels.length
+    val nTotal = if (data.isEmpty) 0 else data.head.length
+    require(trials >= 1 && (nTotal % trials == 0))
+    val pnts = nTotal / trials
+    // column-major flatten of [nbchan, pnts, trials]
+    val flat = for {
+      t <- 0 until trials
+      s <- 0 until pnts
+      c <- 0 until nChan
+    } yield data(c)(t * pnts + s)
+    val chanlocs = matStruct("", Seq(1, nChan), Seq("labels", "theta"),
+      channelLabels.map(l => Seq(matChar("", l), matNumeric("", Seq(1, 1), Seq(0.0)))))
+    val dataField = asFdt match {
+      case None => matNumeric("", Seq(nChan, pnts, trials), flat)
+      case Some(fdtName) => matChar("", fdtName)
+    }
+    val eeg = matStruct("EEG", Seq(1, 1),
+      Seq("data", "srate", "nbchan", "pnts", "trials", "chanlocs"),
+      Seq(Seq(
+        dataField,
+        matNumeric("", Seq(1, 1), Seq(srateHz)),
+        matNumeric("", Seq(1, 1), Seq(nChan.toDouble)),
+        matNumeric("", Seq(1, 1), Seq(pnts.toDouble)),
+        matNumeric("", Seq(1, 1), Seq(trials.toDouble)),
+        chanlocs)))
+    val o = new ByteArrayOutputStream()
+    val header = new Array[Byte](128)
+    val txt = "MATLAB 5.0 MAT-file, graft synthetic fixture".getBytes(US_ASCII)
+    System.arraycopy(txt, 0, header, 0, txt.length)
+    header(124) = 0; header(125) = 1          // version 0x0100 LE
+    header(126) = 'I'.toByte; header(127) = 'M'.toByte
+    o.write(header)
+    o.write(eeg)
+    val fdtPayload = leBytes(flat.length * 4)(b =>
+      flat.foreach(v => b.putFloat(v.toFloat)))
+    (o.toByteArray, fdtPayload)
+  }
+
+  /** Two-channel, two-trial `.set` with the q75/q101 trace shape (E1 =
+    * 1..10, E2 = 10,20,…,100 — exact in float32 and double). */
+  def eeglabRecordingBytes(asFdt: Option[String] = None): (Array[Byte], Array[Byte]) =
+    eeglabBytes(
+      Seq("Fz", "Pz"),
+      Seq((1 to 10).map(_.toDouble).toArray, (1 to 10).map(_ * 10.0).toArray),
+      srateHz = 4.0, trials = 2, asFdt = asFdt)
+
   def materialize(subdir: String, fileName: String, bytes: Array[Byte]): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_fixtures", subdir)

@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.SyntheticFixtures.{eeglabBytes, eeglabRecordingBytes}
+
+/** S14 EEGLAB `.set` reader: [[SyntheticFixtures.eeglabBytes]] writes the
+  * MAT Level-5 structure sequentially from the published layout while
+  * [[EeglabReader]] re-walks it element by element — independent
+  * expressions of the format, cross-checked here over the in-file numeric
+  * case, the `.fdt` sibling case, trial reshaping, and malformed input. */
+class EeglabReaderSpec extends SparkSpec {
+
+  private val labels = Seq("Fz", "Pz")
+  private val traces = Seq(
+    (1 to 10).map(_.toDouble).toArray, (1 to 10).map(_ * 10.0).toArray)
+
+  test("in-file numeric data: names, srate, column-major trial concat") {
+    val (set, _) = eeglabBytes(labels, traces, srateHz = 4.0, trials = 2)
+    val r = EeglabReader.parseSet(set).get
+    assert(r.channelNames == IndexedSeq("Fz", "Pz"))
+    assert(r.sampleRateHz == 4.0)
+    assert(r.fdtFile.isEmpty)
+    assert(r.data(0).toSeq == (1 to 10).map(_.toDouble))
+    assert(r.data(1).toSeq == (1 to 10).map(_ * 10.0))
+  }
+
+  test("single-trial layout parses identically") {
+    val (set, _) = eeglabBytes(labels, traces, srateHz = 4.0, trials = 1)
+    val r = EeglabReader.parseSet(set).get
+    assert(r.data(0).toSeq == (1 to 10).map(_.toDouble))
+  }
+
+  test("data-as-filename defers to the .fdt sibling (float32, chan-fastest)") {
+    val (set, fdt) = eeglabBytes(labels, traces, srateHz = 4.0, trials = 2,
+      asFdt = Some("rec1.fdt"))
+    val r = EeglabReader.parseSet(set).get
+    assert(r.fdtFile.contains("rec1.fdt"))
+    val t = EeglabReader.fdtTraces(2, fdt)
+    assert(t(0).toSeq == (1 to 10).map(_.toDouble))
+    assert(t(1).toSeq == (1 to 10).map(_ * 10.0))
+  }
+
+  test("hardened: malformed/out-of-scope inputs yield None, never throw") {
+    val (set, _) = eeglabRecordingBytes()
+    assert(EeglabReader.parseSet(Array.emptyByteArray).isEmpty)
+    assert(EeglabReader.parseSet(set.take(100)).isEmpty)
+    val bigEndian = set.clone()
+    bigEndian(126) = 'M'.toByte; bigEndian(127) = 'I'.toByte
+    assert(EeglabReader.parseSet(bigEndian).isEmpty)
+    // truncated mid-element: header valid, elements cut
+    assert(EeglabReader.parseSet(set.take(200)).toSeq
+      .flatMap(_.data).isEmpty || EeglabReader.parseSet(set.take(200)).isEmpty)
+    // v7 compressed marker (miCOMPRESSED tag) is explicitly out of scope
+    val v7 = set.take(128) ++ Array[Byte](15, 0, 0, 0, 16, 0, 0, 0) ++
+      new Array[Byte](16)
+    assert(EeglabReader.parseSet(v7).isEmpty)
+  }
+
+  test("distributed scan: one row per channel; fdt sibling streamed") {
+    val (set, fdt) = eeglabRecordingBytes(asFdt = Some("rec2.fdt"))
+    val dir = SyntheticFixtures.materialize("eeglab_spec", "rec2.set", set)
+    SyntheticFixtures.materialize("eeglab_spec", "rec2.fdt", fdt)
+    val rows = EeglabReader.channels(spark, dir).collect()
+      .map(c => (c.channel, c.sampling_rate_hz, c.n_samples)).sortBy(_._1)
+    assert(rows.toSeq == Seq(("Fz", 4.0, 10L), ("Pz", 4.0, 10L)))
+  }
+}
