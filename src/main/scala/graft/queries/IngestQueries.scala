@@ -260,6 +260,40 @@ object IngestQueries {
           col("tag"), col("has_pairing"), col("additional_members"))
     },
 
+    // U3 HED schema union: multi-schema node catalog union
+    // (hed_schema_node.py:9-14) feeding the q64 parser's members through
+    // first-match-by-id leaf resolution (hed.py:191-201, events.py:169)
+    // with parent-chain long names; name collisions across schemas take
+    // the lowest id, unknown tags are flagged not raised
+    "q103_hed_schema_union" -> { (s, _) =>
+      import s.implicits._
+      val standard = Seq(
+        (1, None: Option[Int], 1, "Event"), (2, Some(1), 1, "Sensory-event"),
+        (3, Some(1), 1, "Agent-action"), (4, None: Option[Int], 1, "Property"),
+        (5, Some(4), 1, "Red"), (6, Some(4), 1, "Blue"),
+        (7, Some(1), 1, "Offset"), (8, Some(1), 1, "End"),
+        (9, Some(2), 1, "Cue"), (10, Some(2), 1, "Target"),
+        (11, Some(3), 1, "Intended-effect"))
+        .toDF("id", "parent_id", "schema_id", "name")
+      val library = Seq(
+        (101, None: Option[Int], 2, "Score-event"), (102, Some(101), 2, "Artifact"),
+        (103, Some(101), 2, "Cue"), (104, None: Option[Int], 2, "Event"))
+        .toDF("id", "parent_id", "schema_id", "name")
+      val union = graft.operators.HedSchema.unionNodes(Seq(standard, library))
+      val events = Seq(
+        (1L, "Sensory-event, (Red, Blue), Agent-action"),
+        (2L, "Event, (Intended-effect, (Cue, Target), Offset), End"),
+        (3L, "Artifact, Event/Sensory-event/Cue, Mystery-tag"))
+        .toDF("event_id", "hed")
+      val members = graft.functions.HedParser.explodeHedString(events, "hed")
+        .select(col("event_id"), col("group_index"), col("member_index"),
+          col("tag"))
+      graft.operators.HedSchema.resolveTags(members, union)
+        .select(col("event_id"), col("group_index"), col("member_index"),
+          col("tag"), col("hed_tag_id"), col("long_name"),
+          col("unrecognized").cast("int").as("unrecognized"))
+    },
+
     // T6 upload state machine (mapGroupsWithState, base_pipeline.py:86-87,
     // 269-272) on batch input: orders as upload events (seq = orderkey,
     // status = orderstatus) -> last status + transition count per upload
@@ -399,6 +433,27 @@ object IngestQueries {
         |  ('scan1.nii', 3, 64, 64, 32,
         |   CAST(2.0 AS DOUBLE), CAST(2.5 AS DOUBLE), CAST(3.0 AS DOUBLE))
         |) AS t(file_name, ndim, xspace, yspace, zspace, xstep, ystep, zstep)""".stripMargin,
+
+    "q103_hed_schema_union" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 0, 0, 'Agent-action', 3, 'Event/Agent-action', 0),
+        |  (CAST(1 AS BIGINT), 1, 0, 'Blue', 6, 'Property/Blue', 0),
+        |  (CAST(1 AS BIGINT), 1, 1, 'Red', 5, 'Property/Red', 0),
+        |  (CAST(1 AS BIGINT), 2, 0, 'Sensory-event', 2, 'Event/Sensory-event', 0),
+        |  (CAST(2 AS BIGINT), 0, 0, 'End', 8, 'Event/End', 0),
+        |  (CAST(2 AS BIGINT), 1, 0, 'Offset', 7, 'Event/Offset', 0),
+        |  (CAST(2 AS BIGINT), 1, 1, 'Target', 10, 'Event/Sensory-event/Target', 0),
+        |  (CAST(2 AS BIGINT), 1, 2, 'Cue', 9, 'Event/Sensory-event/Cue', 0),
+        |  (CAST(2 AS BIGINT), 1, 3, 'Intended-effect', 11,
+        |   'Event/Agent-action/Intended-effect', 0),
+        |  (CAST(2 AS BIGINT), 2, 0, 'Event', 1, 'Event', 0),
+        |  (CAST(3 AS BIGINT), 0, 0, 'Mystery-tag', CAST(NULL AS INTEGER),
+        |   CAST(NULL AS VARCHAR), 1),
+        |  (CAST(3 AS BIGINT), 1, 0, 'Event/Sensory-event/Cue', 9,
+        |   'Event/Sensory-event/Cue', 0),
+        |  (CAST(3 AS BIGINT), 2, 0, 'Artifact', 102, 'Score-event/Artifact', 0)
+        |) AS t(event_id, group_index, member_index, tag, hed_tag_id,
+        |       long_name, unrecognized)""".stripMargin,
 
     "q64_hed_parse" ->
       """SELECT * FROM (VALUES
