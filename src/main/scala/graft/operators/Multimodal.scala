@@ -74,6 +74,42 @@ object Multimodal {
     }
   }
 
+  /** [[PayloadDecoder]] generalized to an arbitrary typed output: the same
+    * per-partition open/decode/close lifecycle, but the decoder declares
+    * its own output schema (codec-specific stats, embeddings, …). */
+  trait RowDecoder extends Serializable {
+    def open(): Unit = ()
+    def close(): Unit = ()
+    def schema: StructType
+    /** One value per [[schema]] field; nulls allowed (decode failure). */
+    def decode(bytes: Array[Byte]): Seq[Any]
+  }
+
+  /** [[decodePartitioned]] for a [[RowDecoder]]: appends the decoder's
+    * fields to each input row — ONE decoder instance per partition,
+    * streaming iterator, nothing shuffles. */
+  def decodeRowsPartitioned(df: DataFrame, binCol: String,
+      decoder: RowDecoder): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ decoder.schema.fields)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      decoder.open()
+      val wrapped = it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ decoder.decode(bytes))
+      }
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = {
+          val h = wrapped.hasNext
+          if (!h) decoder.close()
+          h
+        }
+        def next(): org.apache.spark.sql.Row = wrapped.next()
+      }
+    }(enc)
+  }
+
   /** The production decode harness — the batched `mapPartitions` shape the
     * prompt's `mapInPandas` maps to on the JVM: ONE decoder instance per
     * partition (open/close lifecycle), streaming iterator (no partition

@@ -260,6 +260,34 @@ object IngestQueries {
           col("tag"), col("has_pairing"), col("additional_members"))
     },
 
+    // Multimodal with a REAL codec: binaryFile scan → per-partition
+    // open/decode/close harness (decodeRowsPartitioned) running the
+    // pure-JVM BMP decoder — 24-bit bottom-up with row padding, 24-bit
+    // top-down, 32-bit, and a junk payload decoding to NULLs. top_left_rgb
+    // pins row-order handling; channel sums are exact integers
+    "q104_bmp_decode" -> { (s, _) =>
+      import graft.operators.{BmpCodec, Multimodal}
+      val red = Seq.fill(2)(Seq.fill(3)(0xFF0000))
+      val grad = Seq(Seq(0x0A141E, 0x28323C), Seq(0x46505A, 0x646E78))
+      val deep = Seq(Seq(0x010203, 0x040506))
+      val dir = SyntheticFixtures.materialize("q104", "red3x2.bmp",
+        SyntheticFixtures.bmpBytes(red))
+      SyntheticFixtures.materialize("q104", "grad2x2.bmp",
+        SyntheticFixtures.bmpBytes(grad, topDown = true))
+      SyntheticFixtures.materialize("q104", "deep2x1.bmp",
+        SyntheticFixtures.bmpBytes(deep, bpp = 32))
+      SyntheticFixtures.materialize("q104", "junk.bmp",
+        "not an image at all".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.bmp")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          BmpCodec.BmpStatsDecoder)
+        .select(col("file_name"), col("magic"), col("width"), col("height"),
+          col("bits_per_pixel"), col("top_down"), col("sum_r"), col("sum_g"),
+          col("sum_b"), col("top_left_rgb"))
+    },
+
     // U3 HED schema union: multi-schema node catalog union
     // (hed_schema_node.py:9-14) feeding the q64 parser's members through
     // first-match-by-id leaf resolution (hed.py:191-201, events.py:169)
@@ -433,6 +461,24 @@ object IngestQueries {
         |  ('scan1.nii', 3, 64, 64, 32,
         |   CAST(2.0 AS DOUBLE), CAST(2.5 AS DOUBLE), CAST(3.0 AS DOUBLE))
         |) AS t(file_name, ndim, xspace, yspace, zspace, xstep, ystep, zstep)""".stripMargin,
+
+    "q104_bmp_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('red3x2.bmp', 'BM', 3, 2, 24, false,
+        |   CAST(1530 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   16711680),
+        |  ('grad2x2.bmp', 'BM', 2, 2, 24, true,
+        |   CAST(220 AS BIGINT), CAST(260 AS BIGINT), CAST(300 AS BIGINT),
+        |   660510),
+        |  ('deep2x1.bmp', 'BM', 2, 1, 32, false,
+        |   CAST(5 AS BIGINT), CAST(7 AS BIGINT), CAST(9 AS BIGINT), 66051),
+        |  ('junk.bmp', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS INTEGER))
+        |) AS t(file_name, magic, width, height, bits_per_pixel, top_down,
+        |       sum_r, sum_g, sum_b, top_left_rgb)""".stripMargin,
 
     "q103_hed_schema_union" ->
       """SELECT * FROM (VALUES

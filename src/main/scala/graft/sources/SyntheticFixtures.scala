@@ -376,6 +376,43 @@ object SyntheticFixtures {
       Seq((1 to 10).map(_.toDouble).toArray, (1 to 10).map(_ * 10.0).toArray),
       srateHz = 4.0, trials = 2, asFdt = asFdt)
 
+  // --- BMP (24/32-bit uncompressed) ---
+
+  /** BMP written sequentially from the published layout (BITMAPFILEHEADER
+    * + BITMAPINFOHEADER + 4-byte-padded BGR(A) rows) — independent of
+    * [[graft.operators.BmpCodec]]'s offset-based decode. `rgb(y)(x)` is
+    * packed 0xRRGGBB with row 0 = TOP row; `topDown = false` stores rows
+    * bottom-up with positive height, the common on-disk form. */
+  def bmpBytes(rgb: Seq[Seq[Int]], bpp: Int = 24,
+      topDown: Boolean = false): Array[Byte] = {
+    require(bpp == 24 || bpp == 32)
+    val h = rgb.length
+    val w = rgb.head.length
+    val bytesPerPixel = bpp / 8
+    val rowSize = (w * bytesPerPixel + 3) / 4 * 4
+    val fileSize = 54 + rowSize * h
+    val o = new ByteArrayOutputStream()
+    def le16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+    o.write('B'.toInt); o.write('M'.toInt)
+    le32(fileSize); le32(0); le32(54)          // file header
+    le32(40); le32(w); le32(if (topDown) -h else h)
+    le16(1); le16(bpp); le32(0)                // planes, depth, BI_RGB
+    le32(rowSize * h); le32(2835); le32(2835); le32(0); le32(0)
+    val rows = if (topDown) rgb else rgb.reverse
+    rows.foreach { row =>
+      row.foreach { p =>
+        o.write(p & 0xFF); o.write((p >> 8) & 0xFF); o.write((p >> 16) & 0xFF)
+        if (bpp == 32) o.write(0xFF)           // opaque alpha
+      }
+      (0 until rowSize - w * bytesPerPixel).foreach(_ => o.write(0))
+    }
+    o.toByteArray
+  }
+
   def materialize(subdir: String, fileName: String, bytes: Array[Byte]): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_fixtures", subdir)
