@@ -380,7 +380,11 @@ object CorpusOps {
     * documents in md5-hash order — the step that turns computed mixing
     * weights into an actual training corpus. Domains holding fewer than
     * their target keep everything (the weights loop handles re-allocation;
-    * this operator is the mechanical apply).
+    * this operator is the mechanical apply). Documents whose domain is
+    * ABSENT from `targets` are dropped — a mixture that does not mention
+    * a domain budgets it zero (the inner join is the policy, not an
+    * accident); pass an explicit zero row to keep the domain visible in
+    * counts, or pre-union missing domains if keep-all is wanted.
     *
     * Shape: targets are one row per domain — broadcast; then the
     * [[domainRebalance]] partitioned-rank shape with a per-domain dynamic

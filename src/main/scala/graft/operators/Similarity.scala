@@ -192,7 +192,10 @@ object Similarity {
     * pairwise stage is O(Σ_c |cluster_c|²): at 100 TB the centroid count
     * is sized so clusters hold ~10⁴ vectors (SemDeDup uses k≈10⁵ for
     * 10⁹ docs), which bounds every bucket; `maxClusterSize` guards the
-    * degenerate hot cluster (skipped pairs are counted, never silent). */
+    * degenerate hot cluster by EXCLUDING oversized clusters from the
+    * pairwise stage — their members are all kept undeduplicated. Audit
+    * the exclusions with [[skippedClusters]] (same inputs): dedup
+    * coverage must degrade visibly, not silently. */
   def semanticDedup(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, threshold: Double,
@@ -221,6 +224,19 @@ object Similarity {
       .select(col("id"), col("centroid_id"),
         col("__m.keep_id").as("dup_of"), col("__m.cosine").as("cosine"))
   }
+
+  /** The clusters [[semanticDedup]] excluded from its pairwise stage:
+    * (centroid_id, cluster_size) for every cluster over `maxClusterSize`.
+    * One aggregation on the map-only assignment — run it alongside the
+    * dedup to report skipped coverage (0 rows = full coverage). */
+  def skippedClusters(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, maxClusterSize: Int = 100000
+  ): DataFrame =
+    assignClusters(corpus, idCol, vecCol, centroids)
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") > maxClusterSize)
 
   /** Product-quantization codes: the vector splits into `m` subspaces;
     * each subspace gets a `k`-entry codebook (deterministic seed: the first

@@ -89,7 +89,14 @@ object Sketches {
     * re-shuffles and per-group state is constant-size regardless of item
     * cardinality (the sketch property). Output: groupCols + `cms`
     * (array[depth] of array[width] counts). Merging sketches across
-    * partitions/days is element-wise addition — the same agg run again. */
+    * partitions/days is element-wise addition — the same agg run again.
+    *
+    * Practical width bound: the agg materializes width×depth conditional
+    * counts as expressions, and past ~2k aggregates whole-stage codegen
+    * hits JVM method-size limits and falls back to interpreted (correct
+    * but slower). For production widths (w ≥ 1024·d), restructure the
+    * same math as explode→(group, j, bucket) rows with a plain count
+    * aggregation — identical sketch, row-shaped state. */
   def countMin(
       items: DataFrame,
       groupCols: Seq[String],

@@ -140,10 +140,11 @@ object EventStream {
     * the right watermark passes `left_ts + maxDelay`, a right row once the
     * left watermark passes its time. Without the range condition the state
     * grows without limit — the difference between a demo and something
-    * runnable on an unbounded ingest. Column names: the right side's ts is
-    * exposed as `right_ts` (names must differ across sides for the range
-    * predicate to be expressible). Batch DataFrames run the identical plan
-    * (watermarks no-op).
+    * runnable on an unbounded ingest. Column names: every right-side
+    * non-key column comes out `right_`-prefixed (`right_ts`,
+    * `right_<name>`…) — sides routinely share column names, and an output
+    * with duplicate names breaks every downstream by-name select. Batch
+    * DataFrames run the identical plan (watermarks no-op).
     */
   def intervalJoin(
       left: DataFrame,
@@ -155,17 +156,18 @@ object EventStream {
   ): DataFrame = {
     require(keyCols.nonEmpty)
     val l = left.withWatermark(tsCol, watermark)
-    val r0 = right.withColumnRenamed(tsCol, "right_ts")
-    val r = r0.withWatermark("right_ts", watermark)
+    val r0 = right.columns.foldLeft(right) { (df, c) =>
+      if (keyCols.contains(c)) df else df.withColumnRenamed(c, s"right_$c")
+    }
+    val r = r0.withWatermark(s"right_$tsCol", watermark)
     val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
-    val range = r("right_ts") >= l(tsCol) &&
-      r("right_ts") <= l(tsCol) + expr(s"INTERVAL $maxDelay")
+    val range = r(s"right_$tsCol") >= l(tsCol) &&
+      r(s"right_$tsCol") <= l(tsCol) + expr(s"INTERVAL $maxDelay")
     l.join(r, keyEq && range, "inner")
       .select(keyCols.map(l(_)) ++
         Seq(l(tsCol)) ++
         l.columns.filterNot(c => keyCols.contains(c) || c == tsCol).map(l(_)) ++
-        Seq(r("right_ts")) ++
-        r.columns.filterNot(c => keyCols.contains(c) || c == "right_ts").map(r(_)): _*)
+        r.columns.filterNot(keyCols.contains).map(r(_)): _*)
   }
 
   /** Exactly-once file sink for an update-mode streaming aggregation:

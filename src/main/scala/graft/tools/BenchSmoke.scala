@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Per-query bench regression smoke: runs every registered query once
+  * (after the same warmup as [[graft.Bench]]) and compares against the
+  * committed baseline `tools/bench_baseline.json`, failing (exit 1) on any
+  * query slower than `ratio`× its baseline — so a new round's additions
+  * cannot silently regress a previous round's performance wins.
+  *
+  * Usage: `tools/run.sh graft.tools.BenchSmoke [sfDir] [ratio]`
+  * Queries faster than `FloorSec` in baseline are held to
+  * `ratio × FloorSec` instead (sub-300ms timings are scheduler noise).
+  * New queries absent from the baseline report as `new` and never fail;
+  * refresh the baseline with `--write` after a verified improvement.
+  */
+object BenchSmoke {
+  val FloorSec = 0.3
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ratio = args.drop(1).headOption
+      .filterNot(_ == "--write").map(_.toDouble).getOrElse(1.5)
+    val write = args.contains("--write")
+    val baselinePath = java.nio.file.Paths.get("tools/bench_baseline.json")
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+
+    if (write) {
+      val json = results.map { case (k, v) => f""""$k":$v%.3f""" }
+        .mkString("{\n  ", ",\n  ", "\n}")
+      java.nio.file.Files.write(baselinePath,
+        json.getBytes("UTF-8"))
+      println(s"[benchsmoke] baseline written: ${results.length} queries")
+    } else {
+      val baseline: Map[String, Double] =
+        if (!java.nio.file.Files.exists(baselinePath)) Map.empty
+        else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+          """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      var failures = 0
+      results.foreach { case (name, t) =>
+        baseline.get(name) match {
+          case None => println(f"[benchsmoke] NEW        $name $t%.2fs")
+          case Some(b) =>
+            val bound = math.max(b, FloorSec) * ratio
+            if (t > bound) {
+              failures += 1
+              println(f"[benchsmoke] REGRESSION $name $t%.2fs > " +
+                f"$bound%.2fs (baseline $b%.2fs x$ratio)")
+            }
+        }
+      }
+      val total = results.map(_._2).sum
+      println(f"[benchsmoke] total ${total}%.1fs, ${results.length} queries, " +
+        s"$failures regression(s)")
+      spark.stop()
+      if (failures > 0) sys.exit(1)
+    }
+    spark.stop()
+  }
+}

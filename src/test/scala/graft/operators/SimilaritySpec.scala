@@ -140,9 +140,17 @@ class SimilaritySpec extends SparkSpec {
     assert(r2.filter(col("id") === 3L).select("dup_of")
       .first().getLong(0) == 1L)
 
-    // hot-cluster guard: maxClusterSize below the cluster size -> no pairs
+    // hot-cluster guard: maxClusterSize below the cluster size -> no pairs,
+    // and the exclusions are AUDITABLE via skippedClusters (never silent)
     assert(Similarity.semanticDedup(corpus, "vec_id", "embedding",
       cents, threshold = 0.99, maxClusterSize = 1).count() == 0L)
+    val skipped = Similarity.skippedClusters(corpus, "vec_id", "embedding",
+        cents, maxClusterSize = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(skipped == Map(0L -> 3L, 1L -> 2L))
+    // with the default bound nothing is skipped
+    assert(Similarity.skippedClusters(corpus, "vec_id", "embedding",
+      cents).count() == 0L)
   }
 
   test("cosine of identical vectors is 1") {

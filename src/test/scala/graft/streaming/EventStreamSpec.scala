@@ -101,7 +101,7 @@ class EventStreamSpec extends SparkSpec {
     q.processAllAvailable()
     val out = spark.table("ij").collect()
       .map(r => (r.getAs[Long]("session_id"), r.getAs[String]("scan_type"),
-        r.getAs[String]("flag"))).toSet
+        r.getAs[String]("right_flag"))).toSet
     q.stop()
     assert(out == Set((1L, "T1w", "ok")))
   }
@@ -115,8 +115,22 @@ class EventStreamSpec extends SparkSpec {
       .toDF("ts", "session_id", "flag")
     val out = EventStream.intervalJoin(scans, flags, Seq("session_id"),
       maxDelay = "5 minutes").collect()
-    assert(out.length == 1 && out.head.getAs[String]("flag") == "ok")
+    assert(out.length == 1 && out.head.getAs[String]("right_flag") == "ok")
     assert(out.head.getAs[Timestamp]("right_ts") == t3)
+  }
+
+  test("intervalJoin: shared non-key column names cannot collide") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val l = Seq((t0, 1L, "left-note")).toDF("ts", "session_id", "note")
+    val r = Seq((t0, 1L, "right-note")).toDF("ts", "session_id", "note")
+    val out = EventStream.intervalJoin(l, r, Seq("session_id"),
+      maxDelay = "5 minutes")
+    assert(out.columns.toSeq ==
+      Seq("session_id", "ts", "note", "right_ts", "right_note"))
+    val row = out.collect().head
+    assert(row.getAs[String]("note") == "left-note")
+    assert(row.getAs[String]("right_note") == "right-note")
   }
 
   test("writeUpsertBatches: upsert view correct; batch replay is idempotent") {
