@@ -292,6 +292,45 @@ object CorpusOps {
         pmod(col("__start"), lit(seqLen.toLong)).as("seq_offset"))
   }
 
+  /** The full corpus-assembly pipeline (the q99 capstone) as ONE
+    * declarative plan: normalize → exact-dedup (min id per normal form) →
+    * token-length gate → benchmark decontamination (`n`-gram anti-join;
+    * benchmark = every `benchEvery`-th doc id) → pack survivors into
+    * training sequences. Every stage is an operator proven alone
+    * (q45/q59/q68/q81); composing them in one plan lets Catalyst optimize
+    * END TO END — and gives the streaming incremental-refresh wrapper
+    * ([[graft.streaming.EventStream.assembleCorpusIncremental]]) a single
+    * deterministic batch twin to converge to. */
+  def assembleCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      benchEvery: Int,
+      n: Int,
+      nShards: Int,
+      seqLen: Int
+  ): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    val normed = docs.select(col(idCol), norm.as("norm"))
+    val gated = normed
+      .groupBy(col("norm")).agg(min(col(idCol)).as(idCol))
+      .withColumn("n_tokens", size(tokens(col("norm"))))
+      .filter(col("n_tokens") >= minTokens)
+    val benchGrams = normed.filter(pmod(col(idCol), lit(benchEvery)) === 0)
+      .select(explode(shingleHashes60(col("norm"), n)).as("gram"))
+      .distinct()
+    val contaminated = gated
+      .select(col(idCol), explode(shingleHashes60(col("norm"), n)).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .select(col(idCol)).distinct()
+    val clean = gated.join(contaminated, Seq(idCol), "left_anti")
+    packSequences(
+      clean.select(col(idCol), col("norm").as(textCol)),
+      idCol, textCol, nShards = nShards, seqLen = seqLen)
+  }
+
   /** Intra-corpus duplicated-span statistics — the "how much of this
     * document is copied from elsewhere in the corpus" signal behind
     * substring-level dedup (Lee et al. 2022, "Deduplicating Training Data

@@ -207,25 +207,8 @@ object CorpusQueries {
     // Every stage is an operator proven alone (q45/q59/q68/q81); the point
     // here is the composition Catalyst gets to optimize END TO END.
     "q99_corpus_assembly" -> { (s, dir) =>
-      import graft.functions.TextFunctions.{shingleHashes60, tokens}
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-      val normed = docs(s, dir).select(col("doc_id"), norm.as("norm"))
-      val gated = normed
-        .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
-        .withColumn("n_tokens", size(tokens(col("norm"))))
-        .filter(col("n_tokens") >= 5)
-      val benchGrams = normed.filter(pmod(col("doc_id"), lit(50)) === 0)
-        .select(explode(shingleHashes60(col("norm"), 3)).as("gram"))
-        .distinct()
-      val contaminated = gated
-        .select(col("doc_id"), explode(shingleHashes60(col("norm"), 3)).as("gram"))
-        .join(benchGrams, Seq("gram"))
-        .select(col("doc_id")).distinct()
-      val clean = gated.join(contaminated, Seq("doc_id"), "left_anti")
-      CorpusOps.packSequences(
-        clean.select(col("doc_id"), col("norm").as("text")),
-        "doc_id", "text", nShards = 4, seqLen = 64)
+      CorpusOps.assembleCorpus(docs(s, dir), "doc_id", "text",
+        minTokens = 5, benchEvery = 50, n = 3, nShards = 4, seqLen = 64)
     },
 
     // Robust outlier detection: per-source median/MAD over token counts,

@@ -211,6 +211,49 @@ object EventStream {
       .drop("__rn")
   }
 
+  /** The q99 corpus-assembly capstone on a STREAM of arriving documents —
+    * the exactly-once incremental-refresh shape:
+    *
+    *   1. each micro-batch stages to its own `staged/batch_id=N` directory
+    *      with OVERWRITE (replayed batches rewrite identical content — the
+    *      same idempotence argument as [[writeUpsertBatches]]);
+    *   2. the full batch assembly ([[graft.operators.CorpusOps
+    *      .assembleCorpus]]) then recomputes over ALL staged documents and
+    *      overwrites `result/`.
+    *
+    * Recompute-on-arrival is the HONEST streaming form of this pipeline:
+    * global exact-dedup and decontamination anti-joins are non-monotonic
+    * (a late benchmark doc can retract prior outputs), so no append-mode
+    * incremental operator can express them — the choice is unbounded
+    * keyed state or deterministic refresh over the staged corpus, and the
+    * refresh converges to the batch plan's exact output (spec-pinned
+    * parity). Production paces the refresh with a trigger interval. */
+  def assembleCorpusIncremental(
+      docsStream: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      minTokens: Int = 5,
+      benchEvery: Int = 50,
+      n: Int = 3,
+      nShards: Int = 4,
+      seqLen: Int = 64
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/staged/batch_id=$id")
+        val spark = batch.sparkSession
+        val all = spark.read.parquet(s"$outDir/staged")
+          .drop("batch_id")
+        graft.operators.CorpusOps
+          .assembleCorpus(all, "doc_id", "text", minTokens, benchEvery, n,
+            nShards, seqLen)
+          .write.mode("overwrite").parquet(s"$outDir/result")
+        ()
+      }
+      .start()
+
   case class UploadEvent(upload_id: Long, seq: Long, status: String)
   case class UploadState(upload_id: Long, status: String, n_transitions: Int)
 

@@ -133,6 +133,47 @@ class EventStreamSpec extends SparkSpec {
     assert(row.getAs[String]("right_note") == "right-note")
   }
 
+  test("assembleCorpusIncremental: streamed capstone == batch q99 plan") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    // corpus with exact duplicates, short docs (length-gated), and
+    // benchmark docs (id % 10 == 0) whose 2-grams contaminate others
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),   // benchmark doc
+      (1L, "alpha beta gamma delta epsilon"),    // dup of 10 -> min id 1
+      (2L, "zeta eta theta iota kappa lambda"),
+      (3L, "zeta eta theta iota kappa lambda"),  // dup of 2
+      (4L, "mu nu xi"),                          // < 5 tokens -> gated
+      (5L, "omicron pi rho sigma tau upsilon"),
+      (6L, "phi chi psi omega alpha beta nine"), // shares "alpha beta" w/ 10
+      (20L, "solo unique benchmark entry here"), // benchmark doc
+      (7L, "completely different clean content today"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_asm").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.assembleCorpusIncremental(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$dir/out", s"$dir/ckpt",
+      minTokens = 5, benchEvery = 10, n = 2, nShards = 2, seqLen = 8)
+    // three arrival waves, interleaved so late benchmark docs retract
+    // earlier survivors (the non-monotonic case batch handles trivially)
+    mem.addData(corpus.take(3): _*); q.processAllAvailable()
+    mem.addData(corpus.slice(3, 6): _*); q.processAllAvailable()
+    mem.addData(corpus.drop(6): _*); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$dir/out/result")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.CorpusOps.assembleCorpus(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        minTokens = 5, benchEvery = 10, n = 2, nShards = 2, seqLen = 8)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // survivors: dup 3 collapsed into 2; 4 length-gated; 6 contaminated by
+    // benchmark 10's "alpha beta"; benchmark texts (10 and its dup-winner
+    // 1, and 20) decontaminate themselves out — {2, 5, 7} remain
+    assert(batch.map(_.head.asInstanceOf[Long]) == Set(2L, 5L, 7L))
+  }
+
   test("writeUpsertBatches: upsert view correct; batch replay is idempotent") {
     val sqlc = spark.sqlContext
     import spark.implicits._
