@@ -193,6 +193,43 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[decontaminate]]'s map-only scale path: the benchmark gram set
+    * compresses into a constant-size Bloom filter
+    * ([[Sketches.bloom]] — m bits regardless of benchmark size) that
+    * broadcasts to every task, and the training side probes it WITHOUT
+    * shuffling — versus the exact version's gram-keyed shuffle of both
+    * sides. The trade is explicit: no false negatives (a truly shared
+    * gram always flags), a deterministic false-positive rate ≈
+    * (1-e^(-k·n/m))^k that overcounts `n_flagged` slightly; callers
+    * gating on `n_flagged > 0` accept that bias toward caution, exactly
+    * how production decontamination uses Bloom pre-filters before an
+    * exact confirm pass.
+    *
+    * Output: one row per training doc — `n_grams` (distinct), `n_flagged`
+    * (distinct grams hitting the filter), `contaminated`. */
+  def decontaminateBloom(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int = 4096,
+      k: Int = 3,
+      seed: Long = 11L
+  ): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingleHashes60(col(textCol), n)).as("gram"))
+    val words = Sketches.bloom(benchGrams, "gram", mBits, k, seed)
+    val trainGrams = train.select(
+      col(idCol), explode(shingleHashes60(col(textCol), n)).as("gram"))
+    Sketches.bloomMightContain(trainGrams, words, "gram", mBits, k, seed)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("bloom_hit"), 1)).as("n_flagged"))
+      .withColumn("contaminated", (col("n_flagged") > 0).cast("int"))
+  }
+
   /** Deterministic corpus shard-shuffle: the "global shuffle before
     * training" step, reproducible across runs and engines. Each row gets
     *   - `shard` = portableHash60(id) mod nShards

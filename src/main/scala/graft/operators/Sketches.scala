@@ -118,6 +118,66 @@ object Sketches {
       }: _*).as("cms"))
   }
 
+  /** Bit positions a pre-hashed item (a [[portableHash60]]/
+    * [[graft.functions.TextFunctions.shingleHashes60]] value) sets in an
+    * `mBits` Bloom filter: k universal hashes mod m. All-integer and
+    * engine-portable, the same bucket math as [[countMin]]. */
+  def bloomPositions(hash60: Column, mBits: Int, k: Int,
+      seed: Long = 11L): Seq[Column] = {
+    val params = minhashParams(k, seed)
+    params.map { case (a, b) =>
+      pmod(universalHash(hash60, a, b), lit(mBits))
+    }
+  }
+
+  /** Bloom filter over a column of PRE-HASHED items: the membership
+    * companion to [[countMin]] (Bloom 1970) — `mBits` bits, `k` hashes, no
+    * false negatives, false-positive rate ≈ (1 - e^(-k·n/m))^k.
+    *
+    * Output: one row per 64-bit WORD that has any bit set
+    * (`word_idx`, `word`) — the sparse packed representation. Constant
+    * size (≤ m/64 rows) regardless of item count, so it broadcasts; build
+    * cost is one map over the items plus one tiny aggregation keyed by
+    * word index (≤ m/64 groups). Merging two filters is `bit_or` of the
+    * word tables — the same agg run again. */
+  def bloom(items: DataFrame, hashCol: String, mBits: Int, k: Int,
+      seed: Long = 11L): DataFrame = {
+    require(mBits >= 64 && mBits % 64 == 0 && k >= 1)
+    val pos = explode(array(bloomPositions(col(hashCol), mBits, k, seed): _*))
+    items
+      .select(pos.as("__pos"))
+      .select((col("__pos") / 64).cast("int").as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("__pos"), lit(64)).cast("int")).as("__m"))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(__m)").as("word"))
+  }
+
+  /** Membership probe against a [[bloom]] word table: appends
+    * `bloom_hit` (true = all k bits set — item possibly in the set; false
+    * = DEFINITELY absent). The word table collapses to ONE broadcast row
+    * (a word_idx → word map), so the probe is pure map-side — the stream
+    * side never shuffles and never joins per-position. */
+  def bloomMightContain(probes: DataFrame, bloomWords: DataFrame,
+      hashCol: String, mBits: Int, k: Int, seed: Long = 11L): DataFrame = {
+    val dense = bloomWords.agg(
+      map_from_entries(collect_list(struct(col("word_idx"), col("word"))))
+        .as("__bloom"))
+    val hit = bloomPositions(col(hashCol), mBits, k, seed)
+      .map { p =>
+        coalesce(
+          element_at(col("__bloom"), (p / 64).cast("int"))
+            .bitwiseAND(call_function("shiftleft", lit(1L),
+              pmod(p, lit(64)).cast("int")))
+            =!= 0L,
+          lit(false))
+      }
+      .reduce(_ && _)
+    probes.crossJoin(broadcast(dense))
+      .withColumn("bloom_hit", hit)
+      .drop("__bloom")
+  }
+
   /** Point-frequency estimates from a [[countMin]] sketch: for every
     * (group, probe) pair, `est_count` = min over the depth rows of the
     * probe's bucket count — ≥ the true count always, = for items whose

@@ -72,6 +72,19 @@ object CorpusQueries {
         "doc_id", "text", n = 3)
     },
 
+    // Bloom-filter decontamination: the q68 semantics through the
+    // constant-size broadcast sketch — map-only on the training side (no
+    // gram-keyed shuffle of the corpus). m=4096/k=3 over ~950 benchmark
+    // grams gives a real, deterministic false-positive rate, so the
+    // oracle exhibits flagged-but-not-shared grams alongside true hits
+    "q105_bloom_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      CorpusOps.decontaminateBloom(
+        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3, mBits = 4096, k = 3)
+    },
+
     // Deterministic shard-shuffle: 8 shards, md5 epoch-0 order
     "q69_shard_shuffle" -> { (s, dir) =>
       CorpusOps.shardShuffle(docs(s, dir), "doc_id", nShards = 8)
@@ -320,6 +333,36 @@ object CorpusQueries {
          |SELECT tr.doc_id, COUNT(*) AS n_shared
          |FROM tr JOIN b ON tr.gram = b.gram
          |GROUP BY 1""".stripMargin,
+
+    "q105_bloom_decontaminate" -> {
+      val ps = graft.functions.TextFunctions.minhashParams(3, 11L)
+      val vals = ps.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(${sqlShingles(3)},
+         |      s -> $sqlHash60))) AS gram
+         |  FROM documents
+         |), d(j, a, b) AS (VALUES $vals
+         |), bbits AS (
+         |  SELECT DISTINCT
+         |    ((a * (gram % 2147483647) + b) % 2147483647) % 4096 AS pos
+         |  FROM sh CROSS JOIN d WHERE doc_id % 50 = 0
+         |), tpos AS (
+         |  SELECT doc_id, gram, j,
+         |    ((a * (gram % 2147483647) + b) % 2147483647) % 4096 AS pos
+         |  FROM sh CROSS JOIN d WHERE doc_id % 50 <> 0
+         |), hits AS (
+         |  SELECT doc_id, gram, COUNT(bbits.pos) AS nb
+         |  FROM tpos LEFT JOIN bbits ON tpos.pos = bbits.pos
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(CASE WHEN nb = 3 THEN 1 END) AS BIGINT) AS n_flagged,
+         |  CAST(COUNT(CASE WHEN nb = 3 THEN 1 END) > 0 AS INTEGER)
+         |    AS contaminated
+         |FROM hits GROUP BY 1""".stripMargin
+    },
 
     "q69_shard_shuffle" ->
       """SELECT doc_id,

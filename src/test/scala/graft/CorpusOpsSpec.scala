@@ -107,6 +107,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r == Map(10L -> 3L))
   }
 
+  test("decontaminateBloom: flags superset of exact overlap, no misses") {
+    val train = Seq(
+      (10L, "a b c d e"),   // shares 3-grams with bench
+      (11L, "z y x w v u")) // no true overlap
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "a b c d q")).toDF("doc_id", "text")
+    val bloomed = CorpusOps.decontaminateBloom(train, bench,
+        "doc_id", "text", n = 3, mBits = 4096, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getInt(3))).toMap
+    val exact = CorpusOps.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 10: grams {abc,bcd,cde}, bench has {abc,bcd,cdq} -> 2 exact
+    assert(exact == Map(10L -> 2L))
+    assert(bloomed(10L)._1 == 3L)
+    // no false negatives: flagged >= exact per doc
+    assert(bloomed(10L)._2 >= 2L && bloomed(10L)._3 == 1)
+    // doc 11 has 4 grams; with 3 bench grams in 4096 bits FPs are ~0
+    assert(bloomed(11L)._2 == 0L && bloomed(11L)._3 == 0)
+  }
+
   test("shardShuffle: deterministic, dense per-shard positions") {
     val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val r = CorpusOps.shardShuffle(d, "doc_id", nShards = 4)

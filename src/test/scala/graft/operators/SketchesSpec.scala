@@ -82,6 +82,37 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bloom: no false negatives; misses are definite; bit_or merge") {
+    val rnd = new scala.util.Random(13)
+    val inSet = Seq.fill(300)(math.abs(rnd.nextLong()) % (1L << 60)).distinct
+    val outSet = Seq.fill(300)(math.abs(rnd.nextLong()) % (1L << 60))
+      .distinct.filterNot(inSet.toSet)
+    val items = inSet.toDF("h")
+    val words = Sketches.bloom(items, "h", mBits = 8192, k = 3)
+    // constant-size representation regardless of item count
+    assert(words.count() <= 8192 / 64)
+    val probes = (inSet.map((_, true)) ++ outSet.map((_, false)))
+      .toDF("h", "member")
+    val r = Sketches.bloomMightContain(probes, words, "h", 8192, 3)
+      .collect().map(x => (x.getBoolean(1), x.getBoolean(2)))
+    // every member hits (no false negatives)
+    assert(r.filter(_._1).forall(_._2))
+    // non-members mostly miss (8192 bits / 300 keys / k=3 -> low FP rate);
+    // any hit among them is a false positive, never a correctness error
+    val fpRate = r.filterNot(_._1).count(_._2).toDouble /
+      r.count(!_._1)
+    assert(fpRate < 0.05, s"fpRate=$fpRate")
+    // merging two filters = bit_or of their word tables == filter of union
+    val (a, b) = inSet.splitAt(150)
+    val merged = Sketches.bloom(a.toDF("h"), "h", 8192, 3)
+      .union(Sketches.bloom(b.toDF("h"), "h", 8192, 3))
+      .groupBy(col("word_idx"))
+      .agg(expr("bit_or(word)").as("word"))
+    val direct = words.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    val m2 = merged.collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(direct == m2)
+  }
+
   test("countMin: sketches merge by element-wise addition") {
     val half1 = (0 until 30).map(i => ("g", "i" + (i % 5))).toDF("g", "item")
     val half2 = (30 until 60).map(i => ("g", "i" + (i % 5))).toDF("g", "item")
