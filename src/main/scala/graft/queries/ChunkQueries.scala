@@ -50,6 +50,15 @@ object ChunkQueries {
         gapMicros = 30L * 60 * 1000000)
     },
 
+    // T5 native session windows: the q55 semantics through Spark's
+    // session_window operator (merged-window shuffle, streaming-capable
+    // with watermarked state) — window end = last event + gap
+    "q106_session_window" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("us"))
+      EventStream.sessionWindows(ev, "user_id", "us", gap = "30 minutes")
+    },
+
     // Irregular -> regular resample with forward fill: 6-hour grid per
     // user, last observation carried forward (integer-µs ticks, integer-
     // scaled values; duplicate-timestamp tie = max value, see operator)
@@ -195,6 +204,25 @@ object ChunkQueries {
       s"""WITH s AS ($sqlSamples)
          |SELECT channel, sample_index // 16 AS sample_index, AVG(value) AS value
          |FROM s GROUP BY channel, sample_index // 16""".stripMargin,
+
+    "q106_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |), s AS (
+        |  SELECT user_id, us,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM g
+        |)
+        |SELECT user_id, MIN(us) AS session_start,
+        |  MAX(us) + 1800000000 AS session_end,
+        |  COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sess""".stripMargin,
 
     "q55_sessionize" ->
       """WITH e AS (

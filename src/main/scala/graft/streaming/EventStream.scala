@@ -211,6 +211,37 @@ object EventStream {
       .drop("__rn")
   }
 
+  /** T5 — sessionization via the NATIVE `session_window` operator (the
+    * Spark-first twin of [[sessionize]]'s lag/cumsum formulation): events
+    * within `gap` of the previous event extend the session; the window
+    * end is last-event + gap. One shuffle keyed by (key, merged window);
+    * on a stream the same call runs incrementally with session-merging
+    * state (pass `watermark` to bound it — required for streaming, no-op
+    * semantics otherwise). Output: key, session_start/session_end (epoch
+    * µs, integer — cross-engine exact), n_events.
+    *
+    * Boundary parity with [[sessionize]]: an event at EXACTLY +gap merges
+    * in both formulations (session_window merges when next.start ≤
+    * current.end; sessionize starts a new session only when the
+    * difference EXCEEDS the gap) — spec-pinned. */
+  def sessionWindows(
+      events: DataFrame,
+      keyCol: String,
+      tsMicrosCol: String,
+      gap: String = "30 minutes",
+      watermark: Option[String] = None
+  ): DataFrame = {
+    val ts = events.withColumn("__ts", timestamp_micros(col(tsMicrosCol)))
+    val wm = watermark.fold(ts)(w => ts.withWatermark("__ts", w))
+    wm
+      .groupBy(col(keyCol), session_window(col("__ts"), gap).as("__w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        unix_micros(col("__w.start")).as("session_start"),
+        unix_micros(col("__w.end")).as("session_end"),
+        col("n_events"))
+  }
+
   /** The q99 corpus-assembly capstone on a STREAM of arriving documents —
     * the exactly-once incremental-refresh shape:
     *

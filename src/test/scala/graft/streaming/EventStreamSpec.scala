@@ -133,6 +133,51 @@ class EventStreamSpec extends SparkSpec {
     assert(row.getAs[String]("right_note") == "right-note")
   }
 
+  test("sessionWindows: native operator agrees with lag/cumsum sessionize, " +
+      "including the exactly-at-gap boundary") {
+    import spark.implicits._
+    val gap = 1800000000L // 30 min in µs
+    val ev = Seq(
+      (1L, 100L, 0L),
+      (1L, 101L, gap),          // exactly +gap -> SAME session (both forms)
+      (1L, 102L, 2 * gap + 1),  // gap exceeded -> new session
+      (2L, 200L, 50L),
+      (2L, 201L, 50L)           // duplicate timestamp, same session
+    ).toDF("user_id", "event_id", "us")
+    val native = EventStream.sessionWindows(ev, "user_id", "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(native == Set(
+      (1L, 0L, gap + gap, 2L),            // end = last event + gap
+      (1L, 2 * gap + 1, 3 * gap + 1, 1L),
+      (2L, 50L, 50L + gap, 2L)))
+    // parity with the custom formulation on (start, count) per session
+    val custom = EventStream.sessionize(ev, "user_id", "us", "event_id",
+        gapMicros = gap)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+    assert(custom == native.map(x => (x._1, x._2, x._4)))
+  }
+
+  test("sessionWindows: identical results on a real stream") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStream.sessionWindows(
+        mem.toDF().toDF("user_id", "us"), "user_id", "us",
+        watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("sw").outputMode("complete")
+      .start()
+    mem.addData((1L, 0L), (1L, 60000000L))
+    q.processAllAvailable()
+    mem.addData((1L, 5000000000L), (2L, 0L))
+    q.processAllAvailable()
+    val out = spark.table("sw").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    q.stop()
+    assert(out == Set((1L, 0L, 2L), (1L, 5000000000L, 1L), (2L, 0L, 1L)))
+  }
+
   test("assembleCorpusIncremental: streamed capstone == batch q99 plan") {
     val sqlc = spark.sqlContext
     import spark.implicits._
