@@ -71,7 +71,8 @@ object EeglabReader {
     val miType = tag & 0xFFFF
     val size = if (small) tag >>> 16 else b.getInt()
     if (small) {
-      if (b.remaining() < 4) return None
+      // small-element data lives in the tag's trailing 4 bytes
+      if (size > 4 || b.remaining() < 4) return None
       val payload = b.slice().order(ByteOrder.LITTLE_ENDIAN)
       payload.limit(size)
       b.position(b.position() + 4)

@@ -44,6 +44,22 @@ class BmpCodecSpec extends SparkSpec {
     assert(BmpCodec.decode(mono).isEmpty)
   }
 
+  test("fuzz: random bytes, truncations and mutations never throw") {
+    val rnd = new scala.util.Random(20260813L)
+    val base = bmpBytes(grad)
+    (1 to 300).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(junk)
+      BmpCodec.decode(junk)                        // must not throw
+      BmpCodec.decode(java.util.Arrays.copyOfRange(base, 0,
+        rnd.nextInt(base.length + 1)))
+      val mut = base.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      BmpCodec.decode(mut)
+      BmpCodec.BmpStatsDecoder.decode(mut)
+    }
+  }
+
   test("decodePartitioned runs the REAL codec through the lifecycle harness") {
     import spark.implicits._
     val df = Seq(

@@ -77,6 +77,27 @@ class CtfReaderSpec extends SparkSpec {
     assert(CtfReader.traces(h, meg4.take(7)).isEmpty)
   }
 
+  test("fuzz: random bytes, truncations and mutations never throw") {
+    val rnd = new scala.util.Random(20260813L)
+    val (res4, meg4) = ctfBytes(twoChan, twoTrials)
+    val h = CtfReader.parseRes4(res4).get
+    (1 to 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(junk)
+      CtfReader.parseRes4(junk)                    // must not throw
+      CtfReader.traces(h, junk)
+      val cut = java.util.Arrays.copyOfRange(res4, 0,
+        rnd.nextInt(res4.length + 1))
+      CtfReader.parseRes4(cut)
+      val mut = res4.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      CtfReader.parseRes4(mut).foreach(hm => CtfReader.traces(hm, meg4))
+      val mcut = java.util.Arrays.copyOfRange(meg4, 0,
+        rnd.nextInt(meg4.length + 1))
+      CtfReader.traces(h, mcut)
+    }
+  }
+
   test("distributed scan pairs res4 with sibling meg4, one row per channel") {
     val (res4, meg4) = ctfBytes(twoChan, twoTrials)
     val dir = SyntheticFixtures.materialize("ctf_spec", "rec1.res4", res4)

@@ -56,6 +56,25 @@ class EeglabReaderSpec extends SparkSpec {
     assert(EeglabReader.parseSet(v7).isEmpty)
   }
 
+  test("fuzz: random bytes, truncations and mutations never throw") {
+    val rnd = new scala.util.Random(20260813L)
+    val (set, fdt) = eeglabRecordingBytes()
+    (1 to 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(junk)
+      EeglabReader.parseSet(junk)                  // must not throw
+      EeglabReader.fdtTraces(2, junk)
+      val cut = java.util.Arrays.copyOfRange(set, 0,
+        rnd.nextInt(set.length + 1))
+      EeglabReader.parseSet(cut)
+      val mut = set.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      EeglabReader.parseSet(mut)
+      EeglabReader.fdtTraces(2,
+        java.util.Arrays.copyOfRange(fdt, 0, rnd.nextInt(fdt.length + 1)))
+    }
+  }
+
   test("distributed scan: one row per channel; fdt sibling streamed") {
     val (set, fdt) = eeglabRecordingBytes(asFdt = Some("rec2.fdt"))
     val dir = SyntheticFixtures.materialize("eeglab_spec", "rec2.set", set)
