@@ -77,6 +77,29 @@ object Sinks {
   def writeManifest(manifest: DataFrame, outDir: String): Unit =
     manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/index")
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. Incremental sinks (chunk writers,
+    * streaming upserts, per-batch appends) accrete thousands of small
+    * files whose per-file open/footer cost dominates scans at 100 TB;
+    * compaction sizes the output from the ACTUAL on-disk byte count
+    * (ceil(bytes/target), never 0) rather than a guessed partition count.
+    * `coalesce` avoids a shuffle when reducing; the rare grow case
+    * round-robins. Writes to `outDir` (staging-then-swap is the caller's
+    * transactional choice — in-place overwrite of a live dir is not
+    * crash-safe on a plain filesystem, so it is not defaulted here). */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, targetBytes: Long = 128L << 20): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val parts = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val df = spark.read.parquet(dir)
+    val sized =
+      if (df.rdd.getNumPartitions > parts) df.coalesce(parts)
+      else df.repartition(parts)
+    sized.write.mode("overwrite").parquet(outDir)
+  }
+
   /** Bucketed catalog table: pre-shuffles ONCE at write time so every
     * later equi-join/aggregation on `keys` is exchange-free — the
     * co-location strategy for repeatedly-joined 100 TB fact tables

@@ -41,4 +41,30 @@ class SinksSpec extends SparkSpec {
     assert(pruned.count() == 1)
     assert(new java.io.File(s"$dir/downsampling=0/channel=ch1").exists())
   }
+
+  test("compactParquet: many small files -> byte-sized output, data intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // 64 tiny files
+    (0L until 64L).map(i => (i, s"row$i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(s"$dir/in")
+    val nIn = new java.io.File(s"$dir/in").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nIn > 10) // AQE may coalesce a few, but it's many small files
+    Sinks.compactParquet(spark, s"$dir/in", s"$dir/out",
+      targetBytes = 1L << 30)
+    val nOut = new java.io.File(s"$dir/out").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nOut == 1) // 64 footers' worth of bytes << 1 GiB target
+    val got = spark.read.parquet(s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0L until 64L).map(i => (i, s"row$i")).toSet)
+    // small target splits output into multiple sized files
+    Sinks.compactParquet(spark, s"$dir/in", s"$dir/out2",
+      targetBytes = 20000L)
+    val nOut2 = new java.io.File(s"$dir/out2").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nOut2 > 1)
+    assert(spark.read.parquet(s"$dir/out2").count() == 64)
+  }
 }
