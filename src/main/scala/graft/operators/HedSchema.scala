@@ -33,14 +33,15 @@ object HedSchema {
     * catalog (HED trees are < 10 deep; nodes deeper than maxDepth keep
     * their partial path). */
   def withLongNames(nodes: DataFrame, maxDepth: Int = 10): DataFrame = {
+    // loop-invariant: one broadcast projection reused by every level
+    val parents = broadcast(nodes.select(
+      col("id").as("__pid"), col("name").as("__pname"),
+      col("parent_id").as("__pp")))
     var cur = nodes
       .withColumn("long_name", col("name"))
       .withColumn("__p", col("parent_id"))
     var i = 0
     while (i < maxDepth) {
-      val parents = broadcast(nodes.select(
-        col("id").as("__pid"), col("name").as("__pname"),
-        col("parent_id").as("__pp")))
       cur = cur.join(parents, cur("__p") === parents("__pid"), "left")
         .withColumn("long_name",
           when(col("__pname").isNotNull,

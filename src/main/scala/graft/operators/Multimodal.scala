@@ -95,20 +95,38 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       decoder.open()
+      val close = closeOnce(decoder.close _)
+      // close at TASK completion, not iterator exhaustion: a downstream
+      // limit/take abandons the iterator early and would otherwise leak
+      // the decoder's resources (and repeated hasNext would double-close)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
       val wrapped = it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         org.apache.spark.sql.Row.fromSeq(row.toSeq ++ decoder.decode(bytes))
       }
-      new Iterator[org.apache.spark.sql.Row] {
-        def hasNext: Boolean = {
-          val h = wrapped.hasNext
-          if (!h) decoder.close()
-          h
-        }
-        def next(): org.apache.spark.sql.Row = wrapped.next()
-      }
+      exhaustionFallback(wrapped, close)
     }(enc)
   }
+
+  /** Idempotent close wrapper. */
+  private def closeOnce(close: () => Unit): () => Unit = {
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    () => if (done.compareAndSet(false, true)) close()
+  }
+
+  /** Exhaustion-close fallback for non-task contexts; the idempotent
+    * wrapper makes it safe alongside the task-completion listener. */
+  private def exhaustionFallback[T](it: Iterator[T],
+      close: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h) close()
+        h
+      }
+      def next(): T = it.next()
+    }
 
   /** The production decode harness — the batched `mapPartitions` shape the
     * prompt's `mapInPandas` maps to on the JVM: ONE decoder instance per
@@ -124,21 +142,16 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       decoder.open()
+      val close = closeOnce(decoder.close _)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
       val wrapped = it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
         val (magic, w, h, f) = decoder.decode(bytes)
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+
           org.apache.spark.sql.Row(bytes.length.toLong, magic, w, h, f))
       }
-      // close at exhaustion without materializing the partition
-      new Iterator[org.apache.spark.sql.Row] {
-        def hasNext: Boolean = {
-          val h = wrapped.hasNext
-          if (!h) decoder.close()
-          h
-        }
-        def next(): org.apache.spark.sql.Row = wrapped.next()
-      }
+      exhaustionFallback(wrapped, close)
     }(enc)
   }
 }

@@ -189,16 +189,8 @@ object CtfReader {
         parseRes4(res4Bytes).toSeq.flatMap { h =>
           val meg4Path = new org.apache.hadoop.fs.Path(
             p.stripPrefix("file:").replaceAll("\\.res4$", ".meg4"))
-          val meg4 = try {
-            val fs = meg4Path.getFileSystem(conf.value)
-            val st = fs.getFileStatus(meg4Path)
-            val in = fs.open(meg4Path)
-            try {
-              val buf = new Array[Byte](st.getLen.toInt)
-              in.readFully(0, buf)
-              buf
-            } finally in.close()
-          } catch { case _: Exception => Array.emptyByteArray }
+          val meg4 = DicomSource.readSiblingBytes(conf.value, meg4Path)
+            .getOrElse(Array.emptyByteArray)
           traces(h, meg4).map { case (name, rate, vals) =>
             CtfChannel(p, name, rate, vals.length.toLong, vals)
           }

@@ -25,6 +25,34 @@ object DicomSource {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
+  /** Task-local whole-file read of a scan row's sibling (CTF `.meg4`,
+    * EEGLAB `.fdt`): any failure yields None — EXCEPT the single-array
+    * bound: a file over ~2 GiB cannot load into one JVM byte array, and
+    * silently dropping it would be data loss, so that case THROWS with an
+    * actionable message (such recordings need the format's own file-split
+    * convention, e.g. CTF's 2 GB `.N.meg4` continuation files). */
+  def readSiblingBytes(conf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path): Option[Array[Byte]] = {
+    try {
+      val fs = p.getFileSystem(conf)
+      val len = fs.getFileStatus(p).getLen
+      if (len > Int.MaxValue - 16)
+        throw new IllegalArgumentException(
+          s"sibling file $p is $len bytes — beyond the 2 GiB single-array " +
+            "bound; split the recording (the formats' own convention) " +
+            "instead of silently dropping it")
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](len.toInt)
+        in.readFully(0, buf)
+        Some(buf)
+      } finally in.close()
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case _: Exception => None // missing/unreadable sibling: row-local skip
+    }
+  }
+
   /** Real part: DICM magic at offset 128 (DICOM Part 10 preamble). */
   def isDicomMagic(content: Column): Column =
     length(content) >= 132 &&

@@ -115,8 +115,15 @@ object EeglabReader {
     }
   }
 
+  /** Nesting bound: real EEG structs are < 5 deep; a crafted file encoding
+    * tens of thousands of nested struct wrappers would otherwise recurse
+    * to StackOverflowError — an Error no scan-stage catch intercepts. */
+  private val MaxStructDepth = 32
+
   /** Parse one miMATRIX payload into a [[MatValue]] (+ array name). */
-  private def parseMatrix(buf: ByteBuffer): Option[(String, MatValue)] = {
+  private def parseMatrix(buf: ByteBuffer,
+      depth: Int = 0): Option[(String, MatValue)] = {
+    if (depth > MaxStructDepth) return None
     for {
       flags <- readElem(buf)
       if flags.miType == MiUInt32 && flags.payload.remaining() >= 4
@@ -130,11 +137,12 @@ object EeglabReader {
         nameE.payload.get(a)
         Some(new String(a, US_ASCII))
       }
-      value <- parseBody(buf, clazz, dims)
+      value <- parseBody(buf, clazz, dims, depth)
     } yield (name, value)
   }
 
-  private def parseBody(buf: ByteBuffer, clazz: Int, dims: Seq[Int]): Option[MatValue] =
+  private def parseBody(buf: ByteBuffer, clazz: Int, dims: Seq[Int],
+      depth: Int): Option[MatValue] =
     clazz match {
       case MxDouble | MxSingle | MxInt8 | MxUInt8 | MxInt16 | MxUInt16 |
           MxInt32 | MxUInt32 =>
@@ -169,7 +177,7 @@ object EeglabReader {
               while (ok && f < nFields) {
                 readElem(buf) match {
                   case Some(el) if el.miType == MiMatrix =>
-                    parseMatrix(el.payload) match {
+                    parseMatrix(el.payload, depth + 1) match {
                       case Some((_, v)) => m += fields(f) -> v
                       case None => ok = false
                     }
@@ -308,16 +316,9 @@ object EeglabReader {
               val setPath = new org.apache.hadoop.fs.Path(p.stripPrefix("file:"))
               val fdtPath = new org.apache.hadoop.fs.Path(
                 setPath.getParent, new org.apache.hadoop.fs.Path(fdtName).getName)
-              try {
-                val fs = fdtPath.getFileSystem(conf.value)
-                val st = fs.getFileStatus(fdtPath)
-                val in = fs.open(fdtPath)
-                try {
-                  val buf = new Array[Byte](st.getLen.toInt)
-                  in.readFully(0, buf)
-                  fdtTraces(rec.channelNames.length, buf)
-                } finally in.close()
-              } catch { case _: Exception => IndexedSeq.empty }
+              DicomSource.readSiblingBytes(conf.value, fdtPath)
+                .map(fdtTraces(rec.channelNames.length, _))
+                .getOrElse(IndexedSeq.empty)
           }
           rec.channelNames.zip(traces).map { case (name, vals) =>
             EeglabChannel(p, name, rec.sampleRateHz, vals.length.toLong, vals)

@@ -94,20 +94,26 @@ object ObjectStore {
     }.toDF("local_path", "dest_url", "action")
   }
 
-  /** The push pipeline's tail: swap the catalog's local paths for bucket
-    * URLs and (optionally) delete the now-redundant local files — the
-    * reference's "update DB then clean data_dir" step, as a returned
-    * DataFrame + an idempotent best-effort delete pass. */
+  /** The push pipeline's tail: upload, swap the catalog's local paths for
+    * bucket URLs, and (optionally) delete the now-redundant local files —
+    * the reference's "update DB then clean data_dir" step.
+    *
+    * The upload manifest is MATERIALIZED here (uploads are a side effect a
+    * lazy plan would silently skip), and a path only swaps when its upload
+    * landed or already matched — a `SkippedExists` file (destination
+    * diverged, no force) keeps its local path, so the catalog never points
+    * at a stale remote object while the authoritative local copy exists. */
   def pushAndSwap(spark: SparkSession, catalog: DataFrame, pathCol: String,
       localDir: String, bucketUrl: String, force: Boolean = false,
       deleteLocal: Boolean = false): DataFrame = {
-    val results = uploadDir(spark, localDir, bucketUrl, force)
+    import spark.implicits._
+    val manifest = uploadDir(spark, localDir, bucketUrl, force).persist()
+    manifest.count() // executing the manifest IS the upload — force it once
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val pushed = manifest.filter(col("action") =!= SkippedExists)
     if (deleteLocal) {
-      val conf = new SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration)
-      import spark.implicits._
-      results.filter(col("action") =!= SkippedExists)
-        .select(col("local_path")).as[String]
+      pushed.select(col("local_path")).as[String]
         .foreachPartition { it: Iterator[String] =>
           it.foreach { p =>
             val path = new Path(p)
@@ -115,7 +121,11 @@ object ObjectStore {
           }
         }
     }
-    catalog.withColumn(pathCol, graft.functions.BidsPath.s3PathRewrite(
-      col(pathCol), localDir.stripSuffix("/"), bucketUrl.stripSuffix("/")))
+    val swap = pushed
+      .select(col("local_path"), col("dest_url"))
+    catalog
+      .join(broadcast(swap), catalog(pathCol) === swap("local_path"), "left")
+      .withColumn(pathCol, coalesce(col("dest_url"), col(pathCol)))
+      .drop("local_path", "dest_url")
   }
 }

@@ -44,4 +44,38 @@ class MultimodalSpec extends SparkSpec {
     // 13 bytes -> n_frames = 13 % 24 + 1 = 14; stride 4 -> 0,4,8,12
     assert(out == Seq(0, 4, 8, 12))
   }
+
+  test("decoder close runs at task completion even if the iterator is " +
+      "abandoned early (limit), exactly once per open") {
+    import spark.implicits._
+    MultimodalSpec.opens.set(0); MultimodalSpec.closes.set(0)
+    val df = (1 to 100).map(i => (i.toLong, Array[Byte](i.toByte)))
+      .toDF("id", "content").repartition(4)
+    val out = Multimodal.decodeRowsPartitioned(df, "content",
+      MultimodalSpec.CountingDecoder)
+    out.limit(1).collect()          // abandons most partition iterators
+    // one task per partition may or may not run under limit; whatever
+    // opened must have closed, exactly once
+    assert(MultimodalSpec.opens.get() > 0)
+    assert(MultimodalSpec.closes.get() == MultimodalSpec.opens.get())
+    MultimodalSpec.opens.set(0); MultimodalSpec.closes.set(0)
+    out.collect()                   // full drain: same invariant
+    assert(MultimodalSpec.opens.get() == 4)
+    assert(MultimodalSpec.closes.get() == 4)
+  }
+}
+
+object MultimodalSpec {
+  // static counters: local-mode tasks share the JVM
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  object CountingDecoder extends Multimodal.RowDecoder {
+    val schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.IntegerType)))
+    override def open(): Unit = { opens.incrementAndGet(); () }
+    override def close(): Unit = { closes.incrementAndGet(); () }
+    def decode(bytes: Array[Byte]): Seq[Any] = Seq(bytes.length)
+  }
 }

@@ -58,6 +58,29 @@ class ObjectStoreSpec extends SparkSpec {
     assert(again.forall(_ == ObjectStore.SkippedSameContent))
   }
 
+  test("pushAndSwap uploads with deleteLocal=false; diverged dest keeps " +
+      "the local path unswapped") {
+    import spark.implicits._
+    val src = tmpDir("src4"); val bucket = tmpDir("bucket4")
+    val local = write(src, "a.txt", "v1")
+    val catalog = Seq((1L, local)).toDF("file_id", "file_path")
+    // the default (no delete) path must still EXECUTE the uploads
+    val out1 = ObjectStore.pushAndSwap(spark, catalog, "file_path",
+        src, s"file:$bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(new String(Files.readAllBytes(Paths.get(bucket, "a.txt"))) == "v1")
+    assert(out1(1L) == s"file:$bucket/a.txt")
+    assert(Files.exists(Paths.get(local))) // deleteLocal=false keeps it
+    // destination diverges from a changed local, no force: upload is
+    // skipped AND the catalog keeps pointing at the authoritative local
+    write(src, "a.txt", "v2")
+    val out2 = ObjectStore.pushAndSwap(spark, catalog, "file_path",
+        src, s"file:$bucket")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(1L) == local)
+    assert(new String(Files.readAllBytes(Paths.get(bucket, "a.txt"))) == "v1")
+  }
+
   test("pushAndSwap: catalog paths swapped, locals deleted after upload") {
     import spark.implicits._
     val src = tmpDir("src3"); val bucket = tmpDir("bucket3")

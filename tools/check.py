@@ -56,8 +56,10 @@ def main():
             # duckdb client versions (round-2 q66/q81/q99 driver-gate
             # failure mode): flag them HERE so the local replica catches
             # what the lenient dtype coercion below would mask.
-            bad = [f.name for f in res.arrow().schema
-                   if str(f.type).startswith("decimal")]
+            # res.types is metadata-only — it does not execute the query.
+            bad = [c for c, t in zip(res.columns, res.types)
+                   if str(t) in ("HUGEINT", "UHUGEINT")
+                   or str(t).startswith("DECIMAL")]
             if bad:
                 print(f"PORTABILITY  {name}: HUGEINT/DECIMAL output cols "
                       f"{bad} — CAST to BIGINT/DOUBLE in the oracle")
