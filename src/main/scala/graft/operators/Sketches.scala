@@ -94,9 +94,10 @@ object Sketches {
     * Practical width bound: the agg materializes width×depth conditional
     * counts as expressions, and past ~2k aggregates whole-stage codegen
     * hits JVM method-size limits and falls back to interpreted (correct
-    * but slower). For production widths (w ≥ 1024·d), restructure the
-    * same math as explode→(group, j, bucket) rows with a plain count
-    * aggregation — identical sketch, row-shaped state. */
+    * but slower). For production widths (w ≥ 1024·d) use
+    * [[countMinSparse]] — the identical sketch as (group, j, bucket,
+    * count) rows with a plain codegen'd count; estimate-equality is
+    * spec-pinned. */
   def countMin(
       items: DataFrame,
       groupCols: Seq[String],
@@ -116,6 +117,69 @@ object Sketches {
         array((0 until width).map(i =>
           count(when(col(s"__b$j") === i, lit(1)))): _*)
       }: _*).as("cms"))
+  }
+
+  /** [[countMin]] at production widths: the identical sketch as
+    * (group, j, bucket, count) ROWS instead of a dense matrix of
+    * width×depth aggregate expressions — the restructure the dense form's
+    * doc prescribes once w·d passes whole-stage codegen's method-size
+    * limit (~2k aggregates). Only occupied cells materialize, the
+    * aggregation is a plain count (always codegen'd), and merging sketches
+    * is the same count-sum keyed by (group, j, bucket). Estimation twin:
+    * [[cmsEstimateSparse]]. Dense↔sparse equality is spec-pinned. */
+  def countMinSparse(
+      items: DataFrame,
+      groupCols: Seq[String],
+      itemCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long = 7L
+  ): DataFrame = {
+    require(width >= 2 && depth >= 1)
+    val params = minhashParams(depth, seed)
+    val g = groupCols.map(col)
+    val cells = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("j"),
+        cmsBucket(col(itemCol), params, j, width).as("bucket"))): _*))
+    items
+      .select((g :+ cells.as("__c")): _*)
+      .groupBy((g ++ Seq(col("__c.j").as("j"), col("__c.bucket").as("bucket"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSparse]] sketch: per (group, probe),
+    * min over depth rows of the probe's cell count, 0 for empty cells.
+    * The probe side computes its (j, bucket) cells map-side and joins the
+    * sparse sketch on them — at production widths the sketch is still
+    * ≤ groups·d·w rows of longs; broadcast while it fits, shuffle-hash
+    * keyed by (j, bucket) beyond. */
+  def cmsEstimateSparse(
+      sketch: DataFrame,
+      probes: DataFrame,
+      itemCol: String,
+      width: Int,
+      depth: Int,
+      seed: Long = 7L
+  ): DataFrame = {
+    val params = minhashParams(depth, seed)
+    val groupCols = sketch.columns.filterNot(Seq("j", "bucket", "cnt").contains)
+    val cells = explode(array((0 until depth).map(j =>
+      struct(lit(j).as("j"),
+        cmsBucket(col(itemCol), params, j, width).as("bucket"))): _*))
+    val probeCells = probes
+      .withColumn("__c", cells)
+      .select(col(itemCol), col("__c.j").as("j"), col("__c.bucket").as("bucket"))
+    // grouped sketches: pair every probe cell with every group FIRST — an
+    // empty cell must still count as 0 under ITS group, and the sketch
+    // side of a left join cannot supply the group key for misses
+    val base =
+      if (groupCols.isEmpty) probeCells
+      else probeCells.crossJoin(
+        broadcast(sketch.select(groupCols.map(col): _*).distinct()))
+    base
+      .join(broadcast(sketch), groupCols.toSeq ++ Seq("j", "bucket"), "left")
+      .groupBy((groupCols.map(col) :+ col(itemCol)): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
 
   /** Bit positions a pre-hashed item (a [[portableHash60]]/

@@ -113,6 +113,42 @@ class SketchesSpec extends SparkSpec {
     assert(direct == m2)
   }
 
+  test("countMinSparse: identical estimates to the dense sketch, grouped " +
+      "and global, including empty-cell zero misses") {
+    val items = (0 until 100).map(i => ("g" + (i % 2), "item" + (i % 7)))
+      .toDF("g", "item")
+    // probe a token absent from the corpus too: its cells may be empty
+    val probes = items.select(col("item")).distinct()
+      .union(Seq("never-seen").toDF("item"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1)) -> r.getLong(r.fieldIndex("est_count"))
+    val dense = Sketches.cmsEstimate(
+        Sketches.countMin(items, Seq("g"), "item", width = 4, depth = 3),
+        probes, "item", width = 4, depth = 3)
+      .select(col("g"), col("item"), col("est_count"))
+      .collect().map(key).toMap
+    val sparse = Sketches.cmsEstimateSparse(
+        Sketches.countMinSparse(items, Seq("g"), "item", width = 4, depth = 3),
+        probes, "item", width = 4, depth = 3)
+      .select(col("g"), col("item"), col("est_count"))
+      .collect().map(key).toMap
+    assert(sparse == dense)
+    // global (ungrouped) twin — the surprisalScore composition shape
+    val denseG = Sketches.cmsEstimate(
+        Sketches.countMin(items, Seq.empty, "item", width = 8, depth = 2),
+        probes, "item", width = 8, depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sparseG = Sketches.cmsEstimateSparse(
+        Sketches.countMinSparse(items, Seq.empty, "item", width = 8, depth = 2),
+        probes, "item", width = 8, depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sparseG == denseG)
+    // sparse handles a production width the dense agg could not codegen
+    val wide = Sketches.countMinSparse(items, Seq("g"), "item",
+      width = 65536, depth = 4)
+    assert(wide.count() <= 2 * 4 * 7) // only occupied cells materialize
+  }
+
   test("countMin: sketches merge by element-wise addition") {
     val half1 = (0 until 30).map(i => ("g", "i" + (i % 5))).toDF("g", "item")
     val half2 = (30 until 60).map(i => ("g", "i" + (i % 5))).toDF("g", "item")
