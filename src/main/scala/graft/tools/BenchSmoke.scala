@@ -12,9 +12,12 @@ import graft.SparkEntry
   *
   * Usage: `tools/run.sh graft.tools.BenchSmoke [sfDir] [ratio]`
   * Queries faster than `FloorSec` in baseline are held to
-  * `ratio × FloorSec` instead (sub-300ms timings are scheduler noise).
-  * New queries absent from the baseline report as `new` and never fail;
-  * refresh the baseline with `--write` after a verified improvement.
+  * `ratio × FloorSec` instead (sub-300ms timings are scheduler noise),
+  * and a first-pass miss RE-RUNS the query, taking the best of two — at
+  * the ~1 s scale single-shot timings on a shared box drift 2× from GC
+  * and page-cache state, and a real regression reproduces while noise
+  * does not. New queries absent from the baseline report as `new` and
+  * never fail; refresh with `--write` after a verified improvement.
   */
 object BenchSmoke {
   val FloorSec = 0.3
@@ -43,14 +46,15 @@ object BenchSmoke {
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    def runOnce(name: String): Double = {
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
 
     if (write) {
       val json = results.map { case (k, v) => f""""$k":$v%.3f""" }
@@ -68,15 +72,21 @@ object BenchSmoke {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       var failures = 0
-      results.foreach { case (name, t) =>
+      results.foreach { case (name, t1) =>
         baseline.get(name) match {
-          case None => println(f"[benchsmoke] NEW        $name $t%.2fs")
+          case None => println(f"[benchsmoke] NEW        $name $t1%.2fs")
           case Some(b) =>
             val bound = math.max(b, FloorSec) * ratio
-            if (t > bound) {
-              failures += 1
-              println(f"[benchsmoke] REGRESSION $name $t%.2fs > " +
-                f"$bound%.2fs (baseline $b%.2fs x$ratio)")
+            if (t1 > bound) {
+              // single-shot noise vs real regression: best of two decides
+              val t = math.min(t1, runOnce(name))
+              if (t > bound) {
+                failures += 1
+                println(f"[benchsmoke] REGRESSION $name $t%.2fs > " +
+                  f"$bound%.2fs (baseline $b%.2fs x$ratio)")
+              } else {
+                println(f"[benchsmoke] noise      $name $t1%.2fs -> $t%.2fs")
+              }
             }
         }
       }
