@@ -230,6 +230,36 @@ object CorpusOps {
       .withColumn("contaminated", (col("n_flagged") > 0).cast("int"))
   }
 
+  /** Two-stage decontamination — the production composition of
+    * [[decontaminateBloom]] and [[decontaminate]]: the map-only Bloom pass
+    * first flags candidate documents against the constant-size benchmark
+    * sketch, then the exact gram-join runs ONLY over the flagged subset.
+    * Because Bloom has no false negatives, the result is IDENTICAL to
+    * running [[decontaminate]] over the full corpus (q107 pins this with
+    * q68's own oracle) — but the expensive two-sided gram shuffle now
+    * carries only the contamination-rate fraction of the corpus, with the
+    * false-positive rate merely costing a few clean docs an exact check.
+    * This is how decontamination actually ships at 100 TB: sketch gate,
+    * exact confirm. */
+  def decontaminateStaged(
+      train: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      mBits: Int = 4096,
+      k: Int = 3,
+      seed: Long = 11L
+  ): DataFrame = {
+    val flagged = decontaminateBloom(train, benchmark, idCol, textCol,
+        n, mBits, k, seed)
+      .filter(col("contaminated") === 1)
+      .select(col(idCol))
+    decontaminate(
+      train.join(flagged, Seq(idCol), "left_semi"),
+      benchmark, idCol, textCol, n)
+  }
+
   /** Deterministic corpus shard-shuffle: the "global shuffle before
     * training" step, reproducible across runs and engines. Each row gets
     *   - `shard` = portableHash60(id) mod nShards

@@ -85,6 +85,18 @@ object CorpusQueries {
         "doc_id", "text", n = 3, mBits = 4096, k = 3)
     },
 
+    // Staged decontamination: bloom prefilter -> exact confirm over the
+    // flagged subset only. No false negatives -> provably identical to
+    // q68's full exact join, so it shares q68's ORACLE VERBATIM — the
+    // equivalence is checked cross-engine every round
+    "q107_staged_decontaminate" -> { (s, dir) =>
+      val d = docs(s, dir)
+      CorpusOps.decontaminateStaged(
+        d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(50)) === 0),
+        "doc_id", "text", n = 3, mBits = 4096, k = 3)
+    },
+
     // Deterministic shard-shuffle: 8 shards, md5 epoch-0 order
     "q69_shard_shuffle" -> { (s, dir) =>
       CorpusOps.shardShuffle(docs(s, dir), "doc_id", nShards = 8)
@@ -320,6 +332,23 @@ object CorpusQueries {
          |FROM inj""".stripMargin,
 
     "q68_decontamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(${sqlShingles(3)}, s -> $sqlHash60))
+         |      AS g
+         |  FROM documents
+         |), tr AS (
+         |  SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 50 <> 0
+         |), b AS (
+         |  SELECT DISTINCT unnest(g) AS gram FROM sh WHERE doc_id % 50 = 0
+         |)
+         |SELECT tr.doc_id, COUNT(*) AS n_shared
+         |FROM tr JOIN b ON tr.gram = b.gram
+         |GROUP BY 1""".stripMargin,
+
+    // q107 == q68 semantics by the no-false-negative argument: reuse the
+    // exact oracle verbatim so the equivalence itself is driver-checked
+    "q107_staged_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT doc_id,
          |    list_distinct(list_transform(${sqlShingles(3)}, s -> $sqlHash60))

@@ -128,6 +128,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bloomed(11L)._2 == 0L && bloomed(11L)._3 == 0)
   }
 
+  test("decontaminateStaged == decontaminate exactly (no false negatives)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val train = (1L to 60L).map(i => (i, doc(8))).toDF("doc_id", "text")
+    val bench = (100L to 105L).map(i => (i, doc(8))).toDF("doc_id", "text")
+    // tiny filter (high FP rate) so staging is stress-tested, not trivial
+    val staged = CorpusOps.decontaminateStaged(train, bench,
+        "doc_id", "text", n = 3, mBits = 64, k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = CorpusOps.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(staged == exact && exact.nonEmpty)
+  }
+
   test("shardShuffle: deterministic, dense per-shard positions") {
     val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val r = CorpusOps.shardShuffle(d, "doc_id", nShards = 4)
