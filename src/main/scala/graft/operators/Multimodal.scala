@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
   * `binary` columns with typed metadata structs.
   *
-  * The decode step is a clearly-marked STUB (`decodeImageMetaStub`): this
-  * container carries no image/audio codecs, so the stub derives
-  * deterministic fake metadata from the byte stream (length + leading
-  * bytes). Everything around it — schema, batch shape, partition-parallel
-  * application, metadata pruning — is real: swap `decodeImageMetaStub` for a
-  * codec-backed `mapPartitions` (one codec instance per partition, batched
-  * I/O) in production without touching callers.
+  * Two decoders exist behind the per-partition lifecycle harness: the
+  * deterministic STUB (`decodeImageMetaStub` — fake metadata from byte
+  * length, kept for formats whose codecs this container lacks) and the
+  * REAL pure-JVM [[BmpCodec]] (24/32-bit BMP, exercised end-to-end under
+  * the q104 oracle gate). The harness itself — schema, batch shape,
+  * partition-parallel application, open/decode/close lifecycle with
+  * task-completion cleanup — is production code either way; a
+  * JNI/FFmpeg/ImageIO decoder drops into [[PayloadDecoder]]/[[RowDecoder]]
+  * without touching callers.
   */
 object Multimodal {
 

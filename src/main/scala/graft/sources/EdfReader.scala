@@ -11,11 +11,12 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * `python/loris_ephys_chunker/.../scripts/edf_to_chunks.py`; header layout
   * per the published EDF spec, Kemp et al. 1992).
   *
-  * Scope note: CTF (.ds) and EEGLAB (.set mat73) stay out — those genuinely
-  * need HDF5/vendor codecs. EDF is byte arithmetic, so it gets the same
-  * treatment as [[DicomTagParser]]: a hardened row-local walker over the
+  * Like [[DicomTagParser]], this is a hardened row-local walker over the
   * `binaryFile` scan, partition-parallel, no shuffle; the first exchange
-  * downstream is the chunker's `groupBy(channel, chunk)`.
+  * downstream is the chunker's `groupBy(channel, chunk)`. The same
+  * treatment covers the full S14 family: [[CtfReader]] (.ds res4/meg4)
+  * and [[EeglabReader]] (.set MAT v6 + .fdt); only MAT v7.3 (true HDF5)
+  * remains codec-bound and fails closed.
   */
 object EdfReader {
 
