@@ -145,6 +145,12 @@ object EventStream {
     * `right_<name>`…) — sides routinely share column names, and an output
     * with duplicate names breaks every downstream by-name select. Batch
     * DataFrames run the identical plan (watermarks no-op).
+    *
+    * `joinType = "left_outer"` is the enrichment-with-timeout shape: a
+    * left row that finds no right match emits with NULL right columns
+    * once the watermark passes its join window (on a stream this means
+    * unmatched results arrive one watermark-advance late — the price of
+    * knowing the match can no longer arrive).
     */
   def intervalJoin(
       left: DataFrame,
@@ -152,9 +158,12 @@ object EventStream {
       keyCols: Seq[String],
       tsCol: String = "ts",
       maxDelay: String = "10 minutes",
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      joinType: String = "inner"
   ): DataFrame = {
     require(keyCols.nonEmpty)
+    require(Seq("inner", "left_outer").contains(joinType),
+      "stream-stream interval joins support inner and left_outer")
     val l = left.withWatermark(tsCol, watermark)
     val r0 = right.columns.foldLeft(right) { (df, c) =>
       if (keyCols.contains(c)) df else df.withColumnRenamed(c, s"right_$c")
@@ -163,7 +172,7 @@ object EventStream {
     val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
     val range = r(s"right_$tsCol") >= l(tsCol) &&
       r(s"right_$tsCol") <= l(tsCol) + expr(s"INTERVAL $maxDelay")
-    l.join(r, keyEq && range, "inner")
+    l.join(r, keyEq && range, joinType)
       .select(keyCols.map(l(_)) ++
         Seq(l(tsCol)) ++
         l.columns.filterNot(c => keyCols.contains(c) || c == tsCol).map(l(_)) ++

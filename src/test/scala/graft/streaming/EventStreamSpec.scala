@@ -119,6 +119,47 @@ class EventStreamSpec extends SparkSpec {
     assert(out.head.getAs[Timestamp]("right_ts") == t3)
   }
 
+  test("intervalJoin left_outer: unmatched lefts emit with null rights " +
+      "after the watermark closes their window") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val scans = MemoryStream[(Timestamp, Long, String)]
+    val flags = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStream.intervalJoin(
+        scans.toDF().toDF("ts", "session_id", "scan_type"),
+        flags.toDF().toDF("ts", "session_id", "flag"),
+        keyCols = Seq("session_id"),
+        maxDelay = "5 minutes", watermark = "0 seconds",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("loj").outputMode("append")
+      .start()
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val t3 = Timestamp.valueOf("2026-01-01 00:03:00")
+    val t60 = Timestamp.valueOf("2026-01-01 01:00:00")
+    scans.addData((t0, 1L, "T1w"), (t0, 2L, "bold"))
+    flags.addData((t3, 1L, "ok"))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past t0+5min so session 2's window closes
+    scans.addData((t60, 9L, "later"))
+    flags.addData((t60, 9L, "later"))
+    q.processAllAvailable()
+    val out = spark.table("loj").collect()
+      .map(r => (r.getAs[Long]("session_id"), r.getAs[String]("scan_type"),
+        Option(r.getAs[String]("right_flag")))).toSet
+    q.stop()
+    assert(out.contains((1L, "T1w", Some("ok"))))   // matched
+    assert(out.contains((2L, "bold", None)))        // timed out, null right
+    // batch twin: same call, same semantics, no watermark dance
+    val b = EventStream.intervalJoin(
+      Seq((t0, 1L, "T1w"), (t0, 2L, "bold")).toDF("ts", "session_id", "scan_type"),
+      Seq((t3, 1L, "ok")).toDF("ts", "session_id", "flag"),
+      Seq("session_id"), maxDelay = "5 minutes", joinType = "left_outer")
+      .collect().map(r => (r.getAs[Long]("session_id"),
+        Option(r.getAs[String]("right_flag")))).toSet
+    assert(b == Set((1L, Some("ok")), (2L, None)))
+  }
+
   test("intervalJoin: shared non-key column names cannot collide") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
