@@ -29,27 +29,32 @@ object HedSchema {
   }
 
   /** Derive each node's full `long_name` (root/…/name) from the parent
-    * chain: `maxDepth` broadcast self-joins on the dictionary-sized
-    * catalog (HED trees are < 10 deep; nodes deeper than maxDepth keep
-    * their partial path). */
-  def withLongNames(nodes: DataFrame, maxDepth: Int = 10): DataFrame = {
-    // loop-invariant: one broadcast projection reused by every level
-    val parents = broadcast(nodes.select(
-      col("id").as("__pid"), col("name").as("__pname"),
-      col("parent_id").as("__pp")))
+    * chain by POINTER DOUBLING (the classic parallel list-ranking move):
+    * after round r every node carries the path of its nearest 2^r
+    * ancestors and a pointer 2^r levels up, so `ceil(log2(maxDepth)) + 1`
+    * broadcast self-joins cover chains up to `maxDepth` deep — versus one
+    * join per level. Nodes deeper than maxDepth keep a partial path. */
+  def withLongNames(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
     var cur = nodes
       .withColumn("long_name", col("name"))
       .withColumn("__p", col("parent_id"))
-    var i = 0
-    while (i < maxDepth) {
+    var covered = 1
+    while (covered < maxDepth) {
+      // join against the CURRENT doubled table: the parent row's long_name
+      // already covers ITS 2^r ancestors, so composition covers 2^(r+1)
+      val parents = broadcast(cur.select(
+        col("id").as("__pid"), col("long_name").as("__pname"),
+        col("__p").as("__pp")))
       cur = cur.join(parents, cur("__p") === parents("__pid"), "left")
         .withColumn("long_name",
           when(col("__pname").isNotNull,
             concat(col("__pname"), lit("/"), col("long_name")))
             .otherwise(col("long_name")))
-        .withColumn("__p", col("__pp"))
+        .withColumn("__p",
+          when(col("__pname").isNotNull, col("__pp"))
+            .otherwise(lit(null)))
         .drop("__pid", "__pname", "__pp")
-      i += 1
+      covered *= 2
     }
     cur.drop("__p")
   }
