@@ -70,22 +70,18 @@ object ChunkQueries {
     },
 
     // First-seen analytics: new users per UTC day + running cumulative —
-    // the "daily actives vs total reach" pair. The prefix sum runs as a
-    // triangular BROADCAST join over the per-day frame (day count grows
-    // with calendar time, not data volume — thousands of rows at most),
-    // which keeps the plan partition-parallel instead of collapsing an
-    // unpartitioned window to one task
+    // the "daily actives vs total reach" pair. The running sum is the
+    // two-level parallel scan (PrefixSum.overKey): chunk-partitioned local
+    // windows + a triangular join over CHUNK totals only — replaces round
+    // 2's O(days²) triangular stopgap and never collapses to one task
     "q94_user_growth" -> { (s, dir) =>
       val firstDay = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
         .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
       val daily = firstDay.groupBy(col("first_day"))
         .agg(count(lit(1)).as("n_new"))
-      daily
-        .join(broadcast(daily.select(col("first_day").as("__d"),
-          col("n_new").as("__n"))), col("__d") <= col("first_day"))
-        .groupBy(col("first_day"), col("n_new"))
-        .agg(sum(col("__n")).as("cum_users"))
+      graft.operators.PrefixSum.overKey(daily, "first_day", "n_new",
+          "cum_users", chunkWidth = 32)
         .select(col("first_day"), col("n_new"), col("cum_users"))
     },
 
