@@ -544,6 +544,62 @@ object CorpusOps {
       .agg(sum(col("__r")).as("surprisal"), count(lit(1)).as("n_tokens"))
   }
 
+  /** DSIR-style importance weights for targeted data selection (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling", re-expressed engine-portably): score every raw document
+    * by how much its hashed-unigram distribution looks like a TARGET
+    * domain sample versus the raw corpus. Per token with bucket b
+    * (portableHash60 mod `dim` — DSIR's hashed n-gram features),
+    *
+    *   tokenWeight(b) = floor(1e6 · ((tgt_b+1)·rawTotal) /
+    *                                ((raw_b+1)·tgtTotal))
+    *
+    * the add-one-smoothed likelihood ratio as an integer-scaled micro
+    * value; `dsir_score` = Σ tokenWeights. Both engines evaluate the
+    * IDENTICAL double expression (two exact products, one correctly-
+    * rounded division, floor), so scores hash-match; a float log-ratio
+    * would not. High scorers resample toward the target domain.
+    *
+    * Shape: two wordcount-style bucket-count aggregations (raw + target)
+    * → a `dim`-row weight table built with one 1-row total broadcast —
+    * then scoring is explode + broadcast-join + per-doc sum. At 100 TB
+    * the weight table stays `dim` rows no matter the corpus, the target
+    * sample is small by definition, and the raw corpus crosses one
+    * doc-keyed exchange carrying only (id, bucket). */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      dim: Int = 64
+  ): DataFrame = {
+    require(dim >= 2)
+    def bucketCounts(df: DataFrame): DataFrame = df
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .select(pmod(portableHash60(col("tok")), lit(dim)).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+    val rawCounts = bucketCounts(raw)
+    val tgtCounts = bucketCounts(target)
+    val buckets = raw.sparkSession.range(0, dim).select(col("id").as("b"))
+    val table = buckets
+      .join(rawCounts.withColumnRenamed("n", "raw_n"), Seq("b"), "left")
+      .join(tgtCounts.withColumnRenamed("n", "tgt_n"), Seq("b"), "left")
+      .na.fill(0L, Seq("raw_n", "tgt_n"))
+    val withTotals = table.crossJoin(broadcast(table.agg(
+      sum(col("raw_n")).as("__rt"), sum(col("tgt_n")).as("__tt"))))
+    val weights = withTotals.select(col("b"),
+      floor(lit(1e6) *
+        ((col("tgt_n") + 1).cast("double") * col("__rt")) /
+        ((col("raw_n") + 1).cast("double") * col("__tt")))
+        .cast("long").as("w"))
+    raw
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .select(col(idCol), pmod(portableHash60(col("tok")), lit(dim)).as("b"))
+      .join(broadcast(weights), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("dsir_score"), count(lit(1)).as("n_tokens"))
+  }
+
   /** Domain rebalancing: cap every domain (source/language/bucket) at
     * `targetPerDomain` documents, chosen deterministically by hash order —
     * the "flatten the domain mixture" step of corpus assembly. Documents

@@ -97,6 +97,18 @@ object CorpusQueries {
         "doc_id", "text", n = 3, mBits = 4096, k = 3)
     },
 
+    // DSIR-style targeted data selection: importance weights toward a
+    // target domain (every 10th doc as the synthetic target sample) as
+    // integer-scaled hashed-unigram likelihood ratios — 64-bucket weight
+    // table broadcast, raw corpus scored with one doc-keyed exchange
+    "q108_dsir_weights" -> { (s, dir) =>
+      val d = docs(s, dir)
+      CorpusOps.dsirWeights(
+        d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        d.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", dim = 64)
+    },
+
     // Deterministic shard-shuffle: 8 shards, md5 epoch-0 order
     "q69_shard_shuffle" -> { (s, dir) =>
       CorpusOps.shardShuffle(docs(s, dir), "doc_id", nShards = 8)
@@ -345,6 +357,38 @@ object CorpusQueries {
          |SELECT tr.doc_id, COUNT(*) AS n_shared
          |FROM tr JOIN b ON tr.gram = b.gram
          |GROUP BY 1""".stripMargin,
+
+    "q108_dsir_weights" ->
+      s"""WITH rawt AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |  WHERE doc_id % 10 <> 0
+         |), tgtt AS (
+         |  SELECT unnest($sqlToks) AS s FROM documents WHERE doc_id % 10 = 0
+         |), rawb AS (
+         |  SELECT $sqlHash60 % 64 AS b, COUNT(*) AS n FROM rawt GROUP BY 1
+         |), tgtb AS (
+         |  SELECT $sqlHash60 % 64 AS b, COUNT(*) AS n FROM tgtt GROUP BY 1
+         |), bk AS (
+         |  SELECT unnest(generate_series(0, 63)) AS b
+         |), tab AS (
+         |  SELECT bk.b, coalesce(rawb.n, 0) AS raw_n,
+         |         coalesce(tgtb.n, 0) AS tgt_n
+         |  FROM bk LEFT JOIN rawb ON bk.b = rawb.b
+         |  LEFT JOIN tgtb ON bk.b = tgtb.b
+         |), tot AS (
+         |  SELECT CAST(SUM(raw_n) AS BIGINT) AS rt,
+         |         CAST(SUM(tgt_n) AS BIGINT) AS tt FROM tab
+         |), w AS (
+         |  SELECT b,
+         |    CAST(floor(1000000.0 * (CAST(tgt_n + 1 AS DOUBLE) * rt)
+         |               / (CAST(raw_n + 1 AS DOUBLE) * tt)) AS BIGINT) AS w
+         |  FROM tab, tot
+         |), sc AS (
+         |  SELECT doc_id, $sqlHash60 % 64 AS b FROM rawt
+         |)
+         |SELECT sc.doc_id, CAST(SUM(w.w) AS BIGINT) AS dsir_score,
+         |  COUNT(*) AS n_tokens
+         |FROM sc JOIN w USING (b) GROUP BY 1""".stripMargin,
 
     // q107 == q68 semantics by the no-false-negative argument: reuse the
     // exact oracle verbatim so the equivalence itself is driver-checked

@@ -143,6 +143,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(staged == exact && exact.nonEmpty)
   }
 
+  test("dsirWeights: target-like docs outscore raw-typical docs") {
+    // target domain speaks {alpha beta}; raw bulk speaks {x y z}
+    val raw = Seq(
+      (1L, "x y z x y z"),          // pure raw-typical
+      (2L, "alpha beta alpha beta"),// looks like the target
+      (3L, "x alpha y beta")        // mixed
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta alpha beta"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.dsirWeights(raw, target, "doc_id", "text", dim = 64)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(2L)._1 > r(3L)._1 && r(3L)._1 > r(1L)._1)
+    assert(r(1L)._2 == 6L && r(2L)._2 == 4L)
+    // per-token weights are scale-free: scoring is deterministic
+    val again = CorpusOps.dsirWeights(raw, target, "doc_id", "text", dim = 64)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == r.map { case (k, v) => k -> v._1 })
+  }
+
   test("shardShuffle: deterministic, dense per-shard positions") {
     val d = (0L until 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val r = CorpusOps.shardShuffle(d, "doc_id", nShards = 4)
