@@ -587,11 +587,17 @@ object CorpusOps {
       .na.fill(0L, Seq("raw_n", "tgt_n"))
     val withTotals = table.crossJoin(broadcast(table.agg(
       sum(col("raw_n")).as("__rt"), sum(col("tgt_n")).as("__tt"))))
-    val weights = withTotals.select(col("b"),
-      floor(lit(1e6) *
-        ((col("tgt_n") + 1).cast("double") * col("__rt")) /
-        ((col("raw_n") + 1).cast("double") * col("__tt")))
-        .cast("long").as("w"))
+    // an empty target sample would make every ratio x/0 — engines diverge
+    // on double division by zero, so fail fast and actionably instead
+    val weights = withTotals
+      .withColumn("__tt", when(col("__tt") === 0,
+        raise_error(lit("dsirWeights: target sample has no tokens")))
+        .otherwise(col("__tt")))
+      .select(col("b"),
+        floor(lit(1e6) *
+          ((col("tgt_n") + 1).cast("double") * col("__rt")) /
+          ((col("raw_n") + 1).cast("double") * col("__tt")))
+          .cast("long").as("w"))
     raw
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .select(col(idCol), pmod(portableHash60(col("tok")), lit(dim)).as("b"))

@@ -29,32 +29,29 @@ object HedSchema {
   }
 
   /** Derive each node's full `long_name` (root/…/name) from the parent
-    * chain by POINTER DOUBLING (the classic parallel list-ranking move):
-    * after round r every node carries the path of its nearest 2^r
-    * ancestors and a pointer 2^r levels up, so `ceil(log2(maxDepth)) + 1`
-    * broadcast self-joins cover chains up to `maxDepth` deep — versus one
-    * join per level. Nodes deeper than maxDepth keep a partial path. */
-  def withLongNames(nodes: DataFrame, maxDepth: Int = 32): DataFrame = {
+    * chain: `maxDepth` broadcast joins against ONE fixed dictionary-sized
+    * projection (HED trees are < 10 deep; deeper nodes keep a partial
+    * path). Pointer doubling was tried and REVERTED: each round's
+    * broadcast re-executed the growing self-joined plan, costing ~2×
+    * wall-clock on real catalogs — log-round tricks only pay once a level
+    * is expensive to materialize, and a schema dictionary never is. */
+  def withLongNames(nodes: DataFrame, maxDepth: Int = 10): DataFrame = {
+    val parents = broadcast(nodes.select(
+      col("id").as("__pid"), col("name").as("__pname"),
+      col("parent_id").as("__pp")))
     var cur = nodes
       .withColumn("long_name", col("name"))
       .withColumn("__p", col("parent_id"))
-    var covered = 1
-    while (covered < maxDepth) {
-      // join against the CURRENT doubled table: the parent row's long_name
-      // already covers ITS 2^r ancestors, so composition covers 2^(r+1)
-      val parents = broadcast(cur.select(
-        col("id").as("__pid"), col("long_name").as("__pname"),
-        col("__p").as("__pp")))
+    var i = 0
+    while (i < maxDepth) {
       cur = cur.join(parents, cur("__p") === parents("__pid"), "left")
         .withColumn("long_name",
           when(col("__pname").isNotNull,
             concat(col("__pname"), lit("/"), col("long_name")))
             .otherwise(col("long_name")))
-        .withColumn("__p",
-          when(col("__pname").isNotNull, col("__pp"))
-            .otherwise(lit(null)))
+        .withColumn("__p", col("__pp"))
         .drop("__pid", "__pname", "__pp")
-      covered *= 2
+      i += 1
     }
     cur.drop("__p")
   }

@@ -147,22 +147,33 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Point estimates from a [[countMinSparse]] sketch: per (group, probe),
-    * min over depth rows of the probe's cell count, 0 for empty cells.
-    * The probe side computes its (j, bucket) cells map-side and joins the
-    * sparse sketch on them — at production widths the sketch is still
-    * ≤ groups·d·w rows of longs; broadcast while it fits, shuffle-hash
-    * keyed by (j, bucket) beyond. */
+  /** Point estimates from a [[countMinSparse]] sketch: per (group,
+    * DISTINCT probe item), min over depth rows of the probe's cell count,
+    * 0 for empty cells. NOT a row-for-row twin of [[cmsEstimate]]: probes
+    * are treated as an item SET (duplicates collapse, carry-through
+    * columns are not preserved) — join estimates back by item if per-row
+    * context is needed. `groupCols` must name the sketch's group columns
+    * explicitly (inference from remaining column names was a trap for
+    * groups named j/bucket/cnt). `broadcastSketch = false` drops the
+    * broadcast hints for sketches past executor memory (groups × d × w
+    * occupied cells) — the join then shuffles keyed by
+    * (group, j, bucket), exactly the fallback the dense form cannot
+    * express. */
   def cmsEstimateSparse(
       sketch: DataFrame,
       probes: DataFrame,
+      groupCols: Seq[String],
       itemCol: String,
       width: Int,
       depth: Int,
-      seed: Long = 7L
+      seed: Long = 7L,
+      broadcastSketch: Boolean = true
   ): DataFrame = {
+    require(!groupCols.exists(Seq("j", "bucket", "cnt").contains),
+      "group columns may not be named j/bucket/cnt")
     val params = minhashParams(depth, seed)
-    val groupCols = sketch.columns.filterNot(Seq("j", "bucket", "cnt").contains)
+    val hint: DataFrame => DataFrame =
+      if (broadcastSketch) broadcast else identity
     val cells = explode(array((0 until depth).map(j =>
       struct(lit(j).as("j"),
         cmsBucket(col(itemCol), params, j, width).as("bucket"))): _*))
@@ -175,9 +186,9 @@ object Sketches {
     val base =
       if (groupCols.isEmpty) probeCells
       else probeCells.crossJoin(
-        broadcast(sketch.select(groupCols.map(col): _*).distinct()))
+        hint(sketch.select(groupCols.map(col): _*).distinct()))
     base
-      .join(broadcast(sketch), groupCols.toSeq ++ Seq("j", "bucket"), "left")
+      .join(hint(sketch), groupCols.toSeq ++ Seq("j", "bucket"), "left")
       .groupBy((groupCols.map(col) :+ col(itemCol)): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }

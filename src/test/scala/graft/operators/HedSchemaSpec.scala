@@ -37,12 +37,12 @@ class HedSchemaSpec extends SparkSpec {
     assert(named(9) == "Event/Sensory-event/Cue")
   }
 
-  test("withLongNames: pointer doubling resolves a 20-deep chain fully") {
+  test("withLongNames: a 20-deep chain resolves fully at maxDepth 20") {
     // chain 1 <- 2 <- ... <- 20; node i's path = n1/n2/.../ni
     val chain = (1 to 20).map(i =>
       (i, if (i == 1) None else Some(i - 1), 1, s"n$i"))
       .toDF("id", "parent_id", "schema_id", "name")
-    val named = HedSchema.withLongNames(chain)
+    val named = HedSchema.withLongNames(chain, maxDepth = 20)
       .collect().map(r => r.getAs[Int]("id") -> r.getAs[String]("long_name"))
       .toMap
     (1 to 20).foreach { i =>

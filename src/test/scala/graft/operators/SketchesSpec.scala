@@ -129,7 +129,7 @@ class SketchesSpec extends SparkSpec {
       .collect().map(key).toMap
     val sparse = Sketches.cmsEstimateSparse(
         Sketches.countMinSparse(items, Seq("g"), "item", width = 4, depth = 3),
-        probes, "item", width = 4, depth = 3)
+        probes, Seq("g"), "item", width = 4, depth = 3)
       .select(col("g"), col("item"), col("est_count"))
       .collect().map(key).toMap
     assert(sparse == dense)
@@ -140,7 +140,7 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val sparseG = Sketches.cmsEstimateSparse(
         Sketches.countMinSparse(items, Seq.empty, "item", width = 8, depth = 2),
-        probes, "item", width = 8, depth = 2)
+        probes, Seq.empty, "item", width = 8, depth = 2)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sparseG == denseG)
     // sparse handles a production width the dense agg could not codegen
