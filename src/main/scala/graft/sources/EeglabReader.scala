@@ -13,15 +13,15 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * (channels × samples [× trials] numeric matrix, or the name of a sibling
   * `.fdt` float32 file), `srate`, and `chanlocs(..).labels`.
   *
-  * Scope: the v6 UNCOMPRESSED little-endian case — tag/payload element
-  * walking (including small-element tags), numeric classes
-  * double/single/int8..int32, char class, struct arrays
-  * (element-major/field-minor subelement order), column-major dimension
-  * reshape, and the `.fdt` sibling (float32 LE, channel-fastest — MATLAB
-  * column-major `fwrite`). v7 (zlib-compressed elements) and v7.3 (HDF5)
-  * are out of scope and yield None, as does anything malformed — untrusted
-  * bytes never kill a scan stage. Values stay in file units (µV), matching
-  * [[EdfReader]]/[[BrainVisionReader]].
+  * Scope: Level-5 little-endian MAT — tag/payload element walking
+  * (including small-element tags), numeric classes double/single/
+  * int8..int32, char class, struct arrays (element-major/field-minor
+  * subelement order), column-major dimension reshape, the `.fdt` sibling
+  * (float32 LE, channel-fastest — MATLAB column-major `fwrite`), and v7's
+  * zlib-compressed elements (JDK Inflater, zip-bomb bounded). v7.3 (true
+  * HDF5) is out of scope and yields None, as does anything malformed —
+  * untrusted bytes never kill a scan stage. Values stay in file units
+  * (µV), matching [[EdfReader]]/[[BrainVisionReader]].
   *
   * Distribution shape: identical to [[CtfReader]] — binaryFile scan over
   * the `.set` headers, task-local sibling `.fdt` stream, zero shuffle
@@ -194,7 +194,38 @@ object EeglabReader {
       case _ => None // cell/object/sparse out of scope
     }
 
-  /** Top-level variables of a v6 uncompressed little-endian MAT file. */
+  /** Zip-bomb bound for v7 decompression: a schema struct + data matrix
+    * inflates to the data's true size; 512 MiB covers any sane recording
+    * while a crafted bomb stops at the cap and the element is skipped. */
+  private val MaxInflatedBytes = 512 << 20
+
+  /** Inflate one miCOMPRESSED (v7) element payload — plain zlib, handled
+    * by the JDK's Inflater, no codec dependency. None on corruption or
+    * past [[MaxInflatedBytes]]. */
+  private def inflate(e: Elem): Option[ByteBuffer] = {
+    val in = new Array[Byte](e.payload.remaining())
+    e.payload.get(in)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(in)
+      val out = new java.io.ByteArrayOutputStream(math.min(in.length * 4, 1 << 20))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        out.write(buf, 0, n)
+        if (out.size() > MaxInflatedBytes) return None
+      }
+      Some(ByteBuffer.wrap(out.toByteArray).order(ByteOrder.LITTLE_ENDIAN))
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Top-level variables of a Level-5 little-endian MAT file: v6
+    * uncompressed elements and v7 zlib-compressed elements (inflated with
+    * the JDK Inflater — the only thing "v7" adds); v7.3 (HDF5) stays out
+    * of scope and fails closed. */
   def parseMat(bytes: Array[Byte]): Option[Map[String, MatValue]] = {
     if (bytes.length < 128) return None
     // header: 116-byte text, 8-byte subsys, version i16, endian i16 "IM"
@@ -210,7 +241,15 @@ object EeglabReader {
             case Some((name, v)) => out += name -> v
             case None => go = false
           }
-        case Some(e) if e.miType == 15 => return None // miCOMPRESSED: v7
+        case Some(e) if e.miType == 15 => // miCOMPRESSED (v7)
+          inflate(e).flatMap(readElem) match {
+            case Some(inner) if inner.miType == MiMatrix =>
+              parseMatrix(inner.payload) match {
+                case Some((name, v)) => out += name -> v
+                case None => go = false
+              }
+            case _ => go = false
+          }
         case _ => go = false
       }
     }

@@ -376,6 +376,38 @@ object SyntheticFixtures {
       Seq((1 to 10).map(_.toDouble).toArray, (1 to 10).map(_ * 10.0).toArray),
       srateHz = 4.0, trials = 2, asFdt = asFdt)
 
+  /** Re-wrap a v6 `.set` as MAT v7: every top-level element deflates into
+    * a miCOMPRESSED wrapper (zlib via the JDK Deflater — exactly what
+    * MATLAB's `-v7` adds over `-v6`). Independent twin of the reader's
+    * Inflater path. */
+  def matV7Of(v6: Array[Byte]): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    o.write(v6, 0, 128) // header block carries over
+    val b = java.nio.ByteBuffer.wrap(v6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.position(128)
+    while (b.remaining() >= 8) {
+      val tag = b.getInt(); val size = b.getInt()
+      val padded = (size + 7) / 8 * 8
+      val element = leBytes(8 + size) { eb =>
+        eb.putInt(tag); eb.putInt(size)
+        val body = new Array[Byte](size); b.get(body); eb.put(body)
+      }
+      b.position(b.position() + math.min(padded - size, b.remaining()))
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(element); defl.finish()
+      val zout = new ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      val z = zout.toByteArray
+      o.write(leBytes(8)(eb => { eb.putInt(15); eb.putInt(z.length) }))
+      o.write(z)
+      o.write(new Array[Byte]((8 - z.length % 8) % 8))
+    }
+    o.toByteArray
+  }
+
   // --- BMP (24/32-bit uncompressed) ---
 
   /** BMP written sequentially from the published layout (BITMAPFILEHEADER

@@ -40,6 +40,22 @@ class EeglabReaderSpec extends SparkSpec {
     assert(t(1).toSeq == (1 to 10).map(_ * 10.0))
   }
 
+  test("MAT v7 (zlib-compressed elements) parses identically to v6") {
+    val (v6, _) = eeglabBytes(labels, traces, srateHz = 4.0, trials = 2)
+    val v7 = SyntheticFixtures.matV7Of(v6)
+    assert(v7.length < v6.length) // actually compressed
+    val r6 = EeglabReader.parseSet(v6).get
+    val r7 = EeglabReader.parseSet(v7).get
+    assert(r7.channelNames == r6.channelNames)
+    assert(r7.sampleRateHz == r6.sampleRateHz)
+    assert(r7.data.map(_.toSeq) == r6.data.map(_.toSeq))
+    // corrupted deflate stream fails closed
+    val broken = v7.clone()
+    broken(200) = (broken(200) ^ 0x55).toByte
+    val parsed = EeglabReader.parseSet(broken)
+    assert(parsed.isEmpty || parsed.get.data.isEmpty)
+  }
+
   test("hardened: malformed/out-of-scope inputs yield None, never throw") {
     val (set, _) = eeglabRecordingBytes()
     assert(EeglabReader.parseSet(Array.emptyByteArray).isEmpty)
@@ -50,10 +66,10 @@ class EeglabReaderSpec extends SparkSpec {
     // truncated mid-element: header valid, elements cut
     assert(EeglabReader.parseSet(set.take(200)).toSeq
       .flatMap(_.data).isEmpty || EeglabReader.parseSet(set.take(200)).isEmpty)
-    // v7 compressed marker (miCOMPRESSED tag) is explicitly out of scope
-    val v7 = set.take(128) ++ Array[Byte](15, 0, 0, 0, 16, 0, 0, 0) ++
+    // miCOMPRESSED wrapper holding garbage (not a zlib stream) fails closed
+    val badZ = set.take(128) ++ Array[Byte](15, 0, 0, 0, 16, 0, 0, 0) ++
       new Array[Byte](16)
-    assert(EeglabReader.parseSet(v7).isEmpty)
+    assert(EeglabReader.parseSet(badZ).isEmpty)
   }
 
   test("fuzz: random bytes, truncations and mutations never throw") {
