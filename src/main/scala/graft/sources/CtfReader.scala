@@ -187,13 +187,56 @@ object CtfReader {
       .select("path", "content").as[(String, Array[Byte])]
       .flatMap { case (p, res4Bytes) =>
         parseRes4(res4Bytes).toSeq.flatMap { h =>
+          val res4Path = DicomSource.pathOf(p)
           val meg4Path = new org.apache.hadoop.fs.Path(
-            p.stripPrefix("file:").replaceAll("\\.res4$", ".meg4"))
+            res4Path.getParent,
+            res4Path.getName.replaceAll("\\.res4$", ".meg4"))
           val meg4 = DicomSource.readSiblingBytes(conf.value, meg4Path)
             .getOrElse(Array.emptyByteArray)
           traces(h, meg4).map { case (name, rate, vals) =>
             CtfChannel(p, name, rate, vals.length.toLong, vals)
           }
+        }
+      }
+  }
+
+  final case class CtfScanAudit(
+      file_path: String,
+      status: String,
+      n_channels: Int)
+
+  /** Diagnostic twin of [[channels]] (ADVICE r3): the fixed `.res4` offsets
+    * fail CLOSED to zero rows on any layout divergence, which in
+    * [[channels]] is a silent empty ingest. This scan emits one row per
+    * `.res4` with the parse outcome — `ok` / `res4_parse_failed` /
+    * `meg4_unreadable` — the same countable-audit pattern as
+    * [[graft.operators.Similarity]]'s `skippedClusters`, so an operator
+    * can alert on `status != 'ok'` instead of discovering an empty table
+    * downstream. Header-only: the `.meg4` sample bytes are never read, so
+    * the audit costs one small-file scan plus a `getFileStatus` per
+    * dataset. */
+  def scanAudit(spark: SparkSession, dir: String,
+      glob: String = "*.res4"): Dataset[CtfScanAudit] = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    DicomSource.scanDir(spark, dir, glob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .map { case (p, res4Bytes) =>
+        parseRes4(res4Bytes) match {
+          case None => CtfScanAudit(p, "res4_parse_failed", 0)
+          case Some(h) =>
+            val res4Path = DicomSource.pathOf(p)
+            val meg4Path = new org.apache.hadoop.fs.Path(
+              res4Path.getParent,
+              res4Path.getName.replaceAll("\\.res4$", ".meg4"))
+            val readable =
+              try {
+                val fs = meg4Path.getFileSystem(conf.value)
+                fs.getFileStatus(meg4Path).getLen >= 8
+              } catch { case _: Exception => false }
+            if (readable) CtfScanAudit(p, "ok", h.nChannels)
+            else CtfScanAudit(p, "meg4_unreadable", h.nChannels)
         }
       }
   }

@@ -25,6 +25,19 @@ object DicomSource {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
+  /** binaryFile's `path` column holds a URI STRING — percent-encoded
+    * (space → `%20`, `#` → `%23`). Building a Hadoop Path from the raw
+    * string (or its `stripPrefix("file:")` tail) keeps the encoding and
+    * resolves to a nonexistent file, silently skipping the row. Parse as a
+    * URI first so the encoding round-trips; the raw-string fallback covers
+    * plain paths that are not valid URIs. */
+  def pathOf(uriString: String): org.apache.hadoop.fs.Path =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(uriString))
+    catch {
+      case _: java.net.URISyntaxException | _: IllegalArgumentException =>
+        new org.apache.hadoop.fs.Path(uriString)
+    }
+
   /** Task-local whole-file read of a scan row's sibling (CTF `.meg4`,
     * EEGLAB `.fdt`): any failure yields None — EXCEPT the single-array
     * bound: a file over ~2 GiB cannot load into one JVM byte array, and

@@ -39,6 +39,7 @@ object EeglabReader {
   private val MiSingle = 7
   private val MiDouble = 9
   private val MiMatrix = 14
+  private val MiCompressed = 15
   private val MiUtf8 = 16
 
   // mxArray class codes
@@ -81,8 +82,12 @@ object EeglabReader {
       if (size < 0 || b.remaining() < size) return None
       val payload = b.slice().order(ByteOrder.LITTLE_ENDIAN)
       payload.limit(size)
-      val padded = (size + 7) / 8 * 8
-      b.position(b.position() + math.min(padded, b.remaining()))
+      // MATLAB/scipy write v7 miCOMPRESSED top-level elements UNPADDED;
+      // every other full element pads to the next 8-byte boundary. Padding
+      // a compressed element would misparse every variable after the first
+      // in a multi-variable v7 file.
+      val advance = if (miType == MiCompressed) size else (size + 7) / 8 * 8
+      b.position(b.position() + math.min(advance, b.remaining()))
       Some(Elem(miType, payload))
     }
   }
@@ -241,7 +246,7 @@ object EeglabReader {
             case Some((name, v)) => out += name -> v
             case None => go = false
           }
-        case Some(e) if e.miType == 15 => // miCOMPRESSED (v7)
+        case Some(e) if e.miType == MiCompressed => // v7
           inflate(e).flatMap(readElem) match {
             case Some(inner) if inner.miType == MiMatrix =>
               parseMatrix(inner.payload) match {
@@ -352,7 +357,7 @@ object EeglabReader {
           val traces = rec.fdtFile match {
             case None => rec.data
             case Some(fdtName) =>
-              val setPath = new org.apache.hadoop.fs.Path(p.stripPrefix("file:"))
+              val setPath = DicomSource.pathOf(p)
               val fdtPath = new org.apache.hadoop.fs.Path(
                 setPath.getParent, new org.apache.hadoop.fs.Path(fdtName).getName)
               DicomSource.readSiblingBytes(conf.value, fdtPath)

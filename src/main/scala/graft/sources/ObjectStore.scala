@@ -78,12 +78,14 @@ object ObjectStore {
     val conf = new SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val base = bucketUrl.stripSuffix("/")
+    // decoded filesystem path of the scan root — binaryFile paths are
+    // percent-encoded URI strings, not raw paths
+    val baseLocal = DicomSource.pathOf(localDir).toUri.getPath
     val manifest = DicomSource.scanDir(spark, localDir, "*")
       .select(col("path")).as[String]
       .map { p =>
-        val local = p.stripPrefix("file:")
-        val rel = local.stripPrefix(localDir.stripPrefix("file:"))
-          .stripPrefix("/")
+        val local = DicomSource.pathOf(p).toUri.getPath
+        val rel = local.stripPrefix(baseLocal).stripPrefix("/")
         (local, s"$base/$rel")
       }
       .toDF("local_path", "dest_url")

@@ -376,6 +376,34 @@ object SyntheticFixtures {
       Seq((1 to 10).map(_.toDouble).toArray, (1 to 10).map(_ * 10.0).toArray),
       srateHz = 4.0, trials = 2, asFdt = asFdt)
 
+  /** The OTHER layout MNE's `_check_load_mat` accepts: the EEG struct's
+    * fields saved as top-level MAT variables (no wrapping struct). Exercises
+    * multi-variable files — under v7 every variable is its own
+    * miCOMPRESSED element, so this is the layout that catches any padding
+    * misassumption between consecutive compressed elements. */
+  def eeglabTopLevelBytes(channelLabels: Seq[String], data: Seq[Array[Double]],
+      srateHz: Double): Array[Byte] = {
+    val nChan = channelLabels.length
+    val pnts = if (data.isEmpty) 0 else data.head.length
+    val flat = for { s <- 0 until pnts; c <- 0 until nChan } yield data(c)(s)
+    val chanlocs = matStruct("chanlocs", Seq(1, nChan), Seq("labels", "theta"),
+      channelLabels.map(l => Seq(matChar("", l), matNumeric("", Seq(1, 1), Seq(0.0)))))
+    val o = new ByteArrayOutputStream()
+    val header = new Array[Byte](128)
+    val txt = "MATLAB 5.0 MAT-file, graft synthetic fixture".getBytes(US_ASCII)
+    System.arraycopy(txt, 0, header, 0, txt.length)
+    header(124) = 0; header(125) = 1
+    header(126) = 'I'.toByte; header(127) = 'M'.toByte
+    o.write(header)
+    o.write(matNumeric("data", Seq(nChan, pnts), flat))
+    o.write(matNumeric("srate", Seq(1, 1), Seq(srateHz)))
+    o.write(matNumeric("nbchan", Seq(1, 1), Seq(nChan.toDouble)))
+    o.write(matNumeric("pnts", Seq(1, 1), Seq(pnts.toDouble)))
+    o.write(matNumeric("trials", Seq(1, 1), Seq(1.0)))
+    o.write(chanlocs)
+    o.toByteArray
+  }
+
   /** Re-wrap a v6 `.set` as MAT v7: every top-level element deflates into
     * a miCOMPRESSED wrapper (zlib via the JDK Deflater — exactly what
     * MATLAB's `-v7` adds over `-v6`). Independent twin of the reader's
@@ -401,9 +429,10 @@ object SyntheticFixtures {
       while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
       defl.end()
       val z = zout.toByteArray
+      // miCOMPRESSED elements are written UNPADDED (matching MATLAB -v7 /
+      // scipy savemat), unlike every other full element.
       o.write(leBytes(8)(eb => { eb.putInt(15); eb.putInt(z.length) }))
       o.write(z)
-      o.write(new Array[Byte]((8 - z.length % 8) % 8))
     }
     o.toByteArray
   }

@@ -23,10 +23,12 @@ object BenchSmoke {
   val FloorSec = 0.3
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val ratio = args.drop(1).headOption
-      .filterNot(_ == "--write").map(_.toDouble).getOrElse(1.5)
-    val write = args.contains("--write")
+    // flags and positionals can arrive in any order ("--write" alone must
+    // not be consumed as sfDir)
+    val (flags, positional) = args.partition(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
+    val ratio = positional.drop(1).headOption.map(_.toDouble).getOrElse(1.5)
+    val write = flags.contains("--write")
     val baselinePath = java.nio.file.Paths.get("tools/bench_baseline.json")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

@@ -106,4 +106,22 @@ class CtfReaderSpec extends SparkSpec {
       .map(c => (c.channel, c.sampling_rate_hz, c.n_samples)).sortBy(_._1)
     assert(rows.toSeq == Seq(("MLC11", 4.0, 10L), ("MZC01", 4.0, 10L)))
   }
+
+  test("scanAudit surfaces parse failures instead of a silent empty ingest") {
+    val (res4, meg4) = ctfBytes(twoChan, twoTrials)
+    val dir = SyntheticFixtures.materialize("ctf_audit", "good.res4", res4)
+    SyntheticFixtures.materialize("ctf_audit", "good.meg4", meg4)
+    // a res4 whose layout diverges from the fixed offsets (truncated here)
+    SyntheticFixtures.materialize("ctf_audit", "diverged.res4",
+      java.util.Arrays.copyOfRange(res4, 0, 500))
+    // a valid res4 with no readable sibling meg4
+    SyntheticFixtures.materialize("ctf_audit", "orphan.res4", res4)
+    val audit = CtfReader.scanAudit(spark, dir).collect()
+      .map(a => (new java.io.File(a.file_path).getName, a.status, a.n_channels))
+      .sortBy(_._1)
+    assert(audit.toSeq == Seq(
+      ("diverged.res4", "res4_parse_failed", 0),
+      ("good.res4", "ok", 2),
+      ("orphan.res4", "meg4_unreadable", 2)))
+  }
 }

@@ -56,6 +56,32 @@ class EeglabReaderSpec extends SparkSpec {
     assert(parsed.isEmpty || parsed.get.data.isEmpty)
   }
 
+  test("multi-variable v7: consecutive miCOMPRESSED elements are UNPADDED") {
+    // fields-as-top-level-variables layout: six separate compressed
+    // elements back-to-back; any 8-byte padding assumption between them
+    // drops every variable after the first.
+    val v6 = SyntheticFixtures.eeglabTopLevelBytes(labels, traces, srateHz = 4.0)
+    val r6 = EeglabReader.parseSet(v6).get
+    val v7 = SyntheticFixtures.matV7Of(v6)
+    val r7 = EeglabReader.parseSet(v7).get
+    assert(r7.channelNames == IndexedSeq("Fz", "Pz"))
+    assert(r7.sampleRateHz == 4.0)
+    assert(r7.data.map(_.toSeq) == r6.data.map(_.toSeq))
+    assert(r7.data(0).toSeq == (1 to 10).map(_.toDouble))
+    // at least one compressed element must have a non-multiple-of-8 size
+    // for this test to prove anything about padding
+    val b = java.nio.ByteBuffer.wrap(v7)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.position(128)
+    var sawOdd = false
+    while (b.remaining() >= 8) {
+      val _ = b.getInt(); val size = b.getInt()
+      if (size % 8 != 0) sawOdd = true
+      b.position(b.position() + math.min(size, b.remaining()))
+    }
+    assert(sawOdd, "fixture compressed sizes all 8-aligned; test is vacuous")
+  }
+
   test("hardened: malformed/out-of-scope inputs yield None, never throw") {
     val (set, _) = eeglabRecordingBytes()
     assert(EeglabReader.parseSet(Array.emptyByteArray).isEmpty)
@@ -98,5 +124,17 @@ class EeglabReaderSpec extends SparkSpec {
     val rows = EeglabReader.channels(spark, dir).collect()
       .map(c => (c.channel, c.sampling_rate_hz, c.n_samples)).sortBy(_._1)
     assert(rows.toSeq == Seq(("Fz", 4.0, 10L), ("Pz", 4.0, 10L)))
+  }
+
+  test("sibling resolution survives percent-encoded scan paths (spaces)") {
+    // binaryFile reports "sub 01" as "sub%2001"; building the .fdt path
+    // from the raw URI string used to resolve to a nonexistent file and
+    // silently skip every channel row (ADVICE r3)
+    val (set, fdt) = eeglabRecordingBytes(asFdt = Some("rec3.fdt"))
+    val dir = SyntheticFixtures.materialize("eeglab sp dir", "rec3.set", set)
+    SyntheticFixtures.materialize("eeglab sp dir", "rec3.fdt", fdt)
+    val rows = EeglabReader.channels(spark, dir).collect()
+      .map(c => (c.channel, c.n_samples)).sortBy(_._1)
+    assert(rows.toSeq == Seq(("Fz", 10L), ("Pz", 10L)))
   }
 }
