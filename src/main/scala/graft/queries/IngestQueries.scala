@@ -322,6 +322,48 @@ object IngestQueries {
           col("unrecognized").cast("int").as("unrecognized"))
     },
 
+    // S11 end to end: distributed upload into a Hadoop-FS bucket with the
+    // reference's three outcomes (aws_s3.py:93-158 / upload_dir --force
+    // semantics) — new object uploaded, content-match skip, diverged
+    // destination left alone — then the catalog path swap
+    // (push_imaging_files_to_s3_pipeline.py's DB update) and a read-back
+    // of the bucket's ACTUAL objects, md5-pinned. file:// here, s3a:// in
+    // production; the scheme is the only difference.
+    "q109_object_store" -> { (s, _) =>
+      import java.nio.file.{Files, Paths}
+      import graft.sources.ObjectStore
+      val src = SyntheticFixtures.freshDir("q109src")
+      Files.write(Paths.get(src, "a.txt"), "alpha".getBytes("UTF-8"))
+      Files.write(Paths.get(src, "b.txt"), "beta".getBytes("UTF-8"))
+      Files.createDirectories(Paths.get(src, "sub"))
+      Files.write(Paths.get(src, "sub", "c.txt"), "gamma".getBytes("UTF-8"))
+      val bucket = SyntheticFixtures.freshDir("q109bucket")
+      // pre-seed the bucket: b.txt identical (→ skipped_same_content),
+      // sub/c.txt diverged (→ skipped_exists, catalog keeps local path)
+      Files.write(Paths.get(bucket, "b.txt"), "beta".getBytes("UTF-8"))
+      Files.createDirectories(Paths.get(bucket, "sub"))
+      Files.write(Paths.get(bucket, "sub", "c.txt"), "DIVERGED".getBytes("UTF-8"))
+      val manifest = ObjectStore.uploadDir(s, src, bucket).persist()
+      manifest.count() // executing the manifest IS the upload
+      val catalog = manifest.select(col("local_path").as("path"))
+      val swapped = ObjectStore.swapPaths(catalog, "path", manifest)
+        .select(col("path"),
+          element_at(split(col("path"), "/"), -1).as("sw_name"))
+      val objects = DicomSource.scanDir(s, bucket)
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          md5(col("content")).as("bucket_md5"))
+      manifest
+        .select(
+          element_at(split(col("local_path"), "/"), -1).as("file_name"),
+          col("action"))
+        .join(swapped, col("file_name") === col("sw_name"))
+        .withColumn("swapped",
+          col("path").startsWith(bucket).cast("int"))
+        .join(objects, Seq("file_name"))
+        .select(col("file_name"), col("action"), col("swapped"),
+          col("bucket_md5"))
+    },
+
     // T6 upload state machine (mapGroupsWithState, base_pipeline.py:86-87,
     // 269-272) on batch input: orders as upload events (seq = orderkey,
     // status = orderstatus) -> last status + transition count per upload
@@ -515,6 +557,17 @@ object IngestQueries {
         |  (CAST(2 AS BIGINT), 2, 0, 'Event',           false, 0)
         |) AS t(event_id, group_index, member_index, tag, has_pairing,
         |       additional_members)""".stripMargin,
+
+    // md5s independently recomputed (python hashlib over the literal
+    // contents); c.txt's bucket object keeps the diverged bytes and its
+    // catalog row keeps the local path
+    "q109_object_store" ->
+      """SELECT * FROM (VALUES
+        |  ('a.txt', 'uploaded', 1, '2c1743a391305fbf367df8e4f069f9f9'),
+        |  ('b.txt', 'skipped_same_content', 1,
+        |   '987bcab01b929eb2c07877b224215c92'),
+        |  ('c.txt', 'skipped_exists', 0, 'cf4d585d4d6438852a51832b91ba7e14')
+        |) AS t(file_name, action, swapped, bucket_md5)""".stripMargin,
 
     "q65_upload_states" ->
       """SELECT o_custkey AS upload_id,

@@ -123,7 +123,19 @@ object ObjectStore {
           }
         }
     }
-    val swap = pushed
+    swapPaths(catalog, pathCol, manifest)
+  }
+
+  /** The catalog-update step alone, over an already-executed upload
+    * manifest: rows whose upload landed (or already matched) point at the
+    * bucket URL; a `SkippedExists` row keeps its local path (the
+    * destination diverged and was not forced — the catalog must not point
+    * at a stale object). Public so a caller that needs BOTH the manifest
+    * and the swapped catalog (audit + update, the reference's runinsert
+    * then update pattern) runs the upload exactly once. */
+  def swapPaths(catalog: DataFrame, pathCol: String,
+      manifest: DataFrame): DataFrame = {
+    val swap = manifest.filter(col("action") =!= SkippedExists)
       .select(col("local_path"), col("dest_url"))
     catalog
       .join(broadcast(swap), catalog(pathCol) === swap("local_path"), "left")

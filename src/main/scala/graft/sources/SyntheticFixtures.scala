@@ -474,6 +474,22 @@ object SyntheticFixtures {
     o.toByteArray
   }
 
+  /** Delete-and-recreate a fixture subdir: sink round-trip queries need a
+    * deterministic destination state on every run (a stale bucket from a
+    * prior run would turn `uploaded` into `skipped_same_content`). */
+  def freshDir(subdir: String): String = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_fixtures", subdir)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir)
+        .sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.delete(p))
+    }
+    java.nio.file.Files.createDirectories(dir)
+    dir.toString
+  }
+
   def materialize(subdir: String, fileName: String, bytes: Array[Byte]): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_fixtures", subdir)
