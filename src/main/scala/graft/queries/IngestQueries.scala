@@ -322,6 +322,95 @@ object IngestQueries {
           col("unrecognized").cast("int").as("unrecognized"))
     },
 
+    // HRRT PET vertical end to end (HRRT_PET_insertion.pl / HRRT.pm): scan
+    // two study archives → ECAT7 big-endian main-header parse with BIC
+    // rules (test*.v demoted, facility override) → per-archive summary
+    // (first-ECAT study info, ecat/non-ecat counts, date from
+    // scan_start_time, archive blake2b) → already-archived rejection on
+    // Blake2bArchive (studyB pre-exists in the catalog, only studyA lands)
+    "q110_hrrt_archive" -> { (s, _) =>
+      import graft.operators.HrrtSummary
+      import graft.sources.EcatReader
+      val base = SyntheticFixtures.freshDir("q110")
+      def put(sub: String, name: String, bytes: Array[Byte]): Unit = {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(base, sub))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, sub, name), bytes)
+      }
+      // 2024-01-02T03:04:05Z = 1704164645
+      put("studyA", "scan1.v", SyntheticFixtures.ecatBytes(
+        "SUB001", "PET001", "Johns Hopkins Univ", 328, 1704164645L, 2))
+      put("studyA", "scan2.v", SyntheticFixtures.ecatBytes(
+        "SUB001", "PET001", "Johns Hopkins Univ", 328, 1704168000L, 1))
+      put("studyA", "testscan.v", SyntheticFixtures.ecatBytes(
+        "QC", "QC", "Johns Hopkins Univ", 328, 1704164000L, 1))
+      put("studyA", "params.m", "PROTOCOL = FDG_STATIC;\n".getBytes("UTF-8"))
+      put("studyA", "notes.txt", "transfer log\n".getBytes("UTF-8"))
+      put("studyB", "old1.v", SyntheticFixtures.ecatBytes(
+        "SUB999", "PET999", "Johns Hopkins Univ", 328, 1672628645L, 1))
+      val files = EcatReader.files(s, base, bic = true).toDF()
+        .withColumn("archive",
+          element_at(split(col("file_path"), "/"), -2))
+      val archives = HrrtSummary.archive(files)
+      // studyB was already archived: its hash is in the hrrt_archive
+      // catalog, so the guard must reject it and admit only studyA
+      val existing = archives.filter(col("archive") === "studyB")
+        .select(col("Blake2bArchive"))
+      HrrtSummary.guardNewArchives(archives, existing)
+        .join(
+          HrrtSummary.archiveFiles(files)
+            .groupBy(col("archive"))
+            .agg(array_sort(collect_list(col("Filename"))).as("fs")),
+          Seq("archive"))
+        .select(col("archive"), col("PatientName"), col("PatientID"),
+          col("CenterName"), col("SystemType"), col("DateAcquired"),
+          col("YearAcquired"), col("Manufacturer"), col("ScannerModel"),
+          col("EcatFileCount"), col("NonEcatFileCount"),
+          array_join(col("fs"), ",").as("EcatFiles"),
+          col("Blake2bArchive"))
+    },
+
+    // Processed-data registration vertical (register_processed_data.pl /
+    // DTIPrepRegister.pl): DTIPrep outputs registered against the files
+    // catalog — source-exists + input-list + scan-type + md5-uniqueness
+    // guards in the reference's own order, session/scanner inherited from
+    // the source acquisition, FileIDs continuing from max(existing)
+    "q111_register_processed" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.ProcessedRegistration
+      val files = Seq(
+        (1001L, 11L, 21L, "md5raw1"),
+        (1002L, 12L, 22L, "md5raw2"))
+        .toDF("FileID", "SessionID", "ScannerID", "md5hash")
+      val scanTypes = Seq((601, "QCedDTI"), (602, "RGBqc"),
+        (603, "TxtQCReport"))
+        .toDF("MriScanTypeID", "ScanType")
+      val candidates = Seq(
+        ("qced_dti.mnc", 1001L, Seq(1001L), "DTIPrep_pipeline",
+          "DTIPrep_v1.1.6", "2024-02-01", "native", "QCedDTI", "QCed",
+          "md5qced"),
+        ("rgb_map.mnc", 1001L, Seq(1001L), "DTIPrep_pipeline",
+          "DTIPrep_v1.1.6", "2024-02-01", "native", "RGBqc", "processed",
+          "md5rgb"),
+        ("qc_report.xml", 1001L, Seq(1001L), "DTIPrep_pipeline",
+          "DTIPrep_v1.1.6", "2024-02-01", "native", "XMLQCReport",
+          "QCReport", "md5xml"),
+        ("orphan.mnc", 9999L, Seq(1001L), "DTIPrep_pipeline",
+          "DTIPrep_v1.1.6", "2024-02-01", "native", "QCedDTI", "QCed",
+          "md5orph"),
+        ("rerun_raw.mnc", 1002L, Seq(1002L), "DTIPrep_pipeline",
+          "DTIPrep_v1.1.6", "2024-02-01", "native", "QCedDTI", "QCed",
+          "md5raw2"),
+        ("bad_inputs.mnc", 1001L, Seq(1001L, 8888L), "DTIPrep_pipeline",
+          "DTIPrep_v1.1.6", "2024-02-01", "native", "QCedDTI", "QCed",
+          "md5bad"))
+        .toDF("file_path", "source_file_id", "input_file_ids",
+          "source_pipeline", "tool", "pipeline_date", "coordinate_space",
+          "scan_type", "output_type", "md5hash")
+      ProcessedRegistration.register(candidates, files, scanTypes)
+    },
+
     // S11 end to end: distributed upload into a Hadoop-FS bucket with the
     // reference's three outcomes (aws_s3.py:93-158 / upload_dir --force
     // semantics) — new object uploaded, content-match skip, diverged
@@ -557,6 +646,53 @@ object IngestQueries {
         |  (CAST(2 AS BIGINT), 2, 0, 'Event',           false, 0)
         |) AS t(event_id, group_index, member_index, tag, has_pairing,
         |       additional_members)""".stripMargin,
+
+    // the reference's per-file abort order becomes the status column:
+    // missing source beats bad inputs beats unknown type beats dup md5;
+    // ids continue from max(files)=1002 in file-path order
+    "q111_register_processed" ->
+      """SELECT * FROM (VALUES
+        |  ('qced_dti.mnc', 'registered', CAST(1003 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(21 AS BIGINT), 601,
+        |   CAST(1001 AS BIGINT), 'DTIPrep_pipeline', '2024-02-01',
+        |   'native', 'QCed', 1),
+        |  ('rgb_map.mnc', 'registered', CAST(1004 AS BIGINT),
+        |   CAST(11 AS BIGINT), CAST(21 AS BIGINT), 602,
+        |   CAST(1001 AS BIGINT), 'DTIPrep_pipeline', '2024-02-01',
+        |   'native', 'processed', 1),
+        |  ('qc_report.xml', 'unknown_scan_type', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS INTEGER), CAST(1001 AS BIGINT),
+        |   'DTIPrep_pipeline', '2024-02-01', 'native', 'QCReport', 1),
+        |  ('orphan.mnc', 'missing_source', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS INTEGER), CAST(9999 AS BIGINT),
+        |   'DTIPrep_pipeline', '2024-02-01', 'native', 'QCed', 1),
+        |  ('rerun_raw.mnc', 'duplicate_md5', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS INTEGER), CAST(1002 AS BIGINT),
+        |   'DTIPrep_pipeline', '2024-02-01', 'native', 'QCed', 1),
+        |  ('bad_inputs.mnc', 'missing_input', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS INTEGER), CAST(1001 AS BIGINT),
+        |   'DTIPrep_pipeline', '2024-02-01', 'native', 'QCed', 2)
+        |) AS t(file_path, status, FileID, SessionID, ScannerID,
+        |       MriScanTypeID, SourceFileID, SourcePipeline, PipelineDate,
+        |       CoordinateSpace, OutputType, n_inputs)""".stripMargin,
+
+    // Blake2bArchive independently recomputed (python hashlib.blake2b over
+    // the materialized fixture files → sorted comma-join → blake2b);
+    // studyB is rejected by the already-archived guard, testscan.v is
+    // demoted by the BIC rule, facility overridden to BIC-MNI_MCGILL
+    "q110_hrrt_archive" ->
+      """SELECT * FROM (VALUES
+        |  ('studyA', 'SUB001', 'PET001', 'BIC-MNI_MCGILL', 328,
+        |   '2024-01-02', '2024', 'Siemens', 'HRRT', 2, 3,
+        |   'scan1.v,scan2.v',
+        |   'd2a547b024599cea82a47c812aa8558bcaa953b197933dc6fafe7cb6db9a91a932779e55f98f19bbda69fa22a6c66d115a150228b4b7825cb1af509f2b7a3d91')
+        |) AS t(archive, PatientName, PatientID, CenterName, SystemType,
+        |       DateAcquired, YearAcquired, Manufacturer, ScannerModel,
+        |       EcatFileCount, NonEcatFileCount, EcatFiles, Blake2bArchive)""".stripMargin,
 
     // md5s independently recomputed (python hashlib over the literal
     // contents); c.txt's bucket object keeps the diverged bytes and its

@@ -474,6 +474,81 @@ object SyntheticFixtures {
     o.toByteArray
   }
 
+  /** ECAT7 `.v` written SEQUENTIALLY from the published main-header layout
+    * (512-byte big-endian fixed block: magic char[14], original name
+    * char[32], sw/system/file type u16s, serial char[10], scan start u32,
+    * isotope char[8] + halflife f32, radiopharmaceutical char[32], 56 bytes
+    * of gantry/calibration scalars, study_type char[12], patient id/name,
+    * demographics, physician/operator/description char[32]s, acquisition
+    * u16s, facility char[20], plane/frame/gate/bed counts …) — independent
+    * of [[EcatReader]]'s absolute-offset walker. Trailing bytes stand in
+    * for the matrix directory + frame data the header-only reader must
+    * skip. */
+  def ecatBytes(patientName: String, patientId: String, facility: String,
+      systemType: Int, scanStartEpoch: Long, numFrames: Int = 1,
+      trailing: Int = 512): Array[Byte] = {
+    val o = new ByteArrayOutputStream()
+    def chars(s: String, len: Int): Array[Byte] = {
+      val a = new Array[Byte](len)
+      val b = s.getBytes(US_ASCII)
+      System.arraycopy(b, 0, a, 0, math.min(b.length, len))
+      a
+    }
+    def beBytes(n: Int)(put: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      put(b)
+      b.array()
+    }
+    o.write(chars("MATRIX72v", 14))
+    o.write(chars(s"$patientId.v", 32))            // original_file_name
+    o.write(beBytes(6) { b =>
+      b.putShort(72)                               // sw_version
+      b.putShort(systemType.toShort)               // system_type
+      b.putShort(7)                                // file_type: volume16
+    })
+    o.write(chars("SN12345", 10))                  // serial_number
+    o.write(beBytes(4)(_.putInt(scanStartEpoch.toInt))) // scan_start_time
+    o.write(chars("F-18", 8))                      // isotope_name
+    o.write(beBytes(4)(_.putFloat(6586.2f)))       // isotope_halflife
+    o.write(chars("FDG", 32))                      // radiopharmaceutical
+    o.write(beBytes(28) { b =>                     // gantry/bed/wobble block
+      b.putFloat(0f); b.putFloat(0f); b.putFloat(0f); b.putFloat(0f)
+      b.putShort(0); b.putShort(0); b.putFloat(25.2f); b.putFloat(31.2f)
+    })
+    o.write(beBytes(6) { b =>                      // sampling u16s
+      b.putShort(0); b.putShort(0); b.putShort(0)
+    })
+    o.write(beBytes(4)(_.putFloat(1.0f)))          // ecat_calibration_factor
+    o.write(beBytes(6) { b =>                      // calibration/compression
+      b.putShort(0); b.putShort(0); b.putShort(0)
+    })
+    o.write(chars("BRAIN", 12))                    // study_type
+    o.write(chars(patientId, 16))                  // patient_id
+    o.write(chars(patientName, 32))                // patient_name
+    o.write(chars("M", 1)); o.write(chars("R", 1)) // sex, dexterity
+    o.write(beBytes(12) { b =>                     // age/height/weight f32
+      b.putFloat(44.5f); b.putFloat(1.75f); b.putFloat(70.0f)
+    })
+    o.write(beBytes(4)(_.putInt(0)))               // patient_birth_date
+    o.write(chars("DR WHO", 32))                   // physician_name
+    o.write(chars("TECH ONE", 32))                 // operator_name
+    o.write(chars("resting state FDG", 32))        // study_description
+    o.write(beBytes(4) { b =>                      // acquisition/orientation
+      b.putShort(2); b.putShort(0)
+    })
+    o.write(chars(facility, 20))                   // facility_name
+    o.write(beBytes(8) { b =>                      // planes/frames/gates/beds
+      b.putShort(207); b.putShort(numFrames.toShort); b.putShort(0)
+      b.putShort(0)
+    })
+    // rest of the 512-byte block: bed positions, thresholds, process codes
+    o.write(new Array[Byte](512 - o.size()))
+    // matrix directory + frame payload stand-in (reader must ignore)
+    o.write(Array.fill[Byte](trailing)(0x5A))
+    o.toByteArray
+  }
+
   /** Delete-and-recreate a fixture subdir: sink round-trip queries need a
     * deterministic destination state on every run (a stale bucket from a
     * prior run would turn `uploaded` into `skipped_same_content`). */
