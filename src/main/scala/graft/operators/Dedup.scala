@@ -303,11 +303,20 @@ object Dedup {
     // a hash collision can only ADD candidates — the exact levenshtein
     // verify removes them, so soundness and completeness are unchanged
     // the variant build is scalar-bound (HOF substrings + md5 per char):
-    // spread the distinct strings across cores before exploding — a local
-    // fixture is one row group = one task otherwise (same rationale as
-    // DataQueries.docsParallel)
-    val v = df.select(col(strCol).as("s")).distinct()
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    // a sub-split local fixture would otherwise run it on one core (AQE
+    // coalesces the tiny distinct output to a single partition). The
+    // spread is SIZE-CONDITIONAL (plan statistics, no action) — on a
+    // billion-row input the distinct's own exchange already spreads the
+    // work and a blanket repartition would just add a full extra shuffle
+    // (the round-2/round-3 `spreadIfSmall` invariant)
+    val distinctStrs = df.select(col(strCol).as("s")).distinct()
+    val spread =
+      if (distinctStrs.queryExecution.optimizedPlan.stats.sizeInBytes <
+          graft.queries.Tables.OneSplitBytes)
+        distinctStrs.repartition(
+          df.sparkSession.sparkContext.defaultParallelism)
+      else distinctStrs
+    val v = spread
       .select(col("s"), explode(deletionVariants(col("s"))).as("variant"))
       .select(col("s"), portableHash60(col("variant")).as("vh"))
     val a = v.select(col("vh"), col("s").as("s_1"))

@@ -238,16 +238,20 @@ object DataQueries {
     },
 
     // Term relative document frequency: tf * N / df as exact-integer-ratio
-    // doubles (deterministic without ln-based idf)
+    // doubles (deterministic without ln-based idf). N rides inside the
+    // plan as a broadcast 1-row aggregate (the dsirWeights idiom) — a
+    // driver-side d.count() would be a separate job per invocation
     "q44_term_relfreq" -> { (s, dir) =>
       val d = docs(s, dir)
-      val n = d.count()
+      val n = d.agg(count(lit(1)).as("__n"))
       d.select(col("doc_id"), explode(tokens(col("text"))).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
         .filter(col("tf") >= 10)
+        .crossJoin(broadcast(n))
         .withColumn("rel_score",
-          round(col("tf").cast("double") * n / col("df"), 6))
+          round(col("tf").cast("double") * col("__n") / col("df"), 6))
+        .drop("__n")
     },
 
     // Normalization + exact dedup over the normalized form

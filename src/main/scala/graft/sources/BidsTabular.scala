@@ -37,7 +37,13 @@ object BidsTabular {
   def unionOfKeys(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Write a DataFrame as TSV with `n/a` for NULLs (BIDS convention). */
+  /** Write a DataFrame as TSV with `n/a` for NULLs (BIDS convention).
+    *
+    * SIZE BOUND: `coalesce(1)` funnels the whole output through one task —
+    * correct for the reference's one-TSV-per-dataset semantics
+    * (participants.tsv is thousands of rows), a foot-gun for anything
+    * bigger. Corpus-scale exports belong in partitioned parquet/TSV
+    * (plain `df.write`), not this sink. */
   def writeTsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write
       .option("sep", "\t")

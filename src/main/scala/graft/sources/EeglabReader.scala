@@ -371,6 +371,51 @@ object EeglabReader {
       }
   }
 
+  /** MATLAB v7.3 detection: a v7.3 `.set` is an HDF5 file — the header
+    * text starts `MATLAB 7.3` and the HDF5 signature sits at offset 512
+    * (after the MATLAB userblock). Out of scope for this walker (needs an
+    * HDF5 B-tree reader), but it must be DETECTABLE: real labs save v7.3
+    * routinely, and a silent None would read as "no recordings". */
+  def isHdf5V73(bytes: Array[Byte]): Boolean = {
+    val hdf5Sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+      0x1A, '\n')
+    def sigAt(off: Int): Boolean =
+      bytes.length >= off + 8 &&
+        (0 until 8).forall(i => bytes(off + i) == hdf5Sig(i))
+    val headerText = bytes.length >= 116 &&
+      new String(bytes, 0, 10, US_ASCII) == "MATLAB 7.3"
+    headerText || sigAt(0) || sigAt(512)
+  }
+
+  final case class EeglabScanAudit(
+      file_path: String,
+      status: String,
+      n_channels: Int)
+
+  /** Diagnostic twin of [[channels]] (same pattern as
+    * [[CtfReader.scanAudit]]): one row per `.set` with the parse outcome —
+    * `ok` / `hdf5_v73_unsupported` / `parse_failed` — so the common
+    * real-world v7.3 variant surfaces as a countable, actionable reason
+    * (convert with EEGLAB's `-v7` save or MNE) instead of a silent empty
+    * ingest. */
+  def scanAudit(spark: SparkSession, dir: String,
+      glob: String = "*.set"): Dataset[EeglabScanAudit] = {
+    import spark.implicits._
+    DicomSource.scanDir(spark, dir, glob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .map { case (p, bytes) =>
+        parseSet(bytes) match {
+          case Some(rec) =>
+            EeglabScanAudit(p, "ok",
+              rec.channelNames.length)
+          case None if isHdf5V73(bytes) =>
+            EeglabScanAudit(p, "hdf5_v73_unsupported", 0)
+          case None =>
+            EeglabScanAudit(p, "parse_failed", 0)
+        }
+      }
+  }
+
   /** channels → the chunker's long input (channel, sample_index, value). */
   def asLongFormat(channels: Dataset[EeglabChannel]): DataFrame =
     EphysSource.channelArraysToLong(channels.toDF())

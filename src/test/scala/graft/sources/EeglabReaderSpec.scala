@@ -126,6 +126,27 @@ class EeglabReaderSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("Fz", 4.0, 10L), ("Pz", 4.0, 10L)))
   }
 
+  test("scanAudit flags v7.3/HDF5 with a reason instead of silent None") {
+    val (set, _) = eeglabRecordingBytes()
+    val dir = SyntheticFixtures.materialize("eeglab_audit", "good.set", set)
+    // v7.3 shape: "MATLAB 7.3" header text + HDF5 signature at 512
+    val v73 = new Array[Byte](1024)
+    val txt = "MATLAB 7.3 MAT-file".getBytes("US-ASCII")
+    System.arraycopy(txt, 0, v73, 0, txt.length)
+    val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
+    System.arraycopy(sig, 0, v73, 512, 8)
+    SyntheticFixtures.materialize("eeglab_audit", "modern.set", v73)
+    SyntheticFixtures.materialize("eeglab_audit", "junk.set",
+      "not matlab".getBytes("US-ASCII"))
+    val audit = EeglabReader.scanAudit(spark, dir).collect()
+      .map(a => (new java.io.File(a.file_path).getName, a.status, a.n_channels))
+      .sortBy(_._1)
+    assert(audit.toSeq == Seq(
+      ("good.set", "ok", 2),
+      ("junk.set", "parse_failed", 0),
+      ("modern.set", "hdf5_v73_unsupported", 0)))
+  }
+
   test("sibling resolution survives percent-encoded scan paths (spaces)") {
     // binaryFile reports "sub 01" as "sub%2001"; building the .fdt path
     // from the raw URI string used to resolve to a nonexistent file and
