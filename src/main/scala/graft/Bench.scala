@@ -55,10 +55,19 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the driver captures only the LAST 2000 chars of stdout: full query
+    // names at 100+ queries overflow that window and truncate the JSON
+    // head (BENCH_r03 'parsed: None'). Short numeric keys ("q44") in
+    // numeric order + 3-decimal values keep the whole line inside the
+    // window; full names still go to stderr per query above.
+    val qs = results
+      .map { case (k, v) => ("q(\\d+)".r.findFirstMatchIn(k)
+        .map(m => (m.group(1).toInt, "q" + m.group(1))).getOrElse((9999, k)), v) }
+      .sortBy(_._1._1)
+      .map { case ((_, short), v) => f""""$short":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

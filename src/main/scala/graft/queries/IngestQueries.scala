@@ -453,6 +453,40 @@ object IngestQueries {
           col("bucket_md5"))
     },
 
+    // Ingest scan audits end to end (ADVICE r3): parse failures surface as
+    // countable rows — CTF layout divergence / missing meg4 sibling,
+    // EEGLAB v7.3-HDF5 detection — instead of silent empty ingests
+    "q112_ingest_audit" -> { (s, _) =>
+      import java.nio.file.{Files, Paths}
+      val ctfDir = SyntheticFixtures.freshDir("q112ctf")
+      val (res4, meg4) = SyntheticFixtures.ctfRecordingBytes()
+      Files.write(Paths.get(ctfDir, "good.res4"), res4)
+      Files.write(Paths.get(ctfDir, "good.meg4"), meg4)
+      Files.write(Paths.get(ctfDir, "diverged.res4"),
+        java.util.Arrays.copyOfRange(res4, 0, 500))
+      Files.write(Paths.get(ctfDir, "orphan.res4"), res4)
+      val eegDir = SyntheticFixtures.freshDir("q112eeg")
+      val (set, _) = SyntheticFixtures.eeglabRecordingBytes()
+      Files.write(Paths.get(eegDir, "good.set"), set)
+      val v73 = new Array[Byte](1024)
+      val txt = "MATLAB 7.3 MAT-file".getBytes("US-ASCII")
+      System.arraycopy(txt, 0, v73, 0, txt.length)
+      val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1A, '\n')
+      System.arraycopy(sig, 0, v73, 512, 8)
+      Files.write(Paths.get(eegDir, "modern.set"), v73)
+      Files.write(Paths.get(eegDir, "junk.set"),
+        "not matlab".getBytes("US-ASCII"))
+      val ctf = CtfReader.scanAudit(s, ctfDir).toDF()
+        .select(lit("ctf").as("format"),
+          element_at(split(col("file_path"), "/"), -1).as("file_name"),
+          col("status"), col("n_channels"))
+      val eeg = EeglabReader.scanAudit(s, eegDir).toDF()
+        .select(lit("eeglab").as("format"),
+          element_at(split(col("file_path"), "/"), -1).as("file_name"),
+          col("status"), col("n_channels"))
+      ctf.unionByName(eeg)
+    },
+
     // T6 upload state machine (mapGroupsWithState, base_pipeline.py:86-87,
     // 269-272) on batch input: orders as upload events (seq = orderkey,
     // status = orderstatus) -> last status + transition count per upload
@@ -679,6 +713,16 @@ object IngestQueries {
         |) AS t(file_path, status, FileID, SessionID, ScannerID,
         |       MriScanTypeID, SourceFileID, SourcePipeline, PipelineDate,
         |       CoordinateSpace, OutputType, n_inputs)""".stripMargin,
+
+    "q112_ingest_audit" ->
+      """SELECT * FROM (VALUES
+        |  ('ctf', 'diverged.res4', 'res4_parse_failed', 0),
+        |  ('ctf', 'good.res4', 'ok', 2),
+        |  ('ctf', 'orphan.res4', 'meg4_unreadable', 2),
+        |  ('eeglab', 'good.set', 'ok', 2),
+        |  ('eeglab', 'junk.set', 'parse_failed', 0),
+        |  ('eeglab', 'modern.set', 'hdf5_v73_unsupported', 0)
+        |) AS t(format, file_name, status, n_channels)""".stripMargin,
 
     // Blake2bArchive independently recomputed (python hashlib.blake2b over
     // the materialized fixture files → sorted comma-join → blake2b);

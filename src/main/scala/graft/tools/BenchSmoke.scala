@@ -17,7 +17,15 @@ import graft.SparkEntry
   * the ~1 s scale single-shot timings on a shared box drift 2× from GC
   * and page-cache state, and a real regression reproduces while noise
   * does not. New queries absent from the baseline report as `new` and
-  * never fail; refresh with `--write` after a verified improvement.
+  * never fail.
+  *
+  * BASELINE METHODOLOGY (round 4): `tools/bench_baseline.json` is the
+  * per-query best of two FULL `sbt "runMain graft.Bench"` runs at sf0.1 —
+  * the driver's exact harness (forked sbt JVM, -Xmx32g, local[32],
+  * lexical query order, full-suite heap state) — so the committed numbers
+  * and the driver's scored numbers measure the same thing. Refresh the
+  * same way after a verified win (two sbt Bench runs, min per query), not
+  * with this tool's direct-JVM `--write` (kept for quick local loops).
   */
 object BenchSmoke {
   val FloorSec = 0.3
