@@ -453,6 +453,20 @@ object IngestQueries {
           col("bucket_md5"))
     },
 
+    // S14 EEGLAB MAT v7.3 end to end: the HDF5 container (superblock v0
+    // behind the MATLAB userblock, v1 object headers, symbol-table
+    // groups, chunked+deflate data, chanlocs as object references) walked
+    // by Hdf5Lite → same SetRecording contract as v6 → chunker. The
+    // golden fixture was written by tools/make_v73_fixtures.py, a
+    // from-scratch python struct.pack twin of the reader
+    "q113_eeglab_v73_ingest" -> { (s, _) =>
+      val in = getClass.getResourceAsStream("/graft/v73_struct.set")
+      val bytes = try in.readAllBytes() finally in.close()
+      val dir = SyntheticFixtures.materialize("q113", "rec1.set", bytes)
+      EphysChunker.chunkStats(
+        EeglabReader.asLongFormat(EeglabReader.channels(s, dir)), chunkSize = 4)
+    },
+
     // Ingest scan audits end to end (ADVICE r3): parse failures surface as
     // countable rows — CTF layout divergence / missing meg4 sibling,
     // EEGLAB v7.3-HDF5 detection — instead of silent empty ingests
@@ -713,6 +727,18 @@ object IngestQueries {
         |) AS t(file_path, status, FileID, SessionID, ScannerID,
         |       MriScanTypeID, SourceFileID, SourcePipeline, PipelineDate,
         |       CoordinateSpace, OutputType, n_inputs)""".stripMargin,
+
+    "q113_eeglab_v73_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('Fz', CAST(0 AS BIGINT), 4,
+        |   CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE), false, 4),
+        |  ('Fz', CAST(1 AS BIGINT), 4,  5.0,   8.0, false, 4),
+        |  ('Fz', CAST(2 AS BIGINT), 2,  9.0,  10.0, true,  2),
+        |  ('Pz', CAST(0 AS BIGINT), 4, 10.0,  40.0, false, 4),
+        |  ('Pz', CAST(1 AS BIGINT), 4, 50.0,  80.0, false, 4),
+        |  ('Pz', CAST(2 AS BIGINT), 2, 90.0, 100.0, true,  2)
+        |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
+        |       is_last, valid_samples)""".stripMargin,
 
     "q112_ingest_audit" ->
       """SELECT * FROM (VALUES

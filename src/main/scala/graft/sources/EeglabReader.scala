@@ -288,11 +288,79 @@ object EeglabReader {
     out
   }
 
+  /** MATLAB v7.3: the same variables as HDF5 objects via [[Hdf5Lite]].
+    * MATLAB stores arrays TRANSPOSED (HDF5 dims = reversed MATLAB dims),
+    * so the row-major HDF5 linear order IS the column-major MATLAB
+    * flatten — the same flat layout the v6 path feeds [[toTraces]]. Char
+    * arrays are uint16 datasets; struct arrays (chanlocs) are groups of
+    * object-reference datasets resolved against the image. */
+  private def v73Value(img: Hdf5Lite.Image, o: Hdf5Lite.HObject,
+      depth: Int): Option[MatValue] = {
+    if (depth > MaxStructDepth) return None
+    o match {
+      case Hdf5Lite.HDatasetObj(d) if d.dtypeClass == 0 && d.elemSize == 2 =>
+        Hdf5Lite.asString(d).map(MatStr(_))
+      case Hdf5Lite.HDatasetObj(d) if d.dtypeClass == 7 =>
+        // a bare reference array outside a struct group: resolve to the
+        // first element's value (not produced by MATLAB for .set fields)
+        Hdf5Lite.resolveRefs(img, d)
+          .flatMap(_.headOption)
+          .flatMap(v73Value(img, _, depth + 1))
+      case Hdf5Lite.HDatasetObj(d) =>
+        Hdf5Lite.asDoubles(d)
+          .map(v => MatNum(d.dims.reverse.map(_.toInt), v))
+      case Hdf5Lite.HGroupObj(g) =>
+        val ds = g.children.collect {
+          case (n, Hdf5Lite.HDatasetObj(d)) => n -> d
+        }
+        val allRefs = ds.nonEmpty && ds.values.forall(d =>
+          d.dtypeClass == 7 && d.elemSize == 8)
+        if (allRefs) {
+          // struct ARRAY: per-field reference vectors of equal length
+          val resolved = ds.map { case (n, d) =>
+            Hdf5Lite.resolveRefs(img, d) match {
+              case Some(objs) => n -> objs
+              case None => return None
+            }
+          }
+          val n = resolved.values.map(_.length).min
+          val elems = (0 until n).map { i =>
+            resolved.flatMap { case (f, objs) =>
+              v73Value(img, objs(i), depth + 1).map(f -> _)
+            }.toMap
+          }
+          Some(MatStruct(elems))
+        } else {
+          // scalar struct: one element whose fields are the children
+          val fields = g.children.flatMap { case (n, child) =>
+            v73Value(img, child, depth + 1).map(n -> _)
+          }
+          Some(MatStruct(Seq(fields)))
+        }
+    }
+  }
+
+  /** v7.3 top-level variables as the v6 walker's [[MatValue]] model. */
+  def parseMatV73(bytes: Array[Byte]): Option[Map[String, MatValue]] =
+    Hdf5Lite.parseWithImage(bytes).flatMap { case (img, root) =>
+      val out = Map.newBuilder[String, MatValue]
+      root.children.foreach { case (name, o) =>
+        v73Value(img, o, 0) match {
+          case Some(v) => out += name -> v
+          case None => return None
+        }
+      }
+      Some(out.result())
+    }
+
   /** Hardened `.set` parse. Accepts both layouts MNE's `_check_load_mat`
     * handles: a single struct variable `EEG`, or the struct fields saved
-    * as top-level variables. */
+    * as top-level variables — in MAT v6, v7 (zlib) AND v7.3 (HDF5 via
+    * [[Hdf5Lite]]). */
   def parseSet(bytes: Array[Byte]): Option[SetRecording] = {
-    parseMat(bytes).flatMap { vars =>
+    val vars0 =
+      if (isHdf5V73(bytes)) parseMatV73(bytes) else parseMat(bytes)
+    vars0.flatMap { vars =>
       val fields: Map[String, MatValue] = vars.get("EEG") match {
         case Some(MatStruct(Seq(one))) => one
         case _ => vars
