@@ -201,6 +201,84 @@ object Dedup {
     labels
   }
 
+  /** [[clusterPairs]]' 100 TB formulation: alternating large-star /
+    * small-star connected components (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014). Each round
+    * rewrites the EDGE SET toward star graphs rooted at component minima:
+    *
+    *  - large-star: per node u with symmetric neighborhood N(u), connect
+    *    every strictly larger neighbor to m = min(N(u) ∪ {u});
+    *  - small-star: on the large→small orientation, connect every
+    *    neighbor (and u itself) to m.
+    *
+    * Unlike label propagation — whose per-round state is nodes × labels
+    * JOINED against the static edge set every iteration — the star
+    * rounds shrink the edge set itself (edges attach to ever-smaller
+    * minima), so round state is bounded by the current edge count and
+    * drops geometrically; convergence is O(log²) rounds vs graph
+    * diameter. Same lineage-truncation discipline (localCheckpoint per
+    * round, one driver-side fixpoint count). Output schema matches
+    * [[clusterPairs]]; q114 reuses q50's oracle VERBATIM so the
+    * equivalence is driver-checked, not just spec-checked. */
+  def clusterPairsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sym0 = pairs.select(col("id_1").as("u"), col("id_2").as("v"))
+      .union(pairs.select(col("id_2").as("u"), col("id_1").as("v")))
+      .filter(col("u") =!= col("v")).distinct()
+    val nodes = sym0.select(col("u").as("id")).distinct()
+      .localCheckpoint(true)
+    // large→small orientation; invariant u > v is restored every round
+    var edges = sym0.filter(col("u") > col("v")).distinct()
+      .localCheckpoint(true)
+    // per-round stats for the CHEAP convergence pre-check: (count, hash
+    // checksum). Equal stats are necessary for a fixed edge set; the
+    // exact exceptAll confirmation runs only when they match, so the
+    // expensive probe is paid once at the end, not every round.
+    def statsOf(df: DataFrame): (Long, Long) = {
+      // XOR fold: order-independent and overflow-free under ANSI mode
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prevStats = (-1L, -1L) // sentinel: never matches round 1
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // LARGE-STAR over the symmetric adjacency; one lineage-truncating
+      // checkpoint per ROUND (afterSmall) — within the round Spark's
+      // exchange reuse covers the shared scans
+      val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = adj.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR on the large→small edges
+      val mins2 = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = afterLarge.join(mins2, Seq("u"))
+      val afterSmall = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val st = statsOf(afterSmall)
+      if (st == prevStats) {
+        // cheap stats agree — confirm EXACTLY before declaring fixpoint.
+        // Both sides are distinct sets with equal counts, so ONE empty
+        // directed difference proves set equality.
+        converged = afterSmall.exceptAll(edges).limit(1).count() == 0
+      }
+      prevStats = st
+      edges = afterSmall
+      i += 1
+    }
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. Exact-duplicate clusters share a
     * fingerprint; near-dup detection joins on fingerprint bands. */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =

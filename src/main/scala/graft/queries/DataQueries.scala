@@ -109,6 +109,16 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Same clusters via the alternating large-star/small-star rounds —
+    // the 100 TB formulation (round state shrinks with the edge set,
+    // O(log²) rounds vs diameter). Oracle is q50's VERBATIM, so the
+    // driver gate machine-checks the equivalence (the q107/q68 pattern)
+    "q114_neardup_clusters_star" -> { (s, dir) =>
+      Dedup.clusterPairsStar(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
+    },
+
     // 32-bit SimHash fingerprints
     "q28_simhash" -> { (s, dir) =>
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
@@ -364,6 +374,28 @@ object DataQueries {
          |        / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
 
     "q50_neardup_clusters" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), edges AS (
+         |  SELECT id_1 AS u, id_2 AS v FROM p
+         |  UNION SELECT id_2, id_1 FROM p
+         |), walk(id, label) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
+         |)
+         |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // VERBATIM copy of q50's oracle: the star formulation must produce
+    // byte-identical clusters
+    "q114_neardup_clusters_star" ->
       s"""WITH RECURSIVE d AS (
          |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
          |), p AS (

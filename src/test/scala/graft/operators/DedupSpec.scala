@@ -71,6 +71,31 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty) // fixture has exact dups (hamming 0)
   }
 
+  test("clusterPairsStar == clusterPairs on adversarial graph shapes") {
+    import spark.implicits._
+    // long chain (diameter stress), star, two triangles bridged, isolated
+    // pair, and a random graph — label propagation and the alternating
+    // star rounds must agree everywhere
+    val chain = (1L until 30L).map(i => (i, i + 1))
+    val star = (101L to 110L).map(i => (100L, i))
+    val tri = Seq((200L, 201L), (201L, 202L), (202L, 200L),
+      (300L, 301L), (301L, 302L), (302L, 300L), (202L, 300L))
+    val pair = Seq((400L, 401L))
+    val rnd = new scala.util.Random(20260813L)
+    val rand = (1 to 60).map(_ =>
+      (500L + rnd.nextInt(40), 500L + rnd.nextInt(40)))
+      .filter(e => e._1 != e._2)
+    val pairs = (chain ++ star ++ tri ++ pair ++ rand)
+      .toDF("id_1", "id_2")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaProp = collect(Dedup.clusterPairs(pairs, maxIter = 100))
+    val viaStar = collect(Dedup.clusterPairsStar(pairs))
+    assert(viaStar == viaProp)
+    // sanity: the chain collapses to a single root
+    assert(viaStar.filter(_._1 <= 30L).forall(_._2 == 1L))
+  }
+
   test("editNeighborPairs == brute-force levenshtein <= 1 (FastSS complete)") {
     import spark.implicits._
     val names = Seq("abc", "abd", "ab", "abcd", "xyz", "xxyz", "q", "", "qq")
