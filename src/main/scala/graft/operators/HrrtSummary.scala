@@ -55,7 +55,11 @@ object HrrtSummary {
         Blake2b.blake2b(
           concat_ws(",", array_sort(collect_list(col("blake2b_hash")))))
           .as("Blake2bArchive"))
-    counts.join(study, Seq(groupCol))
+    // LEFT join: an upload with zero ECAT files still surfaces as a row
+    // (null study info, EcatFileCount=0) instead of vanishing — the
+    // reference would die in determine_study_info; the batch form keeps
+    // the countable-audit discipline (see CtfReader.scanAudit)
+    counts.join(study, Seq(groupCol), "left")
       .select(
         col(groupCol),
         col("first.patient_name").as("PatientName"),

@@ -59,18 +59,26 @@ object ProcessedRegistration {
       .agg(count(lit(1)).as("n_missing_inputs"))
     val dupHashes = files.select(col("md5hash")).distinct()
       .withColumn("dup_md5", lit(true))
+    // the reference registers files ONE AT A TIME, so a batch-mate that
+    // already registered the same md5 also triggers is_unique_hash — the
+    // batch form keeps the first candidate per hash (file-path order) and
+    // rejects the rest, matching sequential-script semantics
+    val batchDupW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("md5hash")).orderBy(col("file_path"))
     val checked = candidates
       .join(src, col("source_file_id") === col("src_id"), "left")
       .join(missingInputs, Seq("file_path"), "left")
       .join(broadcast(scanTypes.select(col("MriScanTypeID"),
         col("ScanType").as("scan_type"))), Seq("scan_type"), "left")
       .join(broadcast(dupHashes), Seq("md5hash"), "left")
+      .withColumn("__hash_rank", row_number().over(batchDupW))
       .withColumn("status",
         when(col("src_id").isNull, "missing_source")
           .when(coalesce(col("n_missing_inputs"), lit(0L)) > 0, "missing_input")
           .when(col("MriScanTypeID").isNull, "unknown_scan_type")
-          .when(col("dup_md5"), "duplicate_md5")
+          .when(col("dup_md5") || col("__hash_rank") > 1, "duplicate_md5")
           .otherwise("registered"))
+      .drop("__hash_rank")
     val maxId = files
       .select(coalesce(max(col("FileID")), lit(0L)).cast("long"))
       .first().getLong(0)

@@ -371,6 +371,58 @@ object IngestQueries {
           col("Blake2bArchive"))
     },
 
+    // HRRT insertion lifecycle, the post-archive half of
+    // HRRT_PET_insertion.pl: per-ECAT MINC registration with id
+    // continuation (ecat2minc + register_db), the ecat_filename linkage
+    // (appendEcatToRegisteredMinc renames .v→.mnc), SessionID resolved
+    // from the candidate and pushed onto the archive + upload rows
+    // (updateHrrtArchiveSessionID / updateHrrtUploadInfo: minc counts,
+    // InsertionComplete)
+    "q115_hrrt_insertion" -> { (s, _) =>
+      import s.implicits._
+      import graft.sources.EcatReader
+      val base = SyntheticFixtures.freshDir("q115")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(base, name), bytes)
+      put("scan1.v", SyntheticFixtures.ecatBytes(
+        "SUB001", "PET001", "JHU", 328, 1704164645L, 2))
+      put("scan2.v", SyntheticFixtures.ecatBytes(
+        "SUB001", "PET001", "JHU", 328, 1704168000L, 1))
+      put("notes.txt", "log\n".getBytes("UTF-8"))
+      val ecat = EcatReader.files(s, base, bic = true).toDF()
+        .filter(col("is_ecat"))
+      // ecat2minc + register_db: one MINC per ECAT, ids continuing from
+      // the existing files catalog, keyed by the renamed path
+      val existing = Seq((5001L, "old.mnc"))
+        .toDF("FileID", "minc_path")
+      val minc = ecat.select(
+        regexp_replace(col("file_name"), "\\.v$", ".mnc").as("minc_path"),
+        col("file_name").as("ecat_filename"),
+        col("patient_name"))
+      val registered = graft.sources.Sinks.appendWithIds(
+        existing.withColumn("ecat_filename", lit(null).cast("string"))
+          .withColumn("patient_name", lit(null).cast("string")),
+        minc, naturalKey = Seq("minc_path"), idCol = "FileID")
+        .filter(col("ecat_filename").isNotNull) // the new rows
+      // session resolution (getSessionID via candidate) + upload update
+      val sessions = Seq(("SUB001", 88L)).toDF("patient", "SessionID")
+      val upload = Seq(Tuple1(42L)).toDF("UploadID")
+      val withSession = registered
+        .join(broadcast(sessions),
+          col("patient_name") === col("patient"))
+      val counts = withSession.agg(
+        count(lit(1)).cast("int").as("minc_inserted"),
+        count(lit(1)).cast("int").as("minc_created"))
+      withSession
+        .crossJoin(broadcast(upload))
+        .crossJoin(broadcast(counts))
+        .withColumn("InsertionComplete", lit(1))
+        .select(col("minc_path"), col("FileID"), col("ecat_filename"),
+          col("SessionID"), col("UploadID"), col("InsertionComplete"),
+          col("minc_created"), col("minc_inserted"))
+    },
+
     // Processed-data registration vertical (register_processed_data.pl /
     // DTIPrepRegister.pl): DTIPrep outputs registered against the files
     // catalog — source-exists + input-list + scan-type + md5-uniqueness
@@ -694,6 +746,17 @@ object IngestQueries {
         |  (CAST(2 AS BIGINT), 2, 0, 'Event',           false, 0)
         |) AS t(event_id, group_index, member_index, tag, has_pairing,
         |       additional_members)""".stripMargin,
+
+    // ids continue from max(files)=5001 in minc-path order; session 88
+    // resolved from the candidate; both minc counts equal (all inserted)
+    "q115_hrrt_insertion" ->
+      """SELECT * FROM (VALUES
+        |  ('scan1.mnc', CAST(5002 AS BIGINT), 'scan1.v',
+        |   CAST(88 AS BIGINT), CAST(42 AS BIGINT), 1, 2, 2),
+        |  ('scan2.mnc', CAST(5003 AS BIGINT), 'scan2.v',
+        |   CAST(88 AS BIGINT), CAST(42 AS BIGINT), 1, 2, 2)
+        |) AS t(minc_path, FileID, ecat_filename, SessionID, UploadID,
+        |       InsertionComplete, minc_created, minc_inserted)""".stripMargin,
 
     // the reference's per-file abort order becomes the status column:
     // missing source beats bad inputs beats unknown type beats dup md5;

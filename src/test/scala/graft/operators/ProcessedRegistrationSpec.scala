@@ -60,6 +60,23 @@ class ProcessedRegistrationSpec extends SparkSpec {
     assert(st == "missing_source")
   }
 
+  test("within-batch md5 duplicates: first by path registers, rest reject") {
+    import spark.implicits._
+    val (files, scanTypes, _) = fixtures
+    val c = Seq(
+      ("a_out.mnc", 1001L, Seq(1001L), "p", "t", "d", "native",
+        "QCedDTI", "QCed", "mSAME"),
+      ("b_out.mnc", 1001L, Seq(1001L), "p", "t", "d", "native",
+        "QCedDTI", "QCed", "mSAME"))
+      .toDF("file_path", "source_file_id", "input_file_ids",
+        "source_pipeline", "tool", "pipeline_date", "coordinate_space",
+        "scan_type", "output_type", "md5hash")
+    val out = ProcessedRegistration.register(c, files, scanTypes)
+      .orderBy("file_path").collect()
+    assert(out(0).getAs[String]("status") == "registered")
+    assert(out(1).getAs[String]("status") == "duplicate_md5")
+  }
+
   test("intermediaries: one row per (output, input) with the tool") {
     val (files, scanTypes, candidates) = fixtures
     val reg = ProcessedRegistration.register(candidates, files, scanTypes)

@@ -80,6 +80,15 @@ class EcatReaderSpec extends SparkSpec {
     assert(row.getAs[String]("DateAcquired") == "2024-01-02")
     assert(row.getAs[Int]("EcatFileCount") == 2)
     assert(row.getAs[Int]("NonEcatFileCount") == 1)
+    // an archive with zero ECAT files still surfaces (audit discipline)
+    val withEmpty = files.withColumn("archive", lit("s1"))
+      .unionByName(files.filter(!col("is_ecat"))
+        .withColumn("archive", lit("s2")))
+    val rows = graft.operators.HrrtSummary.archive(withEmpty)
+      .orderBy("archive").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[Int]("EcatFileCount") == 0)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("PatientName")))
     val arch = graft.operators.HrrtSummary.archive(files)
     // guard: same archive already in the catalog -> rejected; empty
     // catalog -> admitted
