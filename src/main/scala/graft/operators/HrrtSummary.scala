@@ -39,11 +39,16 @@ object HrrtSummary {
   /** `hrrt_archive`: one summary row per archive (groupCol). Input is
     * [[graft.sources.EcatReader.files]] plus an archive grouping column. */
   def archive(files: DataFrame, groupCol: String = "archive"): DataFrame = {
-    val ecat = files.filter(col("is_ecat"))
+    // counts are extension-based like grep_ecat_files_only; study info
+    // and hashes come from PARSED headers only, and ParseFailedCount
+    // surfaces the difference (the scanAudit discipline)
+    val ecat = files.filter(col("is_ecat") && !col("parse_failed"))
     val counts = files.groupBy(col(groupCol))
       .agg(
         sum(col("is_ecat").cast("int")).cast("int").as("EcatFileCount"),
-        sum((!col("is_ecat")).cast("int")).cast("int").as("NonEcatFileCount"))
+        sum((!col("is_ecat")).cast("int")).cast("int").as("NonEcatFileCount"),
+        sum(col("parse_failed").cast("int")).cast("int")
+          .as("ParseFailedCount"))
     val study = ecat.groupBy(col(groupCol))
       .agg(
         min_by(
@@ -75,12 +80,13 @@ object HrrtSummary {
         lit("Siemens").as("Manufacturer"),
         lit("HRRT").as("ScannerModel"),
         col("EcatFileCount"), col("NonEcatFileCount"),
-        col("Blake2bArchive"))
+        col("ParseFailedCount"), col("Blake2bArchive"))
   }
 
-  /** `hrrt_archive_files`: one row per ECAT file with its blake2b hash. */
+  /** `hrrt_archive_files`: one row per parsed ECAT file with its blake2b
+    * hash. */
   def archiveFiles(files: DataFrame, groupCol: String = "archive"): DataFrame =
-    files.filter(col("is_ecat"))
+    files.filter(col("is_ecat") && !col("parse_failed"))
       .select(col(groupCol), col("file_name").as("Filename"),
         col("blake2b_hash").as("Blake2bHash"))
 

@@ -367,6 +367,7 @@ object IngestQueries {
           col("CenterName"), col("SystemType"), col("DateAcquired"),
           col("YearAcquired"), col("Manufacturer"), col("ScannerModel"),
           col("EcatFileCount"), col("NonEcatFileCount"),
+          col("ParseFailedCount"),
           array_join(col("fs"), ",").as("EcatFiles"),
           col("Blake2bArchive"))
     },
@@ -391,7 +392,7 @@ object IngestQueries {
         "SUB001", "PET001", "JHU", 328, 1704168000L, 1))
       put("notes.txt", "log\n".getBytes("UTF-8"))
       val ecat = EcatReader.files(s, base, bic = true).toDF()
-        .filter(col("is_ecat"))
+        .filter(col("is_ecat") && !col("parse_failed"))
       // ecat2minc + register_db: one MINC per ECAT, ids continuing from
       // the existing files catalog, keyed by the renamed path
       val existing = Seq((5001L, "old.mnc"))
@@ -820,12 +821,13 @@ object IngestQueries {
     "q110_hrrt_archive" ->
       """SELECT * FROM (VALUES
         |  ('studyA', 'SUB001', 'PET001', 'BIC-MNI_MCGILL', 328,
-        |   '2024-01-02', '2024', 'Siemens', 'HRRT', 2, 3,
+        |   '2024-01-02', '2024', 'Siemens', 'HRRT', 2, 3, 0,
         |   'scan1.v,scan2.v',
         |   'd2a547b024599cea82a47c812aa8558bcaa953b197933dc6fafe7cb6db9a91a932779e55f98f19bbda69fa22a6c66d115a150228b4b7825cb1af509f2b7a3d91')
         |) AS t(archive, PatientName, PatientID, CenterName, SystemType,
         |       DateAcquired, YearAcquired, Manufacturer, ScannerModel,
-        |       EcatFileCount, NonEcatFileCount, EcatFiles, Blake2bArchive)""".stripMargin,
+        |       EcatFileCount, NonEcatFileCount, ParseFailedCount,
+        |       EcatFiles, Blake2bArchive)""".stripMargin,
 
     // md5s independently recomputed (python hashlib over the literal
     // contents); c.txt's bucket object keeps the diverged bytes and its

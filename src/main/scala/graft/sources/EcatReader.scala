@@ -101,13 +101,19 @@ object EcatReader {
       numFrames = u16(bytes, OffNumFrames)))
   }
 
-  /** One scanned HRRT study file: header fields populated only for ECAT7
-    * rows (`is_ecat`); every file carries its blake2b hash (the per-file
-    * `hrrt_archive_files` hash, `HRRT.pm:405`). */
+  /** One scanned HRRT study file. `is_ecat` is EXTENSION-based — the
+    * reference greps `.v` files (`grep_ecat_files_only`) and counts them
+    * as ECAT regardless of header health — while `parse_failed` flags an
+    * eligible `.v` whose 512-byte main header did not parse (the lmhdr
+    * failure the reference would swallow into an empty header hash);
+    * header fields are populated only for parsed rows. Every file
+    * carries its blake2b hash (the per-file `hrrt_archive_files` hash,
+    * `HRRT.pm:405`). */
   final case class HrrtFile(
       file_path: String,
       file_name: String,
       is_ecat: Boolean,
+      parse_failed: Boolean,
       blake2b_hash: String,
       patient_name: Option[String],
       patient_id: Option[String],
@@ -126,15 +132,14 @@ object EcatReader {
       .select("path", "content").as[(String, Array[Byte])]
       .map { case (p, bytes) =>
         val name = DicomSource.pathOf(p).getName
-        val hdr =
-          if (name.toLowerCase.endsWith(".v") &&
-              !(bic && name.toLowerCase.startsWith("test")))
-            parseMainHeader(bytes)
-          else None
+        val eligible = name.toLowerCase.endsWith(".v") &&
+          !(bic && name.toLowerCase.startsWith("test"))
+        val hdr = if (eligible) parseMainHeader(bytes) else None
         HrrtFile(
           file_path = p,
           file_name = name,
-          is_ecat = hdr.isDefined,
+          is_ecat = eligible,
+          parse_failed = eligible && hdr.isEmpty,
           blake2b_hash = Blake2bCore.hexDigest(bytes),
           patient_name = hdr.map(_.patientName),
           patient_id = hdr.map(_.patientId),

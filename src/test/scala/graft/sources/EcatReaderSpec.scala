@@ -48,19 +48,24 @@ class EcatReaderSpec extends SparkSpec {
       java.nio.file.Files.write(java.nio.file.Paths.get(dir, n), b)
     put("scan1.v", ecatBytes("SUB001", "PET001", "JHU", 328, epoch))
     put("testscan.v", ecatBytes("QC", "QC", "JHU", 328, epoch))
+    put("broken.v", Array.fill[Byte](600)('x'))
     put("notes.txt", "x".getBytes("UTF-8"))
     val bic = EcatReader.files(spark, dir, bic = true).collect()
-      .map(f => (f.file_name, f.is_ecat, f.facility_name)).sortBy(_._1)
+      .map(f => (f.file_name, f.is_ecat, f.parse_failed, f.facility_name))
+      .sortBy(_._1)
     assert(bic.toSeq == Seq(
-      ("notes.txt", false, None),
-      ("scan1.v", true, Some("BIC-MNI_MCGILL")),
-      ("testscan.v", false, None)))
+      ("broken.v", true, true, None),   // extension-counted, flagged
+      ("notes.txt", false, false, None),
+      ("scan1.v", true, false, Some("BIC-MNI_MCGILL")),
+      ("testscan.v", false, false, None)))
     val nonBic = EcatReader.files(spark, dir, bic = false).collect()
-      .map(f => (f.file_name, f.is_ecat, f.facility_name)).sortBy(_._1)
+      .map(f => (f.file_name, f.is_ecat, f.parse_failed, f.facility_name))
+      .sortBy(_._1)
     assert(nonBic.toSeq == Seq(
-      ("notes.txt", false, None),
-      ("scan1.v", true, Some("JHU")),
-      ("testscan.v", true, Some("JHU"))))
+      ("broken.v", true, true, None),
+      ("notes.txt", false, false, None),
+      ("scan1.v", true, false, Some("JHU")),
+      ("testscan.v", true, false, Some("JHU"))))
   }
 
   test("archive summary: first-ECAT study info, counts, dedup guard") {
