@@ -166,6 +166,29 @@ object CtfReader {
     }
   }
 
+  /** Decode a RECORDING split across CTF's 2 GB continuation files
+    * (`x.meg4`, `x.1_meg4`, `x.2_meg4`, … — each with its own 8-byte
+    * magic, whole trials per file, the convention MNE/FieldTrip read):
+    * per-file trial blocks concatenate in file order, capped at the
+    * header's total trial count. */
+  def tracesMulti(h: Res4Header,
+      images: Seq[Array[Byte]]): Seq[(String, Double, Array[Double])] = {
+    if (images.isEmpty) return Seq.empty
+    var remaining = h.nTrials
+    val parts = images.map { img =>
+      val part = traces(h.copy(nTrials = remaining), img)
+      val got = part.headOption
+        .map(_._3.length / math.max(h.samplesPerTrial, 1)).getOrElse(0)
+      remaining = math.max(remaining - got, 0)
+      part
+    }.filter(_.nonEmpty)
+    if (parts.isEmpty) return Seq.empty
+    h.sensors.indices.map { c =>
+      val (name, rate, _) = parts.head(c)
+      (name, rate, parts.flatMap(p => p(c)._3).toArray)
+    }
+  }
+
   final case class CtfChannel(
       file_path: String,
       channel: String,
@@ -188,12 +211,17 @@ object CtfReader {
       .flatMap { case (p, res4Bytes) =>
         parseRes4(res4Bytes).toSeq.flatMap { h =>
           val res4Path = DicomSource.pathOf(p)
-          val meg4Path = new org.apache.hadoop.fs.Path(
-            res4Path.getParent,
-            res4Path.getName.replaceAll("\\.res4$", ".meg4"))
-          val meg4 = DicomSource.readSiblingBytes(conf.value, meg4Path)
-            .getOrElse(Array.emptyByteArray)
-          traces(h, meg4).map { case (name, rate, vals) =>
+          val stem = res4Path.getName.replaceAll("\\.res4$", "")
+          def sibling(name: String) = new org.apache.hadoop.fs.Path(
+            res4Path.getParent, name)
+          // the primary .meg4 plus CTF's 2 GB continuation files
+          // (.1_meg4, .2_meg4, …) in order, stopping at the first gap
+          val images = Iterator.from(0)
+            .map(i => if (i == 0) s"$stem.meg4" else s"$stem.$i" + "_meg4")
+            .map(n => DicomSource.readSiblingBytes(conf.value, sibling(n)))
+            .takeWhile(_.isDefined)
+            .flatten.toSeq
+          tracesMulti(h, images).map { case (name, rate, vals) =>
             CtfChannel(p, name, rate, vals.length.toLong, vals)
           }
         }

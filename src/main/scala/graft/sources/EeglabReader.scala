@@ -340,17 +340,25 @@ object EeglabReader {
     }
   }
 
-  /** v7.3 top-level variables as the v6 walker's [[MatValue]] model. */
+  /** v7.3 top-level variables as the v6 walker's [[MatValue]] model.
+    * The whole conversion (including reference resolution, which runs
+    * AFTER [[Hdf5Lite.parseWithImage]]'s own try) is hardened here:
+    * crafted bytes must never kill a scan stage. */
   def parseMatV73(bytes: Array[Byte]): Option[Map[String, MatValue]] =
-    Hdf5Lite.parseWithImage(bytes).flatMap { case (img, root) =>
-      val out = Map.newBuilder[String, MatValue]
-      root.children.foreach { case (name, o) =>
-        v73Value(img, o, 0) match {
-          case Some(v) => out += name -> v
-          case None => return None
+    try {
+      Hdf5Lite.parseWithImage(bytes).flatMap { case (img, root) =>
+        val out = Map.newBuilder[String, MatValue]
+        root.children.foreach { case (name, o) =>
+          v73Value(img, o, 0) match {
+            case Some(v) => out += name -> v
+            case None => return None
+          }
         }
+        Some(out.result())
       }
-      Some(out.result())
+    } catch {
+      case _: IndexOutOfBoundsException | _: ArithmeticException |
+          _: NegativeArraySizeException | _: OutOfMemoryError => None
     }
 
   /** Hardened `.set` parse. Accepts both layouts MNE's `_check_load_mat`

@@ -107,6 +107,32 @@ class CtfReaderSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("MLC11", 4.0, 10L), ("MZC01", 4.0, 10L)))
   }
 
+  test("2 GB continuation files: .meg4 + .1_meg4 == the single-file read") {
+    val (res4, meg4) = ctfBytes(twoChan, twoTrials)
+    val h = CtfReader.parseRes4(res4).get
+    // split after trial 1: each file carries its own 8-byte magic
+    val perTrial = h.nChannels * h.samplesPerTrial * 4
+    val magic = java.util.Arrays.copyOfRange(meg4, 0, 8)
+    val file1 = java.util.Arrays.copyOfRange(meg4, 0, 8 + perTrial)
+    val file2 = magic ++ java.util.Arrays.copyOfRange(
+      meg4, 8 + perTrial, meg4.length)
+    val whole = CtfReader.traces(h, meg4)
+      .map { case (n, r, v) => (n, r, v.toSeq) }
+    val multi = CtfReader.tracesMulti(h, Seq(file1, file2))
+      .map { case (n, r, v) => (n, r, v.toSeq) }
+    assert(multi == whole)
+    // distributed scan picks the continuation up by naming convention
+    val dir = SyntheticFixtures.freshDir("ctf_split")
+    def put(n: String, b: Array[Byte]) =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, n), b)
+    put("rec1.res4", res4)
+    put("rec1.meg4", file1)
+    put("rec1.1_meg4", file2)
+    val rows = CtfReader.channels(spark, dir).collect()
+      .map(c => (c.channel, c.n_samples)).sortBy(_._1)
+    assert(rows.toSeq == Seq(("MLC11", 10L), ("MZC01", 10L)))
+  }
+
   test("scanAudit surfaces parse failures instead of a silent empty ingest") {
     val (res4, meg4) = ctfBytes(twoChan, twoTrials)
     val dir = SyntheticFixtures.materialize("ctf_audit", "good.res4", res4)

@@ -78,8 +78,21 @@ class Hdf5LiteSpec extends SparkSpec {
       Hdf5Lite.parse(mut)
     }
     // a junk file with only the signature fails closed
-    val sigOnly = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
-      0x1A, '\n') ++ Array.fill[Byte](16)('x')
-    assert(Hdf5Lite.parse(sigOnly).isEmpty)
+    val sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
+      0x1A, '\n')
+    assert(Hdf5Lite.parse(sig ++ Array.fill[Byte](16)('x')).isEmpty)
+    // random bytes BEHIND a valid signature stress the deep walkers
+    // (object headers, B-trees, heaps, refs) — never a throw
+    (1 to 200).foreach { _ =>
+      val junk = new Array[Byte](rnd.nextInt(2048) + 64)
+      rnd.nextBytes(junk)
+      System.arraycopy(sig, 0, junk, 0, 8)
+      Hdf5Lite.parse(junk)
+      EeglabReader.parseSet(junk)
+      // and behind a plausible v0 superblock prefix
+      junk(8) = 0; junk(13) = 8; junk(14) = 8
+      Hdf5Lite.parse(junk)
+      EeglabReader.parseSet(junk)
+    }
   }
 }
