@@ -60,14 +60,18 @@ object Bench {
     // head (BENCH_r03 'parsed: None'). Short numeric keys ("q44") in
     // numeric order + 3-decimal values keep the whole line inside the
     // window; full names still go to stderr per query above.
+    // Locale.ROOT: a default locale with decimal commas would make the
+    // one line the driver parses invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results
       .map { case (k, v) => ("q(\\d+)".r.findFirstMatchIn(k)
         .map(m => (m.group(1).toInt, "q" + m.group(1))).getOrElse((9999, k)), v) }
       .sortBy(_._1._1)
-      .map { case ((_, short), v) => f""""$short":$v%.3f""" }
+      .map { case ((_, short), v) => s""""$short":${fmt(v)}""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -272,11 +272,13 @@ object Dedup {
       edges = afterSmall
       i += 1
     }
+    // one row per node even on maxIter exhaustion (a not-yet-star edge
+    // set could hold two minima for one node — fail SAFE to the smaller)
     nodes
       .join(edges.select(col("u").as("id"), col("v").as("cluster_id")),
         Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("cluster_id"), col("id"))).as("cluster_id"))
   }
 
   /** Per-doc 32-bit SimHash fingerprints. Exact-duplicate clusters share a

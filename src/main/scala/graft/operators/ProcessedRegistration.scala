@@ -60,25 +60,35 @@ object ProcessedRegistration {
     val dupHashes = files.select(col("md5hash")).distinct()
       .withColumn("dup_md5", lit(true))
     // the reference registers files ONE AT A TIME, so a batch-mate that
-    // already registered the same md5 also triggers is_unique_hash — the
-    // batch form keeps the first candidate per hash (file-path order) and
-    // rejects the rest, matching sequential-script semantics
+    // already REGISTERED the same md5 also triggers is_unique_hash. Only
+    // candidates that pass every earlier guard can have inserted their
+    // hash — a batch-mate rejected for a missing source never reaches
+    // the insert, so it must NOT block a later same-md5 candidate. The
+    // rank therefore counts passing rows only, in file-path order.
     val batchDupW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("md5hash")).orderBy(col("file_path"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val passesEarlier =
+      col("src_id").isNotNull &&
+        coalesce(col("n_missing_inputs"), lit(0L)) === 0 &&
+        col("MriScanTypeID").isNotNull &&
+        !coalesce(col("dup_md5"), lit(false))
     val checked = candidates
       .join(src, col("source_file_id") === col("src_id"), "left")
       .join(missingInputs, Seq("file_path"), "left")
       .join(broadcast(scanTypes.select(col("MriScanTypeID"),
         col("ScanType").as("scan_type"))), Seq("scan_type"), "left")
       .join(broadcast(dupHashes), Seq("md5hash"), "left")
-      .withColumn("__hash_rank", row_number().over(batchDupW))
+      .withColumn("__ok_rank",
+        sum(when(passesEarlier, 1).otherwise(0)).over(batchDupW))
       .withColumn("status",
         when(col("src_id").isNull, "missing_source")
           .when(coalesce(col("n_missing_inputs"), lit(0L)) > 0, "missing_input")
           .when(col("MriScanTypeID").isNull, "unknown_scan_type")
-          .when(col("dup_md5") || col("__hash_rank") > 1, "duplicate_md5")
+          .when(col("dup_md5") || col("__ok_rank") > 1, "duplicate_md5")
           .otherwise("registered"))
-      .drop("__hash_rank")
+      .drop("__ok_rank")
     val maxId = files
       .select(coalesce(max(col("FileID")), lit(0L)).cast("long"))
       .first().getLong(0)

@@ -811,7 +811,7 @@ object IngestQueries {
         |  ('ctf', 'orphan.res4', 'meg4_unreadable', 2),
         |  ('eeglab', 'good.set', 'ok', 2),
         |  ('eeglab', 'junk.set', 'parse_failed', 0),
-        |  ('eeglab', 'modern.set', 'hdf5_v73_unsupported', 0)
+        |  ('eeglab', 'modern.set', 'hdf5_v73_unreadable', 0)
         |) AS t(format, file_name, status, n_channels)""".stripMargin,
 
     // Blake2bArchive independently recomputed (python hashlib.blake2b over

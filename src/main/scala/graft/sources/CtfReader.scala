@@ -170,22 +170,34 @@ object CtfReader {
     * (`x.meg4`, `x.1_meg4`, `x.2_meg4`, … — each with its own 8-byte
     * magic, whole trials per file, the convention MNE/FieldTrip read):
     * per-file trial blocks concatenate in file order, capped at the
-    * header's total trial count. */
+    * header's total trial count.
+    *
+    * STREAMING contract: `images` is consumed one element at a time and
+    * each raw image is dropped before the next is produced — peak memory
+    * is ONE ~2 GB file plus the accumulating decoded doubles (which the
+    * caller keeps anyway), not all raw files at once. */
   def tracesMulti(h: Res4Header,
-      images: Seq[Array[Byte]]): Seq[(String, Double, Array[Double])] = {
-    if (images.isEmpty) return Seq.empty
+      images: Iterator[Array[Byte]]): Seq[(String, Double, Array[Double])] = {
+    val bufs = h.sensors.map(_ => new scala.collection.mutable.ArrayBuilder.ofDouble)
     var remaining = h.nTrials
-    val parts = images.map { img =>
+    var any = false
+    while (images.hasNext && remaining > 0) {
+      val img = images.next()
       val part = traces(h.copy(nTrials = remaining), img)
-      val got = part.headOption
-        .map(_._3.length / math.max(h.samplesPerTrial, 1)).getOrElse(0)
-      remaining = math.max(remaining - got, 0)
-      part
-    }.filter(_.nonEmpty)
-    if (parts.isEmpty) return Seq.empty
-    h.sensors.indices.map { c =>
-      val (name, rate, _) = parts.head(c)
-      (name, rate, parts.flatMap(p => p(c)._3).toArray)
+      if (part.nonEmpty) {
+        any = true
+        val got = part.head._3.length / math.max(h.samplesPerTrial, 1)
+        remaining = math.max(remaining - got, 0)
+        var c = 0
+        while (c < part.length) {
+          bufs(c) ++= part(c)._3
+          c += 1
+        }
+      }
+    }
+    if (!any) Seq.empty
+    else h.sensors.zipWithIndex.map { case (s, i) =>
+      (s.name, h.sampleRateHz, bufs(i).result())
     }
   }
 
@@ -215,12 +227,14 @@ object CtfReader {
           def sibling(name: String) = new org.apache.hadoop.fs.Path(
             res4Path.getParent, name)
           // the primary .meg4 plus CTF's 2 GB continuation files
-          // (.1_meg4, .2_meg4, …) in order, stopping at the first gap
+          // (.1_meg4, .2_meg4, …) in order, stopping at the first gap;
+          // the iterator stays LAZY so tracesMulti holds one raw file at
+          // a time
           val images = Iterator.from(0)
             .map(i => if (i == 0) s"$stem.meg4" else s"$stem.$i" + "_meg4")
             .map(n => DicomSource.readSiblingBytes(conf.value, sibling(n)))
             .takeWhile(_.isDefined)
-            .flatten.toSeq
+            .flatten
           tracesMulti(h, images).map { case (name, rate, vals) =>
             CtfChannel(p, name, rate, vals.length.toLong, vals)
           }

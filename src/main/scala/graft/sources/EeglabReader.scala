@@ -17,9 +17,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * (including small-element tags), numeric classes double/single/
   * int8..int32, char class, struct arrays (element-major/field-minor
   * subelement order), column-major dimension reshape, the `.fdt` sibling
-  * (float32 LE, channel-fastest — MATLAB column-major `fwrite`), and v7's
-  * zlib-compressed elements (JDK Inflater, zip-bomb bounded). v7.3 (true
-  * HDF5) is out of scope and yields None, as does anything malformed —
+  * (float32 LE, channel-fastest — MATLAB column-major `fwrite`), v7's
+  * zlib-compressed elements (JDK Inflater, zip-bomb bounded), AND v7.3
+  * (true HDF5) via [[Hdf5Lite]] — all three `save` formats parse into
+  * the same [[SetRecording]]. Anything malformed yields None —
   * untrusted bytes never kill a scan stage. Values stay in file units
   * (µV), matching [[EdfReader]]/[[BrainVisionReader]].
   *
@@ -298,7 +299,9 @@ object EeglabReader {
       depth: Int): Option[MatValue] = {
     if (depth > MaxStructDepth) return None
     o match {
-      case Hdf5Lite.HDatasetObj(d) if d.dtypeClass == 0 && d.elemSize == 2 =>
+      case Hdf5Lite.HDatasetObj(d) if Hdf5Lite.isCharLike(d) =>
+        // MATLAB chars are UNSIGNED u16; a SIGNED 2-byte dataset is int16
+        // NUMERIC data and falls through to asDoubles below
         Hdf5Lite.asString(d).map(MatStr(_))
       case Hdf5Lite.HDatasetObj(d) if d.dtypeClass == 7 =>
         // a bare reference array outside a struct group: resolve to the
@@ -449,9 +452,8 @@ object EeglabReader {
 
   /** MATLAB v7.3 detection: a v7.3 `.set` is an HDF5 file — the header
     * text starts `MATLAB 7.3` and the HDF5 signature sits at offset 512
-    * (after the MATLAB userblock). Out of scope for this walker (needs an
-    * HDF5 B-tree reader), but it must be DETECTABLE: real labs save v7.3
-    * routinely, and a silent None would read as "no recordings". */
+    * (after the MATLAB userblock). Routes [[parseSet]] through
+    * [[Hdf5Lite]] instead of the Level-5 walker. */
   def isHdf5V73(bytes: Array[Byte]): Boolean = {
     val hdf5Sig = Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n',
       0x1A, '\n')
@@ -470,10 +472,11 @@ object EeglabReader {
 
   /** Diagnostic twin of [[channels]] (same pattern as
     * [[CtfReader.scanAudit]]): one row per `.set` with the parse outcome —
-    * `ok` / `hdf5_v73_unsupported` / `parse_failed` — so the common
-    * real-world v7.3 variant surfaces as a countable, actionable reason
-    * (convert with EEGLAB's `-v7` save or MNE) instead of a silent empty
-    * ingest. */
+    * `ok` / `hdf5_v73_unreadable` / `parse_failed`. A v7.3 file that does
+    * not parse is either CORRUPT or uses an HDF5 shape outside
+    * [[Hdf5Lite]]'s MATLAB subset (fractal-heap groups, non-deflate
+    * filters, v2+ superblocks) — the status deliberately does not claim
+    * which; investigate before converting. */
   def scanAudit(spark: SparkSession, dir: String,
       glob: String = "*.set"): Dataset[EeglabScanAudit] = {
     import spark.implicits._
@@ -485,7 +488,7 @@ object EeglabReader {
             EeglabScanAudit(p, "ok",
               rec.channelNames.length)
           case None if isHdf5V73(bytes) =>
-            EeglabScanAudit(p, "hdf5_v73_unsupported", 0)
+            EeglabScanAudit(p, "hdf5_v73_unreadable", 0)
           case None =>
             EeglabScanAudit(p, "parse_failed", 0)
         }

@@ -35,9 +35,12 @@ import java.nio.charset.StandardCharsets.US_ASCII
 object Hdf5Lite {
 
   /** Parsed dataset: HDF5 row-major dims + raw little-endian payload.
-    * `dtypeClass` ∈ 0 fixed / 1 float / 7 reference; `elemSize` bytes. */
+    * `dtypeClass` ∈ 0 fixed / 1 float / 7 reference; `elemSize` bytes;
+    * `signed` is the fixed-point sign bit (datatype bit field bit 3) —
+    * MATLAB writes char data as UNSIGNED 2-byte fixed-point and numeric
+    * int16 as SIGNED, so the flag is what distinguishes them. */
   final case class HDataset(dims: Seq[Long], dtypeClass: Int, elemSize: Int,
-      data: Array[Byte])
+      signed: Boolean, data: Array[Byte])
   final case class HGroup(children: Map[String, HObject])
   sealed trait HObject
   final case class HGroupObj(g: HGroup) extends HObject
@@ -49,8 +52,12 @@ object Hdf5Lite {
   private val MaxBytes = 512 << 20
 
   final class Img private[sources] (val bytes: Array[Byte], val base: Int) {
+    // overflow-safe: every operand is first bounded by the image length,
+    // so the subtraction below cannot wrap (a crafted 0x7FFF… address
+    // must fail here, not truncate into a valid in-image index)
     def ok(addr: Long, len: Long): Boolean =
-      addr >= 0 && len >= 0 && base + addr + len <= bytes.length
+      addr >= 0 && len >= 0 && len <= bytes.length &&
+        addr <= bytes.length.toLong - base - len
     def u8(a: Long): Int = bytes(base + a.toInt) & 0xFF
     def u16(a: Long): Int = u8(a) | (u8(a + 1) << 8)
     def u32(a: Long): Long =
@@ -138,10 +145,14 @@ object Hdf5Lite {
   }
 
   /** Walk a type-1 (raw data chunk) B-tree, collecting
-    * (chunk origin coords, address, stored size). */
+    * (chunk origin coords, address, stored size). `budget` bounds TOTAL
+    * node visits — depth alone would admit a crafted self-referencing
+    * internal node with 65535^depth visits. */
   private def chunkEntries(img: Img, addr: Long, rank1: Int,
-      depth: Int): Option[Seq[(Seq[Long], Long, Long)]] = {
+      depth: Int, budget: Array[Int]): Option[Seq[(Seq[Long], Long, Long)]] = {
     if (depth > MaxDepth || !img.ok(addr, 24)) return None
+    budget(0) -= 1
+    if (budget(0) < 0) return None
     if (img.ascii(addr, 4) != "TREE" || img.u8(addr + 4) != 1) return None
     val level = img.u8(addr + 5)
     val entries = img.u16(addr + 6)
@@ -159,7 +170,7 @@ object Hdf5Lite {
         val coords = (0 until rank1 - 1).map(d => img.u64(keyAt + 8 + 8L * d))
         out += ((coords, child, csize))
       } else {
-        chunkEntries(img, child, rank1, depth + 1) match {
+        chunkEntries(img, child, rank1, depth + 1, budget) match {
           case Some(sub) => out ++= sub
           case None => return None
         }
@@ -170,10 +181,12 @@ object Hdf5Lite {
   }
 
   /** Read one dataset object given its parsed messages. */
-  private def readDataset(img: Img, msgs: Seq[Message]): Option[HDataset] = {
+  private def readDataset(img: Img, msgs: Seq[Message],
+      budget: Array[Int]): Option[HDataset] = {
     var dims: Seq[Long] = null
     var dtClass = -1
     var elemSize = 0
+    var signed = false
     var deflated = false
     var layout: Message = null
     msgs.foreach { m =>
@@ -191,6 +204,7 @@ object Hdf5Lite {
           }
         case 0x0003 => // datatype
           dtClass = img.u8(m.body) & 0x0F
+          signed = (img.u8(m.body + 1) & 0x08) != 0 // fixed-point sign bit
           elemSize = img.u32(m.body + 4).toInt
         case 0x000B => // filter pipeline: accept deflate-only
           val version = img.u8(m.body)
@@ -218,9 +232,10 @@ object Hdf5Lite {
         val addr = img.u64(layout.body + 2)
         val size = img.u64(layout.body + 10)
         if (addr == Undef)
-          return Some(HDataset(dims, dtClass, elemSize, new Array[Byte](total.toInt)))
+          return Some(HDataset(dims, dtClass, elemSize, signed,
+            new Array[Byte](total.toInt)))
         if (!img.ok(addr, math.min(size, total))) return None
-        Some(HDataset(dims, dtClass, elemSize,
+        Some(HDataset(dims, dtClass, elemSize, signed,
           img.slice(addr, math.min(size, total).toInt)))
       case 2 => // chunked: rank+1, btree addr, chunk dims (u32 each)
         val rank1 = img.u8(layout.body + 2)
@@ -230,7 +245,7 @@ object Hdf5Lite {
           .map(d => img.u32(layout.body + 11 + 4L * d))
         if (chunkDims.exists(c => c <= 0 || c > Int.MaxValue)) return None
         val out = new Array[Byte](total.toInt)
-        chunkEntries(img, btree, rank1, 0) match {
+        chunkEntries(img, btree, rank1, 0, budget) match {
           case None => return None
           case Some(entries) =>
             entries.foreach { case (origin, caddr, csize) =>
@@ -270,7 +285,7 @@ object Hdf5Lite {
               }
             }
         }
-        Some(HDataset(dims, dtClass, elemSize, out))
+        Some(HDataset(dims, dtClass, elemSize, signed, out))
       case _ => None
     }
   }
@@ -284,11 +299,14 @@ object Hdf5Lite {
     val children = Map.newBuilder[String, HObject]
     def walkTree(addr: Long, d: Int): Boolean = {
       if (d > MaxDepth || !img.ok(addr, 24)) return false
+      budget(0) -= 1
+      if (budget(0) < 0) return false
       if (img.ascii(addr, 4) != "TREE" || img.u8(addr + 4) != 0) return false
       val level = img.u8(addr + 5)
       val entries = img.u16(addr + 6)
       var i = 0
       while (i < entries) {
+        if (!img.ok(addr + 24 + i * 16L, 24)) return false
         val child = img.u64(addr + 24 + 8 + i * 16L)
         if (level == 0) {
           if (!img.ok(child, 8) || img.ascii(child, 4) != "SNOD") return false
@@ -329,7 +347,7 @@ object Hdf5Lite {
           readGroup(img, img.u64(st.body), img.u64(st.body + 8), depth, budget)
             .map(HGroupObj(_))
         case _ =>
-          readDataset(img, msgs).map(HDatasetObj(_))
+          readDataset(img, msgs, budget).map(HDatasetObj(_))
       }
     }
   }
@@ -357,22 +375,29 @@ object Hdf5Lite {
   }
 
   /** Resolve an object-reference dataset's elements against the image:
-    * each element is an 8-byte header address. */
+    * each element is an 8-byte header address. Hardened HERE (not only in
+    * callers): the hardening contract belongs to this layer, so the next
+    * consumer cannot forget it. */
   def resolveRefs(img: Img, d: HDataset): Option[Seq[HObject]] = {
-    if (d.dtypeClass != 7 || d.elemSize != 8) return None
-    val b = ByteBuffer.wrap(d.data).order(ByteOrder.LITTLE_ENDIAN)
-    val n = d.data.length / 8
-    val budget = Array(MaxObjects)
-    val out = Seq.newBuilder[HObject]
-    var i = 0
-    while (i < n) {
-      readObject(img, b.getLong(i * 8), 0, budget) match {
-        case Some(o) => out += o
-        case None => return None
+    try {
+      if (d.dtypeClass != 7 || d.elemSize != 8) return None
+      val b = ByteBuffer.wrap(d.data).order(ByteOrder.LITTLE_ENDIAN)
+      val n = d.data.length / 8
+      val budget = Array(MaxObjects)
+      val out = Seq.newBuilder[HObject]
+      var i = 0
+      while (i < n) {
+        readObject(img, b.getLong(i * 8), 0, budget) match {
+          case Some(o) => out += o
+          case None => return None
+        }
+        i += 1
       }
-      i += 1
+      Some(out.result())
+    } catch {
+      case _: IndexOutOfBoundsException | _: ArithmeticException |
+          _: NegativeArraySizeException | _: OutOfMemoryError => None
     }
-    Some(out.result())
   }
 
   /** Parse + expose the image for reference resolution. */
@@ -394,22 +419,36 @@ object Hdf5Lite {
     }
   }
 
-  // numeric decoding helpers for consumers
+  // numeric decoding helpers for consumers; fixed-point honors the sign
+  // bit (int8 -10 must not decode as 246, and uint32 must not go
+  // negative — the v6 walker distinguishes MiInt8/MiUInt8 the same way)
   def asDoubles(d: HDataset): Option[Array[Double]] = {
     val b = ByteBuffer.wrap(d.data).order(ByteOrder.LITTLE_ENDIAN)
-    (d.dtypeClass, d.elemSize) match {
-      case (1, 8) => Some(Array.fill(d.data.length / 8)(b.getDouble()))
-      case (1, 4) => Some(Array.fill(d.data.length / 4)(b.getFloat().toDouble))
-      case (0, 8) => Some(Array.fill(d.data.length / 8)(b.getLong().toDouble))
-      case (0, 4) => Some(Array.fill(d.data.length / 4)(b.getInt().toDouble))
-      case (0, 2) => Some(Array.fill(d.data.length / 2)((b.getShort() & 0xFFFF).toDouble))
-      case (0, 1) => Some(Array.fill(d.data.length)((b.get() & 0xFF).toDouble))
+    (d.dtypeClass, d.elemSize, d.signed) match {
+      case (1, 8, _) => Some(Array.fill(d.data.length / 8)(b.getDouble()))
+      case (1, 4, _) => Some(Array.fill(d.data.length / 4)(b.getFloat().toDouble))
+      case (0, 8, true) => Some(Array.fill(d.data.length / 8)(b.getLong().toDouble))
+      case (0, 8, false) => Some(Array.fill(d.data.length / 8) {
+        val v = b.getLong()
+        if (v >= 0) v.toDouble else v.toDouble + 1.8446744073709552E19
+      })
+      case (0, 4, true) => Some(Array.fill(d.data.length / 4)(b.getInt().toDouble))
+      case (0, 4, false) => Some(Array.fill(d.data.length / 4)((b.getInt().toLong & 0xFFFFFFFFL).toDouble))
+      case (0, 2, true) => Some(Array.fill(d.data.length / 2)(b.getShort().toDouble))
+      case (0, 2, false) => Some(Array.fill(d.data.length / 2)((b.getShort() & 0xFFFF).toDouble))
+      case (0, 1, true) => Some(Array.fill(d.data.length)(b.get().toDouble))
+      case (0, 1, false) => Some(Array.fill(d.data.length)((b.get() & 0xFF).toDouble))
       case _ => None
     }
   }
 
+  /** MATLAB chars are UNSIGNED 2-byte fixed-point; a SIGNED 2-byte
+    * dataset is int16 numeric data, not text. */
+  def isCharLike(d: HDataset): Boolean =
+    (d.dtypeClass == 0 && d.elemSize == 2 && !d.signed) || d.dtypeClass == 3
+
   def asString(d: HDataset): Option[String] =
-    if (d.dtypeClass == 0 && d.elemSize == 2) {
+    if (d.dtypeClass == 0 && d.elemSize == 2 && !d.signed) {
       val b = ByteBuffer.wrap(d.data).order(ByteOrder.LITTLE_ENDIAN)
       Some(new String(Array.fill(d.data.length / 2)(b.getShort().toChar)))
     } else if (d.dtypeClass == 3 || (d.dtypeClass == 0 && d.elemSize == 1)) {

@@ -67,8 +67,10 @@ object BenchSmoke {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
 
     if (write) {
-      val json = results.map { case (k, v) => f""""$k":$v%.3f""" }
-        .mkString("{\n  ", ",\n  ", "\n}")
+      val json = results.map { case (k, v) =>
+        val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        s""""$k":$s"""
+      }.mkString("{\n  ", ",\n  ", "\n}")
       java.nio.file.Files.write(baselinePath,
         json.getBytes("UTF-8"))
       println(s"[benchsmoke] baseline written: ${results.length} queries")

@@ -77,6 +77,25 @@ class ProcessedRegistrationSpec extends SparkSpec {
     assert(out(1).getAs[String]("status") == "duplicate_md5")
   }
 
+  test("a REJECTED batch-mate's md5 does not block a later candidate") {
+    import spark.implicits._
+    val (files, scanTypes, _) = fixtures
+    // A fails missing_source (never inserts its hash); B with the SAME
+    // md5 must register, as the sequential reference would
+    val c = Seq(
+      ("a_bad.mnc", 9999L, Seq(1001L), "p", "t", "d", "native",
+        "QCedDTI", "QCed", "mX"),
+      ("b_good.mnc", 1001L, Seq(1001L), "p", "t", "d", "native",
+        "QCedDTI", "QCed", "mX"))
+      .toDF("file_path", "source_file_id", "input_file_ids",
+        "source_pipeline", "tool", "pipeline_date", "coordinate_space",
+        "scan_type", "output_type", "md5hash")
+    val out = ProcessedRegistration.register(c, files, scanTypes)
+      .orderBy("file_path").collect()
+    assert(out(0).getAs[String]("status") == "missing_source")
+    assert(out(1).getAs[String]("status") == "registered")
+  }
+
   test("intermediaries: one row per (output, input) with the tool") {
     val (files, scanTypes, candidates) = fixtures
     val reg = ProcessedRegistration.register(candidates, files, scanTypes)

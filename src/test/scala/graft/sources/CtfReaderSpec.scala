@@ -118,7 +118,7 @@ class CtfReaderSpec extends SparkSpec {
       meg4, 8 + perTrial, meg4.length)
     val whole = CtfReader.traces(h, meg4)
       .map { case (n, r, v) => (n, r, v.toSeq) }
-    val multi = CtfReader.tracesMulti(h, Seq(file1, file2))
+    val multi = CtfReader.tracesMulti(h, Iterator(file1, file2))
       .map { case (n, r, v) => (n, r, v.toSeq) }
     assert(multi == whole)
     // distributed scan picks the continuation up by naming convention

@@ -144,7 +144,7 @@ class EeglabReaderSpec extends SparkSpec {
     assert(audit.toSeq == Seq(
       ("good.set", "ok", 2),
       ("junk.set", "parse_failed", 0),
-      ("modern.set", "hdf5_v73_unsupported", 0)))
+      ("modern.set", "hdf5_v73_unreadable", 0)))
   }
 
   test("sibling resolution survives percent-encoded scan paths (spaces)") {

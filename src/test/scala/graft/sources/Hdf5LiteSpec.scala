@@ -36,6 +36,16 @@ class Hdf5LiteSpec extends SparkSpec {
     assert(r.channelNames == IndexedSeq("Fz", "Pz"))
   }
 
+  test("SIGNED int16 data decodes as numbers (incl. negatives), not text") {
+    // MATLAB char is UNSIGNED u16; numeric int16 is SIGNED — the sign bit
+    // is the only distinguisher without attribute parsing
+    val r = EeglabReader.parseSet(resource("v73_int16.set")).get
+    assert(r.channelNames == IndexedSeq("Fz", "Pz"))
+    assert(r.fdtFile.isEmpty) // NOT misread as an .fdt filename
+    assert(r.data(0).toSeq == (1 to 10).map(_ - 5.0))
+    assert(r.data(1).toSeq == (1 to 10).map(_ * 10.0 - 50.0))
+  }
+
   test("v7.3 parses identically to the same recording in v6") {
     val (v6, _) = SyntheticFixtures.eeglabBytes(
       Seq("Fz", "Pz"),

@@ -96,8 +96,9 @@ def object_header(w, messages):
 def write_dataset(w, dims, dtype, payload, chunk=None):
     """dtype: ('f64'|'u16'|'ref'); payload: bytes in HDF5 row-major order.
     Returns object header address."""
-    cls, size = {"f64": (1, 8), "u16": (0, 2), "ref": (7, 8)}[dtype]
-    msgs = [dataspace_msg(dims), datatype_msg(cls, size)]
+    cls, size, signed = {"f64": (1, 8, False), "u16": (0, 2, False),
+                         "i16": (0, 2, True), "ref": (7, 8, False)}[dtype]
+    msgs = [dataspace_msg(dims), datatype_msg(cls, size, signed=signed)]
     if chunk is None:
         daddr = w.alloc(len(payload))
         w.put(daddr, payload)
@@ -242,6 +243,10 @@ def trace_payload():
     return f64s(flat)
 
 
+def i16s(vals):
+    return b"".join(struct.pack("<h", v) for v in vals)
+
+
 def struct_children(w):
     eeg = write_group(w, [
         ("srate", write_dataset(w, (1, 1), "f64", f64s([4.0]))),
@@ -274,8 +279,24 @@ def fdt_children(w):
     return [("EEG", eeg)]
 
 
+def i16_children(w):
+    """EEG.data as SIGNED int16 (MATLAB int16 numeric): must decode as
+    numbers (incl. negatives), never as char text."""
+    flat = []
+    for s in range(10):
+        flat += [s + 1 - 5, (s + 1) * 10 - 50]   # negatives included
+    eeg = write_group(w, [
+        ("srate", write_dataset(w, (1, 1), "f64", f64s([4.0]))),
+        ("nbchan", write_dataset(w, (1, 1), "f64", f64s([2.0]))),
+        ("data", write_dataset(w, (10, 2), "i16", i16s(flat))),
+        ("chanlocs", chanlocs_group(w, ["Fz", "Pz"])),
+    ])
+    return [("EEG", eeg)]
+
+
 if __name__ == "__main__":
     outdir = sys.argv[1]
     build_file(struct_children, f"{outdir}/v73_struct.set")
     build_file(toplevel_children, f"{outdir}/v73_toplevel.set")
     build_file(fdt_children, f"{outdir}/v73_fdt.set")
+    build_file(i16_children, f"{outdir}/v73_int16.set")
