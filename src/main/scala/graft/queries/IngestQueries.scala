@@ -390,9 +390,19 @@ object IngestQueries {
         "SUB001", "PET001", "JHU", 328, 1704164645L, 2))
       put("scan2.v", SyntheticFixtures.ecatBytes(
         "SUB001", "PET001", "JHU", 328, 1704168000L, 1))
+      put("params.m", "PROTOCOL = FDG_STATIC;\r\nDOSE = 5.2;\n"
+        .getBytes("UTF-8"))
       put("notes.txt", "log\n".getBytes("UTF-8"))
       val ecat = EcatReader.files(s, base, bic = true).toDF()
         .filter(col("is_ecat") && !col("parse_failed"))
+      // BIC protocol resolution: the .m file's PROTOCOL drives the
+      // mri_scan_type lookup (HRRT_PET_insertion.pl:377-400)
+      val protocol = EcatReader.matlabParams(s, base)
+        .filter(col("key") === "PROTOCOL")
+        .select(col("value").as("protocol"))
+      val protocolTypes = Seq(("FDG_STATIC", 701), ("FDG_DYN", 702))
+        .toDF("protocol", "MriScanTypeID")
+      val resolved = protocol.join(broadcast(protocolTypes), Seq("protocol"))
       // ecat2minc + register_db: one MINC per ECAT, ids continuing from
       // the existing files catalog, keyed by the renamed path
       val existing = Seq((5001L, "old.mnc"))
@@ -418,9 +428,11 @@ object IngestQueries {
       withSession
         .crossJoin(broadcast(upload))
         .crossJoin(broadcast(counts))
+        .crossJoin(broadcast(resolved))
         .withColumn("InsertionComplete", lit(1))
         .select(col("minc_path"), col("FileID"), col("ecat_filename"),
-          col("SessionID"), col("UploadID"), col("InsertionComplete"),
+          col("SessionID"), col("protocol"), col("MriScanTypeID"),
+          col("UploadID"), col("InsertionComplete"),
           col("minc_created"), col("minc_inserted"))
     },
 
@@ -749,15 +761,19 @@ object IngestQueries {
         |       additional_members)""".stripMargin,
 
     // ids continue from max(files)=5001 in minc-path order; session 88
-    // resolved from the candidate; both minc counts equal (all inserted)
+    // resolved from the candidate; the BIC .m file's PROTOCOL routes to
+    // scan type 701; both minc counts equal (all inserted)
     "q115_hrrt_insertion" ->
       """SELECT * FROM (VALUES
         |  ('scan1.mnc', CAST(5002 AS BIGINT), 'scan1.v',
-        |   CAST(88 AS BIGINT), CAST(42 AS BIGINT), 1, 2, 2),
+        |   CAST(88 AS BIGINT), 'FDG_STATIC', 701,
+        |   CAST(42 AS BIGINT), 1, 2, 2),
         |  ('scan2.mnc', CAST(5003 AS BIGINT), 'scan2.v',
-        |   CAST(88 AS BIGINT), CAST(42 AS BIGINT), 1, 2, 2)
-        |) AS t(minc_path, FileID, ecat_filename, SessionID, UploadID,
-        |       InsertionComplete, minc_created, minc_inserted)""".stripMargin,
+        |   CAST(88 AS BIGINT), 'FDG_STATIC', 701,
+        |   CAST(42 AS BIGINT), 1, 2, 2)
+        |) AS t(minc_path, FileID, ecat_filename, SessionID, protocol,
+        |       MriScanTypeID, UploadID, InsertionComplete, minc_created,
+        |       minc_inserted)""".stripMargin,
 
     // the reference's per-file abort order becomes the status column:
     // missing source beats bad inputs beats unknown type beats dup md5;

@@ -122,6 +122,28 @@ object EcatReader {
       scan_start_time: Option[Long],
       num_frames: Option[Int])
 
+  /** BIC HRRT datasets ship a Matlab `.m` parameter file whose
+    * `key = value;` lines carry the study parameters used to build the
+    * ECAT7 files (`HRRT.pm:298-320` `read_matlab_file`: split on ` = `,
+    * strip the trailing `;` + CR). One (file_path, key, value) row per
+    * parameter — the PROTOCOL key drives acquisition-protocol resolution
+    * in the insertion pipeline (`HRRT_PET_insertion.pl:377`). */
+  def matlabParams(spark: SparkSession, dir: String,
+      glob: String = "*.m"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    DicomSource.scanDir(spark, dir, glob)
+      .select(col("path").as("file_path"),
+        col("content").cast("string").as("txt"))
+      .select(col("file_path"),
+        explode(split(col("txt"), "\n")).as("line"))
+      .filter(col("line").contains(" = "))
+      .select(col("file_path"),
+        trim(substring_index(col("line"), " = ", 1)).as("key"),
+        regexp_replace(
+          trim(substring_index(col("line"), " = ", -1)), ";\\s*$", "")
+          .as("value"))
+  }
+
   /** Distributed scan of an HRRT study tree: every file hashed, `.v` files
     * header-parsed. `bic` applies the BIC-dataset rules (`test*.v`
     * demoted to non-ECAT, facility override). */

@@ -80,7 +80,9 @@ object BenchSmoke {
         else {
           val txt = new String(
             java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
-          """"([^"]+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          // tolerate both separators: --write emits `"k":v`, the
+          // sbt-harness baseline refresh emits `"k": v`
+          """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       var failures = 0

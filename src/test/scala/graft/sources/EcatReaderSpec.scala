@@ -68,6 +68,15 @@ class EcatReaderSpec extends SparkSpec {
       ("testscan.v", true, false, Some("JHU"))))
   }
 
+  test("matlabParams: key = value; lines, trailing semicolon+CR stripped") {
+    val dir = SyntheticFixtures.freshDir("ecat_m")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "params.m"),
+      "PROTOCOL = FDG_STATIC;\r\nDOSE = 5.2;\ncomment line\n".getBytes("UTF-8"))
+    val rows = EcatReader.matlabParams(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(rows.toSeq == Seq(("DOSE", "5.2"), ("PROTOCOL", "FDG_STATIC")))
+  }
+
   test("archive summary: first-ECAT study info, counts, dedup guard") {
     import org.apache.spark.sql.functions._
     val dir = SyntheticFixtures.freshDir("ecat_sum")
