@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.EphysChunker
-import graft.sources.{BidsTabular, BrainVisionReader, CtfReader, DicomSource, EdfReader, EeglabReader, SyntheticFixtures, TarGzSource}
+import graft.sources.{BidsTabular, BrainVisionReader, CtfReader, DicomSource, EdfReader, EeglabReader, EphysSource, SyntheticFixtures, TarGzSource}
 
 /** Binary-ingest verticals under the driver's correctness gate.
   *
@@ -78,6 +78,18 @@ object IngestQueries {
         "q62", "r1.edf", SyntheticFixtures.recordingBytes())
       EphysChunker.chunkStats(
         EdfReader.asLongFormat(EdfReader.channels(s, dir)), chunkSize = 4)
+    },
+
+    // q62's pipeline through the DataSource V2 connector instead of the
+    // binaryFile scan: spark.read.format("edf") with column pruning +
+    // channel-skip at the scan (EdfDataSource). Oracle is q62's VERBATIM,
+    // so the driver checks connector/binaryFile equivalence end to end.
+    "q116_edf_dsv2" -> { (s, _) =>
+      val dir = SyntheticFixtures.materialize(
+        "q116", "r1.edf", SyntheticFixtures.recordingBytes())
+      EphysChunker.chunkStats(
+        EphysSource.channelArraysToLong(s.read.format("edf").load(dir)),
+        chunkSize = 4)
     },
 
     // S14 BrainVision end to end: vhdr header parse → broadcast pair with
@@ -690,6 +702,19 @@ object IngestQueries {
         |       is_last, valid_samples)""".stripMargin,
 
     "q62_edf_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('C3', CAST(0 AS BIGINT), 4,
+        |   CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE), false, 4),
+        |  ('C3', CAST(1 AS BIGINT), 4,  5.0,  8.0, false, 4),
+        |  ('C3', CAST(2 AS BIGINT), 4,  9.0, 12.0, true,  4),
+        |  ('C4', CAST(0 AS BIGINT), 4,  5.0, 20.0, false, 4),
+        |  ('C4', CAST(1 AS BIGINT), 2, 25.0, 30.0, true,  2)
+        |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
+        |       is_last, valid_samples)""".stripMargin,
+
+    // VERBATIM q62 oracle: the connector path must produce byte-identical
+    // results to the binaryFile path, and the driver proves it.
+    "q116_edf_dsv2" ->
       """SELECT * FROM (VALUES
         |  ('C3', CAST(0 AS BIGINT), 4,
         |   CAST(1.0 AS DOUBLE), CAST(4.0 AS DOUBLE), false, 4),
