@@ -488,6 +488,31 @@ object IngestQueries {
       ProcessedRegistration.register(candidates, files, scanTypes)
     },
 
+    // Non-MINC insertion vertical (imaging_non_minc_insertion.pl): the
+    // script's nine abort points as a status ladder — date format, upload
+    // id, scanner id, scan type, ImagingFileTypes extension match,
+    // PSCID_CandID_VisitLabel parse, candidate/visit validation (BINARY
+    // label match), md5 uniqueness (catalog + earlier passing batch-mate)
+    // — then registration with inherited ids and get-or-create sessions
+    // (created BEFORE the md5 guard, as the reference does)
+    "q117_non_minc_insertion" -> { (s, _) =>
+      graft.operators.NonMincRegistration
+        .register(nonMincFixture(s), nonMincUploads(s), nonMincScanners(s),
+          nonMincScanTypes(s), nonMincFileTypes(s), nonMincCandidates(s),
+          nonMincVisitWindows(s), nonMincSessions(s), nonMincFiles(s))
+        .drop("metadata")
+    },
+
+    // parameter_file rows for the files q117 registers: metadata JSON
+    // key/values plus the always-set acquisition_date parameter
+    "q118_non_minc_parameters" -> { (s, _) =>
+      graft.operators.NonMincRegistration.parameterRows(
+        graft.operators.NonMincRegistration
+          .register(nonMincFixture(s), nonMincUploads(s), nonMincScanners(s),
+            nonMincScanTypes(s), nonMincFileTypes(s), nonMincCandidates(s),
+            nonMincVisitWindows(s), nonMincSessions(s), nonMincFiles(s)))
+    },
+
     // S11 end to end: distributed upload into a Hadoop-FS bucket with the
     // reference's three outcomes (aws_s3.py:93-158 / upload_dir --force
     // semantics) — new object uploaded, content-match skip, diverged
@@ -590,6 +615,80 @@ object IngestQueries {
       graft.streaming.EventStream.trackUploadStates(events).toDF()
     }
   )
+
+  // q117/q118 shared fixture: one row per abort point of
+  // imaging_non_minc_insertion.pl, plus two registrable files (one with
+  // the patient name as an argument, one parsed from the file name with a
+  // to-be-created visit)
+  private def nonMincFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("a_t1.nii", 70L, "ABC001_123456_V01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map("tr" -> "2000", "te" -> "30"),
+        "md5a"),
+      ("DEF002_234567_V02.nii.gz", 70L, null.asInstanceOf[String],
+        "native", "flair", "2024-03-06", 502L, "native",
+        Map("tr" -> "2500"), "md5b"),
+      ("bad_date.nii", 70L, "ABC001_123456_V01", "native", "t1w",
+        "03/05/2024", 501L, "native", Map.empty[String, String], "md5c"),
+      ("bad_upload.nii", 99L, "ABC001_123456_V01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5d"),
+      ("bad_scanner.nii", 70L, "ABC001_123456_V01", "native", "t1w",
+        "2024-03-05", 599L, "native", Map.empty[String, String], "md5e"),
+      ("bad_scantype.nii", 70L, "ABC001_123456_V01", "native", "dti_weird",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5f"),
+      ("notes.pdf", 70L, "ABC001_123456_V01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5g"),
+      ("weirdname.nii", 70L, null.asInstanceOf[String], "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5h"),
+      ("no_cand.nii", 70L, "GHI003_999999_V01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5i"),
+      ("psc_mismatch.nii", 70L, "DEF002_123456_V01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5j"),
+      ("bad_visit.nii", 70L, "ABC001_123456_v01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5k"),
+      ("dup_catalog.nii", 70L, "ABC001_123456_V01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String],
+        "md5exist"),
+      ("z_dup_batch.nii", 70L, "ABC001_123456_V01", "native", "t1w",
+        "2024-03-05", 501L, "native", Map.empty[String, String], "md5a"))
+      .toDF("file_path", "upload_id", "patient_name", "output_type",
+        "scan_type", "date_acquired", "scanner_id", "coordinate_space",
+        "metadata", "md5hash")
+  }
+  private def nonMincUploads(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(70L, 71L).toDF("UploadID")
+  }
+  private def nonMincScanners(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((501L, 123456L), (502L, 234567L)).toDF("ScannerID", "CandID")
+  }
+  private def nonMincScanTypes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((44, "t1w"), (45, "flair"), (46, "qc_txt"))
+      .toDF("MriScanTypeID", "ScanType")
+  }
+  private def nonMincFileTypes(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1, "mnc"), (2, "nii"), (3, "txt")).toDF("ord", "type")
+  }
+  private def nonMincCandidates(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((123456L, "ABC001"), (234567L, "DEF002")).toDF("CandID", "PSCID")
+  }
+  private def nonMincVisitWindows(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq("V01", "V02").toDF("VisitLabel")
+  }
+  private def nonMincSessions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((9001L, 123456L, "V01")).toDF("ID", "CandID", "VisitLabel")
+  }
+  private def nonMincFiles(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((7001L, "md5exist")).toDF("FileID", "md5hash")
+  }
 
   val oracle: Map[String, String] = Map(
     // pinned-fixture twin of the composed loader: the study archive holds
@@ -832,6 +931,76 @@ object IngestQueries {
         |) AS t(file_path, status, FileID, SessionID, ScannerID,
         |       MriScanTypeID, SourceFileID, SourcePipeline, PipelineDate,
         |       CoordinateSpace, OutputType, n_inputs)""".stripMargin,
+
+    // abort ladder in script order; ids continue from max(files)=7001 in
+    // file-path order ('D' sorts before 'a'); DEF002's V02 visit is
+    // created (9001+1) while a_t1.nii reuses session 9001
+    "q117_non_minc_insertion" ->
+      """SELECT * FROM (VALUES
+        |  ('a_t1.nii', 'registered', CAST(7003 AS BIGINT),
+        |   CAST(9001 AS BIGINT), false, CAST(501 AS BIGINT),
+        |   CAST(44 AS INTEGER), 'nii', 'native', 'native', '2024-03-05'),
+        |  ('DEF002_234567_V02.nii.gz', 'registered', CAST(7002 AS BIGINT),
+        |   CAST(9002 AS BIGINT), true, CAST(502 AS BIGINT),
+        |   CAST(45 AS INTEGER), 'nii', 'native', 'native', '2024-03-06'),
+        |  ('bad_date.nii', 'invalid_date', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('bad_upload.nii', 'invalid_upload', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('bad_scanner.nii', 'invalid_scanner', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('bad_scantype.nii', 'unknown_scan_type', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('notes.pdf', 'unknown_file_type', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('weirdname.nii', 'subject_id_failure', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('no_cand.nii', 'candidate_mismatch', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('psc_mismatch.nii', 'candidate_mismatch', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('bad_visit.nii', 'candidate_mismatch', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('dup_catalog.nii', 'duplicate_md5', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL),
+        |  ('z_dup_batch.nii', 'duplicate_md5', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER), NULL, NULL, NULL,
+        |   NULL)
+        |) AS t(file_path, status, FileID, SessionID, session_is_new,
+        |       ScannerID, MriScanTypeID, file_type, OutputType,
+        |       CoordinateSpace, acquisition_date)""".stripMargin,
+
+    "q118_non_minc_parameters" ->
+      """SELECT * FROM (VALUES
+        |  ('a_t1.nii', CAST(7003 AS BIGINT), 'tr', '2000'),
+        |  ('a_t1.nii', CAST(7003 AS BIGINT), 'te', '30'),
+        |  ('a_t1.nii', CAST(7003 AS BIGINT), 'acquisition_date',
+        |   '2024-03-05'),
+        |  ('DEF002_234567_V02.nii.gz', CAST(7002 AS BIGINT), 'tr', '2500'),
+        |  ('DEF002_234567_V02.nii.gz', CAST(7002 AS BIGINT),
+        |   'acquisition_date', '2024-03-06')
+        |) AS t(file_path, FileID, param_name, param_value)""".stripMargin,
 
     "q113_eeglab_v73_ingest" ->
       """SELECT * FROM (VALUES
