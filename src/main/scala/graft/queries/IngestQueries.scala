@@ -92,6 +92,29 @@ object IngestQueries {
         chunkSize = 4)
     },
 
+    // The connector's MICRO_BATCH_READ surface under the gate: stream the
+    // recording dir with the seen-file-log source (the Spark-native
+    // imaging_upload_file_cronjob.pl), pruned to the header-only columns,
+    // drained into a memory sink. Exactly-once + restart semantics are
+    // spec-verified; this pins the streamed rows themselves.
+    "q119_edf_stream_ingest" -> { (s, _) =>
+      val dir = SyntheticFixtures.freshDir("q119")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "r1.edf"),
+        SyntheticFixtures.recordingBytes())
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "r2.edf"),
+        SyntheticFixtures.recordingBytes())
+      val ckpt = SyntheticFixtures.freshDir("q119_ckpt")
+      val q = s.readStream.format("edf").load(dir)
+        .select(element_at(split(col("file_path"), "/"), -1).as("file_name"),
+          col("channel"), col("sampling_rate_hz"), col("n_samples"))
+        .writeStream.format("memory").queryName("q119_sink")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("q119_sink")
+    },
+
     // S14 BrainVision end to end: vhdr header parse → broadcast pair with
     // the .eeg payload → INT_16 decode with per-channel resolution →
     // chunker (eeg/main.py:249 registers the vhdr/vmrk/eeg triple)
@@ -823,6 +846,14 @@ object IngestQueries {
         |  ('C4', CAST(1 AS BIGINT), 2, 25.0, 30.0, true,  2)
         |) AS t(channel, chunk_index, n_samples, chunk_min, chunk_max,
         |       is_last, valid_samples)""".stripMargin,
+
+    "q119_edf_stream_ingest" ->
+      """SELECT * FROM (VALUES
+        |  ('r1.edf', 'C3', CAST(6.0 AS DOUBLE), CAST(12 AS BIGINT)),
+        |  ('r1.edf', 'C4', 3.0, CAST(6 AS BIGINT)),
+        |  ('r2.edf', 'C3', 6.0, CAST(12 AS BIGINT)),
+        |  ('r2.edf', 'C4', 3.0, CAST(6 AS BIGINT))
+        |) AS t(file_name, channel, sampling_rate_hz, n_samples)""".stripMargin,
 
     "q63_nifti_ingest" ->
       """SELECT * FROM (VALUES

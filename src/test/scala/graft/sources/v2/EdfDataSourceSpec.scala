@@ -52,6 +52,53 @@ class EdfDataSourceSpec extends SparkSpec {
     assert(rows.head.getSeq[Double](4).take(4) == Seq(1.0, 2.0, 3.0, 4.0))
   }
 
+  test("micro-batch stream: arrivals processed exactly once") {
+    val dir = SyntheticFixtures.freshDir("dsv2_edf_stream")
+    val ckpt = SyntheticFixtures.freshDir("dsv2_edf_stream_ckpt")
+    Files.write(Paths.get(dir, "r1.edf"), SyntheticFixtures.recordingBytes())
+    val q = spark.readStream.format("edf").load(dir)
+      .select("file_path", "channel", "n_samples")
+      .writeStream.format("memory").queryName("edfstream")
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("edfstream").count() == 2) // C3 + C4
+      q.processAllAvailable() // no new files -> no new rows
+      assert(spark.table("edfstream").count() == 2)
+      Files.write(Paths.get(dir, "r2.edf"),
+        SyntheticFixtures.recordingBytes())
+      q.processAllAvailable()
+      val rows = spark.table("edfstream").collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getString(0)).distinct.length == 2)
+    } finally q.stop()
+  }
+
+  test("restart resumes from the seen-file log, not from scratch") {
+    val dir = SyntheticFixtures.freshDir("dsv2_edf_restart")
+    val ckpt = SyntheticFixtures.freshDir("dsv2_edf_restart_ckpt")
+    val out = SyntheticFixtures.freshDir("dsv2_edf_restart_out")
+    Files.write(Paths.get(dir, "r1.edf"), SyntheticFixtures.recordingBytes())
+    def start() = spark.readStream.format("edf").load(dir)
+      .select("file_path", "channel")
+      .writeStream.format("parquet").option("path", out)
+      .outputMode("append").option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(spark.read.parquet(out).count() == 2)
+    // a file arrives while no query is running
+    Files.write(Paths.get(dir, "r3.edf"), SyntheticFixtures.recordingBytes())
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // the committed seen-file log survives the restart: r1.edf is NOT
+      // reprocessed, r3.edf contributes exactly its two channels
+      val byFile = spark.read.parquet(out).collect()
+        .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+      assert(byFile.size == 2 && byFile.values.forall(_ == 2))
+    } finally q2.stop()
+  }
+
   test("malformed and undersized files yield zero rows, not a crash") {
     val dir = SyntheticFixtures.freshDir("dsv2_edf_bad")
     Files.write(Paths.get(dir, "junk.edf"),
