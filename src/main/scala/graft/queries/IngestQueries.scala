@@ -536,6 +536,97 @@ object IngestQueries {
             nonMincVisitWindows(s), nonMincSessions(s), nonMincFiles(s)))
     },
 
+    // delete_imaging_upload.pl as ONE dataflow: the full delete/backup
+    // manifest — files by TarchiveSource, intermediary outputs (duplicate
+    // Output_FileID entries duplicate rows, as the reference documents),
+    // the parameter_file two-branch UNION, the three violation tables,
+    // relative→dataDir full paths — for deletable uploads only
+    "q122_delete_upload_footprint" -> { (s, _) =>
+      import s.implicits._
+      graft.operators.DeleteUpload.footprint(
+        delUploads(s), delFiles(s), delIntermed(s), delParams(s),
+        Seq((31L, 500L, "trash/v.mnc"))
+          .toDF("ID", "TarchiveID", "minc_location"),
+        Seq((41L, 500L, "trash/l.mnc"))
+          .toDF("LogID", "TarchiveID", "MincFile"),
+        Seq((51L, 500L, "trash/c.mnc"))
+          .toDF("ID", "TarchiveID", "MincFile"),
+        delQc(s), delQc(s), dataDir = "/data")
+    },
+
+    // the refusal gate: hasQcOrComment counts per upload
+    "q123_delete_upload_gate" -> { (s, _) =>
+      graft.operators.DeleteUpload.qcGate(
+        delUploads(s), delFiles(s), delIntermed(s), delQc(s), delQc(s))
+    },
+
+    // Batch imaging-upload intake (batch_uploads_imageuploader.pl): the
+    // uploader's validation quirks — FIRST-dot extension parse (a.b.tgz
+    // rejected), phantom Y/N gate, patient-name-prefix check with Perl's
+    // undef→'' passthrough, the literal 'NULL' phantom name — then
+    // mri_upload rows with line-ordered id continuation and the
+    // imaging_upload_file.pl command each would launch
+    "q121_batch_upload_intake" -> { (s, _) =>
+      import s.implicits._
+      val lines = Seq(
+        (1, "/in/PSC0001_123457_V1.tar.gz", "N", "PSC0001_123457"),
+        (2, "/in/Lego_Phantom_MNI_20140101.zip", "Y",
+          null.asInstanceOf[String]),
+        (3, "/in/scan.mnc", "N", "PSC0000"),
+        (4, "/in/a.b.tgz", "N", "a"),
+        (5, "/in/x.tgz", "Q", "foo"),
+        (6, "/in/PSC9_1_V1.zip", "N", "PSC0001_123457"),
+        (7, "/in/Phantom2.tgz", "Y", "oops"),
+        (8, "/in/y.tar.gz", "N", null.asInstanceOf[String]))
+        .toDF("line_no", "full_path", "phantom", "patient_name")
+      val uploads = Seq(70L, 71L).toDF("UploadID")
+      graft.operators.BatchUploader.intake(lines, uploads,
+        user = "lorisadmin", profile = "prod")
+    },
+
+    // The transactional DSv2 object publish: write through the connector
+    // (staged task writes → commit messages → driver rename + manifest
+    // LAST), then read back the bucket's ACTUAL objects and prove each
+    // manifest row md5-matches the published bytes. The all-or-nothing
+    // upgrade of q109's best-effort upload_dir.
+    "q120_objectstore_txn" -> { (s, _) =>
+      import s.implicits._
+      val bucket = SyntheticFixtures.freshDir("q120bucket")
+      Seq(("a.txt", "alpha"), ("b.txt", "beta"), ("sub/c.txt", "gamma"))
+        .map { case (n, c) => (n, c.getBytes("UTF-8")) }
+        .toDF("dest_name", "content")
+        .write.format("objectstore").option("path", bucket)
+        .mode("append").save()
+      // '_MANIFEST' is deliberately underscore-hidden from data scans
+      // (the _SUCCESS/_delta_log convention), so it is read as what it
+      // is: driver-side commit metadata, one line per object
+      val manifestLines = {
+        val p = new org.apache.hadoop.fs.Path(bucket, "_MANIFEST")
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        val in = fs.open(p)
+        val body = try {
+          val len = fs.getFileStatus(p).getLen.toInt
+          val buf = new Array[Byte](len)
+          in.readFully(0, buf)
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        body.split("\n").toSeq
+      }
+      val manifest = manifestLines.toDF("value")
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f")(0).as("object_name"),
+          col("f")(1).as("manifest_md5"),
+          col("f")(2).cast("long").as("size"))
+      val objects = DicomSource.scanDir(s, bucket)
+        .select(
+          substring_index(col("path"), "q120bucket/", -1).as("object_name"),
+          md5(col("content")).as("bucket_md5"))
+        .where(col("object_name") =!= "_MANIFEST")
+      manifest.join(objects, Seq("object_name"))
+        .select(col("object_name"), col("manifest_md5"),
+          col("bucket_md5"), col("size"))
+    },
+
     // S11 end to end: distributed upload into a Hadoop-FS bucket with the
     // reference's three outcomes (aws_s3.py:93-158 / upload_dir --force
     // semantics) — new object uploaded, content-match skip, diverged
@@ -638,6 +729,40 @@ object IngestQueries {
       graft.streaming.EventStream.trackUploadStates(events).toDF()
     }
   )
+
+  // q122/q123 shared fixture: two uploads — 80 fully deletable with every
+  // footprint table populated, 81 blocked by QC + comments
+  private def delUploads(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((80L, 500L), (81L, 501L)).toDF("UploadID", "TarchiveID")
+  }
+  private def delFiles(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (9001L, "a/t1.mnc", Some(500L), None),
+      (9002L, "a/dti.mnc", Some(500L), None),
+      (9003L, "b/t1.mnc", Some(501L), None),
+      (9004L, "proc/q.mnc", None, Some(9002L)),
+      (9005L, "/abs/p.mnc", None, Some(9002L)))
+      .toDF("FileID", "File", "TarchiveSource", "SourceFileID")
+  }
+  private def delIntermed(s: SparkSession): DataFrame = {
+    import s.implicits._
+    // two entries with the SAME Output_FileID: the reference documents
+    // that this duplicates the file in the result, and so do we
+    Seq((1L, 9002L, 9004L), (2L, 9001L, 9004L))
+      .toDF("IntermedID", "Input_FileID", "Output_FileID")
+  }
+  private def delParams(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((21L, 9001L, "pic/a_t1.png"), (22L, 9004L, "pic/q.png"),
+      (23L, 9005L, "/abs/pp.png"), (24L, 9003L, "pic/b.png"))
+      .toDF("ParameterFileID", "FileID", "Value")
+  }
+  private def delQc(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(9003L).toDF("FileID")
+  }
 
   // q117/q118 shared fixture: one row per abort point of
   // imaging_non_minc_insertion.pl, plus two registrable files (one with
@@ -1080,6 +1205,76 @@ object IngestQueries {
         |   '987bcab01b929eb2c07877b224215c92'),
         |  ('c.txt', 'skipped_exists', 0, 'cf4d585d4d6438852a51832b91ba7e14')
         |) AS t(file_name, action, swapped, bucket_md5)""".stripMargin,
+
+    // manifest md5s independently recomputable (python hashlib over the
+    // literal contents); sizes are byte lengths
+    "q120_objectstore_txn" ->
+      """SELECT * FROM (VALUES
+        |  ('a.txt', '2c1743a391305fbf367df8e4f069f9f9',
+        |   '2c1743a391305fbf367df8e4f069f9f9', CAST(5 AS BIGINT)),
+        |  ('b.txt', '987bcab01b929eb2c07877b224215c92',
+        |   '987bcab01b929eb2c07877b224215c92', CAST(4 AS BIGINT)),
+        |  ('sub/c.txt', '05b048d7242cb7b8b57cfa3b1d65ecea',
+        |   '05b048d7242cb7b8b57cfa3b1d65ecea', CAST(5 AS BIGINT))
+        |) AS t(object_name, manifest_md5, bucket_md5, size)""".stripMargin,
+
+    // upload 80's full cascade; upload 81 absent (QC-blocked). The two
+    // files_intermediary rows share FileID 9004 (duplicate-output
+    // semantics); 9005's parameter row comes via the SourceFileID branch
+    // and keeps its absolute path
+    "q122_delete_upload_footprint" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(80 AS BIGINT), 'files', CAST(9001 AS BIGINT),
+        |   CAST(9001 AS BIGINT), '/data/a/t1.mnc'),
+        |  (80, 'files', 9002, 9002, '/data/a/dti.mnc'),
+        |  (80, 'files_intermediary', 1, 9004, '/data/proc/q.mnc'),
+        |  (80, 'files_intermediary', 2, 9004, '/data/proc/q.mnc'),
+        |  (80, 'parameter_file', 21, 9001, '/data/pic/a_t1.png'),
+        |  (80, 'parameter_file', 22, 9004, '/data/pic/q.png'),
+        |  (80, 'parameter_file', 23, 9005, '/abs/pp.png'),
+        |  (80, 'mri_protocol_violated_scans', 31, CAST(NULL AS BIGINT),
+        |   '/data/trash/v.mnc'),
+        |  (80, 'mri_violations_log', 41, CAST(NULL AS BIGINT),
+        |   '/data/trash/l.mnc'),
+        |  (80, 'MRICandidateErrors', 51, CAST(NULL AS BIGINT),
+        |   '/data/trash/c.mnc')
+        |) AS t(UploadID, table_name, row_id, FileID, full_path)""".stripMargin,
+
+    "q123_delete_upload_gate" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(80 AS BIGINT), CAST(500 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(0 AS BIGINT), true),
+        |  (81, 501, 1, 1, false)
+        |) AS t(UploadID, TarchiveID, n_qc, n_comments, deletable)""".stripMargin,
+
+    // line 4 is the fileparse quirk (.b.tgz is the parsed type, not
+    // .tgz); line 8 is Perl's undef patient name stringifying to '' and
+    // passing the prefix check; ids continue from 71 in line order
+    "q121_batch_upload_intake" ->
+      """SELECT * FROM (VALUES
+        |  (1, '/in/PSC0001_123457_V1.tar.gz', 'submitted',
+        |   CAST(72 AS BIGINT), 'PSC0001_123457', 'N',
+        |   'imaging_upload_file.pl -profile prod -upload_id 72 /in/PSC0001_123457_V1.tar.gz',
+        |   'lorisadmin'),
+        |  (2, '/in/Lego_Phantom_MNI_20140101.zip', 'submitted',
+        |   CAST(73 AS BIGINT), 'NULL', 'Y',
+        |   'imaging_upload_file.pl -profile prod -upload_id 73 /in/Lego_Phantom_MNI_20140101.zip',
+        |   'lorisadmin'),
+        |  (3, '/in/scan.mnc', 'file_type_check_failure',
+        |   CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL),
+        |  (4, '/in/a.b.tgz', 'file_type_check_failure',
+        |   CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL),
+        |  (5, '/in/x.tgz', 'phantom_entry_failure',
+        |   CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL),
+        |  (6, '/in/PSC9_1_V1.zip', 'pname_filename_mismatch',
+        |   CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL),
+        |  (7, '/in/Phantom2.tgz', 'pname_filename_mismatch',
+        |   CAST(NULL AS BIGINT), NULL, NULL, NULL, NULL),
+        |  (8, '/in/y.tar.gz', 'submitted', CAST(74 AS BIGINT), '', 'N',
+        |   'imaging_upload_file.pl -profile prod -upload_id 74 /in/y.tar.gz',
+        |   'lorisadmin')
+        |) AS t(line_no, UploadLocation, status, UploadID, PatientName,
+        |       IsPhantom, command, UploadedBy)""".stripMargin,
 
     "q65_upload_states" ->
       """SELECT o_custkey AS upload_id,
