@@ -536,6 +536,55 @@ object IngestQueries {
             nonMincVisitWindows(s), nonMincSessions(s), nonMincFiles(s)))
     },
 
+    // splitMergedSeries.pl -echo mode: unnumbered multi-echo series get
+    // per-TE EchoNumber ranks; merged sub-acquisitions (slice-position
+    // breaks) get per-image 100*sub+echo rows. Series 5 = dual-echo
+    // UNDEF; series 6 = two stacked repeats of the same acquisition
+    "q125_series_split_spec" -> { (s, _) =>
+      import s.implicits._
+      val rows = Seq(
+        // series 5: TE 10 and 30, echo UNDEF, clean ascending stacks
+        ("S1", 5, 10.0, None, 1, 0.0), ("S1", 5, 10.0, None, 2, 2.0),
+        ("S1", 5, 10.0, None, 3, 4.0),
+        ("S1", 5, 30.0, None, 4, 0.0), ("S1", 5, 30.0, None, 5, 2.0),
+        ("S1", 5, 30.0, None, 6, 4.0),
+        // series 6: one TE, echo set, two merged repeats (position
+        // resets at image 4 -> direction change)
+        ("S1", 6, 25.0, Some(1), 1, 0.0), ("S1", 6, 25.0, Some(1), 2, 2.0),
+        ("S1", 6, 25.0, Some(1), 3, 4.0), ("S1", 6, 25.0, Some(1), 4, 0.0),
+        ("S1", 6, 25.0, Some(1), 5, 2.0), ("S1", 6, 25.0, Some(1), 6, 4.0))
+        .toDF("StudyInstanceUID", "SeriesNumber", "EchoTime",
+          "EchoNumber", "ImageNumber", "SlicePosition")
+      graft.operators.SeriesSplitter.splitSpec(rows)
+    },
+
+    // minc_to_bids_converter.pl naming: run numbers per scan type by
+    // SeriesNumber ("00$i" literal), BIDS entity assembly in fixed order
+    // with subcategory overrides, underscore-stripped visit labels, the
+    // skip/defer/error ladder, and the s/nii/json/g sidecar-name quirk
+    "q124_bids_export_names" -> { (s, _) =>
+      import s.implicits._
+      val files = Seq(
+        (7001L, 300001L, "V_01", "t1w", 11),
+        (7002L, 300001L, "V_01", "t1w", 20),
+        (7003L, 300001L, "V_01", "rest-fmri", 12),
+        (7004L, 300001L, "V_01", "weird", 13),
+        (7005L, 300001L, "V_01", "mem-fmri", 14),
+        (7006L, 300001L, "V_01", "gre-field", 15),
+        (7007L, 300001L, "V_01", "me-t1", 16))
+        .toDF("FileID", "candID", "visitLabel", "lorisScanType",
+          "seriesNumber")
+      val rel = Seq(
+        ("t1w", "anat", None, "T1w", None),
+        ("rest-fmri", "func", Some("task-rest"), "bold", None),
+        ("mem-fmri", "func", None, "bold", None),
+        ("gre-field", "fmap", None, "magnitude", Some(2)),
+        ("me-t1", "anat", None, "MEGRE", Some(2)))
+        .toDF("ScanType", "BIDSCategoryName", "BIDSScanTypeSubCategory",
+          "BIDSScanType", "BIDSEchoNumber")
+      graft.operators.BidsExport.exportNames(files, rel, "/bids")
+    },
+
     // delete_imaging_upload.pl as ONE dataflow: the full delete/backup
     // manifest — files by TarchiveSource, intermediary outputs (duplicate
     // Output_FileID entries duplicate rows, as the reference documents),
@@ -1217,6 +1266,41 @@ object IngestQueries {
         |  ('sub/c.txt', '05b048d7242cb7b8b57cfa3b1d65ecea',
         |   '05b048d7242cb7b8b57cfa3b1d65ecea', CAST(5 AS BIGINT))
         |) AS t(object_name, manifest_md5, bucket_md5, size)""".stripMargin,
+
+    "q125_series_split_spec" ->
+      """SELECT * FROM (VALUES
+        |  ('S1', 5, CAST(10.0 AS DOUBLE), CAST(NULL AS INTEGER),
+        |   'EchoNumber', 1),
+        |  ('S1', 5, 30.0, CAST(NULL AS INTEGER), 'EchoNumber', 2),
+        |  ('S1', 6, CAST(NULL AS DOUBLE), 4, 'EchoNumber', 101),
+        |  ('S1', 6, CAST(NULL AS DOUBLE), 5, 'EchoNumber', 101),
+        |  ('S1', 6, CAST(NULL AS DOUBLE), 6, 'EchoNumber', 101)
+        |) AS t(study_uid, series_number, echo_time, image_number, field,
+        |       value)""".stripMargin,
+
+    "q124_bids_export_names" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(7001 AS BIGINT), 'exported', '001',
+        |   'sub-300001_ses-V01_run-001_T1w.nii',
+        |   '/bids/sub-300001/ses-V01/anat/sub-300001_ses-V01_run-001_T1w.nii.gz',
+        |   '/bids/sub-300001/ses-V01/anat/sub-300001_ses-V01_run-001_T1w.json'),
+        |  (7002, 'exported', '002',
+        |   'sub-300001_ses-V01_run-002_T1w.nii',
+        |   '/bids/sub-300001/ses-V01/anat/sub-300001_ses-V01_run-002_T1w.nii.gz',
+        |   '/bids/sub-300001/ses-V01/anat/sub-300001_ses-V01_run-002_T1w.json'),
+        |  (7003, 'exported', '001',
+        |   'sub-300001_ses-V01_task-rest_run-001_bold.nii',
+        |   '/bids/sub-300001/ses-V01/func/sub-300001_ses-V01_task-rest_run-001_bold.nii.gz',
+        |   '/bids/sub-300001/ses-V01/func/sub-300001_ses-V01_task-rest_run-001_bold.json'),
+        |  (7004, 'skipped_no_bids_mapping', '001', NULL, NULL, NULL),
+        |  (7005, 'error_func_needs_subcategory', '001', NULL, NULL, NULL),
+        |  (7006, 'deferred_magnitude', '001', NULL, NULL, NULL),
+        |  (7007, 'exported', '001',
+        |   'sub-300001_ses-V01_run-001_echo-2_MEGRE.nii',
+        |   '/bids/sub-300001/ses-V01/anat/sub-300001_ses-V01_run-001_echo-2_MEGRE.nii.gz',
+        |   '/bids/sub-300001/ses-V01/anat/sub-300001_ses-V01_run-001_echo-2_MEGRE.json')
+        |) AS t(FileID, status, run_number, nifti_name, nii_path,
+        |       json_path)""".stripMargin,
 
     // upload 80's full cascade; upload 81 absent (QC-blocked). The two
     // files_intermediary rows share FileID 9004 (duplicate-output
