@@ -536,6 +536,27 @@ object IngestQueries {
             nonMincVisitWindows(s), nonMincSessions(s), nonMincFiles(s)))
     },
 
+    // ECAT7 connector batch surface: one row per .v file, at most 512
+    // header bytes read per file (path-only projections read nothing);
+    // parse_failed audits lmhdr failures instead of dropping rows. The
+    // streaming twin (petupload_cron_prod's watch loop) is spec-verified
+    // through the shared SeenFileLogStream.
+    "q126_ecat_dsv2" -> { (s, _) =>
+      val dir = SyntheticFixtures.freshDir("q126")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name), bytes)
+      put("s1.v", SyntheticFixtures.ecatBytes(
+        "SUB001", "PET001", "Johns Hopkins Univ", 328, 1704164645L, 2))
+      put("s2.v", SyntheticFixtures.ecatBytes(
+        "SUB002", "PET002", "BIC", 328, 1704168000L, 1))
+      put("junk.v", Array.fill[Byte](600)(0x41))
+      put("tiny.v", Array.fill[Byte](16)(0x42))
+      s.read.format("ecat").load(dir)
+        .select("file_name", "parse_failed", "patient_name", "patient_id",
+          "facility_name", "system_type", "scan_start_time", "num_frames")
+    },
+
     // splitMergedSeries.pl -echo mode: unnumbered multi-echo series get
     // per-TE EchoNumber ranks; merged sub-acquisitions (slice-position
     // breaks) get per-image 100*sub+echo rows. Series 5 = dual-echo
@@ -1266,6 +1287,22 @@ object IngestQueries {
         |  ('sub/c.txt', '05b048d7242cb7b8b57cfa3b1d65ecea',
         |   '05b048d7242cb7b8b57cfa3b1d65ecea', CAST(5 AS BIGINT))
         |) AS t(object_name, manifest_md5, bucket_md5, size)""".stripMargin,
+
+    "q126_ecat_dsv2" ->
+      """SELECT * FROM (VALUES
+        |  ('s1.v', false, 'SUB001', 'PET001', 'Johns Hopkins Univ', 328,
+        |   CAST(1704164645 AS BIGINT), 2),
+        |  ('s2.v', false, 'SUB002', 'PET002', 'BIC', 328,
+        |   CAST(1704168000 AS BIGINT), 1),
+        |  ('junk.v', true, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)),
+        |  ('tiny.v', true, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER))
+        |) AS t(file_name, parse_failed, patient_name, patient_id,
+        |       facility_name, system_type, scan_start_time,
+        |       num_frames)""".stripMargin,
 
     "q125_series_split_spec" ->
       """SELECT * FROM (VALUES

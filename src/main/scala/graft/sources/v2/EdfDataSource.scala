@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -116,9 +116,6 @@ private[v2] class EdfScanBuilder(options: CaseInsensitiveStringMap)
   }
 }
 
-private[v2] case class EdfInputPartition(path: String, length: Long)
-    extends InputPartition
-
 private[v2] class EdfScan(
     options: CaseInsensitiveStringMap,
     required: StructType,
@@ -132,154 +129,17 @@ private[v2] class EdfScan(
       required.fieldNames.mkString(",") +
       channelKeep.fold("")(k => s" channelKeep=${k.mkString(",")}")
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val dir = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("edf source requires a path"))
-    val glob = Option(options.get("glob")).getOrElse("*.edf")
-    val conf = new Configuration()
-    confMap.foreach { case (k, v) => conf.set(k, v) }
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val statuses = Option(fs.globStatus(new Path(root, glob)))
-      .getOrElse(Array.empty)
-    statuses.filter(_.isFile).sortBy(_.getPath.toString)
-      .map(st => EdfInputPartition(st.getPath.toString, st.getLen)
-        : InputPartition)
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    FileListing.list(options, "*.edf", confMap)
+      .map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     EdfReaderFactory(required, channelKeep, confMap)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new EdfMicroBatchStream(options, required, channelKeep, confMap,
-      checkpointLocation)
-}
-
-private[v2] case class EdfStreamOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
-}
-
-/** `readStream.format("edf")` — the Spark-native form of
-  * `imaging_upload_file_cronjob.pl` (which selects the `mri_upload` rows
-  * "on which the insertion pipeline has not been run yet" and launches
-  * it): each micro-batch is exactly the files that appeared since the
-  * last one.
-  *
-  * Progress tracking is a versioned seen-file log under the query's own
-  * checkpoint directory (the [[org.apache.spark.sql.execution.streaming.FileStreamSource]]
-  * design, re-implemented on the public connector API): segment file `n`
-  * lists the files first seen at offset `n`, written atomically
-  * (temp + rename) before the offset is returned. `planInputPartitions
-  * (start, end)` replays segments `start+1..end`, so a restart
-  * re-processes exactly the uncommitted batch — per-file exactly-once
-  * without keeping the (unbounded) seen set inside the offset JSON
-  * itself; the offset is just a version number, segments scale with
-  * arrival batches, not with total archive size.
-  */
-private[v2] class EdfMicroBatchStream(
-    options: CaseInsensitiveStringMap,
-    required: StructType,
-    channelKeep: Option[Set[String]],
-    confMap: Map[String, String],
-    checkpointLocation: String)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
-
-  private def conf: Configuration = {
-    val c = new Configuration()
-    confMap.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
-  private val logDir = new Path(checkpointLocation, "edf-seen")
-
-  /** (maxVersion, version → files). Segments are tiny (one text line per
-    * newly arrived file); re-read per trigger so concurrent restarts
-    * always see the durable truth. */
-  private def readSegments(): (Long, Map[Long, Seq[EdfInputPartition]]) = {
-    val fs = logDir.getFileSystem(conf)
-    if (!fs.exists(logDir)) return (0L, Map.empty)
-    val segs = fs.listStatus(logDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.matches("[0-9]+"))
-      .map { s =>
-        val version = s.getPath.getName.toLong
-        val in = fs.open(s.getPath)
-        val body = try {
-          val buf = new Array[Byte](s.getLen.toInt)
-          in.readFully(0, buf)
-          new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        val files = body.split("\n").filter(_.nonEmpty).toSeq.map { line =>
-          val Array(len, path) = line.split("\t", 2)
-          EdfInputPartition(path, len.toLong)
-        }
-        version -> files
-      }
-    (if (segs.isEmpty) 0L else segs.map(_._1).max, segs.toMap)
-  }
-
-  private def listDir(): Seq[EdfInputPartition] = {
-    val dir = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("edf source requires a path"))
-    val glob = Option(options.get("glob")).getOrElse("*.edf")
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    Option(fs.globStatus(new Path(root, glob))).getOrElse(Array.empty)
-      .filter(_.isFile).sortBy(_.getPath.toString)
-      .map(st => EdfInputPartition(st.getPath.toString, st.getLen)).toSeq
-  }
-
-  private def advance(): EdfStreamOffset = {
-    val (maxVersion, segs) = readSegments()
-    val seen = segs.values.flatten.map(_.path).toSet
-    val fresh = listDir().filterNot(p => seen(p.path))
-    if (fresh.isEmpty) EdfStreamOffset(maxVersion)
-    else {
-      val fs = logDir.getFileSystem(conf)
-      fs.mkdirs(logDir)
-      val next = maxVersion + 1
-      val tmp = new Path(logDir, s".$next.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(fresh.map(p => s"${p.length}\t${p.path}")
-        .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // atomic publish: a crash before this rename leaves only the dotted
-      // temp file, which readSegments ignores
-      if (!fs.rename(tmp, new Path(logDir, next.toString)))
-        throw new java.io.IOException(s"cannot publish seen-file segment $next")
-      EdfStreamOffset(next)
-    }
-  }
-
-  // Trigger.AvailableNow: freeze the target offset once, drain up to it
-  private var frozen: Option[EdfStreamOffset] = None
-  override def prepareForTriggerAvailableNow(): Unit = frozen = Some(advance())
-
-  override def initialOffset(): Offset = EdfStreamOffset(0L)
-  override def latestOffset(): Offset = frozen.getOrElse(advance())
-  // SupportsAdmissionControl variant — rate limiting has no meaning for
-  // whole-file rows, so every limit admits the full arrival set
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = frozen.getOrElse(advance())
-  override def reportLatestOffset(): Offset =
-    frozen.getOrElse(EdfStreamOffset(readSegments()._1))
-  override def deserializeOffset(json: String): Offset =
-    EdfStreamOffset(json.toLong)
-
-  override def planInputPartitions(start: Offset, end: Offset)
-      : Array[InputPartition] = {
-    val s = start.asInstanceOf[EdfStreamOffset].version
-    val e = end.asInstanceOf[EdfStreamOffset].version
-    val (_, segs) = readSegments()
-    ((s + 1) to e).flatMap(v => segs.getOrElse(v, Seq.empty))
-      .map(p => p: InputPartition).toArray
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    EdfReaderFactory(required, channelKeep, confMap)
-
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+    new SeenFileLogStream(options, "*.edf", confMap, checkpointLocation,
+      EdfReaderFactory(required, channelKeep, confMap))
 }
 
 private[v2] case class EdfReaderFactory(
@@ -288,14 +148,14 @@ private[v2] case class EdfReaderFactory(
     confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new EdfPartitionReader(
-      p.asInstanceOf[EdfInputPartition], required, channelKeep, confMap)
+      p.asInstanceOf[ListedFile], required, channelKeep, confMap)
 }
 
 /** Per-file reader. All parsing is delegated to [[EdfReader]] so the
   * connector and the `binaryFile` path can never drift; malformed bytes
   * yield zero rows, matching [[EdfReader.channels]]. */
 private[v2] class EdfPartitionReader(
-    part: EdfInputPartition,
+    part: ListedFile,
     required: StructType,
     channelKeep: Option[Set[String]],
     confMap: Map[String, String]) extends PartitionReader[InternalRow] {
