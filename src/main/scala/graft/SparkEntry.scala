@@ -19,12 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ DomainQueries.queries ++ DataQueries.queries ++
       ChunkQueries.queries ++ PathQueries.queries ++ IngestQueries.queries ++
-      CorpusQueries.queries
+      CorpusQueries.queries ++ MaintQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ DomainQueries.oracle ++ DataQueries.oracle ++
       ChunkQueries.oracle ++ PathQueries.oracle ++ IngestQueries.oracle ++
-      CorpusQueries.oracle
+      CorpusQueries.oracle ++ MaintQueries.oracle
 }
