@@ -214,11 +214,16 @@ object NonMincRegistration {
     * (`:518-520`). One map-side explode — no exchange. */
   def parameterRows(registered: DataFrame): DataFrame = {
     val reg = registered.filter(col("status") === "registered")
-    val meta = reg.select(col("file_path"), col("FileID"),
-      explode(col("metadata")).as(Seq("param_name", "param_value")))
-    val acq = reg.select(col("file_path"), col("FileID"),
-      lit("acquisition_date").as("param_name"),
-      col("acquisition_date").as("param_value"))
-    meta.unionByName(acq)
+    // ONE pass: the always-set acquisition_date parameter rides the same
+    // exploded map as the metadata keys instead of a second union branch
+    // re-deriving the whole registration plan. setParameter overwrites on
+    // key collision (`imaging_non_minc_insertion.pl:518-520` runs last) —
+    // map_filter drops a metadata 'acquisition_date' first so the concat
+    // is collision-free under any spark.sql.mapKeyDedupPolicy.
+    reg.select(col("file_path"), col("FileID"),
+      explode(map_concat(
+        map_filter(col("metadata"), (k, _) => k =!= "acquisition_date"),
+        map(lit("acquisition_date"), col("acquisition_date"))))
+        .as(Seq("param_name", "param_value")))
   }
 }

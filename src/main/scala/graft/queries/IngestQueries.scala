@@ -797,6 +797,75 @@ object IngestQueries {
           col("o_orderkey").as("seq"), col("o_orderstatus").as("status"))
         .as[graft.streaming.EventStream.UploadEvent]
       graft.streaming.EventStream.trackUploadStates(events).toDF()
+    },
+
+    // tarchive_validation.pl vertical: every exit gate (binding, md5,
+    // center, plus the non-blocking candidate ladder), scanner
+    // get-or-create with the serial-only re-probe, alias-regex center
+    // fallback, phantom skip, and the reference quirk that a candidate
+    // mismatch does NOT block IsTarchiveValidated
+    "q135_tarchive_validation" -> { (s, _) =>
+      import s.implicits._
+      val psc = Seq((1, "Montreal Neuro", "MTL"), (2, "Ottawa General", "OTT"))
+        .toDF("CenterID", "Alias", "MRI_alias")
+      val candidates = Seq((11L, 300001L, "MTL0001"),
+        (12L, 300002L, "MTL0002"), (13L, 300003L, "OTT0001"))
+        .toDF("ID", "CandID", "PSCID")
+      val sessions = Seq((11L, 1, "V1"))
+        .toDF("CandidateID", "CenterID", "Visit_label")
+      val visitWindows = Seq("V1", "V2").toDF("Visit_label")
+      val scanners = Seq(
+        (501L, "SIEMENS", "Prisma", "SN100", "VE11C", Some(900001L)),
+        (502L, "SIEMENS", "Skyra", "SN200", "VE11E", None),
+        (503L, "GE", "MR750", "SN300", "DV26", Some(900003L)))
+        .toDF("ID", "Manufacturer", "Model", "Serial_number", "Software",
+          "CandidateID")
+      val tarchive = Seq(
+        (21L, "2024/DCM_1.tar", "aaa  /t/DCM_1.tar", "MTL0001_300001_V1"),
+        (22L, "2024/DCM_2.tar", "bbb  /t/DCM_2.tar", "MTL0002_300002_V2"),
+        (23L, "2024/DCM_3.tar", "ccc  /t/DCM_3.tar", "OTT0001_300003_V9"),
+        (24L, "2024/DCM_4.tar", "ddd  /t/DCM_4.tar", "MTL0009_300009_V1"),
+        (25L, "2024/DCM_5.tar", "eee  /t/DCM_5.tar", "MTL0002_300001_V1"),
+        (26L, "2024/DCM_6.tar", "fff  /t/DCM_6.tar", "MTL_phantom_scan"),
+        (27L, "2024/DCM_7.tar", "ggg  /t/DCM_7.tar", "XXX9999_999999_V1"),
+        (28L, "2024/DCM_8.tar", "hhh  /t/DCM_8.tar", "MTL0001_300001_V1"),
+        (29L, "2024/DCM_9.tar", "iii  /t/DCM_9.tar", "MTL0001_300001_V1"),
+        (30L, "2024/DCM_10.tar", "jjj  /t/DCM_10.tar", "MTL0001_300001_V1"),
+        (31L, "2024/DCM_10.tar", "jj2  /t/DCM_10b.tar", "MTL0001_300001_V1"))
+        .toDF("TarchiveID", "ArchiveLocation", "md5sumArchive", "PatientName")
+        .withColumn("ScannerManufacturer",
+          when(col("TarchiveID") === 22L, "SIEMENS")
+            .when(col("TarchiveID") === 23L, "GE").otherwise("SIEMENS"))
+        .withColumn("ScannerModel",
+          when(col("TarchiveID") === 23L, "MR750").otherwise("Prisma"))
+        .withColumn("ScannerSerialNumber",
+          when(col("TarchiveID") === 22L, "SN999")
+            .when(col("TarchiveID") === 23L, "SN300").otherwise("SN100"))
+        .withColumn("ScannerSoftwareVersion",
+          when(col("TarchiveID") === 23L, "DV26").otherwise("VE11C"))
+      val uploads = Seq(
+        (70L, 21L, "2024/DCM_1.tar"), (71L, 22L, "2024/DCM_2.tar"),
+        (72L, 23L, "2024/DCM_3.tar"), (73L, 24L, "2024/DCM_4.tar"),
+        (74L, 25L, "2024/DCM_5.tar"), (75L, 26L, "2024/DCM_6.tar"),
+        (76L, 27L, "2024/DCM_7.tar"), (77L, 28L, "2024/DCM_8.tar"),
+        (78L, 99L, "2024/DCM_9.tar"), (79L, 50L, "2024/DCM_missing.tar"),
+        (80L, 30L, "2024/DCM_10.tar"))
+        .toDF("UploadID", "TarchiveID", "ArchiveLocation")
+      val fsMd5 = Seq(
+        ("2024/DCM_1.tar", "aaa  /disk/DCM_1.tar"),
+        ("2024/DCM_2.tar", "bbb  /disk/DCM_2.tar"),
+        ("2024/DCM_3.tar", "ccc  /disk/DCM_3.tar"),
+        ("2024/DCM_4.tar", "ddd  /disk/DCM_4.tar"),
+        ("2024/DCM_5.tar", "eee  /disk/DCM_5.tar"),
+        ("2024/DCM_6.tar", "fff  /disk/DCM_6.tar"),
+        ("2024/DCM_7.tar", "ggg  /disk/DCM_7.tar"),
+        ("2024/DCM_8.tar", "zzz  /disk/DCM_8.tar"),
+        ("2024/DCM_9.tar", "iii  /disk/DCM_9.tar"),
+        ("2024/DCM_10.tar", "jjj  /disk/DCM_10.tar"))
+        .toDF("archive_location", "fs_md5")
+      graft.operators.TarchiveValidation.validateUploads(
+        uploads, tarchive, fsMd5, psc, sessions, candidates, visitWindows,
+        scanners)
     }
   )
 
@@ -909,6 +978,42 @@ object IngestQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // tarchive_validation.pl: one pinned row per exit gate; the three
+    // candidate-mismatch flavors ride validated rows (the reference sets
+    // IsTarchiveValidated despite them)
+    "q135_tarchive_validation" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(70 AS BIGINT), CAST(21 AS BIGINT), 'validated',
+        |   CAST(1 AS INTEGER), 'MTL', CAST(501 AS BIGINT), false,
+        |   CAST(300001 AS BIGINT), 'MTL0001', 'V1', false,
+        |   CAST(NULL AS VARCHAR), true),
+        |  (71, 22, 'validated', 1, 'MTL', 504, true, 300002, 'MTL0002',
+        |   'V2', false, NULL, true),
+        |  (72, 23, 'validated', 2, 'OTT', 503, false, 300003, 'OTT0001',
+        |   'V9', false,
+        |   'Visit label V9 does not exist in Visit_Windows', true),
+        |  (73, 24, 'validated', 1, 'MTL', 501, false, 300009, 'MTL0009',
+        |   'V1', false, 'CandID does not exist', true),
+        |  (74, 25, 'validated', 1, 'MTL', 501, false, 300001, 'MTL0002',
+        |   'V1', false, 'PSCID and CandID of the image mismatch', true),
+        |  (75, 26, 'validated', 1, 'MTL', 501, false, CAST(NULL AS BIGINT),
+        |   'MTL', 'scan', true, NULL, true),
+        |  (76, 27, 'no_center_found', 0, 'UNKN', NULL,
+        |   CAST(NULL AS BOOLEAN), 999999, 'XXX9999', 'V1', false, NULL,
+        |   false),
+        |  (77, 28, 'corrupted_archive', CAST(NULL AS INTEGER),
+        |   CAST(NULL AS VARCHAR), NULL, NULL, NULL, NULL, NULL,
+        |   CAST(NULL AS BOOLEAN), NULL, false),
+        |  (78, 29, 'tarchive_id_mismatch', NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL, false),
+        |  (79, CAST(NULL AS BIGINT), 'tarchive_not_found', NULL, NULL,
+        |   NULL, NULL, NULL, NULL, NULL, NULL, NULL, false),
+        |  (80, 30, 'multiple_tarchives', NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL, false)
+        |) AS t(upload_id, tarchive_id, status, center_id, mri_alias,
+        |       scanner_id, scanner_is_new, cand_id, pscid, visit_label,
+        |       is_phantom, cand_mismatch_error, is_tarchive_validated)""".stripMargin,
+
     // pinned-fixture twin of the composed loader: the study archive holds
     // one study, series 2, echoes 25.5 (2 files) and 50.0 (1 file); the
     // TE-range protocols route them to scan types 301/302
