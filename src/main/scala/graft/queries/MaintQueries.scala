@@ -210,6 +210,41 @@ object MaintQueries {
       Maintenance.dicomFileSelection(tarchive, session, candidate, files,
         scanTypes, series, tfiles,
         namePatterns = Seq("AAA%"), typePatterns = Seq("t1%"))
+    },
+
+    // updateHeaders.pl -series 2 -set: PatientName MODIFIED in place,
+    // InstitutionName INSERTED (tag absent in the fixture), series 3
+    // untouched, the stray text member carried through — all read back
+    // from the REBUILT archive (write → tar → gzip → tar → parse)
+    "q136_update_headers" -> { (s, _) =>
+      import graft.sources.{SyntheticFixtures, TarSink}
+      val dir = graft.sources.SyntheticFixtures.freshDir("q136")
+      def slice(series: Int, instance: Int): Array[Byte] =
+        SyntheticFixtures.dicomBytes(Seq(
+          SyntheticFixtures.dicomElem(0x0008, 0x0020, "DA", "20240102"),
+          SyntheticFixtures.dicomElem(0x0008, 0x0060, "CS", "MR"),
+          SyntheticFixtures.dicomElem(0x0010, 0x0010, "PN", "SUB^ONE"),
+          SyntheticFixtures.dicomElem(0x0010, 0x0020, "LO", "SUB001"),
+          SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", "1.2.3.9000"),
+          SyntheticFixtures.dicomElem(0x0020, 0x000E, "UI",
+            s"1.2.3.9000.$series"),
+          SyntheticFixtures.dicomElem(0x0020, 0x0011, "IS", series.toString),
+          SyntheticFixtures.dicomElem(0x0020, 0x0013, "IS",
+            instance.toString)))
+      val inner = TarSink.tarBytes(Seq(
+        "study/" -> Array.emptyByteArray,
+        "study/001.dcm" -> slice(2, 1),
+        "study/002.dcm" -> slice(2, 2),
+        "study/003.dcm" -> slice(3, 1)))
+      val outer = TarSink.tarBytes(Seq(
+        "upload/notes.txt" -> "operator log".getBytes("US-ASCII"),
+        "upload/study.tar.gz" -> TarSink.gzipBytes(inner)))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "DCM_q136.tar"), outer)
+      graft.operators.HeaderUpdater.reparse(
+        graft.operators.HeaderUpdater.updateArchives(s, dir,
+          sets = Seq("PatientName" -> "FOO^BAR", "(0008,0080)" -> "BIC"),
+          targetSeries = Some(2), glob = "*.tar"))
     }
   )
 
@@ -307,6 +342,14 @@ object MaintQueries {
         |   'IM-0001.dcm', 'm1', '111111/V1/2024-01-05/t1w_001_t1 mprage'),
         |  (10, 'assembly/1/AAA001_111111_V1_t1w_001.mnc', 'IM-0002.dcm',
         |   'm2', '111111/V1/2024-01-05/t1w_001_t1 mprage')
-        |) AS t(tarchive_id, minc_file, dicom_file, md5sum, out_dir)""".stripMargin
+        |) AS t(tarchive_id, minc_file, dicom_file, md5sum, out_dir)""".stripMargin,
+
+    "q136_update_headers" ->
+      """SELECT * FROM (VALUES
+        |  ('study/001.dcm', '2', 'FOO^BAR', 'SUB001', 'BIC'),
+        |  ('study/002.dcm', '2', 'FOO^BAR', 'SUB001', 'BIC'),
+        |  ('study/003.dcm', '3', 'SUB^ONE', 'SUB001', CAST(NULL AS VARCHAR))
+        |) AS t(member_path, series_number, patient_name, patient_id,
+        |       institution)""".stripMargin
   )
 }

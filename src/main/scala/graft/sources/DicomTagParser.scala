@@ -140,6 +140,11 @@ object DicomTagParser {
     }
   }
 
+  /** Structural sequence skip, shared with [[DicomTagWriter]]. */
+  private[sources] def skipUndefined(b: Array[Byte], pos: Int,
+                                     explicitVr: Boolean): Int =
+    skipUndefinedSequence(b, pos, explicitVr)
+
   /** Parse the wanted tags; null when the DICM magic is absent (caller
     * records the file as non-DICOM, like the reference's `$fileIsDicom`). */
   def parse(b: Array[Byte]): Map[String, String] = {
