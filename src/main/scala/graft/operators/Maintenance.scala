@@ -316,6 +316,88 @@ object Maintenance {
   }
 
   // -------------------------------------------------------------------
+  // mass_pic.pl / mass_nii.pl
+  // -------------------------------------------------------------------
+
+  /** QC-pic backfill selection + naming — `uploadNeuroDB/mass_pic.pl:141-192`
+    * + `MRI.pm make_pics`. The reference materializes a TEMPORARY TABLE of
+    * existing `check_pic_filename` rows and LEFT-OUTER-joins it; here the
+    * same shape is one anti-join. The `mincpik | convert` render is an
+    * external MINC tool (out of scope, like the SNR estimator); the
+    * operator owns the selection, the naming convention
+    * (`<base>_<FileID>_check.jpg` under `pic/<CandID>/`) and the caption
+    * text (`CandID.Visit_label.ScanType`) burned into the image.
+    *
+    * Inputs: files(FileID, SessionID, MriScanTypeID, File, FileType);
+    * params(FileID, Name, Value) EAV; sessions(ID, CandidateID,
+    * Visit_label); candidates(ID, CandID); scanTypes(MriScanTypeID,
+    * MriScanTypeName). */
+  def massPicBackfill(files: DataFrame, params: DataFrame,
+                      sessions: DataFrame, candidates: DataFrame,
+                      scanTypes: DataFrame,
+                      minFileId: Option[Long] = None,
+                      maxFileId: Option[Long] = None): DataFrame = {
+    val existing = params
+      .filter(col("Name") === "check_pic_filename" && col("Value").isNotNull)
+      .select(col("FileID"))
+    val ranged = Seq(
+      minFileId.map(v => col("FileID") >= v),
+      maxFileId.map(v => col("FileID") <= v)).flatten
+      .foldLeft(files.filter(col("FileType") === "mnc"))(_ filter _)
+    val base = regexp_replace(element_at(split(col("File"), "/"), -1),
+      "\\.mnc(\\.gz)?$", "")
+    ranged.join(existing, Seq("FileID"), "left_anti")
+      .join(broadcast(sessions.select(col("ID").as("SessionID"),
+        col("CandidateID"), col("Visit_label"))), Seq("SessionID"))
+      .join(broadcast(candidates.select(col("ID").as("CandidateID"),
+        col("CandID"))), Seq("CandidateID"))
+      .join(broadcast(scanTypes), Seq("MriScanTypeID"))
+      .select(
+        col("FileID").as("file_id"),
+        col("CandID").as("cand_id"),
+        col("Visit_label").as("visit_label"),
+        col("MriScanTypeName").as("scan_type"),
+        concat(base, lit("_"), col("FileID"), lit("_check.jpg"))
+          .as("pic_basename"),
+        concat(col("CandID"), lit("/"), base, lit("_"), col("FileID"),
+          lit("_check.jpg")).as("check_pic_filename"),
+        concat_ws(".", col("CandID"), col("Visit_label"),
+          col("MriScanTypeName")).as("caption"))
+  }
+
+  /** NIfTI backfill selection + parameter rows —
+    * `uploadNeuroDB/mass_nii.pl:160-207` + `MRI.pm make_nii`. MINC files
+    * with no `check_nii_filename` parameter get `s/mnc$/nii/` + `.gz`
+    * names; the DWI sidecar parameters reuse [[dwiBvalBvec]]'s gates
+    * (`check_bval_filename`/`check_bvec_filename` only when the
+    * respective content gate passed — the same Perl truthiness ladder).
+    * The `mnc2nii` conversion itself is the external tool boundary. */
+  def massNiiBackfill(files: DataFrame, params: DataFrame,
+                      minFileId: Option[Long] = None,
+                      maxFileId: Option[Long] = None): DataFrame = {
+    val existing = params
+      .filter(col("Name") === "check_nii_filename" && col("Value").isNotNull)
+      .select(col("FileID"))
+    val ranged = Seq(
+      minFileId.map(v => col("FileID") >= v),
+      maxFileId.map(v => col("FileID") <= v)).flatten
+      .foldLeft(files.filter(col("FileType") === "mnc"))(_ filter _)
+    val candidates = ranged.join(existing, Seq("FileID"), "left_anti")
+    val sidecars = dwiBvalBvec(
+      candidates.select(col("FileID"), col("File")), params)
+      .select(col("file_id").as("FileID"),
+        col("bval_filename"), col("bvec_filename"))
+    candidates
+      .join(sidecars, Seq("FileID"), "left")
+      .select(
+        col("FileID").as("file_id"), col("File").as("file"),
+        concat(regexp_replace(col("File"), "mnc$", "nii"), lit(".gz"))
+          .as("check_nii_filename"),
+        col("bval_filename").as("check_bval_filename"),
+        col("bvec_filename").as("check_bvec_filename"))
+  }
+
+  // -------------------------------------------------------------------
   // seriesuid2fileid.pl
   // -------------------------------------------------------------------
 
@@ -404,6 +486,97 @@ object Maintenance {
             .contains("localizer"), "exclude")
           .otherwise("").as("file_id"),
         coalesce(base(col("File")), lit("")).as("file_name"))
+  }
+
+  // -------------------------------------------------------------------
+  // gzip_nifti_files.pl / remove_jiv_data_from_db_and_filesystem.pl /
+  // ProdToConfig.pl
+  // -------------------------------------------------------------------
+
+  /** NIfTI gzip path updates — `tools/gzip_nifti_files.pl:136-207`.
+    *
+    * The reference updates `parameter_file` BY VALUE
+    * (`UPDATE ... SET Value=? WHERE Value=?`) — every row sharing the
+    * same path flips together, not just the row that was iterated. Kept:
+    * the update plan is keyed on the old value, and the output emits one
+    * row per PARAMETER ROW so the fan-out is visible.
+    *
+    * Actions: `already_gzipped` (`.nii.gz$` skip), `missing_on_fs`
+    * (warn-and-skip), `gzipped` (new value = old + ".gz"; the gzip itself
+    * is the one external effect, same boundary as mass_nii's mnc2nii).
+    *
+    * Inputs: params(FileID, Name, Value); fsFiles(path) — data-dir
+    * relative paths present on disk. */
+  def gzipNiftiUpdates(params: DataFrame, fsFiles: DataFrame): DataFrame = {
+    val nii = params.filter(col("Name") === "check_nii_filename")
+      .select(col("FileID"), col("Value"))
+    val onDisk = fsFiles.select(col("path")).distinct()
+      .withColumn("__fs", lit(true))
+    nii.join(onDisk, col("Value") === col("path"), "left")
+      .select(
+        col("FileID").as("file_id"), col("Value").as("value"),
+        when(col("Value").rlike(".nii.gz$"), lit(null).cast("string"))
+          .when(col("__fs").isNull, lit(null).cast("string"))
+          .otherwise(concat(col("Value"), lit(".gz"))).as("new_value"),
+        when(col("Value").rlike(".nii.gz$"), "already_gzipped")
+          .when(col("__fs").isNull, "missing_on_fs")
+          .otherwise("gzipped").as("action"))
+  }
+
+  /** JIV purge footprint —
+    * `tools/remove_jiv_data_from_db_and_filesystem.pl:125-160`: the
+    * `jiv_path` parameter type's rows are deleted from `parameter_file`,
+    * then the type itself from `parameter_type`. Empty output when no
+    * `jiv_path` type exists (the script's early successful exit). The
+    * first-fetched row is pinned to the lowest ParameterTypeID. */
+  def removeJivFootprint(paramType: DataFrame,
+                         paramFile: DataFrame): DataFrame = {
+    val jiv = paramType.filter(col("Name") === "jiv_path")
+      .agg(min(col("ParameterTypeID")).as("__pt"))
+      .filter(col("__pt").isNotNull)
+    val fileRows = paramFile.join(broadcast(jiv),
+        col("ParameterTypeID") === col("__pt"), "left_semi")
+      .agg(count(lit(1)).as("n_deleted"))
+      .select(lit("parameter_file").as("table_name"), col("n_deleted"))
+    val typeRows = jiv
+      .select(lit("parameter_type").as("table_name"),
+        lit(1L).as("n_deleted"))
+    fileRows.join(broadcast(jiv.select(lit(true).as("__exists"))),
+        lit(true), "left_semi")
+      .unionByName(typeRows)
+  }
+
+  /** Prod-profile → Config migration — `tools/ProdToConfig.pl:134-186`.
+    *
+    * Quirks kept: `if_sge` is renamed to `is_qsub`, and a defined
+    * `is_qsub` prod setting OVERRIDES `if_sge` (`:122-127`); settings
+    * with no value in the profile keep the fresh-install default
+    * (`kept_default`); a name with no ConfigSettings row updates nothing
+    * (`no_config_row` — the reference's subquery matches zero rows
+    * silently).
+    *
+    * Inputs: prodSettings(name, value nullable);
+    * configSettings(ID, Name); config(ConfigID, Value). */
+  def prodToConfig(prodSettings: DataFrame, configSettings: DataFrame,
+                   config: DataFrame): DataFrame = {
+    val renamed = prodSettings
+      .withColumn("__final",
+        when(col("name") === "if_sge", "is_qsub").otherwise(col("name")))
+      .withColumn("__prec", when(col("name") === "is_qsub", 1).otherwise(0))
+      .groupBy(col("__final").as("config_name"))
+      .agg(max_by(col("value"), col("__prec")).as("prod_value"))
+    renamed
+      .join(broadcast(configSettings.select(col("ID").as("__cid"),
+        col("Name").as("config_name"))), Seq("config_name"), "left")
+      .join(broadcast(config.select(col("ConfigID").as("__cid"),
+        col("Value").as("old_value"))), Seq("__cid"), "left")
+      .select(col("config_name"), col("old_value"),
+        when(col("__cid").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("prod_value"), col("old_value")))
+          .as("new_value"),
+        when(col("__cid").isNull, "no_config_row")
+          .when(col("prod_value").isNull, "kept_default")
+          .otherwise("updated").as("action"))
   }
 
   // -------------------------------------------------------------------

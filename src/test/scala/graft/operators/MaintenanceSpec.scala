@@ -118,4 +118,66 @@ class MaintenanceSpec extends SparkSpec {
     assert(rows(0).getAs[String]("out_dir") ===
       "PS1_42/V9/2020-10-10/t2w_007_t2 ax")
   }
+
+  test("massPicBackfill honors the FileID range options") {
+    val files = Seq(
+      (1L, 41L, 301, "a/t1_a.mnc", "mnc"),
+      (2L, 41L, 301, "a/t1_b.mnc", "mnc"),
+      (3L, 41L, 301, "a/t1_c.mnc", "mnc"))
+      .toDF("FileID", "SessionID", "MriScanTypeID", "File", "FileType")
+    val params = Seq.empty[(Long, String, String)]
+      .toDF("FileID", "Name", "Value")
+    val sess = Seq((41L, 11L, "V1")).toDF("ID", "CandidateID", "Visit_label")
+    val cand = Seq((11L, 300001L)).toDF("ID", "CandID")
+    val st = Seq((301, "t1w")).toDF("MriScanTypeID", "MriScanTypeName")
+    val out = Maintenance.massPicBackfill(files, params, sess, cand, st,
+      minFileId = Some(2L), maxFileId = Some(2L)).collect()
+    assert(out.map(_.getAs[Long]("file_id")).toSeq === Seq(2L))
+    assert(out(0).getAs[String]("check_pic_filename") ===
+      "300001/t1_b_2_check.jpg")
+  }
+
+  test("massNiiBackfill: '0' direction blocks bvec while bval writes") {
+    val files = Seq((1L, "a/dwi.mnc", "mnc")).toDF("FileID", "File",
+      "FileType")
+    val params = Seq(
+      (1L, "acquisition:bvalues", "0. 500."),
+      (1L, "acquisition:direction_x", "0"),
+      (1L, "acquisition:direction_y", "1"),
+      (1L, "acquisition:direction_z", "1"))
+      .toDF("FileID", "Name", "Value")
+    val r = Maintenance.massNiiBackfill(files, params).collect()(0)
+    assert(r.getAs[String]("check_nii_filename") === "a/dwi.nii.gz")
+    assert(r.getAs[String]("check_bval_filename") === "a/dwi.bval")
+    assert(r.getAs[String]("check_bvec_filename") === null)
+  }
+
+  test("removeJivFootprint is EMPTY when no jiv_path type exists") {
+    val pt = Seq((902L, "check_pic_filename"))
+      .toDF("ParameterTypeID", "Name")
+    val pf = Seq((1L, 902L, "x")).toDF("FileID", "ParameterTypeID", "Value")
+    assert(Maintenance.removeJivFootprint(pt, pf).count() === 0L)
+  }
+
+  test("removeJivFootprint reports 0 file rows but still drops the type") {
+    val pt = Seq((901L, "jiv_path")).toDF("ParameterTypeID", "Name")
+    val pf = Seq((1L, 902L, "x")).toDF("FileID", "ParameterTypeID", "Value")
+    val out = Maintenance.removeJivFootprint(pt, pf)
+      .orderBy("table_name").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("parameter_file", 0L), ("parameter_type", 1L)))
+  }
+
+  test("prodToConfig: if_sge renames to is_qsub; is_qsub wins when both") {
+    val prod = Seq(("if_sge", Some("sge-val"))).toDF("name", "value")
+    val cs = Seq((13L, "is_qsub")).toDF("ID", "Name")
+    val cfg = Seq((13L, "default")).toDF("ConfigID", "Value")
+    val solo = Maintenance.prodToConfig(prod, cs, cfg).collect()(0)
+    assert(solo.getAs[String]("config_name") === "is_qsub")
+    assert(solo.getAs[String]("new_value") === "sge-val")
+    val both = Seq(("if_sge", Some("sge-val")), ("is_qsub", Some("qsub-val")))
+      .toDF("name", "value")
+    val r = Maintenance.prodToConfig(both, cs, cfg).collect()(0)
+    assert(r.getAs[String]("new_value") === "qsub-val")
+  }
 }
