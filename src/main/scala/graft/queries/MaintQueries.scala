@@ -245,8 +245,308 @@ object MaintQueries {
         graft.operators.HeaderUpdater.updateArchives(s, dir,
           sets = Seq("PatientName" -> "FOO^BAR", "(0008,0080)" -> "BIC"),
           targetSeries = Some(2), glob = "*.tar"))
+    },
+
+    // run_defacing_script.pl plan: image_type-gated selection (special
+    // fieldmap LIKE filter drops the phase image), the Perl STRING-sort
+    // t1 reference pick (FileID 1001 beats 999), whole-session skip when
+    // a '-defaced' file exists, no-t1 fail-closed, register_processed
+    // -ready rows
+    "q137_defacing_plan" -> { (s, _) =>
+      import s.implicits._
+      val scanTypes = Seq((301, "t1w"), (302, "flair"), (303, "fieldmap"),
+        (304, "t2w"), (305, "t1w-defaced"))
+        .toDF("MriScanTypeID", "MriScanTypeName")
+      val paramType = Seq((901, "acquisition:image_type"),
+        (902, "other_param")).toDF("ParameterTypeID", "Name")
+      val sessions = Seq((41L, 11L, "V1"), (42L, 11L, "V2"),
+        (43L, 12L, "V1")).toDF("ID", "CandidateID", "Visit_label")
+      val candidates = Seq((11L, 300001L), (12L, 300002L))
+        .toDF("ID", "CandID")
+      val files = Seq(
+        (999L, 41L, 301, "assembly/c1/V1/mri/c1_V1_t1w_001.mnc"),
+        (1001L, 41L, 301, "assembly/c1/V1/mri/c1_V1_t1w_002.mnc"),
+        (1003L, 41L, 302, "assembly/c1/V1/mri/c1_V1_flair_001.mnc"),
+        (1004L, 41L, 303, "assembly/c1/V1/mri/c1_V1_fieldmap_001.mnc"),
+        (1005L, 41L, 303, "assembly/c1/V1/mri/c1_V1_fieldmap_002.mnc"),
+        (1006L, 41L, 304, "assembly/c1/V1/mri/c1_V1_t2w_001.mnc"),
+        (2001L, 42L, 301, "assembly/c1/V2/mri/c1_V2_t1w_001.mnc"),
+        (2999L, 42L, 305, "assembly/c1/V2/mri/c1_V2_t1w_001_defaced.mnc"),
+        (3001L, 43L, 302, "assembly/c2/V1/mri/c2_V1_flair_001.mnc"))
+        .toDF("FileID", "SessionID", "MriScanTypeID", "File")
+      val paramFile = Seq(
+        (999L, 901, "ORIGINAL PRIMARY M ND"),
+        (1001L, 901, "ORIGINAL PRIMARY M ND"),
+        (1003L, 901, "ORIGINAL PRIMARY M ND"),
+        (1004L, 901, "ORIGINAL PRIMARY M ND"),
+        (1005L, 901, "ORIGINAL PRIMARY P ND"),
+        (1006L, 901, "ORIGINAL PRIMARY M ND"),
+        (2001L, 901, "ORIGINAL PRIMARY M ND"),
+        (3001L, 901, "ORIGINAL PRIMARY M ND"),
+        (1003L, 902, "unrelated"))
+        .toDF("FileID", "ParameterTypeID", "Value")
+      val selected = graft.operators.Defacing.selectFiles(files, scanTypes,
+        paramFile, paramType,
+        modalities = Seq("t1w", "flair", "fieldmap"),
+        specialFilters = Map("fieldmap" -> "%PRIMARY M ND"))
+      graft.operators.Defacing.planDefacing(selected, files, scanTypes,
+        sessions, candidates)
+    },
+
+    // mass_pic.pl backfill: anti-join selection (a NULL-valued pic
+    // parameter still selects — the temp table excludes NULL Values),
+    // the `.mnc(.gz)?` base strip, `<base>_<FileID>_check.jpg` naming
+    // under pic/<CandID>/, and the burned-in caption
+    "q138_mass_pic" -> { (s, _) =>
+      import s.implicits._
+      val scanTypes = Seq((301, "t1w"), (302, "flair"))
+        .toDF("MriScanTypeID", "MriScanTypeName")
+      val sessions = Seq((41L, 11L, "V1"), (42L, 12L, "V2"))
+        .toDF("ID", "CandidateID", "Visit_label")
+      val candidates = Seq((11L, 300001L), (12L, 300002L))
+        .toDF("ID", "CandID")
+      val files = Seq(
+        (1001L, 41L, 301, "assembly/c1/t1_001.mnc", "mnc"),
+        (1002L, 41L, 302, "assembly/c1/flair_001.mnc.gz", "mnc"),
+        (1003L, 42L, 301, "assembly/c2/t1_001.mnc", "mnc"),
+        (1004L, 41L, 301, "assembly/c1/t1_002.xml", "xml"),
+        (1005L, 42L, 301, "assembly/c2/t1_003.mnc", "mnc"))
+        .toDF("FileID", "SessionID", "MriScanTypeID", "File", "FileType")
+      val params = Seq(
+        (1003L, "check_pic_filename", Some("300002/x.jpg")),
+        (1005L, "check_pic_filename", None),
+        (1001L, "other_param", Some("z")))
+        .toDF("FileID", "Name", "Value")
+      Maintenance.massPicBackfill(files, params, sessions, candidates,
+        scanTypes)
+    },
+
+    // mass_nii.pl backfill: s/mnc$/nii/ + .gz naming, DWI sidecar
+    // parameters riding the q130 truthiness gates, non-mnc and
+    // already-converted files excluded
+    "q139_mass_nii" -> { (s, _) =>
+      import s.implicits._
+      val files = Seq(
+        (2001L, "a/dwi25.mnc", "mnc"),
+        (2002L, "a/t1.mnc", "mnc"),
+        (2003L, "a/has_nii.mnc", "mnc"),
+        (2004L, "a/doc.pdf", "pdf"))
+        .toDF("FileID", "File", "FileType")
+      val params = Seq(
+        (2001L, "acquisition:bvalues", "0. 1000."),
+        (2001L, "acquisition:direction_x", "0.1"),
+        (2001L, "acquisition:direction_y", "0.2"),
+        (2001L, "acquisition:direction_z", "0.3"),
+        (2003L, "check_nii_filename", "a/has_nii.nii.gz"))
+        .toDF("FileID", "Name", "Value")
+      Maintenance.massNiiBackfill(files, params)
+    },
+
+    // gzip_nifti_files.pl: .nii.gz skip, missing-on-fs warn, and the
+    // BY-VALUE update quirk — rows 3004/3005 share one path and flip
+    // together
+    "q140_gzip_nifti" -> { (s, _) =>
+      import s.implicits._
+      val params = Seq(
+        (3001L, "check_nii_filename", "a/t1.nii"),
+        (3002L, "check_nii_filename", "a/flair.nii.gz"),
+        (3003L, "check_nii_filename", "a/gone.nii"),
+        (3004L, "check_nii_filename", "a/shared.nii"),
+        (3005L, "check_nii_filename", "a/shared.nii"),
+        (3006L, "other_param", "a/t1.nii"))
+        .toDF("FileID", "Name", "Value")
+      val fs = Seq("a/t1.nii", "a/shared.nii", "a/flair.nii.gz")
+        .toDF("path")
+      Maintenance.gzipNiftiUpdates(params, fs)
+    },
+
+    // remove_jiv_data_from_db_and_filesystem.pl: per-table deletion
+    // footprint keyed on the jiv_path parameter type
+    "q141_remove_jiv" -> { (s, _) =>
+      import s.implicits._
+      val paramType = Seq((901L, "jiv_path"), (902L, "check_pic_filename"))
+        .toDF("ParameterTypeID", "Name")
+      val paramFile = Seq(
+        (1L, 901L, "jiv/a"), (2L, 901L, "jiv/b"), (3L, 902L, "pic/c"))
+        .toDF("FileID", "ParameterTypeID", "Value")
+      Maintenance.removeJivFootprint(paramType, paramFile)
+    },
+
+    // ProdToConfig.pl: updated vs kept-default vs no-config-row, and the
+    // if_sge→is_qsub rename with is_qsub overriding
+    "q142_prod_to_config" -> { (s, _) =>
+      import s.implicits._
+      val prod = Seq(
+        ("dataDirBasepath", Some("/data/project")),
+        ("prefix", None),
+        ("if_sge", Some("0")),
+        ("is_qsub", Some("1")),
+        ("niak_path", Some("/opt/niak")))
+        .toDF("name", "value")
+      val configSettings = Seq(
+        (11L, "dataDirBasepath"), (12L, "prefix"), (13L, "is_qsub"))
+        .toDF("ID", "Name")
+      val config = Seq(
+        (11L, "/data/default"), (12L, "loris-"), (13L, "0"))
+        .toDF("ConfigID", "Value")
+      Maintenance.prodToConfig(prod, configSettings, config)
+    },
+
+    // delete_physiological_file.py cascade footprint: the sequential-state
+    // quirks are all exercised — electrode-held point 74 SURVIVES the
+    // sweep (electrodes delete later), the file's own coord system 51
+    // survives (electrode_rel deletes later — the two-run quirk), orphan
+    // coord 53 and pre-existing orphan point 76 are swept, shared point
+    // 73 and the other file's rows are untouched
+    "q143_physio_delete" -> { (s, _) =>
+      import s.implicits._
+      val tables = Map(
+        "physiological_file" ->
+          Seq(100L, 200L).toDF("PhysiologicalFileID"),
+        "physiological_event_file" ->
+          Seq((11L, 100L), (12L, 200L))
+            .toDF("EventFileID", "PhysiologicalFileID"),
+        "physiological_event_parameter" ->
+          Seq((21L, 11L), (22L, 12L))
+            .toDF("EventParameterID", "EventFileID"),
+        "physiological_event_parameter_category_level" ->
+          Seq((31L, 21L), (32L, 22L))
+            .toDF("CategoryLevelID", "EventParameterID"),
+        "physiological_channel" ->
+          Seq((41L, 100L), (42L, 200L))
+            .toDF("ChannelID", "PhysiologicalFileID"),
+        "physiological_coord_system_electrode_rel" ->
+          Seq((51L, 61L, 100L), (52L, 62L, 200L))
+            .toDF("PhysiologicalCoordSystemID", "PhysiologicalElectrodeID",
+              "PhysiologicalFileID"),
+        "physiological_coord_system" ->
+          Seq(51L, 52L, 53L).toDF("PhysiologicalCoordSystemID"),
+        "physiological_coord_system_point_3d_rel" ->
+          Seq((51L, 71L), (51L, 73L), (52L, 72L), (52L, 73L))
+            .toDF("PhysiologicalCoordSystemID", "Point3DID"),
+        "point_3d" ->
+          Seq(71L, 72L, 73L, 74L, 75L, 76L).toDF("Point3DID"),
+        "physiological_electrode" ->
+          Seq((61L, 74L), (62L, 75L))
+            .toDF("PhysiologicalElectrodeID", "Point3DID"),
+        "physiological_parameter_file" ->
+          Seq((81L, 100L), (82L, 200L))
+            .toDF("ParameterID", "PhysiologicalFileID"),
+        "physiological_archive" ->
+          Seq((91L, 100L)).toDF("ArchiveID", "PhysiologicalFileID"),
+        "physiological_event_archive" ->
+          Seq((95L, 100L)).toDF("EventArchiveID", "PhysiologicalFileID"),
+        "physiological_task_event" ->
+          Seq((101L, 100L), (102L, 200L))
+            .toDF("PhysiologicalTaskEventID", "PhysiologicalFileID"),
+        "physiological_task_event_opt" ->
+          Seq((111L, 101L), (112L, 102L))
+            .toDF("OptID", "PhysiologicalTaskEventID"),
+        "physiological_task_event_hed_rel" ->
+          Seq((121L, 101L)).toDF("HedRelID", "PhysiologicalTaskEventID"))
+      graft.operators.PhysioDelete.deleteFootprint(s,
+        Seq(100L).toDF("file_id"), tables)
+    },
+
+    // addSeriesAndFileRecords.pl: archive → DCMSUM collapse → tarchive
+    // binding (DicomArchiveID + ArchiveLocation LIKE %basename) →
+    // re-insertable tarchive_series records (echo splits the series, the
+    // q79/q90 collapse)
+    "q144_series_records" -> { (s, _) =>
+      seriesRecords(s)._1
+    },
+
+    // ... and the tarchive_files records: per-file rows where non-DICOM
+    // members keep md5 + name with NULL series fields
+    // (`addSeriesAndFileRecords.pl:183-202`)
+    "q145_file_records" -> { (s, _) =>
+      seriesRecords(s)._2
     }
   )
+
+  /** Shared composition for q144/q145 — the addSeriesAndFileRecords.pl
+    * vertical over a two-series fixture archive. */
+  private def seriesRecords(s: SparkSession): (DataFrame, DataFrame) = {
+    import graft.sources.{DicomSource, SyntheticFixtures, TarGzSource, TarSink}
+    import s.implicits._
+    val dir = SyntheticFixtures.freshDir("q144")
+    def slice(series: Int, desc: String, et: String, instance: Int,
+              echoNo: String): Array[Byte] =
+      SyntheticFixtures.dicomBytes(Seq(
+        SyntheticFixtures.dicomElem(0x0008, 0x0020, "DA", "20240102"),
+        SyntheticFixtures.dicomElem(0x0008, 0x0060, "CS", "MR"),
+        SyntheticFixtures.dicomElem(0x0008, 0x103E, "LO", desc),
+        SyntheticFixtures.dicomElem(0x0010, 0x0020, "LO", "SUB001"),
+        SyntheticFixtures.dicomElem(0x0018, 0x0024, "SH", "*tfl3d1"),
+        SyntheticFixtures.dicomElem(0x0018, 0x0050, "DS", "1"),
+        SyntheticFixtures.dicomElem(0x0018, 0x0080, "DS", "2300"),
+        SyntheticFixtures.dicomElem(0x0018, 0x0081, "DS", et),
+        SyntheticFixtures.dicomElem(0x0018, 0x0082, "DS", "900"),
+        SyntheticFixtures.dicomElem(0x0018, 0x0086, "IS", echoNo),
+        SyntheticFixtures.dicomElem(0x0018, 0x1312, "CS", "ROW"),
+        SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", "1.2.3.9144"),
+        SyntheticFixtures.dicomElem(0x0020, 0x000E, "UI",
+          s"1.2.3.9144.$series"),
+        SyntheticFixtures.dicomElem(0x0020, 0x0011, "IS", series.toString),
+        SyntheticFixtures.dicomElem(0x0020, 0x0013, "IS",
+          instance.toString)))
+    // the non-DICOM README sits INSIDE the DICOM dir: the reference's
+    // find() walks only $tempdir/$dcmdir, so outer-tar strays (notes.txt)
+    // are never summarized but in-dir non-DICOM files get NULL-field rows
+    val inner = TarSink.tarBytes(Seq(
+      "study/" -> Array.emptyByteArray,
+      "study/001.dcm" -> slice(2, "t1 mprage", "25.5", 1, "1"),
+      "study/002.dcm" -> slice(2, "t1 mprage", "25.5", 2, "1"),
+      "study/003.dcm" -> slice(3, "dwi b1000", "80", 1, "1"),
+      "study/README.txt" -> "scanner operator notes".getBytes("US-ASCII")))
+    val outer = TarSink.tarBytes(Seq(
+      "upload/notes.txt" -> "operator log".getBytes("US-ASCII"),
+      "upload/study.tar.gz" -> TarSink.gzipBytes(inner)))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "DCM_q144.tar"), outer)
+    val members = TarGzSource.members(s, dir, glob = "*.tar").toDF()
+      .filter(col("nested_in").isNotNull && !col("is_dir"))
+      .select(col("member_path").as("path"), col("content"))
+    val headers = DicomSource.extractHeaders(members)
+    val tarchive = Seq(
+      (77L, "1.2.3.9144", "2024/DCM_q144.tar"),
+      (78L, "1.2.3.9999", "2024/DCM_other.tar"))
+      .toDF("TarchiveID", "DicomArchiveID", "ArchiveLocation")
+    // the reference's binding: DicomArchiveID=? AND ArchiveLocation
+    // LIKE %basename (`addSeriesAndFileRecords.pl:100-116`) — one
+    // broadcast row per archive, derived from the study UID
+    val binding = broadcast(
+      headers.filter(col("is_dicom"))
+        .agg(min(col("study_uid")).as("__uid"))
+        .join(tarchive, col("DicomArchiveID") === col("__uid") &&
+          col("ArchiveLocation").endsWith("DCM_q144.tar"))
+        .select(col("TarchiveID")))
+    val seriesDf = graft.operators.DicomSummary.series(
+        headers.filter(col("is_dicom")))
+      .crossJoin(binding)
+      .select(col("TarchiveID").as("tarchive_id"),
+        col("SeriesNumber").as("series_number"),
+        col("SeriesDescription").as("series_description"),
+        col("SequenceName").as("sequence_name"),
+        col("EchoTime").as("echo_time"),
+        col("RepetitionTime").as("repetition_time"),
+        col("InversionTime").as("inversion_time"),
+        col("SliceThickness").as("slice_thickness"),
+        col("PhaseEncoding").as("phase_encoding"),
+        col("NumberOfFiles").as("number_of_files"),
+        col("SeriesUID").as("series_uid"))
+    val filesDf = headers
+      .crossJoin(binding)
+      .select(col("TarchiveID").as("tarchive_id"),
+        when(col("is_dicom"), col("series_number")).as("series_number"),
+        when(col("is_dicom"), col("instance_number")).as("file_number"),
+        when(col("is_dicom"), col("echo_number")).as("echo_number"),
+        when(col("is_dicom"), col("series_description"))
+          .as("series_description"),
+        col("md5").as("md5sum"),
+        element_at(split(col("file_path"), "/"), -1).as("file_name"))
+    (seriesDf, filesDf)
+  }
 
   val oracle: Map[String, String] = Map(
     "q127_relativize_archive" ->
@@ -350,6 +650,129 @@ object MaintQueries {
         |  ('study/002.dcm', '2', 'FOO^BAR', 'SUB001', 'BIC'),
         |  ('study/003.dcm', '3', 'SUB^ONE', 'SUB001', CAST(NULL AS VARCHAR))
         |) AS t(member_path, series_number, patient_name, patient_id,
-        |       institution)""".stripMargin
+        |       institution)""".stripMargin,
+
+    "q137_defacing_plan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(41 AS BIGINT), CAST(300001 AS BIGINT), 'V1',
+        |   CAST(999 AS BIGINT), 't1w', 'other', 'deface', 't1w-defaced',
+        |   'deface/300001/V1/c1_V1_t1w_001_defaced.mnc', 'MINC_deface',
+        |   'defaced', 'native', CAST(999 AS BIGINT)),
+        |  (41, 300001, 'V1', 1001, 't1w', 'ref', 'deface', 't1w-defaced',
+        |   'deface/300001/V1/c1_V1_t1w_002_defaced.mnc', 'MINC_deface',
+        |   'defaced', 'native', 1001),
+        |  (41, 300001, 'V1', 1003, 'flair', 'other', 'deface',
+        |   'flair-defaced', 'deface/300001/V1/c1_V1_flair_001_defaced.mnc',
+        |   'MINC_deface', 'defaced', 'native', 1003),
+        |  (41, 300001, 'V1', 1004, 'fieldmap', 'other', 'deface',
+        |   'fieldmap-defaced',
+        |   'deface/300001/V1/c1_V1_fieldmap_001_defaced.mnc',
+        |   'MINC_deface', 'defaced', 'native', 1004),
+        |  (42, 300001, 'V2', 2001, 't1w', CAST(NULL AS VARCHAR),
+        |   'skip_already_defaced', CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT)),
+        |  (43, 300002, 'V1', 3001, 'flair', NULL, 'no_t1_reference', NULL,
+        |   NULL, NULL, NULL, NULL, NULL)
+        |) AS t(session_id, cand_id, visit_label, file_id, scan_type, role,
+        |       status, defaced_scan_type, defaced_path, source_pipeline,
+        |       output_type, coordinate_space, source_file_id)""".stripMargin,
+
+    "q138_mass_pic" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1001 AS BIGINT), CAST(300001 AS BIGINT), 'V1', 't1w',
+        |   't1_001_1001_check.jpg', '300001/t1_001_1001_check.jpg',
+        |   '300001.V1.t1w'),
+        |  (1002, 300001, 'V1', 'flair', 'flair_001_1002_check.jpg',
+        |   '300001/flair_001_1002_check.jpg', '300001.V1.flair'),
+        |  (1005, 300002, 'V2', 't1w', 't1_003_1005_check.jpg',
+        |   '300002/t1_003_1005_check.jpg', '300002.V2.t1w')
+        |) AS t(file_id, cand_id, visit_label, scan_type, pic_basename,
+        |       check_pic_filename, caption)""".stripMargin,
+
+    "q139_mass_nii" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(2001 AS BIGINT), 'a/dwi25.mnc', 'a/dwi25.nii.gz',
+        |   'a/dwi25.bval', 'a/dwi25.bvec'),
+        |  (2002, 'a/t1.mnc', 'a/t1.nii.gz', CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR))
+        |) AS t(file_id, file, check_nii_filename, check_bval_filename,
+        |       check_bvec_filename)""".stripMargin,
+
+    "q140_gzip_nifti" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(3001 AS BIGINT), 'a/t1.nii', 'a/t1.nii.gz', 'gzipped'),
+        |  (3002, 'a/flair.nii.gz', CAST(NULL AS VARCHAR),
+        |   'already_gzipped'),
+        |  (3003, 'a/gone.nii', NULL, 'missing_on_fs'),
+        |  (3004, 'a/shared.nii', 'a/shared.nii.gz', 'gzipped'),
+        |  (3005, 'a/shared.nii', 'a/shared.nii.gz', 'gzipped')
+        |) AS t(file_id, value, new_value, action)""".stripMargin,
+
+    "q141_remove_jiv" ->
+      """SELECT * FROM (VALUES
+        |  ('parameter_file', CAST(2 AS BIGINT)),
+        |  ('parameter_type', CAST(1 AS BIGINT))
+        |) AS t(table_name, n_deleted)""".stripMargin,
+
+    "q142_prod_to_config" ->
+      """SELECT * FROM (VALUES
+        |  ('dataDirBasepath', '/data/default', '/data/project', 'updated'),
+        |  ('prefix', 'loris-', 'loris-', 'kept_default'),
+        |  ('is_qsub', '0', '1', 'updated'),
+        |  ('niak_path', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   'no_config_row')
+        |) AS t(config_name, old_value, new_value, action)""".stripMargin,
+
+    "q143_physio_delete" ->
+      """SELECT * FROM (VALUES
+        |  ('physiological_event_parameter_category_level',
+        |   CAST(1 AS BIGINT)),
+        |  ('physiological_event_parameter', 1),
+        |  ('physiological_channel', 1),
+        |  ('physiological_coord_system_point_3d_rel', 2),
+        |  ('point_3d', 2),
+        |  ('physiological_coord_system', 1),
+        |  ('physiological_coord_system_electrode_rel', 1),
+        |  ('physiological_electrode', 1),
+        |  ('physiological_parameter_file', 1),
+        |  ('physiological_archive', 1),
+        |  ('physiological_event_archive', 1),
+        |  ('physiological_task_event_opt', 1),
+        |  ('physiological_task_event_hed_rel', 1),
+        |  ('physiological_task_event', 1),
+        |  ('physiological_event_file', 1),
+        |  ('physiological_file', 1)
+        |) AS t(table_name, n_deleted)""".stripMargin,
+
+    "q144_series_records" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(77 AS BIGINT), 2, 't1 mprage', '*tfl3d1',
+        |   CAST(25.5 AS DOUBLE), CAST(2300.0 AS DOUBLE),
+        |   CAST(900.0 AS DOUBLE), CAST(1.0 AS DOUBLE), 'ROW', 2,
+        |   '1.2.3.9144.2'),
+        |  (77, 3, 'dwi b1000', '*tfl3d1', 80.0, 2300.0, 900.0, 1.0,
+        |   'ROW', 1, '1.2.3.9144.3')
+        |) AS t(tarchive_id, series_number, series_description,
+        |       sequence_name, echo_time, repetition_time, inversion_time,
+        |       slice_thickness, phase_encoding, number_of_files,
+        |       series_uid)""".stripMargin,
+
+    // md5 literals pinned from the deterministic fixture bytes (the
+    // builders are timestamp-free, so the hashes are stable)
+    "q145_file_records" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(77 AS BIGINT), 2, 1, 1, 't1 mprage',
+        |   '4b7c4d8cd2f9dad553aee36509684d31', '001.dcm'),
+        |  (77, 2, 2, 1, 't1 mprage',
+        |   '39b47027b83e9ca86f6cfa3b0f9b6e87', '002.dcm'),
+        |  (77, 3, 1, 1, 'dwi b1000',
+        |   'cd5bab147fe88f3efa4c90422d279242', '003.dcm'),
+        |  (77, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+        |   'da542bb513e9ec0ec15bdb76d2c44ed4', 'README.txt')
+        |) AS t(tarchive_id, series_number, file_number, echo_number,
+        |       series_description, md5sum, file_name)""".stripMargin
   )
 }
