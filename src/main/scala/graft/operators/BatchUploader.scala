@@ -82,4 +82,68 @@ object BatchUploader {
             col("full_path"))).as("command"),
         when(col("status") === "submitted", lit(user)).as("UploadedBy"))
   }
+
+  /** `uploadNeuroDB/batch_uploads_tarchive.pl:219-270` — the tarchive
+    * batch driver's line intake and command plan.
+    *
+    * Per stdin line `<ArchiveLocation> <UploadID>` (split on whitespace):
+    * the library-dir prefix is stripped with an UNANCHORED global replace
+    * (`s/$tarchiveLibraryDir//` — mid-path occurrences strip too, the
+    * q127 quirk family), and the command is converter-dispatched:
+    * `tarchiveLoader.pl` when the converter matches /dcm2mnc/i,
+    * `run_dicom_archive_loader.py` when /dcm2niix/i (case-insensitive
+    * substring, `:243-258`). Log names are `tarstdout.log<counter>` with
+    * counter = 1-based accepted-line index.
+    *
+    * Documented divergence: a line missing either field makes the SCRIPT
+    * exit MISSING_ARG on the spot, killing the remainder of the batch;
+    * set form flags the bad line (`missing_arg`) and still plans the
+    * rest — aborting a million-line batch on line 3 is the per-row
+    * mindset this library replaces.
+    *
+    * Map-side except the accepted-line ordinal (the q121 discipline).
+    */
+  def batchTarchiveCommands(lines: DataFrame, libraryDir: String,
+      profile: String, converter: String, isQsub: Boolean,
+      dataDir: String): DataFrame = {
+    val dir = libraryDir.stripSuffix("/")
+    val parts = split(trim(col("line")), "\\s+")
+    val parsed = lines
+      .withColumn("__arch0", get(parts, lit(0))) // null OOB under ANSI
+      .withColumn("__arch", regexp_replace(
+        regexp_replace(col("__arch0"), java.util.regex.Pattern.quote(dir + "/"), ""),
+        java.util.regex.Pattern.quote(dir), ""))
+      .withColumn("__uid", get(parts, lit(1)))
+      .withColumn("status",
+        when(col("__arch").isNull || col("__arch") === "" ||
+          col("__uid").isNull || col("__uid") === "", "missing_arg")
+          .otherwise("submitted"))
+    val counted = graft.functions.Ordinals.withGlobalOrdinal(
+      parsed.filter(col("status") === "submitted"),
+      Seq(col("line_no")), "__ctr")
+      .unionByName(parsed.filter(col("status") =!= "submitted")
+        .withColumn("__ctr", lit(null).cast("long")))
+    val tarchivePath = concat(lit(dir + "/"), col("__arch"))
+    val command =
+      if (converter.toLowerCase.contains("dcm2mnc"))
+        concat(lit(s"tarchiveLoader.pl -profile $profile -uploadID "),
+          col("__uid"), lit(" "), tarchivePath)
+      else if (converter.toLowerCase.contains("dcm2niix"))
+        concat(lit("run_dicom_archive_loader.py -p python_config -t "),
+          tarchivePath)
+      else lit(null).cast("string")
+    counted.select(
+      col("line_no"),
+      col("__arch").as("archive_location"),
+      col("__uid").as("upload_id"),
+      col("status"),
+      when(col("status") === "submitted", command).as("command"),
+      when(col("status") === "submitted",
+        concat(lit(s"$dataDir/batch_output/tarstdout.log"), col("__ctr")))
+        .as("stdout_log"),
+      when(col("status") === "submitted",
+        concat(lit(s"$dataDir/batch_output/tarstderr.log"), col("__ctr")))
+        .as("stderr_log"),
+      when(col("status") === "submitted", lit(isQsub)).as("queued_via_qsub"))
+  }
 }

@@ -866,6 +866,173 @@ object IngestQueries {
       graft.operators.TarchiveValidation.validateUploads(
         uploads, tarchive, fsMd5, psc, sessions, candidates, visitWindows,
         scanners)
+    },
+
+    // extract_eeg_bids_archive.py: per-upload BIDS-structure walk over
+    // REAL archives — ses- discovery, the sub-.+$ session-relative
+    // capture, per-modality rows, .set/.fdt rewrite counts, and the two
+    // failure branches (ses- outside a sub- tree; no ses- at all)
+    "q146_eeg_extract_plan" -> { (s, _) =>
+      import s.implicits._
+      import graft.sources.TarSink
+      val dir = SyntheticFixtures.freshDir("q146")
+      def targz(entries: Seq[(String, Array[Byte])]): Array[Byte] =
+        TarSink.gzipBytes(TarSink.tarBytes(entries))
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+      val b = "x".getBytes("US-ASCII")
+      put("eeg_arch1.tar.gz", targz(Seq(
+        "bids/" -> Array.emptyByteArray,
+        "bids/sub-300001/" -> Array.emptyByteArray,
+        "bids/sub-300001/ses-V1/" -> Array.emptyByteArray,
+        "bids/sub-300001/ses-V1/eeg/" -> Array.emptyByteArray,
+        "bids/sub-300001/ses-V1/eeg/rec.set" -> b,
+        "bids/sub-300001/ses-V1/eeg/rec.fdt" -> b,
+        "bids/sub-300001/ses-V1/eeg/solo.set" -> b,
+        "bids/sub-300001/ses-V1/beh/" -> Array.emptyByteArray,
+        "bids/sub-300001/ses-V1/beh/task.tsv" -> b)))
+      put("eeg_arch2.tar.gz", targz(Seq(
+        "ses-V1/" -> Array.emptyByteArray,
+        "ses-V1/eeg/" -> Array.emptyByteArray,
+        "ses-V1/eeg/rec.set" -> b)))
+      put("eeg_arch3.tar.gz", targz(Seq(
+        "data/" -> Array.emptyByteArray,
+        "data/readme.txt" -> b)))
+      val uploads = Seq(
+        (501L, "eeg_arch1.tar.gz", "Not Started"),
+        (502L, "eeg_arch2.tar.gz", "Not Started"),
+        (503L, "eeg_arch3.tar.gz", "Not Started"),
+        (504L, "eeg_arch1.tar.gz", "Extracted"))
+        .toDF("UploadID", "UploadLocation", "Status")
+      val members = TarGzSource.members(s, dir, glob = "*.tar.gz").toDF()
+      graft.operators.EegBidsUploads.planExtraction(uploads, members)
+    },
+
+    // ingest_eeg_bids_datasets.py: subject resolution (sub-<CandID>
+    // exact, then sub-<PSCID> case-insensitive), visit-dir gate,
+    // previous-upload purge counts, and the status ladder
+    "q147_eeg_ingest_plan" -> { (s, _) =>
+      import s.implicits._
+      val uploads = Seq(
+        (601L, 41L, "Extracted"), (602L, 42L, "Extracted"),
+        (603L, 43L, "Extracted"), (604L, 44L, "Extracted"),
+        (605L, 45L, "Extracted"), (606L, 41L, "Complete"))
+        .toDF("UploadID", "SessionID", "Status")
+      val sessions = Seq((41L, 11L, "V1"), (42L, 12L, "V1"),
+        (43L, 13L, "V9"), (45L, 15L, "V1"))
+        .toDF("ID", "CandidateID", "Visit_label")
+      val candidates = Seq(
+        (11L, 300001L, "AAA001"), (12L, 300002L, "ABC001"),
+        (13L, 300003L, "AAC001"), (15L, 300005L, "ZZZ001"))
+        .toDF("ID", "CandID", "PSCID")
+      val bidsDirs = Seq("sub-300001/ses-V1/eeg", "sub-abc001/ses-V1/eeg",
+        "sub-AAC001/ses-V2/eeg").toDF("dir_path")
+      val physio = Seq((9001L, 41L), (9002L, 41L), (9003L, 42L))
+        .toDF("PhysiologicalFileID", "SessionID")
+      graft.operators.EegBidsUploads.planIngestion(uploads, sessions,
+        candidates, bidsDirs, physio)
+    },
+
+    // batch_uploads_tarchive.pl: whitespace line split, unanchored
+    // library-dir strip, converter dispatch (dcm2mnc → tarchiveLoader),
+    // counter-indexed log names, missing-arg flags
+    "q148_batch_tarchive" -> { (s, _) =>
+      import s.implicits._
+      val lines = Seq(
+        (1L, "/t/2024/DCM_A.tar 70"),
+        (2L, "2024/DCM_B.tar 71"),
+        (3L, "DCM_C.tar"),
+        (4L, "  2024/DCM_D.tar   72  "))
+        .toDF("line_no", "line")
+      graft.operators.BatchUploader.batchTarchiveCommands(lines,
+        libraryDir = "/t", profile = "prod", converter = "dcm2mnc v2.0",
+        isQsub = false, dataDir = "/data/p")
+    },
+
+    // tarchiveLoader.pl completion: the accumulate-vs-overwrite counter
+    // quirk, the CI year-dir move gate (moves happen even for studies
+    // later deemed invalid), session linking with the create-vs-get
+    // failure split, and the final-logfile naming ladder
+    "q149_loader_completion" -> { (s, _) =>
+      import s.implicits._
+      val uploads = Seq(
+        (70L, 21L, "/t/inbox/DCM_A.tar", Some("2024-03-05"),
+          Some("300001"), "MTL0001", false, "MTL", "tmp1", 5L, 4L,
+          Some(2L), Some(901L), false),
+        (71L, 22L, "/t/2023/DCM_B.tar", Some("2023-04-01"),
+          Some("300002"), "MTL0002", false, "MTL", "tmp2", 3L, 3L,
+          None, Some(902L), false),
+        (72L, 23L, "/t/inbox/DCM_C.tar", Some("2024-05-01"),
+          Some("300003"), "MTL0003", false, "MTL", "tmp3", 0L, 0L,
+          None, Some(903L), false),
+        (73L, 24L, "/t/inbox/DCM_D.tar", Some("2024-05-02"),
+          Some("300004"), "MTL0004", false, "MTL", "tmp4", 4L, 0L,
+          None, Some(904L), false),
+        (74L, 25L, "/t/inbox/DCM_E.tar", Some("2024-06-01"),
+          Some("300005"), "MTL0005", false, "MTL", "tmp5", 2L, 2L,
+          None, None, true),
+        (75L, 26L, "/t/inbox/DCM_F.tar", None, Some("300006"),
+          "MTL0006", false, "MTL", "tmp6", 2L, 1L, None, Some(905L),
+          false),
+        (76L, 27L, "/t/inbox/DCM_G.tar", Some("2024-07-01"),
+          Some("300007"), "PHA001", true, "MTL", "tmp7", 1L, 1L,
+          None, Some(906L), false),
+        (77L, 28L, "/t/inbox/DCM_H.tar", Some("2024-08-01"),
+          Some("300008"), "MTL0008", false, "MTL", "tmp8", 2L, 2L,
+          None, None, false))
+        .toDF("upload_id", "tarchive_id", "archive_path", "date_acquired",
+          "cand_id", "pscid", "is_phantom", "mri_alias", "temp_suffix",
+          "mcount", "n_inserted", "old_inserted", "resolved_session_id",
+          "create_visit_label")
+      graft.operators.TarchiveLoader.complete(uploads, "/t")
+    },
+
+    // ImagingUpload.pm IsCandidateInfoValid over REAL header parses:
+    // prefix patient-name match, phantom-regex branch, non-DICOM
+    // warn-and-ignore, the ECAT→HRRT flip with filename matching and the
+    // exclude list, already-inserted and unknown-upload guards
+    "q150_upload_validation" -> { (s, _) =>
+      import s.implicits._
+      val dir = SyntheticFixtures.freshDir("q150")
+      def dcm(pname: String): Array[Byte] =
+        SyntheticFixtures.dicomBytes(Seq(
+          SyntheticFixtures.dicomElem(0x0008, 0x0060, "CS", "MR"),
+          SyntheticFixtures.dicomElem(0x0010, 0x0010, "PN", pname),
+          SyntheticFixtures.dicomElem(0x0010, 0x0020, "LO", "PID"),
+          SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", "1.2.3")))
+      def put(sub: String, name: String, bytes: Array[Byte]): Unit = {
+        val p = java.nio.file.Paths.get(dir, sub)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(p.resolve(name), bytes)
+      }
+      put("70", "001.dcm", dcm("MTL0001_300001_V1_extra"))
+      put("70", "002.dcm", dcm("MTL0001_300001_V1"))
+      put("70", "notes.txt", "junk".getBytes("US-ASCII"))
+      put("71", "001.dcm", dcm("OTHER_999999_V1"))
+      put("72", "001.dcm", dcm("lego_phantom_a"))
+      put("74", "HRRT01_em.v", Array.fill[Byte](600)(0x42))
+      put("74", "To_Archive_info.txt", "x".getBytes("US-ASCII"))
+      put("74", "scan-hrrt01.s", "y".getBytes("US-ASCII"))
+      val scanned = DicomSource.extractHeaders(
+        DicomSource.scanDir(s, dir).select(col("path"), col("content")))
+        .select(
+          element_at(split(col("file_path"), "/"), -2).cast("long")
+            .as("upload_id"),
+          col("file_path"), col("is_dicom"),
+          col("patient_name").as("header_pname"),
+          col("patient_id").as("header_pid"))
+      val uploads = Seq[(Long, Option[String], Option[Long], Option[Long],
+          String)](
+        (70L, Some("MTL0001_300001_V1"), None, None, "N"),
+        (71L, Some("MTL0002_300002_V1"), None, None, "N"),
+        (72L, Some("PHANTOM_SCAN"), None, None, "Y"),
+        (73L, Some("MTL0004_300004_V1"), Some(21L), None, "N"),
+        (74L, Some("HRRT01"), None, None, "N"),
+        (75L, None, None, None, "N"))
+        .toDF("UploadID", "PatientName", "TarchiveID",
+          "number_of_mincCreated", "IsPhantom")
+      graft.operators.UploadValidation.isCandidateInfoValid(uploads,
+        scanned)
     }
   )
 
@@ -1013,6 +1180,94 @@ object IngestQueries {
         |) AS t(upload_id, tarchive_id, status, center_id, mri_alias,
         |       scanner_id, scanner_is_new, cand_id, pscid, visit_label,
         |       is_phantom, cand_mismatch_error, is_tarchive_validated)""".stripMargin,
+
+    "q146_eeg_extract_plan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(501 AS BIGINT), 'eeg_arch1.tar.gz', 'extracted',
+        |   'sub-300001/ses-V1', 'beh', 'sub-300001/ses-V1/beh',
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  (501, 'eeg_arch1.tar.gz', 'extracted', 'sub-300001/ses-V1',
+        |   'eeg', 'sub-300001/ses-V1/eeg', 2, 1),
+        |  (502, 'eeg_arch2.tar.gz', 'failed_extraction_no_subject',
+        |   CAST(NULL AS VARCHAR), 'eeg', CAST(NULL AS VARCHAR), 1, 0),
+        |  (503, 'eeg_arch3.tar.gz', 'failed_extraction_no_session', NULL,
+        |   CAST(NULL AS VARCHAR), NULL, 0, 0)
+        |) AS t(upload_id, upload_location, status, session_rel_path,
+        |       modality, dest_rel_path, n_set_files, n_set_with_fdt)""".stripMargin,
+
+    "q147_eeg_ingest_plan" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(601 AS BIGINT), CAST(41 AS BIGINT),
+        |   CAST(300001 AS BIGINT), 'AAA001', 'V1', 'ingest', 'sub-300001',
+        |   'sub-300001/ses-V1/eeg', CAST(2 AS BIGINT)),
+        |  (602, 42, 300002, 'ABC001', 'V1', 'ingest', 'sub-abc001',
+        |   'sub-abc001/ses-V1/eeg', 1),
+        |  (603, 43, 300003, 'AAC001', 'V9', 'no_bids_visit',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT)),
+        |  (604, 44, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), 'session_not_found', NULL, NULL, NULL),
+        |  (605, 45, 300005, 'ZZZ001', 'V1', 'no_bids_subject', NULL,
+        |   NULL, NULL)
+        |) AS t(upload_id, session_id, cand_id, pscid, visit_label,
+        |       status, subject_id, eeg_path, n_previous_files)""".stripMargin,
+
+    "q148_batch_tarchive" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '2024/DCM_A.tar', '70', 'submitted',
+        |   'tarchiveLoader.pl -profile prod -uploadID 70 /t/2024/DCM_A.tar',
+        |   '/data/p/batch_output/tarstdout.log1',
+        |   '/data/p/batch_output/tarstderr.log1', false),
+        |  (2, '2024/DCM_B.tar', '71', 'submitted',
+        |   'tarchiveLoader.pl -profile prod -uploadID 71 /t/2024/DCM_B.tar',
+        |   '/data/p/batch_output/tarstdout.log2',
+        |   '/data/p/batch_output/tarstderr.log2', false),
+        |  (3, 'DCM_C.tar', CAST(NULL AS VARCHAR), 'missing_arg',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN)),
+        |  (4, '2024/DCM_D.tar', '72', 'submitted',
+        |   'tarchiveLoader.pl -profile prod -uploadID 72 /t/2024/DCM_D.tar',
+        |   '/data/p/batch_output/tarstdout.log3',
+        |   '/data/p/batch_output/tarstderr.log3', false)
+        |) AS t(line_no, archive_location, upload_id, status, command,
+        |       stdout_log, stderr_log, queued_via_qsub)""".stripMargin,
+
+    "q149_loader_completion" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(70 AS BIGINT), CAST(21 AS BIGINT), 'completed',
+        |   CAST(5 AS BIGINT), CAST(6 AS BIGINT), CAST(901 AS BIGINT),
+        |   '/t/2024/DCM_A.tar', 'MTL2024-03-05300001.log.gz'),
+        |  (71, 22, 'completed', 3, 3, 902, CAST(NULL AS VARCHAR),
+        |   'MTL2023-04-01300002.log.gz'),
+        |  (72, 23, 'no_valid_minc_created', CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), NULL,
+        |   CAST(NULL AS VARCHAR)),
+        |  (73, 24, 'invalid_study', NULL, NULL, NULL,
+        |   '/t/2024/DCM_D.tar', 'MTL2024-05-02300004.log.gz'),
+        |  (74, 25, 'create_session_failure', 2, 2, NULL,
+        |   '/t/2024/DCM_E.tar', NULL),
+        |  (75, 26, 'completed', 2, 1, 905, NULL, 'MTL_tmp6.log.gz'),
+        |  (76, 27, 'completed', 1, 1, 906, '/t/2024/DCM_G.tar',
+        |   'MTLPHA0012024-07-01300007.log.gz'),
+        |  (77, 28, 'get_session_id_failure', 2, 2, NULL,
+        |   '/t/2024/DCM_H.tar', NULL)
+        |) AS t(upload_id, tarchive_id, status, number_of_minc_created,
+        |       number_of_minc_inserted, session_id, new_tarchive_location,
+        |       final_logfile)""".stripMargin,
+
+    "q150_upload_validation" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(70 AS BIGINT), 'validated', false, CAST(3 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(0 AS BIGINT), true),
+        |  (71, 'patient_name_mismatch', false, 1, 0, 1, false),
+        |  (72, 'validated', false, 1, 0, 0, true),
+        |  (73, 'already_inserted', CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), false),
+        |  (74, 'validated', true, 3, NULL, 0, true),
+        |  (75, 'upload_not_found', NULL, NULL, NULL, NULL, false)
+        |) AS t(upload_id, status, is_hrrt, n_files, n_non_dicom_ignored,
+        |       n_unmatched, is_candidate_info_validated)""".stripMargin,
 
     // pinned-fixture twin of the composed loader: the study archive holds
     // one study, series 2, echoes 25.5 (2 files) and 50.0 (1 file); the
