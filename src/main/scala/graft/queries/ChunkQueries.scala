@@ -15,10 +15,35 @@ object ChunkQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to int64 naive-UTC nanoseconds, tolerant of
+    * the encodings the test-data generator has produced across rounds:
+    * int64-ns (parquet TIMESTAMP(NANOS) surfaced as long via
+    * `spark.sql.legacy.parquet.nanosAsLong`), TIMESTAMP_NTZ (micros, naive
+    * wall clock), and instant TIMESTAMP. The NTZ wall clock is interpreted
+    * as UTC: the session time zone is pinned here because the NTZ→TIMESTAMP
+    * cast reads it at execution time, and the DuckDB oracle's `epoch_ns(ts)`
+    * is naive — any other zone would silently skew both sides apart.
+    * Unknown encodings fail loudly naming the column rather than letting the
+    * driver drop the query without an err entry. */
+  private[queries] def eventsNs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = t(s, dir, "events")
+    val ns = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case TimestampNTZType | TimestampType =>
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unsupported encoding $other — expected int64 " +
+          "nanoseconds, TIMESTAMP_NTZ, or TIMESTAMP")
+    }
+    raw.withColumn("ts", ns)
+  }
+
   /** events → long-format samples; value scaled to integral doubles so
     * averages are order-independent across engines. */
   private def samples(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(
+    eventsNs(s, dir).select(
       col("user_id").as("channel"),
       (row_number().over(
         Window.partitionBy(col("user_id")).orderBy(col("event_id"))) - 1)
@@ -44,7 +69,7 @@ object ChunkQueries {
     // Gap-based sessionization (batch twin of streaming session windows):
     // 30-minute inactivity gap per user; integer-microsecond arithmetic
     "q55_sessionize" -> { (s, dir) =>
-      val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
         expr("ts div 1000").as("us"))
       EventStream.sessionize(ev, "user_id", "us", "event_id",
         gapMicros = 30L * 60 * 1000000)
@@ -54,7 +79,7 @@ object ChunkQueries {
     // session_window operator (merged-window shuffle, streaming-capable
     // with watermarked state) — window end = last event + gap
     "q106_session_window" -> { (s, dir) =>
-      val ev = t(s, dir, "events").select(col("user_id"),
+      val ev = eventsNs(s, dir).select(col("user_id"),
         expr("ts div 1000").as("us"))
       EventStream.sessionWindows(ev, "user_id", "us", gap = "30 minutes")
     },
@@ -63,7 +88,7 @@ object ChunkQueries {
     // user, last observation carried forward (integer-µs ticks, integer-
     // scaled values; duplicate-timestamp tie = max value, see operator)
     "q93_resample_fill" -> { (s, dir) =>
-      val ev = t(s, dir, "events").select(col("user_id"),
+      val ev = eventsNs(s, dir).select(col("user_id"),
         expr("ts div 1000").as("us"), round(col("value") * 100).as("v"))
       EventStream.resampleFill(ev, "user_id", "us", "v",
         stepMicros = 21600L * 1000000)
@@ -75,7 +100,7 @@ object ChunkQueries {
     // windows + a triangular join over CHUNK totals only — replaces round
     // 2's O(days²) triangular stopgap and never collapses to one task
     "q94_user_growth" -> { (s, dir) =>
-      val firstDay = t(s, dir, "events")
+      val firstDay = eventsNs(s, dir)
         .select(col("user_id"), expr("ts div 86400000000000").as("day"))
         .groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
       val daily = firstDay.groupBy(col("first_day"))
@@ -88,7 +113,7 @@ object ChunkQueries {
     // Cohort retention matrix: users bucketed by first-activity week ×
     // weeks they were active — two count shuffles, output |weeks|² max
     "q95_cohort_retention" -> { (s, dir) =>
-      val weeks = t(s, dir, "events")
+      val weeks = eventsNs(s, dir)
         .select(col("user_id"), expr("ts div 604800000000000").as("week"))
         .distinct()
       val cohort = weeks.groupBy(col("user_id"))
@@ -102,7 +127,7 @@ object ChunkQueries {
     // times are in funnel order — one conditional-min agg per user, one
     // global count row (broadcast-friendly: no per-step joins)
     "q96_funnel" -> { (s, dir) =>
-      val firsts = t(s, dir, "events")
+      val firsts = eventsNs(s, dir)
         .select(col("user_id"), col("event_type"),
           expr("ts div 1000").as("us"))
         .groupBy(col("user_id"))
@@ -126,7 +151,7 @@ object ChunkQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
-      t(s, dir, "events")
+      eventsNs(s, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts div 1000").as("us"))
         .withColumn("to_type", lead(col("event_type"), 1).over(w))
