@@ -1033,6 +1033,72 @@ object IngestQueries {
           "number_of_mincCreated", "IsPhantom")
       graft.operators.UploadValidation.isCandidateInfoValid(uploads,
         scanned)
+    },
+
+    // import_bids_dataset MRI vertical (loris_bids_importer/mri/main.py):
+    // path guard, grouped file-type/hash/scan-type checks over REAL NIfTI
+    // bytes, suffix get-or-create, parameter assembly, registration ids.
+    // acq1/acq3/acq9 share identical bytes: 1 is path-rejected (never
+    // registers its hash), 3 imports, 9 batch-duplicates against 3.
+    "q151_bids_mri_import" -> { (s, _) =>
+      import s.implicits._
+      import graft.sources.SyntheticFixtures.niftiBytes
+      val c1 = niftiBytes(Seq(64, 64, 32), Seq(1.0f, 1.0f, 1.25f))
+      val c2 = niftiBytes(Seq(80, 80, 40), Seq(1.0f, 1.0f, 1.0f))
+      val c4 = niftiBytes(Seq(64, 64, 32, 120), Seq(0.5f, 0.5f, 0.5f))
+      val c5 = niftiBytes(Seq(96, 96, 60), Seq(2.0f, 2.0f, 2.0f))
+      val c6 = niftiBytes(Seq(10, 10, 10), Seq(1.0f, 1.0f, 1.0f))
+      val c7 = niftiBytes(Seq(12, 12, 12), Seq(1.0f, 1.0f, 1.0f))
+      val c8 = niftiBytes(Seq(128, 128, 70), Seq(2.0f, 2.0f, 2.0f))
+      val acqs = Seq(
+        (1L, "sub-01_ses-01_run-1_T1w.nii.gz", "anat", Option("T1w"),
+          "MTL001", "V1", c1, Option.empty[String], Option.empty[String],
+          Option.empty[String], Option.empty[String], Option.empty[String],
+          Option.empty[String], Option.empty[Double]),
+        (2L, "sub-02_ses-01_T1w.nii.gz", "anat", Option("T1w"), "MTL002",
+          "V1", c2, None, None, None, None, None, None, None),
+        (3L, "sub-03_ses-02_acq-mprage_T1w.nii", "anat", Option("T1w"),
+          "MTL003", "V2", c1,
+          Option("""{"EchoTime":"0.03","RepetitionTime":"2.0",""" +
+            """"SeriesInstanceUID":"1.2.3.4","Manufacturer":"Siemens"}"""),
+          None, None, None, None, Option("2024-01-01T10:00:00"),
+          Option(33.5)),
+        (4L, "sub-04_ses-01_task-rest_cbv.nii.gz", "func", Option("cbv"),
+          "MTL004", "V1", c4, None, None, None, Option("p.tsv"),
+          Option("e.tsv"), None, None),
+        (5L, "sub-05_ses-01_T2w.nii.gz", "dwi", Option("T2w"), "MTL005",
+          "V1", c5, None, None, None, None, None, None, None),
+        (6L, "sub-06_ses-01_dwi.xyz", "dwi", Option("dwi"), "MTL006",
+          "V1", c6, None, None, None, None, None, None, None),
+        (7L, "sub-07_ses-01_bold.nii.gz", "func", Option.empty[String],
+          "MTL007", "V1", c7, None, None, None, None, None, None, None),
+        (8L, "sub-08_ses-01_dwi.nii.gz", "dwi", Option("dwi"), "MTL008",
+          "V1", c8, Option("""{"EchoTime":"0.08"}"""), Option("d.bval"),
+          Option("d.bvec"), None, None, None, None),
+        (9L, "sub-09_ses-01_T1w.nii.gz", "anat", Option("T1w"), "MTL009",
+          "V1", c1, None, None, None, None, None, None, None))
+        .toDF("acq_id", "bids_name", "data_type", "suffix", "psc_id",
+          "visit_label", "nifti_content", "sidecar_json", "bval_path",
+          "bvec_path", "physio_path", "events_path",
+          "scan_acquisition_time", "age_at_scan")
+      val files = Seq(
+        (500L,
+          "bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL001/ses-V1/anat/" +
+            "sub-MTL001_ses-V1_run-1_T1w.nii.gz",
+          "unrelated-hash-0"),
+        (510L, "other/path.nii",
+          graft.functions.expressions.Blake2bCore.hexDigest(c2)))
+        .toDF("FileID", "File", "file_blake2b_hash")
+      val scanTypes = Seq((301L, "T1w"), (302L, "bold"))
+        .toDF("MriScanTypeID", "MriScanTypeName")
+      val fileTypes = Seq("nii", "mnc").toDF("type")
+      val paramAlias = Seq(
+        ("EchoTime", "acquisition:echo_time"),
+        ("RepetitionTime", "acquisition:repetition_time"),
+        ("Manufacturer", "study:manufacturer"))
+        .toDF("bids_name", "loris_name")
+      graft.operators.BidsMriImport.importPlan(acqs, files, scanTypes,
+        fileTypes, paramAlias, "bids_imports/DS01_BIDSVersion_1.0.2")
     }
   )
 
@@ -1268,6 +1334,52 @@ object IngestQueries {
         |  (75, 'upload_not_found', NULL, NULL, NULL, NULL, false)
         |) AS t(upload_id, status, is_hrrt, n_files, n_non_dicom_ignored,
         |       n_unmatched, is_candidate_info_validated)""".stripMargin,
+
+    "q151_bids_mri_import" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'sub-01_ses-01_run-1_T1w.nii.gz',
+        |   'already_registered',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL001/ses-V1/anat/sub-MTL001_ses-V1_run-1_T1w.nii.gz',
+        |   'nii', CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT)),
+        |  (2, 'sub-02_ses-01_T1w.nii.gz', 'duplicate_hash',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL002/ses-V1/anat/sub-MTL002_ses-V1_T1w.nii.gz',
+        |   'nii', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL),
+        |  (3, 'sub-03_ses-02_acq-mprage_T1w.nii', 'imported',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL003/ses-V2/anat/sub-MTL003_ses-V2_acq-mprage_T1w.nii',
+        |   'nii', 301, false, 511, '1.2.3.4', 0.03, 64, 64, 32, 1.0,
+        |   21, 2),
+        |  (4, 'sub-04_ses-01_task-rest_cbv.nii.gz', 'imported',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL004/ses-V1/func/sub-MTL004_ses-V1_task-rest_cbv.nii.gz',
+        |   'nii', 303, true, 512, NULL, NULL, 64, 64, 32, 0.5, 12, 3),
+        |  (5, 'sub-05_ses-01_T2w.nii.gz', 'unknown_suffix',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL005/ses-V1/dwi/sub-MTL005_ses-V1_T2w.nii.gz',
+        |   'nii', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL),
+        |  (6, 'sub-06_ses-01_dwi.xyz', 'unknown_file_type',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL006/ses-V1/dwi/sub-MTL006_ses-V1_dwi.xyz',
+        |   'xyz', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL),
+        |  (7, 'sub-07_ses-01_bold.nii.gz', 'no_suffix',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL007/ses-V1/func/sub-MTL007_ses-V1_bold.nii.gz',
+        |   'nii', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL),
+        |  (8, 'sub-08_ses-01_dwi.nii.gz', 'imported',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL008/ses-V1/dwi/sub-MTL008_ses-V1_dwi.nii.gz',
+        |   'nii', 304, true, 513, NULL, 0.08, 128, 128, 70, 2.0, 16, 4),
+        |  (9, 'sub-09_ses-01_T1w.nii.gz', 'duplicate_hash',
+        |   'bids_imports/DS01_BIDSVersion_1.0.2/sub-MTL009/ses-V1/anat/sub-MTL009_ses-V1_T1w.nii.gz',
+        |   'nii', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL)
+        |) AS t(acq_id, bids_name, status, loris_path, file_type,
+        |       scan_type_id, scan_type_new, file_id, series_uid,
+        |       echo_time, xspace, yspace, zspace, xstep, n_parameters,
+        |       n_files_to_copy)""".stripMargin,
 
     // pinned-fixture twin of the composed loader: the study archive holds
     // one study, series 2, echoes 25.5 (2 files) and 50.0 (1 file); the

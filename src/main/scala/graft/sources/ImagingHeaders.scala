@@ -49,6 +49,13 @@ object ImagingHeaders {
       GraftColumnBridge.expression(bin), off0))
   }
 
+  /** REAL voxel steps: pixdim[1..3] float32 LE at 0-based offsets 80/84/88
+    * (`python/lib/imaging_lib/nifti.py:14-18`). */
+  def niftiPixdim(content: Column): Column = struct(
+    leFloat(content, 80).as("xstep"),
+    leFloat(content, 84).as("ystep"),
+    leFloat(content, 88).as("zstep"))
+
   /** S3: binaryFile scan + real dim parse + REAL voxel steps — pixdim[1..3]
     * float32 bit-cast from the fixed header offsets
     * (`python/lib/imaging_lib/nifti.py:7-31`). */
