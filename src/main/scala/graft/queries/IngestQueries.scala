@@ -1099,6 +1099,120 @@ object IngestQueries {
         .toDF("bids_name", "loris_name")
       graft.operators.BidsMriImport.importPlan(acqs, files, scanTypes,
         fileTypes, paramAlias, "bids_imports/DS01_BIDSVersion_1.0.2")
+    },
+
+    // minc_insertion.pl: the historic MINC registration abort ladder —
+    // one fixture row per exit point (upload/archive/force input modes,
+    // validation gate, series guard, candidate mismatch with error-log
+    // dedup, session + scanner get-or-create, md5 gates, protocol
+    // identification incl. forced suggestion caveat and profile
+    // exclusion, HRRT branch)
+    "q152_minc_insertion" -> { (s, _) =>
+      import s.implicits._
+      val mincs = Seq(
+        (1L, "/m/a1.mnc", Option(99L), Option.empty[String], false, false,
+          Option.empty[String], Option.empty[String], "S.1", 0.025, "1",
+          "j-", "md5-1"),
+        (2L, "/m/a2.mnc", Option(72L), None, false, false, None,
+          Option("MTL0001_300001_V1"), "S.2", 0.025, "1", "j-", "md5-2"),
+        (3L, "/m/a3.mnc", Option(71L), None, false, false, None, None,
+          "S.3", 0.025, "1", "j-", "md5-3"),
+        (4L, "/m/a4.mnc", Option.empty[Long], None, false, true, None,
+          Option("MTL0001_300001_V1"), "S.9", 0.025, "1", "j-", "md5-4"),
+        (5L, "/m/a5.mnc", Option(70L), None, false, false, None, None,
+          "S.5", 0.025, "1", "j-", "md5-5"),
+        (6L, "/m/a6.mnc", Option(73L), None, false, false, None, None,
+          "S.6", 0.025, "1", "j-", "md5-6"),
+        (7L, "/m/a7.mnc", Option(74L), None, false, false, None, None,
+          "S.7", 0.05, "1", "j-", "md5-7"),
+        (8L, "/m/a8.mnc", Option(75L), None, false, false, None, None,
+          "S.8", 0.025, "1", "j-", "md5-known"),
+        (9L, "/m/a9.mnc", Option(76L), None, false, false, None, None,
+          "S.10", 0.2, "1", "j-", "md5-9"),
+        (10L, "/m/a10.mnc", Option.empty[Long], Option("/in/G.tar"),
+          false, false, None, None, "S.11", 0.025, "1", "j-", "md5-10"),
+        (11L, "/m/a11.mnc", Option.empty[Long], Option("/in/H.tar"),
+          false, false, None, None, "S.12", 0.025, "1", "j-", "md5-11"),
+        (12L, "/m/a12.mnc", Option(80L), None, false, false, None, None,
+          "S.13", 0.007, "1", "j-", "md5-12"),
+        (13L, "/m/a13.mnc", Option(81L), None, false, false, None, None,
+          "S.14", 0.025, "1", "j-", "md5-5"),
+        (14L, "/m/a14.mnc", Option(82L), None, false, false, Option("t2"),
+          None, "S.15", 0.025, "1", "j-", "md5-14"),
+        (15L, "/m/a15.mnc", Option(83L), None, true, false, None, None,
+          "S.16", 0.025, "1", "j-", "md5-15"))
+        .toDF("minc_id", "minc_path", "upload_id", "tarchive_path",
+          "is_hrrt", "force", "suggested_protocol", "patient_name",
+          "series_uid", "echo_time", "echo_number", "phase_dir", "md5hash")
+        // header scanner tuple: null except the HRRT row, whose MINC
+        // header supplies the scanner info (minc_insertion.pl:436-441)
+        .withColumn("manufacturer",
+          when(col("minc_id") === 15L, "SIEMENS"))
+        .withColumn("model", when(col("minc_id") === 15L, "Prisma"))
+        .withColumn("serial", when(col("minc_id") === 15L, "SN100"))
+        .withColumn("software", when(col("minc_id") === 15L, "VE11C"))
+        .withColumn("date_acquired",
+          when(col("minc_id") === 4L, "2024-02-02"))
+      val uploads = Seq[(Long, Option[Long], Boolean)](
+        (70L, Some(21L), true), (71L, Some(22L), false), (72L, None, true),
+        (73L, Some(23L), true), (74L, Some(24L), true),
+        (75L, Some(25L), true), (76L, Some(26L), true),
+        (77L, Some(27L), true), (78L, Some(28L), true),
+        (79L, Some(29L), true), (80L, Some(30L), true),
+        (81L, Some(31L), true), (82L, Some(32L), true),
+        (83L, Some(33L), true))
+        .toDF("UploadID", "TarchiveID", "IsTarchiveValidated")
+      val sie = ("SIEMENS", "Prisma", "SN100", "VE11C")
+      val tarchives = Seq(
+        (21L, "y/A.tar", "MTL0001_300001_V1", Option(sie._1)),
+        (22L, "y/B.tar", "MTL0002_300002_V1", Option(sie._1)),
+        (23L, "y/C.tar", "MTLX999_999999_V1", Option(sie._1)),
+        (24L, "y/D.tar", "MTL0001_300001_V2", Option(sie._1)),
+        (25L, "y/E.tar", "MTL0002_300002_V1", Option(sie._1)),
+        (26L, "y/F.tar", "MTL0001_300001_V1", Option(sie._1)),
+        (27L, "y/G.tar", "MTL0001_300001_V1", Option(sie._1)),
+        (28L, "z/G.tar", "MTL0001_300001_V1", Option(sie._1)),
+        (29L, "y/H.tar", "MTL0003_300003_V1", Option("GE")),
+        (30L, "y/I.tar", "MTL0001_300001_V1", Option(sie._1)),
+        (31L, "y/J.tar", "MTL0002_300002_V1", Option(sie._1)),
+        (32L, "y/K.tar", "MTL0001_300001_V1", Option(sie._1)),
+        (33L, "y/H33.v", "MTL0002_300002_V1", Option.empty[String]))
+        .toDF("TarchiveID", "ArchiveLocation", "PatientName",
+          "ScannerManufacturer")
+        .withColumn("ScannerModel",
+          when(col("ScannerManufacturer") === "GE", "MR750")
+            .when(col("ScannerManufacturer").isNotNull, "Prisma"))
+        .withColumn("ScannerSerialNumber",
+          when(col("ScannerManufacturer") === "GE", "SN300")
+            .when(col("ScannerManufacturer").isNotNull, "SN100"))
+        .withColumn("ScannerSoftwareVersion",
+          when(col("ScannerManufacturer") === "GE", "DV26")
+            .when(col("ScannerManufacturer").isNotNull, "VE11C"))
+        .withColumn("DateAcquired", lit("2024-01-01"))
+      val tarchiveSeries = Seq((21L, "S.9", 25.0))
+        .toDF("TarchiveID", "SeriesUID", "EchoTime")
+      val psc = Seq((1L, "MTL", "MTL")).toDF("CenterID", "Alias",
+        "MRI_alias")
+      val sessions = Seq((41L, 11L, 1L, "V1"), (42L, 12L, 1L, "V1"))
+        .toDF("ID", "CandidateID", "CenterID", "Visit_label")
+      val candidates = Seq((11L, 300001L, "MTL0001"),
+        (12L, 300002L, "MTL0002"), (13L, 300003L, "MTL0003"))
+        .toDF("ID", "CandID", "PSCID")
+      val scanners = Seq((501L, "SIEMENS", "Prisma", "SN100", "VE11C",
+        Option(11L)))
+        .toDF("ID", "Manufacturer", "Model", "Serial_number", "Software",
+          "CandidateID")
+      val files = Seq((900L, "md5-known")).toDF("FileID", "md5hash")
+      val candErrors = Seq((23L, "S.6", 25.0, "1", "j-",
+        "MTLX999_999999_V1", "CandID does not exist"))
+        .toDF("TarchiveID", "SeriesUID", "EchoTime", "EchoNumber",
+          "PhaseEncodingDirection", "PatientName", "Reason")
+      val protocols = Seq((301L, "t1", 20.0, 30.0), (302L, "t2", 45.0,
+        55.0), (303L, "scout", 5.0, 10.0))
+        .toDF("MriScanTypeID", "ScanType", "TE_min", "TE_max")
+      graft.operators.MincInsertion.insertPlan(mincs, uploads, tarchives,
+        tarchiveSeries, psc, sessions, candidates, scanners, files,
+        candErrors, protocols, excludedProtocols = Seq("scout"))
     }
   )
 
@@ -1380,6 +1494,68 @@ object IngestQueries {
         |       scan_type_id, scan_type_new, file_id, series_uid,
         |       echo_time, xspace, yspace, zspace, xstep, n_parameters,
         |       n_files_to_copy)""".stripMargin,
+
+    "q152_minc_insertion" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'upload_not_found', CAST(99 AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BOOLEAN), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BOOLEAN), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BOOLEAN)),
+        |  (2, 'no_tarchive', 72, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL),
+        |  (3, 'tarchive_validation_failed', 71, 22, 'y/B.tar', NULL,
+        |   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (4, 'series_in_existing_archive', NULL, NULL, 'y/A.tar', NULL,
+        |   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL, NULL, NULL),
+        |  (5, 'registered', 70, 21, 'y/A.tar', 1, 501, false, 300001,
+        |   'V1', 41, false, 't1', 301, 0, 'native', 'mnc', 'S.5', 21,
+        |   901, NULL, NULL),
+        |  (6, 'candidate_mismatch', 73, 23, 'y/C.tar', 1, 501, false,
+        |   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, 'trashbin/a6.mnc', false),
+        |  (7, 'registered', 74, 24, 'y/D.tar', 1, 501, false, 300001,
+        |   'V2', 43, true, 't2', 302, 0, 'native', 'mnc', 'S.7', 24,
+        |   902, NULL, NULL),
+        |  (8, 'file_not_unique', 75, 25, 'y/E.tar', 1, 501, false, NULL,
+        |   NULL, 42, false, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL),
+        |  (9, 'unknown_protocol', 76, 26, 'y/F.tar', 1, 501, false,
+        |   NULL, NULL, 41, false, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL),
+        |  (10, 'ambiguous_upload', NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL),
+        |  (11, 'registered', 79, 29, 'y/H.tar', 1, 502, true, 300003,
+        |   'V1', 44, true, 't1', 301, 0, 'native', 'mnc', 'S.12', 29,
+        |   903, NULL, NULL),
+        |  (12, 'excluded_protocol', 80, 30, 'y/I.tar', 1, 501, false,
+        |   NULL, NULL, 41, false, 'scout', NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL),
+        |  (13, 'file_not_unique', 81, 31, 'y/J.tar', 1, 501, false,
+        |   NULL, NULL, 42, false, NULL, NULL, NULL, NULL, NULL, NULL,
+        |   NULL, NULL, NULL, NULL),
+        |  (14, 'registered', 82, 32, 'y/K.tar', 1, 501, false, 300001,
+        |   'V1', 41, false, 't2', 302, 1, 'native', 'mnc', 'S.15', 32,
+        |   904, NULL, NULL),
+        |  (15, 'registered', 83, 33, 'y/H33.v', 1, 501, false, 300002,
+        |   'V1', 42, false, 't1', 301, 0, 'native', 'mnc',
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 905, NULL, NULL)
+        |) AS t(minc_id, status, upload_id, tarchive_id, archive_location,
+        |       center_id, scanner_id, scanner_is_new, cand_id,
+        |       visit_label, session_id, session_new, acq_protocol,
+        |       acq_protocol_id, caveat, coordinate_space, file_type,
+        |       series_uid, tarchive_source, file_id, trashbin_path,
+        |       cand_error_new)""".stripMargin,
 
     // pinned-fixture twin of the composed loader: the study archive holds
     // one study, series 2, echoes 25.5 (2 files) and 50.0 (1 file); the
