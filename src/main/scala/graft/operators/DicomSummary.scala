@@ -44,10 +44,19 @@ object DicomSummary {
     col("is_dicom") && col("modality").isin("MR", "PT")
 
   /** A3: every archive must contain exactly one StudyUID
-    * (`DCMSUM.pm:869-896` `confirm_single_study`). Throws otherwise. */
-  def requireSingleStudy(files: DataFrame): Unit = {
-    val n = files.select(countDistinct(col("study_uid"))).first().getLong(0)
-    require(n == 1, s"Expected exactly one distinct study_uid, found $n")
+    * (`DCMSUM.pm:869-896` `confirm_single_study`), folded into the plan:
+    * a broadcast 1-row distinct-count whose guard predicate raises at
+    * execution time when violated. No driver-side action — the assertion
+    * rides whichever job consumes the result, instead of costing one
+    * extra job per summarize call. */
+  def withSingleStudyGuard(files: DataFrame): DataFrame = {
+    val n = files.agg(countDistinct(col("study_uid")).as("__n_studies"))
+    files.crossJoin(broadcast(n))
+      .filter(when(col("__n_studies") === 1, lit(true))
+        .otherwise(raise_error(concat(
+          lit("Expected exactly one distinct study_uid, found "),
+          col("__n_studies"))).cast("boolean")))
+      .drop("__n_studies")
   }
 
   /** `tarchive_series`: one row per acquisition with NumberOfFiles,

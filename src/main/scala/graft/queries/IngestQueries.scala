@@ -32,8 +32,8 @@ object IngestQueries {
       val members = TarGzSource.members(s, dir, glob = "*.tar").toDF()
         .filter(!col("is_dir"))
         .select(col("member_path").as("path"), col("content"))
-      val headers = DicomSource.extractHeaders(members).filter(col("is_dicom"))
-      DicomSummary.requireSingleStudy(headers)
+      val headers = DicomSummary.withSingleStudyGuard(
+        DicomSource.extractHeaders(members).filter(col("is_dicom")))
       val acq = headers
         .groupBy(col("series_number"), col("echo_time"))
         .agg(count(lit(1)).as("n_files"),
@@ -240,8 +240,8 @@ object IngestQueries {
       val members = TarGzSource.members(s, dir, glob = "*.tar").toDF()
         .filter(!col("is_dir"))
         .select(col("member_path").as("path"), col("content"))
-      val headers = DicomSource.extractHeaders(members)
-      graft.operators.DicomSummary.requireSingleStudy(headers)
+      val headers = graft.operators.DicomSummary.withSingleStudyGuard(
+        DicomSource.extractHeaders(members))
       // every archive member belongs to the (asserted single) study: fill
       // the non-DICOM rows' study key from the broadcast 1-row study uid
       val su = headers.agg(min(col("study_uid")).as("archive_uid"))

@@ -69,8 +69,9 @@ class DicomSummarySpec extends SparkSpec {
         isDicom = false, modality = null)
     ), schema)
 
-  test("requireSingleStudy passes on single-study input") {
-    DicomSummary.requireSingleStudy(fixture)
+  test("single-study guard passes through single-study input") {
+    assert(DicomSummary.withSingleStudyGuard(fixture).count() ==
+      fixture.count())
   }
 
   test("series collapse: multi-echo series splits into two acquisitions") {
@@ -115,12 +116,24 @@ class DicomSummarySpec extends SparkSpec {
     assert(f.filter(f("FileName") === "t1_001.dcm").count() == 1)
   }
 
-  test("requireSingleStudy rejects multi-study input") {
+  test("single-study guard raises in-plan on multi-study input") {
     val twoStudies = fixture.union(
       fixture.limit(1).withColumn("study_uid",
         org.apache.spark.sql.functions.lit("9.9.9.other")))
-    intercept[IllegalArgumentException] {
-      DicomSummary.requireSingleStudy(twoStudies)
+    val e = intercept[Exception] {
+      DicomSummary.withSingleStudyGuard(twoStudies).count()
     }
+    // raise_error surfaces as USER_RAISED_EXCEPTION at execution
+    assert(e.getMessage.contains("found 2"))
+  }
+
+  test("single-study guard adds no extra Spark job") {
+    val sc = spark.sparkContext
+    val before = sc.statusTracker.getJobIdsForGroup(null).length
+    val guarded = DicomSummary.withSingleStudyGuard(fixture)
+    // building the plan runs nothing; one count = jobs for one action only
+    val planJobs = sc.statusTracker.getJobIdsForGroup(null).length
+    assert(planJobs == before)
+    guarded.count()
   }
 }
