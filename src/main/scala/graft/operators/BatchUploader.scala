@@ -146,4 +146,42 @@ object BatchUploader {
         .as("stderr_log"),
       when(col("status") === "submitted", lit(isQsub)).as("queued_via_qsub"))
   }
+
+  /** Perl `quotemeta`: backslash-escape every non-word character. */
+  private def quoteMeta(c: org.apache.spark.sql.Column) =
+    regexp_replace(c, "([^A-Za-z0-9_])", "\\\\$1")
+
+  /** `tools/batch_run_pipeline_qc_face_script.pl:175-205` — the deface-QC
+    * 3D-rendering batch driver.
+    *
+    * Per stdin line (one MINC path each, no validation in the script):
+    * counter-indexed `defaceqcstdout.log<N>` / `defaceqcstderr.log<N>`
+    * under `<dataDir>/batch_output`, output JPEG =
+    * `<outBasedir>/<basename minus .mnc>.jpg`, and the command
+    * `pipeline_qc_face.pl <quotemeta in> <quotemeta out>` — Perl
+    * `quotemeta` escapes preserved. qsub mode wraps with the
+    * `process_qc_deface_<N>` job name.
+    *
+    * Pure map-side except the line-order counter ordinal. */
+  def qcFaceCommands(lines: DataFrame, dataDir: String, outBasedir: String,
+      isQsub: Boolean): DataFrame = {
+    val base = element_at(split(col("file_in"), "/"), -1)
+    val out = concat(lit(outBasedir.stripSuffix("/") + "/"),
+      regexp_replace(base, "\\.mnc$", ""), lit(".jpg"))
+    graft.functions.Ordinals.withGlobalOrdinal(lines,
+        Seq(col("line_no")), "__ctr")
+      .select(
+        col("line_no"),
+        col("file_in"),
+        out.as("file_out"),
+        concat(lit("pipeline_qc_face.pl "), quoteMeta(col("file_in")),
+          lit(" "), quoteMeta(out)).as("command"),
+        concat(lit(s"$dataDir/batch_output/defaceqcstdout.log"),
+          col("__ctr")).as("stdout_log"),
+        concat(lit(s"$dataDir/batch_output/defaceqcstderr.log"),
+          col("__ctr")).as("stderr_log"),
+        when(lit(isQsub),
+          concat(lit("process_qc_deface_"), col("__ctr")))
+          .as("qsub_job_name"))
+  }
 }

@@ -644,4 +644,76 @@ object Maintenance {
           regexp_extract(col("File"), "_([^_]+_\\d+).mnc$", 1),
           lit("_"), col("SeriesDescription")).as("out_dir"))
   }
+
+  /** dcmconv batch plan — `tools/dcmconvTarchive.pl:100-186`.
+    *
+    * The script extracts one tarchive, requires EXACTLY one inner
+    * `.tar.gz` study bundle (`extract_tarchive`, `:161-184` — the readdir
+    * grep is `/\.tar\.gz$/`, so `.tgz` does NOT count), probes every file
+    * under the study dir as DICOM via a non-empty StudyUID (0020,000D)
+    * (`:114-133`), runs `dcmconv` in place on the DICOM ones, and
+    * rebuilds with `dicomTar.pl <dir> <targetdir> -clobber`
+    * (+`-database`/`-profile` passthrough, `:137-155`).
+    *
+    * Set form: one row per scanned archive; the temp extraction dir is
+    * the unpredictable `tempdir` — carried as the `<tmp>` placeholder.
+    *
+    * @param members [[graft.sources.TarGzSource]] member rows
+    *                (archive_path, nested_in, member_path, is_dir)
+    * @param headers DICOM probe of the member contents (file_path,
+    *                study_uid) — `DicomSource.extractHeaders` output,
+    *                probed with `file_path = <archive_path>::<member_path>`
+    *                so identical member names across archives don't
+    *                cross-join
+    */
+  def dcmconvPlan(members: DataFrame, headers: DataFrame, binDir: String,
+      database: Boolean, profile: Option[String]): DataFrame = {
+    val inner = members
+      .filter(col("nested_in").isNull && !col("is_dir") &&
+        col("member_path").rlike("\\.tar\\.gz$"))
+      .groupBy(col("archive_path"))
+      .agg(count(lit(1)).as("n_inner"),
+        min(col("member_path")).as("__inner_tar"))
+    val probed = members
+      .filter(col("nested_in").isNotNull && !col("is_dir"))
+      .withColumn("__probe_key",
+        concat(col("archive_path"), lit("::"), col("member_path")))
+      .join(headers.select(col("file_path").as("__probe_key"),
+        col("study_uid")), Seq("__probe_key"), "left")
+      .groupBy(col("archive_path"),
+        col("nested_in").as("__inner_tar"))
+      .agg(count(lit(1)).as("n_files"),
+        count(when(col("study_uid").isNotNull &&
+          col("study_uid") =!= "", lit(1))).as("n_dicom_converted"))
+    val tarDirOf = regexp_extract(col("archive_path"), "^(.*)/[^/]+$", 1)
+    members.select(col("archive_path")).distinct()
+      .join(inner, Seq("archive_path"), "left")
+      .join(probed, Seq("archive_path", "__inner_tar"), "left")
+      .withColumn("status",
+        when(coalesce(col("n_inner"), lit(0L)) === 0, "no_inner_tar")
+          .when(col("n_inner") > 1, "multiple_inner_tars")
+          .otherwise("rebuilt"))
+      .select(
+        col("archive_path"), col("status"),
+        when(col("status") === "rebuilt",
+          regexp_replace(element_at(split(col("__inner_tar"), "/"), -1),
+            "\\.tar\\.gz$", "")).as("dcm_dir"),
+        when(col("status") === "rebuilt",
+          coalesce(col("n_files"), lit(0L))).as("n_files"),
+        when(col("status") === "rebuilt",
+          coalesce(col("n_dicom_converted"), lit(0L)))
+          .as("n_dicom_converted"),
+        when(col("status") === "rebuilt",
+          coalesce(col("n_files"), lit(0L)) -
+            coalesce(col("n_dicom_converted"), lit(0L)))
+          .as("n_non_dicom_skipped"),
+        when(col("status") === "rebuilt", concat(
+          lit(s"$binDir/dicom-archive/dicomTar.pl <tmp>/"),
+          regexp_replace(element_at(split(col("__inner_tar"), "/"), -1),
+            "\\.tar\\.gz$", ""),
+          lit(" "), tarDirOf, lit(" -clobber"),
+          lit(if (database) " -database" else ""),
+          lit(profile.map(p => s" -profile $p").getOrElse(""))))
+          .as("rebuild_command"))
+  }
 }

@@ -461,6 +461,66 @@ object MaintQueries {
     // (`addSeriesAndFileRecords.pl:183-202`)
     "q145_file_records" -> { (s, _) =>
       seriesRecords(s)._2
+    },
+
+    // tools/dcmconvTarchive.pl over REAL archives: the one-inner-.tar.gz
+    // gate (a .tgz does NOT count), per-member StudyUID DICOM probe,
+    // dcmconv selection counts, and the dicomTar rebuild command
+    "q153_dcmconv_plan" -> { (s, _) =>
+      import graft.sources.{DicomSource, SyntheticFixtures, TarGzSource,
+        TarSink}
+      val dir = SyntheticFixtures.freshDir("q153")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name), bytes)
+      def dcm(uid: String): Array[Byte] = SyntheticFixtures.dicomBytes(Seq(
+        SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", uid),
+        SyntheticFixtures.dicomElem(0x0008, 0x0060, "CS", "MR")))
+      val innerGood = TarSink.gzipBytes(TarSink.tarBytes(Seq(
+        "study9/" -> Array.emptyByteArray,
+        "study9/001.dcm" -> dcm("1.2.9"),
+        "study9/002.dcm" -> dcm("1.2.9"),
+        "study9/notes.txt" -> "not a dicom".getBytes("US-ASCII"))))
+      // exactly one inner .tar.gz + a top-level stray file
+      put("good.tar", TarSink.tarBytes(Seq(
+        "meta.txt" -> "x".getBytes("US-ASCII"),
+        "study9.tar.gz" -> innerGood)))
+      // no inner .tar.gz at all (.tgz does not match the readdir grep)
+      put("bad0.tar", TarSink.tarBytes(Seq(
+        "study0.tgz" -> TarSink.gzipBytes(TarSink.tarBytes(Seq(
+          "study0/a.dcm" -> dcm("1.2.0")))))))
+      // two inner .tar.gz bundles
+      put("bad2.tar", TarSink.tarBytes(Seq(
+        "s1.tar.gz" -> innerGood, "s2.tar.gz" -> innerGood)))
+      val members = TarGzSource.members(s, dir, glob = "*.tar").toDF()
+      val headers = DicomSource.extractHeaders(members
+        .filter(col("nested_in").isNotNull && !col("is_dir"))
+        .select(concat(col("archive_path"), lit("::"),
+          col("member_path")).as("path"), col("content")))
+      Maintenance.dcmconvPlan(members, headers, binDir = "/opt/mri",
+        database = true, profile = Some("prod"))
+        // the fixture lives in a temp dir: basename the archive and
+        // neutralize the target dir so the pinned oracle is
+        // location-independent
+        .withColumn("archive_path",
+          element_at(split(col("archive_path"), "/"), -1))
+        .withColumn("rebuild_command",
+          regexp_replace(col("rebuild_command"),
+            "pl <tmp>/(\\S+) \\S+ -clobber",
+            "pl <tmp>/$1 <dir> -clobber"))
+    },
+
+    // tools/batch_run_pipeline_qc_face_script.pl: counter-indexed logs,
+    // .mnc→.jpg output naming, Perl quotemeta escaping, qsub job names
+    "q154_qcface_batch" -> { (s, _) =>
+      import s.implicits._
+      val lines = Seq(
+        (1L, "/data/assembly/123456/V01/mri/t1w-defaced_001.mnc"),
+        (2L, "/data/assembly/123457/V01/mri/t2w-defaced_001.mnc"),
+        (3L, "/data/in/flair.nii"))
+        .toDF("line_no", "file_in")
+      graft.operators.BatchUploader.qcFaceCommands(lines,
+        dataDir = "/data/p", outBasedir = "/out/qc", isQsub = true)
     }
   )
 
@@ -773,6 +833,41 @@ object MaintQueries {
         |   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
         |   'da542bb513e9ec0ec15bdb76d2c44ed4', 'README.txt')
         |) AS t(tarchive_id, series_number, file_number, echo_number,
-        |       series_description, md5sum, file_name)""".stripMargin
+        |       series_description, md5sum, file_name)""".stripMargin,
+
+    "q153_dcmconv_plan" ->
+      """SELECT * FROM (VALUES
+        |  ('good.tar', 'rebuilt', 'study9', CAST(3 AS BIGINT),
+        |   CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+        |   '/opt/mri/dicom-archive/dicomTar.pl <tmp>/study9 <dir> -clobber -database -profile prod'),
+        |  ('bad0.tar', 'no_inner_tar', CAST(NULL AS VARCHAR), NULL, NULL,
+        |   NULL, CAST(NULL AS VARCHAR)),
+        |  ('bad2.tar', 'multiple_inner_tars', NULL, NULL, NULL, NULL,
+        |   NULL)
+        |) AS t(archive_path, status, dcm_dir, n_files, n_dicom_converted,
+        |       n_non_dicom_skipped, rebuild_command)""".stripMargin,
+
+    "q154_qcface_batch" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT),
+        |   '/data/assembly/123456/V01/mri/t1w-defaced_001.mnc',
+        |   '/out/qc/t1w-defaced_001.jpg',
+        |   'pipeline_qc_face.pl \/data\/assembly\/123456\/V01\/mri\/t1w\-defaced_001\.mnc \/out\/qc\/t1w\-defaced_001\.jpg',
+        |   '/data/p/batch_output/defaceqcstdout.log1',
+        |   '/data/p/batch_output/defaceqcstderr.log1',
+        |   'process_qc_deface_1'),
+        |  (2, '/data/assembly/123457/V01/mri/t2w-defaced_001.mnc',
+        |   '/out/qc/t2w-defaced_001.jpg',
+        |   'pipeline_qc_face.pl \/data\/assembly\/123457\/V01\/mri\/t2w\-defaced_001\.mnc \/out\/qc\/t2w\-defaced_001\.jpg',
+        |   '/data/p/batch_output/defaceqcstdout.log2',
+        |   '/data/p/batch_output/defaceqcstderr.log2',
+        |   'process_qc_deface_2'),
+        |  (3, '/data/in/flair.nii', '/out/qc/flair.nii.jpg',
+        |   'pipeline_qc_face.pl \/data\/in\/flair\.nii \/out\/qc\/flair\.nii\.jpg',
+        |   '/data/p/batch_output/defaceqcstdout.log3',
+        |   '/data/p/batch_output/defaceqcstderr.log3',
+        |   'process_qc_deface_3')
+        |) AS t(line_no, file_in, file_out, command, stdout_log,
+        |       stderr_log, qsub_job_name)""".stripMargin
   )
 }
