@@ -521,6 +521,38 @@ object MaintQueries {
         .toDF("line_no", "file_in")
       graft.operators.BatchUploader.qcFaceCommands(lines,
         dataDir = "/data/p", outBasedir = "/out/qc", isQsub = true)
+    },
+
+    // tools/dicomDescribe.pl (DICOM::DICOM::printContents): the FULL
+    // per-element header dump of a file — file-meta group included, tag
+    // pair in hex, VR, value length, decoded text values, and the DCMSUM
+    // field name for the summary tags. A non-DICOM sibling proves the
+    // no-rows branch.
+    "q155_dicom_describe" -> { (s, _) =>
+      import s.implicits._
+      import graft.sources.{DicomSource, DicomTagParser, SyntheticFixtures}
+      val dir = SyntheticFixtures.freshDir("q155")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name), bytes)
+      put("scan.dcm", SyntheticFixtures.dicomBytes(Seq(
+        SyntheticFixtures.dicomElem(0x0008, 0x0020, "DA", "20240102"),
+        SyntheticFixtures.dicomElem(0x0008, 0x0060, "CS", "MR"),
+        SyntheticFixtures.dicomElem(0x0010, 0x0010, "PN",
+          "MTL0001_300001_V1"),
+        SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", "1.2.3.9000"))))
+      put("notes.txt", "not a dicom".getBytes("US-ASCII"))
+      DicomSource.scanDir(s, dir)
+        .select(element_at(split(col("path"), "/"), -1).as("file"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (f, b) =>
+          DicomTagParser.describe(b).map(e =>
+            (f, f"${e.group}%04X", f"${e.element}%04X", e.vr, e.vl,
+              e.value, e.field_name))
+        }
+        .toDF("file", "tag_group", "tag_element", "vr", "vl", "value",
+          "field_name")
     }
   )
 
@@ -868,6 +900,19 @@ object MaintQueries {
         |   '/data/p/batch_output/defaceqcstderr.log3',
         |   'process_qc_deface_3')
         |) AS t(line_no, file_in, file_out, command, stdout_log,
-        |       stderr_log, qsub_job_name)""".stripMargin
+        |       stderr_log, qsub_job_name)""".stripMargin,
+
+    "q155_dicom_describe" ->
+      """SELECT * FROM (VALUES
+        |  ('scan.dcm', '0002', '0010', 'UI', CAST(20 AS BIGINT),
+        |   '1.2.840.10008.1.2.1', CAST(NULL AS VARCHAR)),
+        |  ('scan.dcm', '0008', '0020', 'DA', 8, '20240102', 'study_date'),
+        |  ('scan.dcm', '0008', '0060', 'CS', 2, 'MR', 'modality'),
+        |  ('scan.dcm', '0010', '0010', 'PN', 18, 'MTL0001_300001_V1',
+        |   'patient_name'),
+        |  ('scan.dcm', '0020', '000D', 'UI', 10, '1.2.3.9000',
+        |   'study_uid')
+        |) AS t(file, tag_group, tag_element, vr, vl, value,
+        |       field_name)""".stripMargin
   )
 }

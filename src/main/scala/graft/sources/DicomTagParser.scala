@@ -147,6 +147,83 @@ object DicomTagParser {
 
   /** Parse the wanted tags; null when the DICM magic is absent (caller
     * records the file as non-DICOM, like the reference's `$fileIsDicom`). */
+  /** One described element: tag pair, VR ("" under implicit encoding),
+    * value length (-1 for undefined-length sequences), the decoded text
+    * value for text VRs (null for binary/sequence payloads), and the
+    * DCMSUM field name when the tag is one of the 26 summary tags. */
+  final case class DescribedElement(group: Int, element: Int, vr: String,
+      vl: Long, value: String, field_name: String)
+
+  private val TextVRs = Set("AE", "AS", "CS", "DA", "DS", "DT", "IS", "LO",
+    "LT", "PN", "SH", "ST", "TM", "UI", "UT", "UC", "UR")
+
+  /** `tools/dicomDescribe.pl` — `DICOM::DICOM::printContents`: the FULL
+    * element walk of one file (file-meta group 0002 included), one row
+    * per header element in tag order. Unlike [[parse]], this does not
+    * stop at group 0x0020; it walks to end-of-bytes, skipping sequence
+    * and pixel payloads structurally. Returns Nil for non-DICOM bytes
+    * (the CLI would print nothing). */
+  def describe(b: Array[Byte]): Seq[DescribedElement] = {
+    if (!hasMagic(b)) return Nil
+    val out = mutable.ArrayBuffer.empty[DescribedElement]
+    var pos = 132
+    var datasetExplicit = true
+    // file-meta group (0002): always explicit LE
+    while (pos + 8 <= b.length && u16(b, pos) == 0x0002) {
+      val elem = u16(b, pos + 2)
+      val vr = new String(b, pos + 4, 2, java.nio.charset.StandardCharsets.US_ASCII)
+      val (len, vpos) =
+        if (LongLenVRs.contains(vr)) (u32(b, pos + 8), pos + 12)
+        else (u16(b, pos + 6).toLong, pos + 8)
+      if (vpos + len > b.length) return out.toSeq
+      val value = if (TextVRs.contains(vr)) trimValue(b, vpos, len.toInt)
+        else null
+      out += DescribedElement(0x0002, elem, vr, len, value, null)
+      if (elem == 0x0010)
+        datasetExplicit = trimValue(b, vpos, len.toInt) != "1.2.840.10008.1.2"
+      pos = (vpos + len).toInt
+    }
+    while (pos + 8 <= b.length) {
+      val group = u16(b, pos)
+      val elem = u16(b, pos + 2)
+      if (group == 0xFFFE) { pos += 8 } // stray item/delimiter header
+      else {
+        var vpos = pos + 4
+        var len = 0L
+        var vr = ""
+        var longForm = false
+        if (datasetExplicit) {
+          vr = new String(b, vpos, 2, java.nio.charset.StandardCharsets.US_ASCII)
+          if (LongLenVRs.contains(vr)) { len = u32(b, vpos + 4); vpos += 8; longForm = true }
+          else { len = u16(b, vpos + 2).toLong; vpos += 4 }
+        } else {
+          len = u32(b, vpos); vpos += 4; longForm = true
+        }
+        val tag = (group << 16) | elem
+        val name = wantedTags.get(tag).orNull
+        if (len == 0xFFFFFFFFL) {
+          if (!longForm) return out.toSeq
+          out += DescribedElement(group, elem, vr, -1L, null, name)
+          val next = skipUndefinedSequence(b, vpos, datasetExplicit)
+          if (next < 0) return out.toSeq
+          pos = next
+        } else {
+          if (vpos + len > b.length) return out.toSeq
+          val value =
+            if (datasetExplicit && TextVRs.contains(vr))
+              trimValue(b, vpos, len.toInt)
+            else if (!datasetExplicit && name != null)
+              // implicit VR: decode the known text tags, as parse() does
+              trimValue(b, vpos, len.toInt)
+            else null
+          out += DescribedElement(group, elem, vr, len, value, name)
+          pos = (vpos + len).toInt
+        }
+      }
+    }
+    out.toSeq
+  }
+
   def parse(b: Array[Byte]): Map[String, String] = {
     if (!hasMagic(b)) return null
     val out = mutable.Map.empty[String, String]
