@@ -37,6 +37,10 @@ def main():
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    errs_path = f"{out_dir}/verify_errors.json"
+    if os.path.exists(errs_path):
+        for name, msg in json.load(open(errs_path)).items():
+            print(f"VERIFY-ERROR {name}: {msg[:120]}")
     n_pass = n_fail = n_noracle = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(qdir.rstrip("/"))
