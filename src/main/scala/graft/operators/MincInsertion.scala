@@ -276,7 +276,10 @@ object MincInsertion {
         first(col("__up_found")).as("__up_found"),
         first(col("__n_up")).as("__n_up"),
         first(col("__valid")).as("__valid"),
-        first(col("__sg_loc"), ignoreNulls = true).as("__sg_loc"),
+        // min, not first: a SeriesUID present in several archives must
+        // name a deterministic owner (the reference's fetchrow takes an
+        // arbitrary one; we pin the smallest location)
+        min(col("__sg_loc")).as("__sg_loc"),
         first(col("center_id")).as("center_id"),
         first(col("scanner_id")).as("scanner_id"),
         first(col("scanner_is_new")).as("scanner_is_new"),
