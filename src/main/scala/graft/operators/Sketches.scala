@@ -46,13 +46,16 @@ object Sketches {
   ): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
     val g = groupCols.map(col)
-    val distinctBase = df.select((g :+ col(hashCol).as("__h")): _*).distinct()
-    // with the exact branch on, two consumers read the distinct frame: a
-    // lazy localCheckpoint computes it once and shares the blocks
-    // (lifecycle is the RDD's own — the ContextCleaner frees them)
+    val base = df.select((g :+ col(hashCol).as("__h")): _*)
+    // estimate path: TopKPerGroup's DISTINCT mode dedups inside the
+    // bounded heaps, so no separate distinct exchange ever materializes —
+    // the one clustering shuffle carries ≤ partitions×groups×k rows.
+    // exact branch (opt-in): the full distinct frame is genuinely needed
+    // for n_exact, shared via a lazy localCheckpoint (lifecycle is the
+    // RDD's own — the ContextCleaner frees the blocks)
     val distinctHashes =
-      if (includeExact) distinctBase.localCheckpoint(false) else distinctBase
-    val minima = graft.plans.TopKPerGroup(
+      if (includeExact) base.distinct().localCheckpoint(false) else base
+    val minima = graft.plans.TopKPerGroup.distinct(
       distinctHashes, g, Seq(col("__h").asc), k)
       .groupBy(g: _*)
       .agg(count(lit(1)).as("__n_seen"), max(col("__h")).as("__kth"))

@@ -66,7 +66,7 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
       limitFrom(cond, al.exprId) match {
         case Some(k) if k >= 1 =>
           f.copy(child = w.withNewChildren(
-            Seq(TopKPerGroupNode(part, order, k, child))))
+            Seq(TopKPerGroupNode(part, order, k, distinct = false, child))))
         case _ => f
       }
   }

@@ -37,7 +37,20 @@ object TopKPerGroup {
   /** Per-group top-k of `df`: the k FIRST rows of each group under
     * `order` (pass `col.asc`/`col.desc` columns; make the order total —
     * include a tiebreaker — for deterministic output). */
-  def apply(df: DataFrame, group: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+  def apply(df: DataFrame, group: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    build(df, group, order, k, distinct = false)
+
+  /** Per-group top-k DISTINCT: like [[apply]], but rows that compare
+    * EQUAL under `order` are kept once — the KMV shape (k smallest
+    * distinct hashes per group) without a separate distinct exchange:
+    * the partial pass dedups AND bounds each partition at k rows per
+    * group before the one clustering shuffle. Distinctness is BY THE
+    * SORT KEY: include every distinguishing column in `order`. */
+  def distinct(df: DataFrame, group: Seq[Column], order: Seq[Column], k: Int): DataFrame =
+    build(df, group, order, k, distinct = true)
+
+  private def build(df: DataFrame, group: Seq[Column], order: Seq[Column],
+      k: Int, distinct: Boolean): DataFrame = {
     require(k > 0, "k must be positive")
     val spark = df.sparkSession
     register(spark)
@@ -47,7 +60,7 @@ object TopKPerGroup {
       case e => SortOrder(e, Ascending)
     }
     GraftColumnBridge.ofRows(spark,
-      TopKPerGroupNode(groupExprs, orderExprs, k,
+      TopKPerGroupNode(groupExprs, orderExprs, k, distinct,
         GraftColumnBridge.logicalPlan(df)))
   }
 
@@ -63,6 +76,7 @@ case class TopKPerGroupNode(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
+    distinct: Boolean,
     child: LogicalPlan
 ) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
@@ -75,9 +89,9 @@ case class TopKPerGroupNode(
   * final exec (post-shuffle finish). */
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerGroupNode(g, o, k, d, child) =>
+      TopKPerGroupExec(g, o, k, d, partial = false,
+        TopKPerGroupExec(g, o, k, d, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
@@ -90,6 +104,7 @@ case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
     orderExprs: Seq[SortOrder],
     k: Int,
+    distinct: Boolean,
     partial: Boolean,
     child: SparkPlan
 ) extends UnaryExecNode {
@@ -106,34 +121,60 @@ case class TopKPerGroupExec(
     val orderE = orderExprs
     val childOutput = child.output
     val kk = k
+    val dedup = distinct
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       val ordering: Ordering[InternalRow] =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .create(orderE, childOutput).asInstanceOf[Ordering[InternalRow]]
-      // max-heap under the sort order: head = worst kept row, evicted when
-      // a better row arrives. UnsafeRow keys/values are COPIED (iterator
-      // rows are reused buffers).
-      val heaps = new java.util.HashMap[UnsafeRow,
-        scala.collection.mutable.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          pq = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
-          heaps.put(key.copy(), pq)
+      if (dedup) {
+        // distinct mode: a k-bounded sorted set per group — comparator
+        // equality IS the dedup (distinct by the sort key); last() =
+        // worst kept key, evicted when a smaller new key arrives
+        val sets = new java.util.HashMap[UnsafeRow,
+          java.util.TreeSet[InternalRow]]()
+        val cmp: java.util.Comparator[InternalRow] =
+          (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = groupProj(row)
+          var set = sets.get(key)
+          if (set == null) {
+            set = new java.util.TreeSet[InternalRow](cmp)
+            sets.put(key.copy(), set)
+          }
+          if (set.size < kk) set.add(row.copy())
+          else if (ordering.compare(row, set.last()) < 0 &&
+            set.add(row.copy())) set.pollLast()
         }
-        if (pq.size < kk) pq.enqueue(row.copy())
-        else if (ordering.compare(row, pq.head) < 0) {
-          pq.dequeue(); pq.enqueue(row.copy())
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        sets.values().forEach { set => set.forEach(r => out += r) }
+        out.iterator
+      } else {
+        // max-heap under the sort order: head = worst kept row, evicted
+        // when a better row arrives. UnsafeRow keys/values are COPIED
+        // (iterator rows are reused buffers).
+        val heaps = new java.util.HashMap[UnsafeRow,
+          scala.collection.mutable.PriorityQueue[InternalRow]]()
+        while (iter.hasNext) {
+          val row = iter.next()
+          val key = groupProj(row)
+          var pq = heaps.get(key)
+          if (pq == null) {
+            pq = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
+            heaps.put(key.copy(), pq)
+          }
+          if (pq.size < kk) pq.enqueue(row.copy())
+          else if (ordering.compare(row, pq.head) < 0) {
+            pq.dequeue(); pq.enqueue(row.copy())
+          }
         }
+        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        heaps.values().forEach { pq =>
+          out ++= pq.toSeq.sorted(ordering)
+        }
+        out.iterator
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-      heaps.values().forEach { pq =>
-        out ++= pq.toSeq.sorted(ordering)
-      }
-      out.iterator
     }, preservesPartitioning = true)
   }
 

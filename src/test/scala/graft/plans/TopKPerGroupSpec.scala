@@ -43,4 +43,35 @@ class TopKPerGroupSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
     assert(out == Set((1, 10, "a"), (1, 10, "b"), (2, 7, "z")))
   }
+
+  test("distinct mode == distinct().then-top-k, duplicates across partitions") {
+    import spark.implicits._
+    // duplicates both within and across partitions; repartition(4) spreads
+    // copies so the FINAL pass must also dedup (partial sets union with
+    // overlaps)
+    val rows = for { g <- 1 to 3; v <- Seq(5, 5, 3, 3, 8, 1, 1, 9) } yield (g, v)
+    val df = rows.toDF("g", "v").repartition(4)
+    val custom = TopKPerGroup.distinct(df, Seq(col("g")),
+      Seq(col("v").asc), k = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val reference = df.distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("v").asc)))
+      .filter(col("rn") <= 3).drop("rn")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(custom == reference)
+    assert(custom == (1 to 3).flatMap(g => Seq((g, 1), (g, 3), (g, 5))).toSet)
+  }
+
+  test("distinct mode: eviction keeps the k smallest distinct keys") {
+    import spark.implicits._
+    // descending arrival order forces repeated evictions; duplicates of
+    // the current worst must not evict anything
+    val df = Seq(9, 8, 8, 7, 6, 6, 5, 4, 3, 2, 1, 1).map(("g", _))
+      .toDF("g", "v").coalesce(1)
+    val out = TopKPerGroup.distinct(df, Seq(col("g")),
+      Seq(col("v").asc), k = 4)
+      .collect().map(_.getInt(1)).toSet
+    assert(out == Set(1, 2, 3, 4))
+  }
 }
