@@ -120,6 +120,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: distinct top-k heap == sorted-distinct-take on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(200)
+      val rows = Seq.fill(n)((rnd.nextInt(4), rnd.nextInt(20).toLong))
+      val k = 1 + rnd.nextInt(6)
+      val df = rows.toDF("g", "v").repartition(3 + rnd.nextInt(3))
+      val got = graft.plans.TopKPerGroup.distinct(df, Seq(col("g")),
+          Seq(col("v").asc), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+      val want = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2).distinct.sorted.take(k).toSeq).toMap
+      assert(got == want, s"trial=$trial k=$k")
+    }
+  }
+
   test("property: packSequences start offsets are exact prefix sums per shard") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
