@@ -217,6 +217,21 @@ object CoreQueries {
         .select(col("doc_id"), col("source"))
     },
 
+    // Weighted reservoir sampling (Efraimidis-Spirakis A-ES) with the
+    // exact-integer key: max of w independent 60-bit hashes ~ u^(1/w) —
+    // no RNG, no FP, engine-reproducible. Weight = length bucket (longer
+    // docs proportionally likelier); selection rides the bounded-heap
+    // top-k plan, so the corpus never crosses the exchange
+    "q156_weighted_sample" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          least(lit(1) + expr("n_chars div 1500").cast("int"), lit(8))
+            .as("wgt"))
+      graft.operators.Sampling.weightedSample(
+        d, col("source"), col("doc_id"), col("wgt"), k = 10)
+        .select(col("source"), col("doc_id"), col("w"), col("key"))
+    },
+
     // W2 at scale: per-group top-k through the custom bounded-heap
     // physical operator (graft.plans.TopKPerGroup — partial pre-shuffle
     // pass + clustered final pass; no per-group sort of the table). The
@@ -416,6 +431,25 @@ object CoreQueries {
     "q57_stratified_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20""".stripMargin,
+
+    "q156_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(least(1 + n_chars // 1500, 8) AS INTEGER) AS w
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT source, doc_id, w,
+        |    list_max(list_transform(range(w), r ->
+        |      CAST(concat('0x', substr(md5(
+        |        concat(CAST(doc_id AS VARCHAR), '#', CAST(r AS VARCHAR))
+        |      ), 1, 15)) AS BIGINT))) AS key
+        |  FROM d
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rn
+        |  FROM keyed
+        |)
+        |SELECT source, doc_id, w, key FROM ranked WHERE rn <= 10""".stripMargin,
 
     "q15_next_event_seq" ->
       """SELECT c_custkey, COALESCE(MAX(o_orderkey), 0) + 1 AS next_no

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Sampling]] — deterministic weighted reservoir sampling (A-ES with
+  * the exact-integer max-of-w-hashes key). */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("key is the max of the w per-replica hashes, deterministic") {
+    val df = Seq(("a", 101L, 3)).toDF("g", "id", "wgt")
+    val key = Sampling.weightedSample(df, col("g"), col("id"),
+      col("wgt"), k = 1).select("key").as[Long].collect().head
+    // recompute locally: md5-prefix hash of "101#r" for r in 0..2
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    assert(key == (0 to 2).map(r => h(s"101#$r")).max)
+    // rerun: identical (no RNG anywhere)
+    val again = Sampling.weightedSample(df, col("g"), col("id"),
+      col("wgt"), k = 1).select("key").as[Long].collect().head
+    assert(again == key)
+  }
+
+  test("sampling without replacement: k distinct ids, all from the group") {
+    val df = (1L to 100L).map(i => ("g", i, 2)).toDF("g", "id", "wgt")
+    val out = Sampling.weightedSample(df, col("g"), col("id"),
+      col("wgt"), k = 7).select("id").as[Long].collect()
+    assert(out.length == 7 && out.distinct.length == 7)
+    assert(out.forall(i => i >= 1 && i <= 100))
+  }
+
+  test("weights bias selection: w=8 items beat w=1 items ~8x") {
+    // 500 heavy (w=8) + 500 light (w=1) items, sample 100: expectation
+    // for the heavy share is ~8/9; accept a generous band — the key
+    // construction is deterministic, so this is a fixed outcome, not a
+    // flaky statistical draw
+    val df = ((1L to 500L).map(i => ("g", i, 8)) ++
+      (501L to 1000L).map(i => ("g", i, 1))).toDF("g", "id", "wgt")
+    val picked = Sampling.weightedSample(df, col("g"), col("id"),
+      col("wgt"), k = 100).select("id").as[Long].collect()
+    val heavy = picked.count(_ <= 500L)
+    assert(heavy >= 75 && heavy <= 99, s"heavy=$heavy of 100")
+  }
+
+  test("equal weights reduce to uniform hash order (w=1 key = hash(id#0))") {
+    val df = (1L to 50L).map(i => ("g", i, 1)).toDF("g", "id", "wgt")
+    val viaSample = Sampling.weightedSample(df, col("g"), col("id"),
+      col("wgt"), k = 5).select("id").as[Long].collect().toSet
+    val direct = df.withColumn("k0",
+        graft.functions.TextFunctions.portableHash60(
+          concat(col("id").cast("string"), lit("#0"))))
+      .orderBy(col("k0").desc, col("id").asc).limit(5)
+      .select("id").as[Long].collect().toSet
+    assert(viaSample == direct)
+  }
+}
