@@ -54,7 +54,13 @@ object Bench {
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    // optional local-only focus filter (comma-separated names); the driver
+    // harness never sets it, so its runs always time the full set
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+      .map(n => n -> runOnce(n))
     // the driver captures only the LAST 2000 chars of stdout: full query
     // names at 100+ queries overflow that window and truncate the JSON
     // head (BENCH_r03 'parsed: None'). Short numeric keys ("q44") in

@@ -631,4 +631,53 @@ object CorpusOps {
       .filter(col("__rk") <= targetPerDomain)
       .drop("__rk")
   }
+
+  /** C4-style global unit-level dedup (Raffel et al. 2020 §2.2's
+    * "three-sentence" rule generalized): split every document into ordered
+    * units (lines, sentences, token blocks — caller supplies the unit
+    * array), count each distinct unit CORPUS-WIDE, delete every occurrence
+    * of any unit appearing more than `maxOcc` times, and reassemble the
+    * survivors in document order. This removes cross-document boilerplate
+    * (headers, license blocks, navigation chrome) that document-level
+    * dedup cannot see.
+    *
+    * Output: idCol + `n_removed` (units deleted) + `text_clean` (surviving
+    * units joined by `sep`; "" when everything was boilerplate).
+    *
+    * 100 TB shape: units are counted and re-joined by their
+    * [[portableHash60]] — the count shuffle carries fixed-width longs, not
+    * unit text. The flagged set (global count > maxOcc) is the
+    * heavy-hitter TAIL of the unit distribution — small by construction at
+    * any corpus size — so it broadcasts and the removal join is map-side;
+    * the only data-volume shuffle after counting is the per-document
+    * reassembly agg. Within-document repeats count toward the global
+    * threshold (as in C4). */
+  def unitDedup(
+      docs: DataFrame,
+      idCol: String,
+      unitsCol: Column,
+      maxOcc: Long,
+      sep: String = " "
+  ): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    val units = docs
+      .select(col(idCol), posexplode(unitsCol).as(Seq("__pos", "__unit")))
+      .withColumn("__h", portableHash60(col("__unit")))
+    val flagged = units.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOcc)
+      .select(col("__h"), lit(true).as("__f"))
+    units.join(broadcast(flagged), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__f"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(
+                struct(col("__pos"), col("__unit"), col("__f")))),
+              x => x.getField("__f").isNull),
+            x => x.getField("__unit")),
+          sep).as("text_clean"))
+  }
 }

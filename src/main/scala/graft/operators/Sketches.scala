@@ -78,6 +78,88 @@ object Sketches {
     pmod(universalHash(portableHash60(item), params(j)._1, params(j)._2),
       lit(width))
 
+  /** Exact bit length of a NON-NEGATIVE long column: (hex digits − 1)·4 +
+    * bits of the leading hex digit; 0 for 0. All-integer — avoids the
+    * `floor(log2(x))` double trap (log2(2^52−1) rounds UP to 52.0, so the
+    * floor misbins exactly the values a sketch cares about) — and has a
+    * verbatim DuckDB twin via `printf('%x', x)` (case-insensitive leading
+    * digit: only '1'/'2'-'3'/'4'-'7' matter, every letter falls to 4). */
+  def bitLength(x: Column): Column = {
+    val h = hex(x) // uppercase, no leading zeros
+    val lead = when(substring(h, 1, 1) === "1", 1)
+      .when(substring(h, 1, 1).isin("2", "3"), 2)
+      .when(substring(h, 1, 1).isin("4", "5", "6", "7"), 3)
+      .otherwise(4)
+    when(x === 0L, 0).otherwise((length(h) - 1) * 4 + lead)
+  }
+
+  /** HyperLogLog distinct-count per group (Flajolet et al. 2007) on
+    * [[portableHash60]] values — the engine-portable HLL the [[kmvDistinct]]
+    * doc said generic implementations can't give you: the register layout
+    * here is pinned to integer math both engines reproduce bit-for-bit
+    * (index = hash mod m, payload = hash >> log2m, rank via [[bitLength]]),
+    * so it gets an exact DuckDB oracle, not a tolerance check.
+    *
+    * The register table is held as exact INTEGER state: per register the
+    * max-rank is kept as `2^bitLength(min payload)` (the two are monotone
+    * duals), and the group roll-up sums those powers of two — `reg_sum` IS
+    * `2^(B+1) · Σ 2^(−M_j)` as one overflow-safe BIGINT (B = 60 − log2m;
+    * m ≤ 4096 keeps it < 2^63). The classic estimate
+    * `α_m · m² / Σ 2^(−M_j)` then needs exactly ONE double op sequence —
+    * constant numerator / reg_sum — identical in any IEEE engine, where a
+    * float summation of 2^(−M) registers would be order-sensitive (terms
+    * spanning 2^−1…2^−54 fall below the running sum's ulp).
+    *
+    * Output: groupCols + `n_zero_registers` (never-touched registers, what
+    * linear-counting correction consumes), `reg_sum`, `est_distinct`
+    * (floored raw estimate).
+    *
+    * 100 TB shape: ONE partial-agg shuffle keyed by (group, register) whose
+    * map-side state is ≤ m rows per group — constant regardless of item
+    * cardinality (the sketch property) — then a tiny group roll-up.
+    * Merging day-sketches is the same min-agg run again. Unlike
+    * [[kmvDistinct]] there is no distinct pass and no heap: strictly
+    * cheaper per item, at the cost of HLL's higher variance per byte at
+    * tiny cardinalities. */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      hashCol: String,
+      log2m: Int = 6
+  ): DataFrame = {
+    require(log2m >= 4 && log2m <= 12, "hll needs 4 <= log2m <= 12")
+    val m = 1 << log2m
+    val payloadBits = 60 - log2m
+    val g = groupCols.map(col)
+    val regs = df
+      .select((g :+ pmod(col(hashCol), lit(m.toLong)).as("__idx") :+
+        bitLength(shiftright(col(hashCol), log2m)).as("__bl")): _*)
+      .groupBy((g :+ col("__idx")): _*)
+      .agg(min(col("__bl")).as("__mb"))
+    val untouched = 1L << (payloadBits + 1)
+    regs.groupBy(g: _*)
+      .agg(
+        sum(call_function("shiftleft", lit(1L), col("__mb").cast("int")))
+          .as("__s"),
+        count(lit(1)).as("__present"))
+      .withColumn("n_zero_registers", lit(m.toLong) - col("__present"))
+      .withColumn("reg_sum",
+        col("__s") + col("n_zero_registers") * lit(untouched))
+      .withColumn("est_distinct",
+        floor(lit(hllNumerator(log2m)) / col("reg_sum").cast("double"))
+          .cast("long"))
+      .drop("__s", "__present")
+  }
+
+  /** The constant HLL numerator α_m·m²·2^(B+1) as ONE double literal —
+    * embed `hllNumerator(log2m).toString` verbatim in an oracle so both
+    * engines divide the identical IEEE value (shortest-round-trip decimal
+    * parses back to the same bits). */
+  def hllNumerator(log2m: Int): Double = {
+    val m = (1 << log2m).toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m * Math.pow(2.0, 61 - log2m)
+  }
+
   /** Count-Min sketch per group (Cormode & Muthukrishnan 2005): a
     * `depth`×`width` integer count matrix; point-frequency estimates via
     * [[cmsEstimate]] are upper bounds that overshoot by at most

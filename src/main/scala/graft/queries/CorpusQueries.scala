@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.CorpusOps
+import graft.operators.{Bpe, CorpusOps}
 
 /** Corpus-preparation queries (q66-q70) over the `documents` table — the
   * training-data assembly stages beyond dedup: repetition quality gates,
@@ -289,6 +289,42 @@ object CorpusQueries {
         round(percent_rank().over(w), 6).as("pr"),
         sum(col("n_tokens"))
           .over(w.rowsBetween(-3, Window.currentRow)).as("trail_sum"))
+    },
+
+    // C4-style global unit dedup: 8-token blocks as the unit (the raw docs
+    // have no line structure), any block occurring >1 time corpus-wide is
+    // boilerplate and every occurrence is deleted. Flagged set broadcasts;
+    // counting and removal join on 60-bit unit hashes, never unit text
+    "q157_unit_dedup" -> { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      val blocks = when(size(toks) === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), floor((size(toks) - 1) / 8).cast("int")),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " ")))
+      CorpusOps.unitDedup(docs(s, dir), "doc_id", blocks, maxOcc = 1L)
+    },
+
+    // BPE round-1 statistic: adjacent-character pair frequencies weighted
+    // by word frequency, top-20 merge candidates. Iteration cost rides the
+    // distinct-word table (|vocab|), not the corpus — the one corpus scan
+    // is wordCounts. The multi-round trainer is pinned in BpeSpec against
+    // an in-memory reference fold (not SQL-expressible without recursion)
+    "q158_bpe_pairs" -> { (s, dir) =>
+      Bpe.pairCounts(Bpe.initialSymbols(Bpe.wordCounts(docs(s, dir), "text")))
+        .orderBy(col("pair_n").desc, col("left").asc, col("right").asc)
+        .limit(20)
+    },
+
+    // HyperLogLog distinct tokens per source (m=64): the fixed-register
+    // dual of q71's KMV — one partial-agg shuffle bounded at m rows per
+    // group, exact-integer register state, single-division estimate
+    "q159_hll_distinct" -> { (s, dir) =>
+      val hashed = docs(s, dir).select(col("source"),
+        explode(transform(
+          graft.functions.TextFunctions.tokens(col("text")),
+          t => graft.functions.TextFunctions.portableHash60(t))).as("h"))
+      graft.operators.Sketches.hllDistinct(hashed, Seq("source"), "h",
+        log2m = 6)
     }
   )
 
@@ -767,6 +803,91 @@ object CorpusQueries {
         |)
         |SELECT source, n_docs,
         |  round(CAST(sc AS DOUBLE) / tot, 6) AS weight
-        |FROM s, t""".stripMargin
+        |FROM s, t""".stripMargin,
+
+    // unit = 8-token block; the oracle counts by unit TEXT where the Spark
+    // side counts by the unit's 60-bit md5 prefix — equal absent a 60-bit
+    // collision (the standing q21 hash-identity assumption)
+    "q157_unit_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $sqlToks AS tk FROM documents
+         |), b AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(
+         |      0, CAST(floor((len(tk) - 1) / 8.0) AS BIGINT))) AS pos
+         |  FROM d WHERE len(tk) > 0
+         |), u AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(tk[pos * 8 + 1 : pos * 8 + 8], ' ') AS unit
+         |  FROM b
+         |), c AS (
+         |  SELECT unit, TRUE AS f FROM u GROUP BY unit HAVING COUNT(*) > 1
+         |)
+         |SELECT u.doc_id,
+         |  CAST(SUM(CASE WHEN c.f THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  COALESCE(string_agg(CASE WHEN c.f IS NULL THEN u.unit END,
+         |    ' ' ORDER BY u.pos), '') AS text_clean
+         |FROM u LEFT JOIN c ON u.unit = c.unit
+         |GROUP BY u.doc_id""".stripMargin,
+
+    "q158_bpe_pairs" ->
+      s"""WITH w AS (
+         |  SELECT unnest($sqlToks) AS word FROM documents
+         |), wc AS (
+         |  SELECT word, COUNT(*) AS n FROM w
+         |  WHERE length(word) > 0 GROUP BY 1
+         |), e AS (
+         |  SELECT word, n,
+         |    unnest(generate_series(1, length(word) - 1)) AS i
+         |  FROM wc WHERE length(word) >= 2
+         |)
+         |SELECT substr(word, i, 1) AS "left",
+         |  substr(word, i + 1, 1) AS "right",
+         |  CAST(SUM(n) AS BIGINT) AS pair_n
+         |FROM e GROUP BY 1, 2
+         |ORDER BY pair_n DESC, "left" ASC, "right" ASC
+         |LIMIT 20""".stripMargin,
+
+    // register rank via exact hex bit-length (the printf('%x') twin of
+    // Sketches.bitLength); estimate divides the ONE shared double literal
+    // (shortest-round-trip repr parses to identical bits in both engines)
+    "q159_hll_distinct" -> {
+      val num = graft.operators.Sketches.hllNumerator(6).toString
+      s"""WITH tok AS (
+         |  SELECT source, unnest($sqlToks) AS t FROM documents
+         |), h AS (
+         |  SELECT source,
+         |    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h
+         |  FROM tok
+         |), r AS (
+         |  SELECT source, h % 64 AS idx, h // 64 AS w FROM h
+         |), bl AS (
+         |  SELECT source, idx,
+         |    CASE WHEN w = 0 THEN 0
+         |         ELSE (length(printf('%x', w)) - 1) * 4 +
+         |           CASE WHEN substr(printf('%x', w), 1, 1) = '1' THEN 1
+         |                WHEN substr(printf('%x', w), 1, 1) IN ('2', '3')
+         |                  THEN 2
+         |                WHEN substr(printf('%x', w), 1, 1)
+         |                  IN ('4', '5', '6', '7') THEN 3
+         |                ELSE 4 END
+         |    END AS b
+         |  FROM r
+         |), reg AS (
+         |  SELECT source, idx, MIN(b) AS mb FROM bl GROUP BY 1, 2
+         |), g AS (
+         |  SELECT source,
+         |    CAST(SUM(CAST(1 AS BIGINT) << mb) AS BIGINT) AS s,
+         |    COUNT(*) AS present
+         |  FROM reg GROUP BY 1
+         |)
+         |SELECT source,
+         |  64 - present AS n_zero_registers,
+         |  s + (64 - present) * 36028797018963968 AS reg_sum,
+         |  CAST(floor($num /
+         |    CAST(s + (64 - present) * 36028797018963968 AS DOUBLE))
+         |    AS BIGINT) AS est_distinct
+         |FROM g""".stripMargin
+    }
   )
 }

@@ -303,4 +303,34 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("unitDedup: global boilerplate removal preserves document order") {
+    val d = Seq(
+      (1L, Seq("alpha beta", "BOILER", "gamma delta")),
+      (2L, Seq("BOILER", "epsilon")),
+      (3L, Seq("zeta", "BOILER")),
+      (4L, Seq("dup", "dup", "eta")), // within-doc repeat counts globally
+      (5L, Seq("solo"))
+    ).toDF("doc_id", "units")
+    val r = CorpusOps.unitDedup(d, "doc_id", col("units"), maxOcc = 1L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2)))
+      .toMap
+    // BOILER occurs 3x and dup 2x corpus-wide -> every occurrence removed
+    assert(r(1L) == ((1L, "alpha beta gamma delta")))
+    assert(r(2L) == ((1L, "epsilon")))
+    assert(r(3L) == ((1L, "zeta")))
+    assert(r(4L) == ((2L, "eta")))
+    assert(r(5L) == ((0L, "solo")))
+    // a fully-boilerplate document survives as an empty string, and a
+    // higher threshold lets the pair-frequency unit back through
+    val all = Seq((1L, Seq("x", "x"), ""), (2L, Seq("x"), "")).toDF(
+      "doc_id", "units", "pad")
+    val r2 = CorpusOps.unitDedup(all, "doc_id", col("units"), maxOcc = 3L)
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r2 == Map(1L -> "x x", 2L -> "x"))
+    val r3 = CorpusOps.unitDedup(all, "doc_id", col("units"), maxOcc = 2L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2)))
+      .toMap
+    assert(r3 == Map(1L -> ((2L, "")), 2L -> ((1L, ""))))
+  }
 }

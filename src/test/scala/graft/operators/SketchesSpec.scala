@@ -164,4 +164,58 @@ class SketchesSpec extends SparkSpec {
       r1.zip(r2).map { case (a, b) => a + b } }
     assert(full == summed)
   }
+
+  test("bitLength is exact on every boundary floor(log2) misrounds") {
+    // reference: 64 - numberOfLeadingZeros; the probe set hits the
+    // 2^k / 2^k-1 edges where double log2 rounds the wrong way
+    val probes = (0L +: 1L +:
+      (1 to 59).flatMap(k => Seq((1L << k) - 1, 1L << k, (1L << k) + 1)) :+
+      ((1L << 60) - 1)).distinct
+    val got = probes.toDF("x")
+      .select(col("x"), Sketches.bitLength(col("x")).as("bl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    probes.foreach { x =>
+      val expect = 64 - java.lang.Long.numberOfLeadingZeros(x)
+      assert(got(x) == expect, s"x=$x got=${got(x)} want=$expect")
+    }
+  }
+
+  test("hll: output is the bit-exact integer-register reference") {
+    // pure-Scala twin of the operator's register math — pins the layout
+    // (idx = h mod m, payload = h >> log2m, contribution = 2^bitlen) that
+    // the DuckDB oracle (q159) reproduces
+    val rnd = new scala.util.Random(13)
+    val hashes = Seq.fill(3000)(math.abs(rnd.nextLong()) % (1L << 60))
+    val log2m = 6
+    val m = 1 << log2m
+    val regs = hashes.groupBy(h => (h % m).toInt).map { case (idx, hs) =>
+      idx -> hs.map(h => 64 - java.lang.Long.numberOfLeadingZeros(h >> log2m))
+        .min
+    }
+    val regSum = regs.values.map(mb => 1L << mb).sum +
+      (m - regs.size).toLong * (1L << 55)
+    val expectEst =
+      math.floor(Sketches.hllNumerator(log2m) / regSum.toDouble).toLong
+    val r = Sketches.hllDistinct(hashes.map(("g", _)).toDF("g", "h"),
+      Seq("g"), "h", log2m).collect()(0)
+    assert(r.getAs[Long]("n_zero_registers") == (m - regs.size).toLong)
+    assert(r.getAs[Long]("reg_sum") == regSum)
+    assert(r.getAs[Long]("est_distinct") == expectEst)
+  }
+
+  test("hll: estimate lands within 4 standard errors; duplicates free") {
+    val rnd = new scala.util.Random(29)
+    val n = 30000
+    val base = Seq.fill(n)(math.abs(rnd.nextLong()) % (1L << 60)).distinct
+    val log2m = 8 // SE ~ 1.04/sqrt(256) = 6.5%
+    val est = Sketches.hllDistinct(base.map(("g", _)).toDF("g", "h"),
+      Seq("g"), "h", log2m).collect()(0).getAs[Long]("est_distinct")
+    val relErr = math.abs(est.toDouble / base.size - 1.0)
+    assert(relErr < 4 * 1.04 / math.sqrt(1 << log2m),
+      s"relErr=$relErr est=$est n=${base.size}")
+    // idempotence: a second copy of every item changes nothing (min-agg)
+    val est2 = Sketches.hllDistinct((base ++ base).map(("g", _)).toDF("g", "h"),
+      Seq("g"), "h", log2m).collect()(0).getAs[Long]("est_distinct")
+    assert(est2 == est)
+  }
 }
