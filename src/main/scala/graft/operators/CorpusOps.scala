@@ -652,6 +652,55 @@ object CorpusOps {
     * the only data-volume shuffle after counting is the per-document
     * reassembly agg. Within-document repeats count toward the global
     * threshold (as in C4). */
+  /** Exact duplicated-span REMOVAL — the enforcement step of Lee et al.
+    * 2022's ExactSubstr dedup, of which [[duplicatedNgramStats]] (q82) is
+    * the measurement: any n-token span appearing in at least `minDocFreq`
+    * documents is a duplicated substring, and every token covered by any
+    * such span is deleted from EVERY document holding it (the paper's
+    * conservative remove-all-copies policy), survivors reassembled in
+    * order. Overlapping flagged spans union their coverage.
+    *
+    * Output: idCol + `n_tokens` (original) + `n_removed` (covered tokens)
+    * + `text_clean`.
+    *
+    * 100 TB shape: gram doc-frequency is one distinct+count shuffle on
+    * 60-bit gram hashes; the flagged set is the duplicated tail — small by
+    * nature — and broadcasts into the coverage join, so marking is
+    * map-side. Coverage positions collapse per document (collect_set
+    * bounded by document length) and the only data-volume exchanges are
+    * that per-document agg and the final join back to the text, both keyed
+    * by document id. */
+  def removeDuplicatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minDocFreq: Int = 2
+  ): DataFrame = {
+    val toks = tokens(col(textCol))
+    val grams = docs.select(col(idCol),
+      posexplode(transform(shingles(toks, n), g => portableHash60(g)))
+        .as(Seq("__pos", "__gram")))
+    val flagged = grams.select(col(idCol), col("__gram")).distinct()
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select(col("__gram"))
+    val covered = grams.join(broadcast(flagged), Seq("__gram"))
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1)))
+          .as("__cov"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__cov")).as("__covered"))
+    val cov = coalesce(col("__covered"), array().cast("array<integer>"))
+    docs.join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(cov).cast("long").as("n_removed"),
+        array_join(
+          filter(toks, (t, i) => not(array_contains(cov, i))), " ")
+          .as("text_clean"))
+  }
+
   def unitDedup(
       docs: DataFrame,
       idCol: String,

@@ -66,6 +66,71 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training data: for every anchor,
+    * the top-k most-similar vectors carrying a DIFFERENT label — the
+    * "closest wrong answers" a contrastive or reranker objective trains
+    * against. Exact scoring (same sequential-order cosine as
+    * [[bruteForceTopK]], so it oracle-matches); the k-selection rides the
+    * bounded-heap [[graft.plans.TopKPerGroup]] plan, so per-partition state
+    * is k rows per anchor rather than a full |anchors|×|corpus| sort.
+    * `anchors` defaults to the whole corpus (mine negatives for everything)
+    * — at 100 TB compose with [[ivfTopK]]'s bucket prune to bound the
+    * candidate join; the broadcast-anchor exact form here is the per-bucket
+    * inner loop either way. */
+  def hardNegatives(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, anchors: Option[DataFrame] = None
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__nl"), asDouble(col(vecCol)).as("c_vec"))
+    val a = anchors.getOrElse(corpus).select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), asDouble(col(vecCol)).as("q_vec"))
+    val scored = c.join(broadcast(a), col("__nl") =!= col("__ql"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val top = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    // rank assignment runs AFTER the heap prune — the window sees at most
+    // k rows per anchor
+    top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+  }
+
+  /** Embedding-space outlier gate (the centroid-distance quality filter of
+    * SemDeDup-style pipelines): each vector's cosine to its group's mean
+    * embedding; below `threshold` flags the vector as off-manifold for its
+    * group. The centroid is held EXACTLY: elements scale to integers
+    * (floor(x·2^20) — float→double→scale is exact, so the per-dimension
+    * sums are order-independent longs, where a double mean would
+    * hash-differ across engines by summation order), and since cosine is
+    * scale-invariant the UNNORMALIZED sum vector stands in for the mean
+    * with no division step at all.
+    *
+    * 100 TB shape: one (group, dim) partial-agg shuffle (explode ×dim of
+    * long pairs, map-side combined), a per-group assemble, then a
+    * broadcast join back — scoring is map-side. */
+  def centroidOutliers(
+      corpus: DataFrame, idCol: String, vecCol: String, groupCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val scaled = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(1048576.0)).cast("long"))
+    val sums = corpus
+      .select(col(groupCol), posexplode(scaled).as(Seq("__dim", "__s")))
+      .groupBy(col(groupCol), col("__dim"))
+      .agg(sum(col("__s")).as("__cs"))
+      .groupBy(col(groupCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__dim"), col("__cs")))),
+        x => x.getField("__cs").cast("double")).as("__cent"))
+    corpus.join(broadcast(sums), Seq(groupCol))
+      .withColumn("cosine",
+        round(cosine(asDouble(col(vecCol)), col("__cent")), 6))
+      .select(col(idCol), col(groupCol), col("cosine"),
+        (col("cosine") < threshold).as("is_outlier"))
+  }
+
   /** Assign each vector to its nearest centroid (squared-L2), MAP-ONLY:
     * the centroid set rides along as one broadcast array row and the argmin
     * is a higher-order `aggregate` per corpus row — no shuffle at all, the

@@ -315,6 +315,15 @@ object CorpusQueries {
         .limit(20)
     },
 
+    // ExactSubstr span removal (the q82 stats' enforcement step): 5-token
+    // spans in >=2 docs are duplicated; every covered token is deleted
+    // from all copies. Flagged-gram tail broadcasts (1.1k of 24k grams at
+    // sf0.01); coverage and reassembly shuffle by doc id only
+    "q160_span_removal" -> { (s, dir) =>
+      CorpusOps.removeDuplicatedSpans(docs(s, dir), "doc_id", "text",
+        n = 5, minDocFreq = 2)
+    },
+
     // HyperLogLog distinct tokens per source (m=64): the fixed-register
     // dual of q71's KMV — one partial-agg shuffle bounded at m rows per
     // group, exact-integer register state, single-division estimate
@@ -847,6 +856,43 @@ object CorpusQueries {
          |FROM e GROUP BY 1, 2
          |ORDER BY pair_n DESC, "left" ASC, "right" ASC
          |LIMIT 20""".stripMargin,
+
+    "q160_span_removal" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $sqlToks AS tk FROM documents
+         |), sh AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(1, len(tk) - 4)) AS i
+         |  FROM d WHERE len(tk) >= 5
+         |), g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(tk[i : i + 4], ' ') AS gram
+         |  FROM sh
+         |), fl AS (
+         |  SELECT gram FROM (
+         |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1
+         |  ) WHERE df >= 2
+         |), cov0 AS (
+         |  SELECT doc_id, pos + unnest(generate_series(0, 4)) AS cv
+         |  FROM g WHERE gram IN (SELECT gram FROM fl)
+         |), cov AS (
+         |  SELECT DISTINCT doc_id, cv FROM cov0
+         |), t AS (
+         |  SELECT doc_id, unnest(tk) AS tok,
+         |    unnest(generate_series(0, len(tk) - 1)) AS tpos
+         |  FROM d
+         |), a AS (
+         |  SELECT t.doc_id, t.tpos, t.tok,
+         |    (cov.cv IS NOT NULL) AS rm
+         |  FROM t LEFT JOIN cov
+         |    ON t.doc_id = cov.doc_id AND t.tpos = cov.cv
+         |)
+         |SELECT doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
+         |    ' ' ORDER BY tpos), '') AS text_clean
+         |FROM a GROUP BY 1""".stripMargin,
 
     // register rank via exact hex bit-length (the printf('%x') twin of
     // Sketches.bitLength); estimate divides the ONE shared double literal

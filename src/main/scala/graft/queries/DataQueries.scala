@@ -172,6 +172,22 @@ object DataQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
     },
 
+    // Hard-negative mining: top-3 most-similar DIFFERENT-label vectors per
+    // anchor (all 500 anchors), exact cosine, bounded-heap k-selection;
+    // rank window runs on the pruned <=k rows per anchor
+    "q161_hard_negatives" -> { (s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 3)
+    },
+
+    // Embedding outlier gate: cosine of each vector to its label's exact
+    // integer-sum centroid (scale-invariance stands the sum vector in for
+    // the mean — no FP-order hazard, no division)
+    "q162_centroid_outliers" -> { (s, dir) =>
+      Similarity.centroidOutliers(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", threshold = 0.05)
+    },
+
     // Edit-distance fuzzy matching (FastSS single-deletion blocking):
     // customer names at Levenshtein distance <= 1 — exact recall by
     // pigeonhole, every candidate verified
@@ -473,6 +489,62 @@ object DataQueries {
 
     "q29_embedding_knn" -> sqlKnn(
       "e2.vec_id < 5", "rank <= 10"),
+
+    "q161_hard_negatives" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.v, c.v), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
+        |         * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1]*x[2])))),
+        |      6) AS cosine
+        |  FROM v a JOIN v c ON a.label <> c.label
+        |), ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+        |    AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, cosine, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // centroid = per-label exact integer sums (floor(x*2^20) of the
+    // double-widened floats — order-free BIGINT adds); cosine's
+    // scale-invariance makes the sum vector the mean, so the only doubles
+    // are the one shared cosine expression both engines evaluate in index
+    // order
+    "q162_centroid_outliers" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT label,
+        |    unnest(list_transform(dv,
+        |      x -> CAST(floor(x * 1048576.0) AS BIGINT))) AS s,
+        |    unnest(generate_series(0, len(dv) - 1)) AS dim
+        |  FROM v
+        |), cd AS (
+        |  SELECT label, dim, CAST(SUM(s) AS BIGINT) AS cs
+        |  FROM e GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT label, list(CAST(cs AS DOUBLE) ORDER BY dim) AS cv
+        |  FROM cd GROUP BY 1
+        |), scored AS (
+        |  SELECT v.vec_id, v.label,
+        |    round(
+        |      list_sum(list_transform(list_zip(v.dv, cent.cv), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(list_zip(v.dv, v.dv), x -> x[1]*x[2])))
+        |         * sqrt(list_sum(list_transform(list_zip(cent.cv, cent.cv), x -> x[1]*x[2])))),
+        |      6) AS cosine
+        |  FROM v JOIN cent USING (label)
+        |)
+        |SELECT vec_id, label, cosine, cosine < 0.05 AS is_outlier
+        |FROM scored""".stripMargin,
 
     // exact twin of Similarity.ivfTopK with seedCentroids(8)/nprobe=2/k=10:
     // centroid CTE (first 8 ids) -> squared-L2 argmin assignment (ties to

@@ -333,4 +333,28 @@ class CorpusOpsSpec extends SparkSpec {
       .toMap
     assert(r3 == Map(1L -> ((2L, "")), 2L -> ((1L, ""))))
   }
+
+  test("removeDuplicatedSpans: covered tokens cut in every copy") {
+    val d = Seq(
+      (1L, "a b c d e x"),
+      (2L, "z a b c d e"),
+      (3L, "q w e r t y"),
+      (4L, "a b c d e a b c d e") // two flagged occurrences -> union cover
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.removeDuplicatedSpans(d, "doc_id", "text",
+        n = 5, minDocFreq = 2)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getString(3))))
+      .toMap
+    // "a b c d e" appears in docs 1, 2, 4 -> all its tokens go everywhere
+    assert(r(1L) == ((6L, 5L, "x")))
+    assert(r(2L) == ((6L, 5L, "z")))
+    assert(r(3L) == ((6L, 0L, "q w e r t y"))) // unique text untouched
+    assert(r(4L) == ((10L, 10L, "")))
+    // raising minDocFreq above the df leaves everything intact
+    val loose = CorpusOps.removeDuplicatedSpans(d, "doc_id", "text",
+        n = 5, minDocFreq = 4)
+      .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+    assert(loose == 0L)
+  }
 }

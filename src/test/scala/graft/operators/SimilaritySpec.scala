@@ -161,4 +161,55 @@ class SimilaritySpec extends SparkSpec {
       transform(col("embedding"), _.cast("double"))), 6)).first().getDouble(0)
     assert(out == 1.0)
   }
+
+  test("hardNegatives: only cross-label neighbors, cosine-desc ranks") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), "A"),
+      (2L, Seq(0.9f, 0.1f), "A"),
+      (3L, Seq(0.0f, 1.0f), "B"),
+      (4L, Seq(0.5f, 0.5f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getInt(3)) -> (x.getLong(1), x.getDouble(2)))
+      .toMap
+    // anchor 1 (A): nearest wrong-label is 4 (cos .7071), then 3 (cos 0)
+    assert(r((1L, 1)) == ((4L, 0.707107)))
+    assert(r((1L, 2)) == ((3L, 0.0)))
+    // anchor 3 (B): same-label 4 is NOT a candidate despite cos .7071
+    assert(r((3L, 1))._1 == 2L) // (0.9,0.1) has the larger y-weighted cos
+    assert(r((3L, 2))._1 == 1L)
+    assert(r.keys.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+    // never a same-label pair
+    val labels = Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B")
+    r.foreach { case ((q, _), (n, _)) => assert(labels(q) != labels(n)) }
+  }
+
+  test("centroidOutliers: exact sum-centroid, scale invariant, flags") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Seq(2.0f, 0.0f), 7),
+      (2L, Seq(0.0f, 2.0f), 7),
+      (3L, Seq(-1.0f, -1.0f), 7), // anti-aligned with the (1,1) centroid
+      (4L, Seq(3.0f, 0.0f), 8)    // singleton group: cosine 1 to itself
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidOutliers(e, "vec_id", "embedding", "label",
+        threshold = 0.0)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getBoolean(3)))).toMap
+    // group-7 sums: (2+0-1, 0+2-1)·2^20 -> direction (1,1)
+    assert(r(1L) == ((0.707107, false)))
+    assert(r(2L) == ((0.707107, false)))
+    assert(r(3L) == ((-1.0, true)))
+    assert(r(4L) == ((1.0, false)))
+    // cosine is invariant under scaling every vector of the group
+    val scaled = e.withColumn("embedding",
+      transform(col("embedding"), x => x * lit(4.0f)))
+    val r2 = Similarity.centroidOutliers(scaled, "vec_id", "embedding",
+        "label", threshold = 0.0)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r2 == r)
+  }
 }
