@@ -632,6 +632,102 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** Content-addressed diff between two corpus snapshots — the "what
+    * changed since the last crawl/dump" step of an incremental training
+    * pipeline. Documents are matched by id first (`unchanged` /
+    * `changed`), then the id-orphans are re-matched by content fingerprint
+    * so renumbered-but-identical documents classify as `moved` instead of
+    * a spurious delete+add; only true orphans remain `removed` / `added`.
+    * Duplicate contents pair deterministically (k-th smallest old id ↔
+    * k-th smallest new id per fingerprint).
+    *
+    * Output: `old_id`, `new_id` (−1 when absent on that side), `status` ∈
+    * unchanged | changed | moved | removed | added.
+    *
+    * 100 TB shape: one full-outer join keyed by id over md5 fingerprints
+    * (text never shuffles); the rematch operates only on the id-orphan
+    * minority, keyed by fingerprint, with a bounded per-fingerprint rank
+    * window. */
+  def snapshotDiff(
+      prev: DataFrame,
+      curr: DataFrame,
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val fp = md5(col(textCol).cast("binary"))
+    val p = prev.select(col(idCol).as("id"), fp.as("__oh"))
+    val c = curr.select(col(idCol).as("id"), fp.as("__nh"))
+    val j = p.join(c, Seq("id"), "full")
+    val same = j.filter(col("__oh") === col("__nh"))
+      .select(col("id").as("old_id"), col("id").as("new_id"),
+        lit("unchanged").as("status"))
+    val edited = j
+      .filter(col("__oh").isNotNull && col("__nh").isNotNull &&
+        col("__oh") =!= col("__nh"))
+      .select(col("id").as("old_id"), col("id").as("new_id"),
+        lit("changed").as("status"))
+    val wOld = Window.partitionBy(col("__h")).orderBy(col("old_id"))
+    val wNew = Window.partitionBy(col("__h")).orderBy(col("new_id"))
+    val goneCand = j.filter(col("__nh").isNull)
+      .select(col("id").as("old_id"), col("__oh").as("__h"))
+      .withColumn("__rn", row_number().over(wOld))
+    val newCand = j.filter(col("__oh").isNull)
+      .select(col("id").as("new_id"), col("__nh").as("__h"))
+      .withColumn("__rn", row_number().over(wNew))
+    val moved = goneCand.join(newCand, Seq("__h", "__rn"))
+      .select(col("old_id"), col("new_id"), lit("moved").as("status"))
+    val removed = goneCand.join(newCand, Seq("__h", "__rn"), "left_anti")
+      .select(col("old_id"), lit(-1L).as("new_id"),
+        lit("removed").as("status"))
+    val added = newCand.join(goneCand, Seq("__h", "__rn"), "left_anti")
+      .select(lit(-1L).as("old_id"), col("new_id"),
+        lit("added").as("status"))
+    same.unionByName(edited).unionByName(moved).unionByName(removed)
+      .unionByName(added)
+  }
+
+  /** Classifier-threshold sweep — the "pick the quality-filter cutoff"
+    * calibration step: confusion counts and integer-ppm precision/recall
+    * per candidate threshold (predict positive at score ≥ t), against a
+    * boolean relevance column.
+    *
+    * 100 TB shape: ONE aggregation shuffle builds the per-score-value
+    * label histogram (|distinct scores| rows — score-range-sized, not
+    * corpus-sized); every threshold then aggregates that tiny table, so
+    * sweeping 10 or 1000 cutoffs re-reads nothing. */
+  def thresholdSweep(
+      scored: DataFrame,
+      scoreCol: String,
+      relevantCol: String,
+      thresholds: Seq[Long]
+  ): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs >= 1 threshold")
+    val hist = scored.groupBy(col(scoreCol).as("__s"))
+      .agg(
+        count(when(col(relevantCol), lit(1))).as("__np"),
+        count(when(!col(relevantCol), lit(1))).as("__nn"))
+    val th = explode(array(thresholds.map(lit(_)): _*)).as("threshold")
+    hist.select(th, col("__s"), col("__np"), col("__nn"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("__s") >= col("threshold"), col("__np"))
+          .otherwise(lit(0L))).as("tp"),
+        sum(when(col("__s") >= col("threshold"), col("__nn"))
+          .otherwise(lit(0L))).as("fp"),
+        sum(when(col("__s") < col("threshold"), col("__np"))
+          .otherwise(lit(0L))).as("fn"),
+        sum(when(col("__s") < col("threshold"), col("__nn"))
+          .otherwise(lit(0L))).as("tn"))
+      // integer `div`, not double `/`: 1e6·tp exceeds 2^53 once tp passes
+      // ~9e9 docs, exactly the regime a 100 TB sweep runs in
+      .withColumn("precision_ppm",
+        when(col("tp") + col("fp") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * tp) div (tp + fp)")))
+      .withColumn("recall_ppm",
+        when(col("tp") + col("fn") === 0, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * tp) div (tp + fn)")))
+  }
+
   /** C4-style global unit-level dedup (Raffel et al. 2020 §2.2's
     * "three-sentence" rule generalized): split every document into ordered
     * units (lines, sentences, token blocks — caller supplies the unit

@@ -324,6 +324,41 @@ object CorpusQueries {
         n = 5, minDocFreq = 2)
     },
 
+    // Content-addressed snapshot diff: the previous snapshot is derived
+    // in-query (drop %11=3 -> added; ' OLD'-suffix %7=0 -> changed; shift
+    // ids of %13=0 -> moved; tombstone rows -> removed) so both engines
+    // diff identical inputs. Orphan rematch by md5 catches the renumbered
+    // copies a plain id-diff would misreport as delete+add
+    "q163_snapshot_diff" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val curr = d.select(col("doc_id"), col("text"))
+      val prevMain = d.filter(pmod(col("doc_id"), lit(11)) =!= 3)
+        .select(
+          when(pmod(col("doc_id"), lit(13)) === 0 &&
+               pmod(col("doc_id"), lit(7)) =!= 0,
+            col("doc_id") + 100000).otherwise(col("doc_id")).as("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" OLD"))).otherwise(col("text"))
+            .as("text"))
+      val tomb = d.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(lit("tombstone "), col("doc_id").cast("string")).as("text"))
+      CorpusOps.snapshotDiff(prevMain.unionByName(tomb), curr,
+        "doc_id", "text")
+    },
+
+    // Quality-filter calibration: confusion counts + ppm precision/recall
+    // for 10 cutoffs of the q84 classifier against lang='en' relevance.
+    // One histogram shuffle; the sweep itself touches |scores|x10 rows
+    "q164_threshold_sweep" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scored = CorpusOps.scoreHashedLinear(d, "doc_id", "text", dim = 16)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("rel")),
+          Seq("doc_id"))
+      CorpusOps.thresholdSweep(scored, "score", "rel",
+        thresholds = (-160L to 20L by 20L).toSeq)
+    },
+
     // HyperLogLog distinct tokens per source (m=64): the fixed-register
     // dual of q71's KMV — one partial-agg shuffle bounded at m rows per
     // group, exact-integer register state, single-division estimate
@@ -856,6 +891,85 @@ object CorpusQueries {
          |FROM e GROUP BY 1, 2
          |ORDER BY pair_n DESC, "left" ASC, "right" ASC
          |LIMIT 20""".stripMargin,
+
+    "q163_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT CASE WHEN doc_id % 13 = 0 AND doc_id % 7 <> 0
+        |              THEN doc_id + 100000 ELSE doc_id END AS pid,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' OLD' ELSE text END
+        |      AS ptext
+        |  FROM documents WHERE doc_id % 11 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'tombstone ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), p AS (
+        |  SELECT pid AS id, md5(ptext) AS oh FROM prev
+        |), c AS (
+        |  SELECT doc_id AS id, md5(text) AS nh FROM documents
+        |), j AS (
+        |  SELECT COALESCE(p.id, c.id) AS id, oh, nh
+        |  FROM p FULL JOIN c ON p.id = c.id
+        |), gone AS (
+        |  SELECT id AS old_id, oh AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY oh ORDER BY id) AS rn
+        |  FROM j WHERE nh IS NULL
+        |), nw AS (
+        |  SELECT id AS new_id, nh AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY nh ORDER BY id) AS rn
+        |  FROM j WHERE oh IS NULL
+        |)
+        |SELECT id AS old_id, id AS new_id, 'unchanged' AS status
+        |FROM j WHERE oh = nh
+        |UNION ALL
+        |SELECT id, id, 'changed' FROM j
+        |WHERE oh IS NOT NULL AND nh IS NOT NULL AND oh <> nh
+        |UNION ALL
+        |SELECT old_id, new_id, 'moved' FROM gone JOIN nw USING (h, rn)
+        |UNION ALL
+        |SELECT old_id, CAST(-1 AS BIGINT), 'removed' FROM gone
+        |WHERE NOT EXISTS (SELECT 1 FROM nw
+        |  WHERE nw.h = gone.h AND nw.rn = gone.rn)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), new_id, 'added' FROM nw
+        |WHERE NOT EXISTS (SELECT 1 FROM gone
+        |  WHERE gone.h = nw.h AND gone.rn = nw.rn)""".stripMargin,
+
+    "q164_threshold_sweep" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id, $sqlHash60 % 16 AS b FROM w
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(concat('0x',
+         |      substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 21 - 10) AS BIGINT) AS score
+         |  FROM h GROUP BY 1
+         |), lab AS (
+         |  SELECT sc.doc_id, score, (lang = 'en') AS rel
+         |  FROM sc JOIN documents USING (doc_id)
+         |), th AS (
+         |  SELECT CAST(t AS BIGINT) AS threshold FROM (VALUES (-160),
+         |    (-140), (-120), (-100), (-80), (-60), (-40), (-20), (0),
+         |    (20)) v(t)
+         |), agg AS (
+         |  SELECT threshold,
+         |    CAST(SUM(CASE WHEN score >= threshold AND rel
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN score >= threshold AND NOT rel
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(SUM(CASE WHEN score < threshold AND rel
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(SUM(CASE WHEN score < threshold AND NOT rel
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM lab CROSS JOIN th GROUP BY 1
+         |)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN NULL
+         |       ELSE (1000000 * tp) // (tp + fp) END AS precision_ppm,
+         |  CASE WHEN tp + fn = 0 THEN NULL
+         |       ELSE (1000000 * tp) // (tp + fn) END AS recall_ppm
+         |FROM agg""".stripMargin,
 
     "q160_span_removal" ->
       s"""WITH d AS (

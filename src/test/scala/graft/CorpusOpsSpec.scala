@@ -357,4 +357,45 @@ class CorpusOpsSpec extends SparkSpec {
       .agg(sum(col("n_removed"))).collect()(0).getLong(0)
     assert(loose == 0L)
   }
+
+  test("snapshotDiff: id-match first, content rematch for renumbers") {
+    val prev = Seq(
+      (1L, "kept"), (2L, "edited v1"), (10L, "renumbered"),
+      (11L, "twin"), (12L, "twin"), (20L, "dropped")
+    ).toDF("doc_id", "text")
+    val curr = Seq(
+      (1L, "kept"), (2L, "edited v2"), (30L, "renumbered"),
+      (31L, "twin"), (40L, "brand new")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.snapshotDiff(prev, curr, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+      .toSet
+    assert(r == Set(
+      (1L, 1L, "unchanged"),
+      (2L, 2L, "changed"),
+      (10L, 30L, "moved"),       // identical content, new id
+      (11L, 31L, "moved"),       // first twin pairs by per-content rank
+      (12L, -1L, "removed"),     // 2nd twin has no partner left
+      (20L, -1L, "removed"),
+      (-1L, 40L, "added")))
+  }
+
+  test("thresholdSweep: confusion counts and ppm ratios are exact") {
+    // scores 1..6, relevant = odd score (1, 3, 5)
+    val d = Seq((1L, true), (2L, false), (3L, true), (4L, false),
+      (5L, true), (6L, false)).toDF("score", "rel")
+    val r = CorpusOps.thresholdSweep(d, "score", "rel", Seq(0L, 4L, 7L))
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4),
+          Option(x.get(5)).map(_.asInstanceOf[Long]),
+          Option(x.get(6)).map(_.asInstanceOf[Long]))))
+      .toMap
+    // t=0: everything predicted positive
+    assert(r(0L) == ((3L, 3L, 0L, 0L, Some(500000L), Some(1000000L))))
+    // t=4: scores 4,5,6 positive -> tp={5}, fp={4,6}
+    assert(r(4L) == ((1L, 2L, 2L, 1L, Some(333333L), Some(333333L))))
+    // t=7: nothing positive -> precision undefined (NULL), recall 0
+    assert(r(7L) == ((0L, 0L, 3L, 3L, None, Some(0L))))
+  }
 }
