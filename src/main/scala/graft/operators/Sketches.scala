@@ -126,20 +126,45 @@ object Sketches {
       groupCols: Seq[String],
       hashCol: String,
       log2m: Int = 6
+  ): DataFrame =
+    hllFromRegisters(hllRegisters(df, groupCols, hashCol, log2m),
+      groupCols, log2m)
+
+  /** The register table of [[hllDistinct]]: (group cols, `reg_idx`,
+    * `reg_mb` = min payload bit-length). A plain min-agg, so it is also
+    * the STREAMING maintenance shape: run it on a stream in update mode
+    * and the sink always holds the current registers; [[hllFromRegisters]]
+    * turns any register snapshot into estimates. Re-running the same
+    * min-agg over the union of two register tables merges period sketches.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      hashCol: String,
+      log2m: Int = 6
   ): DataFrame = {
     require(log2m >= 4 && log2m <= 12, "hll needs 4 <= log2m <= 12")
     val m = 1 << log2m
-    val payloadBits = 60 - log2m
     val g = groupCols.map(col)
-    val regs = df
-      .select((g :+ pmod(col(hashCol), lit(m.toLong)).as("__idx") :+
-        bitLength(shiftright(col(hashCol), log2m)).as("__bl")): _*)
-      .groupBy((g :+ col("__idx")): _*)
-      .agg(min(col("__bl")).as("__mb"))
-    val untouched = 1L << (payloadBits + 1)
+    df.select((g :+ pmod(col(hashCol), lit(m.toLong)).as("reg_idx") :+
+        bitLength(shiftright(col(hashCol), log2m)).as("reg_mb")): _*)
+      .groupBy((g :+ col("reg_idx")): _*)
+      .agg(min(col("reg_mb")).as("reg_mb"))
+  }
+
+  /** Group roll-up of an [[hllRegisters]] snapshot into
+    * (n_zero_registers, reg_sum, est_distinct). */
+  def hllFromRegisters(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      log2m: Int
+  ): DataFrame = {
+    val m = 1 << log2m
+    val g = groupCols.map(col)
+    val untouched = 1L << (60 - log2m + 1)
     regs.groupBy(g: _*)
       .agg(
-        sum(call_function("shiftleft", lit(1L), col("__mb").cast("int")))
+        sum(call_function("shiftleft", lit(1L), col("reg_mb").cast("int")))
           .as("__s"),
         count(lit(1)).as("__present"))
       .withColumn("n_zero_registers", lit(m.toLong) - col("__present"))

@@ -203,6 +203,57 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("est_distinct") == expectEst)
   }
 
+  test("hll: streaming register maintenance == batch sketch") {
+    // the register table is a plain min-agg, so structured streaming in
+    // complete mode maintains it incrementally; rolling up the sink after
+    // any batch gives exactly the batch sketch over the data so far
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sqlc = spark.sqlContext
+    implicit val sq: org.apache.spark.sql.SQLContext = sqlc
+    val rnd = new scala.util.Random(31)
+    val all = Seq.fill(4000)(math.abs(rnd.nextLong()) % (1L << 60))
+      .map(("g", _))
+    val mem = MemoryStream[(String, Long)]
+    val q = Sketches.hllRegisters(mem.toDF().toDF("g", "h"), Seq("g"), "h",
+        log2m = 6)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = all.splitAt(1500)
+      mem.addData(b1); q.processAllAvailable()
+      val mid = Sketches.hllFromRegisters(spark.table("hllregs"),
+        Seq("g"), 6).collect()(0)
+      val midBatch = Sketches.hllDistinct(b1.toDF("g", "h"),
+        Seq("g"), "h", 6).collect()(0)
+      assert(mid.getAs[Long]("reg_sum") == midBatch.getAs[Long]("reg_sum"))
+      mem.addData(b2); q.processAllAvailable()
+      val fin = Sketches.hllFromRegisters(spark.table("hllregs"),
+        Seq("g"), 6).collect()(0)
+      val finBatch = Sketches.hllDistinct(all.toDF("g", "h"),
+        Seq("g"), "h", 6).collect()(0)
+      assert(fin.getAs[Long]("reg_sum") == finBatch.getAs[Long]("reg_sum"))
+      assert(fin.getAs[Long]("est_distinct") ==
+        finBatch.getAs[Long]("est_distinct"))
+    } finally q.stop()
+  }
+
+  test("hll: period sketches merge by re-running the register min-agg") {
+    val rnd = new scala.util.Random(37)
+    val day1 = Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 60))
+    val day2 = Seq.fill(2000)(math.abs(rnd.nextLong()) % (1L << 60))
+    def regs(xs: Seq[Long]) = Sketches.hllRegisters(
+      xs.map(("g", _)).toDF("g", "h"), Seq("g"), "h", 6)
+    val merged = regs(day1).unionByName(regs(day2))
+      .groupBy(col("g"), col("reg_idx"))
+      .agg(min(col("reg_mb")).as("reg_mb"))
+    val got = Sketches.hllFromRegisters(merged, Seq("g"), 6).collect()(0)
+    val want = Sketches.hllDistinct((day1 ++ day2).map(("g", _))
+      .toDF("g", "h"), Seq("g"), "h", 6).collect()(0)
+    assert(got.getAs[Long]("reg_sum") == want.getAs[Long]("reg_sum"))
+    assert(got.getAs[Long]("est_distinct") ==
+      want.getAs[Long]("est_distinct"))
+  }
+
   test("hll: estimate lands within 4 standard errors; duplicates free") {
     val rnd = new scala.util.Random(29)
     val n = 30000
