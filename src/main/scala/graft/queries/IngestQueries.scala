@@ -323,6 +323,32 @@ object IngestQueries {
           col("sum_b"), col("top_left_rgb"))
     },
 
+    // Multimodal audio with a REAL codec: binaryFile scan → per-partition
+    // harness running the pure-JVM RIFF/WAVE PCM16 decoder — mono, stereo
+    // de-interleave, a LIST/INFO metadata chunk the walker must skip, and
+    // a junk payload decoding to NULLs. Integer duration + first-channel
+    // abs-sum/peak/energy are the audio-quality-gate inputs
+    "q165_wav_decode" -> { (s, _) =>
+      import graft.operators.{Multimodal, WavCodec}
+      val dir = SyntheticFixtures.materialize("q165", "mono.wav",
+        SyntheticFixtures.wavBytes(Seq(Seq(0, 1000, -1000, 32767)), 1000))
+      SyntheticFixtures.materialize("q165", "stereo.wav",
+        SyntheticFixtures.wavBytes(Seq(Seq(100, -200), Seq(300, 400)), 500))
+      SyntheticFixtures.materialize("q165", "meta.wav",
+        SyntheticFixtures.wavBytes(Seq(Seq(5)), 1000, withListChunk = true))
+      SyntheticFixtures.materialize("q165", "junk.wav",
+        "not audio".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.wav")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          WavCodec.WavStatsDecoder)
+        .select(col("file_name"), col("magic"), col("n_channels"),
+          col("sample_rate"), col("bits_per_sample"), col("n_frames"),
+          col("duration_ms"), col("c0_sum_abs"), col("c0_peak"),
+          col("c0_sum_sq"))
+    },
+
     // U3 HED schema union: multi-schema node catalog union
     // (hed_schema_node.py:9-14) feeding the q64 parser's members through
     // first-match-by-id leaf resolution (hed.py:191-201, events.py:169)
@@ -1721,6 +1747,24 @@ object IngestQueries {
         |   CAST(NULL AS INTEGER))
         |) AS t(file_name, magic, width, height, bits_per_pixel, top_down,
         |       sum_r, sum_g, sum_b, top_left_rgb)""".stripMargin,
+
+    "q165_wav_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('mono.wav', 'RIFF', 1, 1000, 16, CAST(4 AS BIGINT),
+        |   CAST(4 AS BIGINT), CAST(34767 AS BIGINT), 32767,
+        |   CAST(1075676289 AS BIGINT)),
+        |  ('stereo.wav', 'RIFF', 2, 500, 16, CAST(2 AS BIGINT),
+        |   CAST(4 AS BIGINT), CAST(300 AS BIGINT), 200,
+        |   CAST(50000 AS BIGINT)),
+        |  ('meta.wav', 'RIFF', 1, 1000, 16, CAST(1 AS BIGINT),
+        |   CAST(1 AS BIGINT), CAST(5 AS BIGINT), 5, CAST(25 AS BIGINT)),
+        |  ('junk.wav', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT))
+        |) AS t(file_name, magic, n_channels, sample_rate, bits_per_sample,
+        |       n_frames, duration_ms, c0_sum_abs, c0_peak, c0_sum_sq)""".stripMargin,
 
     "q103_hed_schema_union" ->
       """SELECT * FROM (VALUES

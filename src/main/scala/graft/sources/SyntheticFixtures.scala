@@ -474,6 +474,43 @@ object SyntheticFixtures {
     o.toByteArray
   }
 
+  // --- WAV (RIFF/WAVE PCM16) ---
+
+  /** PCM16 WAV written sequentially from the published RIFF layout
+    * ("RIFF" size "WAVE" + word-aligned chunks) — independent of
+    * [[graft.operators.WavCodec]]'s chunk-walking decode.
+    * `channels(c)(frame)`; `withListChunk` inserts a LIST/INFO metadata
+    * chunk BEFORE `data` to exercise unknown-chunk skipping. */
+  def wavBytes(channels: Seq[Seq[Int]], sampleRate: Int,
+      withListChunk: Boolean = false): Array[Byte] = {
+    require(channels.nonEmpty && channels.map(_.length).distinct.size == 1)
+    val ch = channels.length
+    val frames = channels.head.length
+    val dataSize = frames * ch * 2
+    val listSize = 10 // "INFO" + one 6-byte payload stub (even)
+    val riffSize = 4 + (8 + 16) + (if (withListChunk) 8 + listSize else 0) +
+      (8 + dataSize)
+    val o = new ByteArrayOutputStream()
+    def ascii(s: String): Unit = o.write(s.getBytes(US_ASCII))
+    def le16(v: Int): Unit = { o.write(v & 0xFF); o.write((v >> 8) & 0xFF) }
+    def le32(v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+      o.write((v >> 16) & 0xFF); o.write((v >> 24) & 0xFF)
+    }
+    ascii("RIFF"); le32(riffSize); ascii("WAVE")
+    ascii("fmt "); le32(16)
+    le16(1); le16(ch); le32(sampleRate)        // PCM, channels, rate
+    le32(sampleRate * ch * 2); le16(ch * 2); le16(16) // byteRate, align, bits
+    if (withListChunk) {
+      ascii("LIST"); le32(listSize); ascii("INFO"); ascii("IART"); le16(0)
+    }
+    ascii("data"); le32(dataSize)
+    (0 until frames).foreach { f =>
+      channels.foreach(c => le16(c(f) & 0xFFFF))
+    }
+    o.toByteArray
+  }
+
   /** ECAT7 `.v` written SEQUENTIALLY from the published main-header layout
     * (512-byte big-endian fixed block: magic char[14], original name
     * char[32], sw/system/file type u16s, serial char[10], scan start u32,
