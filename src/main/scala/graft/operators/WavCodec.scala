@@ -94,6 +94,25 @@ object WavCodec {
     StructField("c0_peak", IntegerType),
     StructField("c0_sum_sq", LongType)))
 
+  val samplesSchema: StructType = StructType(Seq(
+    StructField("n_channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("c0_samples", ArrayType(IntegerType))))
+
+  /** [[Multimodal.RowDecoder]] exposing the decoded FIRST-CHANNEL sample
+    * array for downstream feature extraction (windowed energy, VAD,
+    * resampling) — the "decode then explode into the relational engine"
+    * half of the audio pipeline, where [[WavStatsDecoder]] is the
+    * whole-file summary half. NULL row on decode failure. */
+  object WavSamplesDecoder extends Multimodal.RowDecoder {
+    val schema: StructType = samplesSchema
+    def decode(bytes: Array[Byte]): Seq[Any] = WavCodec.decode(bytes) match {
+      case None => Seq(null, null, null)
+      case Some(a) =>
+        Seq(a.nChannels, a.sampleRate, a.samples(0).map(_.toInt).toSeq)
+    }
+  }
+
   /** [[Multimodal.RowDecoder]] emitting exact-integer audio statistics:
     * geometry, integer-division duration, and first-channel abs-sum /
     * peak / energy (the loudness-gate inputs of an audio-corpus quality

@@ -349,6 +349,58 @@ object IngestQueries {
           col("c0_sum_sq"))
     },
 
+    // Audio feature extraction THROUGH the relational engine: decoded
+    // first-channel samples explode into 8-sample windows; per-window
+    // integer energy gates speech vs silence (energy >= 10000·n, i.e.
+    // mean square >= 100²). The decode is the q165 codec; everything
+    // after it is plain groupBy — the "decode once, analyze in SQL" shape
+    "q166_audio_vad" -> { (s, _) =>
+      import graft.operators.{Multimodal, WavCodec}
+      val dir = SyntheticFixtures.materialize("q166", "speech.wav",
+        SyntheticFixtures.wavBytes(Seq(Seq(0, 1, -1, 0, 2, -2, 1, 0,
+          1000, -1200, 900, -1100, 1300, -900, 1000, -1000)), 8000))
+      SyntheticFixtures.materialize("q166", "quiet.wav",
+        SyntheticFixtures.wavBytes(Seq(Seq(3, -3, 2, -2, 1, 0)), 8000))
+      val scanned = DicomSource.scanDir(s, dir, "*.wav")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          WavCodec.WavSamplesDecoder)
+        .select(col("file_name"), posexplode(col("c0_samples"))
+          .as(Seq("pos", "v")))
+        .groupBy(col("file_name"), expr("pos div 8").as("win_idx"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("v").cast("long") * col("v")).as("energy"))
+        .withColumn("is_speech",
+          col("energy") >= lit(10000L) * col("n_samples"))
+    },
+
+    // JSONL corpus intake with fail-closed auditing: the LLM-corpus
+    // interchange format read schema-on-read in PERMISSIVE mode — good
+    // lines parse, a missing field is NULL (not an error), and a
+    // malformed line surfaces as one is_corrupt row instead of killing
+    // the scan or silently vanishing
+    "q167_jsonl_ingest" -> { (s, _) =>
+      import org.apache.spark.sql.types._
+      val jsonl = Seq(
+        """{"id": 1, "text": "hello world", "lang": "en"}""",
+        """{"id": 2, "text": "bonjour", "lang": "fr"}""",
+        """{"id": 3, "text": "no lang field"}""",
+        """{"id": 4, "text": "truncated...""" // malformed on purpose
+      ).mkString("\n")
+      val dir = SyntheticFixtures.materialize("q167", "corpus.jsonl",
+        jsonl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$dir/corpus.jsonl")
+        .select(col("id"), col("text"), col("lang"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"))
+    },
+
     // U3 HED schema union: multi-schema node catalog union
     // (hed_schema_node.py:9-14) feeding the q64 parser's members through
     // first-match-by-id leaf resolution (hed.py:191-201, events.py:169)
@@ -1765,6 +1817,25 @@ object IngestQueries {
         |   CAST(NULL AS BIGINT))
         |) AS t(file_name, magic, n_channels, sample_rate, bits_per_sample,
         |       n_frames, duration_ms, c0_sum_abs, c0_peak, c0_sum_sq)""".stripMargin,
+
+    "q166_audio_vad" ->
+      """SELECT * FROM (VALUES
+        |  ('speech.wav', CAST(0 AS BIGINT), CAST(8 AS BIGINT),
+        |   CAST(11 AS BIGINT), false),
+        |  ('speech.wav', CAST(1 AS BIGINT), CAST(8 AS BIGINT),
+        |   CAST(8960000 AS BIGINT), true),
+        |  ('quiet.wav', CAST(0 AS BIGINT), CAST(6 AS BIGINT),
+        |   CAST(27 AS BIGINT), false)
+        |) AS t(file_name, win_idx, n_samples, energy, is_speech)""".stripMargin,
+
+    "q167_jsonl_ingest" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'hello world', 'en', false),
+        |  (CAST(2 AS BIGINT), 'bonjour', 'fr', false),
+        |  (CAST(3 AS BIGINT), 'no lang field', CAST(NULL AS VARCHAR), false),
+        |  (CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), true)
+        |) AS t(id, text, lang, is_corrupt)""".stripMargin,
 
     "q103_hed_schema_union" ->
       """SELECT * FROM (VALUES

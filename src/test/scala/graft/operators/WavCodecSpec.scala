@@ -41,6 +41,15 @@ class WavCodecSpec extends AnyFunSuite {
     assert(WavCodec.decode(Array.empty[Byte]).isEmpty)
   }
 
+  test("samples decoder exposes the first channel for SQL-side features") {
+    val r = WavCodec.WavSamplesDecoder.decode(
+      SyntheticFixtures.wavBytes(Seq(Seq(1, -2, 3), Seq(9, 9, 9)), 8000))
+    assert(r(0) == 2 && r(1) == 8000)
+    assert(r(2).asInstanceOf[Seq[Int]] == Seq(1, -2, 3))
+    assert(WavCodec.WavSamplesDecoder.decode(Array.empty[Byte])
+      .forall(_ == null))
+  }
+
   test("stats decoder: duration is integer ms, energy exact") {
     val r = WavCodec.WavStatsDecoder.decode(
       SyntheticFixtures.wavBytes(Seq(Seq(0, 1000, -1000, 32767)), 1000))
