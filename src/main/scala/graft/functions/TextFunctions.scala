@@ -118,4 +118,24 @@ object TextFunctions {
     * fingerprint stable under small reorderings of unrelated regions). */
   def docFingerprint(text: Column, n: Int = 5): Column =
     array_min(shingleHashes60(text, n))
+
+  /** Mojibake repair — the encoding-corruption fix of corpus cleaning:
+    * text that was UTF-8 bytes mis-decoded as Latin-1 (the classic
+    * "CafA(c)") re-encodes to its original bytes losslessly, so the repair
+    * is the built-in codegen'd round trip
+    * `decode(encode(text, ISO-8859-1), UTF-8)`. Two regex gates keep it
+    * safe: (1) only strings showing the UTF-8-lead-byte-as-Latin-1
+    * signature (a C2-DF char followed by a continuation char) are
+    * touched; (2) the WHOLE string must be a structurally valid UTF-8
+    * byte sequence under the chars-are-bytes reading (the classic UTF-8
+    * validation regex, surrogate and overlong ranges excluded) — Spark
+    * 4's `decode` raises on malformed input rather than replacing, so
+    * validity is proven BEFORE decode ever runs, and genuine Latin-1
+    * prose (which fails the structure check) never degrades. */
+  def repairMojibake(c: Column): Column = {
+    val suspicious = c.rlike("[\u00C2-\u00DF][\u0080-\u00BF]")
+    val validUtf8 = c.rlike("^(?:[\u0000-\u007F]|[\u00C2-\u00DF][\u0080-\u00BF]|\u00E0[\u00A0-\u00BF][\u0080-\u00BF]|[\u00E1-\u00EC][\u0080-\u00BF]{2}|\u00ED[\u0080-\u009F][\u0080-\u00BF]|[\u00EE-\u00EF][\u0080-\u00BF]{2}|\u00F0[\u0090-\u00BF][\u0080-\u00BF]{2}|[\u00F1-\u00F3][\u0080-\u00BF]{3}|\u00F4[\u0080-\u008F][\u0080-\u00BF]{2})*$")
+    when(suspicious && validUtf8,
+      decode(encode(c, "ISO-8859-1"), "UTF-8")).otherwise(c)
+  }
 }

@@ -359,6 +359,37 @@ object CorpusQueries {
         thresholds = (-160L to 20L by 20L).toSeq)
     },
 
+    // Type-growth (Heaps-law) curve over 3-gram types: distinct n-gram
+    // count as a function of grams read in (doc_id, pos) order, bucketed
+    // every 2000 — the "how fast does novelty saturate" sizing curve
+    // (over grams, not raw tokens: the synthetic vocab is 31 words, so
+    // the token curve is a single point, while ~16k gram types trace a
+    // real saturation path). Global positions come from the two-level
+    // PrefixSum scan over per-doc gram counts (never one task); first
+    // occurrence is a min-agg per type; the cumulative curve is a second
+    // PrefixSum over the tiny bucket table
+    "q169_vocab_growth" -> { (s, dir) =>
+      import graft.functions.TextFunctions
+      val d = docs(s, dir)
+      val grams = TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)
+      val perDoc = d.select(col("doc_id"),
+        posexplode(grams).as(Seq("pos", "gram")))
+      val lens = d.select(col("doc_id"), size(grams).cast("long").as("len"))
+      val offs = graft.operators.PrefixSum
+        .overKey(lens, "doc_id", "len", "cum", chunkWidth = 64)
+        .select(col("doc_id"), (col("cum") - col("len")).as("off"))
+      val firsts = perDoc.join(offs, Seq("doc_id"))
+        .groupBy(col("gram"))
+        .agg(min(col("off") + col("pos")).as("fp"))
+      val buckets = firsts
+        .groupBy(expr("fp div 2000").as("bucket"))
+        .agg(count(lit(1)).as("n_new_types"))
+      graft.operators.PrefixSum
+        .overKey(buckets, "bucket", "n_new_types", "cum_types",
+          chunkWidth = 32)
+        .select(col("bucket"), col("n_new_types"), col("cum_types"))
+    },
+
     // HyperLogLog distinct tokens per source (m=64): the fixed-register
     // dual of q71's KMV — one partial-agg shuffle bounded at m rows per
     // group, exact-integer register state, single-division estimate
@@ -1007,6 +1038,33 @@ object CorpusQueries {
          |  COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
          |    ' ' ORDER BY tpos), '') AS text_clean
          |FROM a GROUP BY 1""".stripMargin,
+
+    "q169_vocab_growth" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${sqlShingles(3)} AS tk FROM documents
+         |), t AS (
+         |  SELECT doc_id, unnest(tk) AS tok,
+         |    unnest(generate_series(0, len(tk) - 1)) AS pos
+         |  FROM d
+         |), l AS (
+         |  SELECT doc_id, len(tk) AS len FROM d
+         |), o AS (
+         |  SELECT doc_id,
+         |    SUM(len) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - len
+         |      AS off
+         |  FROM l
+         |), f AS (
+         |  SELECT tok, MIN(o.off + t.pos) AS fp
+         |  FROM t JOIN o USING (doc_id) GROUP BY 1
+         |), b AS (
+         |  SELECT CAST(fp // 2000 AS BIGINT) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_new_types
+         |  FROM f GROUP BY 1
+         |)
+         |SELECT bucket, n_new_types,
+         |  CAST(SUM(n_new_types) OVER (ORDER BY bucket
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+         |FROM b""".stripMargin,
 
     // register rank via exact hex bit-length (the printf('%x') twin of
     // Sketches.bitLength); estimate divides the ONE shared double literal

@@ -401,6 +401,28 @@ object IngestQueries {
           col("_corrupt_record").isNotNull.as("is_corrupt"))
     },
 
+    // Encoding-corruption repair: UTF-8-read-as-Latin-1 text (the classic
+    // mojibake) fixed by the gated codegen'd encode/decode round trip;
+    // clean ASCII and the double-gate keep false repairs at zero. The
+    // corrupt inputs are derived from the clean strings at plan-build
+    // time (bytes->Latin-1), so fixture and repair can never drift
+    "q168_mojibake_repair" -> { (s, _) =>
+      import s.implicits._
+      val clean = Seq(
+        (1L, "Caf\u00e9 au lait"),
+        (2L, "na\u00efve r\u00e9sum\u00e9"),
+        (3L, "already clean ascii"),
+        (4L, "gr\u00fc\u00dfen"))
+      val raw = clean.map { case (id, t) =>
+        (id, if (id == 3L) t
+        else new String(t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+      }.toDF("id", "raw")
+      val repaired = graft.functions.TextFunctions.repairMojibake(col("raw"))
+      raw.select(col("id"), repaired.as("fixed"),
+        (repaired =!= col("raw")).as("was_repaired"))
+    },
+
     // U3 HED schema union: multi-schema node catalog union
     // (hed_schema_node.py:9-14) feeding the q64 parser's members through
     // first-match-by-id leaf resolution (hed.py:191-201, events.py:169)
@@ -1817,6 +1839,15 @@ object IngestQueries {
         |   CAST(NULL AS BIGINT))
         |) AS t(file_name, magic, n_channels, sample_rate, bits_per_sample,
         |       n_frames, duration_ms, c0_sum_abs, c0_peak, c0_sum_sq)""".stripMargin,
+
+    "q168_mojibake_repair" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'Caf' || chr(233) || ' au lait', true),
+        |  (CAST(2 AS BIGINT), 'na' || chr(239) || 've r' || chr(233)
+        |     || 'sum' || chr(233), true),
+        |  (CAST(3 AS BIGINT), 'already clean ascii', false),
+        |  (CAST(4 AS BIGINT), 'gr' || chr(252) || chr(223) || 'en', true)
+        |) AS t(id, fixed, was_repaired)""".stripMargin,
 
     "q166_audio_vad" ->
       """SELECT * FROM (VALUES
