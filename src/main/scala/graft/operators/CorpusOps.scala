@@ -632,6 +632,37 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** Context-window chunking — the "split long documents into <= maxTokens
+    * training pieces" step (the splitting dual of [[packSequences]], which
+    * packs whole documents): each document's token stream cuts into
+    * ceil(n/maxTokens) chunks, all full except the last, order preserved.
+    * Documents already under the limit pass through as chunk 0. Map-only:
+    * the split is a per-row array slice + explode, no shuffle at all, so
+    * it rides whatever partitioning the corpus already has at 100 TB.
+    *
+    * Output: idCol + `chunk_idx` + `chunk_text` + `n_tokens` (per chunk).
+    * Empty documents produce no rows (no trainable content). */
+  def chunkDocuments(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int
+  ): DataFrame = {
+    require(maxTokens >= 1, "chunkDocuments needs maxTokens >= 1")
+    val toks = tokens(col(textCol))
+    val chunks = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(toks) - 1) / maxTokens).cast("int")),
+        i => array_join(slice(toks, i * maxTokens + 1, lit(maxTokens)), " ")))
+    docs
+      .select(col(idCol), size(toks).as("__n"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens",
+        least(col("__n") - col("chunk_idx") * maxTokens, lit(maxTokens))
+          .cast("long"))
+      .drop("__n")
+  }
+
   /** Content-addressed diff between two corpus snapshots — the "what
     * changed since the last crawl/dump" step of an incremental training
     * pipeline. Documents are matched by id first (`unchanged` /

@@ -359,6 +359,13 @@ object CorpusQueries {
         thresholds = (-160L to 20L by 20L).toSeq)
     },
 
+    // Context-window chunking: documents split into <=32-token training
+    // pieces, map-only (array slice + explode, no shuffle)
+    "q170_context_chunks" -> { (s, dir) =>
+      CorpusOps.chunkDocuments(docs(s, dir), "doc_id", "text",
+        maxTokens = 32)
+    },
+
     // Type-growth (Heaps-law) curve over 3-gram types: distinct n-gram
     // count as a function of grams read in (doc_id, pos) order, bucketed
     // every 2000 — the "how fast does novelty saturate" sizing curve
@@ -1038,6 +1045,21 @@ object CorpusQueries {
          |  COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
          |    ' ' ORDER BY tpos), '') AS text_clean
          |FROM a GROUP BY 1""".stripMargin,
+
+    "q170_context_chunks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $sqlToks AS tk FROM documents
+         |), c AS (
+         |  SELECT doc_id, tk,
+         |    unnest(generate_series(
+         |      0, CAST(floor((len(tk) - 1) / 32.0) AS BIGINT))) AS chunk_idx
+         |  FROM d WHERE len(tk) > 0
+         |)
+         |SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         |  array_to_string(tk[chunk_idx * 32 + 1 : chunk_idx * 32 + 32], ' ')
+         |    AS chunk_text,
+         |  CAST(least(len(tk) - chunk_idx * 32, 32) AS BIGINT) AS n_tokens
+         |FROM c""".stripMargin,
 
     "q169_vocab_growth" ->
       s"""WITH d AS (

@@ -180,4 +180,74 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  private def randomDocs(seed: Long, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    (1L to n).map(id => id ->
+      Seq.fill(1 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+  }
+
+  test("property: chunkDocuments reassembles losslessly") {
+    import spark.implicits._
+    val docs = randomDocs(41L, 60)
+    for (maxTokens <- Seq(1, 7, 32, 1000)) {
+      val chunks = graft.operators.CorpusOps
+        .chunkDocuments(docs.toDF("doc_id", "text"), "doc_id", "text",
+          maxTokens)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.trim.split("\\s+").toSeq
+        val cs = chunks(id).sortBy(_._2)
+        // ordered concatenation is the original token stream
+        assert(cs.flatMap(_._3.split(" ")).toSeq == toks)
+        // all chunks full except possibly the last; counts consistent
+        assert(cs.init.forall(_._4 == maxTokens.toLong))
+        assert(cs.map(_._4).sum == toks.length.toLong)
+        assert(cs.map(_._2).toSeq == cs.indices.map(identity))
+      }
+    }
+  }
+
+  test("property: unitDedup with an unreachable threshold is identity") {
+    import spark.implicits._
+    val docs = randomDocs(43L, 40)
+      .map { case (id, t) => (id, t.split(" ").toSeq) }
+    val r = graft.operators.CorpusOps
+      .unitDedup(docs.toDF("doc_id", "units"), "doc_id", col("units"),
+        maxOcc = Long.MaxValue)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getString(2))))
+      .toMap
+    docs.foreach { case (id, units) =>
+      assert(r(id) == ((0L, units.mkString(" "))))
+    }
+  }
+
+  test("property: snapshotDiff of a corpus with itself is all-unchanged") {
+    import spark.implicits._
+    val d = randomDocs(47L, 50).toDF("doc_id", "text")
+    val r = graft.operators.CorpusOps.snapshotDiff(d, d, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.length == 50)
+    assert(r.forall { case (o, n, s) => o == n && s == "unchanged" })
+  }
+
+  test("property: removeDuplicatedSpans at minDocFreq=1 empties gram docs") {
+    import spark.implicits._
+    val n = 4
+    val d = randomDocs(53L, 30).toDF("doc_id", "text")
+    val r = graft.operators.CorpusOps
+      .removeDuplicatedSpans(d, "doc_id", "text", n, minDocFreq = 1)
+      .collect()
+      .map(x => (x.getLong(1), x.getLong(2), x.getString(3)))
+    // every gram flags itself: docs with >= n tokens lose everything,
+    // shorter docs are untouched
+    r.foreach { case (nTok, nRem, clean) =>
+      if (nTok >= n) assert(nRem == nTok && clean.isEmpty)
+      else assert(nRem == 0L && clean.nonEmpty)
+    }
+  }
 }
