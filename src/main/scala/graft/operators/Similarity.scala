@@ -131,6 +131,24 @@ object Similarity {
         (col("cosine") < threshold).as("is_outlier"))
   }
 
+  /** Recall@k of an approximate neighbor result against the exact one —
+    * the "measure, don't guess" evaluation harness for every ANN
+    * configuration choice (centroids, nprobe, PQ bits). Both inputs are
+    * (query_id, neighbor_id, …) top-k frames; output per query:
+    * `n_exact`, `n_hit` (exact neighbors the approximate run recovered)
+    * and integer-ppm `recall_ppm`. One join keyed by (query, neighbor) —
+    * both sides are k rows per query, so cost scales with the query set,
+    * never the corpus. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_ppm", expr("(1000000 * n_hit) div n_exact"))
+
   /** Assign each vector to its nearest centroid (squared-L2), MAP-ONLY:
     * the centroid set rides along as one broadcast array row and the argmin
     * is a higher-order `aggregate` per corpus row — no shuffle at all, the

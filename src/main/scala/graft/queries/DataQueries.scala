@@ -40,6 +40,49 @@ object DataQueries {
   private val sqlHash60 =
     "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
+  /** q31 oracle, factored so q172 can reuse it as a subquery. */
+  private val sqlIvf: String =
+    """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv FROM v ORDER BY vec_id LIMIT 8
+        |), assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT a.vec_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(a.v, c.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM v a CROSS JOIN cent c) t
+        |  WHERE rn = 1
+        |), bucketed AS (
+        |  SELECT a.vec_id AS neighbor_id, v.v AS c_vec, a.centroid_id AS n_cluster
+        |  FROM assign a JOIN v ON a.vec_id = v.vec_id
+        |), probes AS (
+        |  SELECT query_id, q_vec, centroid_id AS n_cluster FROM (
+        |    SELECT q.vec_id AS query_id, q.v AS q_vec, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_sum(list_transform(list_zip(q.v, c.cv),
+        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+        |        c.centroid_id ASC) AS rn
+        |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 5) t
+        |  WHERE rn <= 2
+        |), scored AS (
+        |  SELECT p.query_id, b.neighbor_id,
+        |    round(
+        |      list_sum(list_transform(list_zip(p.q_vec, b.c_vec), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(list_zip(p.q_vec, p.q_vec), x -> x[1]*x[2])))
+        |         * sqrt(list_sum(list_transform(list_zip(b.c_vec, b.c_vec), x -> x[1]*x[2])))),
+        |      6) AS cosine
+        |  FROM probes p JOIN bucketed b ON p.n_cluster = b.n_cluster
+        |  WHERE b.neighbor_id <> p.query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, canonical = min id
     "q21_dedup_exact" -> { (s, dir) =>
@@ -186,6 +229,20 @@ object DataQueries {
     "q162_centroid_outliers" -> { (s, dir) =>
       Similarity.centroidOutliers(t(s, dir, "embeddings"),
         "vec_id", "embedding", "label", threshold = 0.05)
+    },
+
+    // ANN evaluation harness: recall@10 of the IVF(8, nprobe=2) run
+    // against exact brute force, per query — the measurement loop every
+    // approximate-index configuration decision runs on
+    "q172_ann_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 10)
+      val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10,
+        cents, nprobe = 2)
+      Similarity.recallAtK(exact, approx)
     },
 
     // Edit-distance fuzzy matching (FastSS single-deletion blocking):
@@ -490,6 +547,25 @@ object DataQueries {
     "q29_embedding_knn" -> sqlKnn(
       "e2.vec_id < 5", "rank <= 10"),
 
+    // recall = exact ∩ approx per query; both sides reuse the verbatim
+    // q29/q31 oracles as subqueries, so the harness measures exactly the
+    // gated definitions
+    "q172_ann_recall" ->
+      s"""WITH exact AS (
+         |  SELECT * FROM (${sqlKnn("e2.vec_id < 5", "rank <= 10")})
+         |), approx AS (
+         |  SELECT * FROM ($sqlIvf)
+         |)
+         |SELECT e.query_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST((1000000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |    THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN approx a
+         |  USING (query_id, neighbor_id)
+         |GROUP BY 1""".stripMargin,
+
     "q161_hard_negatives" ->
       """WITH v AS (
         |  SELECT vec_id, label,
@@ -552,47 +628,7 @@ object DataQueries {
     // centroid array) -> per-query nprobe centroid ranking -> bucket-join ->
     // cosine top-k. All distance/dot sums are sequential list_sum over
     // list_zip — bit-identical to the Spark side's index-order summation.
-    "q31_ann_ivf" ->
-      """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), cent AS (
-        |  SELECT vec_id AS centroid_id, v AS cv FROM v ORDER BY vec_id LIMIT 8
-        |), assign AS (
-        |  SELECT vec_id, centroid_id FROM (
-        |    SELECT a.vec_id, c.centroid_id,
-        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(a.v, c.cv),
-        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
-        |        c.centroid_id ASC) AS rn
-        |    FROM v a CROSS JOIN cent c) t
-        |  WHERE rn = 1
-        |), bucketed AS (
-        |  SELECT a.vec_id AS neighbor_id, v.v AS c_vec, a.centroid_id AS n_cluster
-        |  FROM assign a JOIN v ON a.vec_id = v.vec_id
-        |), probes AS (
-        |  SELECT query_id, q_vec, centroid_id AS n_cluster FROM (
-        |    SELECT q.vec_id AS query_id, q.v AS q_vec, c.centroid_id,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_sum(list_transform(list_zip(q.v, c.cv),
-        |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
-        |        c.centroid_id ASC) AS rn
-        |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 5) t
-        |  WHERE rn <= 2
-        |), scored AS (
-        |  SELECT p.query_id, b.neighbor_id,
-        |    round(
-        |      list_sum(list_transform(list_zip(p.q_vec, b.c_vec), x -> x[1]*x[2]))
-        |      / (sqrt(list_sum(list_transform(list_zip(p.q_vec, p.q_vec), x -> x[1]*x[2])))
-        |         * sqrt(list_sum(list_transform(list_zip(b.c_vec, b.c_vec), x -> x[1]*x[2])))),
-        |      6) AS cosine
-        |  FROM probes p JOIN bucketed b ON p.n_cluster = b.n_cluster
-        |  WHERE b.neighbor_id <> p.query_id
-        |)
-        |SELECT query_id, neighbor_id, cosine,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-        |FROM scored QUALIFY rank <= 10""".stripMargin,
+    "q31_ann_ivf" -> sqlIvf,
 
     "q51_srp_neardup" -> sqlSrpNearDup(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L, threshold = 0.5, maxBucketSize = 10000),

@@ -186,6 +186,23 @@ class SimilaritySpec extends SparkSpec {
     r.foreach { case ((q, _), (n, _)) => assert(labels(q) != labels(n)) }
   }
 
+  test("recallAtK: identical frames score 1e6 ppm, misses subtract") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val full = Similarity.recallAtK(exact, exact)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(full == Map(1L -> 1000000L, 2L -> 1000000L))
+    val approx = Seq((1L, 10L), (1L, 99L), (1L, 12L), (2L, 98L), (2L, 97L))
+      .toDF("query_id", "neighbor_id")
+    val part = Similarity.recallAtK(exact, approx)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(part(1L) == ((3L, 2L, 666666L)))
+    assert(part(2L) == ((2L, 0L, 0L)))
+  }
+
   test("centroidOutliers: exact sum-centroid, scale invariant, flags") {
     import spark.implicits._
     val e = Seq(
