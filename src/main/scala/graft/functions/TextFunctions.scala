@@ -51,6 +51,16 @@ object TextFunctions {
       GraftColumnBridge.expression(text), n))
   }
 
+  /** Positional sibling of [[shingleHashes60]]: ALL shingle hashes in
+    * token order (no dedup), so `posexplode` recovers gram positions —
+    * bit-identical to `transform(shingles(tokens(text), n),
+    * portableHash60)` (spec-pinned) in one codegen'd pass. */
+  def shingleHashes60All(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(expressions.ShingleHashesAllExpr(
+      GraftColumnBridge.expression(text), n))
+  }
+
   /** Universal-hash family over a base hash: h_ab(x) = (a*(x mod p) + b) mod p
     * with p = 2^31 - 1 (products stay within Long). */
   val MinhashPrime: Long = 2147483647L

@@ -39,6 +39,33 @@ object ShingleHashes {
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL shingle hashes in position order (no dedup) — for operators that
+    * need gram POSITIONS (q160's span coverage), where the distinct form
+    * loses the index. Element i is the hash of the shingle starting at
+    * token i; semantically identical to the declarative
+    * `transform(shingles(tokens(text), n), portableHash60)` (spec-pinned).
+    */
+  def computeAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = HashExprs.md5Prefix60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Codegen'd `shingle_hashes60(text) -> array<bigint>`: the fused
@@ -68,4 +95,32 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): ShingleHashesExpr =
     copy(child = c)
   override def prettyName: String = "shingle_hashes60"
+}
+
+/** Codegen'd `shingle_hashes60_all(text) -> array<bigint>`: the positional
+  * (non-distinct) sibling of [[ShingleHashesExpr]] — element i hashes the
+  * shingle at token i, so `posexplode` recovers gram positions for span
+  * coverage without the interpreted higher-order chain. */
+case class ShingleHashesAllExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes60_all requires string input, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.computeAll(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.ShingleHashes.computeAll($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashesAllExpr =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes60_all"
 }

@@ -806,7 +806,7 @@ object CorpusOps {
   ): DataFrame = {
     val toks = tokens(col(textCol))
     val grams = docs.select(col(idCol),
-      posexplode(transform(shingles(toks, n), g => portableHash60(g)))
+      posexplode(shingleHashes60All(col(textCol), n))
         .as(Seq("__pos", "__gram")))
     val flagged = grams.select(col(idCol), col("__gram")).distinct()
       .groupBy(col("__gram")).agg(count(lit(1)).as("__df"))

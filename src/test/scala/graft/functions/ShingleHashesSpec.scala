@@ -31,6 +31,30 @@ class ShingleHashesSpec extends SparkSpec {
     }
   }
 
+  test("positional variant == non-distinct declarative, index-aligned") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val texts = Seq.fill(100)(
+      Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")) ++
+      Seq("", "one", "a b a b a b")
+    val df = texts.toDF("t")
+    for (n <- Seq(2, 5)) {
+      val bad = df.select(
+        TextFunctions.shingleHashes60All(col("t"), n).as("a"),
+        transform(
+          TextFunctions.shingles(TextFunctions.tokens(col("t")), n),
+          s => TextFunctions.portableHash60(s)).as("b"))
+        .filter(not(col("a") <=> col("b")))
+      assert(bad.count() === 0, s"positional mismatch at n=$n")
+    }
+    // repeats are NOT deduped and positions align with shingle starts
+    val all = Seq("a b a b a b").toDF("t")
+      .select(TextFunctions.shingleHashes60All(col("t"), 2))
+      .as[Seq[Long]].head()
+    assert(all.size == 5 && all.distinct.size == 2)
+    assert(all(0) == all(2) && all(1) == all(3))
+  }
+
   test("duplicate shingles dedup in first-occurrence order") {
     val df = Seq("a b a b a b").toDF("t")
     val fused = df.select(TextFunctions.shingleHashes60(col("t"), 2))
