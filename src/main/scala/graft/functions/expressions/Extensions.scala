@@ -38,6 +38,11 @@ object GraftFunctionRegistry {
     "shingle_hashes" -> { exprs =>
       ShingleHashesExpr(exprs.head, litInt(exprs(1), "shingle_hashes", "n"))
     },
+    // shingle_hashes_all(text, n): ALL shingle hashes in position order
+    "shingle_hashes_all" -> { exprs =>
+      ShingleHashesAllExpr(exprs.head,
+        litInt(exprs(1), "shingle_hashes_all", "n"))
+    },
     // minhash_sig(shingle_hashes [, k [, seed]]): single-pass k-minima
     // signature from the deterministic universal-hash family
     "minhash_sig" -> { exprs =>

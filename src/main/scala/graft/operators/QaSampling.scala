@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.portableHash60
+
+/** Statistical quality-assurance tooling for corpus pipelines: where to
+  * spend a human-review budget ([[neymanAllocation]]) and how much to trust
+  * a pipeline metric ([[jackknifeVariance]]). Both are engine-portable
+  * deterministic — integer moments end-to-end, with the single `sqrt`
+  * (IEEE-mandated correctly-rounded, so bit-identical in any engine)
+  * floored to an integer weight before any division.
+  */
+object QaSampling {
+
+  /** Neyman-optimal allocation of a review budget across domains: sample
+    * size per stratum ∝ n_h·σ_h. With integer scores, n·σ collapses to
+    * `sqrt(n·Σx² − (Σx)²)` — the per-domain second moment — so the whole
+    * allocation is integer moments + one floored sqrt + integer division:
+    * `alloc_h = budget · w_h div Σw`. High-variance domains get the
+    * reviewers; uniform domains (σ = 0) get none regardless of size.
+    *
+    * 100 TB shape: ONE aggregation shuffle (count/sum/sum-of-squares per
+    * domain — map-side combined), then arithmetic over the domain-sized
+    * result with the Σw scalar broadcast back. Overflow bound: n·Σx² must
+    * stay within BIGINT — with |score| ≤ 10^4 that holds to ~10^11 docs
+    * per domain (document and scale scores down past that). */
+  def neymanAllocation(
+      scored: DataFrame,
+      domainCol: String,
+      scoreCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0)
+    val moments = scored.groupBy(col(domainCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(scoreCol)).as("__s1"),
+        sum(col(scoreCol) * col(scoreCol)).as("__s2"))
+      .withColumn("var_num",
+        col("n_docs") * col("__s2") - col("__s1") * col("__s1"))
+      .withColumn("w", floor(sqrt(col("var_num").cast("double"))).cast("long"))
+    val total = moments.agg(sum(col("w")).as("__tw"))
+    moments.crossJoin(broadcast(total))
+      .withColumn("alloc",
+        when(col("__tw") === 0, lit(0L))
+          .otherwise(expr(s"($budget * w) div __tw")))
+      .select(col(domainCol), col("n_docs"), col("var_num"), col("w"),
+        col("alloc"))
+  }
+
+  /** Delete-a-group jackknife for a corpus mean: rows split into `buckets`
+    * deterministic hash groups; each leave-one-group-out mean is held as
+    * the exact integer `floor(1e6·(S−S_b)/(N−N_b))`, and the output is the
+    * one-row moment summary (Σm, Σm², and the integer variance numerator
+    * `B·Σm² − (Σm)²`) from which the jackknife standard error of the mean
+    * is `sqrt((B−1)/B · Var(m))/1e6` — client-side arithmetic on exact
+    * integers, so the gate hash-matches. No floating-point SUM ever runs
+    * (a 10-term double Σ is already summation-order-sensitive).
+    *
+    * 100 TB shape: one bucket-keyed aggregation (B groups, map-side
+    * combined) then a one-row roll-up. */
+  def jackknifeVariance(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      buckets: Int = 10
+  ): DataFrame = {
+    require(buckets >= 2)
+    val b = scored
+      .select(
+        pmod(portableHash60(col(idCol).cast("string")), lit(buckets.toLong))
+          .as("__b"),
+        col(scoreCol).as("__x"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"))
+    val tot = b.agg(sum(col("__n")).as("__tn"), sum(col("__s")).as("__ts"))
+    b.crossJoin(broadcast(tot))
+      .withColumn("__m",
+        expr("(1000000 * (__ts - __s)) div (__tn - __n)"))
+      .agg(
+        max(col("__tn")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("__m")).as("sum_m"),
+        sum(col("__m") * col("__m")).as("sum_m2"))
+      .withColumn("var_num",
+        col("n_buckets") * col("sum_m2") - col("sum_m") * col("sum_m"))
+  }
+}

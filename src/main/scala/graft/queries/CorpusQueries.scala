@@ -359,6 +359,27 @@ object CorpusQueries {
         thresholds = (-160L to 20L by 20L).toSeq)
     },
 
+    // Neyman review-budget allocation: per-source integer score moments →
+    // n·σ = sqrt(n·Σx²−(Σx)²) → alloc = budget·w div Σw. One moment
+    // shuffle; high-variance sources get the reviewers
+    "q173_review_allocation" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scored = CorpusOps.scoreHashedLinear(d, "doc_id", "text", dim = 16)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.operators.QaSampling.neymanAllocation(scored, "source", "score",
+        budget = 100L)
+    },
+
+    // Delete-a-group jackknife on the mean classifier score: 10 hash
+    // buckets, exact integer leave-one-out means (ppm), integer variance
+    // numerator — error bars on a pipeline metric with zero FP summation
+    "q174_jackknife_mean" -> { (s, dir) =>
+      val scored = CorpusOps.scoreHashedLinear(docs(s, dir), "doc_id",
+        "text", dim = 16)
+      graft.operators.QaSampling.jackknifeVariance(scored, "doc_id",
+        "score", buckets = 10)
+    },
+
     // Context-window chunking: documents split into <=32-token training
     // pieces, map-only (array slice + explode, no shuffle)
     "q170_context_chunks" -> { (s, dir) =>
@@ -1045,6 +1066,71 @@ object CorpusQueries {
          |  COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
          |    ' ' ORDER BY tpos), '') AS text_clean
          |FROM a GROUP BY 1""".stripMargin,
+
+    "q173_review_allocation" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id, $sqlHash60 % 16 AS b FROM w
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(concat('0x',
+         |      substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 21 - 10) AS BIGINT) AS score
+         |  FROM h GROUP BY 1
+         |), j AS (
+         |  SELECT source, score FROM sc JOIN documents USING (doc_id)
+         |), m AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(score) AS BIGINT) AS s1,
+         |    CAST(SUM(score * score) AS BIGINT) AS s2
+         |  FROM j GROUP BY 1
+         |), ww AS (
+         |  SELECT source, n_docs, n_docs * s2 - s1 * s1 AS var_num,
+         |    CAST(floor(sqrt(CAST(n_docs * s2 - s1 * s1 AS DOUBLE)))
+         |      AS BIGINT) AS w
+         |  FROM m
+         |), t AS (
+         |  SELECT CAST(SUM(w) AS BIGINT) AS tw FROM ww
+         |)
+         |SELECT source, n_docs, var_num, w,
+         |  CASE WHEN tw = 0 THEN 0 ELSE (100 * w) // tw END AS alloc
+         |FROM ww, t""".stripMargin,
+
+    "q174_jackknife_mean" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id, $sqlHash60 % 16 AS b FROM w
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(concat('0x',
+         |      substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 21 - 10) AS BIGINT) AS score
+         |  FROM h GROUP BY 1
+         |), bk AS (
+         |  SELECT CAST(concat('0x',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10
+         |      AS b,
+         |    score
+         |  FROM sc
+         |), g AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(score) AS BIGINT) AS s
+         |  FROM bk GROUP BY 1
+         |), t AS (
+         |  SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(s) AS BIGINT) AS ts
+         |  FROM g
+         |), m AS (
+         |  SELECT tn, (1000000 * (ts - s)) // (tn - n) AS m FROM g, t
+         |)
+         |SELECT CAST(MAX(tn) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(SUM(m) AS BIGINT) AS sum_m,
+         |  CAST(SUM(m * m) AS BIGINT) AS sum_m2,
+         |  CAST(COUNT(*) * SUM(m * m) - SUM(m) * SUM(m) AS BIGINT)
+         |    AS var_num
+         |FROM m""".stripMargin,
 
     "q170_context_chunks" ->
       s"""WITH d AS (

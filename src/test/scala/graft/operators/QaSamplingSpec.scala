@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[QaSampling]] — hand-computed Neyman allocation and a pure-Scala
+  * jackknife reference (negative scores exercise the truncating integer
+  * division both engines share). */
+class QaSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("neymanAllocation: variance gets the budget, sigma=0 gets none") {
+    // domain a: scores {0, 10} twice -> n=4, s1=20, s2=200,
+    //   var_num = 4*200 - 400 = 400, w = 20
+    // domain b: constant 7 -> var_num = 0, w = 0
+    // domain c: {-5, 5} -> n=2, s1=0, s2=50, var_num = 100, w = 10
+    val d = Seq(("a", 0L), ("a", 10L), ("a", 0L), ("a", 10L),
+      ("b", 7L), ("b", 7L), ("b", 7L), ("c", -5L), ("c", 5L))
+      .toDF("source", "score")
+    val r = QaSampling.neymanAllocation(d, "source", "score", budget = 90L)
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))))
+      .toMap
+    assert(r("a") == ((4L, 400L, 20L, 60L))) // 90*20/30
+    assert(r("b") == ((3L, 0L, 0L, 0L)))
+    assert(r("c") == ((2L, 100L, 10L, 30L)))
+    // all-constant corpus: tw = 0 -> zero allocations, no division error
+    val flat = Seq(("a", 1L), ("b", 1L)).toDF("source", "score")
+    assert(QaSampling.neymanAllocation(flat, "source", "score", 10L)
+      .collect().forall(_.getLong(4) == 0L))
+  }
+
+  test("jackknifeVariance matches a pure-Scala reference fold") {
+    val rnd = new scala.util.Random(61)
+    val rows = (1L to 400L).map(id => id -> (rnd.nextInt(400) - 200).toLong)
+    val buckets = 10
+    // reference: same hash bucketing, same truncating integer division
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val byB = rows.groupBy { case (id, _) => (h60(id.toString) % buckets) }
+    val tn = rows.size.toLong
+    val ts = rows.map(_._2).sum
+    val ms = byB.values.map { xs =>
+      val n = xs.size.toLong
+      val s = xs.map(_._2).sum
+      (1000000L * (ts - s)) / (tn - n) // JVM division truncates like both engines
+    }.toSeq
+    val expVar = ms.size.toLong * ms.map(m => m * m).sum -
+      ms.sum * ms.sum
+    val r = QaSampling.jackknifeVariance(rows.toDF("doc_id", "score"),
+      "doc_id", "score", buckets).collect()(0)
+    assert(r.getAs[Long]("n_rows") == tn)
+    assert(r.getAs[Long]("n_buckets") == byB.size.toLong)
+    assert(r.getAs[Long]("sum_m") == ms.sum)
+    assert(r.getAs[Long]("sum_m2") == ms.map(m => m * m).sum)
+    assert(r.getAs[Long]("var_num") == expVar)
+    assert(expVar >= 0)
+  }
+}
