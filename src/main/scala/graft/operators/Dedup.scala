@@ -29,6 +29,21 @@ object Dedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("n_copies"))
 
+  /** [[exact]] with a QUALITY-aware canonical policy: among identical
+    * texts keep the copy with the highest `scoreCol` (tie → lowest id) —
+    * the "keep the best-provenance duplicate" rule real pipelines prefer
+    * over min-id. Same single hash-keyed shuffle: the argmax rides the
+    * agg as `min(struct(-score, id))`, no window, no second pass. */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+          .as("__best"))
+      .select(col("content_hash"), col("__best.id").as("canonical_id"),
+        (-col("__best.ns")).as("canonical_score"), col("n_copies"))
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key.
     * Returns (id_1, id_2, jaccard) for pairs >= threshold. */
   def ngramJaccardPairs(

@@ -359,6 +359,50 @@ object CorpusQueries {
         thresholds = (-160L to 20L by 20L).toSeq)
     },
 
+    // Data-card generation: the per-source corpus summary artifact — doc
+    // and token counts, exact-dup ppm, dominant language, mean classifier
+    // score (ppm), median length — composed from the pipeline's own
+    // primitives in two aggregation shuffles
+    "q175_data_card" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val score = CorpusOps.scoreHashedLinear(d, "doc_id", "text", dim = 16)
+        .select(col("doc_id"), col("score"))
+      val base = d.join(score, Seq("doc_id"))
+        .select(col("source"), col("lang"), col("doc_id"), col("score"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("nt"),
+          md5(col("text").cast("binary")).as("h"))
+      val perSource = base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt").cast("long")).as("n_tokens"),
+        countDistinct(col("h")).as("__uniq"),
+        sum(col("score")).as("__ssum"),
+        expr("percentile(nt, 0.5D)").as("p50_tokens"))
+      val topLang = base.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("source"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lang").as("lang")))
+          .as("__m"))
+        .select(col("source"), col("__m.lang").as("top_lang"))
+      perSource.join(topLang, Seq("source"))
+        .withColumn("dup_ppm",
+          expr("(1000000 * (n_docs - __uniq)) div n_docs"))
+        .withColumn("mean_score_ppm", expr("(1000000 * __ssum) div n_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("dup_ppm"), col("top_lang"), col("mean_score_ppm"),
+          col("p50_tokens"))
+    },
+
+    // Quality-aware exact dedup: keep the highest-scoring copy of each
+    // identical text (tie -> lowest id) — same one-shuffle plan as q21,
+    // the argmax riding the agg as min(struct(-score, id))
+    "q176_dedup_keep_best" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scored = d.join(
+        CorpusOps.scoreHashedLinear(d, "doc_id", "text", dim = 16)
+          .select(col("doc_id"), col("score")), Seq("doc_id"))
+      graft.operators.Dedup.exactKeepBest(scored, "doc_id", "text", "score")
+    },
+
     // Neyman review-budget allocation: per-source integer score moments →
     // n·σ = sqrt(n·Σx²−(Σx)²) → alloc = budget·w div Σw. One moment
     // shuffle; high-variance sources get the reviewers
@@ -1066,6 +1110,69 @@ object CorpusQueries {
          |  COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
          |    ' ' ORDER BY tpos), '') AS text_clean
          |FROM a GROUP BY 1""".stripMargin,
+
+    "q175_data_card" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), hb AS (
+         |  SELECT doc_id, $sqlHash60 % 16 AS b FROM w
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(concat('0x',
+         |      substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 21 - 10) AS BIGINT) AS score
+         |  FROM hb GROUP BY 1
+         |), b AS (
+         |  SELECT d.source, d.lang, d.doc_id, sc.score,
+         |    CAST(len($sqlToks) AS INTEGER) AS nt, md5(text) AS h
+         |  FROM documents d JOIN sc USING (doc_id)
+         |), ps AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(DISTINCT h) AS BIGINT) AS uniq,
+         |    CAST(SUM(score) AS BIGINT) AS ssum,
+         |    quantile_cont(nt, 0.5) AS p50_tokens
+         |  FROM b GROUP BY 1
+         |), lc AS (
+         |  SELECT source, lang, COUNT(*) AS c FROM b GROUP BY 1, 2
+         |), tl AS (
+         |  SELECT source, lang AS top_lang FROM (
+         |    SELECT source, lang, ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY c DESC, lang ASC) AS rn
+         |    FROM lc) x
+         |  WHERE rn = 1
+         |)
+         |SELECT ps.source, n_docs, n_tokens,
+         |  (1000000 * (n_docs - uniq)) // n_docs AS dup_ppm,
+         |  top_lang,
+         |  (1000000 * ssum) // n_docs AS mean_score_ppm,
+         |  p50_tokens
+         |FROM ps JOIN tl ON ps.source = tl.source""".stripMargin,
+
+    "q176_dedup_keep_best" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), hb AS (
+         |  SELECT doc_id, $sqlHash60 % 16 AS b FROM w
+         |), sc AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(concat('0x',
+         |      substr(md5('w' || CAST(b AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 21 - 10) AS BIGINT) AS score
+         |  FROM hb GROUP BY 1
+         |), j AS (
+         |  SELECT d.doc_id, sc.score, md5(text) AS content_hash
+         |  FROM documents d JOIN sc USING (doc_id)
+         |), r AS (
+         |  SELECT content_hash, doc_id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY content_hash
+         |      ORDER BY score DESC, doc_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY content_hash) AS nc
+         |  FROM j
+         |)
+         |SELECT content_hash, doc_id AS canonical_id,
+         |  score AS canonical_score, CAST(nc AS BIGINT) AS n_copies
+         |FROM r WHERE rn = 1""".stripMargin,
 
     "q173_review_allocation" ->
       s"""WITH w AS (

@@ -118,4 +118,22 @@ class DedupSpec extends SparkSpec {
     assert(got((("ab", "abc", 1))))    // insertion
     assert(got((("", "q", 1))))        // empty-string edge
   }
+
+  test("exactKeepBest keeps the highest-scoring copy, tie lowest id") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "same text", 5L), (2L, "same text", 9L), (3L, "same text", 9L),
+      (4L, "other", 1L)
+    ).toDF("doc_id", "text", "score")
+    val r = Dedup.exactKeepBest(d, "doc_id", "text", "score")
+      .collect()
+      .map(x => x.getLong(3) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // triple: best score 9, ids {2, 3} tie -> 2; singleton passes through
+    assert(r(3L) == ((2L, 9L)))
+    assert(r(1L) == ((4L, 1L)))
+    // canonical policy differs from min-id exactly when scores disagree
+    val minId = Dedup.exact(d, "doc_id", "text")
+      .collect().map(x => x.getLong(2) -> x.getLong(1)).toMap
+    assert(minId(3L) == 1L && r(3L)._1 == 2L)
+  }
 }
