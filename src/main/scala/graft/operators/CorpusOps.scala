@@ -632,6 +632,61 @@ object CorpusOps {
       .drop("__rk")
   }
 
+  /** Mixing-temperature fit: pick the LEAST-flattening temperature τ whose
+    * token allocation keeps every domain's oversampling (epochs over its
+    * available tokens) under `maxOversamplePpm` — the "solve the mixture
+    * against a token budget" step, as ONE declarative pass instead of a
+    * driver-side search loop. The τ grid is the dyadic set {0, ¼, ½, ¾, 1}
+    * whose powers are sqrt compositions (each IEEE-correctly-rounded, so
+    * bit-identical in any engine — arbitrary τ via `pow` would not be);
+    * weights floor to integer ppm BEFORE the total, so the normalizing sum
+    * is order-free.
+    *
+    * Output: one row per τ (`tau_idx` 0..4 = τ·4) with
+    * `max_oversample_ppm`, `feasible`, and `chosen` marking the largest
+    * feasible τ (all-false when none fits).
+    *
+    * 100 TB shape: one token-moment shuffle per domain, then a 5×domains
+    * grid — constant work after the moments. */
+  def mixtureFit(
+      docs: DataFrame,
+      domainCol: String,
+      textCol: String,
+      budgetTokens: Long,
+      maxOversamplePpm: Long = 2000000L
+  ): DataFrame = {
+    val m = docs
+      .groupBy(col(domainCol))
+      .agg(sum(size(tokens(col(textCol))).cast("long")).as("tok"))
+      .filter(col("tok") > 0)
+    val tokD = col("tok").cast("double")
+    val t2 = sqrt(tokD)
+    val t1 = sqrt(t2)
+    val t3 = t2 * t1
+    val grid = explode(array(
+      struct(lit(0).as("tau_idx"), lit(1.0).as("w")),
+      struct(lit(1).as("tau_idx"), t1.as("w")),
+      struct(lit(2).as("tau_idx"), t2.as("w")),
+      struct(lit(3).as("tau_idx"), t3.as("w")),
+      struct(lit(4).as("tau_idx"), tokD.as("w"))))
+    val g = m.select(col(domainCol), col("tok"), grid.as("__g"))
+      .select(col(domainCol), col("tok"), col("__g.tau_idx").as("tau_idx"),
+        floor(col("__g.w") * lit(1000000.0)).cast("long").as("w_int"))
+    val tot = g.groupBy(col("tau_idx")).agg(sum(col("w_int")).as("__tw"))
+    val scored = g.join(tot, Seq("tau_idx"))
+      .withColumn("__target", expr(s"($budgetTokens * w_int) div __tw"))
+      .withColumn("__over", expr("(1000000 * __target) div tok"))
+      .groupBy(col("tau_idx"))
+      .agg(max(col("__over")).as("max_oversample_ppm"))
+      .withColumn("feasible",
+        col("max_oversample_ppm") <= maxOversamplePpm)
+    val best = scored.agg(
+      max(when(col("feasible"), col("tau_idx"))).as("__best"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("chosen", col("tau_idx") <=> col("__best"))
+      .drop("__best")
+  }
+
   /** Context-window chunking — the "split long documents into <= maxTokens
     * training pieces" step (the splitting dual of [[packSequences]], which
     * packs whole documents): each document's token stream cuts into

@@ -160,6 +160,26 @@ object ChunkQueries {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Sketch-per-window monitoring: HLL (m=64) distinct users per UTC day
+    // alongside the exact count — the daily-cardinality dashboard feed,
+    // with the sketch's register agg bounded at m rows per day no matter
+    // how many events a day holds (the exact twin is the accuracy check
+    // the dashboard drops at scale)
+    "q178_daily_distinct" -> { (s, dir) =>
+      val d = eventsNs(s, dir).select(
+        expr("ts div 86400000000000").as("day"),
+        col("user_id"),
+        graft.functions.TextFunctions
+          .portableHash60(col("user_id").cast("string")).as("h"))
+      val hll = graft.operators.Sketches
+        .hllDistinct(d.select(col("day"), col("h")), Seq("day"), "h",
+          log2m = 6)
+        .select(col("day"), col("est_distinct"))
+      d.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .join(hll, Seq("day"))
+    },
+
     // T5: tumbling-window event aggregation (batch form of the streaming
     // facade; epoch-second output for engine-neutral timestamps)
     "q36_stream_windows" -> { (s, dir) =>
@@ -339,6 +359,45 @@ object ChunkQueries {
         |SELECT from_type, to_type, COUNT(*) AS n
         |FROM p WHERE to_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+
+    "q178_daily_distinct" -> {
+      val num = graft.operators.Sketches.hllNumerator(6).toString
+      s"""WITH e AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id,
+         |    CAST(concat('0x',
+         |      substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT day, h % 64 AS idx, h // 64 AS w FROM e
+         |), bl AS (
+         |  SELECT day, idx,
+         |    CASE WHEN w = 0 THEN 0
+         |         ELSE (length(printf('%x', w)) - 1) * 4 +
+         |           CASE WHEN substr(printf('%x', w), 1, 1) = '1' THEN 1
+         |                WHEN substr(printf('%x', w), 1, 1) IN ('2', '3')
+         |                  THEN 2
+         |                WHEN substr(printf('%x', w), 1, 1)
+         |                  IN ('4', '5', '6', '7') THEN 3
+         |                ELSE 4 END
+         |    END AS b
+         |  FROM r
+         |), reg AS (
+         |  SELECT day, idx, MIN(b) AS mb FROM bl GROUP BY 1, 2
+         |), g AS (
+         |  SELECT day,
+         |    CAST(SUM(CAST(1 AS BIGINT) << mb) AS BIGINT) AS s,
+         |    COUNT(*) AS present
+         |  FROM reg GROUP BY 1
+         |), ex AS (
+         |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM e GROUP BY 1
+         |)
+         |SELECT ex.day, ex.n_exact,
+         |  CAST(floor($num /
+         |    CAST(s + (64 - present) * 36028797018963968 AS DOUBLE))
+         |    AS BIGINT) AS est_distinct
+         |FROM ex JOIN g ON ex.day = g.day""".stripMargin
+    },
 
     "q36_stream_windows" ->
       """SELECT

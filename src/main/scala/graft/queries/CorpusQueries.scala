@@ -359,6 +359,14 @@ object CorpusQueries {
         thresholds = (-160L to 20L by 20L).toSeq)
     },
 
+    // Mixing-temperature fit: the dyadic τ grid {0,¼,½,¾,1} evaluated in
+    // ONE pass against a 40k-token budget and a 2-epoch oversampling cap;
+    // `chosen` marks the least-flattening feasible temperature
+    "q177_mixture_fit" -> { (s, dir) =>
+      CorpusOps.mixtureFit(docs(s, dir), "source", "text",
+        budgetTokens = 40000L, maxOversamplePpm = 2000000L)
+    },
+
     // Data-card generation: the per-source corpus summary artifact — doc
     // and token counts, exact-dup ppm, dominant language, mean classifier
     // score (ppm), median length — composed from the pipeline's own
@@ -1110,6 +1118,51 @@ object CorpusQueries {
          |  COALESCE(string_agg(CASE WHEN NOT rm THEN tok END,
          |    ' ' ORDER BY tpos), '') AS text_clean
          |FROM a GROUP BY 1""".stripMargin,
+
+    "q177_mixture_fit" ->
+      s"""WITH m AS (
+         |  SELECT source, CAST(SUM(len($sqlToks)) AS BIGINT) AS tok
+         |  FROM documents GROUP BY 1 HAVING SUM(len($sqlToks)) > 0
+         |), g AS (
+         |  SELECT source, tok, 0 AS tau_idx,
+         |    CAST(floor(1.0 * 1000000.0) AS BIGINT) AS w_int FROM m
+         |  UNION ALL
+         |  SELECT source, tok, 1,
+         |    CAST(floor(sqrt(sqrt(CAST(tok AS DOUBLE))) * 1000000.0)
+         |      AS BIGINT) FROM m
+         |  UNION ALL
+         |  SELECT source, tok, 2,
+         |    CAST(floor(sqrt(CAST(tok AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  FROM m
+         |  UNION ALL
+         |  SELECT source, tok, 3,
+         |    CAST(floor(sqrt(CAST(tok AS DOUBLE))
+         |      * sqrt(sqrt(CAST(tok AS DOUBLE))) * 1000000.0) AS BIGINT)
+         |  FROM m
+         |  UNION ALL
+         |  SELECT source, tok, 4,
+         |    CAST(floor(CAST(tok AS DOUBLE) * 1000000.0) AS BIGINT) FROM m
+         |), t AS (
+         |  SELECT tau_idx, CAST(SUM(w_int) AS BIGINT) AS tw
+         |  FROM g GROUP BY 1
+         |), j AS (
+         |  SELECT g.tau_idx,
+         |    (1000000 * ((40000 * w_int) // tw)) // tok AS over_ppm
+         |  FROM g JOIN t USING (tau_idx)
+         |), mx AS (
+         |  SELECT tau_idx, CAST(MAX(over_ppm) AS BIGINT)
+         |    AS max_oversample_ppm
+         |  FROM j GROUP BY 1
+         |), f AS (
+         |  SELECT tau_idx, max_oversample_ppm,
+         |    max_oversample_ppm <= 2000000 AS feasible
+         |  FROM mx
+         |), b AS (
+         |  SELECT MAX(CASE WHEN feasible THEN tau_idx END) AS best FROM f
+         |)
+         |SELECT tau_idx, max_oversample_ppm, feasible,
+         |  COALESCE(tau_idx = best, FALSE) AS chosen
+         |FROM f, b""".stripMargin,
 
     "q175_data_card" ->
       s"""WITH w AS (

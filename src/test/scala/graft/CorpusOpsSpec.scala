@@ -358,6 +358,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(loose == 0L)
   }
 
+  test("mixtureFit: flattening temperatures fail the small-domain cap") {
+    // a: 10000 tokens, b: 100 tokens, budget 5000, cap 2 epochs.
+    // Equal split (tau=0) hands b 2500 tokens -> 25x oversampling; the
+    // proportional end stays under cap. Expected feasibility from the
+    // operator's own integer formulas, replicated here:
+    val toks = Map("a" -> 10000L, "b" -> 100L)
+    def w(tau: Int, t: Long): Long = {
+      val d = t.toDouble
+      val x = tau match {
+        case 0 => 1.0
+        case 1 => math.sqrt(math.sqrt(d))
+        case 2 => math.sqrt(d)
+        case 3 => math.sqrt(d) * math.sqrt(math.sqrt(d))
+        case 4 => d
+      }
+      math.floor(x * 1000000.0).toLong
+    }
+    val expect = (0 to 4).map { tau =>
+      val tw = toks.values.map(w(tau, _)).sum
+      val over = toks.map { case (_, t) =>
+        1000000L * (5000L * w(tau, t) / tw) / t
+      }.max
+      tau -> ((over, over <= 2000000L))
+    }.toMap
+    val docs = toks.toSeq.map { case (s, n) =>
+      (s, Seq.fill(n.toInt)("w").mkString(" "))
+    }.toDF("source", "text")
+    val r = CorpusOps.mixtureFit(docs, "source", "text",
+        budgetTokens = 5000L, maxOversamplePpm = 2000000L)
+      .collect()
+      .map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getBoolean(2), x.getBoolean(3))))
+      .toMap
+    (0 to 4).foreach { tau =>
+      assert(r(tau)._1 == expect(tau)._1, s"tau=$tau")
+      assert(r(tau)._2 == expect(tau)._2, s"tau=$tau feasible")
+    }
+    // chosen = the largest feasible tau only
+    val bestTau = (0 to 4).filter(expect(_)._2).max
+    assert(r(bestTau)._3)
+    assert(r.count(_._2._3) == 1)
+    assert(expect(0)._2 == false && expect(4)._2 == true)
+  }
+
   test("snapshotDiff: id-match first, content rematch for renumbers") {
     val prev = Seq(
       (1L, "kept"), (2L, "edited v1"), (10L, "renumbered"),
