@@ -211,6 +211,25 @@ object CorpusQueries {
           coalesce(col("__n"), lit(0L)).as("n_exact"))
     },
 
+    // Sketch-driven selection: top-3 tokens per source by CMS ESTIMATE
+    // (not exact counts) through the bounded-heap plan — the "select from
+    // the sketch, never re-touch the stream" serving pattern; restricted
+    // to tokens actually present in the source (estimates for absent
+    // tokens are pure collision noise)
+    "q171_cms_topk" -> { (s, dir) =>
+      val toks = docs(s, dir).select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      val sk = graft.operators.Sketches.countMinSparse(
+        toks, Seq("source"), "tok", width = 16, depth = 4)
+      val est = graft.operators.Sketches.cmsEstimateSparse(
+        sk, toks.select(col("tok")).distinct(), Seq("source"), "tok",
+        width = 16, depth = 4)
+      val own = est.join(toks.select(col("source"), col("tok")).distinct(),
+        Seq("source", "tok"), "left_semi")
+      graft.plans.TopKPerGroup(own, Seq(col("source")),
+        Seq(col("est_count").desc, col("tok").asc), 3)
+    },
+
     // Apply the q74 temperature weights as an actual per-source sample:
     // n_target = floor(weight * 200) docs per source, md5-order selection
     "q87_apply_mixture" -> { (s, dir) =>
@@ -799,6 +818,50 @@ object CorpusQueries {
          |  coalesce(CAST(exact.n AS BIGINT), 0) AS n_exact
          |FROM est LEFT JOIN exact
          |  ON est.source = exact.source AND est.s = exact.s""".stripMargin
+    },
+
+    "q171_cms_topk" -> {
+      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
+      val vals = ps.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH toks AS (
+         |  SELECT source, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT source, s, $sqlHash60 AS hx FROM toks
+         |), d(j, a, b) AS (VALUES $vals
+         |), b AS (
+         |  SELECT source, j,
+         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  FROM h CROSS JOIN d
+         |), cnts AS (
+         |  SELECT source, j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
+         |), probes AS (
+         |  SELECT DISTINCT s, hx FROM h
+         |), pb AS (
+         |  SELECT s, j,
+         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  FROM probes CROSS JOIN d
+         |), srcs AS (
+         |  SELECT DISTINCT source FROM documents
+         |), est AS (
+         |  SELECT srcs.source, pb.s, MIN(coalesce(c.c, 0)) AS est_count
+         |  FROM srcs CROSS JOIN pb
+         |  LEFT JOIN cnts c
+         |    ON c.source = srcs.source AND c.j = pb.j AND c.bk = pb.bk
+         |  GROUP BY 1, 2
+         |), own AS (
+         |  SELECT est.source, est.s AS tok,
+         |    CAST(est.est_count AS BIGINT) AS est_count
+         |  FROM est
+         |  WHERE EXISTS (SELECT 1 FROM toks t
+         |    WHERE t.source = est.source AND t.s = est.s)
+         |), r AS (
+         |  SELECT source, tok, est_count,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY est_count DESC, tok ASC) AS rn
+         |  FROM own
+         |)
+         |SELECT source, tok, est_count FROM r WHERE rn <= 3""".stripMargin
     },
 
     "q87_apply_mixture" ->
