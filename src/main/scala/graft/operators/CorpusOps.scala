@@ -911,4 +911,106 @@ object CorpusOps {
             x => x.getField("__unit")),
           sep).as("text_clean"))
   }
+
+  /** Corpus bigram language-model table: the top-`k` next tokens per
+    * context word with exact counts and integer-ppm conditional
+    * probability — the classic count-based LM that drives text-statistics
+    * dashboards, OOD scoring, and cheap synthetic-text detection (real text
+    * has heavy-tailed continuations; templated text doesn't).
+    *
+    * 100 TB shape: bigrams explode map-side (never materializing the token
+    * list twice), ONE (w1, w2) count shuffle, a second w1-keyed roll-up
+    * that is co-partitioned with the per-pair counts (reuses the hash
+    * partitioning — no extra exchange of the big side), and k-selection on
+    * the bounded-heap [[graft.plans.TopKPerGroup]] plan so the rank window
+    * only ever sees k rows per context.
+    * Output: (w1, w2, n, prob_ppm, rank). */
+  /** Token-adjacency pairs: one map-side explode per document. */
+  private def bigramPairs(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    docs
+      .select(toks.as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(
+          element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2")))).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+  }
+
+  def bigramTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = bigramPairs(docs, textCol).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("n")).as("__n_ctx"))
+    val scored = counts.join(ctx, Seq("w1"))
+      .withColumn("prob_ppm", expr("(1000000 * n) div __n_ctx"))
+      .select(col("w1"), col("w2"), col("n"), col("prob_ppm"))
+    val top = graft.plans.TopKPerGroup(scored, Seq(col("w1")),
+      Seq(col("n").desc, col("w2").asc), k)
+    top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("w1"))
+        .orderBy(col("n").desc, col("w2").asc)))
+  }
+
+  /** Collocation mining by PMI-style lift: for every adjacent word pair
+    * with support >= `minCount`, lift = p(w1,w2) / (p(w1·)·p(·w2)) over the
+    * bigram space — the corpus-level "these words belong together" signal
+    * that surfaces multi-word entities for tokenizer and glossary work.
+    * Products of exact integer counts are formed in doubles in a fixed
+    * order (n12·N / n1 / n2), so both engines round the identical value.
+    *
+    * 100 TB shape: ONE (w1,w2) count shuffle; the left-word and right-word
+    * marginals are roll-ups of that table (one co-partitioned on w1, one
+    * re-keyed exchange on w2 — marginal tables are vocabulary-sized, tiny
+    * next to the corpus); the global total is a 1-row broadcast; top-k is
+    * TakeOrdered, never a full sort. Output: (w1, w2, n12, lift). */
+  def collocationTopK(docs: DataFrame, textCol: String, minCount: Long,
+      k: Int): DataFrame = {
+    val counts = bigramPairs(docs, textCol).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = counts.groupBy(col("w1")).agg(sum(col("n12")).as("__n1"))
+    val right = counts.groupBy(col("w2")).agg(sum(col("n12")).as("__n2"))
+    val total = counts.agg(sum(col("n12")).as("__nbg"))
+    val out = counts.filter(col("n12") >= minCount)
+      .join(left, Seq("w1")).join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift", round(
+        col("n12").cast("double") * col("__nbg") / col("__n1") / col("__n2"),
+        6))
+      .select(col("w1"), col("w2"), col("n12"), col("lift"))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .localCheckpoint(true)
+    counts.unpersist()
+    out
+  }
+
+  /** Within-group percentile rank (integer ppm) of a value column — the
+    * per-source score-calibration step before a single global threshold is
+    * applied to heterogeneous sources: pct_ppm = 10^6 · |strictly below| /
+    * (n−1), 0 for singleton groups.
+    *
+    * 100 TB shape: the corpus collapses to a (group, value) count table
+    * FIRST (one shuffle, map-side combined); the running "below" sum is a
+    * window over that bounded distinct-value table (partitions are
+    * per-group value domains, not row counts); docs get their rank back in
+    * one join keyed by (group, value) — broadcastable whenever the domain
+    * table is dictionary-sized. */
+  def groupPercentileRank(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col(groupCol))
+    val ranked = c
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .withColumn("pct_ppm",
+        when(col("__n") > 1, expr("(1000000 * __below) div (__n - 1)"))
+          .otherwise(lit(0L)))
+      .select(col(groupCol), col(valueCol), col("pct_ppm"))
+    df.join(ranked, Seq(groupCol, valueCol))
+      .select(col(idCol), col(groupCol), col(valueCol), col("pct_ppm"))
+  }
 }

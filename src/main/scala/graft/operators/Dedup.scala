@@ -174,6 +174,129 @@ object Dedup {
     out
   }
 
+  /** Incremental cross-batch near-dup matching: flag documents of a NEW
+    * `batch` that are near-duplicates (Jaccard >= `threshold`) of any
+    * document already in the `index` corpus — the continuous-ingestion
+    * shape where yesterday's corpus must never be re-scanned to admit
+    * today's crawl. Same MinHash family/banding as [[minhashLshPairs]], but
+    * the two sides are asymmetric: the index side's (band, signature)
+    * bucket table is the PERSISTED artifact (at 100 TB: a table bucketed by
+    * band key, built once, appended per batch), and a new batch shuffles
+    * only its own band keys into it. Candidates are exact-verified, so
+    * every emitted match is real; `maxBucketSize` sheds degenerate
+    * boilerplate buckets on the index side.
+    * Output: (batch_id, index_id, jaccard). */
+  def incrementalLshMatches(
+      index: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
+    val params = minhashParams(bands * rowsPerBand)
+    def prep(df: DataFrame): DataFrame = df.select(
+      col(idCol).as("id"),
+      shingleHashes60(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), params))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bandRows(docs: DataFrame): DataFrame = docs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_sig")
+
+    val idx = prep(index)
+    val bat = prep(batch)
+    // the production artifact: index buckets keyed by (band, signature) —
+    // capped, so one boilerplate signature cannot quadratic-blow the probe
+    val idxBuckets = bandRows(idx)
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) <= maxBucketSize)
+    val candidates = bandRows(bat)
+      .join(idxBuckets, Seq("band_idx", "band_sig"))
+      .select(col("id").as("batch_id"), explode(col("ids")).as("index_id"))
+      .distinct()
+
+    // size prune, then exact verify — only flagged candidates carry arrays
+    val bSizes = bat.select(col("id").as("batch_id"), size(col("sh")).as("n_b"))
+    val iSizes = idx.select(col("id").as("index_id"), size(col("sh")).as("n_i"))
+    val pruned = candidates.join(bSizes, "batch_id").join(iSizes, "index_id")
+      .filter(least(col("n_b"), col("n_i")).cast("double") >=
+        lit(threshold) * greatest(col("n_b"), col("n_i")))
+      .select(col("batch_id"), col("index_id"))
+    val matches = pruned
+      .join(bat.select(col("id").as("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .join(idx.select(col("id").as("index_id"), col("sh").as("sh_i")), "index_id")
+      .withColumn("inter", size(array_intersect(col("sh_b"), col("sh_i"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_b")) + size(col("sh_i"))).cast("double") - col("inter"))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("index_id"), col("jaccard"))
+    val out = matches.localCheckpoint(true)
+    idx.unpersist(); bat.unpersist()
+    out
+  }
+
+  /** MinHash estimator calibration: for every band-colliding pair, the
+    * signature-agreement Jaccard estimate (integer ppm: agreeing positions
+    * / total hashes) NEXT TO the exact Jaccard — the measurement loop that
+    * justifies a (bands, rowsPerBand) choice before committing a 100 TB
+    * dedup run to it. Candidates come from the banding under test itself,
+    * so the output is exactly "the pairs this configuration would surface,
+    * and how far off its estimates are". */
+  def minhashCalibration(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int
+  ): DataFrame = {
+    val params = minhashParams(bands * rowsPerBand)
+    val docs = df.select(
+      col(idCol).as("id"),
+      shingleHashes60(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), params))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = docs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_sig")
+    val candidates = banded
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids"))
+      .select(explode(col("ids")).as("id_1"), col("ids"))
+      .select(col("id_1"), explode(col("ids")).as("id_2"))
+      .filter(col("id_1") < col("id_2"))
+      .distinct()
+    val both = candidates
+      .join(docs.select(col("id").as("id_1"), col("sh").as("sh_1"),
+        col("sig").as("sig_1")), "id_1")
+      .join(docs.select(col("id").as("id_2"), col("sh").as("sh_2"),
+        col("sig").as("sig_2")), "id_2")
+    val agree = aggregate(
+      zip_with(col("sig_1"), col("sig_2"), (x, y) => (x === y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val out = both
+      .withColumn("__agree", agree)
+      .withColumn("est_ppm",
+        expr(s"(1000000 * __agree) div ${bands * rowsPerBand}"))
+      .withColumn("inter", size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh_1")) + size(col("sh_2"))).cast("double") - col("inter"))
+      .filter(col("uni") > 0)
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .select(col("id_1"), col("id_2"), col("est_ppm"), col("jaccard"))
+      .localCheckpoint(true)
+    docs.unpersist()
+    out
+  }
+
   /** Near-duplicate CLUSTERS from pairwise matches: connected components
     * via iterative min-label propagation (the step that turns LSH pair
     * output into canonical dedup groups — keep min id per cluster, drop the

@@ -485,4 +485,110 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Per-dimension scalar-quantization grid: ONE row holding the global
+    * min and max of every dimension (the SQ8 codebook). One (dim)-keyed
+    * partial agg — dim × nPartitions rows of map-side state — then a
+    * dim-sized assemble; the result broadcasts. */
+  def sq8Grid(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus.select(posexplode(asDouble(col(vecCol))).as(Seq("__dim", "__x")))
+      .groupBy(col("__dim"))
+      .agg(min(col("__x")).as("__mn"), max(col("__x")).as("__mx"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("__dim"), col("__mn")))),
+          x => x.getField("__mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("__dim"), col("__mx")))),
+          x => x.getField("__mx")).as("maxs"))
+
+  /** int8 scalar quantization (SQ8): each dimension maps to a 0..255 code
+    * on its global [min, max] grid — a 4x smaller index than float32 that
+    * a serving tier holds in memory when the float vectors no longer fit.
+    * Codes are exact integers (floor of an identical double expression in
+    * both engines), so the quantized index is engine-portable. Map-only
+    * after the one-row grid broadcast. */
+  def sq8Codes(corpus: DataFrame, idCol: String, vecCol: String,
+      grid: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(grid))
+      .select(col(idCol), transform(asDouble(col(vecCol)), (x, i) => {
+        val mn = element_at(col("mins"), i + 1)
+        val rng = element_at(col("maxs"), i + 1) - mn
+        when(rng === 0.0, lit(0.0))
+          .otherwise(least(lit(255.0), floor((x - mn) / rng * lit(255.0) + lit(0.5))))
+          .cast("int")
+      }).as("code"))
+
+  /** Asymmetric SQ8 top-k: corpus vectors are reconstructed from their int8
+    * codes (mn + code/255·range per dim), queries stay exact float — the
+    * standard asymmetric-distance serving shape (query precision is free,
+    * corpus memory is the constraint). Scoring is the same sequential-order
+    * cosine as [[bruteForceTopK]]; k-selection rides the bounded-heap
+    * [[graft.plans.TopKPerGroup]] plan.
+    *
+    * 100 TB shape: the stored index is the code table (64 B/vector at
+    * dim 64 vs 256 B float32) + one grid row; scan is map-side against
+    * broadcast queries, no shuffle until the per-query heap merge. */
+  def sq8TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int
+  ): DataFrame = {
+    val grid = sq8Grid(corpus, vecCol)
+    val recon = sq8Codes(corpus, idCol, vecCol, grid)
+      .crossJoin(broadcast(grid))
+      .select(col(idCol).as("neighbor_id"),
+        transform(col("code"), (c, i) => {
+          val mn = element_at(col("mins"), i + 1)
+          val rng = element_at(col("maxs"), i + 1) - mn
+          mn + c.cast("double") / lit(255.0) * rng
+        }).as("c_vec"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+    val scored = recon.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val top = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+  }
+
+  /** Greedy k-center selection (Gonzalez): pick k maximally-diverse
+    * vectors — seed = lowest id, then k−1 rounds each adding the point
+    * farthest (squared L2, integer micro-units) from the chosen set. The
+    * 2-approximation coreset/diversity pick behind "cover the embedding
+    * space with k exemplars" curation.
+    *
+    * Inherently k passes over the corpus (each round is one max-reduction,
+    * a TakeOrdered(1) job over the checkpointed distance state — never a
+    * driver-side collect of data rows); per-round state is one (id, v, md)
+    * row per vector, updated by a broadcast of the single new center.
+    * Output: (sel_order, vec_id, dist_micro) — dist_micro is the point's
+    * distance to the previously-chosen set at selection time (0 for the
+    * seed), the classic coverage-radius curve. */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k-center needs k >= 1")
+    val pts = corpus
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = pts.orderBy(col("id").asc).limit(1).localCheckpoint(true)
+    var centers = seed.select(lit(0).as("sel_order"), col("id").as("vec_id"),
+      lit(0L).as("dist_micro"))
+    var state = pts.crossJoin(broadcast(seed.select(col("v").as("cv"))))
+      .select(col("id"), col("v"), sqDistMicro(col("v"), col("cv")).as("md"))
+      .localCheckpoint(true)
+    for (r <- 1 until k) {
+      val next = state.orderBy(col("md").desc, col("id").asc).limit(1)
+        .localCheckpoint(true)
+      centers = centers.unionByName(next.select(lit(r).as("sel_order"),
+        col("id").as("vec_id"), col("md").as("dist_micro")))
+      if (r < k - 1)
+        state = state.crossJoin(broadcast(next.select(col("v").as("cv"))))
+          .select(col("id"), col("v"),
+            least(col("md"), sqDistMicro(col("v"), col("cv"))).as("md"))
+          .localCheckpoint(true)
+    }
+    pts.unpersist()
+    centers
+  }
 }

@@ -44,6 +44,27 @@ object CorpusQueries {
       .stripMargin.replace("\n", "")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Corpus bigram LM: top-3 continuations per context word, exact counts
+    // + integer-ppm conditional probability; one (w1,w2) count shuffle, a
+    // co-partitioned context roll-up, bounded-heap k-selection
+    "q182_bigram_lm" -> { (s, dir) =>
+      CorpusOps.bigramTopK(docs(s, dir), "text", k = 3)
+    },
+
+    // PMI-lift collocations: support >= 3, global top-20 by lift — one
+    // bigram count shuffle + vocabulary-sized marginal roll-ups; TakeOrdered
+    "q184_collocations" -> { (s, dir) =>
+      CorpusOps.collocationTopK(docs(s, dir), "text", minCount = 3, k = 20)
+    },
+
+    // Per-source percentile normalization of document length: the score-
+    // calibration step before one global threshold spans sources; window
+    // runs on the (source, value) domain table, never the corpus
+    "q185_score_normalize" -> { (s, dir) =>
+      CorpusOps.groupPercentileRank(docs(s, dir), "doc_id", "source",
+        "n_chars")
+    },
+
     // Gopher-style repetition gates: type-token ratio + top word/bigram
     // fractions, thresholds picked to split the synthetic corpus
     "q66_repetition_filter" -> { (s, dir) =>
@@ -503,6 +524,77 @@ object CorpusQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // bigrams as an unnested struct list (i -> (t[i], t[i+1])); counts,
+    // context totals, ppm and rank mirror bigramTopK exactly
+    "q182_bigram_lm" ->
+      s"""WITH tok AS (
+         |  SELECT $sqlToks AS t FROM documents
+         |  WHERE len($sqlToks) >= 2
+         |), bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+         |  FROM tok
+         |), pairs AS (
+         |  SELECT s.w1 AS w1, s.w2 AS w2 FROM bg
+         |), c AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2
+         |), x AS (
+         |  SELECT w1, CAST(SUM(n) AS BIGINT) AS n_ctx FROM c GROUP BY 1
+         |), ranked AS (
+         |  SELECT c.w1, c.w2, c.n,
+         |    CAST((1000000 * c.n) // x.n_ctx AS BIGINT) AS prob_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY c.w1
+         |      ORDER BY c.n DESC, c.w2 ASC) AS INTEGER) AS rank
+         |  FROM c JOIN x USING (w1)
+         |)
+         |SELECT w1, w2, n, prob_ppm, rank FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // same bigram CTEs; lift formed in the identical double order
+    // (n12 * Nbg / n1 / n2) so round(..., 6) agrees bit-for-bit
+    "q184_collocations" ->
+      s"""WITH tok AS (
+         |  SELECT $sqlToks AS t FROM documents
+         |  WHERE len($sqlToks) >= 2
+         |), bg AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS s
+         |  FROM tok
+         |), pairs AS (
+         |  SELECT s.w1 AS w1, s.w2 AS w2 FROM bg
+         |), c AS (
+         |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM pairs GROUP BY 1, 2
+         |), l AS (
+         |  SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c GROUP BY 1
+         |), r AS (
+         |  SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c GROUP BY 1
+         |), t2 AS (
+         |  SELECT CAST(SUM(n12) AS BIGINT) AS nbg FROM c
+         |)
+         |SELECT c.w1, c.w2, c.n12,
+         |  round(CAST(c.n12 AS DOUBLE) * t2.nbg / l.n1 / r.n2, 6) AS lift
+         |FROM c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t2
+         |WHERE c.n12 >= 3
+         |ORDER BY lift DESC, c.w1 ASC, c.w2 ASC
+         |LIMIT 20""".stripMargin,
+
+    // the (source, n_chars) domain table carries the window; docs re-join
+    // by (source, value) — mirrors groupPercentileRank
+    "q185_score_normalize" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |), b AS (
+        |  SELECT source, n_chars,
+        |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below,
+        |    CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM c
+        |)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(CASE WHEN b.n > 1 THEN (1000000 * b.below) // (b.n - 1)
+        |    ELSE 0 END AS BIGINT) AS pct_ppm
+        |FROM documents d JOIN b USING (source, n_chars)""".stripMargin,
+
     // Fractions are integer-scaled ppm BIGINTs — FP `round(x, 6)` half-way
     // behavior differs between engines; CAST(SUM(...)) because DuckDB
     // SUM(BIGINT) is HUGEINT whose client-side conversion is

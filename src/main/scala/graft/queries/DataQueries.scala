@@ -83,6 +83,67 @@ object DataQueries {
         |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 10""".stripMargin
 
+  /** q181 oracle: the Gonzalez rounds as chained CTEs — d{r} holds every
+    * point's min squared-distance (integer micro-units, identical floor in
+    * both engines) to the first r centers, s{r} the round-r argmax. */
+  private def sqlKCenter(k: Int): String = {
+    def sq(a: String, b: String) =
+      s"CAST(floor(list_sum(list_transform(list_zip($a, $b), " +
+        s"x -> (x[1]-x[2])*(x[1]-x[2]))) * 1e6 + 0.5) AS BIGINT)"
+    val ctes = new StringBuilder
+    ctes.append("WITH v AS (SELECT vec_id, list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)) AS v FROM embeddings),\n")
+    ctes.append("s0 AS (SELECT vec_id, v FROM v ORDER BY vec_id LIMIT 1),\n")
+    ctes.append(s"d1 AS (SELECT a.vec_id, a.v, ${sq("a.v", "s.v")} AS md " +
+      "FROM v a CROSS JOIN s0 s)")
+    for (r <- 1 until k) {
+      ctes.append(s",\ns$r AS (SELECT vec_id, v, md FROM d$r " +
+        "ORDER BY md DESC, vec_id ASC LIMIT 1)")
+      if (r < k - 1)
+        ctes.append(s",\nd${r + 1} AS (SELECT d.vec_id, d.v, " +
+          s"LEAST(d.md, ${sq("d.v", "s.v")}) AS md " +
+          s"FROM d$r d CROSS JOIN s$r s)")
+    }
+    val sel = (s"SELECT CAST(0 AS INTEGER) AS sel_order, vec_id, " +
+      "CAST(0 AS BIGINT) AS dist_micro FROM s0") +:
+      (1 until k).map(r =>
+        s"SELECT CAST($r AS INTEGER), vec_id, md FROM s$r")
+    ctes.append("\n").append(sel.mkString("\nUNION ALL ")).toString
+  }
+
+  /** q183 oracle: the MinHash family reproduced literally — the (a, b)
+    * params embedded from [[graft.functions.TextFunctions.minhashParams]]
+    * (same seed), shingle hashes via the documented md5-prefix twin, band
+    * collision as an OR-chain of signature-slice equalities. */
+  private def sqlMinhashCalib(n: Int, bands: Int, rowsPerBand: Int): String = {
+    val params = graft.functions.TextFunctions.minhashParams(bands * rowsPerBand)
+    val p = graft.functions.TextFunctions.MinhashPrime
+    val sigList = params.map { case (a, b) =>
+      s"list_min(list_transform(shh, x -> ($a * (x % $p) + $b) % $p))"
+    }.mkString("[", ",\n      ", "]")
+    val bandEq = (0 until bands).map { bi =>
+      val lo = bi * rowsPerBand + 1
+      val hi = (bi + 1) * rowsPerBand
+      s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+    }.mkString("(", " OR ", ")")
+    s"""WITH d0 AS (
+       |  SELECT doc_id, list_distinct(${sqlShingles(n)}) AS sh FROM documents
+       |), d AS (
+       |  SELECT doc_id, sh,
+       |    list_transform(sh, s -> $sqlHash60) AS shh
+       |  FROM d0 WHERE len(sh) > 0
+       |), sigs AS (
+       |  SELECT doc_id, sh, $sigList AS sig FROM d
+       |)
+       |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+       |  CAST((1000000 * len(list_filter(list_zip(a.sig, b.sig),
+       |    z -> z[1] = z[2]))) // ${bands * rowsPerBand} AS BIGINT) AS est_ppm,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND $bandEq
+       |WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: hash-groupBy, canonical = min id
     "q21_dedup_exact" -> { (s, dir) =>
@@ -243,6 +304,52 @@ object DataQueries {
       val approx = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10,
         cents, nprobe = 2)
       Similarity.recallAtK(exact, approx)
+    },
+
+    // int8 scalar-quantized ANN: asymmetric top-10 (exact query vectors
+    // against SQ8-reconstructed corpus) — the 4x-smaller serving index;
+    // codes are engine-portable integers, so the oracle reproduces them
+    "q179_sq8_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+    },
+
+    // Incremental cross-batch dedup: new docs (doc_id % 5 == 0) matched
+    // against the already-ingested corpus via its persisted band-bucket
+    // index — yesterday's text is never re-scanned
+    "q180_incremental_dedup" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.incrementalLshMatches(
+        d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    },
+
+    // Greedy k-center (Gonzalez) diverse-subset selection: 6 maximally-
+    // spread exemplars + the coverage-radius curve; k max-reduction passes
+    "q181_kcenter_select" -> { (s, dir) =>
+      Similarity.kCenterSelect(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 6)
+    },
+
+    // MinHash estimator calibration: signature-agreement estimate vs exact
+    // Jaccard for every pair the (8 bands x 4 rows) config surfaces — the
+    // measurement loop that sizes a banding before a full dedup run
+    "q183_minhash_calibration" -> { (s, dir) =>
+      Dedup.minhashCalibration(docs(s, dir), "doc_id", "text",
+        n = 5, bands = 8, rowsPerBand = 4)
+    },
+
+    // Curriculum ordering: global training order by (quality desc, hash) —
+    // the distributed range-sort ordinal, never a single-partition window;
+    // the hash shuffles within each quality level deterministically
+    "q186_curriculum_order" -> { (s, dir) =>
+      val d = docsParallel(s, dir).select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        portableHash60(col("doc_id").cast("string")).as("__h"))
+      graft.functions.Ordinals.withGlobalOrdinal(d,
+          Seq(col("quality").desc, col("__h").asc, col("doc_id").asc), "ord")
+        .select(col("doc_id"), col("quality"), col("ord"))
     },
 
     // Edit-distance fuzzy matching (FastSS single-deletion blocking):
@@ -565,6 +672,83 @@ object DataQueries {
          |FROM exact e LEFT JOIN approx a
          |  USING (query_id, neighbor_id)
          |GROUP BY 1""".stripMargin,
+
+    // per-dim grid from the data itself (zipped unnests), SQ8 codes as the
+    // identical floor expression, asymmetric cosine — mirrors sq8TopK
+    "q179_sq8_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM (
+        |    SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS i FROM v)
+        |  GROUP BY i
+        |), grid AS (
+        |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims
+        |), rec AS (
+        |  SELECT vec_id, list_transform(generate_series(1, len(v)), i ->
+        |    mins[i] + CAST((CASE WHEN maxs[i] = mins[i] THEN 0
+        |      ELSE CAST(least(255.0, floor((v[i] - mins[i])
+        |        / (maxs[i] - mins[i]) * 255.0 + 0.5)) AS BIGINT)
+        |      END) AS DOUBLE) / 255.0 * (maxs[i] - mins[i])) AS r
+        |  FROM v CROSS JOIN grid
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, rec.vec_id AS neighbor_id,
+        |    round(list_sum(list_transform(list_zip(q.qv, rec.r), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), x -> x[1]*x[2])))
+        |         * sqrt(list_sum(list_transform(list_zip(rec.r, rec.r), x -> x[1]*x[2])))),
+        |      6) AS cosine
+        |  FROM q JOIN rec ON rec.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, cosine,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+        |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    // exact cross-split near-dup pairs at the verify threshold (the LSH
+    // candidate stage is recall-exact on this corpus — q27's proven bet)
+    "q180_incremental_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), nw AS (
+         |  SELECT * FROM d WHERE doc_id % 5 = 0 AND len(sh) > 0
+         |), ix AS (
+         |  SELECT * FROM d WHERE doc_id % 5 <> 0 AND len(sh) > 0
+         |)
+         |SELECT n.doc_id AS batch_id, o.doc_id AS index_id,
+         |  round(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+         |        / len(list_distinct(n.sh || o.sh)), 6) AS jaccard
+         |FROM nw n JOIN ix o
+         |  ON len(list_distinct(n.sh || o.sh)) > 0
+         |WHERE round(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+         |        / len(list_distinct(n.sh || o.sh)), 6) >= 0.5""".stripMargin,
+
+    "q181_kcenter_select" -> sqlKCenter(6),
+
+    "q183_minhash_calibration" -> sqlMinhashCalib(5, 8, 4),
+
+    // q22's quality expression + the portable doc_id hash as the shuffle
+    // key; ROW_NUMBER mirrors the distributed range-sort ordinal exactly
+    // (sort key is distinct by doc_id tiebreak)
+    "q186_curriculum_order" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INTEGER) AS n_punct,
+         |    CAST(len($sqlToks) AS INTEGER) AS n_words,
+         |    CAST(len(regexp_extract_all(lower(text), '\\b($enStops)\\b', 0)) AS INTEGER) AS n_stop,
+         |    text
+         |  FROM documents
+         |), q AS (
+         |  SELECT doc_id, round($sqlQuality, 6) AS quality,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM f
+         |)
+         |SELECT doc_id, quality,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, h ASC, doc_id ASC)
+         |    AS BIGINT) AS ord
+         |FROM q""".stripMargin,
 
     "q161_hard_negatives" ->
       """WITH v AS (

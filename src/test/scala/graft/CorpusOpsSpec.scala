@@ -442,4 +442,70 @@ class CorpusOpsSpec extends SparkSpec {
     // t=7: nothing positive -> precision undefined (NULL), recall 0
     assert(r(7L) == ((0L, 0L, 3L, 3L, None, Some(0L))))
   }
+
+  test("bigramTopK: exact counts, integer-ppm probabilities, top-k per context") {
+    import spark.implicits._
+    val d = Seq(
+      "a b a b c",   // bigrams: (a,b) x2, (b,a), (b,c)
+      "a b a c",     // (a,b), (b,a), (a,c)
+      "x",           // single token: no bigrams
+      ""             // empty: no bigrams
+    ).toDF("text")
+    val out = graft.operators.CorpusOps.bigramTopK(d, "text", k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    // context a: n_ctx = 4 -> (a,b) n=3 ppm=750000 rank 1; (a,c) 1/4 rank 2
+    assert(out(("a", "b")) == ((3L, 750000L, 1)))
+    assert(out(("a", "c")) == ((1L, 250000L, 2)))
+    // context b: n_ctx = 3 -> (b,a) n=2 rank 1; (b,c) 1/3 = 333333 (floor)
+    assert(out(("b", "a")) == ((2L, 666666L, 1)))
+    assert(out(("b", "c")) == ((1L, 333333L, 2)))
+    assert(!out.keys.exists(_._1 == "x"))
+    assert(out.size == 4)
+  }
+
+  test("collocationTopK: lift rewards exclusive pairs, support gate holds") {
+    import spark.implicits._
+    // "new york" always together (3x); "the cat"/"the dog" share "the"
+    val d = Seq(
+      "new york new york new york",
+      "the cat sat", "the dog ran", "the cat ran"
+    ).toDF("text")
+    val out = graft.operators.CorpusOps.collocationTopK(d, "text",
+        minCount = 2, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // bigrams: (new,york) 3, (york,new) 2, (the,cat) 2, (the,dog) 1,
+    // (cat,sat) 1, (dog,ran) 1, (cat,ran) 1 -> Nbg = 11
+    // support >= 2 keeps 3 pairs
+    assert(out.size == 3)
+    val (n, lift) = out(("new", "york"))
+    assert(n == 3L)
+    // n1(new)=3, n2(york)=3 -> 3*11/3/3
+    assert(lift == math.rint(3.0 * 11 / 3 / 3 * 1e6) / 1e6 ||
+      math.abs(lift - 3.0 * 11 / 3 / 3) < 1e-6)
+    // (the,cat): n12=2, n1(the)=3, n2(cat)=2 -> 2*11/3/2 = 3.666667
+    assert(out(("the", "cat"))._1 == 2L)
+    assert(math.abs(out(("the", "cat"))._2 - 2.0 * 11 / 3 / 2) < 1e-6)
+  }
+
+  test("groupPercentileRank: ppm ranks within group, singleton group is 0") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 7L)
+    ).toDF("doc_id", "source", "n_chars")
+    val out = graft.operators.CorpusOps.groupPercentileRank(
+        d, "doc_id", "source", "n_chars")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // group a: n=4 -> below/3: 10->0; 20,20->1/3=333333; 30->3/3=1000000
+    assert(out(1L) == 0L)
+    assert(out(2L) == 333333L && out(3L) == 333333L)
+    assert(out(4L) == 1000000L)
+    // singleton group
+    assert(out(5L) == 0L)
+  }
 }

@@ -136,4 +136,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(x => x.getLong(2) -> x.getLong(1)).toMap
     assert(minId(3L) == 1L && r(3L)._1 == 2L)
   }
+
+  test("incrementalLshMatches finds cross-batch dups only, never index-index pairs") {
+    val index = docs.filter(col("doc_id") =!= 2L)
+    val batch = docs.filter(col("doc_id") === 2L) // exact dup of index doc 1
+    val out = Dedup.incrementalLshMatches(index, batch, "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect()
+    // doc 2 matches 1 (jaccard 1.0) and 3 (near dup above 0.5)
+    val m = out.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out.forall(_.getLong(0) == 2L))
+    assert(m(1L) == 1.0)
+    assert(m.contains(3L) && m(3L) >= 0.5 && m(3L) < 1.0)
+    // an empty batch yields no matches (and doesn't throw)
+    val none = Dedup.incrementalLshMatches(index,
+      batch.filter(col("doc_id") < 0), "doc_id", "text", 5, 16, 4, 0.5)
+    assert(none.count() == 0)
+  }
+
+  test("minhashCalibration: identical docs estimate 1.0; estimate tracks exact jaccard") {
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text",
+        n = 5, bands = 8, rowsPerBand = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // exact dup pair (1,2): all 32 signature positions agree
+    assert(out((1L, 2L)) == ((1000000L, 1.0)))
+    // near-dup pairs estimate within 25 points of exact (32-hash granularity)
+    out.foreach { case (_, (est, ex)) =>
+      assert(math.abs(est / 1000000.0 - ex) <= 0.25,
+        s"estimate $est vs exact $ex")
+    }
+  }
 }

@@ -229,4 +229,51 @@ class SimilaritySpec extends SparkSpec {
       .map(x => x.getLong(0) -> ((x.getDouble(2), x.getBoolean(3)))).toMap
     assert(r2 == r)
   }
+
+  test("sq8Codes: codes in [0,255], grid extremes map to 0 and 255") {
+    val grid = Similarity.sq8Grid(emb, "embedding")
+    val codes = Similarity.sq8Codes(emb, "vec_id", "embedding", grid)
+      .select(explode(col("code")).as("c")).collect().map(_.getInt(0))
+    assert(codes.min >= 0 && codes.max <= 255)
+    // every dimension's min maps to 0 and max to 255 somewhere
+    assert(codes.contains(0) && codes.contains(255))
+  }
+
+  test("sq8TopK: shape + high recall vs exact cosine top-10") {
+    val out = Similarity.sq8TopK(emb, queries, "vec_id", "embedding", 10)
+      .collect()
+    assert(out.length == 5 * 10)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+    }
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+        "embedding", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    // 8-bit quantization error barely perturbs a cosine ranking
+    assert(recall >= 0.8, s"recall $recall")
+  }
+
+  test("kCenterSelect: seed is min id, radii non-increasing, greedy argmax") {
+    val out = Similarity.kCenterSelect(emb, "vec_id", "embedding", 6)
+      .orderBy(col("sel_order")).collect()
+    assert(out.length == 6)
+    assert(out.head.getAs[Int]("sel_order") == 0)
+    assert(out.head.getAs[Long]("vec_id") ==
+      emb.agg(min(col("vec_id"))).head().getLong(0))
+    assert(out.head.getAs[Long]("dist_micro") == 0L)
+    val radii = out.tail.map(_.getAs[Long]("dist_micro"))
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      s"radii not non-increasing: ${radii.toSeq}")
+    // round 1 must pick the single point farthest from the seed
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    val seed = vecs.minBy(_._1)._2
+    def sqd(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val far = vecs.maxBy { case (id, v) => (sqd(seed, v), -id) }._1
+    assert(out(1).getAs[Long]("vec_id") == far)
+  }
 }
