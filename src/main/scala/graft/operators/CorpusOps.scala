@@ -1013,4 +1013,33 @@ object CorpusOps {
     df.join(ranked, Seq(groupCol, valueCol))
       .select(col(idCol), col(groupCol), col(valueCol), col("pct_ppm"))
   }
+
+  /** Per-group lexical concentration: Simpson index Σ(n_w/N)² over the
+    * unigram distribution — the entropy-free (log-free, hence
+    * engine-portable) diversity gate: ~1/V for diverse text, → 1 for
+    * degenerate/templated sources. Also emits token and type counts.
+    * The index is ONE double expression over exact integer sums
+    * (Σn²/N/N in fixed order), so `round(..., 6)` is bit-identical.
+    *
+    * 100 TB shape: token explode collapses immediately into the
+    * (group, token) count shuffle (map-side combined), then a group-sized
+    * roll-up — the word table never joins anything. Overflow: Σn_w² within
+    * BIGINT holds while every count stays ≤ 3·10^9; beyond that the
+    * heavy-hitter counts dominate and DECIMAL(38,0) moments take over. */
+  def lexicalConcentration(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(groupCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col(groupCol), col("__w"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("__n") * col("__n")).as("__s2"))
+      .withColumn("simpson", round(
+        col("__s2").cast("double") / col("n_tokens") / col("n_tokens"), 6))
+      .select(col(groupCol), col("n_tokens"), col("n_types"), col("simpson"))
 }

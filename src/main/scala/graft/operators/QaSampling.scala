@@ -86,4 +86,39 @@ object QaSampling {
       .withColumn("var_num",
         col("n_buckets") * col("sum_m2") - col("sum_m") * col("sum_m"))
   }
+
+  /** Per-group ordinary least squares y = intercept + slope·x over INTEGER
+    * x/y columns — the drift detector behind "is this metric trending"
+    * dashboards (daily quality, volume, error rates). All five moments
+    * (n, Σx, Σy, Σxy, Σx²) are exact integer sums — order-independent,
+    * engine-identical — and each coefficient is ONE double division of two
+    * exact integers (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept =
+    * (ΣyΣx²−ΣxΣxy)/same), so `round(..., 6)` agrees bit-for-bit. NULL
+    * coefficients when x is constant (zero denominator).
+    *
+    * 100 TB shape: ONE aggregation shuffle, map-side combined; everything
+    * after is arithmetic on the group-sized result. Overflow: moments and
+    * their cross-products must stay within BIGINT — with |x| ≤ 10^5 and
+    * |y| ≤ 10^6 that holds to ~10^7 rows per group; bucket x (e.g. days,
+    * not µs) and scale y down accordingly, or move the moments to
+    * DECIMAL(38,0) past that. */
+  def olsPerGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("slope",
+        when(den === 0, lit(null).cast("double")).otherwise(round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / den, 6)))
+      .withColumn("intercept",
+        when(den === 0, lit(null).cast("double")).otherwise(round(
+          (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double")
+            / den, 6)))
+      .select(col(groupCol), col("n"), col("slope"), col("intercept"))
+  }
 }

@@ -189,6 +189,26 @@ object ChunkQueries {
           unix_timestamp(col("window_start")).as("ws"),
           unix_timestamp(col("window_end")).as("we"),
           col("event_type"), col("n_events"))
+    },
+
+    // Metric drift: per-event-type OLS of value against the UTC day —
+    // exact integer moments (day centered near the data so cross-products
+    // stay in BIGINT; value rounded to integer units), one agg shuffle
+    "q187_type_trend" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("event_type"),
+        (expr("ts div 86400000000000") - 19700L).as("day"),
+        round(col("value")).cast("long").as("v"))
+      graft.operators.QaSampling.olsPerGroup(ev, "event_type", "day", "v")
+    },
+
+    // As-of attachment: each purchase's most recent prior click per user
+    // via ONE per-user ordered window (no as-of/range join) — click-to-
+    // purchase latency, the attribution primitive
+    "q189_event_asof" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      EventStream.asOfLast(ev, "user_id", "us", "event_id", "event_type",
+        markerType = "click", targetType = "purchase")
     }
   )
 
@@ -200,6 +220,46 @@ object ChunkQueries {
       |FROM events""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same centered-integer moments; each coefficient is one double
+    // division of two exact BIGINTs, so round(..., 6) matches
+    "q187_type_trend" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_ns(ts) // 86400000000000 - 19700 AS day,
+        |    CAST(round(value) AS BIGINT) AS v
+        |  FROM events
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(v) AS BIGINT) AS sy,
+        |    CAST(SUM(day * v) AS BIGINT) AS sxy,
+        |    CAST(SUM(day * day) AS BIGINT) AS sxx
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6)
+        |  END AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6)
+        |  END AS intercept
+        |FROM m""".stripMargin,
+
+    // the window mirror: last prior click timestamp per user at each
+    // purchase, ties resolved by (us, event_id)
+    "q189_event_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), g AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS marker_us
+        |  FROM e
+        |)
+        |SELECT user_id, event_id, us, marker_us, us - marker_us AS gap_us
+        |FROM g WHERE event_type = 'purchase'""".stripMargin,
+
     "q33_ephys_chunks" ->
       s"""WITH s AS ($sqlSamples),
          |c AS (

@@ -65,6 +65,13 @@ object CorpusQueries {
         "n_chars")
     },
 
+    // Log-free lexical diversity per source: Simpson concentration of the
+    // unigram distribution + token/type counts — one (source, token) count
+    // shuffle, group-sized roll-up
+    "q188_lexical_diversity" -> { (s, dir) =>
+      CorpusOps.lexicalConcentration(docs(s, dir), "source", "text")
+    },
+
     // Gopher-style repetition gates: type-token ratio + top word/bigram
     // fractions, thresholds picked to split the synthetic corpus
     "q66_repetition_filter" -> { (s, dir) =>
@@ -576,6 +583,25 @@ object CorpusQueries {
          |WHERE c.n12 >= 3
          |ORDER BY lift DESC, c.w1 ASC, c.w2 ASC
          |LIMIT 20""".stripMargin,
+
+    // unigram counts then Σn²/N/N in the identical double order
+    "q188_lexical_diversity" ->
+      s"""WITH w AS (
+         |  SELECT source, unnest($sqlToks) AS tok FROM documents
+         |), w2 AS (
+         |  SELECT source, tok FROM w WHERE tok <> ''
+         |), c AS (
+         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM w2 GROUP BY 1, 2
+         |), m AS (
+         |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS n_types,
+         |    CAST(SUM(n * n) AS BIGINT) AS s2
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT source, n_tokens, n_types,
+         |  round(CAST(s2 AS DOUBLE) / n_tokens / n_tokens, 6) AS simpson
+         |FROM m""".stripMargin,
 
     // the (source, n_chars) domain table carries the window; docs re-join
     // by (source, value) — mirrors groupPercentileRank

@@ -179,6 +179,38 @@ object EventStream {
         r.columns.filterNot(keyCols.contains).map(r(_)): _*)
   }
 
+  /** Batch as-of attachment without an as-of join: for every target event
+    * (e.g. purchase), the timestamp of the most recent PRIOR marker event
+    * (e.g. click) of the same key — `last(when(marker, ts), ignoreNulls)`
+    * over ONE per-key ordered window with a `[-∞, -1]` frame, the same
+    * union-window trick as [[resampleFill]]. A range/as-of join here would
+    * shuffle both sides per probe; this shape pays one key-partitioned
+    * sort and scales per key like sessionize (keys ≫ cores). Ties resolve
+    * by (us, idCol) total order. Output: (key, id, us, marker_us NULLable,
+    * gap_us NULLable). */
+  def asOfLast(
+      events: DataFrame,
+      keyCol: String,
+      usCol: String,
+      idCol: String,
+      typeCol: String,
+      markerType: String,
+      targetType: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(usCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .filter(col(typeCol).isin(markerType, targetType))
+      .withColumn("marker_us",
+        last(when(col(typeCol) === markerType, col(usCol)),
+          ignoreNulls = true).over(w))
+      .filter(col(typeCol) === targetType)
+      .select(col(keyCol), col(idCol), col(usCol), col("marker_us"),
+        (col(usCol) - col("marker_us")).as("gap_us"))
+  }
+
   /** Exactly-once file sink for an update-mode streaming aggregation:
     * `foreachBatch` writes every micro-batch to its own
     * `batch_id=N` partition directory with OVERWRITE — a replayed batch

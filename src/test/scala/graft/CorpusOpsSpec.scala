@@ -508,4 +508,21 @@ class CorpusOpsSpec extends SparkSpec {
     // singleton group
     assert(out(5L) == 0L)
   }
+
+  test("lexicalConcentration: uniform vs degenerate sources, empty text ignored") {
+    import spark.implicits._
+    val d = Seq(
+      ("u", "a b c d"),       // uniform: 4 types, simpson = 4/16 = 0.25
+      ("g", "x x x x"),       // degenerate: 1 type, simpson = 1
+      ("g", ""),              // empty doc contributes nothing
+      ("m", "a a b")          // 3 tokens: (4+1)/9 = 0.555556
+    ).toDF("source", "text")
+    val r = graft.operators.CorpusOps.lexicalConcentration(d, "source", "text")
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("u") == ((4L, 4L, 0.25)))
+    assert(r("g") == ((4L, 1L, 1.0)))
+    assert(r("m") == ((3L, 2L, 0.555556)))
+  }
 }

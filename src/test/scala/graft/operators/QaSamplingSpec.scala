@@ -60,4 +60,24 @@ class QaSamplingSpec extends SparkSpec {
     assert(r.getAs[Long]("var_num") == expVar)
     assert(expVar >= 0)
   }
+
+  test("olsPerGroup: exact line recovered, noisy line matches closed form, constant x is NULL") {
+    import spark.implicits._
+    val d = Seq(
+      // group a: y = 3 + 2x exactly
+      ("a", 0L, 3L), ("a", 1L, 5L), ("a", 2L, 7L), ("a", 3L, 9L),
+      // group b: (0,0),(1,1),(2,1) -> slope 1/2, intercept 1/6
+      ("b", 0L, 0L), ("b", 1L, 1L), ("b", 2L, 1L),
+      // group c: constant x -> undefined fit
+      ("c", 4L, 1L), ("c", 4L, 9L)
+    ).toDF("g", "x", "y")
+    val r = QaSampling.olsPerGroup(d, "g", "x", "y").collect()
+      .map(row => row.getString(0) ->
+        ((row.getLong(1), Option(row.get(2)).map(_.asInstanceOf[Double]),
+          Option(row.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(r("a") == ((4L, Some(2.0), Some(3.0))))
+    assert(r("b")._2 == Some(0.5))
+    assert(r("b")._3 == Some(0.166667))
+    assert(r("c") == ((2L, None, None)))
+  }
 }

@@ -335,4 +335,31 @@ class EventStreamSpec extends SparkSpec {
     assert(out(1L) == ("InsertionComplete", 2))
     assert(out(2L) == ("Inserting", 1))
   }
+
+  test("asOfLast: latest prior marker per key, no marker -> NULL, ties by id") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click@10, click@20, purchase@25, purchase@15
+      (1L, 101L, 10L, "click"), (1L, 102L, 20L, "click"),
+      (1L, 103L, 25L, "purchase"), (1L, 104L, 15L, "purchase"),
+      // user 2: purchase before any click
+      (2L, 201L, 5L, "purchase"), (2L, 202L, 8L, "click"),
+      // same-timestamp tie: click id 301 sorts before purchase id 302
+      (3L, 301L, 7L, "click"), (3L, 302L, 7L, "purchase"),
+      // other event types never count as markers
+      (4L, 401L, 1L, "view"), (4L, 402L, 2L, "purchase")
+    ).toDF("user_id", "event_id", "us", "event_type")
+    val out = graft.streaming.EventStream.asOfLast(ev, "user_id", "us",
+        "event_id", "event_type", "click", "purchase")
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(103L) == ((Some(20L), Some(5L))))
+    assert(out(104L) == ((Some(10L), Some(5L))))
+    assert(out(201L) == ((None, None)))
+    assert(out(302L) == ((Some(7L), Some(0L))))
+    assert(!out.contains(401L)) // views are not targets
+    assert(out(402L) == ((None, None)))
+  }
 }
