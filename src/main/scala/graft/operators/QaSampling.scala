@@ -121,4 +121,36 @@ object QaSampling {
             / den, 6)))
       .select(col(groupCol), col("n"), col("slope"), col("intercept"))
   }
+
+  /** The Wilson 95% interval as a SQL expression over `__p` (rate) and
+    * `__nn` (trials, double) — kept as ONE shared text so the Spark plan
+    * and the DuckDB oracle parse the byte-identical formula: every +,*,/
+    * and the correctly-rounded sqrt then evaluate in the same IEEE order. */
+  private def wilson(sign: String): String =
+    s"round((__p + 3.8416/(2*__nn)) / (1 + 3.8416/__nn) $sign " +
+      s"1.96 * sqrt(__p*(1-__p)/__nn + 3.8416/(4*__nn*__nn)) / (1 + 3.8416/__nn), 6)"
+
+  /** Wilson interval text for oracle construction (same string the Spark
+    * plan parses, with `__p`/`__nn` substituted by the caller). */
+  def wilsonSql(sign: String, p: String, nn: String): String =
+    wilson(sign).replace("__p", p).replace("__nn", nn)
+
+  /** Per-group rare-event rate with Wilson 95% bounds — the error-rate
+    * monitor that stays honest at small n (a plain ±1.96√(pq/n) interval
+    * leaves [0,1] and covers badly near 0). Groups under `minN` trials are
+    * dropped: their intervals are vacuous and they dominate group counts.
+    *
+    * 100 TB shape: ONE count aggregation (map-side combined); the interval
+    * is row-local arithmetic on the group-sized result. */
+  def errorRateCi(df: DataFrame, groupCol: String, isErrCol: String,
+      minN: Long): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(isErrCol), lit(1L)).otherwise(lit(0L))).as("n_err"))
+      .filter(col("n") >= minN)
+      .withColumn("__nn", col("n").cast("double"))
+      .withColumn("__p", col("n_err").cast("double") / col("__nn"))
+      .withColumn("lo", expr(wilson("-")))
+      .withColumn("hi", expr(wilson("+")))
+      .select(col(groupCol), col("n"), col("n_err"), col("lo"), col("hi"))
 }

@@ -209,6 +209,42 @@ object ChunkQueries {
         expr("ts div 1000").as("us"), col("event_type"))
       EventStream.asOfLast(ev, "user_id", "us", "event_id", "event_type",
         markerType = "click", targetType = "purchase")
+    },
+
+    // Rolling 7-day actives (MAU-7): each (day, user) observation covers
+    // windows day..day+6 — a bounded 7x explode then ONE distinct-count
+    // shuffle; output limited to days present in the data
+    "q190_rolling_actives" -> { (s, dir) =>
+      val du = eventsNs(s, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct()
+      val present = du.select(col("day").as("wday")).distinct()
+      du.select(explode(sequence(col("day"), col("day") + 6)).as("wday"),
+          col("user_id"))
+        .join(broadcast(present), Seq("wday"))
+        .groupBy(col("wday"))
+        .agg(countDistinct(col("user_id")).as("mau7"))
+        .select(col("wday").as("day"), col("mau7"))
+    },
+
+    // Time-weighted average value per user (TWAP): Σ v·Δt / span on exact
+    // integer products — one per-user lead window + one aggregation;
+    // Σv·Δt telescopes below v_max · span, so BIGINT holds at any history
+    "q191_twap" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"),
+        round(col("value")).cast("long").as("v"))
+      EventStream.timeWeightedAvg(ev, "user_id", "us", "event_id", "v")
+    },
+
+    // Per-user error-rate monitor with Wilson 95% bounds (>= 50 events):
+    // one count shuffle; the interval is the byte-identical SQL expression
+    // in both engines (see QaSampling.wilson)
+    "q192_error_rate_ci" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"),
+        (col("event_type") === "error").as("is_err"))
+      graft.operators.QaSampling.errorRateCi(ev, "user_id", "is_err",
+        minN = 50L)
     }
   )
 
@@ -243,6 +279,54 @@ object ChunkQueries {
         |    ELSE round(CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx), 6)
         |  END AS intercept
         |FROM m""".stripMargin,
+
+    // day..day+6 coverage via a range join (the explode mirror)
+    "q190_rolling_actives" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events
+        |), days AS (
+        |  SELECT DISTINCT day FROM du
+        |)
+        |SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau7
+        |FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY 1""".stripMargin,
+
+    // lead window + exact integer v·Δt products; one double division
+    "q191_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    CAST(round(value) AS BIGINT) AS v
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, us, v,
+        |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt
+        |  FROM e
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+        |  CASE WHEN MAX(us) - MIN(us) > 0 THEN
+        |    round(CAST(SUM(CASE WHEN nxt IS NOT NULL THEN v * (nxt - us) END)
+        |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
+        |  END AS twap
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // the identical Wilson expression text over (p, n) — see QaSampling
+    "q192_error_rate_ci" -> {
+      val lo = graft.operators.QaSampling.wilsonSql("-", "p", "nn")
+      val hi = graft.operators.QaSampling.wilsonSql("+", "p", "nn")
+      s"""WITH c AS (
+         |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_err
+         |  FROM events GROUP BY 1
+         |), f AS (
+         |  SELECT user_id, n, n_err, CAST(n AS DOUBLE) AS nn,
+         |    CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS p
+         |  FROM c WHERE n >= 50
+         |)
+         |SELECT user_id, n, n_err, $lo AS lo, $hi AS hi FROM f""".stripMargin
+    },
 
     // the window mirror: last prior click timestamp per user at each
     // purchase, ties resolved by (us, event_id)

@@ -211,6 +211,37 @@ object EventStream {
         (col(usCol) - col("marker_us")).as("gap_us"))
   }
 
+  /** Time-weighted average of an integer value column per key (TWAP):
+    * Σ v·Δt / (t_last − t_first) with Δt from ONE per-key lead window —
+    * each step's product is an exact integer, and Σ v·Δt telescopes below
+    * v_max·span, so the numerator stays in BIGINT at any history length.
+    * The final division is the only double op (round 6). NULL when the key
+    * has zero time span. Ties at the same timestamp order by `idCol`
+    * (the zero-width segment contributes nothing either way). */
+  def timeWeightedAvg(
+      events: DataFrame,
+      keyCol: String,
+      usCol: String,
+      idCol: String,
+      valueCol: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(usCol).asc, col(idCol).asc)
+    events
+      .withColumn("__nxt", lead(col(usCol), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("__nxt").isNotNull,
+          col(valueCol) * (col("__nxt") - col(usCol)))).as("__wsum"),
+        (max(col(usCol)) - min(col(usCol))).as("span_us"))
+      .withColumn("twap",
+        when(col("span_us") > 0,
+          round(col("__wsum").cast("double") / col("span_us"), 6)))
+      .select(col(keyCol), col("n_events"), col("span_us"), col("twap"))
+  }
+
   /** Exactly-once file sink for an update-mode streaming aggregation:
     * `foreachBatch` writes every micro-batch to its own
     * `batch_id=N` partition directory with OVERWRITE — a replayed batch

@@ -80,4 +80,42 @@ class QaSamplingSpec extends SparkSpec {
     assert(r("b")._3 == Some(0.166667))
     assert(r("c") == ((2L, None, None)))
   }
+
+  test("errorRateCi: Wilson bounds bracket the rate, stay in [0,1], minN gate") {
+    import spark.implicits._
+    val rows =
+      (1 to 100).map(i => ("big", i <= 10)) ++   // 10% over 100 trials
+      (1 to 50).map(_ => ("clean", false)) ++    // 0% over 50
+      (1 to 10).map(_ => ("tiny", true))         // under minN
+    val r = QaSampling.errorRateCi(rows.toDF("g", "err"), "g", "err", 50L)
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4)))).toMap
+    assert(!r.contains("tiny"))
+    val (n, k, lo, hi) = r("big")
+    assert(n == 100L && k == 10L)
+    assert(lo > 0 && lo < 0.1 && hi > 0.1 && hi < 1.0)
+    // Wilson 95% for 10/100: ~[0.0552, 0.1744]
+    assert(math.abs(lo - 0.055207) < 1e-4, s"lo $lo")
+    assert(math.abs(hi - 0.174409) < 1e-4, s"hi $hi")
+    val (_, k0, lo0, hi0) = r("clean")
+    assert(k0 == 0L && lo0 == 0.0 && hi0 > 0 && hi0 < 0.1)
+  }
+
+  test("timeWeightedAvg: step function integrates exactly, zero span is NULL") {
+    import spark.implicits._
+    // key a: v=10 for 4us, v=20 for 6us -> (40+120)/10 = 16
+    val d = Seq(
+      ("a", 1L, 0L, 10L), ("a", 2L, 4L, 20L), ("a", 3L, 10L, 99L),
+      ("b", 4L, 5L, 7L) // single event: span 0
+    ).toDF("k", "event_id", "us", "v")
+    val r = graft.streaming.EventStream.timeWeightedAvg(d, "k", "us",
+        "event_id", "v")
+      .collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2),
+          Option(x.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(r("a") == ((3L, 10L, Some(16.0))))
+    assert(r("b") == ((1L, 0L, None)))
+  }
 }
