@@ -323,6 +323,34 @@ object IngestQueries {
           col("sum_b"), col("top_left_rgb"))
     },
 
+    // Multimodal with a SECOND real image codec: pure-JVM PNG (chunk walk,
+    // Inflater zlib, all five scanline filters) decoding fixtures written
+    // by the JDK's OWN ImageIO encoder — RGB, grayscale, RGBA-with-alpha-
+    // dropped, and a junk payload decoding to NULLs
+    "q193_png_decode" -> { (s, _) =>
+      import graft.operators.{Multimodal, PngCodec}
+      val rgb = Seq(Seq(0x102030, 0x405060, 0x708090),
+        Seq(0xA0B0C0, 0x112233, 0x445566))
+      val gray = Seq(Seq(10, 200), Seq(7, 255))
+      val rgba = Seq(Seq(0x010203, 0xFF00FF))
+      val dir = SyntheticFixtures.materialize("q193", "rgb3x2.png",
+        SyntheticFixtures.pngBytes(rgb))
+      SyntheticFixtures.materialize("q193", "gray2x2.png",
+        SyntheticFixtures.pngBytes(gray, gray = true))
+      SyntheticFixtures.materialize("q193", "rgba2x1.png",
+        SyntheticFixtures.pngBytes(rgba, alpha = true))
+      SyntheticFixtures.materialize("q193", "junk.png",
+        "definitely not a png".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.png")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          PngCodec.PngStatsDecoder)
+        .select(col("file_name"), col("magic"), col("width"), col("height"),
+          col("color_type"), col("sum_r"), col("sum_g"), col("sum_b"),
+          col("top_left_rgb"))
+    },
+
     // Multimodal audio with a REAL codec: binaryFile scan → per-partition
     // harness running the pure-JVM RIFF/WAVE PCM16 decoder — mono, stereo
     // de-interleave, a LIST/INFO metadata chunk the walker must skip, and
@@ -1820,6 +1848,24 @@ object IngestQueries {
         |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |   CAST(NULL AS INTEGER))
         |) AS t(file_name, magic, width, height, bits_per_pixel, top_down,
+        |       sum_r, sum_g, sum_b, top_left_rgb)""".stripMargin,
+
+    "q193_png_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('rgb3x2.png', 'PNG', 3, 2, 2,
+        |   CAST(437 AS BIGINT), CAST(535 AS BIGINT), CAST(633 AS BIGINT),
+        |   1056816),
+        |  ('gray2x2.png', 'PNG', 2, 2, 0,
+        |   CAST(472 AS BIGINT), CAST(472 AS BIGINT), CAST(472 AS BIGINT),
+        |   657930),
+        |  ('rgba2x1.png', 'PNG', 2, 1, 6,
+        |   CAST(256 AS BIGINT), CAST(2 AS BIGINT), CAST(258 AS BIGINT),
+        |   66051),
+        |  ('junk.png', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS INTEGER))
+        |) AS t(file_name, magic, width, height, color_type,
         |       sum_r, sum_g, sum_b, top_left_rgb)""".stripMargin,
 
     "q165_wav_decode" ->

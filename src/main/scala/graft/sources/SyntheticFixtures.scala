@@ -437,6 +437,35 @@ object SyntheticFixtures {
     o.toByteArray
   }
 
+  // --- PNG (via the JDK's ImageIO encoder) ---
+
+  /** PNG written by `javax.imageio.ImageIO` — a fully independent encoder
+    * (its own filter heuristics and zlib stream) against which
+    * [[graft.operators.PngCodec]]'s hand-rolled chunk walk + inflate +
+    * defilter must agree. `rgb(y)(x)` is packed 0xRRGGBB, row 0 = top.
+    * `gray = true` writes an 8-bit grayscale raster (color type 0) using
+    * the low byte of each pixel; `alpha = true` writes RGBA (color
+    * type 6) with opaque alpha. */
+  def pngBytes(rgb: Seq[Seq[Int]], gray: Boolean = false,
+      alpha: Boolean = false): Array[Byte] = {
+    val h = rgb.length
+    val w = rgb.head.length
+    val imgType =
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else if (alpha) java.awt.image.BufferedImage.TYPE_INT_ARGB
+      else java.awt.image.BufferedImage.TYPE_INT_RGB
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    for (y <- 0 until h; x <- 0 until w) {
+      if (gray)
+        img.getRaster.setSample(x, y, 0, rgb(y)(x) & 0xFF)
+      else
+        img.setRGB(x, y, 0xFF000000 | rgb(y)(x))
+    }
+    val o = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", o)
+    o.toByteArray
+  }
+
   // --- BMP (24/32-bit uncompressed) ---
 
   /** BMP written sequentially from the published layout (BITMAPFILEHEADER
