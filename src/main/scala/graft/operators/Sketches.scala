@@ -257,6 +257,19 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge sparse CMS sketches across a partition axis (per-day sketches →
+    * the period sketch): Count-Min is LINEAR, so the cell-wise sum of
+    * counts IS the sketch of the concatenated stream — bit-identical, not
+    * approximately equal. This is the production shape: sketch each
+    * partition/day once at ingest, answer any period by summing the tiny
+    * cell tables, never re-touching events. `keepGroupCols` names the
+    * group columns that survive the merge (the dropped ones are the merge
+    * axis). */
+  def cmsMergeSparse(sketch: DataFrame, keepGroupCols: Seq[String]): DataFrame =
+    sketch
+      .groupBy((keepGroupCols.map(col) ++ Seq(col("j"), col("bucket"))): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
   /** Point estimates from a [[countMinSparse]] sketch: per (group,
     * DISTINCT probe item), min over depth rows of the probe's cell count,
     * 0 for empty cells. NOT a row-for-row twin of [[cmsEstimate]]: probes

@@ -245,8 +245,57 @@ object ChunkQueries {
         (col("event_type") === "error").as("is_err"))
       graft.operators.QaSampling.errorRateCi(ev, "user_id", "is_err",
         minN = 50L)
+    },
+
+    // CMS linearity in production shape: per-day sketches merged into the
+    // period sketch answer EXACTLY like sketching the whole stream —
+    // est_merged == est_direct row-for-row (the property the partition-
+    // then-merge serving architecture rests on), with exact counts beside
+    "q194_cms_day_merge" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val ev = eventsNs(s, dir).select(
+        expr("ts div 86400000000000").as("day"),
+        col("user_id").cast("string").as("item"))
+      val daily = Sketches.countMinSparse(ev, Seq("day"), "item",
+        width = 32, depth = 4)
+      val merged = Sketches.cmsMergeSparse(daily, Seq.empty)
+      val direct = Sketches.countMinSparse(ev.select(col("item")), Seq.empty,
+        "item", width = 32, depth = 4)
+      val probes = ev.select(col("item")).distinct()
+      val estM = Sketches.cmsEstimateSparse(merged, probes, Seq.empty,
+        "item", width = 32, depth = 4)
+        .withColumnRenamed("est_count", "est_merged")
+      val estD = Sketches.cmsEstimateSparse(direct, probes, Seq.empty,
+        "item", width = 32, depth = 4)
+        .withColumnRenamed("est_count", "est_direct")
+      val exact = ev.groupBy(col("item")).agg(count(lit(1)).as("n_events"))
+      estM.join(estD, Seq("item")).join(exact, Seq("item"))
+        .select(col("item").cast("long").as("user_id"), col("est_merged"),
+          col("est_direct"), col("n_events"))
+    },
+
+    // Daily value-percentile monitoring (the p25/p50/p75 latency-dashboard
+    // shape): exact type-7 quantiles at dyadic probabilities over integer-
+    // scaled values — one day-keyed aggregation
+    "q195_daily_percentiles" -> { (s, dir) =>
+      eventsNs(s, dir)
+        .select(expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(v, array(0.25D, 0.5D, 0.75D))").as("__ps"))
+        .select(col("day"), col("n"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p50"),
+          element_at(col("__ps"), 3).as("p75"))
     }
   )
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.portableHash60]]
+    * (same as DataQueries). */
+  private val sqlHash60 =
+    "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
   private val sqlSamples =
     """SELECT user_id AS channel,
@@ -310,6 +359,56 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // ONE estimate CTE serves both columns — merged and direct sketches
+    // are provably cell-identical (CMS linearity), which is the claim
+    "q194_cms_day_merge" -> {
+      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
+      val vals = ps.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH e AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
+         |), h AS (
+         |  SELECT s, $sqlHash60 AS hx FROM e
+         |), d(j, a, b) AS (VALUES $vals
+         |), b AS (
+         |  SELECT s, j,
+         |    ((a * (hx % 2147483647) + b) % 2147483647) % 32 AS bk
+         |  FROM h CROSS JOIN d
+         |), cnts AS (
+         |  SELECT j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT DISTINCT s, hx FROM h
+         |), pb AS (
+         |  SELECT s, j,
+         |    ((a * (hx % 2147483647) + b) % 2147483647) % 32 AS bk
+         |  FROM probes CROSS JOIN d
+         |), est AS (
+         |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS est
+         |  FROM pb LEFT JOIN cnts c ON c.j = pb.j AND c.bk = pb.bk
+         |  GROUP BY 1
+         |), exact AS (
+         |  SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+         |)
+         |SELECT CAST(est.s AS BIGINT) AS user_id,
+         |  CAST(est.est AS BIGINT) AS est_merged,
+         |  CAST(est.est AS BIGINT) AS est_direct,
+         |  exact.n AS n_events
+         |FROM est JOIN exact ON est.s = exact.s""".stripMargin
+    },
+
+    // dyadic-probability type-7 quantiles (exact interpolation in binary)
+    "q195_daily_percentiles" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(v, 0.25) AS p25,
+        |  quantile_cont(v, 0.5) AS p50,
+        |  quantile_cont(v, 0.75) AS p75
+        |FROM e GROUP BY 1""".stripMargin,
 
     // the identical Wilson expression text over (p, n) — see QaSampling
     "q192_error_rate_ci" -> {

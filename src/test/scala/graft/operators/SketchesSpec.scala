@@ -269,4 +269,18 @@ class SketchesSpec extends SparkSpec {
       Seq("g"), "h", log2m).collect()(0).getAs[Long]("est_distinct")
     assert(est2 == est)
   }
+
+  test("cmsMergeSparse: day-partitioned sketches sum to the exact whole-stream sketch") {
+    import spark.implicits._
+    val rows = (1 to 300).map(i => (i % 3, s"item${i % 40}"))
+    val df = rows.toDF("day", "item")
+    val daily = Sketches.countMinSparse(df, Seq("day"), "item", 16, 4)
+    val merged = Sketches.cmsMergeSparse(daily, Seq.empty)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = Sketches.countMinSparse(df.select($"item"), Seq.empty,
+        "item", 16, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // linearity: cell-for-cell identical, not merely similar estimates
+    assert(merged == direct)
+  }
 }
