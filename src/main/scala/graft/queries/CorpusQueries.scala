@@ -72,6 +72,32 @@ object CorpusQueries {
       CorpusOps.lexicalConcentration(docs(s, dir), "source", "text")
     },
 
+    // ROLLUP report: per-(source, lang) corpus volumes WITH source
+    // subtotals and the grand total in ONE pass — Spark expands grouping
+    // sets in a single aggregation, no union of re-scans; gid
+    // disambiguates rollup NULLs from data NULLs
+    "q196_rollup_report" -> { (s, dir) =>
+      docs(s, dir)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          (grouping(col("source")) * 2 + grouping(col("lang")))
+            .cast("int").as("gid"))
+        .select(col("source"), col("lang"), col("gid"), col("n_docs"),
+          col("n_chars"))
+    },
+
+    // Declared-values pivot: language mix per source as a WIDE table —
+    // the declared lang list keeps the plan single-pass (no distinct-scan
+    // job) and the output width bounded, the q37 EAV discipline
+    "q197_lang_pivot" -> { (s, dir) =>
+      docs(s, dir)
+        .groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("de", "en", "es", "fr", "zh"))
+    },
+
     // Gopher-style repetition gates: type-token ratio + top word/bigram
     // fractions, thresholds picked to split the synthetic corpus
     "q66_repetition_filter" -> { (s, dir) =>
@@ -583,6 +609,26 @@ object CorpusQueries {
          |WHERE c.n12 >= 3
          |ORDER BY lift DESC, c.w1 ASC, c.w2 ASC
          |LIMIT 20""".stripMargin,
+
+    // DuckDB ROLLUP + GROUPING mirror (gid bit order matches Spark's
+    // grouping_id: source is the high bit)
+    "q196_rollup_report" ->
+      """SELECT source, lang,
+        |  CAST(GROUPING(source) * 2 + GROUPING(lang) AS INTEGER) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY ROLLUP(source, lang)""".stripMargin,
+
+    // conditional aggregation is the portable pivot twin
+    "q197_lang_pivot" ->
+      """SELECT source,
+        |  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY 1""".stripMargin,
 
     // unigram counts then Σn²/N/N in the identical double order
     "q188_lexical_diversity" ->

@@ -154,6 +154,35 @@ class DedupSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("incrementalLshMatches under streaming ingest (foreachBatch) == one batch call") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val index = docs.filter(col("doc_id") =!= 2L)
+    val arrivals = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (7L, "entirely novel arrival with no duplicate anywhere in the corpus"),
+      (8L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= Dedup.incrementalLshMatches(index, batch, "doc_id", "text",
+          5, 16, 4, 0.5).collect().map(r => (r.getLong(0), r.getLong(1)))
+        () // Unit: keep the Scala-2.13 foreachBatch overload unambiguous
+      }
+      .start()
+    try {
+      mem.addData(arrivals(0)); q.processAllAvailable()
+      mem.addData(arrivals(1), arrivals(2)); q.processAllAvailable()
+    } finally q.stop()
+    val oneShot = Dedup.incrementalLshMatches(index,
+        arrivals.toDF("doc_id", "text"), "doc_id", "text", 5, 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(buf.toSet == oneShot.toSet)
+    assert(buf.map(_._1).toSet == Set(2L, 8L)) // 7 matched nothing
+  }
+
   test("minhashCalibration: identical docs estimate 1.0; estimate tracks exact jaccard") {
     val out = Dedup.minhashCalibration(docs, "doc_id", "text",
         n = 5, bands = 8, rowsPerBand = 4)

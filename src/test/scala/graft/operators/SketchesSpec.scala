@@ -270,6 +270,31 @@ class SketchesSpec extends SparkSpec {
     assert(est2 == est)
   }
 
+  test("cms: streaming cell maintenance == batch sketch") {
+    // the sparse cell table is a plain count-agg — complete-mode streaming
+    // maintains it; after any batch the sink IS the batch sketch so far
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val items = (1 to 500).map(i => s"tok${i % 37}")
+    val mem = MemoryStream[String]
+    val q = Sketches.countMinSparse(mem.toDF().toDF("item"), Seq.empty,
+        "item", 16, 4)
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = items.splitAt(200)
+      mem.addData(b1: _*); q.processAllAvailable()
+      def cells(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      import spark.implicits._
+      assert(cells(spark.table("cmscells")) ==
+        cells(Sketches.countMinSparse(b1.toDF("item"), Seq.empty, "item", 16, 4)))
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(cells(spark.table("cmscells")) ==
+        cells(Sketches.countMinSparse(items.toDF("item"), Seq.empty, "item", 16, 4)))
+    } finally q.stop()
+  }
+
   test("cmsMergeSparse: day-partitioned sketches sum to the exact whole-stream sketch") {
     import spark.implicits._
     val rows = (1 to 300).map(i => (i % 3, s"item${i % 40}"))
