@@ -274,6 +274,44 @@ object ChunkQueries {
           col("est_direct"), col("n_events"))
     },
 
+    // Robust per-type mean: drop each type's bottom and top decile by
+    // exact integer rank (n div 10 rows each side), average the core —
+    // the trimmed mean QC metric; rank window partitions per type
+    "q198_trimmed_mean" -> { (s, dir) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("v").asc, col("event_id").asc)
+      eventsNs(s, dir)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("v"))
+        .withColumn("__rk", row_number().over(w))
+        .withColumn("__n", count(lit(1))
+          .over(Window.partitionBy(col("event_type"))))
+        .filter(col("__rk") > expr("__n div 10") &&
+          col("__rk") <= col("__n") - expr("__n div 10"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("__s"))
+        .withColumn("trimmed_mean",
+          round(col("__s").cast("double") / col("n_kept"), 6))
+        .select(col("event_type"), col("n_kept"), col("trimmed_mean"))
+    },
+
+    // Conversion-latency distribution: dyadic percentiles of the q189
+    // click->purchase gap (converted purchases only) — attribution
+    // latency, the funnel-health dashboard number
+    "q199_conversion_latency" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      EventStream.asOfLast(ev, "user_id", "us", "event_id", "event_type",
+          markerType = "click", targetType = "purchase")
+        .filter(col("gap_us").isNotNull)
+        .agg(count(lit(1)).as("n_converted"),
+          expr("percentile(gap_us, array(0.25D, 0.5D, 0.75D))").as("__ps"))
+        .select(col("n_converted"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p50"),
+          element_at(col("__ps"), 3).as("p75"))
+    },
+
     // Daily value-percentile monitoring (the p25/p50/p75 latency-dashboard
     // shape): exact type-7 quantiles at dyadic probabilities over integer-
     // scaled values — one day-keyed aggregation
@@ -396,6 +434,43 @@ object ChunkQueries {
          |  exact.n AS n_events
          |FROM est JOIN exact ON est.s = exact.s""".stripMargin
     },
+
+    // rank + count windows, integer decile cut, one double division
+    "q198_trimmed_mean" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+        |FROM r WHERE rk > n // 10 AND rk <= n - n // 10
+        |GROUP BY 1""".stripMargin,
+
+    // q189's gap subquery + dyadic percentiles over converted purchases
+    "q199_conversion_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), g AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS marker_us
+        |  FROM e
+        |), gaps AS (
+        |  SELECT us - marker_us AS gap_us FROM g
+        |  WHERE event_type = 'purchase' AND marker_us IS NOT NULL
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(gap_us, 0.25) AS p25,
+        |  quantile_cont(gap_us, 0.5) AS p50,
+        |  quantile_cont(gap_us, 0.75) AS p75
+        |FROM gaps""".stripMargin,
 
     // dyadic-probability type-7 quantiles (exact interpolation in binary)
     "q195_daily_percentiles" ->
