@@ -1014,6 +1014,63 @@ object CorpusOps {
       .select(col(idCol), col(groupCol), col(valueCol), col("pct_ppm"))
   }
 
+  /** Attrition audit of the [[assembleCorpus]] pipeline: ONE row counting
+    * every stage — raw docs, unique normalized texts, length-gated,
+    * benchmark-contaminated, clean survivors (+ their token mass), and
+    * packed training sequences. The data-genealogy artifact every corpus
+    * release ships so a 40% silent drop at one stage is visible before
+    * training, not after.
+    *
+    * 100 TB shape: each count is a 1-row aggregate of the corresponding
+    * stage plan; the single-row frames compose by broadcast cross join, so
+    * the report is one job whose exchanges are the stages' own. The
+    * normalized/gated subtrees are persisted across their multiple
+    * consumers (same discipline as minhashLshPairs). */
+  def assembleAttrition(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+      benchEvery: Int,
+      n: Int,
+      nShards: Int,
+      seqLen: Int
+  ): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", ""), " +", " "))
+    // eager localCheckpoint, not persist: the 1-row aggregates broadcast
+    // CONCURRENTLY, and racing broadcast jobs would each recompute a
+    // lazily-persisted subtree before the cache is populated
+    val normed = docs.select(col(idCol), norm.as("norm"))
+      .localCheckpoint(true)
+    val deduped = normed.groupBy(col("norm")).agg(min(col(idCol)).as(idCol))
+    val gated = deduped
+      .withColumn("n_tokens", size(tokens(col("norm"))))
+      .filter(col("n_tokens") >= minTokens)
+      .localCheckpoint(true)
+    val benchGrams = normed.filter(pmod(col(idCol), lit(benchEvery)) === 0)
+      .select(explode(shingleHashes60(col("norm"), n)).as("gram"))
+      .distinct()
+    val contaminated = gated
+      .select(col(idCol), explode(shingleHashes60(col("norm"), n)).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .select(col(idCol)).distinct()
+      .localCheckpoint(true)
+    val clean = gated.join(contaminated, Seq(idCol), "left_anti")
+    val packed = packSequences(
+      clean.select(col(idCol), col("norm").as(textCol)),
+      idCol, textCol, nShards = nShards, seqLen = seqLen)
+
+    docs.agg(count(lit(1)).as("n_raw"))
+      .crossJoin(broadcast(deduped.agg(count(lit(1)).as("n_unique_norm"))))
+      .crossJoin(broadcast(gated.agg(count(lit(1)).as("n_len_gated"))))
+      .crossJoin(broadcast(contaminated.agg(count(lit(1)).as("n_contaminated"))))
+      .crossJoin(broadcast(clean.agg(count(lit(1)).as("n_clean"),
+        sum(col("n_tokens")).cast("long").as("n_tokens_clean"))))
+      .crossJoin(broadcast(packed.select(col("shard"), col("seq_id"))
+        .distinct().agg(count(lit(1)).as("n_sequences"))))
+  }
+
   /** Per-group lexical concentration: Simpson index Σ(n_w/N)² over the
     * unigram distribution — the entropy-free (log-free, hence
     * engine-portable) diversity gate: ~1/V for diverse text, → 1 for

@@ -329,6 +329,14 @@ object CorpusQueries {
         minTokens = 5, benchEvery = 50, n = 3, nShards = 4, seqLen = 64)
     },
 
+    // The q99 pipeline's attrition audit: one row of per-stage counts —
+    // the data-genealogy artifact that makes a silent stage collapse
+    // visible before training
+    "q200_pipeline_attrition" -> { (s, dir) =>
+      CorpusOps.assembleAttrition(docs(s, dir), "doc_id", "text",
+        minTokens = 5, benchEvery = 50, n = 3, nShards = 4, seqLen = 64)
+    },
+
     // Robust outlier detection: per-source median/MAD over token counts,
     // flag docs deviating > 3 MAD — the quantile-based quality gate that
     // survives heavy tails (mean/stddev would not). Two tiny grouped
@@ -1140,6 +1148,58 @@ object CorpusQueries {
          |  CAST(floor(st / 64.0) AS BIGINT) AS seq_id,
          |  CAST(st % 64 AS BIGINT) AS seq_offset
          |FROM p""".stripMargin
+    },
+
+    // q99's CTE chain, finishing in scalar stage counts
+    "q200_pipeline_attrition" -> {
+      val toksN = "regexp_split_to_array(trim(norm), '\\s+')"
+      val grams3N =
+        s"""list_distinct(list_transform(
+           |    list_transform(generate_series(1, greatest(len($toksN) - 2, 0)),
+           |      i -> array_to_string(($toksN)[i:i+2], ' ')),
+           |    s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)))"""
+          .stripMargin
+      s"""WITH n AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM documents
+         |), c AS (
+         |  SELECT norm, MIN(doc_id) AS doc_id FROM n GROUP BY 1
+         |), g AS (
+         |  SELECT doc_id, norm, CAST(len($toksN) AS BIGINT) AS n_tokens
+         |  FROM c WHERE len($toksN) >= 5
+         |), bg AS (
+         |  SELECT DISTINCT unnest($grams3N) AS gram
+         |  FROM n WHERE doc_id % 50 = 0
+         |), tg AS (
+         |  SELECT doc_id, unnest($grams3N) AS gram FROM g
+         |), cont AS (
+         |  SELECT DISTINCT tg.doc_id FROM tg JOIN bg USING (gram)
+         |), clean AS (
+         |  SELECT * FROM g WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+         |), r AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 4 AS shard,
+         |    md5(CAST(doc_id AS VARCHAR)) AS ord
+         |  FROM clean
+         |), p AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY ord ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS st
+         |  FROM r
+         |), seqs AS (
+         |  SELECT DISTINCT shard, CAST(floor(st / 64.0) AS BIGINT) AS seq_id
+         |  FROM p
+         |)
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_unique_norm,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM g) AS n_len_gated,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cont) AS n_contaminated,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM clean) AS n_clean,
+         |  (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM clean) AS n_tokens_clean,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM seqs) AS n_sequences""".stripMargin
     },
 
     "q98_robust_outliers" ->
