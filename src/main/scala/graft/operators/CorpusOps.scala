@@ -1071,6 +1071,36 @@ object CorpusOps {
         .distinct().agg(count(lit(1)).as("n_sequences"))))
   }
 
+  /** Document-level co-occurrence mining with vocabulary pruning: pairs of
+    * the `vocabSize` most frequent tokens appearing in the same document,
+    * with document counts — market-basket analysis bounded the way it must
+    * be at scale: the per-document pair explosion is capped at
+    * vocabSize², never |doc|² (the unpruned form is quadratic in document
+    * length and dies on the first long document).
+    *
+    * 100 TB shape: one token-count shuffle picks the vocabulary
+    * (TakeOrdered, broadcast back as a semi-join filter); the pair join is
+    * doc-keyed over the pruned (doc, token) distinct set; the final count
+    * shuffle carries token pairs only. */
+  def cooccurrenceTopK(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, minSupport: Long, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"))
+    val kept = toks.join(broadcast(vocab), Seq("tok"))
+      .select(col(idCol), col("tok")).distinct()
+    kept.select(col(idCol), col("tok").as("t1"))
+      .join(kept.select(col(idCol), col("tok").as("t2")), Seq(idCol))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minSupport)
+      .orderBy(col("n_docs").desc, col("t1").asc, col("t2").asc)
+      .limit(k)
+  }
+
   /** Per-group lexical concentration: Simpson index Σ(n_w/N)² over the
     * unigram distribution — the entropy-free (log-free, hence
     * engine-portable) diversity gate: ~1/V for diverse text, → 1 for

@@ -247,6 +247,40 @@ object ChunkQueries {
         minN = 50L)
     },
 
+    // Bitmap set algebra: per-event-type user sets as 64-bit word bitmaps
+    // (bit_or agg, 32-bit words so no checked-shift overflow), pairwise
+    // overlap = popcount of ANDed words — the
+    // bitmap-index semi-join that answers "users doing both X and Y"
+    // without a distinct-count shuffle per pair
+    "q201_bitmap_overlap" -> { (s, dir) =>
+      val du = eventsNs(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val words = du
+        .groupBy(col("event_type"), expr("user_id div 32").as("w"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT)))")
+          .as("bits"))
+      val a = words.select(col("event_type").as("type_a"), col("w"),
+        col("bits").as("ba"))
+      val b = words.select(col("event_type").as("type_b"), col("w"),
+        col("bits").as("bb"))
+      a.join(b, Seq("w")).filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(expr("bit_count(ba & bb)")).cast("long").as("n_both"))
+    },
+
+    // Z-order (Morton) layout key over (user_id, day): the multi-dim
+    // clustering key a 100 TB table is range-partitioned and written by so
+    // min/max file stats prune BOTH dimensions — pure integer arithmetic,
+    // engine-portable (shared expression text)
+    "q202_zorder_key" -> { (s, dir) =>
+      val z = graft.functions.Layout.zOrderSql("x", "y", bits = 8)
+      eventsNs(s, dir)
+        .select(col("event_id"), col("user_id").as("x"),
+          (expr("ts div 86400000000000") - 19700L).as("y"))
+        .withColumn("zkey", expr(z))
+        .select(col("event_id"), col("x"), col("y"), col("zkey"))
+    },
+
     // CMS linearity in production shape: per-day sketches merged into the
     // period sketch answer EXACTLY like sketching the whole stream —
     // est_merged == est_direct row-for-row (the property the partition-
@@ -397,6 +431,31 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // 32-bit words in BIGINT lanes (shift 63 overflows DuckDB's checked <<), AND + bit_count for the overlap
+    "q201_bitmap_overlap" ->
+      """WITH du AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), w AS (
+        |  SELECT event_type, user_id // 32 AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS bits
+        |  FROM du GROUP BY 1, 2
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(SUM(bit_count(a.bits & b.bits)) AS BIGINT) AS n_both
+        |FROM w a JOIN w b ON a.w = b.w AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
+
+    // the identical Morton arithmetic (integer div/mod, no shift builtins)
+    "q202_zorder_key" -> {
+      val z = graft.functions.Layout.zOrderSqlDuck("x", "y", bits = 8)
+      s"""WITH e AS (
+         |  SELECT event_id, user_id AS x,
+         |    epoch_ns(ts) // 86400000000000 - 19700 AS y
+         |  FROM events
+         |)
+         |SELECT event_id, x, y, $z AS zkey FROM e""".stripMargin
+    },
 
     // ONE estimate CTE serves both columns — merged and direct sketches
     // are provably cell-identical (CMS linearity), which is the claim

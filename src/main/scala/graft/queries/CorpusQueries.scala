@@ -337,6 +337,14 @@ object CorpusQueries {
         minTokens = 5, benchEvery = 50, n = 3, nShards = 4, seqLen = 64)
     },
 
+    // Vocabulary-pruned co-occurrence mining: same-document pairs of the
+    // top-50 tokens, support >= 5 — market-basket bounded at vocab², not
+    // |doc|² (the only shape that survives long documents at scale)
+    "q203_cooccurrence" -> { (s, dir) =>
+      CorpusOps.cooccurrenceTopK(docs(s, dir), "doc_id", "text",
+        vocabSize = 50, minSupport = 5L, k = 20)
+    },
+
     // Robust outlier detection: per-source median/MAD over token counts,
     // flag docs deviating > 3 MAD — the quantile-based quality gate that
     // survives heavy tails (mean/stddev would not). Two tiny grouped
@@ -1149,6 +1157,27 @@ object CorpusQueries {
          |  CAST(st % 64 AS BIGINT) AS seq_offset
          |FROM p""".stripMargin
     },
+
+    // top-50 vocab by (count desc, token asc), distinct (doc, tok), pair
+    // self-join, support gate, deterministic top-20
+    "q203_cooccurrence" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($sqlToks) AS tok FROM documents
+         |), v AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1
+         |    ORDER BY n DESC, tok ASC LIMIT 50)
+         |), kept AS (
+         |  SELECT DISTINCT doc_id, tok FROM toks JOIN v USING (tok)
+         |), p AS (
+         |  SELECT a.tok AS t1, b.tok AS t2
+         |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |)
+         |SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM p GROUP BY 1, 2
+         |HAVING COUNT(*) >= 5
+         |ORDER BY n_docs DESC, t1 ASC, t2 ASC
+         |LIMIT 20""".stripMargin,
 
     // q99's CTE chain, finishing in scalar stage counts
     "q200_pipeline_attrition" -> {
