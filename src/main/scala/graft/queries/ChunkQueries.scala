@@ -247,6 +247,29 @@ object ChunkQueries {
         minN = 50L)
     },
 
+    // Multi-touch linear attribution: per purchase, clicks since the
+    // user's previous purchase share credit equally (integer ppm) — one
+    // running-conversion-count window segments the stream, no range join
+    "q204_multi_touch" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      EventStream.linearAttribution(ev, "user_id", "us", "event_id",
+        "event_type", markerType = "click", targetType = "purchase")
+    },
+
+    // Burst detection: per-user per-minute event counts — max rate and
+    // minutes at >= 2 events, the abuse/rate-limit monitoring gate
+    "q206_burst_windows" -> { (s, dir) =>
+      eventsNs(s, dir)
+        .select(col("user_id"), expr("ts div 60000000000").as("minute"))
+        .groupBy(col("user_id"), col("minute"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("user_id"))
+        .agg(max(col("__c")).as("max_per_min"),
+          sum(when(col("__c") >= 2, lit(1L)).otherwise(lit(0L)))
+            .as("n_burst_minutes"))
+    },
+
     // Bitmap set algebra: per-event-type user sets as 64-bit word bitmaps
     // (bit_or agg, 32-bit words so no checked-shift overflow), pairwise
     // overlap = popcount of ANDed words — the
@@ -431,6 +454,43 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // the running-purchase-count window, then per-(user, segment) counts
+    "q204_multi_touch" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), s AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS seg
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, seg,
+        |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_markers,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN event_id END)
+        |      AS conversion_id
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, conversion_id, n_markers,
+        |  CASE WHEN n_markers > 0
+        |    THEN CAST(1000000 // n_markers AS BIGINT) END AS credit_ppm
+        |FROM g WHERE conversion_id IS NOT NULL""".stripMargin,
+
+    // per-minute counts, then the per-user roll-up
+    "q206_burst_windows" ->
+      """WITH m AS (
+        |  SELECT user_id, epoch_ns(ts) // 60000000000 AS minute,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_per_min,
+        |  CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_burst_minutes
+        |FROM m GROUP BY 1""".stripMargin,
 
     // 32-bit words in BIGINT lanes (shift 63 overflows DuckDB's checked <<), AND + bit_count for the overlap
     "q201_bitmap_overlap" ->

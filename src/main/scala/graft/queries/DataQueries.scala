@@ -213,6 +213,18 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Near-dup cluster-size histogram: the dedup-health report (how much
+    // of the corpus sits in 2-clusters vs giant boilerplate blobs) — two
+    // tiny count shuffles after the q50 clustering
+    "q205_cluster_sizes" -> { (s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+    },
+
     // Same clusters via the alternating large-star/small-star rounds —
     // the 100 TB formulation (round state shrinks with the edge set,
     // O(log²) rounds vs diameter). Oracle is q50's VERBATIM, so the
@@ -572,6 +584,33 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // q50's recursive clustering, rolled up to the size histogram
+    "q205_cluster_sizes" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), edges AS (
+         |  SELECT id_1 AS u, id_2 AS v FROM p
+         |  UNION SELECT id_2, id_1 FROM p
+         |), walk(id, label) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
+         |), cl AS (
+         |  SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id
+         |), sz AS (
+         |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY 1
+         |)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
 
     // VERBATIM copy of q50's oracle: the star formulation must produce
     // byte-identical clusters

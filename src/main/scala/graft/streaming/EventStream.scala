@@ -211,6 +211,44 @@ object EventStream {
         (col(usCol) - col("marker_us")).as("gap_us"))
   }
 
+  /** Multi-touch linear attribution: for every conversion (target event),
+    * the count of marker events since the PREVIOUS conversion of the same
+    * key, and each marker's equal credit share in integer ppm. Segments
+    * come from one running count of prior conversions over the per-key
+    * (us, id) order — the same single-window discipline as [[asOfLast]];
+    * a per-conversion range join would shuffle per probe. Conversions with
+    * no preceding marker in their segment emit NULL credit. */
+  def linearAttribution(
+      events: DataFrame,
+      keyCol: String,
+      usCol: String,
+      idCol: String,
+      typeCol: String,
+      markerType: String,
+      targetType: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(usCol).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val seg = events
+      .filter(col(typeCol).isin(markerType, targetType))
+      .withColumn("__seg", coalesce(
+        sum(when(col(typeCol) === targetType, lit(1L)).otherwise(lit(0L)))
+          .over(w), lit(0L)))
+    seg.groupBy(col(keyCol), col("__seg"))
+      .agg(
+        sum(when(col(typeCol) === markerType, lit(1L)).otherwise(lit(0L)))
+          .as("n_markers"),
+        max(when(col(typeCol) === targetType, col(idCol)))
+          .as("conversion_id"))
+      .filter(col("conversion_id").isNotNull)
+      .withColumn("credit_ppm",
+        when(col("n_markers") > 0, expr("1000000 div n_markers")))
+      .select(col(keyCol), col("conversion_id"), col("n_markers"),
+        col("credit_ppm"))
+  }
+
   /** Time-weighted average of an integer value column per key (TWAP):
     * Σ v·Δt / (t_last − t_first) with Δt from ONE per-key lead window —
     * each step's product is an exact integer, and Σ v·Δt telescopes below
