@@ -257,6 +257,65 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // SCD2 interval build (gaps-and-islands): collapse each user's runs of
+    // equal props.k into validity intervals [valid_from, valid_to) — the
+    // slowly-changing-dimension construction every warehouse needs, as two
+    // windows (change flag -> running segment id) + one segment roll-up
+    "q207_scd2_intervals" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us").asc, col("event_id").asc)
+      val seg = eventsNs(s, dir)
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .withColumn("__chg",
+          when(lag(col("k"), 1).over(w).isNull ||
+            lag(col("k"), 1).over(w) =!= col("k"), lit(1L)).otherwise(lit(0L)))
+        .withColumn("__seg", sum(col("__chg")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val runs = seg.groupBy(col("user_id"), col("__seg"))
+        .agg(min(col("k")).as("k"), min(col("us")).as("valid_from"),
+          count(lit(1)).as("n_events"))
+      runs.withColumn("valid_to",
+          lead(col("valid_from"), 1).over(Window.partitionBy(col("user_id"))
+            .orderBy(col("valid_from").asc)))
+        .select(col("user_id"), col("k"), col("valid_from"), col("valid_to"),
+          col("n_events"))
+    },
+
+    // Exact two-sample KS drift: each source's token-length CDF against
+    // the global one, sup-norm in integer ppm via cross-multiplication —
+    // distribution-drift monitoring with zero FP accumulation
+    "q208_ks_drift" -> { (s, dir) =>
+      val d = eventsNs(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("v"))
+      val perType = d.groupBy(col("event_type"), col("v"))
+        .agg(count(lit(1)).as("__c"))
+      val domain = d.select(col("v")).distinct()
+      val types = perType.select(col("event_type")).distinct()
+      val grid = types.crossJoin(domain)
+        .join(perType, Seq("event_type", "v"), "left")
+        .na.fill(0L, Seq("__c"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("v").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid.withColumn("__cs", sum(col("__c")).over(wc))
+        .withColumn("__n", sum(col("__c")).over(
+          Window.partitionBy(col("event_type"))))
+      val global = d.groupBy(col("v")).agg(count(lit(1)).as("__gc"))
+        .withColumn("__gs", sum(col("__gc")).over(
+          Window.orderBy(col("v").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(d.agg(count(lit(1)).as("__gN"))))
+        .select(col("v"), col("__gs"), col("__gN"))
+      cdf.join(global, Seq("v"))
+        .withColumn("__diff",
+          abs(col("__cs") * col("__gN") - col("__gs") * col("__n")))
+        .groupBy(col("event_type"))
+        .agg(max(col("__n")).as("n"),
+          expr("(1000000 * max(__diff)) div (max(__n) * max(__gN))")
+            .as("ks_ppm"))
+        .select(col("event_type"), col("n"), col("ks_ppm"))
+    },
+
     // Burst detection: per-user per-minute event counts — max rate and
     // minutes at >= 2 events, the abuse/rate-limit monitoring gate
     "q206_burst_windows" -> { (s, dir) =>
@@ -454,6 +513,68 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // lag/change-flag/running-segment windows + the run roll-up
+    "q207_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, event_id, us, k,
+        |    CASE WHEN lag(k) OVER w IS NULL OR lag(k) OVER w <> k
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
+        |), s2 AS (
+        |  SELECT user_id, us, k,
+        |    CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seg
+        |  FROM s
+        |), r AS (
+        |  SELECT user_id, seg, MIN(k) AS k, MIN(us) AS valid_from,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM s2 GROUP BY 1, 2
+        |)
+        |SELECT user_id, k, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from ASC)
+        |    AS valid_to,
+        |  n_events
+        |FROM r""".stripMargin,
+
+    // full-grid CDFs (domain cross join), integer cross-multiplied sup-norm
+    "q208_ks_drift" ->
+      """WITH d AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events
+        |), pt AS (
+        |  SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1, 2
+        |), dom AS (
+        |  SELECT DISTINCT v FROM d
+        |), ty AS (
+        |  SELECT DISTINCT event_type FROM d
+        |), grid AS (
+        |  SELECT ty.event_type, dom.v, COALESCE(pt.c, 0) AS c
+        |  FROM ty CROSS JOIN dom
+        |  LEFT JOIN pt ON pt.event_type = ty.event_type AND pt.v = dom.v
+        |), cdf AS (
+        |  SELECT event_type, v,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cs,
+        |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM grid
+        |), g AS (
+        |  SELECT v, CAST(COUNT(*) AS BIGINT) AS gc FROM d GROUP BY 1
+        |), g2 AS (
+        |  SELECT v, CAST(SUM(gc) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS gs
+        |  FROM g
+        |), nn AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS N FROM d
+        |)
+        |SELECT c.event_type, MAX(c.n) AS n,
+        |  CAST((1000000 * MAX(abs(c.cs * nn.N - g2.gs * c.n)))
+        |    // (MAX(c.n) * MAX(nn.N)) AS BIGINT) AS ks_ppm
+        |FROM cdf c JOIN g2 USING (v) CROSS JOIN nn
+        |GROUP BY 1""".stripMargin,
 
     // the running-purchase-count window, then per-(user, segment) counts
     "q204_multi_touch" ->
