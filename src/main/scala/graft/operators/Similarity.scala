@@ -552,6 +552,44 @@ object Similarity {
         .orderBy(col("cosine").desc, col("neighbor_id").asc)))
   }
 
+  /** Embedding-distribution drift: per group, the cosine between the
+    * centroids of two data splits (e.g. old batch vs new batch, model A vs
+    * model B re-embeds) — the regression check run before swapping an
+    * embedding model or admitting a new crawl. Centroids are EXACT integer
+    * element sums (floor(x·2^20), the [[centroidOutliers]] discipline), so
+    * the drift number is engine-portable; cosine's scale invariance lets
+    * the unnormalized sums stand in for means. Output: (group, n_a, n_b,
+    * cosine), groups present in both splits only.
+    *
+    * 100 TB shape: one (group, split, dim) partial-agg shuffle, a
+    * group-sized assemble, then dictionary-sized joins. */
+  def centroidDrift(corpus: DataFrame, idCol: String, vecCol: String,
+      groupCol: String, splitCol: Column): DataFrame = {
+    val scaled = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(1048576.0)).cast("long"))
+    val base = corpus.select(col(groupCol), splitCol.cast("int").as("__half"),
+      scaled.as("__sv"))
+    val cents = base
+      .select(col(groupCol), col("__half"),
+        posexplode(col("__sv")).as(Seq("__dim", "__s")))
+      .groupBy(col(groupCol), col("__half"), col("__dim"))
+      .agg(sum(col("__s")).as("__cs"))
+      .groupBy(col(groupCol), col("__half"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__dim"), col("__cs")))),
+        x => x.getField("__cs").cast("double")).as("__cent"))
+    val counts = base.groupBy(col(groupCol), col("__half"))
+      .agg(count(lit(1)).as("__n"))
+    val sides = cents.join(counts, Seq(groupCol, "__half"))
+    val a = sides.filter(col("__half") === 0)
+      .select(col(groupCol), col("__cent").as("__ca"), col("__n").as("n_a"))
+    val b = sides.filter(col("__half") === 1)
+      .select(col(groupCol), col("__cent").as("__cb"), col("__n").as("n_b"))
+    a.join(b, Seq(groupCol))
+      .withColumn("cosine", round(cosine(col("__ca"), col("__cb")), 6))
+      .select(col(groupCol), col("n_a"), col("n_b"), col("cosine"))
+  }
+
   /** Greedy k-center selection (Gonzalez): pick k maximally-diverse
     * vectors — seed = lowest id, then k−1 rounds each adding the point
     * farthest (squared L2, integer micro-units) from the chosen set. The

@@ -191,6 +191,18 @@ object ChunkQueries {
           col("event_type"), col("n_events"))
     },
 
+    // T5: SLIDING windowed counts (10-min windows every 5 min) — each
+    // event lands in 2 overlapping windows; identical plan batch/streaming
+    "q211_sliding_windows" -> { (s, dir) =>
+      EventStream.slidingCounts(CoreQueries.events(s, dir),
+        windowDuration = "10 minutes", slideDuration = "5 minutes",
+        watermark = "0 seconds")
+        .select(
+          unix_timestamp(col("window_start")).as("ws"),
+          unix_timestamp(col("window_end")).as("we"),
+          col("event_type"), col("n_events"))
+    },
+
     // Metric drift: per-event-type OLS of value against the UTC day —
     // exact integer moments (day centered near the data so cross-products
     // stay in BIGINT; value rounded to integer units), one agg shuffle
@@ -962,6 +974,19 @@ object ChunkQueries {
         |  CAST(epoch(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS BIGINT) AS ws,
         |  CAST(epoch(time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))) AS BIGINT) + 300 AS we,
         |  event_type, COUNT(*) AS n_events
-        |FROM events GROUP BY 1, 2, 3""".stripMargin
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    // each event belongs to the 2 sliding windows ending after it:
+    // starts (t div 300 - k)*300 for k in {0, 1}
+    "q211_sliding_windows" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000000000 AS t, event_type FROM events
+        |), w AS (
+        |  SELECT (t // 300 - k) * 300 AS ws, event_type
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |)
+        |SELECT CAST(ws AS BIGINT) AS ws, CAST(ws + 600 AS BIGINT) AS we,
+        |  event_type, COUNT(*) AS n_events
+        |FROM w GROUP BY 1, 2, 3""".stripMargin
   )
 }

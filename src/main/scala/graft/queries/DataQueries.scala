@@ -213,6 +213,28 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Embedding-distribution drift: per-label centroid cosine between the
+    // even-id and odd-id halves — the model-regression / new-crawl
+    // admission check; exact integer-sum centroids
+    "q209_centroid_drift" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity.centroidDrift(e, "vec_id", "embedding", "label",
+        pmod(col("vec_id"), lit(2)))
+    },
+
+    // Near-dup graph degree histogram: how many neighbors each clustered
+    // doc has — the second dedup-health view (q205's sizes say how big
+    // blobs are; degrees say how DENSE they are)
+    "q210_degree_histogram" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      pairs.select(col("id_1").as("id"))
+        .unionAll(pairs.select(col("id_2").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_docs"))
+        .select(col("deg").as("degree"), col("n_docs"))
+    },
+
     // Near-dup cluster-size histogram: the dedup-health report (how much
     // of the corpus sits in 2-clusters vs giant boilerplate blobs) — two
     // tiny count shuffles after the q50 clustering
@@ -584,6 +606,55 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // zipped-unnest per-dim integer sums, list(... ORDER BY i) assemble,
+    // the same sequential-order cosine
+    "q209_centroid_drift" ->
+      """WITH v AS (
+        |  SELECT label, CAST(vec_id % 2 AS INTEGER) AS h,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS sv
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT label, h, unnest(sv) AS s,
+        |    unnest(generate_series(1, len(sv))) AS i
+        |  FROM v
+        |), cs AS (
+        |  SELECT label, h, i, CAST(SUM(s) AS BIGINT) AS c
+        |  FROM x GROUP BY 1, 2, 3
+        |), cent AS (
+        |  SELECT label, h, list(CAST(c AS DOUBLE) ORDER BY i) AS cent
+        |  FROM cs GROUP BY 1, 2
+        |), n AS (
+        |  SELECT label, h, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1, 2
+        |)
+        |SELECT a.label, an.n AS n_a, bn.n AS n_b,
+        |  round(list_sum(list_transform(list_zip(a.cent, b.cent), z -> z[1]*z[2]))
+        |    / (sqrt(list_sum(list_transform(list_zip(a.cent, a.cent), z -> z[1]*z[2])))
+        |       * sqrt(list_sum(list_transform(list_zip(b.cent, b.cent), z -> z[1]*z[2])))),
+        |    6) AS cosine
+        |FROM cent a JOIN cent b ON a.label = b.label AND a.h = 0 AND b.h = 1
+        |JOIN n an ON an.label = a.label AND an.h = 0
+        |JOIN n bn ON bn.label = a.label AND bn.h = 1""".stripMargin,
+
+    // exact >= 0.5 pairs (the q27 identity), both directions, degree counts
+    "q210_degree_histogram" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+         |    SELECT id_1 AS id FROM p UNION ALL SELECT id_2 FROM p)
+         |  GROUP BY 1
+         |)
+         |SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM deg GROUP BY 1""".stripMargin,
 
     // q50's recursive clustering, rolled up to the size histogram
     "q205_cluster_sizes" ->

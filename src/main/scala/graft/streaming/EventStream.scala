@@ -58,6 +58,28 @@ object EventStream {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"))
 
+  /** Sliding (overlapping) windowed counts: each event lands in
+    * duration/slide windows — Spark's `window(ts, duration, slide)`
+    * expands the assignment map-side, then ONE (window, type) count
+    * shuffle; identical plan batch and streaming (watermark bounds state
+    * to the lag horizon). The overlapping twin of [[windowedCounts]]. */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      windowDuration: String = "10 minutes",
+      slideDuration: String = "5 minutes",
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"))
+
   /** Streaming exact dedup: first occurrence per key within the watermark
     * horizon survives (`dropDuplicates` with event-time watermark — the
     * streaming form of [[graft.operators.Dedup.exact]]; state is bounded by
