@@ -31,7 +31,22 @@ object CoreQueries {
     else raw
   }
 
+  /** q214's profiled columns: every `orders` column except the
+    * floating-point o_totalprice and the timestamp o_orderdate (FP and
+    * temporal string formatting are engine-specific — their ranges get
+    * typed queries instead). */
+  private val ProfiledOrderCols = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_orderpriority")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Data-quality profiling: per-column row/NULL/exact-distinct counts +
+    // string-form min/max over orders — one SINGLE-COLUMN aggregate per
+    // column (each pass's ReadSchema is one pruned field; columnar storage
+    // makes N pruned scans the scale shape, not one N-way expand)
+    "q214_profile_orders" -> { (s, dir) =>
+      graft.operators.Profiler.profile(t(s, dir, "orders"), ProfiledOrderCols)
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -310,6 +325,17 @@ object CoreQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // generated from the same column list; CAST-to-VARCHAR happens BEFORE
+    // min/max (lexicographic profiling identity, mirroring the Spark side)
+    "q214_profile_orders" -> ProfiledOrderCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_str,
+         |  MAX(CAST($c AS VARCHAR)) AS max_str
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -24,6 +24,12 @@ object CorpusQueries {
   private val sqlHash60 =
     "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
+  /** q213's Pearson r over exact integer moments — ONE text parsed by both
+    * engines (the QaSampling.wilson discipline). */
+  private val sqlPearson =
+    "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)"
+
   /** The synthetic-PII injection column: the raw documents are letter-only
     * word soup, so q67 appends one email, one IPv4, and one >=9-digit id
     * derived from doc_id — making every regex do real per-row work while
@@ -335,6 +341,42 @@ object CorpusQueries {
     "q200_pipeline_attrition" -> { (s, dir) =>
       CorpusOps.assembleAttrition(docs(s, dir), "doc_id", "text",
         minTokens = 5, benchEvery = 50, n = 3, nShards = 4, seqLen = 64)
+    },
+
+    // Tokenizer fertility per language: BPE-ish tokens per whitespace
+    // token (integer ppm) — the tokenizer-efficiency number that decides
+    // whether a language is under-served by the vocab; one agg shuffle
+    "q212_tokenizer_fertility" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("lang"),
+        graft.operators.TextAnalysis.nWords(col("text")).cast("long").as("ws"),
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).cast("long")
+          .as("bpe"))
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"))
+        .withColumn("fertility_ppm",
+          expr("(1000000 * bpe_tokens) div ws_tokens"))
+    },
+
+    // Per-source Pearson correlation of chars vs tokens — exact integer
+    // moments, the SAME formula text in plan and oracle (one sqrt of a
+    // double product, one division)
+    "q213_quality_corr" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("source"),
+        length(col("text")).cast("long").as("x"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+          .as("y"))
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("pearson",
+          when(expr("n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0"),
+            lit(null).cast("double"))
+            .otherwise(expr(sqlPearson)))
+        .select(col("source"), col("n"), col("pearson"))
     },
 
     // Vocabulary-pruned co-occurrence mining: same-document pairs of the
@@ -1157,6 +1199,40 @@ object CorpusQueries {
          |  CAST(st % 64 AS BIGINT) AS seq_offset
          |FROM p""".stripMargin
     },
+
+    // q23's token twins aggregated per language; integer-ppm fertility
+    "q212_tokenizer_fertility" ->
+      s"""WITH f AS (
+         |  SELECT lang, CAST(len($sqlToks) AS BIGINT) AS ws,
+         |    CAST(len(regexp_extract_all(text,
+         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS bpe
+         |  FROM documents
+         |)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+         |  CAST((1000000 * CAST(SUM(bpe) AS BIGINT))
+         |    // CAST(SUM(ws) AS BIGINT) AS BIGINT) AS fertility_ppm
+         |FROM f GROUP BY 1""".stripMargin,
+
+    // identical moments, identical formula text (sqlPearson)
+    "q213_quality_corr" ->
+      s"""WITH d AS (
+         |  SELECT source, CAST(length(text) AS BIGINT) AS x,
+         |    CAST(len($sqlToks) AS BIGINT) AS y
+         |  FROM documents
+         |), m AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT source, n,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+         |    ELSE $sqlPearson END AS pearson
+         |FROM m""".stripMargin,
 
     // top-50 vocab by (count desc, token asc), distinct (doc, tok), pair
     // self-join, support gate, deterministic top-20
