@@ -582,14 +582,23 @@ object CorpusQueries {
     "q169_vocab_growth" -> { (s, dir) =>
       import graft.functions.TextFunctions
       val d = docs(s, dir)
-      val grams = TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)
+      // positional FUSED gram hashes (one codegen pass; round-6 change) —
+      // typing by 60-bit hash instead of gram string keeps the
+      // first-position shuffle to fixed-width longs and matches the
+      // string-typed oracle under the repo-wide no-collision bet (q26/q27)
+      val grams = TextFunctions.shingleHashes60All(col("text"), 3)
       val perDoc = d.select(col("doc_id"),
         posexplode(grams).as(Seq("pos", "gram")))
-      val lens = d.select(col("doc_id"), size(grams).cast("long").as("len"))
+      val lens = d.select(col("doc_id"),
+        greatest(size(TextFunctions.tokens(col("text"))) - 2, lit(0))
+          .cast("long").as("len"))
       val offs = graft.operators.PrefixSum
         .overKey(lens, "doc_id", "len", "cum", chunkWidth = 64)
         .select(col("doc_id"), (col("cum") - col("len")).as("off"))
-      val firsts = perDoc.join(offs, Seq("doc_id"))
+      // offsets are one row per DOC (not per gram) — broadcast them so the
+      // 200x-larger gram explode never shuffles on doc_id before its
+      // gram-keyed aggregation (round-6 change: was a shuffle join)
+      val firsts = perDoc.join(broadcast(offs), Seq("doc_id"))
         .groupBy(col("gram"))
         .agg(min(col("off") + col("pos")).as("fp"))
       val buckets = firsts
