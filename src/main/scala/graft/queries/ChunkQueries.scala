@@ -269,6 +269,35 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Change-point detection: one-sided CUSUM of daily counts per type
+    // against the type's integer mean — the recurrence folds over each
+    // type's SORTED day array (a bounded per-group sequence; higher-order
+    // aggregate, NOT a driver loop), max drift + its day emitted
+    "q216_cusum_changepoint" -> { (s, dir) =>
+      val daily = eventsNs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+      val series = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("__tot"),
+          array_sort(collect_list(struct(col("day"), col("x")))).as("__s"))
+        .withColumn("__ref", expr("__tot div n_days"))
+      // fold state: (cum, max_cum, argmax_day); cum = max(0, cum + x - ref)
+      val folded = series.withColumn("__f",
+        aggregate(col("__s"),
+          struct(lit(0L).as("cum"), lit(-1L).as("mx"), lit(-1L).as("mday")),
+          (acc, e) => {
+            val cum = greatest(lit(0L),
+              acc.getField("cum") + e.getField("x") - col("__ref"))
+            struct(cum.as("cum"),
+              greatest(acc.getField("mx"), cum).as("mx"),
+              when(cum > acc.getField("mx"), e.getField("day"))
+                .otherwise(acc.getField("mday")).as("mday"))
+          }))
+      folded.select(col("event_type"), col("n_days"), col("__ref").as("ref"),
+        col("__f.mx").as("max_cusum"), col("__f.mday").as("peak_day"))
+    },
+
     // SCD2 interval build (gaps-and-islands): collapse each user's runs of
     // equal props.k into validity intervals [valid_from, valid_to) — the
     // slowly-changing-dimension construction every warehouse needs, as two
@@ -525,6 +554,45 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // the CUSUM recurrence replayed as a recursive CTE over day ranks —
+    // identical base case and strict-> tie rule as the Spark fold
+    "q216_cusum_changepoint" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS tot
+        |  FROM daily GROUP BY 1
+        |), r AS (
+        |  SELECT d.event_type, d.day, d.x, m.tot // m.n_days AS ref,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |      AS BIGINT) AS rn
+        |  FROM daily d JOIN m USING (event_type)
+        |), walk(event_type, rn, cum, mx, mday) AS (
+        |  SELECT event_type, rn,
+        |    GREATEST(CAST(0 AS BIGINT), x - ref),
+        |    GREATEST(CAST(0 AS BIGINT), x - ref), day
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.event_type, r.rn,
+        |    GREATEST(CAST(0 AS BIGINT), w.cum + r.x - r.ref),
+        |    CASE WHEN GREATEST(CAST(0 AS BIGINT), w.cum + r.x - r.ref) > w.mx
+        |      THEN GREATEST(CAST(0 AS BIGINT), w.cum + r.x - r.ref)
+        |      ELSE w.mx END,
+        |    CASE WHEN GREATEST(CAST(0 AS BIGINT), w.cum + r.x - r.ref) > w.mx
+        |      THEN r.day ELSE w.mday END
+        |  FROM walk w JOIN r ON r.event_type = w.event_type AND r.rn = w.rn + 1
+        |), fin AS (
+        |  SELECT event_type, mx, mday,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rr
+        |  FROM walk
+        |)
+        |SELECT f.event_type, m.n_days, m.tot // m.n_days AS ref,
+        |  f.mx AS max_cusum, f.mday AS peak_day
+        |FROM fin f JOIN m USING (event_type) WHERE f.rr = 1""".stripMargin,
 
     // lag/change-flag/running-segment windows + the run roll-up
     "q207_scd2_intervals" ->

@@ -47,6 +47,26 @@ object CoreQueries {
       graft.operators.Profiler.profile(t(s, dir, "orders"), ProfiledOrderCols)
     },
 
+    // Percent-of-total report: each nation's share of its region's revenue
+    // in integer ppm over exact cents — the contribution-margin reporting
+    // shape; the share join runs on the nation-sized aggregate
+    "q217_revenue_share" -> { (s, dir) =>
+      val j = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      val nat = j.groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+          .as("nation_cents"))
+      val reg = nat.groupBy(col("r_name")).agg(sum(col("nation_cents")).as("__rc"))
+      nat.join(reg, Seq("r_name"))
+        .withColumn("share_ppm", expr("(1000000 * nation_cents) div __rc"))
+        .select(col("r_name"), col("n_name"), col("nation_cents"),
+          col("share_ppm"))
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -335,6 +355,24 @@ object CoreQueries {
          |  MAX(CAST($c AS VARCHAR)) AS max_str
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    "q217_revenue_share" ->
+      """WITH j AS (
+        |  SELECT r_name, n_name, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |), nat AS (
+        |  SELECT r_name, n_name, CAST(SUM(c) AS BIGINT) AS nation_cents
+        |  FROM j GROUP BY 1, 2
+        |), reg AS (
+        |  SELECT r_name, CAST(SUM(nation_cents) AS BIGINT) AS rc
+        |  FROM nat GROUP BY 1
+        |)
+        |SELECT nat.r_name, nat.n_name, nat.nation_cents,
+        |  CAST((1000000 * nat.nation_cents) // reg.rc AS BIGINT) AS share_ppm
+        |FROM nat JOIN reg USING (r_name)""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

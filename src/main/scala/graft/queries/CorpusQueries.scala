@@ -343,6 +343,27 @@ object CorpusQueries {
         minTokens = 5, benchEvery = 50, n = 3, nShards = 4, seqLen = 64)
     },
 
+    // Distinctive terms per source (c-TF-IDF flavor): a token's share of
+    // its corpus-wide occurrences concentrated in this source, integer
+    // ppm, support >= 5 — top-5 per source on the bounded-heap plan
+    "q215_distinctive_terms" -> { (s, dir) =>
+      val tf = docs(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val tot = tf.groupBy(col("tok")).agg(sum(col("tf")).as("tf_total"))
+      val scored = tf.join(tot, Seq("tok"))
+        .filter(col("tf") >= 5)
+        .withColumn("share_ppm", expr("(1000000 * tf) div tf_total"))
+        .select(col("source"), col("tok"), col("tf"), col("share_ppm"))
+      val top = graft.plans.TopKPerGroup(scored, Seq(col("source")),
+        Seq(col("share_ppm").desc, col("tf").desc, col("tok").asc), 5)
+      top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("share_ppm").desc, col("tf").desc, col("tok").asc)))
+    },
+
     // Tokenizer fertility per language: BPE-ish tokens per whitespace
     // token (integer ppm) — the tokenizer-efficiency number that decides
     // whether a language is under-served by the vocab; one agg shuffle
@@ -1208,6 +1229,26 @@ object CorpusQueries {
          |  CAST(st % 64 AS BIGINT) AS seq_offset
          |FROM p""".stripMargin
     },
+
+    // tf per (source, token), corpus totals, ppm share, top-5 per source
+    "q215_distinctive_terms" ->
+      s"""WITH tf AS (
+         |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT source, unnest($sqlToks) AS tok FROM documents)
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT tok, CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf GROUP BY 1
+         |), scored AS (
+         |  SELECT tf.source, tf.tok, tf.tf,
+         |    CAST((1000000 * tf.tf) // tot.tf_total AS BIGINT) AS share_ppm
+         |  FROM tf JOIN tot USING (tok) WHERE tf.tf >= 5
+         |), ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |    ORDER BY share_ppm DESC, tf DESC, tok ASC) AS INTEGER) AS rank
+         |  FROM scored
+         |)
+         |SELECT source, tok, tf, share_ppm, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin,
 
     // q23's token twins aggregated per language; integer-ppm fertility
     "q212_tokenizer_fertility" ->
