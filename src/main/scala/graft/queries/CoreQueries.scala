@@ -67,6 +67,73 @@ object CoreQueries {
           col("share_ppm"))
     },
 
+    // Pareto/ABC analysis: parts ranked by exact-cents revenue, cumulative
+    // share in ppm, classed A (<=80%), B (<=95%), C — the global order is
+    // the distributed range-sort ordinal + the two-level PrefixSum scan,
+    // never a single-partition window
+    "q218_pareto_abc" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val ranked = graft.functions.Ordinals.withGlobalOrdinal(rev,
+        Seq(col("cents").desc, col("l_partkey").asc), "rk")
+      val cum = graft.operators.PrefixSum.overKey(ranked, "rk", "cents",
+        "cum_cents", chunkWidth = 64)
+      cum.crossJoin(broadcast(rev.agg(sum(col("cents")).as("__tot"))))
+        .withColumn("cum_ppm", expr("(1000000 * cum_cents) div __tot"))
+        .withColumn("abc",
+          when(col("cum_ppm") <= 800000, lit("A"))
+            .when(col("cum_ppm") <= 950000, lit("B"))
+            .otherwise(lit("C")))
+        .select(col("l_partkey"), col("cents"), col("cum_ppm"), col("abc"))
+    },
+
+    // Fulfillment latency: ship-date minus order-date in whole days,
+    // dyadic percentiles per order priority — one join + one agg
+    "q219_fulfillment_latency" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          datediff(col("l_shipdate"), col("o_orderdate")).cast("long")
+            .as("lat"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(lat, array(0.25D, 0.5D, 0.75D))").as("__ps"))
+        .select(col("o_orderpriority"), col("n"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p50"),
+          element_at(col("__ps"), 3).as("p75"))
+    },
+
+    // RFM customer scoring: recency/frequency/monetary raw values + their
+    // within-population percentile ranks (integer ppm) — three passes of
+    // the q185 domain-table percentile operator, joined back
+    "q220_rfm_scores" -> { (s, dir) =>
+      import graft.operators.CorpusOps
+      val o = t(s, dir, "orders")
+      val mx = o.agg(max(col("o_orderdate")).as("__mx"))
+      val cust = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("__last"),
+          count(lit(1)).as("f_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("m_cents"))
+        .crossJoin(broadcast(mx))
+        .withColumn("r_days",
+          datediff(col("__mx"), col("__last")).cast("long"))
+        .select(col("o_custkey"), col("r_days"), col("f_orders"),
+          col("m_cents"))
+        .withColumn("__g", lit(1))
+      def pct(valueCol: String, outCol: String) =
+        CorpusOps.groupPercentileRank(cust, "o_custkey", "__g", valueCol)
+          .select(col("o_custkey"),
+            col("pct_ppm").as(outCol))
+      cust
+        .join(pct("r_days", "r_ppm"), Seq("o_custkey"))
+        .join(pct("f_orders", "f_ppm"), Seq("o_custkey"))
+        .join(pct("m_cents", "m_ppm"), Seq("o_custkey"))
+        .select(col("o_custkey"), col("r_days"), col("f_orders"),
+          col("m_cents"), col("r_ppm"), col("f_ppm"), col("m_ppm"))
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -355,6 +422,70 @@ object CoreQueries {
          |  MAX(CAST($c AS VARCHAR)) AS max_str
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    "q218_pareto_abc" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1
+        |), c AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |    CAST(SUM(cents) OVER () AS BIGINT) AS tot
+        |  FROM rev
+        |)
+        |SELECT l_partkey, cents,
+        |  CAST((1000000 * cum_cents) // tot AS BIGINT) AS cum_ppm,
+        |  CASE WHEN (1000000 * cum_cents) // tot <= 800000 THEN 'A'
+        |       WHEN (1000000 * cum_cents) // tot <= 950000 THEN 'B'
+        |       ELSE 'C' END AS abc
+        |FROM c""".stripMargin,
+
+    "q219_fulfillment_latency" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(lat, 0.25) AS p25,
+        |  quantile_cont(lat, 0.5) AS p50,
+        |  quantile_cont(lat, 0.75) AS p75
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q220_rfm_scores" -> {
+      // the q185 percentile-rank formula, applied to each RFM axis
+      def pctCte(v: String) =
+        s"""SELECT v, CAST(CASE WHEN n > 1
+           |    THEN (1000000 * below) // (n - 1) ELSE 0 END AS BIGINT) AS p
+           |FROM (
+           |  SELECT v,
+           |    COALESCE(CAST(SUM(c) OVER (ORDER BY v ASC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           |      0) AS below,
+           |    CAST(SUM(c) OVER () AS BIGINT) AS n
+           |  FROM (SELECT $v AS v, CAST(COUNT(*) AS BIGINT) AS c
+           |        FROM cust GROUP BY 1))""".stripMargin
+      s"""WITH cust AS (
+         |  SELECT o_custkey,
+         |    CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+         |      (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders))
+         |      AS BIGINT) AS r_days,
+         |    CAST(COUNT(*) AS BIGINT) AS f_orders,
+         |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS m_cents
+         |  FROM orders GROUP BY 1
+         |), rp AS (${pctCte("r_days")}), fp AS (${pctCte("f_orders")}),
+         |mp AS (${pctCte("m_cents")})
+         |SELECT c.o_custkey, c.r_days, c.f_orders, c.m_cents,
+         |  rp.p AS r_ppm, fp.p AS f_ppm, mp.p AS m_ppm
+         |FROM cust c
+         |JOIN rp ON rp.v = c.r_days
+         |JOIN fp ON fp.v = c.f_orders
+         |JOIN mp ON mp.v = c.m_cents""".stripMargin
+    },
 
     "q217_revenue_share" ->
       """WITH j AS (
