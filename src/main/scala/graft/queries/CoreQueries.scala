@@ -134,6 +134,27 @@ object CoreQueries {
           col("m_cents"), col("r_ppm"), col("f_ppm"), col("m_ppm"))
     },
 
+    // Supplier league table: top-3 suppliers by exact-cents revenue within
+    // each nation — zero-revenue suppliers included (left join), bounded-
+    // heap k-selection, rank window on <= k rows per nation
+    "q221_supplier_rank" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val j = sup.join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+        .na.fill(0L, Seq("cents"))
+        .select(col("n_name"), col("s_suppkey"), col("s_name"), col("cents"))
+      val top = graft.plans.TopKPerGroup(j, Seq(col("n_name")),
+        Seq(col("cents").desc, col("s_suppkey").asc), 3)
+      top.withColumn("rank", row_number().over(
+        Window.partitionBy(col("n_name"))
+          .orderBy(col("cents").desc, col("s_suppkey").asc)))
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -422,6 +443,24 @@ object CoreQueries {
          |  MAX(CAST($c AS VARCHAR)) AS max_str
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    "q221_supplier_rank" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1
+        |), j AS (
+        |  SELECT n_name, s_suppkey, s_name, COALESCE(rev.cents, 0) AS cents
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  LEFT JOIN rev ON s_suppkey = l_suppkey
+        |), ranked AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+        |    ORDER BY cents DESC, s_suppkey ASC) AS INTEGER) AS rank
+        |  FROM j
+        |)
+        |SELECT n_name, s_suppkey, s_name, CAST(cents AS BIGINT) AS cents, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q218_pareto_abc" ->
       """WITH rev AS (
