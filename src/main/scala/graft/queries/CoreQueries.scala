@@ -155,6 +155,44 @@ object CoreQueries {
           .orderBy(col("cents").desc, col("s_suppkey").asc)))
     },
 
+    // Market concentration: Herfindahl index per part type over brand
+    // revenue shares — integer ppm shares, HHI = Σ share² div 10^6 (exact
+    // integers end-to-end); brand tables are dictionary-sized
+    "q222_brand_hhi" -> { (s, dir) =>
+      val rev = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("p_brand"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("__c"))
+      val tot = rev.groupBy(col("p_type")).agg(sum(col("__c")).as("__t"))
+      rev.join(tot, Seq("p_type"))
+        .withColumn("__s", expr("(1000000 * __c) div __t"))
+        .groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_brands"),
+          expr("sum(__s * __s) div 1000000").as("hhi_ppm"))
+    },
+
+    // Order-size distribution: lineitems per order -> histogram — the
+    // basket-size shape every commerce dashboard opens with
+    "q223_order_sizes" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_orders"))
+        .select(col("sz").as("order_size"), col("n_orders"))
+    },
+
+    // Return-rate monitoring per brand with Wilson 95% bounds — the
+    // errorRateCi operator composed onto the relational side (is_err =
+    // returned flag), >= 100 lineitems per brand
+    "q224_return_rates" -> { (s, dir) =>
+      val d = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), (col("l_returnflag") === "R").as("is_ret"))
+      graft.operators.QaSampling.errorRateCi(d, "p_brand", "is_ret",
+        minN = 100L)
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -443,6 +481,47 @@ object CoreQueries {
          |  MAX(CAST($c AS VARCHAR)) AS max_str
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    "q222_brand_hhi" ->
+      """WITH rev AS (
+        |  SELECT p_type, p_brand,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT p_type, CAST(SUM(c) AS BIGINT) AS t FROM rev GROUP BY 1
+        |), sh AS (
+        |  SELECT rev.p_type, CAST((1000000 * rev.c) // tot.t AS BIGINT) AS s
+        |  FROM rev JOIN tot USING (p_type)
+        |)
+        |SELECT p_type, CAST(COUNT(*) AS BIGINT) AS n_brands,
+        |  CAST(CAST(SUM(s * s) AS BIGINT) // 1000000 AS BIGINT) AS hhi_ppm
+        |FROM sh GROUP BY 1""".stripMargin,
+
+    "q223_order_sizes" ->
+      """WITH o AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT sz AS order_size, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM o GROUP BY 1""".stripMargin,
+
+    "q224_return_rates" -> {
+      val lo = graft.operators.QaSampling.wilsonSql("-", "p", "nn")
+      val hi = graft.operators.QaSampling.wilsonSql("+", "p", "nn")
+      s"""WITH c AS (
+         |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_err
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1
+         |), f AS (
+         |  SELECT p_brand, n, n_err, CAST(n AS DOUBLE) AS nn,
+         |    CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE) AS p
+         |  FROM c WHERE n >= 100
+         |)
+         |SELECT p_brand, n, n_err, $lo AS lo, $hi AS hi FROM f""".stripMargin
+    },
 
     "q221_supplier_rank" ->
       """WITH rev AS (
