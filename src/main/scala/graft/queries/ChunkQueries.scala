@@ -269,6 +269,18 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Activity heatmap feed: event counts per (weekday, hour) — pure
+    // integer epoch-ns arithmetic (epoch day 0 = Thursday -> dow offset
+    // 4), identical in both engines, one count shuffle
+    "q226_activity_heatmap" -> { (s, dir) =>
+      eventsNs(s, dir)
+        .select(expr("ts div 86400000000000").as("__day"),
+          expr("(ts div 3600000000000) % 24").as("hour"))
+        .withColumn("dow", expr("(__day + 4) % 7"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+
     // Change-point detection: one-sided CUSUM of daily counts per type
     // against the type's integer mean — the recurrence folds over each
     // type's SORTED day array (a bounded per-group sequence; higher-order
@@ -554,6 +566,17 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // identical integer epoch arithmetic
+    "q226_activity_heatmap" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hour
+        |  FROM events
+        |)
+        |SELECT CAST((day + 4) % 7 AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // the CUSUM recurrence replayed as a recursive CTE over day ranks —
     // identical base case and strict-> tie rule as the Spark fold

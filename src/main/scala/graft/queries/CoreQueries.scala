@@ -193,6 +193,26 @@ object CoreQueries {
         minN = 100L)
     },
 
+    // Purchase-cadence distribution: per repeat customer the exact mean
+    // days between orders (span div (n-1) — integer, no per-gap window),
+    // then global dyadic percentiles of that cadence
+    "q225_order_cadence" -> { (s, dir) =>
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"),
+          datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+            .cast("long").as("span"))
+        .filter(col("n") > 1)
+        .withColumn("avg_gap_days", expr("span div (n - 1)"))
+      per.agg(count(lit(1)).as("n_repeat_customers"),
+          expr("percentile(avg_gap_days, array(0.25D, 0.5D, 0.75D))")
+            .as("__ps"))
+        .select(col("n_repeat_customers"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p50"),
+          element_at(col("__ps"), 3).as("p75"))
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -481,6 +501,21 @@ object CoreQueries {
          |  MAX(CAST($c AS VARCHAR)) AS max_str
          |FROM orders""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    "q225_order_cadence" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+        |      CAST(MAX(o_orderdate) AS DATE)) AS BIGINT) AS span
+        |  FROM orders GROUP BY 1
+        |), g AS (
+        |  SELECT span // (n - 1) AS avg_gap_days FROM per WHERE n > 1
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers,
+        |  quantile_cont(avg_gap_days, 0.25) AS p25,
+        |  quantile_cont(avg_gap_days, 0.5) AS p50,
+        |  quantile_cont(avg_gap_days, 0.75) AS p75
+        |FROM g""".stripMargin,
 
     "q222_brand_hhi" ->
       """WITH rev AS (
