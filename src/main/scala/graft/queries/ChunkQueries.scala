@@ -269,6 +269,44 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Trending report: per (day, type) volumes with each type's
+    // day-over-day delta and within-day rank — one count shuffle, a
+    // per-type lag over the bounded day axis, a per-day rank over 5 types
+    "q227_trending_types" -> { (s, dir) =>
+      val daily = eventsNs(s, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wLag = Window.partitionBy(col("event_type")).orderBy(col("day").asc)
+      val wRank = Window.partitionBy(col("day"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      daily
+        .withColumn("delta", col("n") - lag(col("n"), 1).over(wLag))
+        .withColumn("rank", row_number().over(wRank))
+        .select(col("day"), col("event_type"), col("n"), col("delta"),
+          col("rank"))
+    },
+
+    // Robust anomaly days: daily volumes per type flagged when
+    // |x − median| > 3·MAD — the q98 median/MAD gate on the time axis
+    // (CUSUM q216 catches sustained shifts; this catches spikes)
+    "q228_anomaly_days" -> { (s, dir) =>
+      val daily = eventsNs(s, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("event_type"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy(col("event_type"))
+        .agg(expr("percentile(n, 0.5D)").as("med"))
+      val dev = daily.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("n") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5D)").as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .withColumn("is_anomaly", col("adev") > col("mad") * 3)
+        .select(col("event_type"), col("day"), col("n"), col("med"),
+          col("mad"), col("is_anomaly"))
+    },
+
     // Activity heatmap feed: event counts per (weekday, hour) — pure
     // integer epoch-ns arithmetic (epoch day 0 = Thursday -> dow offset
     // 4), identical in both engines, one count shuffle
@@ -566,6 +604,39 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // lag + rank windows over the bounded day/type grid
+    "q227_trending_types" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT day, event_type, n,
+        |  n - lag(n) OVER (PARTITION BY event_type ORDER BY day ASC) AS delta,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY day
+        |    ORDER BY n DESC, event_type ASC) AS INTEGER) AS rank
+        |FROM daily""".stripMargin,
+
+    // dyadic median + MAD on the day axis (type-7, exact at 0.5)
+    "q228_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, quantile_cont(n, 0.5) AS med
+        |  FROM daily GROUP BY 1
+        |), dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev
+        |  FROM daily d JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT dev.event_type, dev.day, dev.n, dev.med, mad.mad,
+        |  dev.adev > mad.mad * 3 AS is_anomaly
+        |FROM dev JOIN mad USING (event_type)""".stripMargin,
 
     // identical integer epoch arithmetic
     "q226_activity_heatmap" ->
