@@ -269,6 +269,53 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Rolling return rate: of day-d actives, the fraction seen again
+    // within the next 7 days — the engagement-health daily series; the
+    // "future observation" side explodes backward over the <= 7 query days
+    // it answers (bounded, q190's coverage trick), then one semi-join
+    "q229_return_rate" -> { (s, dir) =>
+      val du = eventsNs(s, dir)
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        .distinct()
+      val answers = du.select(
+        explode(sequence(col("day") - 7, col("day") - 1)).as("day"),
+        col("user_id")).distinct()
+      val flagged = du.join(answers, Seq("day", "user_id"), "left_semi")
+        .groupBy(col("day")).agg(count(lit(1)).as("n_returned"))
+      du.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+        .join(flagged, Seq("day"), "left")
+        .na.fill(0L, Seq("n_returned"))
+        .withColumn("return_ppm", expr("(1000000 * n_returned) div n_active"))
+        .select(col("day"), col("n_active"), col("n_returned"),
+          col("return_ppm"))
+    },
+
+    // Join-size estimation from sketches (the AMS/CMS inner-product
+    // estimator a cost-based optimizer runs BEFORE committing a join):
+    // |orders ⋈ events on user bucket| estimated as min_j Σ_b c1·c2 over
+    // per-side CMS cells vs the exact answer — integer-exact both ways
+    "q230_join_size_estimate" -> { (s, dir) =>
+      import graft.operators.Sketches
+      val left = eventsNs(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").cast("string").as("item"))
+      val right = eventsNs(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").cast("string").as("item"))
+      val s1 = Sketches.countMinSparse(left, Seq.empty, "item", 32, 4)
+      val s2 = Sketches.countMinSparse(right, Seq.empty, "item", 32, 4)
+      val est = s1.select(col("j"), col("bucket"), col("cnt").as("c1"))
+        .join(s2.select(col("j"), col("bucket"), col("cnt").as("c2")),
+          Seq("j", "bucket"))
+        .groupBy(col("j")).agg(sum(col("c1") * col("c2")).as("__ip"))
+        .agg(min(col("__ip")).as("est_join_size"))
+      val exact = left.groupBy(col("item")).agg(count(lit(1)).as("n1"))
+        .join(right.groupBy(col("item")).agg(count(lit(1)).as("n2")),
+          Seq("item"))
+        .agg(sum(col("n1") * col("n2")).as("exact_join_size"))
+      est.crossJoin(broadcast(exact))
+    },
+
     // Trending report: per (day, type) volumes with each type's
     // day-over-day delta and within-day rank — one count shuffle, a
     // per-type lag over the bounded day axis, a per-day rank over 5 types
@@ -604,6 +651,65 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // the backward coverage explode as day - k, k in 1..7
+    "q229_return_rate" ->
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+        |  FROM events
+        |), ans AS (
+        |  SELECT DISTINCT day - k AS day, user_id
+        |  FROM du CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS k)
+        |), ret AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_returned FROM (
+        |    SELECT DISTINCT d.day, d.user_id
+        |    FROM du d JOIN ans a ON a.day = d.day AND a.user_id = d.user_id)
+        |  GROUP BY 1
+        |), act AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM du GROUP BY 1
+        |)
+        |SELECT act.day, act.n_active,
+        |  COALESCE(ret.n_returned, 0) AS n_returned,
+        |  CAST((1000000 * COALESCE(ret.n_returned, 0)) // act.n_active
+        |    AS BIGINT) AS return_ppm
+        |FROM act LEFT JOIN ret USING (day)""".stripMargin,
+
+    // CMS cells per side (q194's hash family), inner products per row j,
+    // min over j = the estimate; exact via the per-key count join
+    "q230_join_size_estimate" -> {
+      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
+      val vals = ps.zipWithIndex
+        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      s"""WITH l AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
+         |  WHERE event_type = 'click'
+         |), r AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
+         |  WHERE event_type = 'purchase'
+         |), d(j, a, b) AS (VALUES $vals
+         |), c1 AS (
+         |  SELECT j, ((a * ($sqlHash60 % 2147483647) + b) % 2147483647) % 32
+         |    AS bk, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM l CROSS JOIN d GROUP BY 1, 2
+         |), c2 AS (
+         |  SELECT j, ((a * ($sqlHash60 % 2147483647) + b) % 2147483647) % 32
+         |    AS bk, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM r CROSS JOIN d GROUP BY 1, 2
+         |), ip AS (
+         |  SELECT c1.j, CAST(SUM(c1.c * c2.c) AS BIGINT) AS ip
+         |  FROM c1 JOIN c2 ON c1.j = c2.j AND c1.bk = c2.bk
+         |  GROUP BY 1
+         |), ex AS (
+         |  SELECT CAST(SUM(n1 * n2) AS BIGINT) AS exact_join_size FROM (
+         |    SELECT s, CAST(COUNT(*) AS BIGINT) AS n1 FROM l GROUP BY 1) a
+         |  JOIN (
+         |    SELECT s, CAST(COUNT(*) AS BIGINT) AS n2 FROM r GROUP BY 1) b
+         |  USING (s)
+         |)
+         |SELECT (SELECT CAST(MIN(ip) AS BIGINT) FROM ip) AS est_join_size,
+         |  ex.exact_join_size
+         |FROM ex""".stripMargin
+    },
 
     // lag + rank windows over the bounded day/type grid
     "q227_trending_types" ->
