@@ -509,6 +509,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(5L) == 0L)
   }
 
+  test("cooccurrenceTopK: doc-level pairs, vocab prune excludes rare tokens") {
+    import spark.implicits._
+    val d = Seq(
+      "a b c", "a b", "a b d", "a c", "rare1 rare2"
+    ).toDF("text").withColumn("doc_id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    // vocab size 4 keeps a(4) b(3) c(2) d(1); rare1/rare2 (1 each) lose
+    // the (count desc, token asc) tie against d... a,b,c,d win
+    val out = graft.operators.CorpusOps.cooccurrenceTopK(d, "doc_id",
+        "text", vocabSize = 4, minSupport = 2L, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("a", "b")) == 3L)
+    assert(out(("a", "c")) == 2L)
+    assert(!out.contains(("a", "d")))        // support 1 < 2
+    assert(!out.keys.exists(_._1.startsWith("rare"))) // pruned from vocab
+  }
+
   test("lexicalConcentration: uniform vs degenerate sources, empty text ignored") {
     import spark.implicits._
     val d = Seq(

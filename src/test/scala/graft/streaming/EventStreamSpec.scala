@@ -362,4 +362,25 @@ class EventStreamSpec extends SparkSpec {
     assert(!out.contains(401L)) // views are not targets
     assert(out(402L) == ((None, None)))
   }
+
+  test("linearAttribution: credit resets at each conversion, ppm shares, no-marker NULL") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: c c P | c c c P | P  (three conversions)
+      (1L, 1L, 1L, "click"), (1L, 2L, 2L, "click"), (1L, 3L, 3L, "purchase"),
+      (1L, 4L, 4L, "click"), (1L, 5L, 5L, "click"), (1L, 6L, 6L, "click"),
+      (1L, 7L, 7L, "purchase"), (1L, 8L, 8L, "purchase"),
+      // user 2: trailing clicks with no conversion emit nothing
+      (2L, 9L, 1L, "click"), (2L, 10L, 2L, "click")
+    ).toDF("user_id", "event_id", "us", "event_type")
+    val out = graft.streaming.EventStream.linearAttribution(ev, "user_id",
+        "us", "event_id", "event_type", "click", "purchase")
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(3L) == ((2L, Some(500000L))))
+    assert(out(7L) == ((3L, Some(333333L))))
+    assert(out(8L) == ((0L, None))) // back-to-back purchase: no markers
+    assert(out.size == 3) // user 2's unconverted clicks emit nothing
+  }
 }
