@@ -269,6 +269,23 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Overdispersion check: Fano factor (variance/mean) of daily volumes
+    // per type in integer ppm — F >> 1e6 says the arrival process is
+    // burstier than Poisson; exact integer moments, one division
+    "q232_dispersion_index" -> { (s, dir) =>
+      eventsNs(s, dir)
+        .select(col("event_type"), expr("ts div 86400000000000").as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("fano_ppm",
+          expr("(1000000 * (n_days * sxx - sx * sx)) div (n_days * sx)"))
+        .select(col("event_type"), col("n_days"), col("sx").as("n_events"),
+          col("fano_ppm"))
+    },
+
     // Rolling return rate: of day-d actives, the fraction seen again
     // within the next 7 days — the engagement-health daily series; the
     // "future observation" side explodes backward over the <= 7 query days
@@ -651,6 +668,23 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // identical integer moments; note Spark's F uses the biased (1/n)
+    // variance — the oracle mirrors the same formula, not Bessel's
+    "q232_dispersion_index" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, n_days, sx AS n_events,
+        |  CAST((1000000 * (n_days * sxx - sx * sx)) // (n_days * sx)
+        |    AS BIGINT) AS fano_ppm
+        |FROM m""".stripMargin,
 
     // the backward coverage explode as day - k, k in 1..7
     "q229_return_rate" ->

@@ -213,6 +213,26 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Containment direction on near-dup pairs: |A∩B|/|A| vs /|B| beside
+    // jaccard — distinguishes "B quotes A" from symmetric duplication for
+    // the q27-proven pair set (same banding, same verify)
+    "q231_containment_pairs" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        shingleHashes60(col("text"), 5).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      pairs
+        .join(d.select(col("doc_id").as("id_1"), col("sh").as("sh_1")), "id_1")
+        .join(d.select(col("doc_id").as("id_2"), col("sh").as("sh_2")), "id_2")
+        .withColumn("__i",
+          size(array_intersect(col("sh_1"), col("sh_2"))).cast("double"))
+        .withColumn("cont_1in2", round(col("__i") / size(col("sh_1")), 6))
+        .withColumn("cont_2in1", round(col("__i") / size(col("sh_2")), 6))
+        .select(col("id_1"), col("id_2"), col("jaccard"),
+          col("cont_1in2"), col("cont_2in1"))
+    },
+
     // Embedding-distribution drift: per-label centroid cosine between the
     // even-id and odd-id halves — the model-regression / new-crawl
     // admission check; exact integer-sum centroids
@@ -606,6 +626,24 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // the q27 pair identity + per-side containments over shingle sets
+    "q231_containment_pairs" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS i,
+         |    len(a.sh) AS la, len(b.sh) AS lb,
+         |    len(list_distinct(a.sh || b.sh)) AS u
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |)
+         |SELECT id_1, id_2, round(i / u, 6) AS jaccard,
+         |  round(i / la, 6) AS cont_1in2,
+         |  round(i / lb, 6) AS cont_2in1
+         |FROM p WHERE round(i / u, 6) >= 0.5""".stripMargin,
 
     // zipped-unnest per-dim integer sums, list(... ORDER BY i) assemble,
     // the same sequential-order cosine
