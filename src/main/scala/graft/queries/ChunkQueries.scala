@@ -269,6 +269,28 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Join-key skew diagnosis: the pre-join audit that decides between a
+    // plain shuffle join, salting, and AQE skew handling — key count,
+    // heaviest key, its ppm share, and the p99 key weight
+    "q234_skew_audit" -> { (s, dir) =>
+      val perKey = eventsNs(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // two consumers below; avoid double agg
+      val tot = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"), max(col("c")).as("max_key_rows"))
+      // hot key = weight > 2x the mean, by integer cross-multiplication
+      val hot = perKey
+        .crossJoin(broadcast(tot.select(col("n_keys").as("__nk"),
+          col("n_rows").as("__nr"))))
+        .filter(expr("c * __nk > 2 * __nr"))
+        .agg(count(lit(1)).as("n_hot_keys"))
+      tot.crossJoin(broadcast(hot))
+        .withColumn("top_share_ppm",
+          expr("(1000000 * max_key_rows) div n_rows"))
+        .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+          col("n_hot_keys"), col("top_share_ppm"))
+    },
+
     // Overdispersion check: Fano factor (variance/mean) of daily volumes
     // per type in integer ppm — F >> 1e6 says the arrival process is
     // burstier than Poisson; exact integer moments, one division
@@ -668,6 +690,24 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // key weights, totals, hot = c·n_keys > 2·n_rows
+    "q234_skew_audit" ->
+      """WITH k AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows,
+        |    CAST(MAX(c) AS BIGINT) AS max_key_rows
+        |  FROM k
+        |), h AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hot_keys
+        |  FROM k CROSS JOIN t WHERE k.c * t.n_keys > 2 * t.n_rows
+        |)
+        |SELECT t.n_keys, t.n_rows, t.max_key_rows, h.n_hot_keys,
+        |  CAST((1000000 * t.max_key_rows) // t.n_rows AS BIGINT)
+        |    AS top_share_ppm
+        |FROM t CROSS JOIN h""".stripMargin,
 
     // identical integer moments; note Spark's F uses the biased (1/n)
     // variance — the oracle mirrors the same formula, not Bessel's

@@ -213,6 +213,20 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Multimodal completeness audit: which documents have an embedding row
+    // (doc_id = vec_id) — the missing-modality integrity check every
+    // text+vector pipeline runs before training; one left join on ids
+    "q233_embedding_coverage" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").select(col("vec_id"), lit(1L).as("__has"))
+      docs(s, dir)
+        .join(e, col("doc_id") === col("vec_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__has"), lit(0L))).as("n_with_vec"))
+        .withColumn("missing_ppm",
+          expr("(1000000 * (n_docs - n_with_vec)) div n_docs"))
+    },
+
     // Containment direction on near-dup pairs: |A∩B|/|A| vs /|B| beside
     // jaccard — distinguishes "B quotes A" from symmetric duplication for
     // the q27-proven pair set (same banding, same verify)
@@ -626,6 +640,19 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // left join documents to embeddings by id; ppm of missing vectors
+    "q233_embedding_coverage" ->
+      """WITH j AS (
+        |  SELECT d.source,
+        |    CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS has_vec
+        |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(has_vec) AS BIGINT) AS n_with_vec,
+        |  CAST((1000000 * (COUNT(*) - SUM(has_vec))) // COUNT(*) AS BIGINT)
+        |    AS missing_ppm
+        |FROM j GROUP BY 1""".stripMargin,
 
     // the q27 pair identity + per-side containments over shingle sets
     "q231_containment_pairs" ->
