@@ -269,6 +269,24 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Deadline funnel: purchases whose latest prior click is within 24h —
+    // conversion-with-SLA counting per UTC day, riding the q189 as-of
+    // window (no range join)
+    "q235_deadline_conversions" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      EventStream.asOfLast(ev, "user_id", "us", "event_id", "event_type",
+          markerType = "click", targetType = "purchase")
+        .withColumn("day", expr("us div 86400000000"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when(col("gap_us").isNotNull &&
+            col("gap_us") <= 86400000000L, lit(1L)).otherwise(lit(0L)))
+            .as("n_within_24h"))
+        .withColumn("within_ppm",
+          expr("(1000000 * n_within_24h) div n_purchases"))
+    },
+
     // Join-key skew diagnosis: the pre-join audit that decides between a
     // plain shuffle join, salting, and AQE skew handling — key count,
     // heaviest key, its ppm share, and the p99 key weight
@@ -690,6 +708,28 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // the q189 window + a daily SLA roll-up
+    "q235_deadline_conversions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), g AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS marker_us
+        |  FROM e
+        |), p AS (
+        |  SELECT us // 86400000000 AS day,
+        |    CASE WHEN marker_us IS NOT NULL AND us - marker_us <= 86400000000
+        |      THEN 1 ELSE 0 END AS w
+        |  FROM g WHERE event_type = 'purchase'
+        |)
+        |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |  CAST(SUM(w) AS BIGINT) AS n_within_24h,
+        |  CAST((1000000 * SUM(w)) // COUNT(*) AS BIGINT) AS within_ppm
+        |FROM p GROUP BY 1""".stripMargin,
 
     // key weights, totals, hot = c·n_keys > 2·n_rows
     "q234_skew_audit" ->

@@ -343,6 +343,23 @@ object CorpusQueries {
         minTokens = 5, benchEvery = 50, n = 3, nShards = 4, seqLen = 64)
     },
 
+    // Effective sample size of the q74 temperature mixture: ESS =
+    // (Σw)²/Σw² over the exact integer scaled weights — how many
+    // "effective" domains the mixture really spans (≈ n_domains when
+    // balanced, → 1 when one domain dominates)
+    "q236_mixture_ess" -> { (s, dir) =>
+      val sc = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__s",
+          floor(sqrt(col("__n").cast("double")) * 1e6).cast("long"))
+      sc.agg(count(lit(1)).as("n_domains"),
+          sum(col("__s")).as("__ss"),
+          sum(col("__s") * col("__s")).as("__ss2"))
+        .withColumn("ess",
+          round(expr("CAST(__ss * __ss AS DOUBLE) / __ss2"), 6))
+        .select(col("n_domains"), col("ess"))
+    },
+
     // Distinctive terms per source (c-TF-IDF flavor): a token's share of
     // its corpus-wide occurrences concentrated in this source, integer
     // ppm, support >= 5 — top-5 per source on the bounded-heap plan
@@ -1229,6 +1246,21 @@ object CorpusQueries {
          |  CAST(st % 64 AS BIGINT) AS seq_offset
          |FROM p""".stripMargin
     },
+
+    // q74's floor(sqrt·1e6) integer weights; one double division
+    "q236_mixture_ess" ->
+      """WITH sc AS (
+        |  SELECT source, CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1e6)
+        |    AS BIGINT) AS s
+        |  FROM documents GROUP BY 1
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_domains,
+        |    CAST(SUM(s) AS BIGINT) AS ss,
+        |    CAST(SUM(s * s) AS BIGINT) AS ss2
+        |  FROM sc
+        |)
+        |SELECT n_domains, round(CAST(ss * ss AS DOUBLE) / ss2, 6) AS ess
+        |FROM m""".stripMargin,
 
     // tf per (source, token), corpus totals, ppm share, top-5 per source
     "q215_distinctive_terms" ->
