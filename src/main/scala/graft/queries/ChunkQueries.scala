@@ -269,6 +269,25 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Hour-of-day seasonality strength: each type's busiest hour and its
+    // ppm share of the type's volume — flat (~42k ppm) means no diurnal
+    // pattern; one count shuffle + a type-sized roll-up
+    "q238_hourly_concentration" -> { (s, dir) =>
+      val hourly = eventsNs(s, dir)
+        .select(col("event_type"),
+          expr("(ts div 3600000000000) % 24").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("c"))
+      hourly.groupBy(col("event_type"))
+        .agg(sum(col("c")).as("__n"),
+          max(struct(col("c"), (lit(23) - col("hour")).as("__rh")))
+            .as("__top"))
+        .select(col("event_type"),
+          (lit(23) - col("__top.__rh")).as("peak_hour"),
+          col("__top.c").as("peak_events"),
+          expr("(1000000 * __top.c) div __n").as("peak_share_ppm"))
+    },
+
     // Deadline funnel: purchases whose latest prior click is within 24h —
     // conversion-with-SLA counting per UTC day, riding the q189 as-of
     // window (no range join)
@@ -708,6 +727,25 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // arg-max hour by (count desc, hour asc) — the struct-max tie rule
+    "q238_hourly_concentration" ->
+      """WITH h AS (
+        |  SELECT event_type, (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1
+        |), r AS (
+        |  SELECT event_type, hour, c,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY c DESC, hour ASC) AS rk
+        |  FROM h
+        |)
+        |SELECT r.event_type, CAST(r.hour AS BIGINT) AS peak_hour,
+        |  r.c AS peak_events,
+        |  CAST((1000000 * r.c) // t.n AS BIGINT) AS peak_share_ppm
+        |FROM r JOIN t USING (event_type) WHERE r.rk = 1""".stripMargin,
 
     // the q189 window + a daily SLA roll-up
     "q235_deadline_conversions" ->

@@ -213,6 +213,22 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Embedding-health norm audit: per label the norm range and the count
+    // of near-zero (collapsed) vectors — the cheap sanity gate run before
+    // any cosine math trusts the vectors; norms are the same sequential
+    // dot + correctly-rounded sqrt as every cosine here
+    "q237_norm_audit" -> { (s, dir) =>
+      val v = t(s, dir, "embeddings").select(col("label"),
+        Similarity.norm(transform(col("embedding"), x => x.cast("double")))
+          .as("__n"))
+      v.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(min(col("__n")), 6).as("min_norm"),
+          round(max(col("__n")), 6).as("max_norm"),
+          sum(when(col("__n") < 0.5, lit(1L)).otherwise(lit(0L)))
+            .as("n_collapsed"))
+    },
+
     // Multimodal completeness audit: which documents have an embedding row
     // (doc_id = vec_id) — the missing-modality integrity check every
     // text+vector pipeline runs before training; one left join on ids
@@ -640,6 +656,22 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // identical sequential-order norms; min/max pick exact doubles
+    "q237_norm_audit" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(
+        |      list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |               list_transform(embedding, x -> CAST(x AS DOUBLE))),
+        |      z -> z[1] * z[2]))) AS n
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  round(MIN(n), 6) AS min_norm, round(MAX(n), 6) AS max_norm,
+        |  CAST(SUM(CASE WHEN n < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_collapsed
+        |FROM v GROUP BY 1""".stripMargin,
 
     // left join documents to embeddings by id; ppm of missing vectors
     "q233_embedding_coverage" ->
