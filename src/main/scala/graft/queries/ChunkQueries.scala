@@ -269,6 +269,25 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Within-session type affinity: which event types co-occur inside one
+    // q55 gap-session — distinct (session, type) pairs self-join (bounded
+    // by the 5-type domain), the intent-pattern table recommenders read
+    "q240_session_affinity" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"), col("event_type"))
+      val st = EventStream.sessionIds(ev, "user_id", "us", "event_id",
+          gapMicros = 30L * 60 * 1000000)
+        .select(col("user_id"), col("sess_id"), col("event_type"))
+        .distinct()
+      st.select(col("user_id"), col("sess_id"),
+          col("event_type").as("type_a"))
+        .join(st.select(col("user_id"), col("sess_id"),
+          col("event_type").as("type_b")), Seq("user_id", "sess_id"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+    },
+
     // Hour-of-day seasonality strength: each type's busiest hour and its
     // ppm share of the type's volume — flat (~42k ppm) means no diurnal
     // pattern; one count shuffle + a type-sized roll-up
@@ -727,6 +746,34 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // q55's session CTE kept per-event, then the bounded type-pair join
+    "q240_session_affinity" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us, event_type
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, us, event_type,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id
+        |             ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, event_type,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g
+        |), st AS (
+        |  SELECT DISTINCT user_id, sess_id, event_type FROM s
+        |)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |FROM st a JOIN st b
+        |  ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+        |  AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
 
     // arg-max hour by (count desc, hour asc) — the struct-max tie rule
     "q238_hourly_concentration" ->

@@ -213,6 +213,23 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Cross-source syndication: near-duplicate pairs whose two sides come
+    // from DIFFERENT sources — the "same article, many mirrors" leakage a
+    // per-source dedup never sees; the source attach is two broadcastable
+    // dictionary joins on the (small) pair set
+    "q239_cross_source_dups" -> { (s, dir) =>
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+          n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .join(src.select(col("doc_id").as("id_1"),
+          col("source").as("source_1")), "id_1")
+        .join(src.select(col("doc_id").as("id_2"),
+          col("source").as("source_2")), "id_2")
+        .filter(col("source_1") =!= col("source_2"))
+        .select(col("id_1"), col("id_2"), col("source_1"), col("source_2"),
+          col("jaccard"))
+    },
+
     // Embedding-health norm audit: per label the norm range and the count
     // of near-zero (collapsed) vectors — the cheap sanity gate run before
     // any cosine math trusts the vectors; norms are the same sequential
@@ -656,6 +673,23 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // the q27 pair identity restricted to source-crossing pairs
+    "q239_cross_source_dups" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, list_distinct(${sqlShingles(5)}) AS sh
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+         |  a.source AS source_1, b.source AS source_2,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+         |FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |  AND len(list_distinct(a.sh || b.sh)) > 0
+         |  AND a.source <> b.source
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |        / len(list_distinct(a.sh || b.sh)), 6) >= 0.5""".stripMargin,
 
     // identical sequential-order norms; min/max pick exact doubles
     "q237_norm_audit" ->

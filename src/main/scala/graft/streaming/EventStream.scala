@@ -41,6 +41,28 @@ object EventStream {
         count(lit(1)).as("n_events"))
   }
 
+  /** Per-EVENT session assignment: [[sessionize]]'s lag/cumsum internals
+    * without the session-level collapse — every input row plus its
+    * `sess_id`, for analyses that join other columns back to sessions
+    * (affinity, per-session revenue). Same windows, same gap rule. */
+  def sessionIds(
+      events: DataFrame,
+      userCol: String,
+      usCol: String,
+      orderCol: String,
+      gapMicros: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(usCol), col(orderCol))
+    val prev = lag(col(usCol), 1).over(w)
+    events
+      .withColumn("__new_sess",
+        when(prev.isNull || col(usCol) - prev > gapMicros, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("__new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_sess")
+  }
+
   /** T5: watermarked tumbling-window aggregation over an event-time column.
     * Works identically on batch and streaming inputs. */
   def windowedCounts(
