@@ -269,6 +269,25 @@ object ChunkQueries {
         "event_type", markerType = "click", targetType = "purchase")
     },
 
+    // Session-duration distribution: dyadic percentiles + mean (exact
+    // integer µs sums, one division) over q55's gap sessions — the
+    // engagement-depth dashboard number
+    "q242_session_durations" -> { (s, dir) =>
+      val ev = eventsNs(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("us"))
+      EventStream.sessionize(ev, "user_id", "us", "event_id",
+          gapMicros = 30L * 60 * 1000000)
+        .select((col("session_end") - col("session_start")).as("dur_us"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("dur_us")).as("__tot"),
+          expr("percentile(dur_us, array(0.25D, 0.5D, 0.75D))").as("__ps"))
+        .select(col("n_sessions"),
+          expr("__tot div n_sessions").as("mean_dur_us"),
+          element_at(col("__ps"), 1).as("p25"),
+          element_at(col("__ps"), 2).as("p50"),
+          element_at(col("__ps"), 3).as("p75"))
+    },
+
     // Within-session type affinity: which event types co-occur inside one
     // q55 gap-session — distinct (session, type) pairs self-join (bounded
     // by the 5-type domain), the intent-pattern table recommenders read
@@ -746,6 +765,35 @@ object ChunkQueries {
         |      AS DOUBLE) / (MAX(us) - MIN(us)), 6)
         |  END AS twap
         |FROM s GROUP BY 1""".stripMargin,
+
+    // q55's session CTE -> per-session spans -> global stats
+    "q242_session_durations" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |           IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id
+        |             ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, us,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                  ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g
+        |), d AS (
+        |  SELECT CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+        |  FROM s GROUP BY user_id, sess_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(CAST(SUM(dur_us) AS BIGINT) // COUNT(*) AS BIGINT)
+        |    AS mean_dur_us,
+        |  quantile_cont(dur_us, 0.25) AS p25,
+        |  quantile_cont(dur_us, 0.5) AS p50,
+        |  quantile_cont(dur_us, 0.75) AS p75
+        |FROM d""".stripMargin,
 
     // q55's session CTE kept per-event, then the bounded type-pair join
     "q240_session_affinity" ->

@@ -213,6 +213,23 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Dedup burden per source: the fraction of each source's docs touched
+    // by at least one near-dup pair — where to point the dedup budget;
+    // one semi-join of the source table against the pair-id set
+    "q241_dup_burden" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      val dupIds = pairs.select(col("id_1").as("doc_id"))
+        .unionAll(pairs.select(col("id_2").as("doc_id"))).distinct()
+      val flagged = docs(s, dir).select(col("doc_id"), col("source"))
+        .join(dupIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_dup_docs"))
+      docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(flagged, Seq("source"), "left")
+        .na.fill(0L, Seq("n_dup_docs"))
+        .withColumn("dup_ppm", expr("(1000000 * n_dup_docs) div n_docs"))
+    },
+
     // Cross-source syndication: near-duplicate pairs whose two sides come
     // from DIFFERENT sources — the "same article, many mirrors" leakage a
     // per-source dedup never sees; the source attach is two broadcastable
@@ -673,6 +690,33 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // exact pair ids (q27 identity) -> per-source flagged counts
+    "q241_dup_burden" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, list_distinct(${sqlShingles(5)}) AS sh
+         |  FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), ids AS (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT id_1 AS id FROM p UNION ALL SELECT id_2 FROM p)
+         |), f AS (
+         |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+         |  FROM d JOIN ids ON d.doc_id = ids.id GROUP BY 1
+         |), t AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT t.source, t.n_docs, COALESCE(f.n_dup_docs, 0) AS n_dup_docs,
+         |  CAST((1000000 * COALESCE(f.n_dup_docs, 0)) // t.n_docs AS BIGINT)
+         |    AS dup_ppm
+         |FROM t LEFT JOIN f USING (source)""".stripMargin,
 
     // the q27 pair identity restricted to source-crossing pairs
     "q239_cross_source_dups" ->
