@@ -213,6 +213,42 @@ object CoreQueries {
           element_at(col("__ps"), 3).as("p75"))
     },
 
+    // Monthly order-priority mix: share of each priority within its month
+    // (integer month key year*100+month, ppm shares) — the seasonality-of-
+    // mix report; month totals are a co-keyed roll-up
+    "q243_priority_mix" -> { (s, dir) =>
+      val m = t(s, dir, "orders")
+        .select((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("month_key"), col("o_orderpriority"))
+        .groupBy(col("month_key"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+      val tot = m.groupBy(col("month_key")).agg(sum(col("n_orders")).as("__t"))
+      m.join(tot, Seq("month_key"))
+        .withColumn("share_ppm", expr("(1000000 * n_orders) div __t"))
+        .select(col("month_key"), col("o_orderpriority"), col("n_orders"),
+          col("share_ppm"))
+    },
+
+    // Trade-flow matrix (the TPC-H Q7 shape): exact-cents revenue between
+    // every supplier nation and customer nation — two broadcast nation
+    // dictionaries, one fact-join chain, one (pair) aggregation
+    "q244_trade_matrix" -> { (s, dir) =>
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("snk"))
+        .join(n2, col("c_nationkey") === col("cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("revenue_cents"))
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -557,6 +593,33 @@ object CoreQueries {
          |)
          |SELECT p_brand, n, n_err, $lo AS lo, $hi AS hi FROM f""".stripMargin
     },
+
+    "q243_priority_mix" ->
+      """WITH m AS (
+        |  SELECT CAST(date_part('year', o_orderdate) * 100
+        |      + date_part('month', o_orderdate) AS BIGINT) AS month_key,
+        |    o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1, 2
+        |), t AS (
+        |  SELECT month_key, CAST(SUM(n_orders) AS BIGINT) AS tt
+        |  FROM m GROUP BY 1
+        |)
+        |SELECT m.month_key, m.o_orderpriority, m.n_orders,
+        |  CAST((1000000 * m.n_orders) // t.tt AS BIGINT) AS share_ppm
+        |FROM m JOIN t USING (month_key)""".stripMargin,
+
+    "q244_trade_matrix" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q221_supplier_rank" ->
       """WITH rev AS (
