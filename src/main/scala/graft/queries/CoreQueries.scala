@@ -249,6 +249,47 @@ object CoreQueries {
             .as("revenue_cents"))
     },
 
+    // Monthly revenue with MoM and YoY growth: linear month index so
+    // lag(1)/lag(12) mean calendar steps; exact cents, integer-ppm deltas,
+    // NULL where no prior period exists — the finance close report
+    "q245_revenue_growth" -> { (s, dir) =>
+      val w = Window.orderBy(col("month_idx").asc)
+      t(s, dir, "orders")
+        .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("month_idx"),
+          round(col("o_totalprice") * 100).cast("long").as("__c"))
+        .groupBy(col("month_idx"))
+        .agg(sum(col("__c")).as("revenue_cents"))
+        .withColumn("mom_ppm", expr(
+          "(1000000 * (revenue_cents - lag(revenue_cents, 1) " +
+            "OVER (ORDER BY month_idx ASC))) div " +
+            "lag(revenue_cents, 1) OVER (ORDER BY month_idx ASC)"))
+        .withColumn("yoy_ppm", expr(
+          "(1000000 * (revenue_cents - lag(revenue_cents, 12) " +
+            "OVER (ORDER BY month_idx ASC))) div " +
+            "lag(revenue_cents, 12) OVER (ORDER BY month_idx ASC)"))
+        .select(col("month_idx"), col("revenue_cents"), col("mom_ppm"),
+          col("yoy_ppm"))
+    },
+
+    // One-and-done rate: customers with exactly one order as a ppm share
+    // per market segment — the repeat-purchase health number
+    "q246_one_and_done" -> { (s, dir) =>
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("__n"))
+      t(s, dir, "customer")
+        .join(per, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0L, Seq("__n"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(when(col("__n") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("n_one_and_done"),
+          sum(when(col("__n") === 0, lit(1L)).otherwise(lit(0L)))
+            .as("n_never_ordered"))
+        .withColumn("one_and_done_ppm",
+          expr("(1000000 * n_one_and_done) div n_customers"))
+    },
+
     // A1/A2/A9 acquisition-collapse-style grouped aggregation
     // (dicom-archive/DICOM/DCMSUM.pm:651-677; summary counts :540-590)
     "q01_pricing_summary" -> { (s, dir) =>
@@ -593,6 +634,42 @@ object CoreQueries {
          |)
          |SELECT p_brand, n, n_err, $lo AS lo, $hi AS hi FROM f""".stripMargin
     },
+
+    "q245_revenue_growth" ->
+      """WITH m AS (
+        |  SELECT CAST(date_part('year', o_orderdate) * 12
+        |      + date_part('month', o_orderdate) AS BIGINT) AS month_idx,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT month_idx, revenue_cents,
+        |  CAST((1000000 * (revenue_cents
+        |      - lag(revenue_cents, 1) OVER (ORDER BY month_idx ASC)))
+        |    // lag(revenue_cents, 1) OVER (ORDER BY month_idx ASC)
+        |    AS BIGINT) AS mom_ppm,
+        |  CAST((1000000 * (revenue_cents
+        |      - lag(revenue_cents, 12) OVER (ORDER BY month_idx ASC)))
+        |    // lag(revenue_cents, 12) OVER (ORDER BY month_idx ASC)
+        |    AS BIGINT) AS yoy_ppm
+        |FROM m""".stripMargin,
+
+    "q246_one_and_done" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1
+        |), j AS (
+        |  SELECT c_mktsegment, COALESCE(per.n, 0) AS n
+        |  FROM customer LEFT JOIN per ON c_custkey = o_custkey
+        |)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_one_and_done,
+        |  CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_never_ordered,
+        |  CAST((1000000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END))
+        |    // COUNT(*) AS BIGINT) AS one_and_done_ppm
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q243_priority_mix" ->
       """WITH m AS (
