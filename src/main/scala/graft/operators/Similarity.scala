@@ -73,17 +73,22 @@ object Similarity {
     * [[bruteForceTopK]], so it oracle-matches); the k-selection rides the
     * bounded-heap [[graft.plans.TopKPerGroup]] plan, so per-partition state
     * is k rows per anchor rather than a full |anchors|×|corpus| sort.
-    * `anchors` defaults to the whole corpus (mine negatives for everything)
-    * — at 100 TB compose with [[ivfTopK]]'s bucket prune to bound the
-    * candidate join; the broadcast-anchor exact form here is the per-bucket
-    * inner loop either way. */
+    *
+    * `anchors` is EXPLICIT and must be a bounded set (a labeled seed batch,
+    * a sampled anchor pool) — it is broadcast, and the corpus streams
+    * partition-parallel against it, so cost is O(|corpus| × |anchors|)
+    * with no shuffle until the per-anchor heap merge. To mine negatives
+    * for EVERY corpus row, use [[hardNegativesAnn]]: an all-pairs pass
+    * with the corpus on the broadcast side is a 100 TB scale-killer
+    * (broadcast OOM + O(n²) nested loop), so this method deliberately
+    * does not offer it. */
   def hardNegatives(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int, anchors: Option[DataFrame] = None
+      k: Int, anchors: DataFrame
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("__nl"), asDouble(col(vecCol)).as("c_vec"))
-    val a = anchors.getOrElse(corpus).select(col(idCol).as("query_id"),
+    val a = anchors.select(col(idCol).as("query_id"),
       col(labelCol).as("__ql"), asDouble(col(vecCol)).as("q_vec"))
     val scored = c.join(broadcast(a), col("__nl") =!= col("__ql"))
       .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
@@ -95,6 +100,137 @@ object Similarity {
     top.withColumn("rank",
       row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+  }
+
+  /** Corpus-wide hard-negative mining — every row is its own anchor — via
+    * SRP-LSH candidate generation instead of the all-pairs scan: band
+    * signatures bucket the corpus ([[rpSignature]], `bands` bands of
+    * `bitsPerBand` hyperplane-sign bits), cross-label pairs inside a shared
+    * bucket become candidates, candidates are EXACT-verified with the same
+    * sequential-order cosine as [[hardNegatives]] (identical rounding →
+    * identical values where both find a pair), and k-selection rides the
+    * bounded-heap [[graft.plans.TopKPerGroup]].
+    *
+    * 100 TB shape: no broadcast of anything corpus-sized and no O(n²)
+    * stage — the candidate join is equi-keyed on (band, sig) buckets whose
+    * size `maxBucketSize` caps, and the verify join is equi-keyed on ids.
+    * Recall per neighbor at cosine c is 1-(1-p^bitsPerBand)^bands with
+    * p = 1-acos(c)/π; the wide-band default (32×2) holds worst-pair recall
+    * >0.9999 down to c≈0.25 — size bitsPerBand UP as the corpus grows so
+    * buckets stay ~10³-10⁴ rows (recall is then concentrated on the
+    * high-cosine pairs that matter for mining). SimilaritySpec pins
+    * candidates ⊇ exact top-k on the test corpus.
+    *
+    * `dim` is the embedding dimensionality (callers know their model's
+    * dim; no data probe). */
+  def hardNegativesAnn(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      seed: Long = 42L, maxBucketSize: Int = 20000
+  ): DataFrame = {
+    val (plan, caches) = hardNegativesAnnPlan(corpus, idCol, vecCol, labelCol,
+      k, dim, bands, bitsPerBand, seed, maxBucketSize)
+    // materialize the (≤ k rows per anchor) result, then release the
+    // cached vectors/signatures so repeated calls don't leak storage blocks
+    val out = plan.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The un-checkpointed [[hardNegativesAnn]] plan plus the cached frames
+    * backing it — exposed so plan-shape specs can assert the join
+    * topology (no corpus broadcast, no nested loop) before the eager
+    * checkpoint collapses it to an RDD scan. Callers must `unpersist()`
+    * the returned cached frames when done. */
+  def hardNegativesAnnPlan(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int, dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      seed: Long = 42L, maxBucketSize: Int = 20000
+  ): (DataFrame, Seq[DataFrame]) = {
+    // norm computed ONCE per vector — the per-pair verify is then a single
+    // dot product, and dot/(nrm_a·nrm_b) is the identical double the
+    // pairwise dot/(√(a·a)·√(b·b)) form yields (same expressions, same
+    // order), so rounding matches the exact path bit-for-bit
+    val v = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(bands * bitsPerBand <= 64,
+      "packed-signature dedup needs bands*bitsPerBand <= 64")
+    // all band signatures in ONE fused pass over the cached vectors;
+    // alongside the exploded (band, sig) bucket key, every row carries the
+    // full signature PACKED into one long so pair dedup can be a local
+    // integer filter (below)
+    val sigArr = rpSignatureBands(col("v"), bands, bitsPerBand, dim, seed)
+    val packed = (0 until bands).map(b =>
+      shiftleft(element_at(col("sigs"), b + 1), b * bitsPerBand))
+      .reduce(_ bitwiseOR _)
+    // spread the bucket keys across the cluster: pair generation fans a
+    // row out |bucket| times, so the (band, sig) partitioning — not the
+    // input file layout — must set the parallelism of everything downstream
+    // (broadcast-built joins preserve the probe side's partitioning; without
+    // this a single-file corpus runs the whole candidate pipeline in one
+    // task). The partition count is EXPLICIT: AQE sizes coalescing by the
+    // exchange's bytes, which under-provisions a stage that expands
+    // |bucket|× after it. Also pre-aligns the bucket-size groupBy.
+    val s = v.select(col("id"), col("lbl"), sigArr.as("sigs"))
+      .select(col("id"), col("lbl"), packed.as("fullsig"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("sig"))
+      // n×bands narrow rows: caching pins the (heavy-codegen) signature
+      // stage to ONE evaluation — it feeds both the bucket-size agg and
+      // the pair join
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // degenerate-bucket cap: (band, sig) keys whose population exceeds
+    // maxBucketSize are excluded from pair generation (boilerplate-heavy
+    // signature collisions; size bitsPerBand up instead of paying n² in a
+    // hot bucket). Plain equi-join — bucket stats grow with the corpus, so
+    // no broadcast hint; AQE picks the strategy.
+    val okBuckets = s.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("band"), col("sig"))
+    val sOk = s.join(okBuckets, Seq("band", "sig"))
+    val a = sOk.select(col("band"), col("sig"), col("id").as("query_id"),
+      col("lbl").as("__ql"), col("fullsig").as("__qf"))
+    val b = sOk.select(col("band"), col("sig"), col("id").as("neighbor_id"),
+      col("lbl").as("__nl"), col("fullsig").as("__nf"))
+    // first-collision-band rule: a pair colliding in several bands is
+    // emitted ONLY from the lowest one — an EXACT dedup computed locally
+    // from the packed signatures with pure integer codegen (no
+    // `.distinct()` re-shuffle of bands×-duplicated pairs, no per-row
+    // array work). xor's zero b-bit groups mark collision bands; collapse
+    // each group to its low bit, take the lowest zero group via the
+    // classic ntz = bit_count(~z & (z−1)) identity.
+    val groupLowBits = lit((0 until bands)
+      .map(b => 1L << (b * bitsPerBand)).reduce(_ | _))
+    val xorSig = col("__qf") bitwiseXOR col("__nf")
+    val groupNonZero = (0 until bitsPerBand)
+      .map(i => shiftrightunsigned(xorSig, i))
+      .reduce(_ bitwiseOR _) bitwiseAND groupLowBits
+    val zeroGroups = bitwise_not(groupNonZero) bitwiseAND groupLowBits
+    val firstCollisionBand =
+      (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
+        bitsPerBand).cast("int")
+    val candidates = a.join(b, Seq("band", "sig"))
+      .filter(col("__ql") =!= col("__nl"))
+      .filter(col("band") === firstCollisionBand)
+      .select(col("query_id"), col("neighbor_id"))
+    val scored = candidates
+      .join(v.select(col("id").as("query_id"), col("v").as("q_vec"),
+        col("nrm").as("__qn")), Seq("query_id"))
+      .join(v.select(col("id").as("neighbor_id"), col("v").as("c_vec"),
+        col("nrm").as("__cn")), Seq("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val top = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    val out = top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+    (out, Seq(v, s))
   }
 
   /** Embedding-space outlier gate (the centroid-distance quality filter of
@@ -204,11 +340,28 @@ object Similarity {
     Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** All band signatures of a double vector as one array<long> column,
+    * via the fused [[graft.functions.expressions.SrpSignaturesExpr]] —
+    * value-identical to `array(rpSignature(band 0), …)` (SimilaritySpec
+    * pins it) but one small expression instead of bands×bits dot trees
+    * (whose generated code takes seconds to janino-compile per stage). */
+  def rpSignatureBands(vecDouble: Column, bands: Int, bitsPerBand: Int,
+      dim: Int, seed: Long): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val planes = (0 until bands)
+      .flatMap(b => randomPlanes(bitsPerBand, dim, seed + b))
+    GraftColumnBridge.column(graft.functions.expressions.SrpSignaturesExpr(
+      GraftColumnBridge.expression(vecDouble), planes, bands, bitsPerBand))
+  }
+
   /** Random-projection (SRP) signature: bit j = sign(v · plane_j). For two
     * vectors at angle θ, P(bit match) = 1 - θ/π — the classic cosine LSH. */
   def rpSignature(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val planeArr = array(p.map(lit): _*)
+      // one constant array literal per plane (NOT array(lit,...): a
+      // CreateArray of 64 scalar literals re-assembles the array per row
+      // and bloats every stage's codegen it appears in)
+      val planeArr = lit(p.toArray)
       when(dot(asDouble(vec), planeArr) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -220,9 +373,11 @@ object Similarity {
   def rpLshNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 4,
-      seed: Long = 42L, maxBucketSize: Int = 10000
+      seed: Long = 42L, maxBucketSize: Int = 10000, dim: Int = -1
   ): DataFrame = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // callers know their embedding model's dimensionality — pass it to
+    // skip the 1-row probe job (kept as a convenience fallback)
+    val d = if (dim > 0) dim else df.select(size(col(vecCol))).first().getInt(0)
     // normalize ONCE per vector: signatures are scale-invariant (sign of
     // dot is unchanged by positive scaling... but the FP boundary cases are
     // not, so the oracle twin must normalize identically), and the verify
@@ -230,12 +385,10 @@ object Similarity {
     val v = df.select(col(idCol).as("id"),
         normalize(asDouble(col(vecCol))).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // all band signatures in ONE pass over the cached vectors (a union of
-    // per-band selects re-scans v `bands` times; posexplode of the 8-slot
-    // signature array is one scan and the identical (band, sig) rows)
-    val sigArr = array((0 until bands).map { b =>
-      rpSignature(col("v"), randomPlanes(bitsPerBand, dim, seed + b))
-    }: _*)
+    // all band signatures in ONE fused pass over the cached vectors (a
+    // union of per-band selects re-scans v `bands` times; posexplode of
+    // the signature array is one scan and the identical (band, sig) rows)
+    val sigArr = rpSignatureBands(col("v"), bands, bitsPerBand, d, seed)
     val withBands = v.select(col("id"),
       posexplode(sigArr).as(Seq("band", "sig")))
     val buckets = withBands

@@ -385,7 +385,7 @@ object DataQueries {
     // verified).
     "q51_srp_neardup" -> { (s, dir) =>
       Similarity.rpLshNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.5)
+        "vec_id", "embedding", threshold = 0.5, dim = 64)
     },
 
     // Embedding-cosine near-dup pairs within label blocks
@@ -394,12 +394,17 @@ object DataQueries {
         "vec_id", "embedding", "label", threshold = 0.3)
     },
 
-    // Hard-negative mining: top-3 most-similar DIFFERENT-label vectors per
-    // anchor (all 500 anchors), exact cosine, bounded-heap k-selection;
-    // rank window runs on the pruned <=k rows per anchor
+    // Hard-negative mining for the WHOLE corpus (every row its own
+    // anchor): SRP-LSH band buckets generate cross-label candidates
+    // (equi-join on (band, sig) — no corpus broadcast, no O(n²) stage),
+    // exact-cosine verify, bounded-heap k-selection; rank window runs on
+    // the pruned <=k rows per anchor. The wide-band setting (32 bands ×
+    // 2 bits) holds worst-pair recall >0.9999 down to cosine 0.25 — on
+    // this corpus the candidate set provably covers the exact top-3
+    // (SimilaritySpec pins it), so the exact all-pairs oracle matches.
     "q161_hard_negatives" -> { (s, dir) =>
-      Similarity.hardNegatives(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", k = 3)
+      Similarity.hardNegativesAnn(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", k = 3, dim = 64)
     },
 
     // Embedding outlier gate: cosine of each vector to its label's exact

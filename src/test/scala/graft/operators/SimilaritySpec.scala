@@ -170,7 +170,8 @@ class SimilaritySpec extends SparkSpec {
       (3L, Seq(0.0f, 1.0f), "B"),
       (4L, Seq(0.5f, 0.5f), "B")
     ).toDF("vec_id", "embedding", "label")
-    val r = Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 2)
+    val r = Similarity.hardNegatives(e, "vec_id", "embedding", "label", k = 2,
+        anchors = e)
       .collect()
       .map(x => (x.getLong(0), x.getInt(3)) -> (x.getLong(1), x.getDouble(2)))
       .toMap
@@ -184,6 +185,41 @@ class SimilaritySpec extends SparkSpec {
     // never a same-label pair
     val labels = Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B")
     r.foreach { case ((q, _), (n, _)) => assert(labels(q) != labels(n)) }
+  }
+
+  test("hardNegativesAnn: matches exact hardNegatives on the corpus " +
+      "(candidates cover the exact top-k) and plans no all-pairs stage") {
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        k = 3, anchors = emb)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    val ann = Similarity.hardNegativesAnn(emb, "vec_id", "embedding", "label",
+      k = 3, dim = 64)
+    // LSH candidate generation recovered every exact top-3 neighbor at the
+    // wide-band setting — identical (neighbor, cosine, rank) per anchor
+    val got = ann.collect().map(r => (r.getLong(0), r.getInt(3)) ->
+      ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == exact)
+    // the plan is bucketed equi-joins only: no broadcast nested loop over
+    // the corpus, no cartesian product (the all-pairs scale-killer shape)
+    val (planned, caches) = Similarity.hardNegativesAnnPlan(
+      emb, "vec_id", "embedding", "label", k = 3, dim = 64)
+    val plan = planned.queryExecution.executedPlan.toString
+    caches.foreach(_.unpersist())
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("rpSignatureBands: fused expression equals per-band rpSignature chain") {
+    val vd = transform(col("embedding"), _.cast("double"))
+    val declared = array((0 until 8).map { b =>
+      Similarity.rpSignature(vd, Similarity.randomPlanes(4, 64, 42L + b))
+    }: _*)
+    val fused = Similarity.rpSignatureBands(vd, bands = 8, bitsPerBand = 4,
+      dim = 64, seed = 42L)
+    val diff = emb.select(col("vec_id"), declared.as("a"), fused.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0L)
   }
 
   test("recallAtK: identical frames score 1e6 ppm, misses subtract") {
