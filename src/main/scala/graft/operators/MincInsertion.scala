@@ -51,11 +51,14 @@ import graft.functions.Ordinals
   *     EchoTime / TarchiveSource carried, and FileIDs continuing from
   *     max(existing).
   *
-  * Scale posture: all dictionaries (uploads, tarchives, series guard,
-  * psc, scanners, candidates, sessions, known hashes, cand-error log,
-  * protocol table) are catalog-sized and broadcast; the data-volume
-  * exchanges are the bounded per-hash batch-dup window and the two
-  * range-sort ordinals (new session ids, new file ids).
+  * Scale posture: the protocol table and psc are true dictionaries and
+  * broadcast; catalog-derived sets (uploads, tarchives, series guard,
+  * candidates, sessions, known md5 hashes, cand-error log) grow with the
+  * site, so their joins carry NO broadcast hint — AQE broadcasts them
+  * while they are small and falls back to shuffle joins at 100× (a forced
+  * hint would OOM on the files-md5 set alone). The data-volume exchanges
+  * are the bounded per-hash batch-dup window and the two range-sort
+  * ordinals (new session ids, new file ids).
   */
 object MincInsertion {
 
@@ -122,8 +125,8 @@ object MincInsertion {
         min(col("IsTarchiveValidated")).as("__a_valid"))
 
     val resolved = mincs
-      .join(broadcast(upDict), Seq("upload_id"), "left")
-      .join(broadcast(byArchive),
+      .join(upDict, Seq("upload_id"), "left")
+      .join(byArchive,
         element_at(split(col("tarchive_path"), "/"), -1) === col("__base"),
         "left")
       .withColumn("__mode",
@@ -143,7 +146,7 @@ object MincInsertion {
           .when(col("__mode") === "upload", col("__up_valid"))
           .when(col("__mode") === "archive", col("__a_valid"))
           .otherwise(lit(false)))
-      .join(broadcast(tarDict), col("tarchive_id") === col("__t_tid"),
+      .join(tarDict, col("tarchive_id") === col("__t_tid"),
         "left")
 
     // ---- 2./3. validation gate + force-mode series guard ----------
@@ -153,7 +156,7 @@ object MincInsertion {
       .select(col("SeriesUID").as("series_uid"),
         col("EchoTime").as("__sg_te"), col("__sg_loc"))
     val guarded = resolved
-      .join(broadcast(seriesGuard),
+      .join(seriesGuard,
         resolved("series_uid") === seriesGuard("series_uid") &&
           round(col("echo_time") * 1000, 6) === col("__sg_te") &&
           col("tarchive_id").isNull, "left")
@@ -199,7 +202,7 @@ object MincInsertion {
     val candPair = candidates.groupBy(col("CandID"))
       .agg(collect_set(col("PSCID")).as("__pscids"))
     val reasoned = scanned
-      .join(broadcast(candPair), Seq("CandID"), "left")
+      .join(candPair, Seq("CandID"), "left")
       .withColumn("__cand_reason",
         when(col("CandID").isNull,
           lit("PatientName does not match the naming convention"))
@@ -207,12 +210,12 @@ object MincInsertion {
           .when(!array_contains(col("__pscids"), col("pscid")),
             lit("PSCID and CandID of the image mismatch")))
       // MRICandidateErrors dedup on the full identity tuple (:547-561)
-      .join(broadcast(candErrors.select(
+      .join(candErrors.select(
         col("SeriesUID").as("__ce_uid"), col("EchoTime").as("__ce_te"),
         col("EchoNumber").as("__ce_en"),
         col("PhaseEncodingDirection").as("__ce_ped"),
         col("PatientName").as("__ce_pn"), col("Reason").as("__ce_reason"),
-        lit(true).as("__ce_hit"))),
+        lit(true).as("__ce_hit")),
         col("series_uid") <=> col("__ce_uid") &&
           round(col("echo_time") * 1000, 6) <=> col("__ce_te") &&
           col("echo_number") <=> col("__ce_en") &&
@@ -227,7 +230,7 @@ object MincInsertion {
       .groupBy(col("CandID"), col("Visit_label").as("visit_label"))
       .agg(min(col("ID")).as("__sess_id"))
     val withSess = reasoned
-      .join(broadcast(sessKeys), Seq("CandID", "visit_label"), "left")
+      .join(sessKeys, Seq("CandID", "visit_label"), "left")
     val newSessKeys = withSess
       .filter(col("__sess_id").isNull && col("__cand_reason").isNull)
       .select(col("CandID"), col("visit_label")).distinct()
@@ -239,13 +242,16 @@ object MincInsertion {
       .select(col("CandID"), col("visit_label"),
         (col("__max_sess") + col("__ord")).as("__new_sess"))
     val sessed = withSess
-      .join(broadcast(mintedSess), Seq("CandID", "visit_label"), "left")
+      .join(mintedSess, Seq("CandID", "visit_label"), "left")
       .withColumn("session_id",
         coalesce(col("__sess_id"), col("__new_sess")))
       .withColumn("session_new",
         col("__sess_id").isNull && col("__new_sess").isNotNull)
 
     // ---- 8. md5 gate + 9. protocol --------------------------------
+    // files-derived md5 set: grows with the catalog (gigabytes at 100×),
+    // so NO broadcast hint — plain left join lets AQE pick shuffle-hash /
+    // SMJ when the catalog is big (dictionary joins below keep the hint)
     val knownMd5 = files.select(col("md5hash"))
       .withColumn("__md5_dup", lit(true)).distinct()
     val suggested = protocols.select(col("ScanType").as("__sp_name"),
@@ -253,7 +259,7 @@ object MincInsertion {
     val teMatch = protocols.select(col("MriScanTypeID").as("__te_id"),
       col("ScanType").as("__te_name"), col("TE_min"), col("TE_max"))
     val proto = sessed
-      .join(broadcast(knownMd5), Seq("md5hash"), "left")
+      .join(knownMd5, Seq("md5hash"), "left")
       .join(broadcast(suggested),
         col("suggested_protocol") === col("__sp_name"), "left")
       .join(broadcast(teMatch),

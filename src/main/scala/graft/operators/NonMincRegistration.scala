@@ -42,11 +42,13 @@ import org.apache.spark.sql.functions._
   *    CoordinateSpace set (`:506-536`) and FileIDs continuing from
   *    max(existing).
   *
-  * Scale posture: every dictionary (uploads, scanners, scan types, file
-  * types, candidates, visit windows, session keys, known hashes) is
-  * catalog-sized and broadcast; the only data-volume exchanges are the
-  * md5-partitioned batch-dup window (bounded per hash) and the range-sort
-  * ordinal over newly registered rows.
+  * Scale posture: scanners, scan types, file types and visit windows are
+  * true dictionaries and broadcast; catalog-derived sets (uploads,
+  * candidates, session keys, known md5 hashes) grow with the site, so
+  * their joins carry NO broadcast hint — AQE broadcasts them while small
+  * and falls back to shuffle joins at 100×. The only data-volume
+  * exchanges are the md5-partitioned batch-dup window (bounded per hash)
+  * and the range-sort ordinal over newly registered rows.
   */
 object NonMincRegistration {
 
@@ -100,17 +102,21 @@ object NonMincRegistration {
 
     val candPair = candidates
       .select(col("CandID"), col("PSCID").as("__cand_pscid"))
+    // uploads and candidates are catalog-derived (grow with the site):
+    // plain left joins, no broadcast hint — AQE picks the strategy at
+    // runtime. scanners / scan types / visit windows are true
+    // dictionaries and keep the hint.
     val checked = parsed
-      .join(broadcast(uploads.select(col("UploadID").as("upload_id"))
-        .distinct().withColumn("__up_ok", lit(true))), Seq("upload_id"), "left")
+      .join(uploads.select(col("UploadID").as("upload_id"))
+        .distinct().withColumn("__up_ok", lit(true)), Seq("upload_id"), "left")
       .join(broadcast(scanners.select(col("ScannerID").as("scanner_id"))
         .distinct().withColumn("__sc_ok", lit(true))), Seq("scanner_id"), "left")
       .join(broadcast(scanTypes.select(col("MriScanTypeID"),
         col("ScanType").as("scan_type"))), Seq("scan_type"), "left")
       .join(typed, Seq("file_path"), "left")
       // CandID exists? does the PSCID belong to the same candidate?
-      .join(broadcast(candPair.groupBy(col("CandID"))
-        .agg(collect_set(col("__cand_pscid")).as("__pscids"))),
+      .join(candPair.groupBy(col("CandID"))
+        .agg(collect_set(col("__cand_pscid")).as("__pscids")),
         Seq("CandID"), "left")
       // BINARY visit-label membership (the P6 case-sensitive match)
       .join(broadcast(visitWindows
@@ -124,8 +130,9 @@ object NonMincRegistration {
         array_contains(col("__pscids"), col("PSCID")) &&
         coalesce(col("__vl_ok"), lit(false)))
 
-    val dupCatalog = broadcast(files.select(col("md5hash")).distinct()
-      .withColumn("__dup_cat", lit(true)))
+    // files-derived md5 set: catalog-sized, no broadcast hint (see above)
+    val dupCatalog = files.select(col("md5hash")).distinct()
+      .withColumn("__dup_cat", lit(true))
     val preMd5 = col("__date_ok") && col("__up_ok").isNotNull &&
       col("__sc_ok").isNotNull && col("MriScanTypeID").isNotNull &&
       col("file_type").isNotNull && col("__subject_ok") && col("__cand_ok")
@@ -173,7 +180,7 @@ object NonMincRegistration {
         col("__existing").isNull.as("__session_new"))
 
     val withSession = statused
-      .join(broadcast(sessResolved), Seq("CandID", "VisitLabel"), "left")
+      .join(sessResolved, Seq("CandID", "VisitLabel"), "left")
 
     val maxFile = files
       .agg(coalesce(max(col("FileID")), lit(0L)).cast("long").as("__maxf"))

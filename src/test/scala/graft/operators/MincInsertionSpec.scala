@@ -118,6 +118,24 @@ class MincInsertionSpec extends SparkSpec {
     assert(out == ("series_in_existing_archive", "y/A.tar"))
   }
 
+  test("plan shape: no broadcast hint on catalog-derived join sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = plan(mincs(Seq(mincRow(1L, Some(70L), md5 = "p1"))))
+    val hintedCols = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.output.map(_.name)
+    }.flatten.toSet
+    // catalog-derived sets (files md5, uploads, tarchives, series guard,
+    // candidates, cand errors, sessions, minted sessions) must be plain
+    // joins so AQE can fall back to shuffle strategies at 100×; their
+    // marker columns must not appear under any hint node
+    val catalogMarkers = Seq("__md5_dup", "__up_tid", "__t_loc", "__n_up",
+      "__sg_te", "__pscids", "__ce_hit", "__sess_id", "__new_sess")
+    catalogMarkers.foreach(m =>
+      assert(!hintedCols.contains(m), s"catalog-derived $m is hinted"))
+    // dictionaries stay hinted (the protocol table suggestion join)
+    assert(hintedCols.contains("__sp_id"))
+  }
+
   test("session get-or-create mints ids above max(existing)") {
     val out = plan(mincs(Seq(
       mincRow(1L, Some(70L), md5 = "s1"))))

@@ -99,6 +99,21 @@ class NonMincRegistrationSpec extends SparkSpec {
     assert(c.getAs[Boolean]("session_is_new"))
   }
 
+  test("plan shape: no broadcast hint on catalog-derived join sides") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = run(Seq(cand("a.nii", md5 = "n1")))
+    val hintedCols = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint => h.child.output.map(_.name)
+    }.flatten.toSet
+    // uploads / candidates / session keys / files-md5 grow with the
+    // catalog: no forced broadcast, AQE picks the join strategy
+    Seq("__up_ok", "__pscids", "__dup_cat", "__session_id").foreach(m =>
+      assert(!hintedCols.contains(m), s"catalog-derived $m is hinted"))
+    // true dictionaries keep the hint
+    Seq("__sc_ok", "__vl_ok").foreach(m =>
+      assert(hintedCols.contains(m), s"dictionary $m lost its hint"))
+  }
+
   test("parameter rows: metadata keys plus acquisition_date") {
     val reg = run(Seq(cand("a.nii", meta = Map("tr" -> "2000"),
       md5 = "n1")))
