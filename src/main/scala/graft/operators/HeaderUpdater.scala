@@ -50,28 +50,121 @@ object HeaderUpdater {
       tag -> v
     }.toMap
     val series = targetSeries
+    rebuildArchives(spark, dir, glob, { content =>
+      val parsed = DicomTagParser.parse(content)
+      val isDicom = parsed != null &&
+        parsed.getOrElse("study_uid", "").nonEmpty
+      val seriesOk = isDicom && series.forall { n =>
+        // trimwhitespace + 0: Perl numeric coercion of the IS value
+        val raw = parsed.getOrElse("series_number", "").trim
+        raw.takeWhile(c => c.isDigit || c == '-' || c == '+') match {
+          case s if s.nonEmpty &&
+            s.exists(_.isDigit) => s.toLong == n.toLong
+          case _ => 0L == n.toLong
+        }
+      }
+      if (isDicom && seriesOk) {
+        val out = DicomTagWriter.setTags(content, tagSets)
+        if (out != null) out else content
+      } else content
+    })
+  }
+
+  /** Parsed `updateHeadersBatch.pl` spec file: the key tag list (taken
+    * from the FIRST data line only — `parse_specfile`'s `$madeKeyList`
+    * latch) and the key-hash → set-list table. Key hashes join the RAW
+    * key-column values with `---` terminators, exactly as the script
+    * builds both sides of its lookup. */
+  final case class BatchSpec(keyTags: Seq[(Int, Int)],
+      setTable: Map[String, Seq[(String, String)]])
+
+  private val TagSpecRe = "\\(([0-9a-fA-F]{4}),([0-9a-fA-F]{4})\\)".r
+
+  /** `updateHeadersBatch.pl parse_specfile:233-263`: one series per line,
+    * tab-separated; blank and `#` lines skipped; the first `keyCols`
+    * column PAIRS are `(XXXX,YYYY)`-formatted key fields and their match
+    * values, the remaining pairs are (dcmtk field name, new value) sets.
+    * A trailing odd field is ignored (`$i<$#bits`), and a key column not
+    * matching the tag pattern contributes nothing to the hash. */
+  def parseSpecFile(lines: Seq[String], keyCols: Int): BatchSpec = {
+    var keyTags = Vector.empty[(Int, Int)]
+    var made = false
+    val table = scala.collection.mutable.LinkedHashMap
+      .empty[String, Seq[(String, String)]]
+    lines.foreach { line =>
+      if (line.nonEmpty && !line.startsWith("#")) {
+        val bits = line.split('\t')
+        var key = ""
+        (0 until keyCols * 2 by 2).foreach { i =>
+          if (i + 1 < bits.length) bits(i) match {
+            case TagSpecRe(g, e) =>
+              if (!made) keyTags :+=
+                ((Integer.parseInt(g, 16), Integer.parseInt(e, 16)))
+              key += bits(i + 1) + "---"
+            case _ => ()
+          }
+        }
+        made = true
+        val sets = (keyCols * 2 until bits.length - 1 by 2)
+          .map(i => (bits(i), bits(i + 1)))
+        table(key) = sets
+      }
+    }
+    BatchSpec(keyTags, table.toMap)
+  }
+
+  /** `tools/updateHeadersBatch.pl` — the spec-file-driven batch form of
+    * [[updateArchives]]: every DICOM member's key hash (the trimmed
+    * values of the spec's key tags, `---`-joined) selects its set list;
+    * members whose hash has no spec row — and non-DICOM members — ride
+    * along untouched; every archive is rebuilt (`dicomTar -clobber`).
+    * Unknown set field names throw up front, the analogue of `dcmodify`
+    * failing on a bad `--insert-tag`. */
+  def updateArchivesBatch(spark: SparkSession, dir: String,
+      specLines: Seq[String], keyCols: Int = 1,
+      glob: String = "*.{tar,tar.gz,tgz}"): Dataset[RebuiltArchive] = {
+    val spec = parseSpecFile(specLines, keyCols)
+    // resolve every set list to tag ints once, driver-side
+    val setsByHash: Map[String, Map[Int, String]] = spec.setTable.map {
+      case (hash, sets) => hash -> sets.map { case (name, v) =>
+        DicomTagWriter.parseTagSpec(name).getOrElse(
+          throw new IllegalArgumentException(
+            s"unrecognized DICOM field: $name")) -> v
+      }.toMap
+    }
+    val keyTags = spec.keyTags
+    rebuildArchives(spark, dir, glob, { content =>
+      val walked = DicomTagParser.describe(content)
+      val isDicom = walked.exists(e =>
+        e.group == 0x0020 && e.element == 0x000D && e.value.nonEmpty)
+      if (!isDicom) content
+      else {
+        val keyhash = keyTags.map { case (g, el) =>
+          walked.find(e => e.group == g && e.element == el)
+            .map(_.value.trim).getOrElse("") + "---"
+        }.mkString
+        setsByHash.get(keyhash) match {
+          case Some(sets) =>
+            val out = DicomTagWriter.setTags(content, sets)
+            if (out != null) out else content
+          case None => content
+        }
+      }
+    })
+  }
+
+  /** The shared extract → per-member update → rebuild dataflow: archives
+    * expand partition-parallel, `update` runs row-local on every file
+    * member, the rebuild regroups members per archive (ONE exchange keyed
+    * by archive path — each group is one study archive, the boundedness
+    * the reference assumes when extracting an archive into one tempdir). */
+  private def rebuildArchives(spark: SparkSession, dir: String, glob: String,
+      update: Array[Byte] => Array[Byte]): Dataset[RebuiltArchive] = {
+    import spark.implicits._
     TarGzSource.members(spark, dir, glob)
       .groupByKey(_.archive_path)
       .mapGroups { (path, it) =>
         val ms = it.toSeq
-        def updateBytes(content: Array[Byte]): Array[Byte] = {
-          val parsed = DicomTagParser.parse(content)
-          val isDicom = parsed != null &&
-            parsed.getOrElse("study_uid", "").nonEmpty
-          val seriesOk = isDicom && series.forall { n =>
-            // trimwhitespace + 0: Perl numeric coercion of the IS value
-            val raw = parsed.getOrElse("series_number", "").trim
-            raw.takeWhile(c => c.isDigit || c == '-' || c == '+') match {
-              case s if s.nonEmpty &&
-                s.exists(_.isDigit) => s.toLong == n.toLong
-              case _ => 0L == n.toLong
-            }
-          }
-          if (isDicom && seriesOk) {
-            val out = DicomTagWriter.setTags(content, tagSets)
-            if (out != null) out else content
-          } else content
-        }
         // nested bundles rebuild from their member rows; other members
         // update in place
         val nested = ms.filter(_.nested_in != null).groupBy(_.nested_in)
@@ -82,11 +175,11 @@ object HeaderUpdater {
               val inner = nested(m.member_path).sortBy(_.member_path).map {
                 im =>
                   im.member_path -> (if (im.is_dir) Array.emptyByteArray
-                  else updateBytes(im.content))
+                  else update(im.content))
               }
               m.member_path -> TarSink.gzipBytes(TarSink.tarBytes(inner))
             } else if (m.is_dir) m.member_path -> Array.emptyByteArray
-            else m.member_path -> updateBytes(m.content)
+            else m.member_path -> update(m.content)
           }
         RebuiltArchive(path, TarSink.tarBytes(entries))
       }

@@ -510,6 +510,51 @@ object MaintQueries {
             "pl <tmp>/$1 <dir> -clobber"))
     },
 
+    // tools/updateHeadersBatch.pl: spec-file-driven batch header update —
+    // tab-separated spec rows keyed by '(XXXX,YYYY)' tag pairs (-keys=1:
+    // SeriesNumber), per-file key-hash lookup, dcmodify insert-or-modify
+    // per matched set pair, comment/blank lines skipped, trailing odd
+    // field ignored ($i<$#bits), unmatched series and the stray text
+    // member untouched — all read back from the REBUILT archive
+    "q247_update_headers_batch" -> { (s, _) =>
+      import graft.sources.{SyntheticFixtures, TarSink}
+      val dir = SyntheticFixtures.freshDir("q247")
+      def slice(series: Int, instance: Int): Array[Byte] =
+        SyntheticFixtures.dicomBytes(Seq(
+          SyntheticFixtures.dicomElem(0x0008, 0x0020, "DA", "20240102"),
+          SyntheticFixtures.dicomElem(0x0008, 0x0060, "CS", "MR"),
+          SyntheticFixtures.dicomElem(0x0010, 0x0010, "PN", "SUB^ONE"),
+          SyntheticFixtures.dicomElem(0x0010, 0x0020, "LO", "SUB001"),
+          SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", "1.2.3.9100"),
+          SyntheticFixtures.dicomElem(0x0020, 0x000E, "UI",
+            s"1.2.3.9100.$series"),
+          SyntheticFixtures.dicomElem(0x0020, 0x0011, "IS", series.toString),
+          SyntheticFixtures.dicomElem(0x0020, 0x0013, "IS",
+            instance.toString)))
+      val inner = TarSink.tarBytes(Seq(
+        "study/" -> Array.emptyByteArray,
+        "study/001.dcm" -> slice(2, 1),
+        "study/002.dcm" -> slice(2, 2),
+        "study/003.dcm" -> slice(3, 1),
+        "study/004.dcm" -> slice(4, 1),
+        "study/005.dcm" -> slice(5, 1)))
+      val outer = TarSink.tarBytes(Seq(
+        "upload/notes.txt" -> "operator log".getBytes("US-ASCII"),
+        "upload/study.tar.gz" -> TarSink.gzipBytes(inner)))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "DCM_q247.tar"), outer)
+      val specLines = Seq(
+        "# batch header fixes for study 1.2.3.9100",
+        "",
+        "(0020,0011)\t2\tPatientName\tFOO^BAR\t(0008,0080)\tBIC",
+        "(0020,0011)\t3\tPatientID\tNEW01",
+        // trailing odd field: ORPHAN is dropped by the $i<$#bits loop
+        "(0020,0011)\t4\tPatientName\tX^FOUR\tORPHAN")
+      graft.operators.HeaderUpdater.reparse(
+        graft.operators.HeaderUpdater.updateArchivesBatch(s, dir,
+          specLines, keyCols = 1, glob = "*.tar"))
+    },
+
     // tools/batch_run_pipeline_qc_face_script.pl: counter-indexed logs,
     // .mnc→.jpg output naming, Perl quotemeta escaping, qsub job names
     "q154_qcface_batch" -> { (s, _) =>
@@ -741,6 +786,16 @@ object MaintQueries {
         |  ('study/001.dcm', '2', 'FOO^BAR', 'SUB001', 'BIC'),
         |  ('study/002.dcm', '2', 'FOO^BAR', 'SUB001', 'BIC'),
         |  ('study/003.dcm', '3', 'SUB^ONE', 'SUB001', CAST(NULL AS VARCHAR))
+        |) AS t(member_path, series_number, patient_name, patient_id,
+        |       institution)""".stripMargin,
+
+    "q247_update_headers_batch" ->
+      """SELECT * FROM (VALUES
+        |  ('study/001.dcm', '2', 'FOO^BAR', 'SUB001', 'BIC'),
+        |  ('study/002.dcm', '2', 'FOO^BAR', 'SUB001', 'BIC'),
+        |  ('study/003.dcm', '3', 'SUB^ONE', 'NEW01', CAST(NULL AS VARCHAR)),
+        |  ('study/004.dcm', '4', 'X^FOUR', 'SUB001', CAST(NULL AS VARCHAR)),
+        |  ('study/005.dcm', '5', 'SUB^ONE', 'SUB001', CAST(NULL AS VARCHAR))
         |) AS t(member_path, series_number, patient_name, patient_id,
         |       institution)""".stripMargin,
 

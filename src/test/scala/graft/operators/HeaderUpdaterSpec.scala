@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.{SyntheticFixtures, TarSink}
+
+/** [[HeaderUpdater]] batch mode — `tools/updateHeadersBatch.pl`:
+  * spec-file parse quirks and the key-hash-driven per-file update. */
+class HeaderUpdaterSpec extends SparkSpec {
+
+  test("parseSpecFile: key latch, comment/blank skip, odd-field drop") {
+    val spec = HeaderUpdater.parseSpecFile(Seq(
+      "# comment",
+      "",
+      "(0020,0011)\t2\tPatientName\tA\t(0008,0080)\tB",
+      // later lines cannot extend the key tag list ($madeKeyList latch),
+      // and the trailing odd ORPHAN field is dropped ($i<$#bits)
+      "(0020,0011)\t3\tPatientID\tC\tORPHAN"), keyCols = 1)
+    assert(spec.keyTags == Seq((0x0020, 0x0011)))
+    assert(spec.setTable == Map(
+      "2---" -> Seq("PatientName" -> "A", "(0008,0080)" -> "B"),
+      "3---" -> Seq("PatientID" -> "C")))
+  }
+
+  test("parseSpecFile: non-tag key column contributes nothing to the hash") {
+    val spec = HeaderUpdater.parseSpecFile(Seq(
+      "notatag\t2\tPatientName\tA"), keyCols = 1)
+    assert(spec.keyTags.isEmpty)
+    assert(spec.setTable == Map("" -> Seq("PatientName" -> "A")))
+  }
+
+  test("two-key batch update matches on (series, patient id) jointly") {
+    val dir = SyntheticFixtures.freshDir("huspec")
+    def slice(series: Int, pid: String): Array[Byte] =
+      SyntheticFixtures.dicomBytes(Seq(
+        SyntheticFixtures.dicomElem(0x0010, 0x0010, "PN", "ORIG^NAME"),
+        SyntheticFixtures.dicomElem(0x0010, 0x0020, "LO", pid),
+        SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", "1.2.3.42"),
+        SyntheticFixtures.dicomElem(0x0020, 0x0011, "IS", series.toString)))
+    val inner = TarSink.tarBytes(Seq(
+      "st/" -> Array.emptyByteArray,
+      "st/a.dcm" -> slice(1, "P1"),
+      "st/b.dcm" -> slice(1, "P2"), // same series, other patient: no match
+      "st/c.dcm" -> slice(2, "P1"))) // other series: no match
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "DCM.tar"),
+      TarSink.tarBytes(Seq("up/st.tar.gz" -> TarSink.gzipBytes(inner))))
+    val out = HeaderUpdater.reparse(
+      HeaderUpdater.updateArchivesBatch(spark, dir,
+        Seq("(0020,0011)\t1\t(0010,0020)\tP1\tPatientName\tNEW^NAME"),
+        keyCols = 2, glob = "*.tar"))
+      .collect()
+      .map(r => r.getAs[String]("member_path") ->
+        r.getAs[String]("patient_name")).toMap
+    assert(out == Map(
+      "st/a.dcm" -> "NEW^NAME",
+      "st/b.dcm" -> "ORIG^NAME",
+      "st/c.dcm" -> "ORIG^NAME"))
+  }
+
+  test("unknown set field name throws up front") {
+    val dir = SyntheticFixtures.freshDir("huspec2")
+    intercept[IllegalArgumentException] {
+      HeaderUpdater.updateArchivesBatch(spark, dir,
+        Seq("(0020,0011)\t1\tNoSuchDicomField\tX"), keyCols = 1)
+    }
+  }
+}
