@@ -185,6 +185,15 @@ object Dedup {
     * only its own band keys into it. Candidates are exact-verified, so
     * every emitted match is real; `maxBucketSize` sheds degenerate
     * boilerplate buckets on the index side.
+    *
+    * RECALL TRADE-OFF: a shed bucket silently loses every true match it
+    * alone would have surfaced — on boilerplate-heavy corpora (one
+    * signature shared by >maxBucketSize index docs) a batch twin of that
+    * boilerplate can go unflagged. Audit with
+    * [[incrementalLshBucketSizes]] (same banding, run alongside): 0 rows
+    * at the cap = nothing shed; oversized buckets mean either raise the
+    * cap or treat those signatures as a stop-list handled upstream.
+    * DedupSpec pins that the q180 corpus never hits the default cap.
     * Output: (batch_id, index_id, jaccard). */
   def incrementalLshMatches(
       index: DataFrame, batch: DataFrame,
@@ -239,6 +248,29 @@ object Dedup {
     val out = matches.localCheckpoint(true)
     idx.unpersist(); bat.unpersist()
     out
+  }
+
+  /** Audit surface for [[incrementalLshMatches]]'s `maxBucketSize` shed:
+    * the index side's (band_idx, band_sig) bucket populations under the
+    * SAME shingling/banding. Run it alongside an incremental dedup — any
+    * bucket at or over the cap is a signature whose matches the main pass
+    * silently drops (no silent caps: the shed must be visible). */
+  def incrementalLshBucketSizes(
+      index: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int
+  ): DataFrame = {
+    val params = minhashParams(bands * rowsPerBand)
+    index.select(col(idCol).as("id"),
+        shingleHashes60(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), params))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
+      .withColumnRenamed("pos", "band_idx")
+      .withColumnRenamed("col", "band_sig")
+      .groupBy(col("band_idx"), col("band_sig"))
+      .agg(count(lit(1)).as("bucket_size"))
   }
 
   /** MinHash estimator calibration: for every band-colliding pair, the

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * acceptable. */
 object Profiler {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     cols.map { c =>
       df.select(col(c).cast("string").as("__v"))
         .agg(
@@ -31,4 +32,5 @@ object Profiler {
           (col("n_rows") - col("__nn")).as("n_null"),
           col("n_distinct"), col("min_str"), col("max_str"))
     }.reduce(_ unionAll _)
+  }
 }

@@ -759,6 +759,12 @@ object Similarity {
   def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, "k-center needs k >= 1")
+    // a silent cast("long") would NULL non-numeric ids; demand a numeric
+    // id column up front
+    require(corpus.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"kCenterSelect needs a numeric id column; '$idCol' is " +
+        corpus.schema(idCol).dataType.simpleString)
     val pts = corpus
       .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -768,16 +774,27 @@ object Similarity {
     var state = pts.crossJoin(broadcast(seed.select(col("v").as("cv"))))
       .select(col("id"), col("v"), sqDistMicro(col("v"), col("cv")).as("md"))
       .localCheckpoint(true)
-    for (r <- 1 until k) {
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
       val next = state.orderBy(col("md").desc, col("id").asc).limit(1)
         .localCheckpoint(true)
-      centers = centers.unionByName(next.select(lit(r).as("sel_order"),
-        col("id").as("vec_id"), col("md").as("dist_micro")))
-      if (r < k - 1)
-        state = state.crossJoin(broadcast(next.select(col("v").as("cv"))))
-          .select(col("id"), col("v"),
-            least(col("md"), sqDistMicro(col("v"), col("cv"))).as("md"))
-          .localCheckpoint(true)
+      // coverage radius 0 means every remaining point coincides with a
+      // chosen center (k exceeds the distinct-point count): stop instead
+      // of re-emitting duplicate centers. The probe reads one row of an
+      // already-materialized 1-row checkpoint — no extra job.
+      if (next.isEmpty || next.select(col("md")).first().getLong(0) == 0L)
+        exhausted = true
+      else {
+        centers = centers.unionByName(next.select(lit(r).as("sel_order"),
+          col("id").as("vec_id"), col("md").as("dist_micro")))
+        if (r < k - 1)
+          state = state.crossJoin(broadcast(next.select(col("v").as("cv"))))
+            .select(col("id"), col("v"),
+              least(col("md"), sqDistMicro(col("v"), col("cv"))).as("md"))
+            .localCheckpoint(true)
+        r += 1
+      }
     }
     pts.unpersist()
     centers

@@ -512,7 +512,11 @@ object ChunkQueries {
     // SCD2 interval build (gaps-and-islands): collapse each user's runs of
     // equal props.k into validity intervals [valid_from, valid_to) — the
     // slowly-changing-dimension construction every warehouse needs, as two
-    // windows (change flag -> running segment id) + one segment roll-up
+    // windows (change flag -> running segment id) + one segment roll-up.
+    // The change predicate is NULL-SAFE (<=>): a NULL attribute value is a
+    // real SCD2 state that opens its own interval, not a no-change to be
+    // absorbed into the preceding one (a first row whose k is NULL rides
+    // in segment 0 — still its own interval).
     "q207_scd2_intervals" -> { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us").asc, col("event_id").asc)
@@ -520,8 +524,8 @@ object ChunkQueries {
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("us"),
           get_json_object(col("props"), "$.k").cast("int").as("k"))
         .withColumn("__chg",
-          when(lag(col("k"), 1).over(w).isNull ||
-            lag(col("k"), 1).over(w) =!= col("k"), lit(1L)).otherwise(lit(0L)))
+          when(!(lag(col("k"), 1).over(w) <=> col("k")), lit(1L))
+            .otherwise(lit(0L)))
         .withColumn("__seg", sum(col("__chg")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val runs = seg.groupBy(col("user_id"), col("__seg"))
@@ -1041,7 +1045,8 @@ object ChunkQueries {
         |  f.mx AS max_cusum, f.mday AS peak_day
         |FROM fin f JOIN m USING (event_type) WHERE f.rr = 1""".stripMargin,
 
-    // lag/change-flag/running-segment windows + the run roll-up
+    // lag/change-flag/running-segment windows + the run roll-up;
+    // null-safe change flag (IS DISTINCT FROM) mirrors the <=> predicate
     "q207_scd2_intervals" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
@@ -1049,7 +1054,7 @@ object ChunkQueries {
         |  FROM events
         |), s AS (
         |  SELECT user_id, event_id, us, k,
-        |    CASE WHEN lag(k) OVER w IS NULL OR lag(k) OVER w <> k
+        |    CASE WHEN lag(k) OVER w IS DISTINCT FROM k
         |      THEN 1 ELSE 0 END AS chg
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us ASC, event_id ASC)
         |), s2 AS (

@@ -249,25 +249,30 @@ object CoreQueries {
             .as("revenue_cents"))
     },
 
-    // Monthly revenue with MoM and YoY growth: linear month index so
-    // lag(1)/lag(12) mean calendar steps; exact cents, integer-ppm deltas,
-    // NULL where no prior period exists — the finance close report
+    // Monthly revenue with MoM and YoY growth: CALENDAR self-joins on
+    // month_idx−1 / month_idx−12 (a row-offset lag would compare against
+    // the 12th-prior PRESENT month and mislabel gapped series); exact
+    // cents, integer-ppm deltas, NULL where the prior period is absent —
+    // the finance close report. The monthly frame is one row per month,
+    // so the two self-joins are dictionary-sized at any data scale.
     "q245_revenue_growth" -> { (s, dir) =>
-      val w = Window.orderBy(col("month_idx").asc)
-      t(s, dir, "orders")
+      val monthly = t(s, dir, "orders")
         .select((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
           .cast("long").as("month_idx"),
           round(col("o_totalprice") * 100).cast("long").as("__c"))
         .groupBy(col("month_idx"))
         .agg(sum(col("__c")).as("revenue_cents"))
-        .withColumn("mom_ppm", expr(
-          "(1000000 * (revenue_cents - lag(revenue_cents, 1) " +
-            "OVER (ORDER BY month_idx ASC))) div " +
-            "lag(revenue_cents, 1) OVER (ORDER BY month_idx ASC)"))
-        .withColumn("yoy_ppm", expr(
-          "(1000000 * (revenue_cents - lag(revenue_cents, 12) " +
-            "OVER (ORDER BY month_idx ASC))) div " +
-            "lag(revenue_cents, 12) OVER (ORDER BY month_idx ASC)"))
+      val prior = monthly.select((col("month_idx") + 1).as("month_idx"),
+        col("revenue_cents").as("__prev"))
+      val yearAgo = monthly.select((col("month_idx") + 12).as("month_idx"),
+        col("revenue_cents").as("__yr"))
+      monthly
+        .join(prior, Seq("month_idx"), "left")
+        .join(yearAgo, Seq("month_idx"), "left")
+        .withColumn("mom_ppm",
+          expr("(1000000 * (revenue_cents - __prev)) div __prev"))
+        .withColumn("yoy_ppm",
+          expr("(1000000 * (revenue_cents - __yr)) div __yr"))
         .select(col("month_idx"), col("revenue_cents"), col("mom_ppm"),
           col("yoy_ppm"))
     },
@@ -643,16 +648,14 @@ object CoreQueries {
         |      AS revenue_cents
         |  FROM orders GROUP BY 1
         |)
-        |SELECT month_idx, revenue_cents,
-        |  CAST((1000000 * (revenue_cents
-        |      - lag(revenue_cents, 1) OVER (ORDER BY month_idx ASC)))
-        |    // lag(revenue_cents, 1) OVER (ORDER BY month_idx ASC)
-        |    AS BIGINT) AS mom_ppm,
-        |  CAST((1000000 * (revenue_cents
-        |      - lag(revenue_cents, 12) OVER (ORDER BY month_idx ASC)))
-        |    // lag(revenue_cents, 12) OVER (ORDER BY month_idx ASC)
-        |    AS BIGINT) AS yoy_ppm
-        |FROM m""".stripMargin,
+        |SELECT m.month_idx, m.revenue_cents,
+        |  CAST((1000000 * (m.revenue_cents - p.revenue_cents))
+        |    // p.revenue_cents AS BIGINT) AS mom_ppm,
+        |  CAST((1000000 * (m.revenue_cents - y.revenue_cents))
+        |    // y.revenue_cents AS BIGINT) AS yoy_ppm
+        |FROM m
+        |LEFT JOIN m p ON p.month_idx = m.month_idx - 1
+        |LEFT JOIN m y ON y.month_idx = m.month_idx - 12""".stripMargin,
 
     "q246_one_and_done" ->
       """WITH per AS (

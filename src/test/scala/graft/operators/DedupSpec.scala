@@ -197,4 +197,16 @@ class DedupSpec extends SparkSpec {
         s"estimate $est vs exact $ex")
     }
   }
+
+  test("q180 corpus never hits the incremental-LSH bucket cap (no silent shed)") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val sizes = Dedup.incrementalLshBucketSizes(
+      d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      n = 5, bands = 16, rowsPerBand = 4)
+    val maxBucket = sizes.agg(max(col("bucket_size"))).first().getLong(0)
+    // the q180 oracle is an exact all-pairs join that does not model the
+    // cap: this pins that nothing is shed on the gate corpus, so the cap
+    // cannot silently diverge the gate
+    assert(maxBucket < 1000L, s"bucket of $maxBucket would be shed")
+  }
 }

@@ -222,6 +222,24 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("kCenterSelect stops early when k exceeds the distinct-point count") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(3.0f, 4.0f)),
+      (3L, Seq(0.0f, 0.0f))) // duplicate of 1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.kCenterSelect(tiny, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // 2 distinct points: the seed, the far point, then radius 0 → stop
+    // (no duplicate re-picks padding out to k)
+    assert(out.toSeq == Seq((0, 1L, 0L), (1, 2L, 25000000L)))
+    // non-numeric id column is rejected, not silently nulled
+    val bad = Seq(("a", Seq(1.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterSelect(bad, "vec_id", "embedding", k = 2)
+    }
+  }
+
   test("recallAtK: identical frames score 1e6 ppm, misses subtract") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
