@@ -31,12 +31,16 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val telemetry = new ShuffleTelemetry
+    telemetry.install(spark.sparkContext)
 
-    def runOnce(name: String): Double = {
+    /** (seconds, shuffle write MB, shuffle read MB); −1 s on failure. */
+    def runOnce(name: String): (Double, Double, Double) = {
       // inter-query hygiene: drop cached state and collected garbage from
       // the previous query so timings measure the plan, not heap churn
       spark.catalog.clearCache()
       System.gc()
+      val (r0, w0) = telemetry.now()
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -44,11 +48,13 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
+          return (-1.0, 0.0, 0.0)
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name: $dt%.3f s")
-      dt
+      val (r1, w1) = telemetry.settled()
+      val (rMb, wMb) = ((r1 - r0) / 1048576.0, (w1 - w0) / 1048576.0)
+      System.err.println(f"[bench] $name: $dt%.3f s, shuffle w $wMb%.2f MB")
+      (dt, wMb, rMb)
     }
 
     // warmup: touch all inputs + exercise shuffle/codegen paths untimed
@@ -61,9 +67,10 @@ object Bench {
     // harness never sets it, so its runs always time the full set
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val full = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => n -> runOnce(n))
+    val results = full.map { case (n, (sec, _, _)) => n -> sec }
     // The driver captures only the LAST 2000 chars of stdout, and the
     // sbt harness appends its own "[success] Total time..." trailer
     // inside that window. A single line carrying every per-query value
@@ -88,9 +95,19 @@ object Bench {
     val qs = shorted
       .map { case (short, v) => s""""$short":${fmt(v)}""" }
       .mkString("{", ",", "}")
+    // shuffle write MB per query (same shortened keys): the scale-honesty
+    // column — wall time at sf0.1 hides plan regressions whose shuffles
+    // only bite at 100×
+    val shortName: Map[String, String] = full.map { case (k, _) =>
+      k -> "q(\\d+)".r.findFirstMatchIn(k).map("q" + _.group(1)).getOrElse(k)
+    }.toMap
+    val shufMb = full
+      .map { case (k, (_, wMb, _)) => s""""${shortName(k)}":${fmt(wMb)}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalShufMb = full.map(_._2._2).sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"shuffle_mb":$shufMb,"total_shuffle_mb":${fmt(totalShufMb)},"sf":"$sfDir"}"""
     println(fullLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_QUERIES.json"), fullLine + "\n")
@@ -100,7 +117,7 @@ object Bench {
       .map { case (short, v) => s""""$short":${math.round(v * 1000)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest_ms":$slowest,"queries_file":"BENCH_QUERIES.json"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"failed":${failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"slowest_ms":$slowest,"total_shuffle_mb":${fmt(totalShufMb)},"queries_file":"BENCH_QUERIES.json"}""")
     spark.stop()
   }
 }

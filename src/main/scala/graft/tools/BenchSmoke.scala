@@ -37,7 +37,13 @@ object BenchSmoke {
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.1")
     val ratio = positional.drop(1).headOption.map(_.toDouble).getOrElse(1.5)
     val write = flags.contains("--write")
+    // shuffle volumes are run-mode-independent (unlike timings, which the
+    // baseline methodology requires from the sbt harness), so the shuffle
+    // baseline can be refreshed alone from this direct-JVM tool
+    val writeShuffleOnly = flags.contains("--write-shuffle")
     val baselinePath = java.nio.file.Paths.get("tools/bench_baseline.json")
+    val shuffleBaselinePath =
+      java.nio.file.Paths.get("tools/bench_shuffle_baseline.json")
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -56,24 +62,42 @@ object BenchSmoke {
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    def runOnce(name: String): Double = {
+    val telemetry = new graft.ShuffleTelemetry
+    telemetry.install(spark.sparkContext)
+    /** (seconds, shuffle write MB). */
+    def runFull(name: String): (Double, Double) = {
       spark.catalog.clearCache()
       System.gc()
+      val (_, w0) = telemetry.now()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      val (_, w1) = telemetry.settled()
+      (dt, (w1 - w0) / 1048576.0)
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    def runOnce(name: String): Double = runFull(name)._1
+    val measured = SparkEntry.queries.keys.toSeq.sorted
+      .map(n => n -> runFull(n))
+    val results = measured.map { case (n, (sec, _)) => n -> sec }
+    val shuffleMb = measured.map { case (n, (_, mb)) => n -> mb }.toMap
 
-    if (write) {
-      val json = results.map { case (k, v) =>
-        val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-        s""""$k":$s"""
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    if (write || writeShuffleOnly) {
+      if (write) {
+        val json = results.map { case (k, v) =>
+          s""""$k":${fmt(v)}"""
+        }.mkString("{\n  ", ",\n  ", "\n}")
+        java.nio.file.Files.write(baselinePath, json.getBytes("UTF-8"))
+      }
+      val shufJson = measured.map { case (k, (_, mb)) =>
+        s""""$k":${fmt(mb)}"""
       }.mkString("{\n  ", ",\n  ", "\n}")
-      java.nio.file.Files.write(baselinePath,
-        json.getBytes("UTF-8"))
-      println(s"[benchsmoke] baseline written: ${results.length} queries")
+      java.nio.file.Files.write(shuffleBaselinePath,
+        shufJson.getBytes("UTF-8"))
+      println(s"[benchsmoke] baseline written: ${results.length} queries" +
+        (if (write) " (timings + shuffle)" else " (shuffle only)"))
     } else {
       val baseline: Map[String, Double] =
         if (!java.nio.file.Files.exists(baselinePath)) Map.empty
@@ -104,9 +128,33 @@ object BenchSmoke {
             }
         }
       }
+      // shuffle-volume gate: unlike wall time, shuffle bytes are nearly
+      // deterministic, so a widened exchange is a REAL plan change even
+      // when the clock hides it at sf0.1. Bound: 1.5× baseline with an
+      // 8 MB absolute floor (compression/AQE jitter on small exchanges).
+      val shuffleBaseline: Map[String, Double] =
+        if (!java.nio.file.Files.exists(shuffleBaselinePath)) Map.empty
+        else {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(shuffleBaselinePath), "UTF-8")
+          """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      var shuffleFailures = 0
+      shuffleMb.toSeq.sortBy(_._1).foreach { case (name, mb) =>
+        shuffleBaseline.get(name).foreach { b =>
+          val bound = math.max(b * 1.5, b + 8.0)
+          if (mb > bound) {
+            shuffleFailures += 1
+            println(f"[benchsmoke] SHUFFLE-REGRESSION $name $mb%.1f MB > " +
+              f"$bound%.1f MB (baseline $b%.1f MB)")
+          }
+        }
+      }
       val total = results.map(_._2).sum
       println(f"[benchsmoke] total ${total}%.1fs, ${results.length} queries, " +
-        s"$failures regression(s)")
+        s"$failures regression(s), $shuffleFailures shuffle regression(s)")
+      failures += shuffleFailures
       spark.stop()
       if (failures > 0) sys.exit(1)
     }
