@@ -39,4 +39,54 @@ object SkewJoin {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(exploded, keys :+ "__salt").drop("__salt")
   }
+
+  /** Join-key skew audit (the q234 shape as a reusable operator): ONE row
+    * of distribution statistics for `df`'s `keys` — key count, row count,
+    * the heaviest key's rows, how many keys weigh more than 2× the mean
+    * (integer cross-multiplied, no FP), and the heaviest key's ppm share.
+    * This is the pre-join measurement that decides between a plain
+    * shuffle join, [[saltedInnerJoin]], and trusting AQE's skew split. */
+  def audit(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // two consumers below; avoid double agg
+    val tot = perKey.agg(count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"), max(col("c")).as("max_key_rows"))
+    val hot = perKey
+      .crossJoin(broadcast(tot.select(col("n_keys").as("__nk"),
+        col("n_rows").as("__nr"))))
+      .filter(expr("c * __nk > 2 * __nr"))
+      .agg(count(lit(1)).as("n_hot_keys"))
+    tot.crossJoin(broadcast(hot))
+      .withColumn("top_share_ppm",
+        expr("(1000000 * max_key_rows) div n_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("n_hot_keys"), col("top_share_ppm"))
+  }
+
+  /** Skew-adaptive inner join: [[audit]] the skewed side once (a 1-row
+    * STATISTICS read, not a data collect), then either join plainly (no
+    * hot key — no replication cost paid) or salt with a factor sized so
+    * the heaviest key's per-salt slice ≈ one average shuffle partition.
+    * The reference's own join keys (TarchiveID, CandID) are Zipfian at
+    * site scale: a mega-site's candidate must not pin one executor while
+    * 999 idle. Use when the replicated side is too big to broadcast and
+    * AQE's in-partition split is not trusted to hold (a single key
+    * larger than executor memory). */
+  def autoJoin(
+      skewed: DataFrame,
+      replicated: DataFrame,
+      keys: Seq[String],
+      maxSalt: Int = 64
+  ): DataFrame = {
+    val s = audit(skewed, keys)
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows")).first()
+    val (nKeys, nRows, maxKey) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    val parts =
+      skewed.sparkSession.sessionState.conf.numShufflePartitions.toLong
+    val isSkewed = nKeys > 0 && maxKey * nKeys > 2L * nRows
+    val target = math.max(1L, nRows / math.max(1L, parts))
+    val factor = math.min(maxSalt.toLong, (maxKey + target - 1) / target).toInt
+    if (!isSkewed || factor <= 1) skewed.join(replicated, keys)
+    else saltedInnerJoin(skewed, replicated, keys, factor)
+  }
 }

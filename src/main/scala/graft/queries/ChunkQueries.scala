@@ -346,24 +346,11 @@ object ChunkQueries {
 
     // Join-key skew diagnosis: the pre-join audit that decides between a
     // plain shuffle join, salting, and AQE skew handling — key count,
-    // heaviest key, its ppm share, and the p99 key weight
+    // heaviest key, its ppm share, hot-key count. The same audit drives
+    // SkewJoin.autoJoin's salt-or-not decision (SkewJoinSpec shows the
+    // salted join completing without a straggler partition).
     "q234_skew_audit" -> { (s, dir) =>
-      val perKey = eventsNs(s, dir)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // two consumers below; avoid double agg
-      val tot = perKey.agg(count(lit(1)).as("n_keys"),
-        sum(col("c")).as("n_rows"), max(col("c")).as("max_key_rows"))
-      // hot key = weight > 2x the mean, by integer cross-multiplication
-      val hot = perKey
-        .crossJoin(broadcast(tot.select(col("n_keys").as("__nk"),
-          col("n_rows").as("__nr"))))
-        .filter(expr("c * __nk > 2 * __nr"))
-        .agg(count(lit(1)).as("n_hot_keys"))
-      tot.crossJoin(broadcast(hot))
-        .withColumn("top_share_ppm",
-          expr("(1000000 * max_key_rows) div n_rows"))
-        .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
-          col("n_hot_keys"), col("top_share_ppm"))
+      graft.operators.SkewJoin.audit(eventsNs(s, dir), Seq("user_id"))
     },
 
     // Overdispersion check: Fano factor (variance/mean) of daily volumes

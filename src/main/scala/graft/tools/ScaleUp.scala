@@ -1,0 +1,96 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal data generator: replicate the driver's testdata
+  * `factor`× with per-replica key shifts, producing a dataset one scale
+  * factor up (sf0.1 × 10 ≈ sf1) for super-linearity hunting — the
+  * cheapest local test of the "survives 100×" claim. Replica 0 is the
+  * original data byte-for-byte (keys unshifted).
+  *
+  * Foreign keys shift by the SAME stride as the table they reference, so
+  * join cardinalities scale linearly (each replica is a closed world).
+  * Text and embeddings are perturbed per replica (suffix token / seeded
+  * element noise): a real 10× corpus does not carry 10× cross-corpus
+  * exact duplicates, and unperturbed replicas would blow every near-dup
+  * pair query quadratically instead of linearly.
+  *
+  * Usage: tools/run.sh graft.tools.ScaleUp <srcSfDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def stride(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).first().getLong(0) + 1
+    val reps = broadcast(spark.range(factor).select(col("id").as("r")))
+    def replicate(df: DataFrame): DataFrame = df.crossJoin(reps)
+    def shifted(c: String, s: Long): Column = (col(c) + col("r") * s).as(c)
+
+    // dimensions stay dictionaries at every scale
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    val (customer, supplier, part, orders, lineitem, events, documents,
+      embeddings) = (read("customer"), read("supplier"), read("part"),
+      read("orders"), read("lineitem"), read("events"), read("documents"),
+      read("embeddings"))
+    val (custS, suppS, partS, orderS) = (stride(customer, "c_custkey"),
+      stride(supplier, "s_suppkey"), stride(part, "p_partkey"),
+      stride(orders, "o_orderkey"))
+    val (eventS, userS) = (stride(events, "event_id"),
+      stride(events, "user_id"))
+    val (docS, vecS) = (stride(documents, "doc_id"),
+      stride(embeddings, "vec_id"))
+
+    write(replicate(customer).select(shifted("c_custkey", custS),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment")), "customer")
+    write(replicate(supplier).select(shifted("s_suppkey", suppS),
+      col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier")
+    write(replicate(part).select(shifted("p_partkey", partS), col("p_name"),
+      col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part")
+    write(replicate(orders).select(shifted("o_orderkey", orderS),
+      shifted("o_custkey", custS), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority")), "orders")
+    write(replicate(lineitem).select(shifted("l_orderkey", orderS),
+      shifted("l_partkey", partS), shifted("l_suppkey", suppS),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"),
+      col("l_linestatus"), col("l_shipdate")), "lineitem")
+    write(replicate(events).select(shifted("event_id", eventS), col("ts"),
+      shifted("user_id", userS), col("event_type"), col("value"),
+      col("props")), "events")
+    // per-replica text perturbation keeps the near-dup rate linear
+    val text2 = when(col("r") === 0, col("text"))
+      .otherwise(concat(col("text"), lit(" zrep"), col("r")))
+    write(replicate(documents).select(shifted("doc_id", docS),
+      text2.as("text"), col("lang"), col("source"),
+      length(text2).cast("long").as("n_chars")), "documents")
+    // seeded per-element noise re-aims replica vectors (cosine structure
+    // within a replica is preserved; cross-replica twins disappear)
+    val vec2 = transform(col("embedding"), (x, i) =>
+      when(col("r") === 0, x).otherwise((x +
+        (pmod(xxhash64(col("vec_id"), i, col("r")), lit(1000L))
+          .cast("double") / 1000.0 - 0.5) * 0.1).cast("float")))
+    write(replicate(embeddings).select(shifted("vec_id", vecS),
+      vec2.as("embedding"), col("label")), "embeddings")
+
+    println(s"[scaleup] wrote ${factor}x of $src to $dst")
+    spark.stop()
+  }
+}
