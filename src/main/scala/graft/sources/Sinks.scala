@@ -64,6 +64,54 @@ object Sinks {
     }.drop(updateCols.map(c => s"__u_$c"): _*)
   }
 
+  /** S10 at 100 TB: targeted UPDATE that rewrites ONLY the partitions the
+    * update touches. [[updateByKey]] is read-whole→overwrite-whole — fine
+    * for a dictionary, catastrophic for a date/site-partitioned fact
+    * table where one day's correction must not rewrite ten years. Here
+    * `updates` must carry the table's partition column; its DISTINCT
+    * partition values (metadata-scale, collected driver-side) prune the
+    * read to the touched partitions, [[updateByKey]] runs on that subset,
+    * and the write uses DYNAMIC partition overwrite so only the rewritten
+    * partition directories are replaced — untouched partitions keep their
+    * files byte-for-byte (SinksSpec pins it).
+    *
+    * The updated subset is localCheckpoint-materialized before the write
+    * (bounded by the touched partitions): a plain filesystem table cannot
+    * atomically overwrite a path it is still reading — table formats with
+    * snapshot isolation lift that, the dataflow stays the same. */
+  def updateByKeyPartitioned(
+      spark: SparkSession,
+      dir: String,
+      partitionCol: String,
+      updates: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String]
+  ): Unit = {
+    // updating the partition column would MOVE rows across partitions:
+    // dynamic overwrite would write the new home but leave the stale row
+    // in the old one — that is a delete+insert, not an update
+    require(!updateCols.contains(partitionCol),
+      s"cannot update partition column $partitionCol in place")
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    if (touched.isEmpty) return
+    val target = spark.read.parquet(dir)
+      .filter(col(partitionCol).isin(touched: _*))
+    val u = if (keys.contains(partitionCol)) updates
+      else updates.drop(partitionCol)
+    val updated = updateByKey(target, u, keys, updateCols)
+      .localCheckpoint(true)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try updated.write.mode("overwrite").partitionBy(partitionCol)
+      .parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+  }
+
   /** S13 chunk sink: partitioned parquet layout
     * (`downsampling`/`channel` directories — the reference's per-chunk
     * protobuf tree becomes partition pruning keys). */

@@ -28,6 +28,43 @@ class SinksSpec extends SparkSpec {
     assert(out(2L) == ("Inserting", "y"))
   }
 
+  test("updateByKeyPartitioned rewrites only touched partitions; " +
+      "untouched partition files stay byte-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("partupd").resolve("tbl").toString
+    Seq((1L, "a", "Inserting", "x"), (2L, "a", "Inserting", "y"),
+      (3L, "b", "Inserting", "z"), (4L, "c", "Inserting", "w"))
+      .toDF("upload_id", "site", "status", "other")
+      .write.partitionBy("site").parquet(dir)
+    def filesOf(part: String): Map[String, Array[Byte]] = {
+      val d = new java.io.File(s"$dir/site=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          Files.readAllBytes(f.toPath)).toMap
+    }
+    val (beforeB, beforeC) = (filesOf("b"), filesOf("c"))
+    val updates = Seq((2L, "a", "InsertionComplete"))
+      .toDF("upload_id", "site", "status")
+    Sinks.updateByKeyPartitioned(spark, dir, "site", updates,
+      Seq("upload_id"), Seq("status"))
+    // untouched partitions: exactly the same files with the same bytes
+    val (afterB, afterC) = (filesOf("b"), filesOf("c"))
+    assert(afterB.keySet == beforeB.keySet && afterC.keySet == beforeC.keySet)
+    (beforeB ++ beforeC).foreach { case (name, bytes) =>
+      assert(java.util.Arrays.equals((afterB ++ afterC)(name), bytes),
+        s"untouched file $name changed") }
+    // semantics equal the whole-table update
+    val got = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Long]("upload_id") ->
+        ((r.getAs[String]("status"), r.getAs[String]("other"),
+          r.getAs[String]("site")))).toMap
+    assert(got == Map(
+      1L -> (("Inserting", "x", "a")),
+      2L -> (("InsertionComplete", "y", "a")),
+      3L -> (("Inserting", "z", "b")),
+      4L -> (("Inserting", "w", "c"))))
+  }
+
   test("writeChunks partitions by downsampling/channel for pruning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("chunks").resolve("out").toString
