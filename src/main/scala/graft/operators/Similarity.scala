@@ -340,6 +340,22 @@ object Similarity {
     Seq.fill(nbits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Corpus-sized `bitsPerBand` for the banded-LSH operators: enough
+    * signature bits that the EXPECTED bucket holds ~`targetBucket` rows,
+    * never below `minBits`. Banded pair generation is O(Σ bucket²) =
+    * O(n² / 2^bits) at FIXED bits — quadratic in corpus size (the sf1
+    * rehearsal measured q51 at 132× for 10× data); holding the expected
+    * bucket constant makes it O(n · targetBucket), linear. The cost is
+    * recall at a given cosine (p^bits per band): sizing up concentrates
+    * recall on the high-similarity pairs — the pairs that still matter
+    * when the corpus grows. Callers with a fixed recall contract (an
+    * exact-oracle gate) pin bits explicitly instead. */
+  def autoBitsPerBand(n: Long, minBits: Int, targetBucket: Int = 256): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.max(minBits, needed)
+  }
+
   /** All band signatures of a double vector as one array<long> column,
     * via the fused [[graft.functions.expressions.SrpSignaturesExpr]] —
     * value-identical to `array(rpSignature(band 0), …)` (SimilaritySpec

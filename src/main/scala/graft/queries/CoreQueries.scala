@@ -80,7 +80,12 @@ object CoreQueries {
       val cum = graft.operators.PrefixSum.overKey(ranked, "rk", "cents",
         "cum_cents", chunkWidth = 64)
       cum.crossJoin(broadcast(rev.agg(sum(col("cents")).as("__tot"))))
-        .withColumn("cum_ppm", expr("(1000000 * cum_cents) div __tot"))
+        // DECIMAL(38) widening: 1e6 × a GLOBAL cumulative cents total
+        // overflows long one scale factor up (caught by the sf1
+        // rehearsal); the decimal product is exact and DIV floors
+        // identically, so the sf0.01 oracle hash is unchanged
+        .withColumn("cum_ppm", expr(
+          "CAST((CAST(cum_cents AS DECIMAL(38,0)) * 1000000) DIV __tot AS BIGINT)"))
         .withColumn("abc",
           when(col("cum_ppm") <= 800000, lit("A"))
             .when(col("cum_ppm") <= 950000, lit("B"))

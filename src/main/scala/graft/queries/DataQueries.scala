@@ -384,8 +384,13 @@ object DataQueries {
     // at c=0.9 (documented; soundness is exact — every emitted pair is
     // verified).
     "q51_srp_neardup" -> { (s, dir) =>
-      Similarity.rpLshNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", threshold = 0.5, dim = 64)
+      val e = t(s, dir, "embeddings")
+      // corpus-sized bits keep bucket pair-generation linear in n; at the
+      // sf0.01 gate (n=500) this resolves to the oracle's pinned 4 bits
+      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 4)
+      Similarity.rpLshNearDupPairs(e,
+        "vec_id", "embedding", threshold = 0.5, bitsPerBand = bits,
+        dim = 64)
     },
 
     // Embedding-cosine near-dup pairs within label blocks
@@ -403,8 +408,16 @@ object DataQueries {
     // this corpus the candidate set provably covers the exact top-3
     // (SimilaritySpec pins it), so the exact all-pairs oracle matches.
     "q161_hard_negatives" -> { (s, dir) =>
-      Similarity.hardNegativesAnn(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", k = 3, dim = 64)
+      val e = t(s, dir, "embeddings")
+      // corpus-sized bits (linear bucket pair-generation; see
+      // autoBitsPerBand), bands capped so the packed-signature dedup
+      // stays in one long. At the sf0.01 gate (n=500) this resolves to
+      // the recall-pinned 32 bands × 2 bits.
+      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      val bands = math.min(32, 64 / bits)
+      Similarity.hardNegativesAnn(e,
+        "vec_id", "embedding", "label", k = 3, dim = 64,
+        bands = bands, bitsPerBand = bits)
     },
 
     // Embedding outlier gate: cosine of each vector to its label's exact
