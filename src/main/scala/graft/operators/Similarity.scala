@@ -155,6 +155,28 @@ object Similarity {
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (candidates, s) = annLabelCandidates(v, sameLabel = false, dim,
+      bands, bitsPerBand, seed, maxBucketSize)
+    val scored = scoreCandidates(candidates, v)
+    val top = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    val out = top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+    (out, Seq(v, s))
+  }
+
+  /** Banded-LSH candidate pairs with a label predicate: (query_id,
+    * neighbor_id) for every cross-label (`sameLabel=false`) or
+    * same-label-non-self (`sameLabel=true`) pair sharing at least one
+    * (band, sig) bucket. Exactly deduplicated locally via the
+    * packed-signature first-collision-band rule. Input `v` is the cached
+    * (id, lbl, v, nrm) frame; returns the candidate frame plus the cached
+    * signature frame the caller must unpersist. */
+  private def annLabelCandidates(
+      v: DataFrame, sameLabel: Boolean, dim: Int, bands: Int,
+      bitsPerBand: Int, seed: Long, maxBucketSize: Int
+  ): (DataFrame, DataFrame) = {
     require(bands * bitsPerBand <= 64,
       "packed-signature dedup needs bands*bitsPerBand <= 64")
     // all band signatures in ONE fused pass over the cached vectors;
@@ -176,7 +198,7 @@ object Similarity {
     val s = v.select(col("id"), col("lbl"), sigArr.as("sigs"))
       .select(col("id"), col("lbl"), packed.as("fullsig"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions,
+      .repartition(v.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
       // n×bands narrow rows: caching pins the (heavy-codegen) signature
       // stage to ONE evaluation — it feeds both the bucket-size agg and
@@ -213,11 +235,21 @@ object Similarity {
     val firstCollisionBand =
       (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
         bitsPerBand).cast("int")
+    val labelPred =
+      if (sameLabel) col("__ql") === col("__nl") &&
+        col("query_id") =!= col("neighbor_id")
+      else col("__ql") =!= col("__nl")
     val candidates = a.join(b, Seq("band", "sig"))
-      .filter(col("__ql") =!= col("__nl"))
+      .filter(labelPred)
       .filter(col("band") === firstCollisionBand)
       .select(col("query_id"), col("neighbor_id"))
-    val scored = candidates
+    (candidates, s)
+  }
+
+  /** Exact-cosine verify of candidate pairs against the cached vector
+    * frame: the same dot/(nrm·nrm) double the pairwise exact form yields. */
+  private def scoreCandidates(candidates: DataFrame, v: DataFrame): DataFrame =
+    candidates
       .join(v.select(col("id").as("query_id"), col("v").as("q_vec"),
         col("nrm").as("__qn")), Seq("query_id"))
       .join(v.select(col("id").as("neighbor_id"), col("v").as("c_vec"),
@@ -225,13 +257,94 @@ object Similarity {
       .withColumn("cosine",
         round(dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn")), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    val top = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
-      Seq(col("cosine").desc, col("neighbor_id").asc), k)
-    val out = top.withColumn("rank",
-      row_number().over(Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
-    (out, Seq(v, s))
+
+  /** Contrastive TRIPLET assembly: for every anchor, its hardest positive
+    * (most-similar SAME-label vector, self excluded) and hardest negative
+    * (most-similar DIFFERENT-label vector) with the margin between them —
+    * the (anchor, positive, negative) dataset a triplet/InfoNCE objective
+    * trains on, built entirely from the banded-LSH candidate machinery
+    * (no corpus broadcast, no O(n²) stage).
+    *
+    * Same-label nearest neighbors sit at LOWER cosines than cross-label
+    * top-k on mixed corpora, so candidates come from the UNION of
+    * `seeds.size` independent bandings — per-pair miss probability is the
+    * single-banding miss raised to that power ((1.4e-5)² at the tested
+    * corpus's worst pair) — and the distinct bounded heap dedups the
+    * cross-seed duplicates for free (identical (cosine, id) sort keys).
+    * Anchors lacking either side (singleton labels) drop out. */
+  def tripletMining(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000
+  ): DataFrame = {
+    val (plan, caches) = tripletMiningPlan(corpus, idCol, vecCol, labelCol,
+      dim, bands, bitsPerBand, seeds, maxBucketSize)
+    val out = plan.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
   }
+
+  /** Un-checkpointed [[tripletMining]] plan + caches (see
+    * [[hardNegativesAnnPlan]] for the contract). */
+  def tripletMiningPlan(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000
+  ): (DataFrame, Seq[DataFrame]) = {
+    require(seeds.nonEmpty, "need at least one banding seed")
+    val v = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def top1(sameLabel: Boolean): (DataFrame, Seq[DataFrame]) = {
+      val gens = seeds.map(sd => annLabelCandidates(v, sameLabel, dim,
+        bands, bitsPerBand, sd, maxBucketSize))
+      val cands = gens.map(_._1).reduce(_ unionByName _)
+      // the DISTINCT heap eliminates cross-seed duplicate pairs (equal
+      // (cosine, neighbor_id) sort keys) while bounding state at 1/anchor
+      (graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
+        Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 1),
+        gens.map(_._2))
+    }
+    val (pos, posCaches) = top1(sameLabel = true)
+    val (neg, negCaches) = top1(sameLabel = false)
+    val out = pos
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("positive_id"), col("cosine").as("pos_cosine"))
+      .join(neg.select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("negative_id"),
+        col("cosine").as("neg_cosine")), Seq("anchor_id"))
+      .withColumn("margin", round(col("pos_cosine") - col("neg_cosine"), 6))
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+        col("pos_cosine"), col("neg_cosine"), col("margin"))
+    (out, v +: (posCaches ++ negCaches))
+  }
+
+  /** Per-DIMENSION embedding health audit: n, exact integer-scaled
+    * (floor(x·2^20)) min/max/mean per dimension plus a dead-dimension flag
+    * (min == max — a constant coordinate carries no information and
+    * usually marks a truncated/misconfigured encoder). The audit every
+    * embedding ingest should run before vectors enter an index: dead and
+    * range-collapsed dimensions silently waste index bits and distort
+    * distance scales.
+    *
+    * 100 TB shape: one (dim)-keyed partial agg over the posexplode —
+    * dim × nPartitions rows of map-side state, output bounded by dim.
+    * All-integer state; the SUM (not a mean) is emitted so no division
+    * rounding can diverge across engines on negative values — mean is
+    * sum_s20 / (n_vecs · 2^20) for the consumer. */
+  def dimensionStats(corpus: DataFrame, vecCol: String): DataFrame =
+    corpus
+      .select(posexplode(transform(asDouble(col(vecCol)),
+        x => floor(x * lit(1048576.0)).cast("long"))).as(Seq("dim", "__s")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("__s")).as("min_s20"), max(col("__s")).as("max_s20"),
+        sum(col("__s")).as("sum_s20"))
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        col("min_s20"), col("max_s20"), col("sum_s20"),
+        (col("min_s20") === col("max_s20")).as("is_dead"))
 
   /** Embedding-space outlier gate (the centroid-distance quality filter of
     * SemDeDup-style pipelines): each vector's cosine to its group's mean

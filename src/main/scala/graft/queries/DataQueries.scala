@@ -420,6 +420,28 @@ object DataQueries {
         bands = bands, bitsPerBand = bits)
     },
 
+    // Contrastive triplet assembly: hardest positive (same label, self
+    // excluded) + hardest negative (different label) per anchor with the
+    // margin — banded-LSH candidates from TWO independent seeds (worst
+    // same-label pair miss probability squared), exact-cosine verify,
+    // distinct bounded heap dedups cross-seed duplicates
+    "q248_triplet_mining" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      // corpus-sized bits (see autoBitsPerBand); at the sf0.01 gate this
+      // resolves to the recall-pinned 32 bands × 2 bits per seed
+      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      val bands = math.min(32, 64 / bits)
+      Similarity.tripletMining(e, "vec_id", "embedding", "label",
+        dim = 64, bands = bands, bitsPerBand = bits)
+    },
+
+    // Per-dimension embedding health: exact integer-scaled min/max/sum
+    // per dimension + dead-dimension flag — the ingest audit before
+    // vectors enter an index
+    "q249_dimension_stats" -> { (s, dir) =>
+      Similarity.dimensionStats(t(s, dir, "embeddings"), "embedding")
+    },
+
     // Embedding outlier gate: cosine of each vector to its label's exact
     // integer-sum centroid (scale-invariance stands the sum vector in for
     // the mean — no FP-order hazard, no division)
@@ -1074,6 +1096,51 @@ object DataQueries {
         |)
         |SELECT query_id, neighbor_id, cosine, rank
         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    // exact all-pairs twin: argmax same-label (self excluded) + argmax
+    // cross-label per anchor, (cosine desc, id asc) tie-break — the LSH
+    // candidate union provably covers both top-1s on this corpus
+    "q248_triplet_mining" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT a.vec_id AS anchor_id, c.vec_id AS cid,
+        |    a.label AS al, c.label AS cl,
+        |    round(
+        |      list_sum(list_transform(list_zip(a.v, c.v), x -> x[1]*x[2]))
+        |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
+        |         * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1]*x[2])))),
+        |      6) AS cosine
+        |  FROM v a JOIN v c ON a.vec_id <> c.vec_id
+        |), pos AS (
+        |  SELECT anchor_id, cid, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY anchor_id ORDER BY cosine DESC, cid ASC) AS rn
+        |  FROM s WHERE al = cl
+        |), neg AS (
+        |  SELECT anchor_id, cid, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY anchor_id ORDER BY cosine DESC, cid ASC) AS rn
+        |  FROM s WHERE al <> cl
+        |)
+        |SELECT p.anchor_id, p.cid AS positive_id, n.cid AS negative_id,
+        |  p.cosine AS pos_cosine, n.cosine AS neg_cosine,
+        |  round(p.cosine - n.cosine, 6) AS margin
+        |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+        |WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
+
+    "q249_dimension_stats" ->
+      """WITH e AS (
+        |  SELECT unnest(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)))
+        |      AS s,
+        |    unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |  FROM embeddings
+        |)
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs, MIN(s) AS min_s20,
+        |  MAX(s) AS max_s20, CAST(SUM(s) AS BIGINT) AS sum_s20,
+        |  (MIN(s) = MAX(s)) AS is_dead
+        |FROM e GROUP BY 1""".stripMargin,
 
     // centroid = per-label exact integer sums (floor(x*2^20) of the
     // double-widened floats — order-free BIGINT adds); cosine's

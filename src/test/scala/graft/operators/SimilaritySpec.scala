@@ -222,6 +222,54 @@ class SimilaritySpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("tripletMining: hardest positive and negative match the exact " +
+      "all-pairs argmax per anchor") {
+    // exact ground truth via the broadcast-anchor exact path: top-1
+    // cross-label from hardNegatives, top-1 same-label by inverting labels
+    // into a per-anchor id (cannot use hardNegatives for same-label), so
+    // compute both driver-side from bruteForceTopK-style full scoring
+    import spark.implicits._
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val na = math.sqrt(a.indices.foldLeft(0.0)((s, i) => s + a(i) * a(i)))
+      val nb = math.sqrt(b.indices.foldLeft(0.0)((s, i) => s + b(i) * b(i)))
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.map { case (id, v, l) =>
+      def best(pred: ((Long, Array[Double], Int)) => Boolean) =
+        rows.filter(r => r._1 != id && pred(r))
+          .map(r => (r._1, cos(v, r._2)))
+          .sortBy { case (nid, c) => (-c, nid) }.head
+      val p = best(_._3 == l)
+      val n = best(_._3 != l)
+      id -> ((p._1, n._1, p._2, n._2))
+    }.toMap
+    val got = Similarity.tripletMining(emb, "vec_id", "embedding", "label",
+      dim = 64).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("dimensionStats: exact integer stats, dead dimension flagged") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.5f, 1.0f, -0.25f)),
+      (2L, Seq(-0.5f, 1.0f, 0.75f))).toDF("vec_id", "embedding")
+    val out = Similarity.dimensionStats(df, "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))).toMap
+    val m = 1048576L
+    assert(out(0L) == ((2L, -m / 2, m / 2, 0L, false)))
+    assert(out(1L) == ((2L, m, m, 2 * m, true))) // constant: dead
+    assert(out(2L) == ((2L, -m / 4, 3 * m / 4, m / 2, false)))
+  }
+
   test("kCenterSelect stops early when k exceeds the distinct-point count") {
     import spark.implicits._
     val tiny = Seq(
