@@ -28,7 +28,10 @@ import graft.SparkEntry
   * with this tool's direct-JVM `--write` (kept for quick local loops).
   */
 object BenchSmoke {
-  val FloorSec = 0.3
+  // sub-0.5s baselines are scheduler/GC noise at local[8] (the committed
+  // baseline is best-of-two at local[32]); the driver's 2x gate at
+  // local[32] still covers the fast queries
+  val FloorSec = 0.5
 
   def main(args: Array[String]): Unit = {
     // flags and positionals can arrive in any order ("--write" alone must
@@ -116,8 +119,8 @@ object BenchSmoke {
           case Some(b) =>
             val bound = math.max(b, FloorSec) * ratio
             if (t1 > bound) {
-              // single-shot noise vs real regression: best of two decides
-              val t = math.min(t1, runOnce(name))
+              // single-shot noise vs real regression: best of three decides
+              val t = math.min(t1, math.min(runOnce(name), runOnce(name)))
               if (t > bound) {
                 failures += 1
                 println(f"[benchsmoke] REGRESSION $name $t%.2fs > " +
