@@ -518,17 +518,50 @@ object Similarity {
     // union of per-band selects re-scans v `bands` times; posexplode of
     // the signature array is one scan and the identical (band, sig) rows)
     val sigArr = rpSignatureBands(col("v"), bands, bitsPerBand, d, seed)
-    val withBands = v.select(col("id"),
-      posexplode(sigArr).as(Seq("band", "sig")))
-    val buckets = withBands
-      .groupBy(col("band"), col("sig"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-    val candidates = buckets
-      .select(explode(col("ids")).as("id_1"), col("ids"))
-      .select(col("id_1"), explode(col("ids")).as("id_2"))
-      .filter(col("id_1") < col("id_2"))
-      .distinct()
+    // candidate generation mirrors the hardNegatives machinery: bucket
+    // equi-join on (band, sig) with explicit fan-out partitioning, and —
+    // when the whole signature packs into one long — the
+    // first-collision-band integer filter replaces the `.distinct()`
+    // re-shuffle of bands×-duplicated pairs (fallback to distinct() for
+    // over-wide configurations)
+    val packedFits = bands * bitsPerBand <= 64
+    val s0 = v.select(col("id"), sigArr.as("sigs"))
+    val s = (if (packedFits) {
+      val packed = (0 until bands).map(b =>
+        shiftleft(element_at(col("sigs"), b + 1), b * bitsPerBand))
+        .reduce(_ bitwiseOR _)
+      s0.select(col("id"), packed.as("fullsig"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
+    } else
+      s0.select(col("id"), lit(0L).as("fullsig"),
+        posexplode(col("sigs")).as(Seq("band", "sig"))))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okBuckets = s.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz").between(2, maxBucketSize))
+      .select(col("band"), col("sig"))
+    val sOk = s.join(okBuckets, Seq("band", "sig"))
+    val a = sOk.select(col("band"), col("sig"), col("id").as("id_1"),
+      col("fullsig").as("__f1"))
+    val b = sOk.select(col("band"), col("sig"), col("id").as("id_2"),
+      col("fullsig").as("__f2"))
+    val joined = a.join(b, Seq("band", "sig")).filter(col("id_1") < col("id_2"))
+    val candidates = if (packedFits) {
+      val groupLowBits = lit((0 until bands)
+        .map(bd => 1L << (bd * bitsPerBand)).reduce(_ | _))
+      val xorSig = col("__f1") bitwiseXOR col("__f2")
+      val groupNonZero = (0 until bitsPerBand)
+        .map(i => shiftrightunsigned(xorSig, i))
+        .reduce(_ bitwiseOR _) bitwiseAND groupLowBits
+      val zeroGroups = bitwise_not(groupNonZero) bitwiseAND groupLowBits
+      val firstCollisionBand =
+        (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
+          bitsPerBand).cast("int")
+      joined.filter(col("band") === firstCollisionBand)
+        .select(col("id_1"), col("id_2"))
+    } else joined.select(col("id_1"), col("id_2")).distinct()
     val pairs = candidates
       .join(v.select(col("id").as("id_1"), col("v").as("v_1")), "id_1")
       .join(v.select(col("id").as("id_2"), col("v").as("v_2")), "id_2")
@@ -539,6 +572,7 @@ object Similarity {
     // repeated library calls don't leak storage blocks
     val out = pairs.localCheckpoint(true)
     v.unpersist()
+    s.unpersist()
     out
   }
 
