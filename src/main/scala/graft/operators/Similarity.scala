@@ -461,9 +461,16 @@ object Similarity {
     * bucket constant makes it O(n · targetBucket), linear. The cost is
     * recall at a given cosine (p^bits per band): sizing up concentrates
     * recall on the high-similarity pairs — the pairs that still matter
-    * when the corpus grows. Callers with a fixed recall contract (an
-    * exact-oracle gate) pin bits explicitly instead. */
-  def autoBitsPerBand(n: Long, minBits: Int, targetBucket: Int = 256): Int = {
+    * when the corpus grows.
+    *
+    * Below `pinBelow` rows the sizing is PINNED to `minBits`: small
+    * corpora are where exact-recall contracts (oracle gates, pinned-plane
+    * SQL twins) live, and the quadratic cost is immaterial there — the
+    * scaling must never shift a gate-tested configuration out from under
+    * its oracle just because the fixture grew a little. */
+  def autoBitsPerBand(n: Long, minBits: Int, targetBucket: Int = 256,
+      pinBelow: Long = 10000): Int = {
+    if (n < pinBelow) return minBits
     val needed = math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
     math.max(minBits, needed)

@@ -210,6 +210,16 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("autoBitsPerBand: pinned below the gate floor, bucket-sized above") {
+    // gate-scale corpora keep the recall-pinned minimum no matter what
+    assert(Similarity.autoBitsPerBand(500, minBits = 2) == 2)
+    assert(Similarity.autoBitsPerBand(2000, minBits = 2) == 2)
+    assert(Similarity.autoBitsPerBand(9999, minBits = 4) == 4)
+    // past the floor, bits hold the expected bucket at ~targetBucket
+    assert(Similarity.autoBitsPerBand(20000, minBits = 2) == 7)
+    assert(Similarity.autoBitsPerBand(1000000, minBits = 2) == 12)
+  }
+
   test("rpSignatureBands: fused expression equals per-band rpSignature chain") {
     val vd = transform(col("embedding"), _.cast("double"))
     val declared = array((0 until 8).map { b =>
