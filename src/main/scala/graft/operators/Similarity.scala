@@ -398,6 +398,40 @@ object Similarity {
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
       .withColumn("recall_ppm", expr("(1000000 * n_hit) div n_exact"))
 
+  /** Retrieval-quality metrics over ANY ranked result frame — the
+    * evaluation harness that turns "the index returns something" into
+    * numbers a retrieval stack is tuned by. `results` is (query_id,
+    * neighbor_id, rank) from any top-k operator ([[bruteForceTopK]],
+    * [[ivfTopK]], [[pqTopK]], [[sq8TopK]]); `relevance` is the labeled
+    * (query_id, neighbor_id) ground-truth pairs. One summary row:
+    * n_queries, MRR, hit-rate@k and macro precision@k, all integer ppm
+    * (per-query reciprocal ranks and precisions are integer-divided THEN
+    * averaged, so every engine computes the identical number).
+    *
+    * 100 TB shape: one equi-join keyed by (query, neighbor) — both sides
+    * are k rows per query / labeled pairs, never corpus-sized — then a
+    * query-keyed partial agg and a 1-row roll-up. */
+  def retrievalMetrics(results: DataFrame, relevance: DataFrame,
+      k: Int): DataFrame = {
+    val flagged = results.filter(col("rank") <= k)
+      .join(relevance.select(col("query_id"), col("neighbor_id"))
+        .withColumn("__rel", lit(true)),
+        Seq("query_id", "neighbor_id"), "left")
+    val perQ = flagged.groupBy(col("query_id"))
+      .agg(
+        min(when(col("__rel"), col("rank"))).as("__first_rel"),
+        sum(when(col("__rel"), lit(1L)).otherwise(lit(0L))).as("__n_rel"))
+      .withColumn("__rr_ppm",
+        coalesce(expr("1000000 div __first_rel"), lit(0L)))
+      .withColumn("__p_ppm", expr(s"(1000000 * __n_rel) div $k"))
+    perQ.agg(
+      count(lit(1)).as("n_queries"),
+      expr("sum(__rr_ppm) div count(1)").as("mrr_ppm"),
+      expr("(1000000 * sum(case when __n_rel > 0 then 1 else 0 end)) " +
+        "div count(1)").as("hit_rate_ppm"),
+      expr("sum(__p_ppm) div count(1)").as("precision_at_k_ppm"))
+  }
+
   /** Assign each vector to its nearest centroid (squared-L2), MAP-ONLY:
     * the centroid set rides along as one broadcast array row and the argmin
     * is a higher-order `aggregate` per corpus row — no shuffle at all, the

@@ -442,6 +442,22 @@ object DataQueries {
       Similarity.dimensionStats(t(s, dir, "embeddings"), "embedding")
     },
 
+    // Retrieval evaluation beyond recall: MRR, hit-rate@10, macro
+    // precision@10 of the exact top-10 under same-label relevance — all
+    // integer ppm (per-query values integer-divided THEN averaged)
+    "q250_retrieval_metrics" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val results = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+      val relevance = e.select(col("vec_id").as("query_id"), col("label"))
+        .filter(col("query_id") < 50)
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("label"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.retrievalMetrics(results, relevance, k = 10)
+    },
+
     // Embedding outlier gate: cosine of each vector to its label's exact
     // integer-sum centroid (scale-invariance stands the sum vector in for
     // the mean — no FP-order hazard, no division)
@@ -1128,6 +1144,39 @@ object DataQueries {
         |  round(p.cosine - n.cosine, 6) AS margin
         |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
         |WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
+
+    // the results side reuses the verbatim q29-family exact-knn SQL; the
+    // relevance side is the same-label pair set; per-query integer
+    // divisions then integer means mirror the operator exactly
+    "q250_retrieval_metrics" ->
+      s"""WITH results AS (
+         |  SELECT * FROM (${sqlKnn("e2.vec_id < 50", "rank <= 10")})
+         |), relevance AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 50
+         |), perq AS (
+         |  SELECT r.query_id,
+         |    MIN(CASE WHEN rel.neighbor_id IS NOT NULL THEN r.rank END)
+         |      AS first_rel,
+         |    SUM(CASE WHEN rel.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS n_rel
+         |  FROM results r LEFT JOIN relevance rel
+         |    USING (query_id, neighbor_id)
+         |  GROUP BY 1
+         |), scored AS (
+         |  SELECT query_id,
+         |    COALESCE(1000000 // first_rel, 0) AS rr_ppm,
+         |    (1000000 * n_rel) // 10 AS p_ppm,
+         |    CASE WHEN n_rel > 0 THEN 1 ELSE 0 END AS hit
+         |  FROM perq
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm,
+         |  CAST((1000000 * SUM(hit)) // COUNT(*) AS BIGINT) AS hit_rate_ppm,
+         |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS precision_at_k_ppm
+         |FROM scored""".stripMargin,
 
     "q249_dimension_stats" ->
       """WITH e AS (

@@ -298,6 +298,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("retrievalMetrics: MRR / hit-rate / precision@k by hand") {
+    import spark.implicits._
+    // q1: first relevant at rank 2, 2 relevant in top-3
+    // q2: no relevant in top-3
+    val results = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val relevance = Seq((1L, 11L), (1L, 12L), (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.retrievalMetrics(results, relevance, k = 3)
+      .collect().head
+    assert(r.getLong(0) == 2L)                       // n_queries
+    assert(r.getLong(1) == (500000L + 0L) / 2)       // mrr: (1e6/2 + 0)/2
+    assert(r.getLong(2) == 500000L)                  // hit rate 1/2
+    assert(r.getLong(3) == (666666L + 0L) / 2)       // p@3: (2e6/3 + 0)/2
+  }
+
   test("recallAtK: identical frames score 1e6 ppm, misses subtract") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
