@@ -85,7 +85,10 @@ object HeaderUpdater {
     * column PAIRS are `(XXXX,YYYY)`-formatted key fields and their match
     * values, the remaining pairs are (dcmtk field name, new value) sets.
     * A trailing odd field is ignored (`$i<$#bits`), and a key column not
-    * matching the tag pattern contributes nothing to the hash. */
+    * matching the tag pattern contributes nothing to the hash. The Perl
+    * regex is an UNANCHORED substring match (`$bits[$i] =~ /\(..\)/`), so
+    * a key field like `x(0020,0011)` still counts; a trailing key tag
+    * with no value column appends an empty segment (`undef . "---"`). */
   def parseSpecFile(lines: Seq[String], keyCols: Int): BatchSpec = {
     var keyTags = Vector.empty[(Int, Int)]
     var made = false
@@ -96,13 +99,13 @@ object HeaderUpdater {
         val bits = line.split('\t')
         var key = ""
         (0 until keyCols * 2 by 2).foreach { i =>
-          if (i + 1 < bits.length) bits(i) match {
-            case TagSpecRe(g, e) =>
+          if (i < bits.length)
+            TagSpecRe.findFirstMatchIn(bits(i)).foreach { m =>
               if (!made) keyTags :+=
-                ((Integer.parseInt(g, 16), Integer.parseInt(e, 16)))
-              key += bits(i + 1) + "---"
-            case _ => ()
-          }
+                ((Integer.parseInt(m.group(1), 16),
+                  Integer.parseInt(m.group(2), 16)))
+              key += (if (i + 1 < bits.length) bits(i + 1) else "") + "---"
+            }
         }
         made = true
         val sets = (keyCols * 2 until bits.length - 1 by 2)
@@ -124,6 +127,15 @@ object HeaderUpdater {
       specLines: Seq[String], keyCols: Int = 1,
       glob: String = "*.{tar,tar.gz,tgz}"): Dataset[RebuiltArchive] = {
     val spec = parseSpecFile(specLines, keyCols)
+    // The Perl file-side hash always has exactly keyCols `---` segments:
+    // with fewer parsed key tags the find handler dies dereferencing
+    // `@{$keys[$i]}` (strict refs) on the first DICOM file. Mirror that
+    // up front — otherwise an empty keyTags list would make every file's
+    // keyhash "" and a malformed first spec line would silently
+    // mass-rewrite headers in every archive.
+    require(spec.keyTags.size == keyCols,
+      s"spec file defines ${spec.keyTags.size} key tag(s) but keyCols=" +
+        s"$keyCols (updateHeadersBatch.pl:190-194 dies on this)")
     // resolve every set list to tag ints once, driver-side
     val setsByHash: Map[String, Map[Int, String]] = spec.setTable.map {
       case (hash, sets) => hash -> sets.map { case (name, v) =>

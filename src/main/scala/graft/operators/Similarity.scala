@@ -204,20 +204,33 @@ object Similarity {
       // stage to ONE evaluation — it feeds both the bucket-size agg and
       // the pair join
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // degenerate-bucket cap: (band, sig) keys whose population exceeds
+    // same-label pairs must agree on lbl anyway, so fold the label into
+    // the bucket key: bucket population (and the maxBucketSize cap) is
+    // then per LABEL BLOCK, which lets callers size bitsPerBand by the
+    // largest label instead of the corpus — the within-block geometry
+    // keeps recall high where corpus-sized bits would collapse it. The
+    // (band, sig) hash partitioning above still co-locates every
+    // (lbl, band, sig) group, so the label-widened join adds no exchange.
+    val bucketKey = if (sameLabel) Seq("lbl", "band", "sig")
+      else Seq("band", "sig")
+    // degenerate-bucket cap: bucket keys whose population exceeds
     // maxBucketSize are excluded from pair generation (boilerplate-heavy
     // signature collisions; size bitsPerBand up instead of paying n² in a
     // hot bucket). Plain equi-join — bucket stats grow with the corpus, so
     // no broadcast hint; AQE picks the strategy.
-    val okBuckets = s.groupBy(col("band"), col("sig"))
+    val okBuckets = s.groupBy(bucketKey.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= maxBucketSize)
-      .select(col("band"), col("sig"))
-    val sOk = s.join(okBuckets, Seq("band", "sig"))
+      .select(bucketKey.map(col): _*)
+    val sOk = s.join(okBuckets, bucketKey)
+    val joinKey = if (sameLabel) Seq("__lbl", "band", "sig")
+      else Seq("band", "sig")
     val a = sOk.select(col("band"), col("sig"), col("id").as("query_id"),
-      col("lbl").as("__ql"), col("fullsig").as("__qf"))
+      col("lbl").as("__ql"), col("lbl").as("__lbl"),
+      col("fullsig").as("__qf"))
     val b = sOk.select(col("band"), col("sig"), col("id").as("neighbor_id"),
-      col("lbl").as("__nl"), col("fullsig").as("__nf"))
+      col("lbl").as("__nl"), col("lbl").as("__lbl"),
+      col("fullsig").as("__nf"))
     // first-collision-band rule: a pair colliding in several bands is
     // emitted ONLY from the lowest one — an EXACT dedup computed locally
     // from the packed signatures with pure integer codegen (no
@@ -239,7 +252,7 @@ object Similarity {
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
       else col("__ql") =!= col("__nl")
-    val candidates = a.join(b, Seq("band", "sig"))
+    val candidates = a.join(b, joinKey)
       .filter(labelPred)
       .filter(col("band") === firstCollisionBand)
       .select(col("query_id"), col("neighbor_id"))
@@ -269,16 +282,28 @@ object Similarity {
     * top-k on mixed corpora, so candidates come from the UNION of
     * `seeds.size` independent bandings — per-pair miss probability is the
     * single-banding miss raised to that power ((1.4e-5)² at the tested
-    * corpus's worst pair) — and the distinct bounded heap dedups the
-    * cross-seed duplicates for free (identical (cosine, id) sort keys).
-    * Anchors lacking either side (singleton labels) drop out. */
+    * corpus's worst pair UNDER THE 32×2 GEOMETRY) — and the distinct
+    * bounded heap dedups the cross-seed duplicates for free (identical
+    * (cosine, id) sort keys). Anchors lacking either side (singleton
+    * labels) drop out.
+    *
+    * Recall caveat at corpus-scaled bits: the miss² arithmetic is a
+    * function of (bands, bitsPerBand) — at e.g. 7 bands × 9 bits a
+    * low-cosine hardest positive's single-banding recall drops to ~0.2
+    * and two seeds only recover ~0.36. Because the same-label pass
+    * buckets on (label, band, sig), its geometry only has to cover the
+    * LARGEST LABEL BLOCK, never the corpus: pass `posBands`/
+    * `posBitsPerBand` sized by `autoBitsPerBand(maxLabelRows)` (0 = reuse
+    * the negative-pass values) and hardest-positive recall stays in the
+    * wide-band regime no matter how large the corpus grows. */
   def tripletMining(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
       dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
-      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000
+      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000,
+      posBands: Int = 0, posBitsPerBand: Int = 0
   ): DataFrame = {
     val (plan, caches) = tripletMiningPlan(corpus, idCol, vecCol, labelCol,
-      dim, bands, bitsPerBand, seeds, maxBucketSize)
+      dim, bands, bitsPerBand, seeds, maxBucketSize, posBands, posBitsPerBand)
     val out = plan.localCheckpoint(true)
     caches.foreach(_.unpersist())
     out
@@ -289,7 +314,8 @@ object Similarity {
   def tripletMiningPlan(
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
       dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
-      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000
+      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000,
+      posBands: Int = 0, posBitsPerBand: Int = 0
   ): (DataFrame, Seq[DataFrame]) = {
     require(seeds.nonEmpty, "need at least one banding seed")
     val v = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
@@ -297,8 +323,12 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def top1(sameLabel: Boolean): (DataFrame, Seq[DataFrame]) = {
+      val (bnd, bits) =
+        if (sameLabel) (if (posBands > 0) posBands else bands,
+          if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
+        else (bands, bitsPerBand)
       val gens = seeds.map(sd => annLabelCandidates(v, sameLabel, dim,
-        bands, bitsPerBand, sd, maxBucketSize))
+        bnd, bits, sd, maxBucketSize))
       val cands = gens.map(_._1).reduce(_ unionByName _)
       // the DISTINCT heap eliminates cross-seed duplicate pairs (equal
       // (cosine, neighbor_id) sort keys) while bounding state at 1/anchor
@@ -408,14 +438,22 @@ object Similarity {
     * (per-query reciprocal ranks and precisions are integer-divided THEN
     * averaged, so every engine computes the identical number).
     *
+    * The denominator is the UNION of the result and relevance query sets:
+    * a labeled query the index returned nothing for scores 0 on every
+    * metric instead of silently dropping out (which would inflate
+    * MRR/hit-rate exactly when the index is at its worst). `relevance` is
+    * deduplicated on (query_id, neighbor_id) first so accidental duplicate
+    * ground-truth rows cannot fan out the join and push precision@k
+    * past 10⁶ ppm.
+    *
     * 100 TB shape: one equi-join keyed by (query, neighbor) — both sides
     * are k rows per query / labeled pairs, never corpus-sized — then a
     * query-keyed partial agg and a 1-row roll-up. */
   def retrievalMetrics(results: DataFrame, relevance: DataFrame,
       k: Int): DataFrame = {
+    val rel = relevance.select(col("query_id"), col("neighbor_id")).distinct()
     val flagged = results.filter(col("rank") <= k)
-      .join(relevance.select(col("query_id"), col("neighbor_id"))
-        .withColumn("__rel", lit(true)),
+      .join(rel.withColumn("__rel", lit(true)),
         Seq("query_id", "neighbor_id"), "left")
     val perQ = flagged.groupBy(col("query_id"))
       .agg(
@@ -424,7 +462,14 @@ object Similarity {
       .withColumn("__rr_ppm",
         coalesce(expr("1000000 div __first_rel"), lit(0L)))
       .withColumn("__p_ppm", expr(s"(1000000 * __n_rel) div $k"))
-    perQ.agg(
+    // relevance-only queries (nothing retrieved) enter with all-zero scores
+    val allQ = perQ
+      .join(rel.select(col("query_id")).distinct(), Seq("query_id"), "full")
+      .select(
+        coalesce(col("__rr_ppm"), lit(0L)).as("__rr_ppm"),
+        coalesce(col("__p_ppm"), lit(0L)).as("__p_ppm"),
+        coalesce(col("__n_rel"), lit(0L)).as("__n_rel"))
+    allQ.agg(
       count(lit(1)).as("n_queries"),
       expr("sum(__rr_ppm) div count(1)").as("mrr_ppm"),
       expr("(1000000 * sum(case when __n_rel > 0 then 1 else 0 end)) " +

@@ -80,10 +80,15 @@ object SkewJoin {
   ): DataFrame = {
     val s = audit(skewed, keys)
       .select(col("n_keys"), col("n_rows"), col("max_key_rows")).first()
-    val (nKeys, nRows, maxKey) = (s.getLong(0), s.getLong(1), s.getLong(2))
+    // zero input rows → sum/max aggregate to NULL; read the count first
+    // and fall back to the plain join before touching the nullable cells
+    val nKeys = s.getLong(0)
+    if (nKeys == 0L || s.isNullAt(1) || s.isNullAt(2))
+      return skewed.join(replicated, keys)
+    val (nRows, maxKey) = (s.getLong(1), s.getLong(2))
     val parts =
       skewed.sparkSession.sessionState.conf.numShufflePartitions.toLong
-    val isSkewed = nKeys > 0 && maxKey * nKeys > 2L * nRows
+    val isSkewed = maxKey * nKeys > 2L * nRows
     val target = math.max(1L, nRows / math.max(1L, parts))
     val factor = math.min(maxSalt.toLong, (maxKey + target - 1) / target).toInt
     if (!isSkewed || factor <= 1) skewed.join(replicated, keys)

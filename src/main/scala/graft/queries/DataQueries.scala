@@ -427,12 +427,21 @@ object DataQueries {
     // distinct bounded heap dedups cross-seed duplicates
     "q248_triplet_mining" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      // corpus-sized bits (see autoBitsPerBand); at the sf0.01 gate this
-      // resolves to the recall-pinned 32 bands × 2 bits per seed
-      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      // negative pass: corpus-sized bits (see autoBitsPerBand); positive
+      // pass: bits sized by the LARGEST LABEL BLOCK — the same-label
+      // banding buckets on (label, band, sig), so its recall geometry
+      // only has to cover one label, keeping hardest-positive recall in
+      // the wide-band regime at any corpus size. At the sf0.01 gate both
+      // resolve to the recall-pinned 32 bands × 2 bits per seed.
+      val stats = e.groupBy(col("label")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")), max(col("c"))).first()
+      val bits = Similarity.autoBitsPerBand(stats.getLong(0), minBits = 2)
       val bands = math.min(32, 64 / bits)
+      val posBits = Similarity.autoBitsPerBand(stats.getLong(1), minBits = 2)
+      val posBands = math.min(32, 64 / posBits)
       Similarity.tripletMining(e, "vec_id", "embedding", "label",
-        dim = 64, bands = bands, bitsPerBand = bits)
+        dim = 64, bands = bands, bitsPerBand = bits,
+        posBands = posBands, posBitsPerBand = posBits)
     },
 
     // Per-dimension embedding health: exact integer-scaled min/max/sum
@@ -1152,7 +1161,7 @@ object DataQueries {
       s"""WITH results AS (
          |  SELECT * FROM (${sqlKnn("e2.vec_id < 50", "rank <= 10")})
          |), relevance AS (
-         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id <> b.vec_id
          |  WHERE a.vec_id < 50
@@ -1171,12 +1180,20 @@ object DataQueries {
          |    (1000000 * n_rel) // 10 AS p_ppm,
          |    CASE WHEN n_rel > 0 THEN 1 ELSE 0 END AS hit
          |  FROM perq
+         |), allq AS (
+         |  -- denominator = union of result and relevance query sets:
+         |  -- a labeled query with no retrieved rows scores 0 everywhere
+         |  SELECT COALESCE(s.rr_ppm, 0) AS rr_ppm,
+         |    COALESCE(s.p_ppm, 0) AS p_ppm, COALESCE(s.hit, 0) AS hit
+         |  FROM (SELECT query_id FROM scored
+         |        UNION SELECT DISTINCT query_id FROM relevance) q
+         |  LEFT JOIN scored s USING (query_id)
          |)
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
          |  CAST(SUM(rr_ppm) // COUNT(*) AS BIGINT) AS mrr_ppm,
          |  CAST((1000000 * SUM(hit)) // COUNT(*) AS BIGINT) AS hit_rate_ppm,
          |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS precision_at_k_ppm
-         |FROM scored""".stripMargin,
+         |FROM allq""".stripMargin,
 
     "q249_dimension_stats" ->
       """WITH e AS (

@@ -28,6 +28,36 @@ class HeaderUpdaterSpec extends SparkSpec {
     assert(spec.setTable == Map("" -> Seq("PatientName" -> "A")))
   }
 
+  test("parseSpecFile: tag pattern is an unanchored substring match") {
+    // Perl `$bits[$i] =~ /\(..\)/` matches anywhere in the field, so a
+    // decorated key column like 'x(0020,0011)y' is still a valid key.
+    val spec = HeaderUpdater.parseSpecFile(Seq(
+      "x(0020,0011)y\t7\tPatientName\tA"), keyCols = 1)
+    assert(spec.keyTags == Seq((0x0020, 0x0011)))
+    assert(spec.setTable == Map("7---" -> Seq("PatientName" -> "A")))
+  }
+
+  test("parseSpecFile: trailing key tag with no value appends empty seg") {
+    // Perl: $bits[$i+1] is undef past the end, so `undef . "---"` still
+    // contributes a '---' segment to the key.
+    val spec = HeaderUpdater.parseSpecFile(Seq(
+      "(0020,0011)\t2\t(0010,0020)"), keyCols = 2)
+    assert(spec.keyTags == Seq((0x0020, 0x0011), (0x0010, 0x0020)))
+    assert(spec.setTable == Map("2------" -> Seq()))
+  }
+
+  test("updateArchivesBatch rejects a spec with fewer key tags than keyCols") {
+    // mirrors the Perl find handler dying on `@{$keys[$i]}` when the
+    // first spec line's key columns don't all parse as (XXXX,YYYY) —
+    // without this an empty keyTags list matches the '' spec row and
+    // mass-rewrites every file.
+    val dir = SyntheticFixtures.freshDir("huspec3")
+    intercept[IllegalArgumentException] {
+      HeaderUpdater.updateArchivesBatch(spark, dir,
+        Seq("notatag\t2\tPatientName\tA"), keyCols = 1)
+    }
+  }
+
   test("two-key batch update matches on (series, patient id) jointly") {
     val dir = SyntheticFixtures.freshDir("huspec")
     def slice(series: Int, pid: String): Array[Byte] =

@@ -264,6 +264,19 @@ class SimilaritySpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
       .toMap
     assert(got == expected)
+    // label-block-sized positive pass (the corpus-scaled-bits recall fix):
+    // with a NARROW 16×4 negative geometry the cross-label argmax may
+    // occasionally land on a runner-up (the documented recall contract),
+    // but the positive pass at its own wide per-(label, band, sig)
+    // geometry must still find every exact hardest positive
+    val got2 = Similarity.tripletMining(emb, "vec_id", "embedding", "label",
+      dim = 64, bands = 16, bitsPerBand = 4,
+      posBands = 32, posBitsPerBand = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(got2.size == expected.size) // no anchor dropped
+    assert(got2.forall { case (id, (pid, pc)) =>
+      expected(id)._1 == pid && expected(id)._3 == pc })
   }
 
   test("dimensionStats: exact integer stats, dead dimension flagged") {
@@ -314,6 +327,22 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getLong(1) == (500000L + 0L) / 2)       // mrr: (1e6/2 + 0)/2
     assert(r.getLong(2) == 500000L)                  // hit rate 1/2
     assert(r.getLong(3) == (666666L + 0L) / 2)       // p@3: (2e6/3 + 0)/2
+  }
+
+  test("retrievalMetrics: relevance-only queries score 0; duplicate " +
+    "ground-truth pairs don't inflate precision") {
+    import spark.implicits._
+    val results = Seq((1L, 10L, 1), (1L, 11L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    // q1's (1,10) pair appears TWICE in relevance; q3 was never retrieved
+    val relevance = Seq((1L, 10L), (1L, 10L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.retrievalMetrics(results, relevance, k = 2)
+      .collect().head
+    assert(r.getLong(0) == 2L)             // q1 + the unretrieved q3
+    assert(r.getLong(1) == 1000000L / 2)   // mrr: (1e6/1 + 0)/2
+    assert(r.getLong(2) == 500000L)        // hit rate 1/2
+    assert(r.getLong(3) == 250000L)        // p@2: (1e6*1/2 + 0)/2, not 2/2
   }
 
   test("recallAtK: identical frames score 1e6 ppm, misses subtract") {

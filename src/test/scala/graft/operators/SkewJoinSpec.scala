@@ -82,6 +82,18 @@ class SkewJoinSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("autoJoin on an empty skewed side falls back to the plain join") {
+    import spark.implicits._
+    // zero rows make audit's sum/max NULL — must not NPE, must return
+    // the (empty) plain-join result
+    val empty = Seq.empty[(Long, Long)].toDF("key", "payload")
+    val dim = spark.range(5).select(col("id").as("key"),
+      concat(lit("d"), col("id")).as("attr"))
+    val out = SkewJoin.autoJoin(empty, dim, Seq("key"))
+    assert(out.columns.toSeq == Seq("key", "payload", "attr"))
+    assert(out.count() == 0L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import spark.implicits._
     val a = (1L to 1000L).map(i => (i, s"a$i")).toDF("k", "va")
