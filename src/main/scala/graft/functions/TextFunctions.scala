@@ -123,6 +123,17 @@ object TextFunctions {
       GraftColumnBridge.expression(text)))
   }
 
+  /** Fused 64-bit SimHash ([[expressions.SimHash64Expr]]) — the scale
+    * path of the SimHash dedup family: same tokenize→hash→bit-vote
+    * pipeline as [[simhash32Fused]] but voting all 64 bits of the
+    * md5 prefix, so band signatures can be 16 bits wide at the same
+    * pigeonhole recall contract. */
+  def simhash64Fused(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(expressions.SimHash64Expr(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Rolling/polynomial document fingerprint: the minimum [[portableHash60]]
     * over word `n`-shingles (1-hash MinHash — a winnowing-style content
     * fingerprint stable under small reorderings of unrelated regions). */

@@ -23,6 +23,22 @@ object HashExprs {
     while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
     v >>> 4
   }
+
+  /** Full first 64 bits of md5(bytes) as the raw (signed) Long bit
+    * pattern — numerically identical to parsing the first 16 hex chars of
+    * the digest as an unsigned 64-bit integer. DuckDB twin:
+    * `CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT)` (bit-level
+    * equal; only the signedness of the container differs, which every
+    * consumer masks away). */
+  def md5Prefix64(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v
+  }
 }
 
 /** Codegen'd form of [[graft.functions.TextFunctions.portableHash60]]:

@@ -456,28 +456,84 @@ object Dedup {
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), simhash32Fused(col(textCol)).as("simhash"))
 
+  /** Per-doc 64-bit SimHash fingerprints — the scale-path sibling of
+    * [[simhashDocs]] (same token pipeline, full 64-bit md5-prefix votes).
+    * Bit 63 makes the value signed; consumers mask. */
+  def simhashDocs64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhash64Fused(col(textCol)).as("simhash"))
+
   /** SimHash near-dup pairs via banded hamming probes: the 32-bit
     * fingerprint splits into `bands` equal bit-bands; docs sharing ANY
     * band bucket become candidates, verified with an exact popcount-XOR
     * hamming distance. By pigeonhole, recall is EXACT (100%) for pairs with
     * hamming <= bands-1 when maxHamming <= bands-1 — at most bands-1 bits
     * differ, so at least one band is untouched. One shuffle on (band, sig)
-    * buckets, no O(n²) stage: the 100 TB shape.
+    * buckets, no O(n²) stage per bucket — but the 32-bit fingerprint PINS
+    * per-band signature space at 2^(32/bands) (256 at the default 4
+    * bands), so bucket population grows ∝n once the corpus outruns
+    * ~targetBucket·2^(32/bands) docs: quadratic by contract. Past that
+    * point use [[simhashNearDupPairs64]] — same recall contract, 2^16
+    * signatures per band at bands=4.
     */
   def simhashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 10000
   ): DataFrame = {
     require(32 % bands == 0, "bands must divide 32")
-    val bitsPerBand = 32 / bands
-    val mask = (1L << bitsPerBand) - 1
-    val h = simhashDocs(df, idCol, textCol)
-      .select(col(idCol).as("id"), col("simhash"))
+    bandedHammingPairs(simhashDocs(df, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash")),
+      32 / bands, bands, maxHamming, maxBucketSize)
+  }
+
+  /** 64-bit SimHash near-dup pairs — the scale path the 32-bit form
+    * documents ([[simhashNearDupPairs]], docs/SCALE.md): identical banded
+    * machinery and the identical pigeonhole contract (recall EXACT for
+    * pairs with hamming ≤ bands−1), but per-band signatures are
+    * 64/bands bits wide, so at the default geometry (4 bands × 16 bits,
+    * hamming ≤ 3) buckets only saturate at ~targetBucket·2^16 ≈ 16M docs
+    * — 256× past the 32-bit onset. [[simhash64BandsFor]] states the
+    * geometry rule; above the 16-band signature-space ceiling the right
+    * lever is lowering `maxHamming` (fewer, wider bands), not more bands.
+    */
+  def simhashNearDupPairs64(
+      df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    bandedHammingPairs(simhashDocs64(df, idCol, textCol)
+        .select(col(idCol).as("id"), col("simhash")),
+      64 / bands, bands, maxHamming, maxBucketSize)
+  }
+
+  /** Geometry rule for [[simhashNearDupPairs64]]: the FEWEST bands that
+    * keep the pigeonhole contract (bands ≥ maxHamming+1, rounded up to a
+    * divisor of 64) — fewer bands mean wider signatures, so this is also
+    * the bucket-population optimum; extra bands only add candidate-join
+    * cost. The quadratic onset for the chosen geometry sits at
+    * ~targetBucket·2^(64/bands) docs (the analogue of
+    * [[graft.operators.Similarity.autoBitsPerBand]]'s bucket sizing):
+    * 4 bands → ~16M, 2 bands (hamming ≤ 1) → ~10¹² . */
+  def simhash64BandsFor(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming < 16,
+      "pigeonhole needs bands > maxHamming and bands | 64 with >= 4 bits")
+    Seq(1, 2, 4, 8, 16).find(_ >= maxHamming + 1).get
+  }
+
+  /** Shared banded-hamming candidate machinery of the SimHash family:
+    * explode each fingerprint into `bands` (band, sig) bucket keys
+    * (logical shifts — bit 63 of the 64-bit form must not smear), pair
+    * docs within buckets sized [2, maxBucketSize], verify with exact
+    * popcount-XOR hamming. ONE shuffle keyed by (band, sig). */
+  private def bandedHammingPairs(
+      h: DataFrame, bitsPerBand: Int, bands: Int,
+      maxHamming: Int, maxBucketSize: Int
+  ): DataFrame = {
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
     val banded = h.select(col("id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bitsPerBand).bitwiseAND(lit(mask))
-            .as("sig"))): _*)).as("bs"))
+          shiftrightunsigned(col("simhash"), b * bitsPerBand)
+            .bitwiseAND(lit(mask)).as("sig"))): _*)).as("bs"))
       .select(col("id"), col("simhash"), col("bs.band"), col("bs.sig"))
     val buckets = banded
       .groupBy(col("band"), col("sig"))

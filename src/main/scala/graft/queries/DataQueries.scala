@@ -370,6 +370,22 @@ object DataQueries {
       Dedup.simhashNearDupPairs(docs(s, dir), "doc_id", "text")
     },
 
+    // 64-bit SimHash fingerprints — the scale-path fingerprint function
+    // (full md5-prefix64 votes; bit 63 makes the value signed, both
+    // engines assemble the same two's complement long)
+    "q251_simhash64" -> { (s, dir) =>
+      Dedup.simhashDocs64(docs(s, dir), "doc_id", "text")
+    },
+
+    // 64-bit SimHash banded near-dup pairs: the q54 scale path as CODE —
+    // same pigeonhole contract (4 bands, exact recall at hamming <= 3)
+    // but 16-bit band signatures, so the bucket-population quadratic
+    // onset moves from ~65k docs to ~16M (docs/SCALE.md)
+    "q252_simhash64_neardup" -> { (s, dir) =>
+      Dedup.simhashNearDupPairs64(docs(s, dir), "doc_id", "text",
+        bands = Dedup.simhash64BandsFor(maxHamming = 3))
+    },
+
     // Brute-force cosine top-10 for the first 5 vectors
     "q29_embedding_knn" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
@@ -974,6 +990,64 @@ object DataQueries {
         |SELECT doc_id, n_tokens FROM t
         |WHERE n_tokens >= 5
         |  AND CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 50""".stripMargin,
+
+    // the 64-bit fingerprint: per-token hash = first 16 md5 hex chars as
+    // UBIGINT (bit-identical to the engine's md5Prefix64 long), 64 bit
+    // votes, fingerprint assembled as signed two's complement (the j=63
+    // term is MIN_BIGINT directly — DuckDB's BIGINT << 63 overflows)
+    "q251_simhash64" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS hv
+         |  FROM tok
+         |), bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(CAST((hv >> j) & 1 AS BIGINT) * 2 - 1) AS bsum
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |  GROUP BY doc_id, j
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(CASE WHEN bsum > 0 THEN
+         |    CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |         ELSE CAST(1 AS BIGINT) << j END
+         |    ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    // q251's fingerprint CTE + 4x16-bit banding + popcount-XOR verify
+    // (the q54 machinery at the 64-bit geometry)
+    "q252_simhash64_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+         |), hh AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(s), 1, 16)) AS UBIGINT) AS hv
+         |  FROM tok
+         |), bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(CAST((hv >> j) & 1 AS BIGINT) * 2 - 1) AS bsum
+         |  FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |  GROUP BY doc_id, j
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CASE WHEN bsum > 0 THEN
+         |      CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+         |           ELSE CAST(1 AS BIGINT) << j END
+         |      ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id
+         |), banded AS (
+         |  SELECT doc_id, simhash, b AS band,
+         |    (simhash >> (b * 16)) & 65535 AS sig
+         |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+         |), cand AS (
+         |  SELECT DISTINCT b1.doc_id AS id_1, b2.doc_id AS id_2,
+         |    b1.simhash AS h1, b2.simhash AS h2
+         |  FROM banded b1 JOIN banded b2
+         |    ON b1.band = b2.band AND b1.sig = b2.sig AND b1.doc_id < b2.doc_id
+         |)
+         |SELECT id_1, id_2, CAST(bit_count(xor(h1, h2)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(h1, h2)) <= 3""".stripMargin,
 
     // q28's simhash CTE + 4x8-bit banding + popcount-XOR verify
     "q54_simhash_neardup" ->

@@ -71,6 +71,56 @@ class DedupSpec extends SparkSpec {
     assert(lsh.nonEmpty) // fixture has exact dups (hamming 0)
   }
 
+  test("simhashDocs64 == reference 64-bit tokenize/md5/bit-vote") {
+    // independent Scala reference: trim/split \s+, first 8 md5 bytes as
+    // BE u64, ±1 vote per bit, bit set iff sum > 0 (== the DuckDB twin)
+    def ref(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sums = new Array[Long](64)
+      text.trim.split("\\s+").foreach { tok =>
+        val d = md.digest(tok.getBytes("UTF-8"))
+        val h = (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xffL))
+        (0 until 64).foreach(j => sums(j) += ((h >>> j) & 1L) * 2L - 1L)
+      }
+      (0 until 64).foldLeft(0L)((fp, j) =>
+        if (sums(j) > 0) fp | (1L << j) else fp)
+    }
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = Dedup.simhashDocs64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == texts.map { case (id, tx) => id -> ref(tx) })
+    // the fixture's sign-bit coverage: at least one fingerprint negative
+    // (bit 63 set) so the signed two's complement path is exercised
+    assert(out.values.exists(_ < 0L), "no fingerprint exercised bit 63")
+  }
+
+  test("simhashNearDupPairs64 == brute-force hamming (pigeonhole exact), " +
+      "wider sigs emit no spurious bucket pairs") {
+    val maxHamming = 3
+    val lsh = Dedup.simhashNearDupPairs64(docs, "doc_id", "text",
+      bands = Dedup.simhash64BandsFor(maxHamming), maxHamming = maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val h = Dedup.simhashDocs64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i1, h1) <- h; (i2, h2) <- h if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= maxHamming
+    } yield (i1, i2, d)).toSet
+    assert(lsh == brute, s"banded ${lsh.size} vs brute ${brute.size}")
+    assert(lsh.nonEmpty) // fixture has exact dups (hamming 0)
+  }
+
+  test("simhash64BandsFor: fewest bands honoring the pigeonhole contract") {
+    assert(Dedup.simhash64BandsFor(0) == 1)
+    assert(Dedup.simhash64BandsFor(1) == 2)
+    assert(Dedup.simhash64BandsFor(3) == 4)
+    assert(Dedup.simhash64BandsFor(4) == 8)
+    assert(Dedup.simhash64BandsFor(7) == 8)
+    assert(Dedup.simhash64BandsFor(15) == 16)
+    intercept[IllegalArgumentException](Dedup.simhash64BandsFor(16))
+  }
+
   test("clusterPairsStar == clusterPairs on adversarial graph shapes") {
     import spark.implicits._
     // long chain (diameter stress), star, two triangles bridged, isolated
