@@ -552,14 +552,61 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("hamming"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within a blocking key (brute
-    * force within block; for unblocked 100 TB use [[Similarity.ivfTopK]]'s
-    * cluster assignment as the block). */
+  /** Embedding-cosine near-duplicate pairs within a blocking key — exact
+    * brute force inside each block, with blocks larger than
+    * `maxExactBlock` AUTO-ROUTED through within-block SRP-LSH
+    * ([[Similarity.rpLshNearDupPairs]] with the block folded into the
+    * bucket key). A caller with one hot block no longer pays a silent n²:
+    * the exact scan is reserved for blocks where O(block²) is the cheap
+    * plan, and the routed blocks get the banded-LSH shape (linear in
+    * block size at auto-sized bits; recall 1-(1-p^bits)^bands per pair,
+    * concentrated on high-cosine pairs — the ones a near-dup prune
+    * exists for). The routing decision is ONE 1-row statistics read of
+    * the per-block counts; when no block exceeds the threshold the plan
+    * is exactly the historical all-exact one (q30's oracle-pinned form).
+    */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       blockCol: String,
+      threshold: Double,
+      maxExactBlock: Int = 10000,
+      seed: Long = 42L,
+      dim: Int = -1
+  ): DataFrame = {
+    val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__bsz"))
+    // 1-row statistics read (the SkewJoin.autoJoin discipline): route only
+    // when some block is actually oversized; empty input → exact path
+    val mx = sizes.agg(max(col("__bsz"))).first()
+    val maxSz = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    if (maxSz <= maxExactBlock)
+      exactBlockPairs(df, idCol, vecCol, blockCol, threshold)
+    else {
+      val smallBlocks = sizes.filter(col("__bsz") <= maxExactBlock)
+        .select(col(blockCol))
+      val bigBlocks = sizes.filter(col("__bsz") > maxExactBlock)
+        .select(col(blockCol))
+      val exact = exactBlockPairs(df.join(smallBlocks, Seq(blockCol)),
+        idCol, vecCol, blockCol, threshold)
+      // bits sized by the LARGEST block (the within-block corpus the
+      // banding has to spread); bands capped so the packed-signature
+      // dedup stays in one long
+      val bits = Similarity.autoBitsPerBand(maxSz, minBits = 4)
+      val bands = math.min(8, 64 / bits)
+      val routed = Similarity.rpLshNearDupPairs(
+        df.join(bigBlocks, Seq(blockCol)), idCol, vecCol, threshold,
+        bands = bands, bitsPerBand = bits, seed = seed, dim = dim,
+        blockCol = Some(blockCol))
+      exact.unionByName(routed)
+    }
+  }
+
+  /** The historical exact within-block pair scan (q30's oracle-pinned
+    * plan): O(block²) by declaration — the cheap and exact shape when
+    * blocks are bounded. */
+  private def exactBlockPairs(
+      df: DataFrame, idCol: String, vecCol: String, blockCol: String,
       threshold: Double
   ): DataFrame = {
     // normalize each vector ONCE (v / ||v||) so the per-pair work inside the

@@ -588,17 +588,25 @@ object Similarity {
   def rpLshNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 4,
-      seed: Long = 42L, maxBucketSize: Int = 10000, dim: Int = -1
+      seed: Long = 42L, maxBucketSize: Int = 10000, dim: Int = -1,
+      blockCol: Option[String] = None
   ): DataFrame = {
     // callers know their embedding model's dimensionality — pass it to
     // skip the 1-row probe job (kept as a convenience fallback)
     val d = if (dim > 0) dim else df.select(size(col(vecCol))).first().getInt(0)
+    // optional within-block restriction: the block rides along as part of
+    // the bucket key, so only same-block pairs ever become candidates —
+    // the routed scale path of [[Dedup.embeddingNearDupPairs]]. The
+    // (band, sig) hash partitioning below still co-locates every
+    // (block, band, sig) group, so the widened join adds no exchange.
+    val blockKey = blockCol.map(_ => "__blk").toSeq
+    val blockSel = blockCol.map(c => col(c).as("__blk")).toSeq
     // normalize ONCE per vector: signatures are scale-invariant (sign of
     // dot is unchanged by positive scaling... but the FP boundary cases are
     // not, so the oracle twin must normalize identically), and the verify
     // stage becomes a single dot per pair instead of dot + two norms
-    val v = df.select(col(idCol).as("id"),
-        normalize(asDouble(col(vecCol))).as("v"))
+    val v = df.select(blockSel :+ col(idCol).as("id") :+
+        normalize(asDouble(col(vecCol))).as("v"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // all band signatures in ONE fused pass over the cached vectors (a
     // union of per-band selects re-scans v `bands` times; posexplode of
@@ -611,29 +619,31 @@ object Similarity {
     // re-shuffle of bands×-duplicated pairs (fallback to distinct() for
     // over-wide configurations)
     val packedFits = bands * bitsPerBand <= 64
-    val s0 = v.select(col("id"), sigArr.as("sigs"))
+    val blkC = blockKey.map(col)
+    val s0 = v.select(blkC :+ col("id") :+ sigArr.as("sigs"): _*)
     val s = (if (packedFits) {
       val packed = (0 until bands).map(b =>
         shiftleft(element_at(col("sigs"), b + 1), b * bitsPerBand))
         .reduce(_ bitwiseOR _)
-      s0.select(col("id"), packed.as("fullsig"),
-        posexplode(col("sigs")).as(Seq("band", "sig")))
+      s0.select(blkC :+ col("id") :+ packed.as("fullsig") :+
+        posexplode(col("sigs")).as(Seq("band", "sig")): _*)
     } else
-      s0.select(col("id"), lit(0L).as("fullsig"),
-        posexplode(col("sigs")).as(Seq("band", "sig"))))
+      s0.select(blkC :+ col("id") :+ lit(0L).as("fullsig") :+
+        posexplode(col("sigs")).as(Seq("band", "sig")): _*))
       .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val okBuckets = s.groupBy(col("band"), col("sig"))
+    val bucketKey = blockKey ++ Seq("band", "sig")
+    val okBuckets = s.groupBy(bucketKey.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz").between(2, maxBucketSize))
-      .select(col("band"), col("sig"))
-    val sOk = s.join(okBuckets, Seq("band", "sig"))
-    val a = sOk.select(col("band"), col("sig"), col("id").as("id_1"),
-      col("fullsig").as("__f1"))
-    val b = sOk.select(col("band"), col("sig"), col("id").as("id_2"),
-      col("fullsig").as("__f2"))
-    val joined = a.join(b, Seq("band", "sig")).filter(col("id_1") < col("id_2"))
+      .select(bucketKey.map(col): _*)
+    val sOk = s.join(okBuckets, bucketKey)
+    val a = sOk.select(blkC ++ Seq(col("band"), col("sig"),
+      col("id").as("id_1"), col("fullsig").as("__f1")): _*)
+    val b = sOk.select(blkC ++ Seq(col("band"), col("sig"),
+      col("id").as("id_2"), col("fullsig").as("__f2")): _*)
+    val joined = a.join(b, bucketKey).filter(col("id_1") < col("id_2"))
     val candidates = if (packedFits) {
       val groupLowBits = lit((0 until bands)
         .map(bd => 1L << (bd * bitsPerBand)).reduce(_ | _))

@@ -409,10 +409,15 @@ object DataQueries {
         dim = 64)
     },
 
-    // Embedding-cosine near-dup pairs within label blocks
+    // Embedding-cosine near-dup pairs within label blocks. Blocks up to
+    // 1000 rows take the exact O(block²) scan — the oracle-pinned plan at
+    // both gate scales (50/block at sf0.01, 200 at sf0.1) — and larger
+    // blocks auto-route through within-block SRP-LSH (block² = 10⁶ pairs
+    // is where the exact scan stops being the cheap plan)
     "q30_embedding_neardup" -> { (s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"),
-        "vec_id", "embedding", "label", threshold = 0.3)
+        "vec_id", "embedding", "label", threshold = 0.3,
+        maxExactBlock = 1000, dim = 64)
     },
 
     // Hard-negative mining for the WHOLE corpus (every row its own

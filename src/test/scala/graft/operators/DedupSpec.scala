@@ -121,6 +121,36 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simhash64BandsFor(16))
   }
 
+  test("embeddingNearDupPairs routes oversized blocks through " +
+      "within-block SRP-LSH: routed == exact on a crafted hot block") {
+    import spark.implicits._
+    // deterministic ±1 64-dim vectors: random cosines concentrate near 0,
+    // planted near-dups flip ONE entry (cosine 62/64 ≈ 0.969 ≥ 0.9)
+    def sign(base: Long, j: Int): Float =
+      if ((java.lang.Long.bitCount(
+        (base + 1) * 0x9E3779B97F4A7C15L + j * 0xC2B2AE3D27D4EB4FL) & 1) == 0)
+        1.0f else -1.0f
+    def vec(base: Long, flip: Int): Seq[Float] =
+      (0 until 64).map(j =>
+        if (j == flip) -sign(base, j) else sign(base, j))
+    val hot = (0L until 60L).flatMap { b =>
+      Seq((b, vec(b, -1), "hot"), (100L + b, vec(b, (b % 64).toInt), "hot"))
+    }
+    val cold = (200L until 210L).map(i => (i, vec(i, -1), "cold")) :+
+      ((300L, vec(200L, 7), "cold")) // one planted pair in the exact path
+    val df = (hot ++ cold).toDF("vec_id", "embedding", "label")
+    def run(maxExact: Int) = Dedup.embeddingNearDupPairs(df,
+      "vec_id", "embedding", "label", threshold = 0.9,
+      maxExactBlock = maxExact, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = run(10000) // hot block (120) under threshold: all-exact
+    val routed = run(50)   // hot block routed through within-block LSH
+    assert(exact.size >= 61) // 60 planted hot pairs + 1 cold pair
+    assert(routed == exact)
+    // the cold planted pair came from the exact branch either way
+    assert(routed.exists { case (a, b, _) => a == 200L && b == 300L })
+  }
+
   test("clusterPairsStar == clusterPairs on adversarial graph shapes") {
     import spark.implicits._
     // long chain (diameter stress), star, two triangles bridged, isolated
