@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.row_number
 import org.apache.spark.sql.types.LongType
 
 /** Distributed global-ordinal assignment — the scale-safe replacement for
@@ -14,19 +16,42 @@ import org.apache.spark.sql.types.LongType
   * the sort: the shape that holds when the "new keys" batch is millions of
   * rows instead of a dictionary handful.
   *
+  * When the optimizer's statistics BOUND the input under one split,
+  * though, that machinery is pure overhead: the RDD round trip breaks
+  * whole-stage codegen, detaches the AQE pipeline, and schedules two
+  * extra jobs (zipWithIndex's count pass re-evaluates the whole upstream
+  * ladder) — measured as the dominant wall cost of the id-minting
+  * verticals (q117/q152: ~120 jobs for a 15-row batch). Such inputs take
+  * the in-plan single-partition window instead: same values (for input
+  * distinct on the sort key the ordinal equals `row_number()`), one
+  * 1-task stage inside the same codegen'd plan. The size gate reads plan
+  * STATISTICS (no action); join-estimate inflation can only mis-route a
+  * small input to the distributed path, which stays correct.
+  *
   * For input distinct on the sort key, the ordinal equals both
   * `row_number()` and `dense_rank()` over that key.
   */
 object Ordinals {
 
+  /** Statistics threshold for the in-plan window path: one shuffle-split's
+    * worth of bytes — a window over less than one split on one task is
+    * strictly cheaper than a range exchange + two RDD jobs. */
+  val WindowPathBytes: Long = 128L << 20
+
   /** Append a 1-based `name` column holding each row's global ordinal in
     * `sortCols` order. */
   def withGlobalOrdinal(df: DataFrame, sortCols: Seq[Column], name: String): DataFrame = {
-    val sorted = df.orderBy(sortCols: _*)
-    val schema = sorted.schema.add(name, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < WindowPathBytes)
+      df.withColumn(name,
+        row_number().over(Window.orderBy(sortCols: _*)).cast(LongType))
+    else {
+      val sorted = df.orderBy(sortCols: _*)
+      val schema = sorted.schema.add(name, LongType, nullable = false)
+      val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+        Row.fromSeq(r.toSeq :+ (i + 1L))
+      }
+      df.sparkSession.createDataFrame(rdd, schema)
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 }

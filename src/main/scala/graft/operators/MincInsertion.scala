@@ -98,7 +98,13 @@ object MincInsertion {
       tarchiveSeries: DataFrame, psc: DataFrame, sessions: DataFrame,
       candidates: DataFrame, scanners: DataFrame, files: DataFrame,
       candErrors: DataFrame, protocols: DataFrame,
-      excludedProtocols: Seq[String] = Nil): DataFrame = {
+      excludedProtocols: Seq[String] = Nil,
+      eagerCheckpoint: Boolean = true): DataFrame = {
+    // multi-consumer ladder midpoints materialize ONCE (batch-sized);
+    // plan-shape specs pass eagerCheckpoint=false to inspect the full
+    // unfused logical plan (checkpoints truncate lineage)
+    def ckpt(df: DataFrame): DataFrame =
+      if (eagerCheckpoint) df.localCheckpoint(true) else df
 
     // ---- 1. input resolution --------------------------------------
     val upDict = uploads.select(col("UploadID").as("upload_id"),
@@ -188,13 +194,14 @@ object MincInsertion {
       psc,
       sessions.select(col("CandidateID"), col("CenterID"),
         col("Visit_label")),
-      candidates.select(col("ID"), col("PSCID")))
+      candidates.select(col("ID"), col("PSCID")),
+      eagerCheckpoint)
     val scanned = TarchiveValidation.resolveScanner(
       centered.withColumn("manufacturer", col("__man"))
         .withColumn("model", col("__mod"))
         .withColumn("serial", col("__ser"))
         .withColumn("software", col("__sw")),
-      scanners)
+      scanners, eagerCheckpoint)
       .withColumn("minc_id", col("upload_id"))
       .withColumn("upload_id", col("__uid_save"))
 
@@ -229,8 +236,12 @@ object MincInsertion {
         col("CandidateID") === col("__cand_row"))
       .groupBy(col("CandID"), col("Visit_label").as("visit_label"))
       .agg(min(col("ID")).as("__sess_id"))
-    val withSess = reasoned
-      .join(sessKeys, Seq("CandID", "visit_label"), "left")
+    // three consumers below (sessed, newSessKeys, and through them the
+    // whole ladder tail): materialize the join ladder ONCE. Scale-safe —
+    // this is the insert BATCH (bounded by what one ingest run carries),
+    // never the catalog side of the joins.
+    val withSess = ckpt(reasoned
+      .join(sessKeys, Seq("CandID", "visit_label"), "left"))
     val newSessKeys = withSess
       .filter(col("__sess_id").isNull && col("__cand_reason").isNull)
       .select(col("CandID"), col("visit_label")).distinct()
@@ -329,7 +340,9 @@ object MincInsertion {
     val eligible = col("__pre").isNull && col("__md5_dup").isNull
     val firstOfHash = Window.partitionBy(col("md5hash"))
       .orderBy(col("minc_id"))
-    val statused = preStatus
+    // two consumers (newIds and the final join): one materialization of
+    // the ladder tail — batch-sized, same rationale as withSess above
+    val statused = ckpt(preStatus
       .withColumn("__first_md5",
         first(when(eligible, col("minc_id")), ignoreNulls = true)
           .over(firstOfHash))
@@ -340,7 +353,7 @@ object MincInsertion {
             .when(col("acq_protocol_id").isNull, lit("unknown_protocol"))
             .when(col("acq_protocol").isin(excludedProtocols: _*),
               lit("excluded_protocol"))
-            .otherwise(lit("registered"))))
+            .otherwise(lit("registered")))))
 
     // ---- registration ids + output shape --------------------------
     val maxFile = files.agg(coalesce(max(col("FileID")), lit(0L))

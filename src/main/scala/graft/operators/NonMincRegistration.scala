@@ -78,7 +78,12 @@ object NonMincRegistration {
   def register(cands: DataFrame, uploads: DataFrame, scanners: DataFrame,
       scanTypes: DataFrame, fileTypes: DataFrame, candidates: DataFrame,
       visitWindows: DataFrame, sessions: DataFrame,
-      files: DataFrame): DataFrame = {
+      files: DataFrame, eagerCheckpoint: Boolean = true): DataFrame = {
+    // multi-consumer ladder midpoints materialize ONCE (batch-sized);
+    // plan-shape specs pass eagerCheckpoint=false to inspect the full
+    // unfused logical plan (checkpoints truncate lineage)
+    def ckpt(df: DataFrame): DataFrame =
+      if (eagerCheckpoint) df.localCheckpoint(true) else df
 
     // last matching ImagingFileTypes row wins (File.pm:278-282 overwrites
     // $fileType on every match as it loops the table)
@@ -139,7 +144,7 @@ object NonMincRegistration {
     val batchDupW = Window.partitionBy(col("md5hash"))
       .orderBy(col("file_path"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val statused = checked
+    val statused = ckpt(checked
       .join(dupCatalog, Seq("md5hash"), "left")
       .withColumn("__pre_md5", preMd5)
       .withColumn("__ok_rank", sum(when(col("__pre_md5") &&
@@ -155,7 +160,11 @@ object NonMincRegistration {
           .when(!col("__cand_ok"), "candidate_mismatch")
           .when(coalesce(col("__dup_cat"), lit(false)) ||
             col("__ok_rank") > 1, "duplicate_md5")
-          .otherwise("registered"))
+          // two consumers (the session stage via `reaching` and the final
+          // ladder via `withSession`): one materialization of the check
+          // ladder — batch-sized (the files being registered), never the
+          // catalog side of its joins
+          .otherwise("registered")))
 
     // get-or-create sessions for EVERY row that reaches the session stage
     // (the reference creates the visit before the md5 guard); max ids ride
@@ -179,8 +188,9 @@ object NonMincRegistration {
         coalesce(col("__existing"), col("__created")).as("__session_id"),
         col("__existing").isNull.as("__session_new"))
 
-    val withSession = statused
-      .join(sessResolved, Seq("CandID", "VisitLabel"), "left")
+    // two consumers (`ok` and `rejected` split): materialize once
+    val withSession = ckpt(statused
+      .join(sessResolved, Seq("CandID", "VisitLabel"), "left"))
 
     val maxFile = files
       .agg(coalesce(max(col("FileID")), lit(0L)).cast("long").as("__maxf"))

@@ -68,8 +68,15 @@ object TarchiveValidation {
     * @param candidates (ID, PSCID)
     * @return decoded + (center_id, mri_alias) — 0/"UNKN" when unresolved
     */
-  def resolveCenter(decoded: DataFrame, psc: DataFrame, sessions: DataFrame,
-                    candidates: DataFrame): DataFrame = {
+  def resolveCenter(decoded0: DataFrame, psc: DataFrame, sessions: DataFrame,
+                    candidates: DataFrame,
+                    eagerCheckpoint: Boolean = true): DataFrame = {
+    // `decoded` is consumed twice (aliasMatch probe + the main join) and
+    // callers hand it the tail of their join ladder: materialize once.
+    // Batch-sized (the uploads being processed), never catalog-sized.
+    // Plan-shape specs pass eagerCheckpoint=false to see the full plan.
+    val decoded =
+      if (eagerCheckpoint) decoded0.localCheckpoint(true) else decoded0
     // session-first: PSCID + Visit_label → CenterID, lowest CenterID pinned
     val sessionCenter = sessions
       .join(candidates.select(col("ID").as("__cid"), col("PSCID")),
@@ -113,7 +120,8 @@ object TarchiveValidation {
     * @return uploads + (scanner_id, scanner_is_new); new ids are
     *         max(existing)+ordinal over the distinct new tuples
     */
-  def resolveScanner(uploads: DataFrame, scanners: DataFrame): DataFrame = {
+  def resolveScanner(uploads: DataFrame, scanners: DataFrame,
+                     eagerCheckpoint: Boolean = true): DataFrame = {
     // exact 4-tuple match (findScannerID), lowest ID pinned
     val exact = scanners.groupBy(
       col("Manufacturer").as("x_man"), col("Model").as("x_mod"),
@@ -123,13 +131,17 @@ object TarchiveValidation {
     val bySerial = scanners.filter(col("CandidateID").isNotNull)
       .groupBy(col("Serial_number").as("s_ser"))
       .agg(min(col("ID")).as("s_id"))
-    val probed = uploads
+    // two consumers (newTuples + the final join) on the callers' ladder
+    // tail: materialize once (batch-sized, as in resolveCenter)
+    val probed0 = uploads
       .join(broadcast(exact),
         col("manufacturer") <=> col("x_man") && col("model") <=> col("x_mod") &&
           col("serial") <=> col("x_ser") && col("software") <=> col("x_sw"),
         "left")
       .join(broadcast(bySerial), col("serial") === col("s_ser"), "left")
       .withColumn("__existing", coalesce(col("x_id"), col("s_id")))
+    val probed =
+      if (eagerCheckpoint) probed0.localCheckpoint(true) else probed0
     // distinct unmatched tuples → deterministic new ids above max(ID).
     // All-null tuples (uploads whose archive row was never found) are not
     // scanners — no id is minted for them

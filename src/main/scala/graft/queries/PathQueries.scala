@@ -73,6 +73,38 @@ object PathQueries {
         uploadId)("parameter_file")
     },
 
+    // The parameter-store ⋈ archive-catalog join under the reference's
+    // Zipfian reality (one mega-site owns most of parameter_file):
+    // per-lineitem EAV rows key by a TarchiveID that collapses 90% of
+    // customers into site 0, then SkewJoin.autoJoin audits the key
+    // distribution (one 1-row statistics read), salts the flagged hot
+    // key, and joins the (too-big-to-broadcast-at-scale) archive dim.
+    // Result equality with the plain join is the operator's contract —
+    // the DuckDB oracle pins it — and at this fixture the salted branch
+    // IS the branch taken (the audit flags key 0 at ~90% mass), so the
+    // correctness row exercises the salt path, not the fallback.
+    "q253_skewed_param_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val params = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("ParameterFileID"),
+          when(col("o_custkey") % 100 < 90, lit(0L))
+            .otherwise(col("o_custkey")).as("TarchiveID"),
+          col("l_quantity").cast("long").as("Value"))
+      val archives = t(s, dir, "customer")
+        .select(
+          when(col("c_custkey") % 100 < 90, lit(0L))
+            .otherwise(col("c_custkey")).as("TarchiveID"),
+          col("c_nationkey"))
+        .groupBy(col("TarchiveID"))
+        .agg(min(col("c_nationkey")).as("SiteNation"))
+      graft.operators.SkewJoin
+        .autoJoin(params, archives, Seq("TarchiveID"))
+        .groupBy(col("TarchiveID"), col("SiteNation"))
+        .agg(count(lit(1)).as("n_params"), sum(col("Value")).as("sum_value"))
+    },
+
     "q37_eav_hash_semijoin" -> { (s, dir) =>
       // fingerprint computed ONCE before the hash exchange; the semi-join
       // becomes a windowed distinct-source count over the h partitioning
@@ -214,6 +246,27 @@ object PathQueries {
         |  p_brand AS "acq:brand",
         |  CAST(p_size AS VARCHAR) AS "acq:size"
         |FROM part""".stripMargin,
+
+    // plain-join SQL: autoJoin's contract is exact result equality with
+    // the unsalted join, so the oracle needs no salt modeling
+    "q253_skewed_param_join" ->
+      """WITH params AS (
+        |  SELECT l_orderkey*8 + l_linenumber AS ParameterFileID,
+        |    CASE WHEN o_custkey % 100 < 90 THEN 0 ELSE o_custkey END
+        |      AS TarchiveID,
+        |    CAST(l_quantity AS BIGINT) AS Value
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), archives AS (
+        |  SELECT CASE WHEN c_custkey % 100 < 90 THEN 0 ELSE c_custkey END
+        |      AS TarchiveID,
+        |    MIN(c_nationkey) AS SiteNation
+        |  FROM customer GROUP BY 1
+        |)
+        |SELECT TarchiveID, SiteNation,
+        |  CAST(COUNT(*) AS BIGINT) AS n_params,
+        |  CAST(SUM(Value) AS BIGINT) AS sum_value
+        |FROM params JOIN archives USING (TarchiveID)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q53_delete_cascade" ->
       """WITH m AS (SELECT min(o_orderkey) AS uid FROM orders),

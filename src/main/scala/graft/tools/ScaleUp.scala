@@ -16,11 +16,19 @@ import org.apache.spark.sql.functions._
   * exact duplicates, and unperturbed replicas would blow every near-dup
   * pair query quadratically instead of linearly.
   *
-  * Usage: tools/run.sh graft.tools.ScaleUp <srcSfDir> <dstDir> <factor>
+  * Usage: tools/run.sh graft.tools.ScaleUp <srcSfDir> <dstDir> <factor> [skew]
+  *
+  * The optional `skew` mode is the mega-site fixture: after replication,
+  * 90% of `events.user_id` and 90% of `orders.o_custkey` (with the
+  * matching `customer` rows left intact — the dim stays a superset)
+  * collapse onto ONE key, the Zipfian single-hot-key reality of the
+  * reference's TarchiveID/CandID joins at site scale. Use it to verify
+  * the SkewJoin.autoJoin path holds where the plain join straggles.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -64,8 +72,15 @@ object ScaleUp {
     write(replicate(part).select(shifted("p_partkey", partS), col("p_name"),
       col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
       "part")
+    // mega-site collapse: 90% of the (already replica-shifted) keys land
+    // on key 1 — an EXISTING dim key (custkeys start at 1), so referential
+    // integrity holds while one hot key owns 90% of the fact side: the
+    // partition a plain shuffle join cannot split
+    def megaSite(c: Column): Column =
+      if (skew) when(pmod(c, lit(10L)) < 9, lit(1L)).otherwise(c) else c
     write(replicate(orders).select(shifted("o_orderkey", orderS),
-      shifted("o_custkey", custS), col("o_orderstatus"), col("o_totalprice"),
+      megaSite((col("o_custkey") + col("r") * custS)).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")), "orders")
     write(replicate(lineitem).select(shifted("l_orderkey", orderS),
       shifted("l_partkey", partS), shifted("l_suppkey", suppS),
@@ -73,7 +88,8 @@ object ScaleUp {
       col("l_discount"), col("l_tax"), col("l_returnflag"),
       col("l_linestatus"), col("l_shipdate")), "lineitem")
     write(replicate(events).select(shifted("event_id", eventS), col("ts"),
-      shifted("user_id", userS), col("event_type"), col("value"),
+      megaSite((col("user_id") + col("r") * userS)).as("user_id"),
+      col("event_type"), col("value"),
       col("props")), "events")
     // per-replica text perturbation keeps the near-dup rate linear
     val text2 = when(col("r") === 0, col("text"))

@@ -120,7 +120,12 @@ class MincInsertionSpec extends SparkSpec {
 
   test("plan shape: no broadcast hint on catalog-derived join sides") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val df = plan(mincs(Seq(mincRow(1L, Some(70L), md5 = "p1"))))
+    // eagerCheckpoint=false: the fused plan's checkpoints truncate
+    // lineage, hiding the upstream joins this spec pins
+    val df = MincInsertion.insertPlan(
+      mincs(Seq(mincRow(1L, Some(70L), md5 = "p1"))), uploads, tarchives,
+      noSeries, psc, sessions, candidates, scanners, noFiles, noErrors,
+      protocols, eagerCheckpoint = false)
     val hintedCols = df.queryExecution.analyzed.collect {
       case h: ResolvedHint => h.child.output.map(_.name)
     }.flatten.toSet

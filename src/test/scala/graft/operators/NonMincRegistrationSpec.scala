@@ -101,7 +101,15 @@ class NonMincRegistrationSpec extends SparkSpec {
 
   test("plan shape: no broadcast hint on catalog-derived join sides") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
-    val df = run(Seq(cand("a.nii", md5 = "n1")))
+    import spark.implicits._
+    // eagerCheckpoint=false: the fused plan's checkpoints truncate
+    // lineage, hiding the upstream joins this spec pins
+    val (u, sc, st, ft, c, w, se, f) = dicts
+    val df = NonMincRegistration.register(
+      Seq(cand("a.nii", md5 = "n1")).toDF("file_path", "upload_id",
+        "patient_name", "output_type", "scan_type", "date_acquired",
+        "scanner_id", "coordinate_space", "metadata", "md5hash"),
+      u, sc, st, ft, c, w, se, f, eagerCheckpoint = false)
     val hintedCols = df.queryExecution.analyzed.collect {
       case h: ResolvedHint => h.child.output.map(_.name)
     }.flatten.toSet
