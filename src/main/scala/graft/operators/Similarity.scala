@@ -351,6 +351,252 @@ object Similarity {
     (out, v +: (posCaches ++ negCaches))
   }
 
+  // ---------------- incremental ANN mining ------------------------
+
+  /** Persisted band-signature index artifact for the incremental ANN
+    * miners ([[hardNegativesAnnIncremental]], [[tripletMiningIncremental]])
+    * — ONE row per vector: (id, lbl, v, nrm, sigs, fullsig), i.e. the
+    * cached frame the one-shot miners build internally, exposed so it can
+    * be WRITTEN once and re-read per batch instead of re-scanning and
+    * re-hashing the corpus on every mining run (the
+    * [[Dedup.incrementalLshMatches]] treatment). Store it partitioned/
+    * bucketed however the table layer prefers; band rows are derived
+    * map-side at read time (posexplode), so no banding shuffle is ever
+    * paid for the index side again. */
+  def annIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      dim: Int, bands: Int = 32, bitsPerBand: Int = 2, seed: Long = 42L
+  ): DataFrame = {
+    require(bands * bitsPerBand <= 64,
+      "packed-signature dedup needs bands*bitsPerBand <= 64")
+    val packed = (0 until bands).map(b =>
+      shiftleft(element_at(col("sigs"), b + 1), b * bitsPerBand))
+      .reduce(_ bitwiseOR _)
+    corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("sigs",
+        rpSignatureBands(col("v"), bands, bitsPerBand, dim, seed))
+      .withColumn("fullsig", packed)
+  }
+
+  /** (band, sig) rows of an [[annIndex]] artifact — map-side explode. */
+  private def artBandRows(art: DataFrame): DataFrame =
+    art.select(col("id"), col("lbl"), col("fullsig"),
+      posexplode(col("sigs")).as(Seq("band", "sig")))
+
+  /** Candidate pairs INVOLVING the batch (batch-batch, batch-index,
+    * index-batch; never index-index — those are already in the prior
+    * result): the banded-LSH machinery with the index side PRUNED to the
+    * buckets the batch actually touches before any shuffle, so the
+    * incremental cost scales with the batch, not the corpus. The
+    * `maxBucketSize` cap is evaluated on the UNION population of each
+    * touched bucket — exactly the one-shot cap restricted to touched
+    * buckets; pairs already mined into the prior result are never
+    * retroactively shed. */
+  private def annIncrementalCandidates(
+      indexArt: DataFrame, batchArt: DataFrame, sameLabel: Boolean,
+      bands: Int, bitsPerBand: Int, maxBucketSize: Int
+  ): (DataFrame, DataFrame) = {
+    val spark = batchArt.sparkSession
+    def keyed(rows: DataFrame): DataFrame =
+      if (sameLabel) rows.withColumn("__lbl", col("lbl")) else rows
+    val keyCols = if (sameLabel) Seq("__lbl", "band", "sig")
+      else Seq("band", "sig")
+    val bRows = keyed(artBandRows(batchArt))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // touched buckets: the batch's distinct bucket keys — batch-sized,
+    // so the index prune is a semi-join AQE will usually broadcast
+    val touched = bRows.select(keyCols.map(col): _*).distinct()
+    val iRows = keyed(artBandRows(indexArt))
+      .join(touched, keyCols, "left_semi")
+    val allRows = iRows.withColumn("__isb", lit(false))
+      .unionByName(bRows.withColumn("__isb", lit(true)))
+    val okBuckets = allRows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(keyCols.map(col): _*)
+    val ok = allRows.join(okBuckets, keyCols)
+    val a = ok.select(keyCols.map(col) ++ Seq(col("id").as("query_id"),
+      col("lbl").as("__ql"), col("fullsig").as("__qf"),
+      col("__isb").as("__ab")): _*)
+    val b = ok.select(keyCols.map(col) ++ Seq(col("id").as("neighbor_id"),
+      col("lbl").as("__nl"), col("fullsig").as("__nf"),
+      col("__isb").as("__nb")): _*)
+    // identical packed-signature first-collision-band dedup as the
+    // one-shot path (see annLabelCandidates)
+    val groupLowBits = lit((0 until bands)
+      .map(bd => 1L << (bd * bitsPerBand)).reduce(_ | _))
+    val xorSig = col("__qf") bitwiseXOR col("__nf")
+    val groupNonZero = (0 until bitsPerBand)
+      .map(i => shiftrightunsigned(xorSig, i))
+      .reduce(_ bitwiseOR _) bitwiseAND groupLowBits
+    val zeroGroups = bitwise_not(groupNonZero) bitwiseAND groupLowBits
+    val firstCollisionBand =
+      (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
+        bitsPerBand).cast("int")
+    val labelPred =
+      if (sameLabel) col("__ql") === col("__nl") &&
+        col("query_id") =!= col("neighbor_id")
+      else col("__ql") =!= col("__nl")
+    val candidates = a.join(b, keyCols)
+      .filter(col("__ab") || col("__nb"))
+      .filter(labelPred)
+      .filter(col("band") === firstCollisionBand)
+      .select(col("query_id"), col("neighbor_id"))
+    (candidates, bRows)
+  }
+
+  /** Generic incremental banded-LSH top-k merge: new-batch-involved
+    * candidates are exact-verified and merged with the PRIOR per-anchor
+    * top-k under the distinct bounded heap. Exactness of the merge: a
+    * pair in the accumulated one-shot top-k is either index-index (then
+    * it survives the index-only top-k — more candidates only displace —
+    * so it is in `prior`) or batch-involved (then the same banding
+    * generates it here). */
+  private def annTopKIncremental(
+      indexArt: DataFrame, prior: DataFrame, batchArt: DataFrame,
+      sameLabel: Boolean, k: Int, bands: Int, bitsPerBand: Int,
+      maxBucketSize: Int
+  ): (DataFrame, DataFrame) = {
+    val (cands, bRows) = annIncrementalCandidates(indexArt, batchArt,
+      sameLabel, bands, bitsPerBand, maxBucketSize)
+    val vAll = indexArt.select(col("id"), col("v"), col("nrm"))
+      .unionByName(batchArt.select(col("id"), col("v"), col("nrm")))
+    val merged = scoreCandidates(cands, vAll)
+      .unionByName(prior.select(col("query_id"), col("neighbor_id"),
+        col("cosine")))
+    (graft.plans.TopKPerGroup.distinct(merged, Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k), bRows)
+  }
+
+  /** Incremental [[hardNegativesAnn]]: fold a NEW BATCH of vectors into a
+    * previously-mined result without re-scanning the corpus — `indexArt`
+    * is the persisted [[annIndex]] artifact (same geometry + seed),
+    * `priorTopK` the previous mining output over the index alone. Only
+    * batch-involved buckets shuffle; SimilaritySpec proves incremental ==
+    * one-shot over the accumulated corpus, and the q254 row pins it
+    * against q161's exact oracle. */
+  def hardNegativesAnnIncremental(
+      indexArt: DataFrame, priorTopK: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      seed: Long = 42L, maxBucketSize: Int = 20000
+  ): DataFrame = {
+    val batchArt = annIndex(batch, idCol, vecCol, labelCol, dim, bands,
+        bitsPerBand, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (top, bRows) = annTopKIncremental(indexArt, priorTopK, batchArt,
+      sameLabel = false, k, bands, bitsPerBand, maxBucketSize)
+    val out = top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .localCheckpoint(true)
+    batchArt.unpersist(); bRows.unpersist()
+    out
+  }
+
+  /** The per-anchor top-1 positive/negative frames behind
+    * [[tripletMining]] — exposed (eagerly materialized) so callers can
+    * PERSIST them as the prior state [[tripletMiningIncremental]] merges
+    * into. Returns (positives, negatives), each
+    * (query_id, neighbor_id, cosine). */
+  def tripletMiningSides(
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000,
+      posBands: Int = 0, posBitsPerBand: Int = 0
+  ): (DataFrame, DataFrame) = {
+    require(seeds.nonEmpty, "need at least one banding seed")
+    val v = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def top1(sameLabel: Boolean): (DataFrame, Seq[DataFrame]) = {
+      val (bnd, bits) =
+        if (sameLabel) (if (posBands > 0) posBands else bands,
+          if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
+        else (bands, bitsPerBand)
+      val gens = seeds.map(sd => annLabelCandidates(v, sameLabel, dim,
+        bnd, bits, sd, maxBucketSize))
+      val cands = gens.map(_._1).reduce(_ unionByName _)
+      (graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
+        Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 1),
+        gens.map(_._2))
+    }
+    val (pos, posCaches) = top1(sameLabel = true)
+    val (neg, negCaches) = top1(sameLabel = false)
+    val (posOut, negOut) = (pos.localCheckpoint(true),
+      neg.localCheckpoint(true))
+    (Seq(v) ++ posCaches ++ negCaches).foreach(_.unpersist())
+    (posOut, negOut)
+  }
+
+  /** Assemble (anchor, positive, negative, margin) triplets from the two
+    * top-1 side frames — [[tripletMining]]'s output shape. */
+  def assembleTriplets(pos: DataFrame, neg: DataFrame): DataFrame =
+    pos.select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("positive_id"), col("cosine").as("pos_cosine"))
+      .join(neg.select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("negative_id"),
+        col("cosine").as("neg_cosine")), Seq("anchor_id"))
+      .withColumn("margin", round(col("pos_cosine") - col("neg_cosine"), 6))
+      .select(col("anchor_id"), col("positive_id"), col("negative_id"),
+        col("pos_cosine"), col("neg_cosine"), col("margin"))
+
+  /** Incremental [[tripletMining]]: fold a new batch into previously
+    * mined triplet SIDES (from [[tripletMiningSides]]) using persisted
+    * [[annIndex]] artifacts — one per seed for the negative geometry
+    * (`negIndexes`, aligned with `seeds`) and one per seed for the
+    * positive geometry (`posIndexes`). Batch-only shuffles, same merge
+    * exactness argument as [[hardNegativesAnnIncremental]]; anchors that
+    * only now gain a positive or negative partner (the batch supplies it)
+    * enter the output, which the joined-triplet form alone could not
+    * recover — that is why the prior state is the SIDES, not the
+    * triplets. */
+  def tripletMiningIncremental(
+      negIndexes: Seq[DataFrame], posIndexes: Seq[DataFrame],
+      priorPos: DataFrame, priorNeg: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, dim: Int,
+      bands: Int = 32, bitsPerBand: Int = 2,
+      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000,
+      posBands: Int = 0, posBitsPerBand: Int = 0
+  ): DataFrame = {
+    require(negIndexes.size == seeds.size && posIndexes.size == seeds.size,
+      "one annIndex artifact per seed per geometry")
+    val (pBnd, pBits) = (if (posBands > 0) posBands else bands,
+      if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
+    def side(idxs: Seq[DataFrame], prior: DataFrame, sameLabel: Boolean,
+        bnd: Int, bits: Int): (DataFrame, Seq[DataFrame]) = {
+      val batchArts = seeds.map(sd =>
+        annIndex(batch, idCol, vecCol, labelCol, dim, bnd, bits, sd)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val gens = idxs.zip(batchArts).map { case (ix, ba) =>
+        annIncrementalCandidates(ix, ba, sameLabel, bnd, bits,
+          maxBucketSize)
+      }
+      val cands = gens.map(_._1).reduce(_ unionByName _)
+      val vAll = idxs.head.select(col("id"), col("v"), col("nrm"))
+        .unionByName(batchArts.head.select(col("id"), col("v"), col("nrm")))
+      val merged = scoreCandidates(cands, vAll)
+        .unionByName(prior.select(col("query_id"), col("neighbor_id"),
+          col("cosine")))
+      (graft.plans.TopKPerGroup.distinct(merged, Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 1),
+        batchArts ++ gens.map(_._2))
+    }
+    val (pos, posCaches) = side(posIndexes, priorPos, sameLabel = true,
+      pBnd, pBits)
+    val (neg, negCaches) = side(negIndexes, priorNeg, sameLabel = false,
+      bands, bitsPerBand)
+    val out = assembleTriplets(pos, neg).localCheckpoint(true)
+    (posCaches ++ negCaches).foreach(_.unpersist())
+    out
+  }
+
   /** Per-DIMENSION embedding health audit: n, exact integer-scaled
     * (floor(x·2^20)) min/max/mean per dimension plus a dead-dimension flag
     * (min == max — a constant coordinate carries no information and

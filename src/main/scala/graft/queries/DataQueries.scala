@@ -40,6 +40,61 @@ object DataQueries {
   private val sqlHash60 =
     "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
+  /** q161 oracle (exact all-pairs cross-label top-3), shared verbatim by
+    * the incremental form q254 — the accumulated-corpus contract. */
+  private val sqlHardNegatives =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(
+      |      list_sum(list_transform(list_zip(a.v, c.v), x -> x[1]*x[2]))
+      |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
+      |         * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1]*x[2])))),
+      |      6) AS cosine
+      |  FROM v a JOIN v c ON a.label <> c.label
+      |), ranked AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
+      |    AS INTEGER) AS rank
+      |  FROM scored
+      |)
+      |SELECT query_id, neighbor_id, cosine, rank
+      |FROM ranked WHERE rank <= 3""".stripMargin
+
+  /** q248 oracle (exact all-pairs triplet argmaxes), shared verbatim by
+    * the incremental form q255. */
+  private val sqlTriplets =
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT a.vec_id AS anchor_id, c.vec_id AS cid,
+      |    a.label AS al, c.label AS cl,
+      |    round(
+      |      list_sum(list_transform(list_zip(a.v, c.v), x -> x[1]*x[2]))
+      |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
+      |         * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1]*x[2])))),
+      |      6) AS cosine
+      |  FROM v a JOIN v c ON a.vec_id <> c.vec_id
+      |), pos AS (
+      |  SELECT anchor_id, cid, cosine, ROW_NUMBER() OVER (
+      |    PARTITION BY anchor_id ORDER BY cosine DESC, cid ASC) AS rn
+      |  FROM s WHERE al = cl
+      |), neg AS (
+      |  SELECT anchor_id, cid, cosine, ROW_NUMBER() OVER (
+      |    PARTITION BY anchor_id ORDER BY cosine DESC, cid ASC) AS rn
+      |  FROM s WHERE al <> cl
+      |)
+      |SELECT p.anchor_id, p.cid AS positive_id, n.cid AS negative_id,
+      |  p.cosine AS pos_cosine, n.cosine AS neg_cosine,
+      |  round(p.cosine - n.cosine, 6) AS margin
+      |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+      |WHERE p.rn = 1 AND n.rn = 1""".stripMargin
+
   /** q31 oracle, factored so q172 can reuse it as a subquery. */
   private val sqlIvf: String =
     """WITH v AS (
@@ -446,6 +501,43 @@ object DataQueries {
     // margin — banded-LSH candidates from TWO independent seeds (worst
     // same-label pair miss probability squared), exact-cosine verify,
     // distinct bounded heap dedups cross-seed duplicates
+    // Incremental hard-negative mining: the corpus is split into a
+    // persisted band-signature INDEX (annIndex artifact, vec_id < 400)
+    // with its previously-mined result, plus a NEW BATCH (vec_id >= 400)
+    // — only batch-involved buckets shuffle, yet the merged output must
+    // equal the one-shot mining over the accumulated corpus, so the
+    // oracle is q161's exact all-pairs SQL verbatim. Geometry pinned to
+    // the gate's 32 bands × 2 bits (same recall coverage as q161).
+    "q254_incremental_hard_negatives" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val index = e.filter(col("vec_id") < 400)
+      val batch = e.filter(col("vec_id") >= 400)
+      val idxArt = Similarity.annIndex(index, "vec_id", "embedding",
+        "label", dim = 64)
+      val prior = Similarity.hardNegativesAnn(index, "vec_id", "embedding",
+        "label", k = 3, dim = 64)
+      Similarity.hardNegativesAnnIncremental(idxArt, prior, batch,
+        "vec_id", "embedding", "label", k = 3, dim = 64)
+    },
+
+    // Incremental triplet mining: prior state = the top-1 SIDE frames
+    // (not the joined triplets — an anchor that only now gains a
+    // positive partner must be able to enter), per-seed annIndex
+    // artifacts for both geometries; oracle = q248's exact SQL verbatim
+    "q255_incremental_triplets" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val index = e.filter(col("vec_id") < 400)
+      val batch = e.filter(col("vec_id") >= 400)
+      val seeds = Seq(42L, 1042L)
+      val negIdx = seeds.map(sd => Similarity.annIndex(index, "vec_id",
+        "embedding", "label", dim = 64, seed = sd))
+      val posIdx = negIdx // gate geometry: pos == neg (32 bands × 2 bits)
+      val (pp, pn) = Similarity.tripletMiningSides(index, "vec_id",
+        "embedding", "label", dim = 64, seeds = seeds)
+      Similarity.tripletMiningIncremental(negIdx, posIdx, pp, pn, batch,
+        "vec_id", "embedding", "label", dim = 64, seeds = seeds)
+    },
+
     "q248_triplet_mining" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       // negative pass: corpus-sized bits (see autoBitsPerBand); positive
@@ -1179,59 +1271,20 @@ object DataQueries {
          |    AS BIGINT) AS ord
          |FROM q""".stripMargin,
 
-    "q161_hard_negatives" ->
-      """WITH v AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), scored AS (
-        |  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    round(
-        |      list_sum(list_transform(list_zip(a.v, c.v), x -> x[1]*x[2]))
-        |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
-        |         * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1]*x[2])))),
-        |      6) AS cosine
-        |  FROM v a JOIN v c ON a.label <> c.label
-        |), ranked AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC)
-        |    AS INTEGER) AS rank
-        |  FROM scored
-        |)
-        |SELECT query_id, neighbor_id, cosine, rank
-        |FROM ranked WHERE rank <= 3""".stripMargin,
+    "q161_hard_negatives" -> sqlHardNegatives,
+
+    // the accumulated-corpus contract: incremental (index artifact +
+    // prior result + batch) must equal the one-shot mining, so the
+    // oracle is q161's exact all-pairs SQL VERBATIM
+    "q254_incremental_hard_negatives" -> sqlHardNegatives,
+
+    // same contract for triplets: q248's exact oracle verbatim
+    "q255_incremental_triplets" -> sqlTriplets,
 
     // exact all-pairs twin: argmax same-label (self excluded) + argmax
     // cross-label per anchor, (cosine desc, id asc) tie-break — the LSH
     // candidate union provably covers both top-1s on this corpus
-    "q248_triplet_mining" ->
-      """WITH v AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), s AS (
-        |  SELECT a.vec_id AS anchor_id, c.vec_id AS cid,
-        |    a.label AS al, c.label AS cl,
-        |    round(
-        |      list_sum(list_transform(list_zip(a.v, c.v), x -> x[1]*x[2]))
-        |      / (sqrt(list_sum(list_transform(list_zip(a.v, a.v), x -> x[1]*x[2])))
-        |         * sqrt(list_sum(list_transform(list_zip(c.v, c.v), x -> x[1]*x[2])))),
-        |      6) AS cosine
-        |  FROM v a JOIN v c ON a.vec_id <> c.vec_id
-        |), pos AS (
-        |  SELECT anchor_id, cid, cosine, ROW_NUMBER() OVER (
-        |    PARTITION BY anchor_id ORDER BY cosine DESC, cid ASC) AS rn
-        |  FROM s WHERE al = cl
-        |), neg AS (
-        |  SELECT anchor_id, cid, cosine, ROW_NUMBER() OVER (
-        |    PARTITION BY anchor_id ORDER BY cosine DESC, cid ASC) AS rn
-        |  FROM s WHERE al <> cl
-        |)
-        |SELECT p.anchor_id, p.cid AS positive_id, n.cid AS negative_id,
-        |  p.cosine AS pos_cosine, n.cosine AS neg_cosine,
-        |  round(p.cosine - n.cosine, 6) AS margin
-        |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
-        |WHERE p.rn = 1 AND n.rn = 1""".stripMargin,
+    "q248_triplet_mining" -> sqlTriplets,
 
     // the results side reuses the verbatim q29-family exact-knn SQL; the
     // relevance side is the same-label pair set; per-query integer

@@ -279,6 +279,44 @@ class SimilaritySpec extends SparkSpec {
       expected(id)._1 == pid && expected(id)._3 == pc })
   }
 
+  test("hardNegativesAnnIncremental == one-shot over the accumulated " +
+      "corpus (index artifact + prior + batch)") {
+    val index = emb.filter(col("vec_id") < 350)
+    val batch = emb.filter(col("vec_id") >= 350)
+    val idxArt = Similarity.annIndex(index, "vec_id", "embedding",
+      "label", dim = 64)
+    val prior = Similarity.hardNegativesAnn(index, "vec_id", "embedding",
+      "label", k = 3, dim = 64)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val inc = key(Similarity.hardNegativesAnnIncremental(idxArt, prior,
+      batch, "vec_id", "embedding", "label", k = 3, dim = 64))
+    val oneShot = key(Similarity.hardNegativesAnn(emb, "vec_id",
+      "embedding", "label", k = 3, dim = 64))
+    assert(inc == oneShot)
+  }
+
+  test("tripletMiningIncremental == one-shot over the accumulated corpus " +
+      "(side-state prior + per-seed index artifacts)") {
+    val index = emb.filter(col("vec_id") < 350)
+    val batch = emb.filter(col("vec_id") >= 350)
+    val seeds = Seq(42L, 1042L)
+    val idxArts = seeds.map(sd => Similarity.annIndex(index, "vec_id",
+      "embedding", "label", dim = 64, seed = sd))
+    val (pp, pn) = Similarity.tripletMiningSides(index, "vec_id",
+      "embedding", "label", dim = 64, seeds = seeds)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val inc = key(Similarity.tripletMiningIncremental(idxArts, idxArts,
+      pp, pn, batch, "vec_id", "embedding", "label", dim = 64,
+      seeds = seeds))
+    val oneShot = key(Similarity.tripletMining(emb, "vec_id", "embedding",
+      "label", dim = 64, seeds = seeds))
+    assert(inc == oneShot)
+  }
+
   test("dimensionStats: exact integer stats, dead dimension flagged") {
     import spark.implicits._
     val df = Seq(
