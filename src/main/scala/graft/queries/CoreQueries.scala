@@ -38,6 +38,16 @@ object CoreQueries {
   private val ProfiledOrderCols = Seq("o_orderkey", "o_custkey",
     "o_orderstatus", "o_orderpriority")
 
+  /** (table, key column) for the whole-catalog data card (q257): every
+    * catalog table with its natural key — integer/string-typed, so the
+    * Profiler's string-form min/max identity is engine-stable. */
+  private val CatalogKeyCols = Seq(
+    "region" -> "r_regionkey", "nation" -> "n_nationkey",
+    "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+    "part" -> "p_partkey", "orders" -> "o_orderkey",
+    "lineitem" -> "l_orderkey", "events" -> "event_id",
+    "documents" -> "doc_id", "embeddings" -> "vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Data-quality profiling: per-column row/NULL/exact-distinct counts +
     // string-form min/max over orders — one SINGLE-COLUMN aggregate per
@@ -45,6 +55,20 @@ object CoreQueries {
     // makes N pruned scans the scale shape, not one N-way expand)
     "q214_profile_orders" -> { (s, dir) =>
       graft.operators.Profiler.profile(t(s, dir, "orders"), ProfiledOrderCols)
+    },
+
+    // Whole-catalog data card: ONE profile row per catalog table (its key
+    // column's row/NULL/exact-distinct counts + string-form min/max) —
+    // the ingest-audit artifact that feeds the q175 data-card shape.
+    // Each branch is one pruned single-column scan of its table; the
+    // union is the whole catalog's health summary in one plan.
+    "q257_catalog_profile" -> { (s, dir) =>
+      CatalogKeyCols.map { case (tn, key) =>
+        graft.operators.Profiler.profile(t(s, dir, tn), Seq(key))
+          .select(lit(tn).as("table_name"), col("col_name"), col("n_rows"),
+            col("n_null"), col("n_distinct"), col("min_str"),
+            col("max_str"))
+      }.reduce(_ unionByName _)
     },
 
     // Percent-of-total report: each nation's share of its region's revenue
@@ -587,6 +611,17 @@ object CoreQueries {
          |  MIN(CAST($c AS VARCHAR)) AS min_str,
          |  MAX(CAST($c AS VARCHAR)) AS max_str
          |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+
+    // generated from the same (table, key) list as the Spark side
+    "q257_catalog_profile" -> CatalogKeyCols.map { case (tn, c) =>
+      s"""SELECT '$tn' AS table_name, '$c' AS col_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+         |  MIN(CAST($c AS VARCHAR)) AS min_str,
+         |  MAX(CAST($c AS VARCHAR)) AS max_str
+         |FROM $tn""".stripMargin
     }.mkString("\nUNION ALL\n"),
 
     "q225_order_cadence" ->

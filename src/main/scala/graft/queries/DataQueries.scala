@@ -96,8 +96,8 @@ object DataQueries {
       |WHERE p.rn = 1 AND n.rn = 1""".stripMargin
 
   /** q31 oracle, factored so q172 can reuse it as a subquery. */
-  private val sqlIvf: String =
-    """WITH v AS (
+  private def sqlIvfP(nprobe: Int): String =
+    s"""WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings
         |), cent AS (
@@ -122,7 +122,7 @@ object DataQueries {
         |          x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
         |        c.centroid_id ASC) AS rn
         |    FROM v q CROSS JOIN cent c WHERE q.vec_id < 5) t
-        |  WHERE rn <= 2
+        |  WHERE rn <= $nprobe
         |), scored AS (
         |  SELECT p.query_id, b.neighbor_id,
         |    round(
@@ -137,6 +137,99 @@ object DataQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
         |FROM scored QUALIFY rank <= 10""".stripMargin
+
+  private val sqlIvf: String = sqlIvfP(2)
+
+  /** q179 oracle, factored so q256's sweep can reuse it verbatim. */
+  private val sqlSq8: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), dims AS (
+      |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM (
+      |    SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS i FROM v)
+      |  GROUP BY i
+      |), grid AS (
+      |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims
+      |), rec AS (
+      |  SELECT vec_id, list_transform(generate_series(1, len(v)), i ->
+      |    mins[i] + CAST((CASE WHEN maxs[i] = mins[i] THEN 0
+      |      ELSE CAST(least(255.0, floor((v[i] - mins[i])
+      |        / (maxs[i] - mins[i]) * 255.0 + 0.5)) AS BIGINT)
+      |      END) AS DOUBLE) / 255.0 * (maxs[i] - mins[i])) AS r
+      |  FROM v CROSS JOIN grid
+      |), q AS (
+      |  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q.query_id, rec.vec_id AS neighbor_id,
+      |    round(list_sum(list_transform(list_zip(q.qv, rec.r), x -> x[1]*x[2]))
+      |      / (sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), x -> x[1]*x[2])))
+      |         * sqrt(list_sum(list_transform(list_zip(rec.r, rec.r), x -> x[1]*x[2])))),
+      |      6) AS cosine
+      |  FROM q JOIN rec ON rec.vec_id <> q.query_id
+      |)
+      |SELECT query_id, neighbor_id, cosine,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      |FROM scored QUALIFY rank <= 10""".stripMargin
+
+  /** q60 oracle, factored so q256's sweep can reuse it verbatim. */
+  private val sqlPq: String =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings
+      |), sub AS (
+      |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+      |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g
+      |), cb AS (
+      |  SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16
+      |), dist AS (
+      |  SELECT sub.vec_id, sub.s, cb.code,
+      |    CAST(floor(list_sum(list_transform(list_zip(sub.sv, cb.cv),
+      |      x -> (x[1]-x[2])*(x[1]-x[2]))) * 1e6 + 0.5) AS BIGINT) AS d_micro
+      |  FROM sub JOIN cb ON sub.s = cb.s
+      |), assign AS (
+      |  SELECT vec_id, s, code FROM (
+      |    SELECT vec_id, s, code, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id, s ORDER BY d_micro ASC, code ASC) AS rn
+      |    FROM dist) t
+      |  WHERE rn = 1
+      |), adc AS (
+      |  SELECT qd.vec_id AS query_id, a.vec_id AS neighbor_id,
+      |    SUM(qd.d_micro) AS adc_micro
+      |  FROM assign a
+      |  JOIN dist qd ON qd.s = a.s AND qd.code = a.code
+      |  WHERE qd.vec_id < 5 AND a.vec_id <> qd.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, neighbor_id, CAST(adc_micro AS BIGINT) AS adc_micro,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY adc_micro ASC, neighbor_id ASC) AS INTEGER) AS rank
+      |FROM adc QUALIFY rank <= 10""".stripMargin
+
+  /** q256 oracle: per configuration, its own gated oracle SQL runs as a
+    * subquery against the shared exact-KNN ground truth; per-query recall
+    * is integer ppm then integer-averaged, mirroring
+    * `recallAtK(...).agg(sum div count)` exactly. */
+  private def sqlAnnSweep: String = {
+    val cfgs = Seq(
+      "ivf_nprobe_1" -> sqlIvfP(1),
+      "ivf_nprobe_2" -> sqlIvfP(2),
+      "ivf_nprobe_4" -> sqlIvfP(4),
+      "pq_m8" -> sqlPq,
+      "sq8" -> sqlSq8)
+    cfgs.map { case (name, sql) =>
+      s"""SELECT '$name' AS config, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(rppm) // COUNT(*) AS BIGINT) AS mean_recall_ppm
+         |FROM (
+         |  SELECT e.query_id,
+         |    (1000000 * SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |       THEN 1 ELSE 0 END)) // COUNT(*) AS rppm
+         |  FROM (${sqlKnn("e2.vec_id < 5", "rank <= 10")}) e
+         |  LEFT JOIN ($sql) a USING (query_id, neighbor_id)
+         |  GROUP BY e.query_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+  }
 
   /** q181 oracle: the Gonzalez rounds as chained CTEs — d{r} holds every
     * point's min squared-distance (integer micro-units, identical floor in
@@ -609,6 +702,37 @@ object DataQueries {
       val e = t(s, dir, "embeddings")
       Similarity.sq8TopK(e, e.filter(col("vec_id") < 5),
         "vec_id", "embedding", k = 10)
+    },
+
+    // ANN configuration sweep — the tuning artifact an index deployment
+    // actually reads: ONE exact ground truth (computed once, shared),
+    // every serving configuration's recall@10 measured against it in one
+    // plan. One row per config: (config, n_queries, mean_recall_ppm).
+    "q256_ann_param_sweep" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      // ground truth materialized once — at scale the exact scan is the
+      // expensive side, and every config reuses the same frame
+      val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
+        k = 10).localCheckpoint(true)
+      val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      val configs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "ivf_nprobe_1" -> Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 10, cents, nprobe = 1),
+        "ivf_nprobe_2" -> Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 10, cents, nprobe = 2),
+        "ivf_nprobe_4" -> Similarity.ivfTopK(e, q, "vec_id", "embedding",
+          k = 10, cents, nprobe = 4),
+        "pq_m8" -> Similarity.pqTopK(e, q, "vec_id", "embedding",
+          kNeighbors = 10),
+        "sq8" -> Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 10))
+      configs.map { case (name, approx) =>
+        Similarity.recallAtK(exact, approx)
+          .agg(count(lit(1)).as("n_queries"),
+            expr("sum(recall_ppm) div count(1)").as("mean_recall_ppm"))
+          .select(lit(name).as("config"), col("n_queries"),
+            col("mean_recall_ppm"))
+      }.reduce(_ unionByName _)
     },
 
     // Incremental cross-batch dedup: new docs (doc_id % 5 == 0) matched
@@ -1196,37 +1320,13 @@ object DataQueries {
 
     // per-dim grid from the data itself (zipped unnests), SQ8 codes as the
     // identical floor expression, asymmetric cosine — mirrors sq8TopK
-    "q179_sq8_topk" ->
-      """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), dims AS (
-        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM (
-        |    SELECT unnest(v) AS x, unnest(generate_series(1, len(v))) AS i FROM v)
-        |  GROUP BY i
-        |), grid AS (
-        |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM dims
-        |), rec AS (
-        |  SELECT vec_id, list_transform(generate_series(1, len(v)), i ->
-        |    mins[i] + CAST((CASE WHEN maxs[i] = mins[i] THEN 0
-        |      ELSE CAST(least(255.0, floor((v[i] - mins[i])
-        |        / (maxs[i] - mins[i]) * 255.0 + 0.5)) AS BIGINT)
-        |      END) AS DOUBLE) / 255.0 * (maxs[i] - mins[i])) AS r
-        |  FROM v CROSS JOIN grid
-        |), q AS (
-        |  SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 5
-        |), scored AS (
-        |  SELECT q.query_id, rec.vec_id AS neighbor_id,
-        |    round(list_sum(list_transform(list_zip(q.qv, rec.r), x -> x[1]*x[2]))
-        |      / (sqrt(list_sum(list_transform(list_zip(q.qv, q.qv), x -> x[1]*x[2])))
-        |         * sqrt(list_sum(list_transform(list_zip(rec.r, rec.r), x -> x[1]*x[2])))),
-        |      6) AS cosine
-        |  FROM q JOIN rec ON rec.vec_id <> q.query_id
-        |)
-        |SELECT query_id, neighbor_id, cosine,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
-        |FROM scored QUALIFY rank <= 10""".stripMargin,
+    "q179_sq8_topk" -> sqlSq8,
+
+    // recall of every serving configuration against ONE exact ground
+    // truth, per config a left join + per-query integer recall then an
+    // integer mean — each config's SQL is its gated oracle VERBATIM as a
+    // chained CTE, so the sweep measures exactly the pinned definitions
+    "q256_ann_param_sweep" -> sqlAnnSweep,
 
     // exact cross-split near-dup pairs at the verify threshold (the LSH
     // candidate stage is recall-exact on this corpus — q27's proven bet)
@@ -1529,38 +1629,7 @@ object DataQueries {
     // exact twin of Similarity.pqTopK(m=8, k=16, queries = vec_id < 5):
     // subspace slices -> seeded codebooks (first 16 ids) -> per-subspace
     // argmin codes (ties to lowest code) -> ADC integer-micro sums -> top-10
-    "q60_ann_pq" ->
-      """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings
-        |), sub AS (
-        |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
-        |  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS s) g
-        |), cb AS (
-        |  SELECT s, vec_id AS code, sv AS cv FROM sub WHERE vec_id < 16
-        |), dist AS (
-        |  SELECT sub.vec_id, sub.s, cb.code,
-        |    CAST(floor(list_sum(list_transform(list_zip(sub.sv, cb.cv),
-        |      x -> (x[1]-x[2])*(x[1]-x[2]))) * 1e6 + 0.5) AS BIGINT) AS d_micro
-        |  FROM sub JOIN cb ON sub.s = cb.s
-        |), assign AS (
-        |  SELECT vec_id, s, code FROM (
-        |    SELECT vec_id, s, code, ROW_NUMBER() OVER (
-        |      PARTITION BY vec_id, s ORDER BY d_micro ASC, code ASC) AS rn
-        |    FROM dist) t
-        |  WHERE rn = 1
-        |), adc AS (
-        |  SELECT qd.vec_id AS query_id, a.vec_id AS neighbor_id,
-        |    SUM(qd.d_micro) AS adc_micro
-        |  FROM assign a
-        |  JOIN dist qd ON qd.s = a.s AND qd.code = a.code
-        |  WHERE qd.vec_id < 5 AND a.vec_id <> qd.vec_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT query_id, neighbor_id, CAST(adc_micro AS BIGINT) AS adc_micro,
-        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY adc_micro ASC, neighbor_id ASC) AS INTEGER) AS rank
-        |FROM adc QUALIFY rank <= 10""".stripMargin,
+    "q60_ann_pq" -> sqlPq,
 
     // normalize-then-dot (not dot/(norm*norm)) to mirror the Spark side,
     // which pre-normalizes each vector once so the O(block^2) join does a
