@@ -177,6 +177,18 @@ object Similarity {
       v: DataFrame, sameLabel: Boolean, dim: Int, bands: Int,
       bitsPerBand: Int, seed: Long, maxBucketSize: Int
   ): (DataFrame, DataFrame) = {
+    val s = bandSigFrame(v, dim, bands, bitsPerBand, seed)
+    (annLabelCandidatesFromSigs(s, sameLabel, bands, bitsPerBand,
+      maxBucketSize), s)
+  }
+
+  /** The cached (id, lbl, fullsig, band, sig) frame behind
+    * [[annLabelCandidates]] — label-mode-independent, so one frame per
+    * (geometry, seed) serves BOTH the same-label and cross-label passes
+    * of triplet mining when their geometries coincide. */
+  private def bandSigFrame(
+      v: DataFrame, dim: Int, bands: Int, bitsPerBand: Int, seed: Long
+  ): DataFrame = {
     require(bands * bitsPerBand <= 64,
       "packed-signature dedup needs bands*bitsPerBand <= 64")
     // all band signatures in ONE fused pass over the cached vectors;
@@ -195,15 +207,22 @@ object Similarity {
     // task). The partition count is EXPLICIT: AQE sizes coalescing by the
     // exchange's bytes, which under-provisions a stage that expands
     // |bucket|× after it. Also pre-aligns the bucket-size groupBy.
-    val s = v.select(col("id"), col("lbl"), sigArr.as("sigs"))
+    v.select(col("id"), col("lbl"), sigArr.as("sigs"))
       .select(col("id"), col("lbl"), packed.as("fullsig"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
       .repartition(v.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
       // n×bands narrow rows: caching pins the (heavy-codegen) signature
       // stage to ONE evaluation — it feeds both the bucket-size agg and
-      // the pair join
+      // the pair join (and, in triplet mining, both label modes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Candidate-pair generation over a prebuilt [[bandSigFrame]]. */
+  private def annLabelCandidatesFromSigs(
+      s: DataFrame, sameLabel: Boolean, bands: Int, bitsPerBand: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
     // same-label pairs must agree on lbl anyway, so fold the label into
     // the bucket key: bucket population (and the maxBucketSize cap) is
     // then per LABEL BLOCK, which lets callers size bitsPerBand by the
@@ -252,11 +271,10 @@ object Similarity {
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
       else col("__ql") =!= col("__nl")
-    val candidates = a.join(b, joinKey)
+    a.join(b, joinKey)
       .filter(labelPred)
       .filter(col("band") === firstCollisionBand)
       .select(col("query_id"), col("neighbor_id"))
-    (candidates, s)
   }
 
   /** Exact-cosine verify of candidate pairs against the cached vector
@@ -322,33 +340,41 @@ object Similarity {
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def top1(sameLabel: Boolean): (DataFrame, Seq[DataFrame]) = {
-      val (bnd, bits) =
-        if (sameLabel) (if (posBands > 0) posBands else bands,
-          if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
-        else (bands, bitsPerBand)
-      val gens = seeds.map(sd => annLabelCandidates(v, sameLabel, dim,
-        bnd, bits, sd, maxBucketSize))
-      val cands = gens.map(_._1).reduce(_ unionByName _)
+    val (pos, neg, sigCaches) = tripletSidePlans(v, dim, bands, bitsPerBand,
+      seeds, maxBucketSize, posBands, posBitsPerBand)
+    (assembleTriplets(pos, neg), v +: sigCaches)
+  }
+
+  /** The two top-1 side plans (hardest positive, hardest negative) over a
+    * cached (id, lbl, v, nrm) frame, plus the cached band-signature
+    * frames behind them. A signature frame depends only on (geometry,
+    * seed) — NOT on the label mode — so when the positive geometry
+    * coincides with the negative one (the gate config) both modes share
+    * ONE frame per seed instead of hashing the corpus twice. */
+  private def tripletSidePlans(
+      v: DataFrame, dim: Int, bands: Int, bitsPerBand: Int,
+      seeds: Seq[Long], maxBucketSize: Int, posBands: Int,
+      posBitsPerBand: Int
+  ): (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (pBnd, pBits) = (if (posBands > 0) posBands else bands,
+      if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
+    val sigCache =
+      scala.collection.mutable.LinkedHashMap.empty[(Int, Int, Long), DataFrame]
+    def sigs(bnd: Int, bits: Int, sd: Long): DataFrame =
+      sigCache.getOrElseUpdate((bnd, bits, sd),
+        bandSigFrame(v, dim, bnd, bits, sd))
+    def top1(sameLabel: Boolean): DataFrame = {
+      val (bnd, bits) = if (sameLabel) (pBnd, pBits) else (bands, bitsPerBand)
+      val cands = seeds.map(sd => annLabelCandidatesFromSigs(
+          sigs(bnd, bits, sd), sameLabel, bnd, bits, maxBucketSize))
+        .reduce(_ unionByName _)
       // the DISTINCT heap eliminates cross-seed duplicate pairs (equal
       // (cosine, neighbor_id) sort keys) while bounding state at 1/anchor
-      (graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
+      graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
         Seq(col("query_id")),
-        Seq(col("cosine").desc, col("neighbor_id").asc), 1),
-        gens.map(_._2))
+        Seq(col("cosine").desc, col("neighbor_id").asc), 1)
     }
-    val (pos, posCaches) = top1(sameLabel = true)
-    val (neg, negCaches) = top1(sameLabel = false)
-    val out = pos
-      .select(col("query_id").as("anchor_id"),
-        col("neighbor_id").as("positive_id"), col("cosine").as("pos_cosine"))
-      .join(neg.select(col("query_id").as("anchor_id"),
-        col("neighbor_id").as("negative_id"),
-        col("cosine").as("neg_cosine")), Seq("anchor_id"))
-      .withColumn("margin", round(col("pos_cosine") - col("neg_cosine"), 6))
-      .select(col("anchor_id"), col("positive_id"), col("negative_id"),
-        col("pos_cosine"), col("neg_cosine"), col("margin"))
-    (out, v +: (posCaches ++ negCaches))
+    (top1(sameLabel = true), top1(sameLabel = false), sigCache.values.toSeq)
   }
 
   // ---------------- incremental ANN mining ------------------------
@@ -384,6 +410,82 @@ object Similarity {
   private def artBandRows(art: DataFrame): DataFrame =
     art.select(col("id"), col("lbl"), col("fullsig"),
       posexplode(col("sigs")).as(Seq("band", "sig")))
+
+  /** The from-index twin of [[bandSigFrame]]: the (band, sig)-keyed
+    * signature frame derived from a persisted [[annIndex]] artifact — no
+    * corpus re-scan and no re-hash, just the map-side explode re-keyed
+    * (and cached) for the pair join. */
+  private def artSigFrame(art: DataFrame): DataFrame =
+    artBandRows(art)
+      .repartition(art.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** One-shot [[hardNegativesAnn]] FROM a persisted [[annIndex]] artifact:
+    * the artifact already carries vectors, norms and band signatures, so
+    * mining neither re-scans nor re-hashes the corpus — the operational
+    * form at 100 TB, where the index is written once and every mining run
+    * (initial or [[hardNegativesAnnIncremental]] fold) reads it. `bands`/
+    * `bitsPerBand` must match the artifact's geometry. */
+  def hardNegativesAnnFromIndex(
+      indexArt: DataFrame, k: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      maxBucketSize: Int = 20000
+  ): DataFrame = {
+    val v = indexArt.select(col("id"), col("lbl"), col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = artSigFrame(indexArt)
+    val candidates = annLabelCandidatesFromSigs(s, sameLabel = false,
+      bands, bitsPerBand, maxBucketSize)
+    val top = graft.plans.TopKPerGroup(scoreCandidates(candidates, v),
+      Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    val out = top.withColumn("rank",
+      row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .localCheckpoint(true)
+    Seq(v, s).foreach(_.unpersist())
+    out
+  }
+
+  /** [[tripletMiningSides]] FROM persisted per-seed [[annIndex]]
+    * artifacts — `negIndexes` built with the negative geometry,
+    * `posIndexes` with the positive one, each aligned with the seed
+    * order. Pass the SAME sequence for both when the geometries coincide
+    * (the gate config): each seed's signature frame is then shared across
+    * the two label modes. */
+  def tripletMiningSidesFromIndexes(
+      negIndexes: Seq[DataFrame], posIndexes: Seq[DataFrame],
+      bands: Int = 32, bitsPerBand: Int = 2, maxBucketSize: Int = 20000,
+      posBands: Int = 0, posBitsPerBand: Int = 0
+  ): (DataFrame, DataFrame) = {
+    require(negIndexes.nonEmpty && posIndexes.size == negIndexes.size,
+      "one annIndex artifact per seed per geometry")
+    val (pBnd, pBits) = (if (posBands > 0) posBands else bands,
+      if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
+    val v = negIndexes.head
+      .select(col("id"), col("lbl"), col("v"), col("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val negSigs = negIndexes.map(artSigFrame)
+    val posSigs =
+      if (posIndexes.zip(negIndexes).forall { case (p, n) => p eq n })
+        negSigs
+      else posIndexes.map(artSigFrame)
+    def top1(sigs: Seq[DataFrame], sameLabel: Boolean, bnd: Int,
+        bits: Int): DataFrame = {
+      val cands = sigs.map(s => annLabelCandidatesFromSigs(s, sameLabel,
+          bnd, bits, maxBucketSize))
+        .reduce(_ unionByName _)
+      graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
+        Seq(col("query_id")),
+        Seq(col("cosine").desc, col("neighbor_id").asc), 1)
+    }
+    val pos = top1(posSigs, sameLabel = true, pBnd, pBits)
+      .localCheckpoint(true)
+    val neg = top1(negSigs, sameLabel = false, bands, bitsPerBand)
+      .localCheckpoint(true)
+    (v +: (negSigs ++ posSigs).distinct).foreach(_.unpersist())
+    (pos, neg)
+  }
 
   /** Candidate pairs INVOLVING the batch (batch-batch, batch-index,
     * index-batch; never index-index — those are already in the prior
@@ -514,24 +616,11 @@ object Similarity {
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def top1(sameLabel: Boolean): (DataFrame, Seq[DataFrame]) = {
-      val (bnd, bits) =
-        if (sameLabel) (if (posBands > 0) posBands else bands,
-          if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
-        else (bands, bitsPerBand)
-      val gens = seeds.map(sd => annLabelCandidates(v, sameLabel, dim,
-        bnd, bits, sd, maxBucketSize))
-      val cands = gens.map(_._1).reduce(_ unionByName _)
-      (graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
-        Seq(col("query_id")),
-        Seq(col("cosine").desc, col("neighbor_id").asc), 1),
-        gens.map(_._2))
-    }
-    val (pos, posCaches) = top1(sameLabel = true)
-    val (neg, negCaches) = top1(sameLabel = false)
+    val (pos, neg, sigCaches) = tripletSidePlans(v, dim, bands, bitsPerBand,
+      seeds, maxBucketSize, posBands, posBitsPerBand)
     val (posOut, negOut) = (pos.localCheckpoint(true),
       neg.localCheckpoint(true))
-    (Seq(v) ++ posCaches ++ negCaches).foreach(_.unpersist())
+    (v +: sigCaches).foreach(_.unpersist())
     (posOut, negOut)
   }
 
@@ -569,11 +658,21 @@ object Similarity {
       "one annIndex artifact per seed per geometry")
     val (pBnd, pBits) = (if (posBands > 0) posBands else bands,
       if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
-    def side(idxs: Seq[DataFrame], prior: DataFrame, sameLabel: Boolean,
-        bnd: Int, bits: Int): (DataFrame, Seq[DataFrame]) = {
-      val batchArts = seeds.map(sd =>
-        annIndex(batch, idCol, vecCol, labelCol, dim, bnd, bits, sd)
+    // Batch band-signature artifacts are per (seed, geometry); when the
+    // positive geometry coincides with the negative one (the gate config)
+    // the two sides share ONE artifact set instead of hashing the batch
+    // twice.
+    val negBatchArts = seeds.map(sd =>
+      annIndex(batch, idCol, vecCol, labelCol, dim, bands, bitsPerBand, sd)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val posBatchArts =
+      if (pBnd == bands && pBits == bitsPerBand) negBatchArts
+      else seeds.map(sd =>
+        annIndex(batch, idCol, vecCol, labelCol, dim, pBnd, pBits, sd)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def side(idxs: Seq[DataFrame], batchArts: Seq[DataFrame],
+        prior: DataFrame, sameLabel: Boolean,
+        bnd: Int, bits: Int): (DataFrame, Seq[DataFrame]) = {
       val gens = idxs.zip(batchArts).map { case (ix, ba) =>
         annIncrementalCandidates(ix, ba, sameLabel, bnd, bits,
           maxBucketSize)
@@ -586,14 +685,15 @@ object Similarity {
           col("cosine")))
       (graft.plans.TopKPerGroup.distinct(merged, Seq(col("query_id")),
         Seq(col("cosine").desc, col("neighbor_id").asc), 1),
-        batchArts ++ gens.map(_._2))
+        gens.map(_._2))
     }
-    val (pos, posCaches) = side(posIndexes, priorPos, sameLabel = true,
-      pBnd, pBits)
-    val (neg, negCaches) = side(negIndexes, priorNeg, sameLabel = false,
-      bands, bitsPerBand)
+    val (pos, posCaches) = side(posIndexes, posBatchArts, priorPos,
+      sameLabel = true, pBnd, pBits)
+    val (neg, negCaches) = side(negIndexes, negBatchArts, priorNeg,
+      sameLabel = false, bands, bitsPerBand)
     val out = assembleTriplets(pos, neg).localCheckpoint(true)
-    (posCaches ++ negCaches).foreach(_.unpersist())
+    (negBatchArts ++ posBatchArts ++ posCaches ++ negCaches).distinct
+      .foreach(_.unpersist())
     out
   }
 

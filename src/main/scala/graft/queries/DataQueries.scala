@@ -605,10 +605,12 @@ object DataQueries {
       val e = t(s, dir, "embeddings")
       val index = e.filter(col("vec_id") < 400)
       val batch = e.filter(col("vec_id") >= 400)
+      // the artifact is MATERIALIZED once (the stand-in for the written
+      // index) and both the prior mining and the incremental fold read
+      // it — neither re-scans nor re-hashes the index corpus
       val idxArt = Similarity.annIndex(index, "vec_id", "embedding",
-        "label", dim = 64)
-      val prior = Similarity.hardNegativesAnn(index, "vec_id", "embedding",
-        "label", k = 3, dim = 64)
+        "label", dim = 64).localCheckpoint(true)
+      val prior = Similarity.hardNegativesAnnFromIndex(idxArt, k = 3)
       Similarity.hardNegativesAnnIncremental(idxArt, prior, batch,
         "vec_id", "embedding", "label", k = 3, dim = 64)
     },
@@ -622,11 +624,12 @@ object DataQueries {
       val index = e.filter(col("vec_id") < 400)
       val batch = e.filter(col("vec_id") >= 400)
       val seeds = Seq(42L, 1042L)
+      // per-seed artifacts MATERIALIZED once; prior sides and the fold
+      // both mine from them (no index re-scan, no re-hash)
       val negIdx = seeds.map(sd => Similarity.annIndex(index, "vec_id",
-        "embedding", "label", dim = 64, seed = sd))
+        "embedding", "label", dim = 64, seed = sd).localCheckpoint(true))
       val posIdx = negIdx // gate geometry: pos == neg (32 bands × 2 bits)
-      val (pp, pn) = Similarity.tripletMiningSides(index, "vec_id",
-        "embedding", "label", dim = 64, seeds = seeds)
+      val (pp, pn) = Similarity.tripletMiningSidesFromIndexes(negIdx, posIdx)
       Similarity.tripletMiningIncremental(negIdx, posIdx, pp, pn, batch,
         "vec_id", "embedding", "label", dim = 64, seeds = seeds)
     },

@@ -317,6 +317,27 @@ class SimilaritySpec extends SparkSpec {
     assert(inc == oneShot)
   }
 
+  test("from-index mining == corpus mining (hard negatives and triplet " +
+      "sides read the persisted artifact, no re-hash)") {
+    val idxArt = Similarity.annIndex(emb, "vec_id", "embedding", "label",
+      dim = 64).localCheckpoint(true)
+    def key3(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(key3(Similarity.hardNegativesAnnFromIndex(idxArt, k = 3)) ==
+      key3(Similarity.hardNegativesAnn(emb, "vec_id", "embedding", "label",
+        k = 3, dim = 64)))
+    val seeds = Seq(42L, 1042L)
+    val arts = seeds.map(sd => Similarity.annIndex(emb, "vec_id",
+      "embedding", "label", dim = 64, seed = sd).localCheckpoint(true))
+    val (fp, fn) = Similarity.tripletMiningSidesFromIndexes(arts, arts)
+    val (cp, cn) = Similarity.tripletMiningSides(emb, "vec_id", "embedding",
+      "label", dim = 64, seeds = seeds)
+    def key2(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(key2(fp) == key2(cp) && key2(fn) == key2(cn))
+  }
+
   test("dimensionStats: exact integer stats, dead dimension flagged") {
     import spark.implicits._
     val df = Seq(
