@@ -615,6 +615,18 @@ object DataQueries {
         "vec_id", "embedding", "label", k = 3, dim = 64)
     },
 
+    // From-index one-shot mining: the SAME exact all-pairs oracle as
+    // q161, but mining reads a MATERIALIZED annIndex artifact instead of
+    // re-scanning and re-hashing the corpus — the operational form at
+    // 100 TB, where the index is written once and every mining run
+    // (initial or incremental) reads it. Gate geometry = the artifact's
+    // default 32 bands × 2 bits, identical to q161's resolved config.
+    "q258_index_mining" -> { (s, dir) =>
+      val art = Similarity.annIndex(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", dim = 64).localCheckpoint(true)
+      Similarity.hardNegativesAnnFromIndex(art, k = 3)
+    },
+
     // Incremental triplet mining: prior state = the top-1 SIDE frames
     // (not the joined triplets — an anchor that only now gains a
     // positive partner must be able to enter), per-seed annIndex
@@ -1380,6 +1392,7 @@ object DataQueries {
     // prior result + batch) must equal the one-shot mining, so the
     // oracle is q161's exact all-pairs SQL VERBATIM
     "q254_incremental_hard_negatives" -> sqlHardNegatives,
+    "q258_index_mining" -> sqlHardNegatives,
 
     // same contract for triplets: q248's exact oracle verbatim
     "q255_incremental_triplets" -> sqlTriplets,
