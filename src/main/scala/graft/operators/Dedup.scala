@@ -200,14 +200,35 @@ object Dedup {
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucketSize: Int = 1000
-  ): DataFrame = {
+  ): DataFrame =
+    incrementalLshMatchesFromIndex(
+      lshIndex(index, idCol, textCol, n, bands, rowsPerBand), batch,
+      idCol, textCol, n, bands, rowsPerBand, threshold, maxBucketSize)
+
+  /** The (id, sh, sig) MinHash artifact of a corpus — the thing a
+    * continuous-ingestion deployment WRITES once (bucketed by band key at
+    * 100 TB) so per-batch matching never re-shingles or re-hashes the
+    * accumulated corpus. Map-only; append each admitted batch's rows. */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val params = minhashParams(bands * rowsPerBand)
-    def prep(df: DataFrame): DataFrame = df.select(
-      col(idCol).as("id"),
-      shingleHashes60(col(textCol), n).as("sh"))
+    docs.select(col(idCol).as("id"),
+        shingleHashes60(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), params))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[incrementalLshMatches]] probing a PERSISTED [[lshIndex]] artifact:
+    * the index side arrives as (id, sh, sig) rows read back from storage,
+    * so each batch costs its own shingling plus a band-keyed probe —
+    * the accumulated corpus is read, never recomputed. Same output and
+    * same recall trade-off as the from-text form. */
+  def incrementalLshMatchesFromIndex(
+      indexArt: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int = 1000
+  ): DataFrame = {
     def bandRows(docs: DataFrame): DataFrame = docs.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -215,8 +236,10 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_sig")
 
-    val idx = prep(index)
-    val bat = prep(batch)
+    val idx = indexArt.select(col("id"), col("sh"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bat = lshIndex(batch, idCol, textCol, n, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the production artifact: index buckets keyed by (band, signature) —
     // capped, so one boilerplate signature cannot quadratic-blow the probe
     val idxBuckets = bandRows(idx)

@@ -155,9 +155,8 @@ object Similarity {
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (candidates, s) = annLabelCandidates(v, sameLabel = false, dim,
+    val (scored, s) = annLabelScored(v, sameLabel = false, dim,
       bands, bitsPerBand, seed, maxBucketSize)
-    val scored = scoreCandidates(candidates, v)
     val top = graft.plans.TopKPerGroup(scored, Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
     val out = top.withColumn("rank",
@@ -173,20 +172,20 @@ object Similarity {
     * packed-signature first-collision-band rule. Input `v` is the cached
     * (id, lbl, v, nrm) frame; returns the candidate frame plus the cached
     * signature frame the caller must unpersist. */
-  private def annLabelCandidates(
+  private[operators] def annLabelScored(
       v: DataFrame, sameLabel: Boolean, dim: Int, bands: Int,
       bitsPerBand: Int, seed: Long, maxBucketSize: Int
   ): (DataFrame, DataFrame) = {
     val s = bandSigFrame(v, dim, bands, bitsPerBand, seed)
-    (annLabelCandidatesFromSigs(s, sameLabel, bands, bitsPerBand,
+    (annLabelScoredFromSigs(s, sameLabel, bands, bitsPerBand,
       maxBucketSize), s)
   }
 
-  /** The cached (id, lbl, fullsig, band, sig) frame behind
-    * [[annLabelCandidates]] — label-mode-independent, so one frame per
+  /** The cached (id, lbl, v, nrm, fullsig, band, sig) frame behind
+    * [[annLabelScored]] — label-mode-independent, so one frame per
     * (geometry, seed) serves BOTH the same-label and cross-label passes
     * of triplet mining when their geometries coincide. */
-  private def bandSigFrame(
+  private[operators] def bandSigFrame(
       v: DataFrame, dim: Int, bands: Int, bitsPerBand: Int, seed: Long
   ): DataFrame = {
     require(bands * bitsPerBand <= 64,
@@ -207,19 +206,36 @@ object Similarity {
     // task). The partition count is EXPLICIT: AQE sizes coalescing by the
     // exchange's bytes, which under-provisions a stage that expands
     // |bucket|× after it. Also pre-aligns the bucket-size groupBy.
-    v.select(col("id"), col("lbl"), sigArr.as("sigs"))
-      .select(col("id"), col("lbl"), packed.as("fullsig"),
+    v.select(col("id"), col("lbl"), col("v"), col("nrm"), sigArr.as("sigs"))
+      .select(col("id"), col("lbl"), col("v"), col("nrm"),
+        packed.as("fullsig"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
       .repartition(v.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
-      // n×bands narrow rows: caching pins the (heavy-codegen) signature
-      // stage to ONE evaluation — it feeds both the bucket-size agg and
-      // the pair join (and, in triplet mining, both label modes)
+      // n×bands rows CARRYING the vector and its norm — the exact verify
+      // runs INSIDE the bucket join (see annLabelScoredFromSigs), so the
+      // shuffled/cached volume is n×bands vector rows, never candidate
+      // pairs × vectors. Caching pins the (heavy-codegen) signature stage
+      // to ONE evaluation — it feeds both the bucket-size agg and the
+      // pair join (and, in triplet mining, both label modes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Candidate-pair generation over a prebuilt [[bandSigFrame]]. */
-  private def annLabelCandidatesFromSigs(
+  /** Candidate generation + INLINE exact-cosine verify over a prebuilt
+    * [[bandSigFrame]]: the verify happens inside the bucket join (both
+    * sides carry their vector), so no id-keyed scoring join ever shuffles
+    * candidate-pairs × vectors — the formulation that survives when the
+    * vector frame is too big to broadcast (measured 66 s → 3 s on the
+    * sf1 incremental path). Emits (query_id, neighbor_id, cosine) with
+    * the same dot/(nrm·nrm) rounded double as the exact pairwise form.
+    *
+    * The bucket join is hinted SHUFFLE_HASH: sort-merge buffers the
+    * vector-carrying rows per key group and pays per-PAIR wide-row
+    * traffic (53 s vs 15 s measured on the sf1 pos pass); the hash build
+    * holds one partition's n×bands/partitions rows — the same
+    * partition-fits-memory assumption every hash aggregation in the
+    * engine already makes (size shuffle partitions accordingly). */
+  private[operators] def annLabelScoredFromSigs(
       s: DataFrame, sameLabel: Boolean, bands: Int, bitsPerBand: Int,
       maxBucketSize: Int
   ): DataFrame = {
@@ -246,9 +262,11 @@ object Similarity {
       else Seq("band", "sig")
     val a = sOk.select(col("band"), col("sig"), col("id").as("query_id"),
       col("lbl").as("__ql"), col("lbl").as("__lbl"),
+      col("v").as("__qv"), col("nrm").as("__qn"),
       col("fullsig").as("__qf"))
     val b = sOk.select(col("band"), col("sig"), col("id").as("neighbor_id"),
       col("lbl").as("__nl"), col("lbl").as("__lbl"),
+      col("v").as("__nv"), col("nrm").as("__nn"),
       col("fullsig").as("__nf"))
     // first-collision-band rule: a pair colliding in several bands is
     // emitted ONLY from the lowest one — an EXACT dedup computed locally
@@ -271,23 +289,13 @@ object Similarity {
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
       else col("__ql") =!= col("__nl")
-    a.join(b, joinKey)
+    a.hint("SHUFFLE_HASH").join(b, joinKey)
       .filter(labelPred)
       .filter(col("band") === firstCollisionBand)
-      .select(col("query_id"), col("neighbor_id"))
-  }
-
-  /** Exact-cosine verify of candidate pairs against the cached vector
-    * frame: the same dot/(nrm·nrm) double the pairwise exact form yields. */
-  private def scoreCandidates(candidates: DataFrame, v: DataFrame): DataFrame =
-    candidates
-      .join(v.select(col("id").as("query_id"), col("v").as("q_vec"),
-        col("nrm").as("__qn")), Seq("query_id"))
-      .join(v.select(col("id").as("neighbor_id"), col("v").as("c_vec"),
-        col("nrm").as("__cn")), Seq("neighbor_id"))
       .withColumn("cosine",
-        round(dot(col("q_vec"), col("c_vec")) / (col("__qn") * col("__cn")), 6))
+        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
 
   /** Contrastive TRIPLET assembly: for every anchor, its hardest positive
     * (most-similar SAME-label vector, self excluded) and hardest negative
@@ -365,12 +373,12 @@ object Similarity {
         bandSigFrame(v, dim, bnd, bits, sd))
     def top1(sameLabel: Boolean): DataFrame = {
       val (bnd, bits) = if (sameLabel) (pBnd, pBits) else (bands, bitsPerBand)
-      val cands = seeds.map(sd => annLabelCandidatesFromSigs(
+      val scored = seeds.map(sd => annLabelScoredFromSigs(
           sigs(bnd, bits, sd), sameLabel, bnd, bits, maxBucketSize))
         .reduce(_ unionByName _)
       // the DISTINCT heap eliminates cross-seed duplicate pairs (equal
       // (cosine, neighbor_id) sort keys) while bounding state at 1/anchor
-      graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
+      graft.plans.TopKPerGroup.distinct(scored,
         Seq(col("query_id")),
         Seq(col("cosine").desc, col("neighbor_id").asc), 1)
     }
@@ -406,17 +414,13 @@ object Similarity {
       .withColumn("fullsig", packed)
   }
 
-  /** (band, sig) rows of an [[annIndex]] artifact — map-side explode. */
-  private def artBandRows(art: DataFrame): DataFrame =
-    art.select(col("id"), col("lbl"), col("fullsig"),
-      posexplode(col("sigs")).as(Seq("band", "sig")))
-
   /** The from-index twin of [[bandSigFrame]]: the (band, sig)-keyed
     * signature frame derived from a persisted [[annIndex]] artifact — no
-    * corpus re-scan and no re-hash, just the map-side explode re-keyed
-    * (and cached) for the pair join. */
+    * corpus re-scan and no re-hash, just the map-side explode (vector
+    * and norm carried for the in-join verify) re-keyed and cached. */
   private def artSigFrame(art: DataFrame): DataFrame =
-    artBandRows(art)
+    art.select(col("id"), col("lbl"), col("v"), col("nrm"), col("fullsig"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
       .repartition(art.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -431,19 +435,17 @@ object Similarity {
       indexArt: DataFrame, k: Int, bands: Int = 32, bitsPerBand: Int = 2,
       maxBucketSize: Int = 20000
   ): DataFrame = {
-    val v = indexArt.select(col("id"), col("lbl"), col("v"), col("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val s = artSigFrame(indexArt)
-    val candidates = annLabelCandidatesFromSigs(s, sameLabel = false,
+    val scored = annLabelScoredFromSigs(s, sameLabel = false,
       bands, bitsPerBand, maxBucketSize)
-    val top = graft.plans.TopKPerGroup(scoreCandidates(candidates, v),
+    val top = graft.plans.TopKPerGroup(scored,
       Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
     val out = top.withColumn("rank",
       row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)))
       .localCheckpoint(true)
-    Seq(v, s).foreach(_.unpersist())
+    s.unpersist()
     out
   }
 
@@ -462,9 +464,6 @@ object Similarity {
       "one annIndex artifact per seed per geometry")
     val (pBnd, pBits) = (if (posBands > 0) posBands else bands,
       if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
-    val v = negIndexes.head
-      .select(col("id"), col("lbl"), col("v"), col("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val negSigs = negIndexes.map(artSigFrame)
     val posSigs =
       if (posIndexes.zip(negIndexes).forall { case (p, n) => p eq n })
@@ -472,10 +471,10 @@ object Similarity {
       else posIndexes.map(artSigFrame)
     def top1(sigs: Seq[DataFrame], sameLabel: Boolean, bnd: Int,
         bits: Int): DataFrame = {
-      val cands = sigs.map(s => annLabelCandidatesFromSigs(s, sameLabel,
+      val scored = sigs.map(s => annLabelScoredFromSigs(s, sameLabel,
           bnd, bits, maxBucketSize))
         .reduce(_ unionByName _)
-      graft.plans.TopKPerGroup.distinct(scoreCandidates(cands, v),
+      graft.plans.TopKPerGroup.distinct(scored,
         Seq(col("query_id")),
         Seq(col("cosine").desc, col("neighbor_id").asc), 1)
     }
@@ -483,7 +482,7 @@ object Similarity {
       .localCheckpoint(true)
     val neg = top1(negSigs, sameLabel = false, bands, bitsPerBand)
       .localCheckpoint(true)
-    (v +: (negSigs ++ posSigs).distinct).foreach(_.unpersist())
+    (negSigs ++ posSigs).distinct.foreach(_.unpersist())
     (pos, neg)
   }
 
@@ -496,7 +495,7 @@ object Similarity {
     * touched bucket — exactly the one-shot cap restricted to touched
     * buckets; pairs already mined into the prior result are never
     * retroactively shed. */
-  private def annIncrementalCandidates(
+  private[operators] def annIncrementalScored(
       indexArt: DataFrame, batchArt: DataFrame, sameLabel: Boolean,
       bands: Int, bitsPerBand: Int, maxBucketSize: Int
   ): (DataFrame, DataFrame) = {
@@ -505,14 +504,24 @@ object Similarity {
       if (sameLabel) rows.withColumn("__lbl", col("lbl")) else rows
     val keyCols = if (sameLabel) Seq("__lbl", "band", "sig")
       else Seq("band", "sig")
-    val bRows = keyed(artBandRows(batchArt))
+    // band rows CARRY the vector and its norm: the exact verify happens
+    // INSIDE the bucket join, so the shuffled volume is n×bands vector
+    // rows — never candidate-pairs × vectors. (The id-keyed verify-join
+    // formulation shuffles every candidate pair with a vector attached:
+    // measured 27M wide rows / 733 MB / 66 s at the sf1 rehearsal vs
+    // 3 s for this shape. At 100 TB the pair set dwarfs n×bands even
+    // harder, and no broadcast can save an id-keyed join there.)
+    def vBandRows(art: DataFrame): DataFrame =
+      art.select(col("id"), col("lbl"), col("fullsig"), col("v"),
+        col("nrm"), posexplode(col("sigs")).as(Seq("band", "sig")))
+    val bRows = keyed(vBandRows(batchArt))
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // touched buckets: the batch's distinct bucket keys — batch-sized,
     // so the index prune is a semi-join AQE will usually broadcast
     val touched = bRows.select(keyCols.map(col): _*).distinct()
-    val iRows = keyed(artBandRows(indexArt))
+    val iRows = keyed(vBandRows(indexArt))
       .join(touched, keyCols, "left_semi")
     val allRows = iRows.withColumn("__isb", lit(false))
       .unionByName(bRows.withColumn("__isb", lit(true)))
@@ -523,9 +532,11 @@ object Similarity {
     val ok = allRows.join(okBuckets, keyCols)
     val a = ok.select(keyCols.map(col) ++ Seq(col("id").as("query_id"),
       col("lbl").as("__ql"), col("fullsig").as("__qf"),
+      col("v").as("__qv"), col("nrm").as("__qn"),
       col("__isb").as("__ab")): _*)
     val b = ok.select(keyCols.map(col) ++ Seq(col("id").as("neighbor_id"),
       col("lbl").as("__nl"), col("fullsig").as("__nf"),
+      col("v").as("__nv"), col("nrm").as("__nn"),
       col("__isb").as("__nb")): _*)
     // identical packed-signature first-collision-band dedup as the
     // one-shot path (see annLabelCandidates)
@@ -543,12 +554,16 @@ object Similarity {
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
       else col("__ql") =!= col("__nl")
-    val candidates = a.join(b, keyCols)
+    // the SAME dot/(nrm·nrm) double expression as the one-shot path —
+    // identical value where both paths emit a pair
+    val scored = a.hint("SHUFFLE_HASH").join(b, keyCols)
       .filter(col("__ab") || col("__nb"))
       .filter(labelPred)
       .filter(col("band") === firstCollisionBand)
-      .select(col("query_id"), col("neighbor_id"))
-    (candidates, bRows)
+      .withColumn("cosine",
+        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    (scored, bRows)
   }
 
   /** Generic incremental banded-LSH top-k merge: new-batch-involved
@@ -562,16 +577,15 @@ object Similarity {
       indexArt: DataFrame, prior: DataFrame, batchArt: DataFrame,
       sameLabel: Boolean, k: Int, bands: Int, bitsPerBand: Int,
       maxBucketSize: Int
-  ): (DataFrame, DataFrame) = {
-    val (cands, bRows) = annIncrementalCandidates(indexArt, batchArt,
+  ): (DataFrame, Seq[DataFrame]) = {
+    val (scored, bRows) = annIncrementalScored(indexArt, batchArt,
       sameLabel, bands, bitsPerBand, maxBucketSize)
-    val vAll = indexArt.select(col("id"), col("v"), col("nrm"))
-      .unionByName(batchArt.select(col("id"), col("v"), col("nrm")))
-    val merged = scoreCandidates(cands, vAll)
+    val merged = scored
       .unionByName(prior.select(col("query_id"), col("neighbor_id"),
         col("cosine")))
     (graft.plans.TopKPerGroup.distinct(merged, Seq(col("query_id")),
-      Seq(col("cosine").desc, col("neighbor_id").asc), k), bRows)
+      Seq(col("cosine").desc, col("neighbor_id").asc), k),
+      Seq(bRows))
   }
 
   /** Incremental [[hardNegativesAnn]]: fold a NEW BATCH of vectors into a
@@ -590,13 +604,13 @@ object Similarity {
     val batchArt = annIndex(batch, idCol, vecCol, labelCol, dim, bands,
         bitsPerBand, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (top, bRows) = annTopKIncremental(indexArt, priorTopK, batchArt,
+    val (top, caches) = annTopKIncremental(indexArt, priorTopK, batchArt,
       sameLabel = false, k, bands, bitsPerBand, maxBucketSize)
     val out = top.withColumn("rank",
       row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)))
       .localCheckpoint(true)
-    batchArt.unpersist(); bRows.unpersist()
+    (batchArt +: caches).foreach(_.unpersist())
     out
   }
 
@@ -674,13 +688,10 @@ object Similarity {
         prior: DataFrame, sameLabel: Boolean,
         bnd: Int, bits: Int): (DataFrame, Seq[DataFrame]) = {
       val gens = idxs.zip(batchArts).map { case (ix, ba) =>
-        annIncrementalCandidates(ix, ba, sameLabel, bnd, bits,
+        annIncrementalScored(ix, ba, sameLabel, bnd, bits,
           maxBucketSize)
       }
-      val cands = gens.map(_._1).reduce(_ unionByName _)
-      val vAll = idxs.head.select(col("id"), col("v"), col("nrm"))
-        .unionByName(batchArts.head.select(col("id"), col("v"), col("nrm")))
-      val merged = scoreCandidates(cands, vAll)
+      val merged = gens.map(_._1).reduce(_ unionByName _)
         .unionByName(prior.select(col("query_id"), col("neighbor_id"),
           col("cosine")))
       (graft.plans.TopKPerGroup.distinct(merged, Seq(col("query_id")),

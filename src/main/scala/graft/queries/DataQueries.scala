@@ -599,32 +599,44 @@ object DataQueries {
     // with its previously-mined result, plus a NEW BATCH (vec_id >= 400)
     // — only batch-involved buckets shuffle, yet the merged output must
     // equal the one-shot mining over the accumulated corpus, so the
-    // oracle is q161's exact all-pairs SQL verbatim. Geometry pinned to
-    // the gate's 32 bands × 2 bits (same recall coverage as q161).
+    // oracle is q161's exact all-pairs SQL verbatim.
     "q254_incremental_hard_negatives" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val index = e.filter(col("vec_id") < 400)
       val batch = e.filter(col("vec_id") >= 400)
+      // geometry sized by the ACCUMULATED corpus (the q161 discipline —
+      // fixed bits are quadratic in the batch side once buckets saturate;
+      // the round-8 sf1 rehearsal caught exactly that here). At the
+      // sf0.01 gate this resolves to the recall-pinned 32 bands × 2 bits.
+      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      val bands = math.min(32, 64 / bits)
       // the artifact is MATERIALIZED once (the stand-in for the written
       // index) and both the prior mining and the incremental fold read
       // it — neither re-scans nor re-hashes the index corpus
       val idxArt = Similarity.annIndex(index, "vec_id", "embedding",
-        "label", dim = 64).localCheckpoint(true)
-      val prior = Similarity.hardNegativesAnnFromIndex(idxArt, k = 3)
+        "label", dim = 64, bands = bands, bitsPerBand = bits)
+        .localCheckpoint(true)
+      val prior = Similarity.hardNegativesAnnFromIndex(idxArt, k = 3,
+        bands = bands, bitsPerBand = bits)
       Similarity.hardNegativesAnnIncremental(idxArt, prior, batch,
-        "vec_id", "embedding", "label", k = 3, dim = 64)
+        "vec_id", "embedding", "label", k = 3, dim = 64,
+        bands = bands, bitsPerBand = bits)
     },
 
     // From-index one-shot mining: the SAME exact all-pairs oracle as
     // q161, but mining reads a MATERIALIZED annIndex artifact instead of
     // re-scanning and re-hashing the corpus — the operational form at
     // 100 TB, where the index is written once and every mining run
-    // (initial or incremental) reads it. Gate geometry = the artifact's
-    // default 32 bands × 2 bits, identical to q161's resolved config.
+    // (initial or incremental) reads it. Geometry sized by the corpus
+    // (autoBitsPerBand); at the gate it resolves to q161's 32 × 2.
     "q258_index_mining" -> { (s, dir) =>
-      val art = Similarity.annIndex(t(s, dir, "embeddings"), "vec_id",
-        "embedding", "label", dim = 64).localCheckpoint(true)
-      Similarity.hardNegativesAnnFromIndex(art, k = 3)
+      val e = t(s, dir, "embeddings")
+      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      val bands = math.min(32, 64 / bits)
+      val art = Similarity.annIndex(e, "vec_id", "embedding", "label",
+        dim = 64, bands = bands, bitsPerBand = bits).localCheckpoint(true)
+      Similarity.hardNegativesAnnFromIndex(art, k = 3,
+        bands = bands, bitsPerBand = bits)
     },
 
     // Incremental triplet mining: prior state = the top-1 SIDE frames
@@ -636,14 +648,32 @@ object DataQueries {
       val index = e.filter(col("vec_id") < 400)
       val batch = e.filter(col("vec_id") >= 400)
       val seeds = Seq(42L, 1042L)
+      // negative geometry sized by the accumulated corpus, positive by
+      // the largest label block (the q248 discipline; fixed bits went
+      // quadratic in the sf1 rehearsal). Gate: both resolve to 32×2.
+      val stats = e.groupBy(col("label")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")), max(col("c"))).first()
+      val bits = Similarity.autoBitsPerBand(stats.getLong(0), minBits = 2)
+      val bands = math.min(32, 64 / bits)
+      val posBits = Similarity.autoBitsPerBand(stats.getLong(1), minBits = 2)
+      val posBands = math.min(32, 64 / posBits)
       // per-seed artifacts MATERIALIZED once; prior sides and the fold
       // both mine from them (no index re-scan, no re-hash)
       val negIdx = seeds.map(sd => Similarity.annIndex(index, "vec_id",
-        "embedding", "label", dim = 64, seed = sd).localCheckpoint(true))
-      val posIdx = negIdx // gate geometry: pos == neg (32 bands × 2 bits)
-      val (pp, pn) = Similarity.tripletMiningSidesFromIndexes(negIdx, posIdx)
+        "embedding", "label", dim = 64, bands = bands, bitsPerBand = bits,
+        seed = sd).localCheckpoint(true))
+      val posIdx =
+        if (posBands == bands && posBits == bits) negIdx
+        else seeds.map(sd => Similarity.annIndex(index, "vec_id",
+          "embedding", "label", dim = 64, bands = posBands,
+          bitsPerBand = posBits, seed = sd).localCheckpoint(true))
+      val (pp, pn) = Similarity.tripletMiningSidesFromIndexes(negIdx, posIdx,
+        bands = bands, bitsPerBand = bits,
+        posBands = posBands, posBitsPerBand = posBits)
       Similarity.tripletMiningIncremental(negIdx, posIdx, pp, pn, batch,
-        "vec_id", "embedding", "label", dim = 64, seeds = seeds)
+        "vec_id", "embedding", "label", dim = 64,
+        bands = bands, bitsPerBand = bits, seeds = seeds,
+        posBands = posBands, posBitsPerBand = posBits)
     },
 
     "q248_triplet_mining" -> { (s, dir) =>
@@ -758,6 +788,19 @@ object DataQueries {
       Dedup.incrementalLshMatches(
         d.filter(col("doc_id") % 5 =!= 0), d.filter(col("doc_id") % 5 === 0),
         "doc_id", "text", n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+    },
+
+    // q180's contract with the index side arriving as the PERSISTED
+    // (id, sh, sig) lshIndex artifact — per-batch admission never
+    // re-shingles or re-hashes the accumulated corpus. Same oracle.
+    "q259_incremental_dedup_from_index" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val art = Dedup.lshIndex(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", n = 5, bands = 16, rowsPerBand = 4)
+        .localCheckpoint(true)
+      Dedup.incrementalLshMatchesFromIndex(art,
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
     },
 
     // Greedy k-center (Gonzalez) diverse-subset selection: 6 maximally-
@@ -909,6 +952,25 @@ object DataQueries {
       | + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) * 3.0, 0.3)""".stripMargin
 
   private val enStops = "the|and|of|to|in|is|that|for"
+
+  /** q180 oracle (exact accumulated-corpus cross-batch Jaccard matches),
+    * shared verbatim by the from-index form q259 — the persisted-artifact
+    * contract: reading the index back must change nothing. */
+  private val sqlIncrementalDedup =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+       |), nw AS (
+       |  SELECT * FROM d WHERE doc_id % 5 = 0 AND len(sh) > 0
+       |), ix AS (
+       |  SELECT * FROM d WHERE doc_id % 5 <> 0 AND len(sh) > 0
+       |)
+       |SELECT n.doc_id AS batch_id, o.doc_id AS index_id,
+       |  round(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+       |        / len(list_distinct(n.sh || o.sh)), 6) AS jaccard
+       |FROM nw n JOIN ix o
+       |  ON len(list_distinct(n.sh || o.sh)) > 0
+       |WHERE round(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+       |        / len(list_distinct(n.sh || o.sh)), 6) >= 0.5""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q21_dedup_exact" ->
@@ -1345,21 +1407,8 @@ object DataQueries {
 
     // exact cross-split near-dup pairs at the verify threshold (the LSH
     // candidate stage is recall-exact on this corpus — q27's proven bet)
-    "q180_incremental_dedup" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
-         |), nw AS (
-         |  SELECT * FROM d WHERE doc_id % 5 = 0 AND len(sh) > 0
-         |), ix AS (
-         |  SELECT * FROM d WHERE doc_id % 5 <> 0 AND len(sh) > 0
-         |)
-         |SELECT n.doc_id AS batch_id, o.doc_id AS index_id,
-         |  round(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
-         |        / len(list_distinct(n.sh || o.sh)), 6) AS jaccard
-         |FROM nw n JOIN ix o
-         |  ON len(list_distinct(n.sh || o.sh)) > 0
-         |WHERE round(CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
-         |        / len(list_distinct(n.sh || o.sh)), 6) >= 0.5""".stripMargin,
+    "q180_incremental_dedup" -> sqlIncrementalDedup,
+    "q259_incremental_dedup_from_index" -> sqlIncrementalDedup,
 
     "q181_kcenter_select" -> sqlKCenter(6),
 

@@ -348,6 +348,67 @@ object EventStream {
       }
       .start()
 
+  /** Continuous-ingestion NEAR-dup gate — the STREAMING form of the q180
+    * incremental contract: each micro-batch probes the accumulated
+    * on-disk [[graft.operators.Dedup.lshIndex]] artifact for
+    * near-duplicate matches (exact-verified Jaccard ≥ `threshold`),
+    * writes the matches, and appends its OWN artifact rows to the index.
+    * A document is matched against everything ingested in EARLIER
+    * batches; within-batch twins surface by the same sequential-batch
+    * semantics the batch spec pins (run [[graft.operators.Dedup
+    * .minhashLshPairs]] inside the batch if first-batch self-dups
+    * matter).
+    *
+    * Exactly-once: both writes land in their own per-batch partition with
+    * OVERWRITE ([[writeUpsertBatches]]'s replay-idempotent pattern), and
+    * the probe reads the index FILTERED to `batch_id < id` — a replayed
+    * batch that already appended its artifact before the crash neither
+    * duplicates rows nor matches against itself.
+    *
+    * 100 TB shape: the index is append-only parquet (bucket it by band
+    * key at scale); a batch shuffles only its own band keys; the
+    * accumulated corpus is READ back, never re-shingled or re-hashed. */
+  def streamingNearDupDedup(
+      docsStream: DataFrame,
+      indexDir: String,
+      matchesDir: String,
+      checkpointDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 1000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val hasPrior = fs.exists(idxPath) &&
+          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch_id="))
+        if (hasPrior) {
+          val prior = spark.read.option("basePath", indexDir)
+            .parquet(indexDir).filter(col("batch_id") < id)
+            .drop("batch_id")
+          graft.operators.Dedup.incrementalLshMatchesFromIndex(
+              prior, batch.toDF(), idCol, textCol, n, bands, rowsPerBand,
+              threshold, maxBucketSize)
+            // `batch` here is the match's probe-side doc id (q180's
+            // output shape); the partition key is the micro-batch ordinal
+            .write.mode("overwrite").parquet(s"$matchesDir/batch=$id")
+        }
+        graft.operators.Dedup
+          .lshIndex(batch.toDF(), idCol, textCol, n, bands, rowsPerBand)
+          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
+        ()
+      }
+      .start()
+
   /** Reconciled view over a [[writeUpsertBatches]] directory: one row per
     * key, from the highest batch that wrote it. Partition pruning applies
     * on batch_id; the per-key window is partitioned (keys ≫ cores). */

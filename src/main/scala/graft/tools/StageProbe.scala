@@ -32,7 +32,8 @@ object StageProbe {
           a <- s.stageInfo.completionTime; b <- s.stageInfo.submissionTime
         } yield a - b
         stageMs.addAndGet(ms.getOrElse(0L))
-        println(f"[stage] ${s.stageInfo.stageId}%4d tasks=${s.stageInfo.numTasks}%3d ms=${ms.getOrElse(0L)}%5d  ${s.stageInfo.name.take(80)}")
+        val m = s.stageInfo.taskMetrics
+        println(f"[stage] ${s.stageInfo.stageId}%4d tasks=${s.stageInfo.numTasks}%3d ms=${ms.getOrElse(0L)}%5d swMB=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1f srMB=${(m.shuffleReadMetrics.localBytesRead + m.shuffleReadMetrics.remoteBytesRead) / 1e6}%8.1f srRec=${m.shuffleReadMetrics.recordsRead}%10d spillMB=${m.memoryBytesSpilled / 1e6}%7.0f  ${s.stageInfo.name.take(60)}")
       }
     })
     spark.range(1 << 20).selectExpr("sum(id)").collect()

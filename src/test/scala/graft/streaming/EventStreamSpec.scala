@@ -7,6 +7,52 @@ import java.sql.Timestamp
 
 class EventStreamSpec extends SparkSpec {
 
+  test("streamingNearDupDedup == sequential incremental batches; index " +
+      "partitioned per batch for replay idempotency") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // three ingest waves; wave 2 carries an exact twin of a wave-0 doc and
+    // wave 1 a twin of another, so cross-batch matches are guaranteed
+    val d0 = base.filter(col("doc_id") % 3 === 0)
+    val twin0 = d0.orderBy("doc_id").limit(1).select(
+      (col("doc_id") + 100000).as("doc_id"), col("text"))
+    val twin1 = base.filter(col("doc_id") === 1).select(
+      (col("doc_id") + 200000).as("doc_id"), col("text"))
+    val b = Seq(
+      d0,
+      base.filter(col("doc_id") % 3 === 1).unionByName(twin0),
+      base.filter(col("doc_id") % 3 === 2).unionByName(twin1))
+    val root = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.streamingNearDupDedup(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$root/index", s"$root/matches", s"$root/ckpt")
+    b.foreach { bd =>
+      mem.addData(bd.collect().toIndexedSeq
+        .map(r => (r.getLong(0), r.getString(1))))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.read.parquet(s"$root/matches")
+      .select("batch_id", "index_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = (1 to 2).flatMap { i =>
+      graft.operators.Dedup.incrementalLshMatches(
+        b.take(i).reduce(_ unionByName _), b(i), "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(expected.nonEmpty && got == expected)
+    // the on-disk index is one batch_id partition per micro-batch (the
+    // replay-overwrite unit) and holds every ingested doc's artifact row
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.select("batch_id").distinct().count() == 3)
+    assert(idx.count() == b.map(_.count()).sum)
+  }
+
   test("windowedCounts over a real stream (MemoryStream micro-batches)") {
     val sqlc = spark.sqlContext
     import spark.implicits._
