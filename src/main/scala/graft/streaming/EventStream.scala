@@ -409,6 +409,78 @@ object EventStream {
       }
       .start()
 
+  /** Continuous hard-negative maintenance — the STREAMING form of the
+    * q254 incremental-mining contract: each micro-batch of labeled
+    * vectors folds into the persisted [[graft.operators.Similarity
+    * .annIndex]] artifact directory and the previously mined per-anchor
+    * top-k, via [[graft.operators.Similarity.hardNegativesAnnIncremental]]
+    * — only batch-involved buckets shuffle, yet after every batch the
+    * stored top-k equals the ONE-SHOT mining over everything ingested so
+    * far (the operator's spec-proven merge invariant; the first batch is
+    * mined one-shot against itself). The index is append-only; the top-k
+    * is a full rewrite per batch (it is k·n_anchors rows — the small
+    * artifact, vs the corpus-sized index that is never rewritten).
+    *
+    * Exactly-once: per-batch partition OVERWRITE for both sinks, prior
+    * reads filtered to strictly-earlier batch ids — a replayed batch
+    * regenerates identical content ([[writeUpsertBatches]]'s pattern).
+    * `bands`/`bitsPerBand` must stay FIXED across the stream's life (the
+    * index artifact pins the geometry; re-size by rebuilding offline). */
+  def streamingHardNegatives(
+      vecStream: DataFrame,
+      indexDir: String,
+      topkDir: String,
+      checkpointDir: String,
+      dim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      k: Int = 3,
+      bands: Int = 32,
+      bitsPerBand: Int = 2,
+      seed: Long = 42L,
+      maxBucketSize: Int = 20000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    vecStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        import graft.operators.Similarity
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+        def priorParts(dir: String, pfx: String): Seq[Long] = {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).map(_.getPath.getName)
+            .filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toLong)
+            .filter(_ < id).toSeq
+        }
+        val batchArt = Similarity.annIndex(batch.toDF(), idCol, vecCol,
+          labelCol, dim, bands, bitsPerBand, seed)
+        val topk =
+          if (priorParts(indexDir, "batch_id=").isEmpty)
+            // first wave: one-shot mining within the batch itself
+            Similarity.hardNegativesAnnFromIndex(
+              batchArt.localCheckpoint(true), k, bands, bitsPerBand,
+              maxBucketSize)
+          else {
+            val idxArt = spark.read.option("basePath", indexDir)
+              .parquet(indexDir).filter(col("batch_id") < id)
+              .drop("batch_id")
+            val lastTopK = priorParts(topkDir, "batch=").max
+            val prior = spark.read.parquet(s"$topkDir/batch=$lastTopK")
+            Similarity.hardNegativesAnnIncremental(idxArt, prior,
+              batch.toDF(), idCol, vecCol, labelCol, k, dim, bands,
+              bitsPerBand, seed, maxBucketSize)
+          }
+        topk.write.mode("overwrite").parquet(s"$topkDir/batch=$id")
+        batchArt.write.mode("overwrite")
+          .parquet(s"$indexDir/batch_id=$id")
+        ()
+      }
+      .start()
+
   /** Reconciled view over a [[writeUpsertBatches]] directory: one row per
     * key, from the highest batch that wrote it. Partition pruning applies
     * on batch_id; the per-key window is partitioned (keys ≫ cores). */

@@ -53,6 +53,41 @@ class EventStreamSpec extends SparkSpec {
     assert(idx.count() == b.map(_.count()).sum)
   }
 
+  test("streamingHardNegatives: after every wave the stored top-k equals " +
+      "one-shot mining over everything ingested so far") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val waves = Seq(
+      emb.filter(col("vec_id") < 150),
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 320),
+      emb.filter(col("vec_id") >= 320))
+    val root = java.nio.file.Files.createTempDirectory("graft_shn").toString
+    val mem = MemoryStream[(Long, Seq[Float], Int)]
+    val q = EventStream.streamingHardNegatives(
+      mem.toDF().toDF("vec_id", "embedding", "label"),
+      s"$root/index", s"$root/topk", s"$root/ckpt", dim = 64)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    waves.zipWithIndex.foreach { case (w, i) =>
+      mem.addData(w.collect().toIndexedSeq.map(r => (r.getLong(0),
+        r.getSeq[Float](1), r.getInt(2))))
+      q.processAllAvailable()
+      val stored = key(spark.read.parquet(s"$root/topk/batch=$i"))
+      val oneShot = key(graft.operators.Similarity.hardNegativesAnn(
+        waves.take(i + 1).reduce(_ unionByName _),
+        "vec_id", "embedding", "label", k = 3, dim = 64))
+      assert(stored == oneShot, s"wave $i diverged from one-shot")
+    }
+    q.stop()
+    // index accumulated one partition per wave, one row per vector
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.select("batch_id").distinct().count() == 3)
+    assert(idx.count() == emb.count())
+  }
+
   test("windowedCounts over a real stream (MemoryStream micro-batches)") {
     val sqlc = spark.sqlContext
     import spark.implicits._
