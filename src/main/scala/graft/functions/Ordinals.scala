@@ -25,24 +25,40 @@ import org.apache.spark.sql.types.LongType
   * the in-plan single-partition window instead: same values (for input
   * distinct on the sort key the ordinal equals `row_number()`), one
   * 1-task stage inside the same codegen'd plan. The size gate reads plan
-  * STATISTICS (no action); join-estimate inflation can only mis-route a
-  * small input to the distributed path, which stays correct.
+  * STATISTICS (no action); join-estimate inflation only mis-routes a
+  * small input to the distributed path (correct either way), and
+  * deflation (compressed-scan byte estimates) is bounded by the
+  * deliberately small byte threshold plus a row-count guard below.
   *
   * For input distinct on the sort key, the ordinal equals both
   * `row_number()` and `dense_rank()` over that key.
   */
 object Ordinals {
 
-  /** Statistics threshold for the in-plan window path: one shuffle-split's
-    * worth of bytes — a window over less than one split on one task is
-    * strictly cheaper than a range exchange + two RDD jobs. */
-  val WindowPathBytes: Long = 128L << 20
+  /** Statistics threshold for the in-plan window path. Deliberately far
+    * below one shuffle split: `sizeInBytes` for a file scan is
+    * COMPRESSED on-disk bytes, so the estimate can deflate (dictionary
+    * encoding compresses low-cardinality columns 10-20×) — the dangerous
+    * direction for a gate that routes to a single-task window. 16 MB
+    * compressed bounds the one-task sort at a few hundred MB in-memory
+    * worst case, while the id-minting ladders this path exists for
+    * (tens-of-rows batches) sit orders of magnitude below it. Inflation
+    * (join estimates) still only mis-routes small inputs to the
+    * distributed path, which stays correct. */
+  val WindowPathBytes: Long = 16L << 20
+
+  /** Row-count guard alongside the byte gate: when the optimizer KNOWS
+    * the row count, a single task should never sort more than this many
+    * rows regardless of how well they compressed. */
+  val WindowPathRows: Long = 4L << 20
 
   /** Append a 1-based `name` column holding each row's global ordinal in
     * `sortCols` order. */
   def withGlobalOrdinal(df: DataFrame, sortCols: Seq[Column], name: String): DataFrame = {
-    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < WindowPathBytes)
+    val stats = df.queryExecution.optimizedPlan.stats
+    val est = stats.sizeInBytes
+    val rowsOk = stats.rowCount.forall(_ <= WindowPathRows)
+    if (est < WindowPathBytes && rowsOk)
       df.withColumn(name,
         row_number().over(Window.orderBy(sortCols: _*)).cast(LongType))
     else {

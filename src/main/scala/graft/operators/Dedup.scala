@@ -228,6 +228,18 @@ object Dedup {
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       maxBucketSize: Int = 1000
+  ): DataFrame =
+    incrementalLshArtifactMatches(indexArt,
+      lshIndex(batch, idCol, textCol, n, bands, rowsPerBand),
+      bands, rowsPerBand, threshold, maxBucketSize)
+
+  /** The artifact-level core: BOTH sides arrive as (id, sh, sig)
+    * [[lshIndex]] rows — a streaming admission that also writes the
+    * batch's artifact to the index shingles the batch once, not twice. */
+  def incrementalLshArtifactMatches(
+      indexArt: DataFrame, batchArt: DataFrame,
+      bands: Int, rowsPerBand: Int, threshold: Double,
+      maxBucketSize: Int = 1000
   ): DataFrame = {
     def bandRows(docs: DataFrame): DataFrame = docs.select(
       col("id"),
@@ -238,7 +250,7 @@ object Dedup {
 
     val idx = indexArt.select(col("id"), col("sh"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bat = lshIndex(batch, idCol, textCol, n, bands, rowsPerBand)
+    val bat = batchArt.select(col("id"), col("sh"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the production artifact: index buckets keyed by (band, signature) —
     // capped, so one boilerplate signature cannot quadratic-blow the probe
@@ -596,9 +608,13 @@ object Dedup {
       threshold: Double,
       maxExactBlock: Int = 10000,
       seed: Long = 42L,
-      dim: Int = -1
+      dim: Int = -1,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
+    // |blocks| rows, materialized ONCE — it feeds the max() routing read
+    // and both the small-block and big-block semi-join sides
     val sizes = df.groupBy(col(blockCol)).agg(count(lit(1)).as("__bsz"))
+      .localCheckpoint(true)
     // 1-row statistics read (the SkewJoin.autoJoin discipline): route only
     // when some block is actually oversized; empty input → exact path
     val mx = sizes.agg(max(col("__bsz"))).first()
@@ -619,11 +635,25 @@ object Dedup {
       val bands = math.min(8, 64 / bits)
       val routed = Similarity.rpLshNearDupPairs(
         df.join(bigBlocks, Seq(blockCol)), idCol, vecCol, threshold,
-        bands = bands, bitsPerBand = bits, seed = seed, dim = dim,
+        bands = bands, bitsPerBand = bits, seed = seed,
+        maxBucketSize = maxBucketSize, dim = dim,
         blockCol = Some(blockCol))
       exact.unionByName(routed)
     }
   }
+
+  /** Audit surface for [[embeddingNearDupPairs]]'s auto-routing — the
+    * "no silent caps" rule applied to the recall switch: one row per
+    * block with its size and whether it was routed to within-block
+    * SRP-LSH (approximate recall) instead of the exact pair scan. Run it
+    * alongside a dedup whose coverage matters: `routed = true` rows name
+    * exactly the blocks whose true-pair recall is now the banded-LSH
+    * 1-(1-p^bits)^bands curve rather than 1. */
+  def embeddingNearDupBlockAudit(
+      df: DataFrame, blockCol: String, maxExactBlock: Int = 10000
+  ): DataFrame =
+    df.groupBy(col(blockCol)).agg(count(lit(1)).as("n_rows"))
+      .withColumn("routed", col("n_rows") > maxExactBlock)
 
   /** The historical exact within-block pair scan (q30's oracle-pinned
     * plan): O(block²) by declaration — the cheap and exact shape when

@@ -172,6 +172,28 @@ object Similarity {
     * packed-signature first-collision-band rule. Input `v` is the cached
     * (id, lbl, v, nrm) frame; returns the candidate frame plus the cached
     * signature frame the caller must unpersist. */
+  /** The first-collision-band column: given the two rows' PACKED band
+    * signatures, the lowest band index where they collide — a pair
+    * sharing several buckets is emitted from exactly one. Pure integer
+    * codegen (no `.distinct()` re-shuffle of bands-times-duplicated
+    * pairs): xor's zero b-bit groups mark collision bands; collapse each
+    * group to its low bit, take the lowest zero group via the classic
+    * ntz = bit_count(~z & (z-1)) identity. The one-shot, incremental and
+    * rpLsh paths all MUST share this expression — the incremental ==
+    * one-shot merge invariant depends on it being bit-identical. */
+  private[operators] def firstCollisionBand(
+      sigA: Column, sigB: Column, bands: Int, bitsPerBand: Int): Column = {
+    val groupLowBits = lit((0 until bands)
+      .map(b => 1L << (b * bitsPerBand)).reduce(_ | _))
+    val xorSig = sigA bitwiseXOR sigB
+    val groupNonZero = (0 until bitsPerBand)
+      .map(i => shiftrightunsigned(xorSig, i))
+      .reduce(_ bitwiseOR _) bitwiseAND groupLowBits
+    val zeroGroups = bitwise_not(groupNonZero) bitwiseAND groupLowBits
+    (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
+      bitsPerBand).cast("int")
+  }
+
   private[operators] def annLabelScored(
       v: DataFrame, sameLabel: Boolean, dim: Int, bands: Int,
       bitsPerBand: Int, seed: Long, maxBucketSize: Int
@@ -268,30 +290,14 @@ object Similarity {
       col("lbl").as("__nl"), col("lbl").as("__lbl"),
       col("v").as("__nv"), col("nrm").as("__nn"),
       col("fullsig").as("__nf"))
-    // first-collision-band rule: a pair colliding in several bands is
-    // emitted ONLY from the lowest one — an EXACT dedup computed locally
-    // from the packed signatures with pure integer codegen (no
-    // `.distinct()` re-shuffle of bands×-duplicated pairs, no per-row
-    // array work). xor's zero b-bit groups mark collision bands; collapse
-    // each group to its low bit, take the lowest zero group via the
-    // classic ntz = bit_count(~z & (z−1)) identity.
-    val groupLowBits = lit((0 until bands)
-      .map(b => 1L << (b * bitsPerBand)).reduce(_ | _))
-    val xorSig = col("__qf") bitwiseXOR col("__nf")
-    val groupNonZero = (0 until bitsPerBand)
-      .map(i => shiftrightunsigned(xorSig, i))
-      .reduce(_ bitwiseOR _) bitwiseAND groupLowBits
-    val zeroGroups = bitwise_not(groupNonZero) bitwiseAND groupLowBits
-    val firstCollisionBand =
-      (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
-        bitsPerBand).cast("int")
     val labelPred =
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
       else col("__ql") =!= col("__nl")
     a.hint("SHUFFLE_HASH").join(b, joinKey)
       .filter(labelPred)
-      .filter(col("band") === firstCollisionBand)
+      .filter(col("band") ===
+        firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
       .withColumn("cosine",
         round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -538,18 +544,6 @@ object Similarity {
       col("lbl").as("__nl"), col("fullsig").as("__nf"),
       col("v").as("__nv"), col("nrm").as("__nn"),
       col("__isb").as("__nb")): _*)
-    // identical packed-signature first-collision-band dedup as the
-    // one-shot path (see annLabelCandidates)
-    val groupLowBits = lit((0 until bands)
-      .map(bd => 1L << (bd * bitsPerBand)).reduce(_ | _))
-    val xorSig = col("__qf") bitwiseXOR col("__nf")
-    val groupNonZero = (0 until bitsPerBand)
-      .map(i => shiftrightunsigned(xorSig, i))
-      .reduce(_ bitwiseOR _) bitwiseAND groupLowBits
-    val zeroGroups = bitwise_not(groupNonZero) bitwiseAND groupLowBits
-    val firstCollisionBand =
-      (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
-        bitsPerBand).cast("int")
     val labelPred =
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
@@ -559,7 +553,8 @@ object Similarity {
     val scored = a.hint("SHUFFLE_HASH").join(b, keyCols)
       .filter(col("__ab") || col("__nb"))
       .filter(labelPred)
-      .filter(col("band") === firstCollisionBand)
+      .filter(col("band") ===
+        firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
       .withColumn("cosine",
         round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -604,13 +599,28 @@ object Similarity {
     val batchArt = annIndex(batch, idCol, vecCol, labelCol, dim, bands,
         bitsPerBand, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = hardNegativesAnnIncrementalFromArt(indexArt, priorTopK,
+      batchArt, k, bands, bitsPerBand, maxBucketSize)
+    batchArt.unpersist()
+    out
+  }
+
+  /** [[hardNegativesAnnIncremental]] with the batch's [[annIndex]]
+    * artifact PREBUILT by the caller — a streaming fold that also writes
+    * the artifact to the index hashes the batch once instead of three
+    * times (mining, write, and the operator's internal rebuild). */
+  def hardNegativesAnnIncrementalFromArt(
+      indexArt: DataFrame, priorTopK: DataFrame, batchArt: DataFrame,
+      k: Int, bands: Int = 32, bitsPerBand: Int = 2,
+      maxBucketSize: Int = 20000
+  ): DataFrame = {
     val (top, caches) = annTopKIncremental(indexArt, priorTopK, batchArt,
       sameLabel = false, k, bands, bitsPerBand, maxBucketSize)
     val out = top.withColumn("rank",
       row_number().over(Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)))
       .localCheckpoint(true)
-    (batchArt +: caches).foreach(_.unpersist())
+    caches.foreach(_.unpersist())
     out
   }
 
@@ -1002,17 +1012,8 @@ object Similarity {
       col("id").as("id_2"), col("fullsig").as("__f2")): _*)
     val joined = a.join(b, bucketKey).filter(col("id_1") < col("id_2"))
     val candidates = if (packedFits) {
-      val groupLowBits = lit((0 until bands)
-        .map(bd => 1L << (bd * bitsPerBand)).reduce(_ | _))
-      val xorSig = col("__f1") bitwiseXOR col("__f2")
-      val groupNonZero = (0 until bitsPerBand)
-        .map(i => shiftrightunsigned(xorSig, i))
-        .reduce(_ bitwiseOR _) bitwiseAND groupLowBits
-      val zeroGroups = bitwise_not(groupNonZero) bitwiseAND groupLowBits
-      val firstCollisionBand =
-        (bit_count(bitwise_not(zeroGroups) bitwiseAND (zeroGroups - 1)) /
-          bitsPerBand).cast("int")
-      joined.filter(col("band") === firstCollisionBand)
+      joined.filter(col("band") ===
+          firstCollisionBand(col("__f1"), col("__f2"), bands, bitsPerBand))
         .select(col("id_1"), col("id_2"))
     } else joined.select(col("id_1"), col("id_2")).distinct()
     val pairs = candidates

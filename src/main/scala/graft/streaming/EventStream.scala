@@ -391,20 +391,22 @@ object EventStream {
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val hasPrior = fs.exists(idxPath) &&
           fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch_id="))
+        // the batch is shingled+hashed ONCE: the checkpointed artifact
+        // feeds both the probe and the index append
+        val batArt = graft.operators.Dedup
+          .lshIndex(batch.toDF(), idCol, textCol, n, bands, rowsPerBand)
+          .localCheckpoint(true)
         if (hasPrior) {
           val prior = spark.read.option("basePath", indexDir)
             .parquet(indexDir).filter(col("batch_id") < id)
             .drop("batch_id")
-          graft.operators.Dedup.incrementalLshMatchesFromIndex(
-              prior, batch.toDF(), idCol, textCol, n, bands, rowsPerBand,
-              threshold, maxBucketSize)
+          graft.operators.Dedup.incrementalLshArtifactMatches(
+              prior, batArt, bands, rowsPerBand, threshold, maxBucketSize)
             // `batch` here is the match's probe-side doc id (q180's
             // output shape); the partition key is the micro-batch ordinal
             .write.mode("overwrite").parquet(s"$matchesDir/batch=$id")
         }
-        graft.operators.Dedup
-          .lshIndex(batch.toDF(), idCol, textCol, n, bands, rowsPerBand)
-          .write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
+        batArt.write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
         ()
       }
       .start()
@@ -456,23 +458,33 @@ object EventStream {
             .filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toLong)
             .filter(_ < id).toSeq
         }
+        // the batch is hashed ONCE: the checkpointed artifact feeds the
+        // mining fold and the index append
         val batchArt = Similarity.annIndex(batch.toDF(), idCol, vecCol,
-          labelCol, dim, bands, bitsPerBand, seed)
+          labelCol, dim, bands, bitsPerBand, seed).localCheckpoint(true)
         val topk =
           if (priorParts(indexDir, "batch_id=").isEmpty)
             // first wave: one-shot mining within the batch itself
-            Similarity.hardNegativesAnnFromIndex(
-              batchArt.localCheckpoint(true), k, bands, bitsPerBand,
-              maxBucketSize)
+            Similarity.hardNegativesAnnFromIndex(batchArt, k, bands,
+              bitsPerBand, maxBucketSize)
           else {
             val idxArt = spark.read.option("basePath", indexDir)
               .parquet(indexDir).filter(col("batch_id") < id)
               .drop("batch_id")
-            val lastTopK = priorParts(topkDir, "batch=").max
-            val prior = spark.read.parquet(s"$topkDir/batch=$lastTopK")
-            Similarity.hardNegativesAnnIncremental(idxArt, prior,
-              batch.toDF(), idCol, vecCol, labelCol, k, dim, bands,
-              bitsPerBand, seed, maxBucketSize)
+            // prior top-k: the latest strictly-earlier batch partition;
+            // when the index was pre-seeded offline (write it as
+            // batch_id=-1 so a fresh checkpoint's id 0 still sees it)
+            // but no top-k exists yet, RE-MINE the accumulated index
+            // one-shot — never crash on an empty topk dir
+            val tk = priorParts(topkDir, "batch=")
+            val prior =
+              if (tk.nonEmpty)
+                spark.read.parquet(s"$topkDir/batch=${tk.max}")
+              else Similarity.hardNegativesAnnFromIndex(
+                idxArt.localCheckpoint(true), k, bands, bitsPerBand,
+                maxBucketSize)
+            Similarity.hardNegativesAnnIncrementalFromArt(idxArt, prior,
+              batchArt, k, bands, bitsPerBand, maxBucketSize)
           }
         topk.write.mode("overwrite").parquet(s"$topkDir/batch=$id")
         batchArt.write.mode("overwrite")
