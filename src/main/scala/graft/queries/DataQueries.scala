@@ -568,6 +568,15 @@ object DataQueries {
         maxExactBlock = 1000, dim = 64)
     },
 
+    // The no-silent-caps audit for q30's exact-to-approximate routing
+    // switch: one row per block with its size and whether it exceeds the
+    // exact-scan threshold (here pinned to 50 so the gate fixture
+    // exercises BOTH outcomes)
+    "q260_neardup_block_audit" -> { (s, dir) =>
+      Dedup.embeddingNearDupBlockAudit(t(s, dir, "embeddings"),
+        "label", maxExactBlock = 50)
+    },
+
     // Hard-negative mining for the WHOLE corpus (every row its own
     // anchor): SRP-LSH band buckets generate cross-label candidates
     // (equi-join on (band, sig) — no corpus broadcast, no O(n²) stage),
@@ -1409,6 +1418,10 @@ object DataQueries {
     // candidate stage is recall-exact on this corpus — q27's proven bet)
     "q180_incremental_dedup" -> sqlIncrementalDedup,
     "q259_incremental_dedup_from_index" -> sqlIncrementalDedup,
+
+    "q260_neardup_block_audit" ->
+      """SELECT label, count(*) AS n_rows, count(*) > 50 AS routed
+        |FROM embeddings GROUP BY label""".stripMargin,
 
     "q181_kcenter_select" -> sqlKCenter(6),
 
