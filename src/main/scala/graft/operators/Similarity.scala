@@ -1230,10 +1230,33 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       centroids: DataFrame, nprobe: Int
+  ): DataFrame =
+    ivfTopKFromIndex(ivfIndex(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, k, centroids, nprobe)
+
+  /** Persisted IVF index artifact: one (id, cell, v) row per corpus
+    * vector with its nearest-centroid assignment — the thing a serving
+    * deployment WRITES once (`.write.partitionBy("cell").parquet(...)`)
+    * so queries never re-assign the corpus. Stored cell-partitioned, the
+    * broadcast probe join on `cell` triggers dynamic partition pruning:
+    * a serving run READS only the nprobe×queries probed cells, the
+    * actual 100 TB win (assignment cost is paid at write, scan cost is
+    * proportional to probed data). */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    assignClusters(corpus, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        col("centroid_id").as("cell"))
+
+  /** [[ivfTopK]] serving FROM a persisted [[ivfIndex]] artifact — no
+    * corpus re-scan, no re-assignment. */
+  def ivfTopKFromIndex(
+      indexArt: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: DataFrame, nprobe: Int
   ): DataFrame = {
-    val bucketed = assignClusters(corpus, idCol, vecCol, centroids)
-      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("c_vec"),
-        col("centroid_id").as("n_cluster"))
+    val bucketed = indexArt.select(col("id").as("neighbor_id"),
+      col("v").as("c_vec"), col("cell").as("n_cluster"))
     val cent = centroids.select(col("centroid_id"), asDouble(col("vec")).as("cent_vec"))
     val qdist = aggregate(
       zip_with(col("q_vec"), col("cent_vec"), (x, y) => (x - y) * (x - y)),

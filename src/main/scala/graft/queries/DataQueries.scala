@@ -877,6 +877,23 @@ object DataQueries {
         "vec_id", "embedding", k = 10, centroids, nprobe = 2)
     },
 
+    // IVF serving FROM the persisted cell-partitioned index artifact:
+    // written once with partitionBy(cell), read back from storage, so
+    // the broadcast probe join's dynamic partition pruning reads only
+    // the probed cells. Same oracle as q31 verbatim — serving from the
+    // stored index must change nothing.
+    "q261_ivf_from_index" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      Similarity.ivfIndex(e, "vec_id", "embedding", centroids)
+        .write.mode("overwrite").partitionBy("cell").parquet(idxDir)
+      Similarity.ivfTopKFromIndex(s.read.parquet(idxDir),
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10,
+        centroids, nprobe = 2)
+    },
+
     // PQ approximate top-k (the IVF companion: m=8 subspaces, 16-entry
     // codebooks, asymmetric-distance ranking in integer micro-units).
     // Fully deterministic -> exact ANSI oracle.
@@ -1559,6 +1576,7 @@ object DataQueries {
     // cosine top-k. All distance/dot sums are sequential list_sum over
     // list_zip — bit-identical to the Spark side's index-order summation.
     "q31_ann_ivf" -> sqlIvf,
+    "q261_ivf_from_index" -> sqlIvf,
 
     "q51_srp_neardup" -> sqlSrpNearDup(bands = 8, bitsPerBand = 4, dim = 64,
       seed = 42L, threshold = 0.5, maxBucketSize = 10000),

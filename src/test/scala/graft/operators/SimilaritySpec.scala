@@ -317,6 +317,22 @@ class SimilaritySpec extends SparkSpec {
     assert(inc == oneShot)
   }
 
+  test("ivfTopKFromIndex over a written cell-partitioned artifact == " +
+      "direct ivfTopK") {
+    val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivft").toString
+    Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(key(Similarity.ivfTopKFromIndex(spark.read.parquet(dir),
+        queries, "vec_id", "embedding", k = 10, cents, nprobe = 2)) ==
+      key(Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 10,
+        cents, nprobe = 2)))
+  }
+
   test("from-index mining == corpus mining (hard negatives and triplet " +
       "sides read the persisted artifact, no re-hash)") {
     val idxArt = Similarity.annIndex(emb, "vec_id", "embedding", "label",
