@@ -165,13 +165,6 @@ object Similarity {
     (out, Seq(v, s))
   }
 
-  /** Banded-LSH candidate pairs with a label predicate: (query_id,
-    * neighbor_id) for every cross-label (`sameLabel=false`) or
-    * same-label-non-self (`sameLabel=true`) pair sharing at least one
-    * (band, sig) bucket. Exactly deduplicated locally via the
-    * packed-signature first-collision-band rule. Input `v` is the cached
-    * (id, lbl, v, nrm) frame; returns the candidate frame plus the cached
-    * signature frame the caller must unpersist. */
   /** The first-collision-band column: given the two rows' PACKED band
     * signatures, the lowest band index where they collide — a pair
     * sharing several buckets is emitted from exactly one. Pure integer
@@ -194,6 +187,14 @@ object Similarity {
       bitsPerBand).cast("int")
   }
 
+  /** Banded-LSH scored pairs with a label predicate: (query_id,
+    * neighbor_id, cosine) for every cross-label (`sameLabel=false`) or
+    * same-label-non-self (`sameLabel=true`) pair sharing at least one
+    * (band, sig) bucket, exactly deduplicated locally via the
+    * packed-signature [[firstCollisionBand]] rule and exact-verified
+    * IN the bucket join. Input `v` is the cached (id, lbl, v, nrm)
+    * frame; returns the scored frame plus the cached signature frame
+    * the caller must unpersist. */
   private[operators] def annLabelScored(
       v: DataFrame, sameLabel: Boolean, dim: Int, bands: Int,
       bitsPerBand: Int, seed: Long, maxBucketSize: Int

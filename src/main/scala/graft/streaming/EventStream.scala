@@ -348,6 +348,32 @@ object EventStream {
       }
       .start()
 
+  /** Numeric partition suffixes (`<pfx><n>` dirs) strictly below `id`
+    * under `dir`, resolved via the DIRECTORY's own filesystem (index and
+    * topk dirs may live on different stores). Partitions with a LATER id
+    * than the current batch are rejected: that is the signature of
+    * restarting with a fresh checkpoint over directories an earlier run
+    * built — batch ids restart at 0 and would silently shadow, then
+    * overwrite, accumulated state. Replays of the current batch (== id)
+    * are expected; offline pre-seeds use negative ids. */
+  private def priorPartIds(
+      dir: String, pfx: String, id: Long,
+      conf: org.apache.hadoop.conf.Configuration): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val all = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toLong)
+      require(all.forall(_ <= id),
+        s"$dir has partitions from a later run (max ${if (all.isEmpty) -1L else all.max} > batch $id): " +
+          "a fresh checkpoint over an existing stream-built directory would " +
+          "silently discard accumulated state; resume the original " +
+          "checkpoint or use fresh directories")
+      all.filter(_ < id)
+    }
+  }
+
   /** Continuous-ingestion NEAR-dup gate — the STREAMING form of the q180
     * incremental contract: each micro-batch probes the accumulated
     * on-disk [[graft.operators.Dedup.lshIndex]] artifact for
@@ -386,27 +412,29 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
-        val hasPrior = fs.exists(idxPath) &&
-          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch_id="))
+        val conf = spark.sparkContext.hadoopConfiguration
+        val priorIds = priorPartIds(indexDir, "batch_id=", id, conf)
         // the batch is shingled+hashed ONCE: the checkpointed artifact
         // feeds both the probe and the index append
         val batArt = graft.operators.Dedup
           .lshIndex(batch.toDF(), idCol, textCol, n, bands, rowsPerBand)
           .localCheckpoint(true)
-        if (hasPrior) {
-          val prior = spark.read.option("basePath", indexDir)
-            .parquet(indexDir).filter(col("batch_id") < id)
-            .drop("batch_id")
-          graft.operators.Dedup.incrementalLshArtifactMatches(
-              prior, batArt, bands, rowsPerBand, threshold, maxBucketSize)
-            // `batch` here is the match's probe-side doc id (q180's
-            // output shape); the partition key is the micro-batch ordinal
-            .write.mode("overwrite").parquet(s"$matchesDir/batch=$id")
+        // empty micro-batches write NOTHING: a data-less parquet dir
+        // would poison later schema inference, and the `< id` prior
+        // filters are indifferent to batch-id gaps
+        if (!batArt.isEmpty) {
+          if (priorIds.nonEmpty) {
+            val prior = spark.read.option("basePath", indexDir)
+              .parquet(indexDir).filter(col("batch_id") < id)
+              .drop("batch_id")
+            graft.operators.Dedup.incrementalLshArtifactMatches(
+                prior, batArt, bands, rowsPerBand, threshold, maxBucketSize)
+              // `batch` here is the match's probe-side doc id (q180's
+              // output shape); the partition key is the micro-batch ordinal
+              .write.mode("overwrite").parquet(s"$matchesDir/batch=$id")
+          }
+          batArt.write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
         }
-        batArt.write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
         ()
       }
       .start()
@@ -426,20 +454,26 @@ object EventStream {
     * Exactly-once: per-batch partition OVERWRITE for both sinks, prior
     * reads filtered to strictly-earlier batch ids — a replayed batch
     * regenerates identical content ([[writeUpsertBatches]]'s pattern).
-    * `bands`/`bitsPerBand` must stay FIXED across the stream's life (the
-    * index artifact pins the geometry; re-size by rebuilding offline). */
+    * `bands`/`bitsPerBand` are REQUIRED and must stay FIXED across the
+    * stream's life (the index artifact pins the geometry; re-size by
+    * rebuilding offline) — so size them for the EXPECTED accumulated
+    * corpus up front: `Similarity.autoBitsPerBand(expectedN)` bits,
+    * `min(32, 64 / bits)` bands. An under-sized geometry goes quadratic
+    * as buckets saturate (the q254 sf1 defect), and once every bucket
+    * exceeds `maxBucketSize` candidate generation sheds ALL pairs — the
+    * stored top-k silently freezes while the stream reports success. */
   def streamingHardNegatives(
       vecStream: DataFrame,
       indexDir: String,
       topkDir: String,
       checkpointDir: String,
       dim: Int,
+      bands: Int,
+      bitsPerBand: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       labelCol: String = "label",
       k: Int = 3,
-      bands: Int = 32,
-      bitsPerBand: Int = 2,
       seed: Long = 42L,
       maxBucketSize: Int = 20000
   ): org.apache.spark.sql.streaming.StreamingQuery =
@@ -449,46 +483,45 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         import graft.operators.Similarity
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
-        def priorParts(dir: String, pfx: String): Seq[Long] = {
-          val p = new org.apache.hadoop.fs.Path(dir)
-          if (!fs.exists(p)) Seq.empty
-          else fs.listStatus(p).map(_.getPath.getName)
-            .filter(_.startsWith(pfx)).map(_.stripPrefix(pfx).toLong)
-            .filter(_ < id).toSeq
-        }
+        val conf = spark.sparkContext.hadoopConfiguration
+        val idxPrior = priorPartIds(indexDir, "batch_id=", id, conf)
         // the batch is hashed ONCE: the checkpointed artifact feeds the
         // mining fold and the index append
         val batchArt = Similarity.annIndex(batch.toDF(), idCol, vecCol,
           labelCol, dim, bands, bitsPerBand, seed).localCheckpoint(true)
-        val topk =
-          if (priorParts(indexDir, "batch_id=").isEmpty)
-            // first wave: one-shot mining within the batch itself
-            Similarity.hardNegativesAnnFromIndex(batchArt, k, bands,
-              bitsPerBand, maxBucketSize)
-          else {
-            val idxArt = spark.read.option("basePath", indexDir)
-              .parquet(indexDir).filter(col("batch_id") < id)
-              .drop("batch_id")
-            // prior top-k: the latest strictly-earlier batch partition;
-            // when the index was pre-seeded offline (write it as
-            // batch_id=-1 so a fresh checkpoint's id 0 still sees it)
-            // but no top-k exists yet, RE-MINE the accumulated index
-            // one-shot — never crash on an empty topk dir
-            val tk = priorParts(topkDir, "batch=")
-            val prior =
-              if (tk.nonEmpty)
-                spark.read.parquet(s"$topkDir/batch=${tk.max}")
-              else Similarity.hardNegativesAnnFromIndex(
-                idxArt.localCheckpoint(true), k, bands, bitsPerBand,
-                maxBucketSize)
-            Similarity.hardNegativesAnnIncrementalFromArt(idxArt, prior,
-              batchArt, k, bands, bitsPerBand, maxBucketSize)
-          }
-        topk.write.mode("overwrite").parquet(s"$topkDir/batch=$id")
-        batchArt.write.mode("overwrite")
-          .parquet(s"$indexDir/batch_id=$id")
+        // empty micro-batches write NOTHING: a data-less parquet dir
+        // would poison later schema inference, and the `< id` prior
+        // filters are indifferent to batch-id gaps
+        if (!batchArt.isEmpty) {
+          val topk =
+            if (idxPrior.isEmpty)
+              // first wave: one-shot mining within the batch itself
+              Similarity.hardNegativesAnnFromIndex(batchArt, k, bands,
+                bitsPerBand, maxBucketSize)
+            else {
+              val idxArt = spark.read.option("basePath", indexDir)
+                .parquet(indexDir).filter(col("batch_id") < id)
+                .drop("batch_id")
+              // prior top-k: the latest strictly-earlier batch partition;
+              // when the index was pre-seeded offline (write it as
+              // batch_id=-1 — negative, so any fresh checkpoint's id 0
+              // still sees it and the later-run guard stays quiet) but no
+              // top-k exists yet, RE-MINE the accumulated index one-shot
+              // — never crash on an empty topk dir
+              val tk = priorPartIds(topkDir, "batch=", id, conf)
+              val prior =
+                if (tk.nonEmpty)
+                  spark.read.parquet(s"$topkDir/batch=${tk.max}")
+                else Similarity.hardNegativesAnnFromIndex(
+                  idxArt.localCheckpoint(true), k, bands, bitsPerBand,
+                  maxBucketSize)
+              Similarity.hardNegativesAnnIncrementalFromArt(idxArt, prior,
+                batchArt, k, bands, bitsPerBand, maxBucketSize)
+            }
+          topk.write.mode("overwrite").parquet(s"$topkDir/batch=$id")
+          batchArt.write.mode("overwrite")
+            .parquet(s"$indexDir/batch_id=$id")
+        }
         ()
       }
       .start()

@@ -65,9 +65,12 @@ class EventStreamSpec extends SparkSpec {
       emb.filter(col("vec_id") >= 320))
     val root = java.nio.file.Files.createTempDirectory("graft_shn").toString
     val mem = MemoryStream[(Long, Seq[Float], Int)]
+    // gate-scale geometry: 500 accumulated vectors -> the recall-pinned
+    // 32 bands x 2 bits (size by autoBitsPerBand(expectedN) in production)
     val q = EventStream.streamingHardNegatives(
       mem.toDF().toDF("vec_id", "embedding", "label"),
-      s"$root/index", s"$root/topk", s"$root/ckpt", dim = 64)
+      s"$root/index", s"$root/topk", s"$root/ckpt", dim = 64,
+      bands = 32, bitsPerBand = 2)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
       .toSet
