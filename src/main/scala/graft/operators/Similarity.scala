@@ -304,6 +304,134 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Both label modes from ONE bucket join, for the case where the
+    * positive geometry equals the negative one (the gate config, and any
+    * corpus whose largest label block and total size land in the same
+    * [[autoBitsPerBand]] tier): the same-label pairs the positive pass
+    * needs are a subset of the pairs the (band, sig)-keyed join already
+    * generates for the cross-label pass, so running the SHUFFLE_HASH
+    * self-join twice — once keyed (lbl, band, sig), once (band, sig) —
+    * doubles the heaviest stage for nothing.
+    *
+    * Per-mode cap semantics are preserved EXACTLY. A pair is emitted at
+    * its global [[firstCollisionBand]] b iff
+    *  - neg: the TOTAL population of bucket b is <= maxBucketSize;
+    *  - pos: the pair's LABEL BLOCK within bucket b is <= maxBucketSize.
+    * Total <= cap implies every label block <= cap, so a join group that
+    * is the WHOLE bucket while its total is under the cap serves both
+    * modes with no extra filter; a bucket over the total cap degrades to
+    * per-LABEL join groups, which generate exactly the same-label pairs
+    * the positive pass still owes (cross-label pairs from such buckets
+    * are shed in the separate path too) with fan-out bounded by the
+    * labeled cap, never the bucket's n². SimilaritySpec pins fused ==
+    * separate with a cap small enough to force both regimes — the
+    * equivalence is by construction, not just at the gate.
+    *
+    * `rows` is a (id, lbl, v, nrm, fullsig, band, sig) frame — a
+    * [[bandSigFrame]], an [[artSigFrame]], or the incremental union —
+    * optionally carrying `__isb` (row comes from the new batch); when
+    * `requireBatchSide` is set only pairs with at least one batch side
+    * are emitted (the incremental contract: index-index pairs are already
+    * in the prior result). Returns ONE tagged scored frame
+    * (query_id, neighbor_id, cosine, __same) — a pair is same-label or
+    * cross-label, never both, so the tag partitions the output; callers
+    * heap by (query_id, __same) so the join executes once for both
+    * modes. */
+  private def fusedBothModesFromRows(
+      rows: DataFrame, bands: Int, bitsPerBand: Int, maxBucketSize: Int,
+      requireBatchSide: Boolean
+  ): DataFrame = {
+    // both cap populations as WINDOW counts: the frame is already hash-
+    // partitioned by (band, sig), which co-locates (lbl, band, sig) too,
+    // so neither window needs an exchange — one partition-local sort
+    // annotates every row with its bucket total and its label-block size.
+    // (The agg-then-join-back formulation costs 4+ extra stages per seed;
+    // measured slower than the fusion saves at the gate.)
+    val wB = Window.partitionBy(col("band"), col("sig"))
+    val wL = Window.partitionBy(col("band"), col("sig"), col("lbl"))
+    // __grp is the join group: a whole bucket while its TOTAL is under the
+    // cap (serves both modes), else one label block (same-label pairs
+    // only — the pos cap is per label block, and keying over-cap buckets
+    // by label bounds their fan-out by the labeled cap instead of n²).
+    // Rows useless to both modes (over-cap bucket AND over-cap label
+    // block) drop before the join.
+    val annotated = rows
+      .withColumn("__bsz", count(lit(1)).over(wB))
+      .withColumn("__lsz", count(lit(1)).over(wL))
+      .filter(col("__bsz") <= maxBucketSize ||
+        col("__lsz") <= maxBucketSize)
+      .withColumn("__grp",
+        when(col("__bsz") <= maxBucketSize, lit(""))
+          .otherwise(concat(lit("L"), col("lbl").cast("string"))))
+    val isb = (suffix: String) =>
+      if (requireBatchSide) Seq(col("__isb").as(s"__$suffix")) else Nil
+    val a = annotated.select(Seq(col("__grp"), col("band"), col("sig"),
+      col("lbl").as("__ql"), col("id").as("query_id"),
+      col("v").as("__qv"), col("nrm").as("__qn"),
+      col("fullsig").as("__qf")) ++ isb("ab"): _*)
+    val b = annotated.select(Seq(col("__grp"), col("band"), col("sig"),
+      col("lbl").as("__nl"), col("id").as("neighbor_id"),
+      col("v").as("__nv"), col("nrm").as("__nn"),
+      col("fullsig").as("__nf")) ++ isb("nb"): _*)
+    // (band, sig) hash partitioning satisfies the (grp, band, sig) join's
+    // clustering requirement (subset rule), so the ONE bucket join still
+    // runs exchange-free over the cached signature frame
+    val pairs0 = a.hint("SHUFFLE_HASH").join(b, Seq("__grp", "band", "sig"))
+    val pairs = if (requireBatchSide)
+      pairs0.filter(col("__ab") || col("__nb")) else pairs0
+    pairs
+      // keep cross-label pairs and NON-SELF same-label pairs
+      .filter(col("__ql") =!= col("__nl") ||
+        col("query_id") =!= col("neighbor_id"))
+      .filter(col("band") ===
+        firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
+      // the SAME dot/(nrm·nrm) rounded double as the separate paths — the
+      // fused form must stay bit-identical to the one-shot and exact forms
+      .withColumn("cosine",
+        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
+      .withColumn("__same", col("__ql") === col("__nl"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__same"))
+  }
+
+  /** One-shot fused twin of two [[annLabelScoredFromSigs]] calls over the
+    * same signature frame — ONE tagged scored frame from one bucket
+    * join. */
+  private[operators] def annLabelScoredBothFromSigs(
+      s: DataFrame, bands: Int, bitsPerBand: Int, maxBucketSize: Int
+  ): DataFrame =
+    fusedBothModesFromRows(s, bands, bitsPerBand, maxBucketSize,
+      requireBatchSide = false)
+
+  /** Incremental fused twin of two [[annIncrementalScored]] calls over the
+    * same (index artifact, batch artifact) pair: the batch-involved tagged
+    * scored frame plus the cached batch band rows the caller must
+    * unpersist. The index side is pruned to the (band, sig) buckets
+    * the batch touches — a superset of the labeled touched set the
+    * separate positive pass prunes to, and the extra rows provably change
+    * neither mode's pair set (a pos pair needs a batch side of its own
+    * label in the bucket, which makes its labeled bucket touched). */
+  private[operators] def annIncrementalScoredBoth(
+      indexArt: DataFrame, batchArt: DataFrame,
+      bands: Int, bitsPerBand: Int, maxBucketSize: Int
+  ): (DataFrame, DataFrame) = {
+    val spark = batchArt.sparkSession
+    def vBandRows(art: DataFrame): DataFrame =
+      art.select(col("id"), col("lbl"), col("fullsig"), col("v"),
+        col("nrm"), posexplode(col("sigs")).as(Seq("band", "sig")))
+    val bRows = vBandRows(batchArt)
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("band"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val touched = bRows.select(col("band"), col("sig")).distinct()
+    val iRows = vBandRows(indexArt)
+      .join(touched, Seq("band", "sig"), "left_semi")
+    val allRows = iRows.withColumn("__isb", lit(false))
+      .unionByName(bRows.withColumn("__isb", lit(true)))
+    (fusedBothModesFromRows(allRows, bands, bitsPerBand,
+      maxBucketSize, requireBatchSide = true), bRows)
+  }
+
   /** Contrastive TRIPLET assembly: for every anchor, its hardest positive
     * (most-similar SAME-label vector, self excluded) and hardest negative
     * (most-similar DIFFERENT-label vector) with the margin between them —
@@ -335,42 +463,31 @@ object Similarity {
       seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000,
       posBands: Int = 0, posBitsPerBand: Int = 0
   ): DataFrame = {
-    val (plan, caches) = tripletMiningPlan(corpus, idCol, vecCol, labelCol,
-      dim, bands, bitsPerBand, seeds, maxBucketSize, posBands, posBitsPerBand)
-    val out = plan.localCheckpoint(true)
-    caches.foreach(_.unpersist())
-    out
+    val (pos, neg) = tripletMiningSides(corpus, idCol, vecCol, labelCol,
+      dim, bands, bitsPerBand, seeds, maxBucketSize, posBands,
+      posBitsPerBand)
+    assembleTriplets(pos, neg)
   }
 
-  /** Un-checkpointed [[tripletMining]] plan + caches (see
-    * [[hardNegativesAnnPlan]] for the contract). */
-  def tripletMiningPlan(
-      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      dim: Int, bands: Int = 32, bitsPerBand: Int = 2,
-      seeds: Seq[Long] = Seq(42L, 1042L), maxBucketSize: Int = 20000,
-      posBands: Int = 0, posBitsPerBand: Int = 0
-  ): (DataFrame, Seq[DataFrame]) = {
-    require(seeds.nonEmpty, "need at least one banding seed")
-    val v = corpus.select(col(idCol).as("id"), col(labelCol).as("lbl"),
-        asDouble(col(vecCol)).as("v"))
-      .withColumn("nrm", norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (pos, neg, sigCaches) = tripletSidePlans(v, dim, bands, bitsPerBand,
-      seeds, maxBucketSize, posBands, posBitsPerBand)
-    (assembleTriplets(pos, neg), v +: sigCaches)
-  }
-
-  /** The two top-1 side plans (hardest positive, hardest negative) over a
-    * cached (id, lbl, v, nrm) frame, plus the cached band-signature
-    * frames behind them. A signature frame depends only on (geometry,
-    * seed) — NOT on the label mode — so when the positive geometry
-    * coincides with the negative one (the gate config) both modes share
-    * ONE frame per seed instead of hashing the corpus twice. */
+  /** The TAGGED top-1 side plan behind triplet mining over a cached
+    * (id, lbl, v, nrm) frame: one row per (anchor, side) — `__same` true
+    * for the hardest positive, false for the hardest negative — plus the
+    * cached band-signature frames behind it. ONE distinct bounded heap
+    * keyed (query_id, __same) serves both sides: grouping by the tag is
+    * exactly a per-side heap, and feeding both modes through a single
+    * consumer is what lets the fused bucket join below execute ONCE
+    * (split-then-heap would duplicate the join subtree into each side's
+    * plan). A signature frame depends only on (geometry, seed) — NOT on
+    * the label mode — so when the positive geometry coincides with the
+    * negative one (the gate config) both modes share ONE frame per seed
+    * AND one bucket join per seed (see [[fusedBothModesFromRows]]);
+    * differing geometries fall back to per-mode joins, still heaped
+    * together. */
   private def tripletSidePlans(
       v: DataFrame, dim: Int, bands: Int, bitsPerBand: Int,
       seeds: Seq[Long], maxBucketSize: Int, posBands: Int,
       posBitsPerBand: Int
-  ): (DataFrame, DataFrame, Seq[DataFrame]) = {
+  ): (DataFrame, Seq[DataFrame]) = {
     val (pBnd, pBits) = (if (posBands > 0) posBands else bands,
       if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
     val sigCache =
@@ -378,19 +495,37 @@ object Similarity {
     def sigs(bnd: Int, bits: Int, sd: Long): DataFrame =
       sigCache.getOrElseUpdate((bnd, bits, sd),
         bandSigFrame(v, dim, bnd, bits, sd))
-    def top1(sameLabel: Boolean): DataFrame = {
-      val (bnd, bits) = if (sameLabel) (pBnd, pBits) else (bands, bitsPerBand)
-      val scored = seeds.map(sd => annLabelScoredFromSigs(
-          sigs(bnd, bits, sd), sameLabel, bnd, bits, maxBucketSize))
-        .reduce(_ unionByName _)
-      // the DISTINCT heap eliminates cross-seed duplicate pairs (equal
-      // (cosine, neighbor_id) sort keys) while bounding state at 1/anchor
-      graft.plans.TopKPerGroup.distinct(scored,
-        Seq(col("query_id")),
-        Seq(col("cosine").desc, col("neighbor_id").asc), 1)
-    }
-    (top1(sameLabel = true), top1(sameLabel = false), sigCache.values.toSeq)
+    val tagged =
+      if (pBnd == bands && pBits == bitsPerBand)
+        seeds.map(sd => annLabelScoredBothFromSigs(
+            sigs(bands, bitsPerBand, sd), bands, bitsPerBand, maxBucketSize))
+          .reduce(_ unionByName _)
+      else
+        Seq(true, false).map { sameLabel =>
+          val (bnd, bits) = if (sameLabel) (pBnd, pBits)
+            else (bands, bitsPerBand)
+          seeds.map(sd => annLabelScoredFromSigs(
+              sigs(bnd, bits, sd), sameLabel, bnd, bits, maxBucketSize))
+            .reduce(_ unionByName _)
+            .withColumn("__same", lit(sameLabel))
+        }.reduce(_ unionByName _)
+    (taggedHeap1(tagged), sigCache.values.toSeq)
   }
+
+  /** The distinct bounded heap over a tagged scored frame: top-1 per
+    * (anchor, side), cross-seed duplicate pairs eliminated by their equal
+    * (cosine, neighbor_id) sort keys. */
+  private def taggedHeap1(tagged: DataFrame): DataFrame =
+    graft.plans.TopKPerGroup.distinct(tagged,
+      Seq(col("query_id"), col("__same")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), 1)
+
+  /** Split a MATERIALIZED tagged side frame into (positives, negatives).
+    * The input must be checkpointed/persisted — the two filters otherwise
+    * re-execute the whole mining subtree once per side. */
+  private def splitTagged(both: DataFrame): (DataFrame, DataFrame) =
+    (both.filter(col("__same")).drop("__same"),
+      both.filter(!col("__same")).drop("__same"))
 
   // ---------------- incremental ANN mining ------------------------
 
@@ -472,25 +607,31 @@ object Similarity {
     val (pBnd, pBits) = (if (posBands > 0) posBands else bands,
       if (posBitsPerBand > 0) posBitsPerBand else bitsPerBand)
     val negSigs = negIndexes.map(artSigFrame)
-    val posSigs =
-      if (posIndexes.zip(negIndexes).forall { case (p, n) => p eq n })
-        negSigs
-      else posIndexes.map(artSigFrame)
-    def top1(sigs: Seq[DataFrame], sameLabel: Boolean, bnd: Int,
-        bits: Int): DataFrame = {
-      val scored = sigs.map(s => annLabelScoredFromSigs(s, sameLabel,
-          bnd, bits, maxBucketSize))
-        .reduce(_ unionByName _)
-      graft.plans.TopKPerGroup.distinct(scored,
-        Seq(col("query_id")),
-        Seq(col("cosine").desc, col("neighbor_id").asc), 1)
-    }
-    val pos = top1(posSigs, sameLabel = true, pBnd, pBits)
-      .localCheckpoint(true)
-    val neg = top1(negSigs, sameLabel = false, bands, bitsPerBand)
-      .localCheckpoint(true)
+    val sharedSigs =
+      posIndexes.zip(negIndexes).forall { case (p, n) => p eq n }
+    val posSigs = if (sharedSigs) negSigs else posIndexes.map(artSigFrame)
+    val tagged =
+      if (sharedSigs && pBnd == bands && pBits == bitsPerBand)
+        // coinciding geometries over shared artifacts: one bucket join per
+        // seed serves both label modes
+        negSigs.map(s => annLabelScoredBothFromSigs(s,
+            bands, bitsPerBand, maxBucketSize))
+          .reduce(_ unionByName _)
+      else
+        Seq((posSigs, true, pBnd, pBits),
+            (negSigs, false, bands, bitsPerBand)).map {
+          case (sigs, sameLabel, bnd, bits) =>
+            sigs.map(s => annLabelScoredFromSigs(s, sameLabel,
+                bnd, bits, maxBucketSize))
+              .reduce(_ unionByName _)
+              .withColumn("__same", lit(sameLabel))
+        }.reduce(_ unionByName _)
+    // ONE heap for both sides (grouping by the tag IS a per-side heap) and
+    // ONE materialization — heaping or checkpointing the sides separately
+    // would duplicate the bucket-join subtree into each side's plan
+    val both = taggedHeap1(tagged).localCheckpoint(true)
     (negSigs ++ posSigs).distinct.foreach(_.unpersist())
-    (pos, neg)
+    splitTagged(both)
   }
 
   /** Candidate pairs INVOLVING the batch (batch-batch, batch-index,
@@ -641,12 +782,12 @@ object Similarity {
         asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (pos, neg, sigCaches) = tripletSidePlans(v, dim, bands, bitsPerBand,
+    val (tagged, sigCaches) = tripletSidePlans(v, dim, bands, bitsPerBand,
       seeds, maxBucketSize, posBands, posBitsPerBand)
-    val (posOut, negOut) = (pos.localCheckpoint(true),
-      neg.localCheckpoint(true))
+    // one heap + one materialization for both sides
+    val both = tagged.localCheckpoint(true)
     (v +: sigCaches).foreach(_.unpersist())
-    (posOut, negOut)
+    splitTagged(both)
   }
 
   /** Assemble (anchor, positive, negative, margin) triplets from the two
@@ -695,26 +836,42 @@ object Similarity {
       else seeds.map(sd =>
         annIndex(batch, idCol, vecCol, labelCol, dim, pBnd, pBits, sd)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def side(idxs: Seq[DataFrame], batchArts: Seq[DataFrame],
-        prior: DataFrame, sameLabel: Boolean,
-        bnd: Int, bits: Int): (DataFrame, Seq[DataFrame]) = {
-      val gens = idxs.zip(batchArts).map { case (ix, ba) =>
-        annIncrementalScored(ix, ba, sameLabel, bnd, bits,
-          maxBucketSize)
+    val taggedPrior = priorPos
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .withColumn("__same", lit(true))
+      .unionByName(priorNeg
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
+        .withColumn("__same", lit(false)))
+    val (tagged, genCaches) =
+      if (pBnd == bands && pBits == bitsPerBand) {
+        // coinciding geometries: one batch-involved bucket join per seed
+        // serves both label modes (fusedBothModesFromRows proof)
+        val gens = negIndexes.zip(negBatchArts).map { case (ix, ba) =>
+          annIncrementalScoredBoth(ix, ba, bands, bitsPerBand,
+            maxBucketSize)
+        }
+        (gens.map(_._1).reduce(_ unionByName _), gens.map(_._2))
+      } else {
+        val gens = Seq((posIndexes, posBatchArts, true, pBnd, pBits),
+            (negIndexes, negBatchArts, false, bands, bitsPerBand)).map {
+          case (idxs, batchArts, sameLabel, bnd, bits) =>
+            val g = idxs.zip(batchArts).map { case (ix, ba) =>
+              annIncrementalScored(ix, ba, sameLabel, bnd, bits,
+                maxBucketSize)
+            }
+            (g.map(_._1).reduce(_ unionByName _)
+              .withColumn("__same", lit(sameLabel)), g.map(_._2))
+        }
+        (gens.map(_._1).reduce(_ unionByName _), gens.flatMap(_._2))
       }
-      val merged = gens.map(_._1).reduce(_ unionByName _)
-        .unionByName(prior.select(col("query_id"), col("neighbor_id"),
-          col("cosine")))
-      (graft.plans.TopKPerGroup.distinct(merged, Seq(col("query_id")),
-        Seq(col("cosine").desc, col("neighbor_id").asc), 1),
-        gens.map(_._2))
-    }
-    val (pos, posCaches) = side(posIndexes, posBatchArts, priorPos,
-      sameLabel = true, pBnd, pBits)
-    val (neg, negCaches) = side(negIndexes, negBatchArts, priorNeg,
-      sameLabel = false, bands, bitsPerBand)
-    val out = assembleTriplets(pos, neg).localCheckpoint(true)
-    (negBatchArts ++ posBatchArts ++ posCaches ++ negCaches).distinct
+    // merge with the prior sides under ONE heap, materialize ONCE, then
+    // assemble — per-side heaps/checkpoints would duplicate or serialize
+    // the generation subtrees
+    val both = taggedHeap1(tagged.unionByName(taggedPrior))
+      .localCheckpoint(true)
+    val (pos, neg) = splitTagged(both)
+    val out = assembleTriplets(pos, neg)
+    (negBatchArts ++ posBatchArts ++ genCaches).distinct
       .foreach(_.unpersist())
     out
   }

@@ -1,10 +1,15 @@
 package graft.tools
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time a single registered query (same harness shape as
   * [[graft.Bench]] — noop sink, warmup, clearCache) so hot queries can be
-  * iterated on without a full 50-query bench run.
+  * iterated on without a full 50-query bench run. Prints job / stage /
+  * task counts per rep — the first thing to look at for a small-input
+  * query that is slow anyway (job-count-bound, not data-bound).
   * Usage: tools/run.sh graft.tools.BenchOne <queryName> [sfDir] [reps]
   */
 object BenchOne {
@@ -22,15 +27,43 @@ object BenchOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (jobs, stages, tasks) =
+      (new AtomicLong, new AtomicLong, new AtomicLong)
+    val bySite = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks.toLong)
+        val ms = (for {
+          a <- s.stageInfo.completionTime
+          b <- s.stageInfo.submissionTime
+        } yield a - b).getOrElse(0L)
+        bySite.merge(s.stageInfo.name.takeWhile(_ != '\n'), (1L, ms),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    })
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     for (i <- 1 to reps) {
       spark.catalog.clearCache()
       System.gc()
+      jobs.set(0); stages.set(0); tasks.set(0); bySite.clear()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[benchone] $name rep$i: $dt%.3f s")
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(300)
+      println(f"[benchone] $name rep$i: $dt%.3f s " +
+        s"jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      if (sys.env.contains("BENCHONE_SITES")) {
+        import scala.jdk.CollectionConverters._
+        bySite.asScala.toSeq.sortBy(-_._2._2).take(15).foreach {
+          case (site, (n, ms)) =>
+            println(f"[benchone]   $ms%6d ms over $n%3d jobs  $site")
+        }
+      }
     }
     spark.stop()
   }

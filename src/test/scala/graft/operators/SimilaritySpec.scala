@@ -317,6 +317,66 @@ class SimilaritySpec extends SparkSpec {
     assert(inc == oneShot)
   }
 
+  test("fused both-modes scored == separate per-mode scored, with caps " +
+      "forcing both join-group regimes") {
+    val v = emb.select(col("vec_id").as("id"), col("label").as("lbl"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .persist()
+    // 4 bands × 3 bits over 500 vectors → buckets average ~62 rows, label
+    // blocks ~6: cap 80 leaves some buckets under the TOTAL cap and some
+    // over it with every label block under — both regimes of the fused
+    // group key are live (asserted below, so the spec can't rot silently)
+    val (bands, bits) = (4, 3)
+    val s = Similarity.bandSigFrame(v, dim = 64, bands, bits, seed = 7L)
+    val sizes = s.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("b"),
+        max(col("lbl")).as("ignore")) // keep shape simple
+      .select(col("b")).collect().map(_.getLong(0))
+    assert(sizes.exists(_ <= 80) && sizes.exists(_ > 80),
+      s"cap 80 must split the bucket population: ${sizes.sorted.toSeq}")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (cap <- Seq(80, 20000)) {
+      val fused = Similarity.annLabelScoredBothFromSigs(s, bands, bits, cap)
+        .persist()
+      val posSep = key(Similarity.annLabelScoredFromSigs(s,
+        sameLabel = true, bands, bits, cap))
+      val negSep = key(Similarity.annLabelScoredFromSigs(s,
+        sameLabel = false, bands, bits, cap))
+      assert(key(fused.filter(col("__same")).drop("__same")) == posSep,
+        s"pos mode diverges at cap=$cap")
+      assert(key(fused.filter(!col("__same")).drop("__same")) == negSep,
+        s"neg mode diverges at cap=$cap")
+      fused.unpersist()
+    }
+    s.unpersist(); v.unpersist()
+    // the incremental twin under the same mixed-cap regime: window-count
+    // populations over the pruned union must match the separate paths'
+    // agg-over-touched-buckets populations in both cap regimes
+    val index = emb.filter(col("vec_id") < 350)
+    val batch = emb.filter(col("vec_id") >= 350)
+    val ia = Similarity.annIndex(index, "vec_id", "embedding", "label",
+      dim = 64, bands, bits, seed = 7L).localCheckpoint(true)
+    val ba = Similarity.annIndex(batch, "vec_id", "embedding", "label",
+      dim = 64, bands, bits, seed = 7L).persist()
+    for (cap <- Seq(80, 20000)) {
+      val (tagged, bRows) =
+        Similarity.annIncrementalScoredBoth(ia, ba, bands, bits, cap)
+      val t = tagged.persist()
+      val (posSep, c1) = Similarity.annIncrementalScored(ia, ba,
+        sameLabel = true, bands, bits, cap)
+      val (negSep, c2) = Similarity.annIncrementalScored(ia, ba,
+        sameLabel = false, bands, bits, cap)
+      assert(key(t.filter(col("__same")).drop("__same")) == key(posSep),
+        s"incremental pos mode diverges at cap=$cap")
+      assert(key(t.filter(!col("__same")).drop("__same")) == key(negSep),
+        s"incremental neg mode diverges at cap=$cap")
+      Seq(t, bRows, c1, c2).foreach(_.unpersist())
+    }
+    ba.unpersist()
+  }
+
   test("ivfTopKFromIndex over a written cell-partitioned artifact == " +
       "direct ivfTopK") {
     val cents = Similarity.seedCentroids(emb, "vec_id", "embedding", 8)
