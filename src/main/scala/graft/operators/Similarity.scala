@@ -274,13 +274,13 @@ object Similarity {
     // degenerate-bucket cap: bucket keys whose population exceeds
     // maxBucketSize are excluded from pair generation (boilerplate-heavy
     // signature collisions; size bitsPerBand up instead of paying n² in a
-    // hot bucket). Plain equi-join — bucket stats grow with the corpus, so
-    // no broadcast hint; AQE picks the strategy.
-    val okBuckets = s.groupBy(bucketKey.map(col): _*)
-      .agg(count(lit(1)).as("__bsz"))
+    // hot bucket). The population is a WINDOW count — the frame's
+    // (band, sig) hash partitioning co-locates every bucket key, so the
+    // annotation is one partition-local sort, not an agg + join-back
+    // (which costs extra stages per call at identical semantics).
+    val sOk = s.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(bucketKey.map(col): _*)))
       .filter(col("__bsz") <= maxBucketSize)
-      .select(bucketKey.map(col): _*)
-    val sOk = s.join(okBuckets, bucketKey)
     val joinKey = if (sameLabel) Seq("__lbl", "band", "sig")
       else Seq("band", "sig")
     val a = sOk.select(col("band"), col("sig"), col("id").as("query_id"),
@@ -673,11 +673,12 @@ object Similarity {
       .join(touched, keyCols, "left_semi")
     val allRows = iRows.withColumn("__isb", lit(false))
       .unionByName(bRows.withColumn("__isb", lit(true)))
-    val okBuckets = allRows.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__bsz"))
+    // bucket-cap population as a WINDOW count over the union (one
+    // exchange + sort vs the agg + join-back's two): same populations —
+    // the cap is the one-shot cap restricted to touched buckets
+    val ok = allRows.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("__bsz") <= maxBucketSize)
-      .select(keyCols.map(col): _*)
-    val ok = allRows.join(okBuckets, keyCols)
     val a = ok.select(keyCols.map(col) ++ Seq(col("id").as("query_id"),
       col("lbl").as("__ql"), col("fullsig").as("__qf"),
       col("v").as("__qv"), col("nrm").as("__qn"),
@@ -1159,11 +1160,12 @@ object Similarity {
         col("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketKey = blockKey ++ Seq("band", "sig")
-    val okBuckets = s.groupBy(bucketKey.map(col): _*)
-      .agg(count(lit(1)).as("__bsz"))
+    // bucket cap as a WINDOW count: the (band, sig) partitioning above
+    // co-locates every bucket key, so the annotation is one partition-
+    // local sort instead of an agg + join-back (identical populations)
+    val sOk = s.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(bucketKey.map(col): _*)))
       .filter(col("__bsz").between(2, maxBucketSize))
-      .select(bucketKey.map(col): _*)
-    val sOk = s.join(okBuckets, bucketKey)
     val a = sOk.select(blkC ++ Seq(col("band"), col("sig"),
       col("id").as("id_1"), col("fullsig").as("__f1")): _*)
     val b = sOk.select(blkC ++ Seq(col("band"), col("sig"),
