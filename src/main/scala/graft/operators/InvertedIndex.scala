@@ -38,6 +38,82 @@ object InvertedIndex {
   private def idfWeight(df: Column): Column =
     floor(lit(1000000.0) / df.cast("double")).cast("long")
 
+  /** BM25-style top-k: [[tfIdfTopK]]'s integer rarity weight with the two
+    * things BM25 adds over raw tf — TERM-FREQUENCY SATURATION (a term
+    * occurring 50× is not 50× as relevant; the k1 asymptote caps it) and
+    * DOCUMENT-LENGTH NORMALIZATION (a match in a short doc outranks the
+    * same match diluted in a long one; b controls how much).
+    *
+    * Exact-integer throughout, so the ranking is bit-reproducible across
+    * engines: with k1 = k1Pct/100 and b = bPct/100, the saturated tf
+    *   tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl)
+    * is evaluated as one integral division of two DECIMAL(38,0)-exact
+    * products — both sides scaled by 10⁴·D, where D = (10⁶·Σdl) div N is
+    * the integer-ppm average document length:
+    *   sat_ppm = 10⁶·tf·(k1Pct+100)·100·D
+    *             div (10⁴·D·tf + k1Pct·(100−bPct)·D + k1Pct·bPct·10⁶·dl)
+    * score(q, d) = Σ_t tf_q(t) · w(t) · sat_ppm(t, d) — an integer sum.
+    * (A float ln-idf/BM25 would not hash-match across engines; the
+    * rare-terms-dominate, long-docs-damped ranking shape is the same.)
+    *
+    * Shape at 100 TB: identical to [[tfIdfTopK]] — postings + df are the
+    * two wordcount shuffles, doc lengths ride the postings aggregation's
+    * input, the global (Σdl, N) stats row is a broadcast 1-row frame (no
+    * driver action), and the scoring join broadcasts the query postings. */
+  def bm25TopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      k: Int, maxDf: Long, k1Pct: Int = 120, bPct: Int = 75
+  ): DataFrame = {
+    require(k1Pct >= 0 && bPct >= 0 && bPct <= 100,
+      "k1Pct must be >= 0 and bPct within [0, 100]")
+    // integral division (SQL `div`): truncating quotient of two exact
+    // DECIMAL(38,0) products — both engines truncate positive quotients
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge
+      GraftColumnBridge.column(
+        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+    }
+    val dl = corpus.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("dl"))
+    // D = (1e6 * total_tokens) div n_docs, computed wide (DECIMAL(38,0))
+    // so a 100 TB corpus's token total cannot overflow the ppm scaling
+    val stats = dl.agg(
+        sum(col("dl")).cast("decimal(38,0)").as("__lt"),
+        count(lit(1)).cast("decimal(38,0)").as("__nd"))
+      .select(idiv(col("__lt") * lit(1000000L), col("__nd"))
+        .cast("decimal(38,0)").as("__d"))
+    val corpusPost = postings(corpus, idCol, textCol)
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+    val termW = postings(corpus, idCol, textCol).groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("term"), idfWeight(col("df")).as("w"))
+    val qPost = postings(queries, idCol, textCol)
+      .select(col("id").as("query_id"), col("term"), col("tf").as("tf_q"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val num = dec(lit(1000000L)) * dec(col("tf")) *
+      dec(lit((k1Pct + 100) * 100L)) * col("__d")
+    val den = dec(lit(10000L)) * col("__d") * dec(col("tf")) +
+      dec(lit(k1Pct.toLong * (100L - bPct))) * col("__d") +
+      dec(lit(k1Pct.toLong * bPct * 1000000L)) * dec(col("dl"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    corpusPost
+      .withColumn("sat_ppm", idiv(num, den))
+      .join(termW, Seq("term"))
+      .join(broadcast(qPost), Seq("term"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("tf_q") * col("w") * col("sat_ppm")).as("score"))
+      .withColumn("neighbor_id", col("id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** Top-k corpus documents per query document by the integer TF-IDF
     * score. Self-matches excluded; ties break to the lower neighbor id.
     * Returns (query_id, neighbor_id, score, rank). */

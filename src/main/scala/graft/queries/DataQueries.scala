@@ -866,6 +866,17 @@ object DataQueries {
         k = 10, maxDf = 390L)
     },
 
+    // BM25-style lexical top-k: q85's integer rarity weight plus tf
+    // saturation (k1 = 1.2) and doc-length normalization (b = 0.75),
+    // evaluated as one DECIMAL(38,0)-exact integral division per posting
+    // so the ranking is bit-identical across engines
+    "q262_bm25_topk" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.operators.InvertedIndex.bm25TopK(
+        d, d.filter(col("doc_id") < 5), "doc_id", "text",
+        k = 10, maxDf = 390L)
+    },
+
     // IVF approximate top-k (scale path): fully deterministic — seeded
     // centroids (first 8 ids), argmin ties to lowest centroid id, fixed
     // nprobe — so it has an exact ANSI oracle below; recall additionally
@@ -1654,6 +1665,46 @@ object DataQueries {
          |    CAST(SUM(p.tf * q.tf_q * tw.w) AS BIGINT) AS score
          |  FROM post p JOIN tw USING (term) JOIN qp q USING (term)
          |  WHERE p.id <> q.query_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, neighbor_id, score,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    // exact twin of InvertedIndex.bm25TopK(k=10, maxDf=390, k1Pct=120,
+    // bPct=75): q85's postings/idf plus the integer-exact BM25 saturation
+    // sat_ppm = 1e6·tf·(k1+1) div (tf + k1(1−b) + k1·b·dl/avgdl), both
+    // sides scaled by 1e4·D with D = (1e6·Σdl) div N — HUGEINT here,
+    // DECIMAL(38,0) in Spark, truncating division on positives in both
+    "q262_bm25_topk" ->
+      s"""WITH post AS (
+         |  SELECT doc_id AS id, s AS term, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest($sqlToks) AS s FROM documents) w
+         |  GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id AS id, CAST(len($sqlToks) AS BIGINT) AS dl
+         |  FROM documents
+         |), st AS (
+         |  SELECT CAST(SUM(dl) AS HUGEINT) * 1000000 // COUNT(*) AS d
+         |  FROM dl
+         |), tw AS (
+         |  SELECT term, CAST(floor(1000000.0 / COUNT(*)) AS BIGINT) AS w
+         |  FROM post GROUP BY term HAVING COUNT(*) <= 390
+         |), qp AS (
+         |  SELECT id AS query_id, term, tf AS tf_q FROM post WHERE id < 5
+         |), sat AS (
+         |  SELECT p.id, p.term, p.tf,
+         |    CAST((CAST(1000000 AS HUGEINT) * p.tf * 22000 * st.d) //
+         |      (CAST(10000 AS HUGEINT) * st.d * p.tf
+         |       + 3000 * st.d
+         |       + CAST(9000000000 AS HUGEINT) * dl.dl) AS BIGINT) AS sat_ppm
+         |  FROM post p JOIN dl USING (id) CROSS JOIN st
+         |), scored AS (
+         |  SELECT q.query_id, s.id AS neighbor_id,
+         |    CAST(SUM(q.tf_q * tw.w * s.sat_ppm) AS BIGINT) AS score
+         |  FROM sat s JOIN tw USING (term) JOIN qp q USING (term)
+         |  WHERE s.id <> q.query_id
          |  GROUP BY 1, 2
          |)
          |SELECT query_id, neighbor_id, score,

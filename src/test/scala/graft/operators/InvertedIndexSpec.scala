@@ -41,6 +41,44 @@ class InvertedIndexSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 999999L, 1), (2L, 666666L, 2), (3L, 333333L, 3)))
   }
 
+  test("bm25TopK: matches a driver-side exact-integer reimplementation; " +
+      "length normalization and tf saturation behave") {
+    // independent BigInt reimplementation of the documented formula
+    val texts = Map(0L -> "rare a a", 1L -> "rare a",
+      2L -> "common common a", 3L -> "rare")
+    val toks = texts.view.mapValues(_.split("\\s+").toSeq).toMap
+    val post = toks.toSeq.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => (id, t, xs.size.toLong) }
+    }
+    val df = post.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val w = df.collect { case (t, d) if d <= 3L => t -> (1000000L / d) }
+    val dl = toks.view.mapValues(_.size.toLong).toMap
+    val bigD = BigInt(1000000) * dl.values.sum / dl.size
+    def sat(tf: Long, docLen: Long): BigInt =
+      (BigInt(1000000) * tf * 22000 * bigD) /
+        (BigInt(10000) * bigD * tf + BigInt(3000) * bigD +
+          BigInt(9000000000L) * docLen)
+    val qTf = post.collect { case (0L, t, tf) if w.contains(t) => t -> tf }
+    val expected = (1L to 3L).map { d =>
+      d -> qTf.map { case (t, tfq) =>
+        post.find(p => p._1 == d && p._2 == t)
+          .map(p => BigInt(tfq) * w(t) * sat(p._3, dl(d)))
+          .getOrElse(BigInt(0))
+      }.sum
+    }.filter(_._2 > 0).sortBy { case (d, s) => (-s, d) }
+      .map { case (d, s) => (d, s.toLong) }
+    val got = InvertedIndex.bm25TopK(corpus,
+        corpus.filter(col("doc_id") === 0L), "doc_id", "text", 10,
+        maxDf = 3L)
+      .orderBy("rank").collect().map(x => (x.getLong(1), x.getLong(2)))
+    assert(got.toSeq == expected)
+    // length normalization: the same single "rare" scores higher in the
+    // 1-token doc3 than in the 2-token doc1
+    assert(sat(1L, dl(3L)) > sat(1L, dl(1L)))
+    // tf saturation: doubling tf less than doubles the saturated weight
+    assert(sat(2L, 3L) < 2 * sat(1L, 3L))
+  }
+
   test("tfIdfTopK: score ties rank by lower neighbor id; k truncates") {
     val tie = Seq((0L, "t"), (1L, "t"), (2L, "t")).toDF("doc_id", "text")
     val r = InvertedIndex.tfIdfTopK(tie, tie.filter(col("doc_id") === 0L),
