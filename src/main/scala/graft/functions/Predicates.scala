@@ -86,6 +86,18 @@ object Predicates {
     sum(round(c * scale).cast("long")) / scale
   }
 
+  /** Integral division (SQL `div`): truncating quotient, exact on longs
+    * and DECIMAL(38,0) — the `Column./` operator silently casts longs to
+    * double, which loses exactness past 2^53 (invisible at the gate,
+    * wrong at 100 TB row counts). Truncation matches every oracle
+    * engine's integer `//`/`div` on non-negative operands. */
+  def idiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
+
   /** SNR stand-in (`MRIProcessingUtility.pm:2166-2168` shells out to an
     * external `noise_estimate` tool — out of engine scope per SURVEY §7.4):
     * a documented deterministic numeric stub, 10·log10(mean² / variance)

@@ -69,12 +69,7 @@ object InvertedIndex {
       "k1Pct must be >= 0 and bPct within [0, 100]")
     // integral division (SQL `div`): truncating quotient of two exact
     // DECIMAL(38,0) products — both engines truncate positive quotients
-    def idiv(a: Column, b: Column): Column = {
-      import org.apache.spark.sql.GraftColumnBridge
-      GraftColumnBridge.column(
-        new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-          GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
-    }
+    import graft.functions.Predicates.idiv
     val dl = corpus.select(col(idCol).as("id"),
       size(tokens(col(textCol))).cast("long").as("dl"))
     // D = (1e6 * total_tokens) div n_docs, computed wide (DECIMAL(38,0))

@@ -43,4 +43,54 @@ object Sampling {
     graft.plans.TopKPerGroup(keyed, Seq(group),
       Seq(col("key").desc, id.asc), k)
   }
+
+  /** Deterministic hash-threshold train/val/test split — the 100 TB
+    * default: MAP-ONLY (no shuffle, no state), stable under re-runs and
+    * re-partitioning because membership is a pure function of the id, and
+    * append-consistent (new rows never move old rows between splits —
+    * the property per-stratum quotas cannot have). Proportions are
+    * approximate (hash uniformity): each row goes to train/val/test by
+    * `md5-hash60(id) % 1e6` against ppm thresholds. The 2^60 % 1e6
+    * remainder biases bucket mass by < 1e-12 — far below the sampling
+    * noise at any corpus size. */
+  def hashSplit(df: DataFrame, id: Column,
+      trainPpm: Long, valPpm: Long): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L,
+      "split ppms must be non-negative and sum to at most 1e6")
+    val h = TextFunctions.portableHash60(id.cast("string")) % lit(1000000L)
+    df.withColumn("split",
+      when(h < lit(trainPpm), lit("train"))
+        .when(h < lit(trainPpm + valPpm), lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** EXACT-quota stratified split: within every stratum, rows order by
+    * (hash60(id), id) — a deterministic permutation — and the first
+    * floor(n·trainPpm/1e6) go to train, the next floor(n·(train+val)Ppm/
+    * 1e6) − floor(n·trainPpm/1e6) to val, the rest to test. Quotas are
+    * exact per stratum (the report a dataset card states), at the price
+    * hash thresholds don't pay: one exchange keyed by the stratum, a
+    * whole stratum in one partition (use for BOUNDED strata — domains,
+    * languages, label classes; for unbounded strata use [[hashSplit]]),
+    * and re-splitting after appends can move rows between splits.
+    * Quota arithmetic is integral ([[graft.functions.Predicates.idiv]])
+    * so a trillion-row stratum computes the same cuts every engine does. */
+  def stratifiedSplitExact(df: DataFrame, id: Column, stratum: Column,
+      trainPpm: Long, valPpm: Long): DataFrame = {
+    require(trainPpm >= 0 && valPpm >= 0 && trainPpm + valPpm <= 1000000L,
+      "split ppms must be non-negative and sum to at most 1e6")
+    import graft.functions.Predicates.idiv
+    import org.apache.spark.sql.expressions.Window
+    val h = TextFunctions.portableHash60(id.cast("string"))
+    val w = Window.partitionBy(stratum).orderBy(h.asc, id.asc)
+    val cw = Window.partitionBy(stratum)
+    val n = count(lit(1)).over(cw)
+    val cut1 = idiv(n * lit(trainPpm), lit(1000000L))
+    val cut2 = idiv(n * lit(trainPpm + valPpm), lit(1000000L))
+    val rn = row_number().over(w)
+    df.withColumn("split",
+      when(rn <= cut1, lit("train"))
+        .when(rn <= cut2, lit("val"))
+        .otherwise(lit("test")))
+  }
 }

@@ -877,6 +877,24 @@ object DataQueries {
         k = 10, maxDf = 390L)
     },
 
+    // Deterministic hash-threshold train/val/test split (80/10/10):
+    // map-only, append-consistent membership as a pure function of the id
+    "q263_hash_split" -> { (s, dir) =>
+      graft.operators.Sampling.hashSplit(docs(s, dir), col("doc_id"),
+          trainPpm = 800000L, valPpm = 100000L)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // Exact-quota stratified split (80/10/10 per source): deterministic
+    // hash-order permutation within each stratum, integral-division cuts
+    "q264_stratified_split" -> { (s, dir) =>
+      graft.operators.Sampling.stratifiedSplitExact(docs(s, dir),
+          col("doc_id"), col("source"),
+          trainPpm = 800000L, valPpm = 100000L)
+        .select(col("doc_id"), col("source"), col("split"))
+    },
+
     // IVF approximate top-k (scale path): fully deterministic — seeded
     // centroids (first 8 ids), argmin ties to lowest centroid id, fixed
     // nprobe — so it has an exact ANSI oracle below; recall additionally
@@ -1711,6 +1729,38 @@ object DataQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
          |FROM scored QUALIFY rank <= 10""".stripMargin,
+
+    // exact twin of Sampling.hashSplit(80/10/10) rolled up per source:
+    // split = md5-hash60(id-as-text) % 1e6 against ppm thresholds
+    "q263_hash_split" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000000 AS hm
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  CASE WHEN hm < 800000 THEN 'train'
+        |       WHEN hm < 900000 THEN 'val' ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // exact twin of Sampling.stratifiedSplitExact(80/10/10 per source):
+    // rank by (hash60, id) within the stratum, integral-division cuts
+    "q264_stratified_split" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT) ASC, doc_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, source,
+        |  CASE WHEN rn <= n * 800000 // 1000000 THEN 'train'
+        |       WHEN rn <= n * 900000 // 1000000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
 
     // exact twin of Similarity.ivfPqTopK(seedCentroids(8), nprobe=2,
     // m=8, kCodes=16): q31's cluster assignment + probe CTEs restrict the

@@ -59,4 +59,45 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(viaSample == direct)
   }
+
+  test("hashSplit: disjoint+complete, deterministic, append-consistent") {
+    val df = (1L to 400L).map(i => (i, s"s${i % 4}")).toDF("id", "st")
+    val s1 = Sampling.hashSplit(df, col("id"), 800000L, 100000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1.size == 400 && s1.values.toSet.subsetOf(
+      Set("train", "val", "test")))
+    // roughly 80/10/10 (hash uniformity; fixed outcome, not statistical)
+    val n = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(n("train") > 280 && n("val") < 80 && n("test") < 80, n.toString)
+    // appending rows never moves an existing row's split
+    val bigger = (1L to 600L).map(i => (i, s"s${i % 4}")).toDF("id", "st")
+    val s2 = Sampling.hashSplit(bigger, col("id"), 800000L, 100000L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+  }
+
+  test("stratifiedSplitExact: per-stratum quotas are exact floors, " +
+      "assignment deterministic in hash order") {
+    val df = (1L to 403L).map(i => (i, s"s${i % 4}")).toDF("id", "st")
+    val out = Sampling.stratifiedSplitExact(df, col("id"), col("st"),
+        800000L, 100000L)
+      .select("st", "split").as[(String, String)].collect()
+    val byStratum = out.groupBy(_._1).view.mapValues(
+      _.groupBy(_._2).view.mapValues(_.length).toMap).toMap
+    byStratum.foreach { case (st, m) =>
+      val tot = m.values.sum
+      assert(m.getOrElse("train", 0) == tot * 800000L / 1000000L,
+        s"$st train quota: $m")
+      assert(m.getOrElse("train", 0) + m.getOrElse("val", 0) ==
+        tot * 900000L / 1000000L, s"$st val quota: $m")
+    }
+    // deterministic: same input, same assignment
+    val again = Sampling.stratifiedSplitExact(df, col("id"), col("st"),
+        800000L, 100000L)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    val first = Sampling.stratifiedSplitExact(df, col("id"), col("st"),
+        800000L, 100000L)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(again == first)
+  }
 }
