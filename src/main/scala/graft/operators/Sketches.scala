@@ -399,4 +399,87 @@ object Sketches {
       .withColumn("est_count", est)
       .drop("cms")
   }
+
+  // ---------------- HDR-histogram quantile sketch --------------------
+
+  /** Integer HDR-histogram bucket id for a NON-NEGATIVE long value —
+    * the mergeable quantile-sketch primitive. Values below 2^(mBits+1)
+    * map to THEMSELVES (small values are exact); a larger value keeps its
+    * top mBits+1 bits:
+    *   shift = bitLength(v) − mBits − 1
+    *   id    = 2^(mBits+1) + (shift−1)·2^mBits + ((v >> shift) − 2^mBits)
+    * The id is monotone in v and the bucket width is 2^shift ≤
+    * lowerBound·2^−mBits, so any quantile read from bucket lower bounds
+    * underestimates by a RELATIVE error ≤ 2^−mBits. Unlike KLL-style
+    * compaction sketches, the histogram is a pure per-bucket count:
+    * merging is addition — associative, commutative, merge-ORDER
+    * independent — so Spark's nondeterministic partial-aggregation order
+    * cannot change the result, and the whole pipeline (bucket id, counts,
+    * rank walk) is integer arithmetic with a verbatim DuckDB twin
+    * ([[bitLength]]'s hex trick; `>>` on columns). State per group is
+    * bounded by 64·2^mBits buckets regardless of data volume. */
+  def hdrBucket(v: Column, mBits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.ShiftRight
+    val base = 1L << (mBits + 1)
+    val shiftC = (bitLength(v) - lit(mBits + 1)).cast("int")
+    val mant = column(ShiftRight(expression(v), expression(shiftC)))
+    when(v < lit(base), v)
+      .otherwise(lit(base) + (shiftC.cast("long") - 1) * lit(1L << mBits) +
+        (mant - lit(1L << mBits)))
+  }
+
+  /** Smallest value mapping to `id` — the quantile read-out value. */
+  def hdrLowerBound(id: Column, mBits: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    import graft.functions.Predicates.idiv
+    val base = 1L << (mBits + 1)
+    val m = 1L << mBits
+    val off = id - lit(base)
+    val shift = (idiv(off, lit(m)) + lit(1L)).cast("int")
+    val mant = lit(m) + off % lit(m)
+    when(id < lit(base), id)
+      .otherwise(column(ShiftLeft(expression(mant), expression(shift))))
+  }
+
+  /** Per-group HDR histogram: (groupCols..., bucket_id, cnt). The sketch
+    * artifact — write it per partition/day at ingest; any period's
+    * quantiles come from summing these tiny tables ([[hdrMerge]]),
+    * never re-touching the raw rows. One (group, bucket) partial-agg
+    * shuffle; map-side state bounded by the bucket domain. */
+  def hdrHistogram(df: DataFrame, groupCols: Seq[String], value: Column,
+      mBits: Int): DataFrame =
+    df.select(groupCols.map(col) :+ hdrBucket(value, mBits).as("bucket_id"): _*)
+      .groupBy((groupCols :+ "bucket_id").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge histogram sketches by bucket-wise addition (drop the merge-axis
+    * columns from `keepGroupCols`) — linearity makes period sketches sum
+    * to the whole-stream sketch exactly. */
+  def hdrMerge(sketch: DataFrame, keepGroupCols: Seq[String]): DataFrame =
+    sketch.groupBy((keepGroupCols :+ "bucket_id").map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantiles from an HDR histogram: for each probability p (in ppm),
+    * the lower bound of the bucket holding the rank-⌈p·n⌉ value (1-based
+    * cumulative rank) — columns `p<ppm>`. Integer rank arithmetic; the
+    * guaranteed read-out is an underestimate within 2^−mBits relative. */
+  def hdrQuantiles(hist: DataFrame, groupCols: Seq[String], mBits: Int,
+      probsPpm: Seq[Long]): DataFrame = {
+    import graft.functions.Predicates.idiv
+    import org.apache.spark.sql.expressions.Window
+    require(probsPpm.nonEmpty && probsPpm.forall(p => p > 0 && p <= 1000000L),
+      "probabilities are ppm in (0, 1e6]")
+    val gw = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cw", sum(col("cnt")).over(gw.orderBy(col("bucket_id"))))
+      .withColumn("__n", sum(col("cnt")).over(gw))
+    val aggs = probsPpm.map { p =>
+      val rank = idiv(col("__n") * lit(p) + lit(999999L), lit(1000000L))
+      min(when(col("__cw") >= rank, hdrLowerBound(col("bucket_id"), mBits)))
+        .as(s"p$p")
+    }
+    cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -895,6 +895,16 @@ object DataQueries {
         .select(col("doc_id"), col("source"), col("split"))
     },
 
+    // Mergeable HDR-histogram quantiles (p50/p90/p99 of doc length per
+    // source, mBits=5 → ≤3.1% relative error): integer bucket ids,
+    // bucket-count state, bit-identical rank walk in any engine
+    "q265_hdr_quantiles" -> { (s, dir) =>
+      val hist = graft.operators.Sketches.hdrHistogram(docs(s, dir),
+        Seq("source"), col("n_chars"), mBits = 5)
+      graft.operators.Sketches.hdrQuantiles(hist, Seq("source"), mBits = 5,
+        probsPpm = Seq(500000L, 900000L, 990000L))
+    },
+
     // IVF approximate top-k (scale path): fully deterministic — seeded
     // centroids (first 8 ids), argmin ties to lowest centroid id, fixed
     // nprobe — so it has an exact ANSI oracle below; recall additionally
@@ -1761,6 +1771,49 @@ object DataQueries {
         |       WHEN rn <= n * 900000 // 1000000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+
+    // exact twin of Sketches.hdrHistogram(mBits=5) + hdrQuantiles: hex
+    // bit length, integer bucket id (id = v below 64, else
+    // 64 + (shift−1)·32 + ((v >> shift) − 32), shift = bitlen − 6),
+    // cumulative rank walk, lower-bound read-out
+    "q265_hdr_quantiles" ->
+      """WITH bl AS (
+        |  SELECT source, n_chars AS v,
+        |    CASE WHEN n_chars = 0 THEN 0
+        |         ELSE (length(printf('%x', n_chars)) - 1) * 4 +
+        |           CASE WHEN substr(printf('%x', n_chars), 1, 1) = '1' THEN 1
+        |                WHEN substr(printf('%x', n_chars), 1, 1)
+        |                  IN ('2', '3') THEN 2
+        |                WHEN substr(printf('%x', n_chars), 1, 1)
+        |                  IN ('4', '5', '6', '7') THEN 3
+        |                ELSE 4 END
+        |    END AS b
+        |  FROM documents
+        |), hist AS (
+        |  SELECT source,
+        |    CASE WHEN v < 64 THEN v
+        |         ELSE 64 + (b - 7) * 32 + ((v >> (b - 6)) - 32)
+        |    END AS bucket_id,
+        |    COUNT(*) AS cnt
+        |  FROM bl GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, bucket_id, cnt,
+        |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket_id) AS cw,
+        |    SUM(cnt) OVER (PARTITION BY source) AS n,
+        |    CASE WHEN bucket_id < 64 THEN bucket_id
+        |         ELSE (32 + (bucket_id - 64) % 32)
+        |           << ((bucket_id - 64) // 32 + 1)
+        |    END AS lb
+        |  FROM hist
+        |)
+        |SELECT source,
+        |  CAST(MIN(CASE WHEN cw >= (n * 500000 + 999999) // 1000000
+        |    THEN lb END) AS BIGINT) AS p500000,
+        |  CAST(MIN(CASE WHEN cw >= (n * 900000 + 999999) // 1000000
+        |    THEN lb END) AS BIGINT) AS p900000,
+        |  CAST(MIN(CASE WHEN cw >= (n * 990000 + 999999) // 1000000
+        |    THEN lb END) AS BIGINT) AS p990000
+        |FROM cum GROUP BY source""".stripMargin,
 
     // exact twin of Similarity.ivfPqTopK(seedCentroids(8), nprobe=2,
     // m=8, kCodes=16): q31's cluster assignment + probe CTEs restrict the

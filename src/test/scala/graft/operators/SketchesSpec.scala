@@ -308,4 +308,55 @@ class SketchesSpec extends SparkSpec {
     // linearity: cell-for-cell identical, not merely similar estimates
     assert(merged == direct)
   }
+
+  test("hdrBucket/hdrLowerBound: monotone ids, lb <= v, relative error " +
+      "<= 2^-m on every power-of-two boundary") {
+    val m = 5
+    val vals = (0L to 200L) ++
+      (1 to 62).flatMap(e => Seq((1L << e) - 1, 1L << e, (1L << e) + 1)) ++
+      Seq(Long.MaxValue)
+    val df = vals.distinct.sorted.toDF("v")
+    val rows = df.select(col("v"),
+        Sketches.hdrBucket(col("v"), m).as("id"))
+      .withColumn("lb", Sketches.hdrLowerBound(col("id"), m))
+      .orderBy("v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.sliding(2).foreach { case Array((v1, id1, _), (v2, id2, _)) =>
+      assert(id1 <= id2, s"ids not monotone at $v1 -> $v2")
+    case _ => }
+    rows.foreach { case (v, _, lb) =>
+      assert(lb <= v, s"lb $lb > v $v")
+      assert(v - lb <= math.max(1L, lb >>> m),
+        s"v=$v lb=$lb exceeds 2^-$m relative width")
+    }
+    // small-value regime is EXACT
+    rows.filter(_._1 < (1L << (m + 1))).foreach { case (v, _, lb) =>
+      assert(lb == v)
+    }
+  }
+
+  test("hdrQuantiles: within 2^-m relative of exact; period merge == " +
+      "whole-stream histogram") {
+    val m = 5
+    // two "days" of skewed values, one group
+    val d1 = (1L to 700L).map(i => ("g", "d1", i * i % 5000 + 1))
+    val d2 = (1L to 300L).map(i => ("g", "d2", i * 37 % 90000 + 1))
+    val df = (d1 ++ d2).toDF("g", "day", "v")
+    val whole = Sketches.hdrHistogram(df, Seq("g"), col("v"), m)
+    val perDay = Sketches.hdrHistogram(df, Seq("g", "day"), col("v"), m)
+    val merged = Sketches.hdrMerge(perDay, Seq("g"))
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet ==
+      whole.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet)
+    val q = Sketches.hdrQuantiles(whole, Seq("g"), m,
+        Seq(500000L, 990000L)).collect().head
+    val sortedV = (d1 ++ d2).map(_._3).sorted
+    def exact(p: Double) = sortedV((math.ceil(p * sortedV.size) - 1).toInt)
+    for ((got, p) <- Seq((q.getLong(1), 0.5), (q.getLong(2), 0.99))) {
+      val ex = exact(p)
+      assert(got <= ex && ex - got <= math.max(1L, got >>> m),
+        s"p=$p got=$got exact=$ex")
+    }
+  }
 }
