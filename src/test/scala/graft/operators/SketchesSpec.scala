@@ -335,6 +335,34 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hdr: streaming bucket-count maintenance == batch histogram") {
+    // the histogram is a plain count-agg keyed (group, bucket), so
+    // structured streaming in complete mode maintains the sketch
+    // incrementally; any batch's sink state IS the batch histogram over
+    // the data so far — the same property the HLL registers have
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (1L to 3000L).map(i => ("g", i * i % 70001))
+    val mem = MemoryStream[(String, Long)]
+    val q = Sketches.hdrHistogram(mem.toDF().toDF("g", "v"), Seq("g"),
+        col("v"), mBits = 5)
+      .writeStream.format("memory").queryName("hdrhist")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = all.splitAt(1000)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      mem.addData(b1); q.processAllAvailable()
+      assert(key(spark.table("hdrhist")) ==
+        key(Sketches.hdrHistogram(b1.toDF("g", "v"), Seq("g"),
+          col("v"), 5)))
+      mem.addData(b2); q.processAllAvailable()
+      assert(key(spark.table("hdrhist")) ==
+        key(Sketches.hdrHistogram(all.toDF("g", "v"), Seq("g"),
+          col("v"), 5)))
+    } finally q.stop()
+  }
+
   test("hdrQuantiles: within 2^-m relative of exact; period merge == " +
       "whole-stream histogram") {
     val m = 5
