@@ -482,4 +482,136 @@ object Sketches {
     }
     cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** KMV sketch ARTIFACT per group: the sorted k smallest DISTINCT hash
+    * values as one array row (`kmv`), the state [[kmvDistinct]] consumes
+    * internally but exposed so it can be stored, merged, and — the point —
+    * compared ACROSS groups without ever joining the raw streams
+    * ([[kmvOverlapPairs]]). Same bounded plan as [[kmvDistinct]]: the
+    * k-minima ride [[graft.plans.TopKPerGroup]]'s distinct bounded heaps
+    * (≤ k rows per group cross the exchange), then one ≤k-row roll-up per
+    * group. Merging two sketches is `slice(array_sort(array_union), 1, k)`
+    * — closed under union, the KMV composability property. */
+  def kmvSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      hashCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 2, "kmv needs k >= 2")
+    val g = groupCols.map(col)
+    val capped = graft.plans.TopKPerGroup.distinct(
+      df.select((g :+ col(hashCol).as("__h")): _*), g, Seq(col("__h").asc), k)
+    capped.groupBy(g: _*)
+      .agg(sort_array(collect_list(col("__h"))).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a k-minima array: groups still below k
+    * distinct values report exactly, else (k-1)·H/h_k (the
+    * [[kmvDistinct]] estimator on the stored artifact). */
+  private def kmvEstFromArr(arr: Column, k: Int): Column = {
+    val n = size(arr)
+    when(n < k, n.cast("long"))
+      .otherwise(floor(lit((k - 1).toDouble) * lit(Hash60Space)
+        / element_at(arr, -1).cast("double")).cast("long"))
+  }
+
+  /** Cross-group set-overlap estimates from stored [[kmvSketch]] artifacts
+    * — distinct-union, Jaccard and distinct-intersection for every
+    * unordered group pair, WITHOUT touching the raw streams (Beyer et al.
+    * 2007, "On Synopses for Distinct-Value Estimation"): the union of two
+    * KMV sketches is itself the KMV sketch of the unioned stream, and the
+    * fraction ρ of the union sketch's minima present in BOTH input
+    * sketches is an unbiased Jaccard estimator, so
+    * `intersection ≈ ρ · union`.
+    *
+    * Output per pair (`groupCol` asc): `est_union`, `jaccard_ppm`
+    * (⌊10⁶·ρ⌋), `est_intersection` (⌊ρ·est_union⌋). Pairs in the
+    * below-k regime degrade to EXACT set arithmetic automatically (the
+    * sketches then ARE the full hash sets).
+    *
+    * 100 TB shape: the expensive pass is [[kmvSketch]] — one bounded
+    * shuffle per stream, done once at ingest; this comparison is a
+    * self-join of |groups| k-length arrays (sketch-sized, broadcastable at
+    * any corpus scale) with pure codegen'd array math per pair — the
+    * "estimate cross-source contamination without an n²-row join" query a
+    * 100 TB curation run actually asks. */
+  def kmvOverlapPairs(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val a = sketch.select(col(groupCol).as("__ga"), col("kmv").as("__ka"))
+    val b = sketch.select(col(groupCol).as("__gb"), col("kmv").as("__kb"))
+    val merged = slice(array_sort(array_union(col("__ka"), col("__kb"))), 1, k)
+    val pairs = a.join(broadcast(b), col("__ga") < col("__gb"))
+      .withColumn("__m", merged)
+      .withColumn("__nu", size(col("__m")).cast("double"))
+      .withColumn("__nb",
+        size(array_intersect(col("__m"),
+          array_intersect(col("__ka"), col("__kb")))).cast("double"))
+      .withColumn("est_union", kmvEstFromArr(col("__m"), k))
+    pairs.select(
+      col("__ga").as(s"${groupCol}_a"),
+      col("__gb").as(s"${groupCol}_b"),
+      col("est_union"),
+      floor(lit(1000000.0) * col("__nb") / col("__nu")).cast("long")
+        .as("jaccard_ppm"),
+      floor(col("est_union").cast("double") * col("__nb") / col("__nu"))
+        .cast("long").as("est_intersection"))
+  }
+
+  /** EXACT φ-heavy-hitters with a sketch-gated exchange: every item whose
+    * count exceeds `phiPpm` parts-per-million of the stream, with its
+    * exact count — equal row-for-row to `GROUP BY item HAVING count ≥
+    * ⌈φ·N⌉` (the staged-decontamination discipline from
+    * [[graft.operators.CorpusOps]]: sketch-gate, exact-confirm, provably
+    * exact).
+    *
+    * Plan: (1) ONE bounded Count-Min build ([[countMinSparse]]: partial
+    * agg keyed by (j, bucket), ≤ depth·width rows total); (2) the cell
+    * table — sketch-sized by construction — is collected and re-emitted
+    * as a LITERAL array, the same bounded 1-collect discipline as
+    * [[graft.operators.SkewJoin.autoJoin]]'s audit row (N itself falls
+    * out of row 0's cell sum, so no extra count job); (3) a map-only
+    * gate: each item row looks up its depth cells in the literal
+    * (`least` of `element_at`s — pure codegen, no join, no shuffle) and
+    * only rows whose CMS estimate clears the threshold reach the exact
+    * count exchange; (4) exact `HAVING` confirm.
+    *
+    * Why it's exact: CMS never undercounts, so the gate passes every true
+    * heavy hitter (no false negatives); the final exact filter removes
+    * collision-inflated impostors. Why it scales: the heavy tail of a
+    * 100 TB token stream — the billions of sub-threshold items that
+    * dominate a naive wordcount's exchange — is dropped map-side; the
+    * shuffle carries only ~1/φ candidates (+ collision noise tuned by
+    * `width`). */
+  def heavyHittersExact(
+      items: DataFrame,
+      itemCol: String,
+      phiPpm: Long,
+      width: Int,
+      depth: Int,
+      seed: Long = 7L
+  ): DataFrame = {
+    require(phiPpm >= 1 && phiPpm <= 1000000L, "phiPpm in [1, 1e6]")
+    val sk = countMinSparse(items, Nil, itemCol, width, depth, seed).collect()
+    val cells = Array.ofDim[Long](depth * width)
+    var n = 0L
+    sk.foreach { r =>
+      // j is the IntegerType literal index; bucket is LongType (pmod output)
+      val j = r.getInt(0); val bucket = r.getLong(1).toInt; val cnt = r.getLong(2)
+      cells(j * width + bucket) = cnt
+      if (j == 0) n += cnt
+    }
+    // threshold ⌈φ·N⌉ in pure integer math (ppm), floored at 1
+    val threshold = math.max(1L, (n * phiPpm + 999999L) / 1000000L)
+    val cellsLit = typedLit(cells.toSeq)
+    val params = minhashParams(depth, seed)
+    val est = (0 until depth).map { j =>
+      element_at(cellsLit,
+        (cmsBucket(col(itemCol), params, j, width) + lit(j * width + 1))
+          .cast("int"))
+    }.reduce(least(_, _))
+    items.filter(est >= lit(threshold))
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= lit(threshold))
+  }
 }

@@ -658,6 +658,32 @@ object CorpusQueries {
           t => graft.functions.TextFunctions.portableHash60(t))).as("h"))
       graft.operators.Sketches.hllDistinct(hashed, Seq("source"), "h",
         log2m = 6)
+    },
+
+    // Cross-source shingle overlap from stored KMV sketches (k=64): the
+    // union/Jaccard/intersection of every source pair estimated from
+    // k-length arrays — no raw-stream join; one bounded sketch build per
+    // source (per-doc pre-cap like q71), then broadcast pairwise array math
+    "q266_kmv_overlap" -> { (s, dir) =>
+      val k = 64
+      val hashed = docs(s, dir).select(col("source"),
+        explode(slice(array_sort(array_distinct(
+          graft.functions.TextFunctions.shingleHashes60(col("text"), 5))),
+          1, k)).as("h"))
+      val sk = graft.operators.Sketches.kmvSketch(hashed, Seq("source"), "h", k)
+      graft.operators.Sketches.kmvOverlapPairs(sk, "source", k)
+    },
+
+    // Exact phi-heavy-hitters (phi = 1500 ppm of the bigram stream) with
+    // the CMS-gated exchange: the 916-type bigram tail is dropped map-side
+    // by the literal-sketch lookup; only gate survivors reach the exact
+    // count shuffle; output provably == plain GROUP BY ... HAVING
+    "q267_heavy_hitters" -> { (s, dir) =>
+      val grams = docs(s, dir).select(
+        explode(graft.functions.TextFunctions.shingles(
+          graft.functions.TextFunctions.tokens(col("text")), 2)).as("gram"))
+      graft.operators.Sketches.heavyHittersExact(
+        grams, "gram", phiPpm = 1500L, width = 1024, depth = 4)
     }
   )
 
@@ -1848,6 +1874,58 @@ object CorpusQueries {
          |    CAST(s + (64 - present) * 36028797018963968 AS DOUBLE))
          |    AS BIGINT) AS est_distinct
          |FROM g""".stripMargin
-    }
+    },
+
+    "q266_kmv_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT source,
+         |    unnest(list_distinct(list_transform(${sqlShingles(5)},
+         |      s -> $sqlHash60))) AS h
+         |  FROM documents
+         |), d AS (
+         |  SELECT DISTINCT source, h FROM sh
+         |), r AS (
+         |  SELECT source, h,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+         |  FROM d
+         |), sk AS (
+         |  SELECT source, list(h ORDER BY h ASC) AS kmv
+         |  FROM r WHERE rn <= 64 GROUP BY 1
+         |), p AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    a.kmv AS ka, b.kmv AS kb
+         |  FROM sk a JOIN sk b ON a.source < b.source
+         |), c AS (
+         |  SELECT source_a, source_b,
+         |    (list_sort(list_distinct(ka || kb)))[1:64] AS m,
+         |    list_intersect(ka, kb) AS common
+         |  FROM p
+         |), e AS (
+         |  SELECT source_a, source_b,
+         |    CAST(len(m) AS DOUBLE) AS nu,
+         |    CAST(len(list_intersect(m, common)) AS DOUBLE) AS nb,
+         |    CASE WHEN len(m) < 64 THEN CAST(len(m) AS BIGINT)
+         |         ELSE CAST(floor(63.0 * 1152921504606846976.0
+         |                         / CAST(m[len(m)] AS DOUBLE)) AS BIGINT)
+         |    END AS est_union
+         |  FROM c
+         |)
+         |SELECT source_a, source_b, est_union,
+         |  CAST(floor(1000000.0 * nb / nu) AS BIGINT) AS jaccard_ppm,
+         |  CAST(floor(CAST(est_union AS DOUBLE) * nb / nu) AS BIGINT)
+         |    AS est_intersection
+         |FROM e""".stripMargin,
+
+    "q267_heavy_hitters" ->
+      s"""WITH g AS (
+         |  SELECT unnest(${sqlShingles(2)}) AS gram FROM documents
+         |), t AS (
+         |  SELECT greatest(1, (COUNT(*) * 1500 + 999999) // 1000000) AS th
+         |  FROM g
+         |)
+         |SELECT gram, COUNT(*) AS cnt
+         |FROM g
+         |GROUP BY 1
+         |HAVING COUNT(*) >= (SELECT th FROM t)""".stripMargin
   )
 }

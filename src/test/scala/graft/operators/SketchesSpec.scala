@@ -387,4 +387,79 @@ class SketchesSpec extends SparkSpec {
         s"p=$p got=$got exact=$ex")
     }
   }
+
+  test("kmvOverlapPairs: exact set arithmetic in the below-k regime") {
+    // |A|=6, |B|=5, |A∩B|=3, |A∪B|=8 — all below k, so the sketches ARE
+    // the hash sets and every estimate must be the exact value
+    val a = Seq(10L, 20L, 30L, 40L, 50L, 60L).map(("a", _))
+    val b = Seq(30L, 40L, 50L, 70L, 80L).map(("b", _))
+    val sk = Sketches.kmvSketch((a ++ b).toDF("g", "h"), Seq("g"), "h", k = 64)
+    val r = Sketches.kmvOverlapPairs(sk, "g", k = 64).collect().head
+    assert(r.getAs[String]("g_a") == "a" && r.getAs[String]("g_b") == "b")
+    assert(r.getAs[Long]("est_union") == 8L)
+    assert(r.getAs[Long]("est_intersection") == 3L)
+    assert(r.getAs[Long]("jaccard_ppm") == (1000000L * 3 / 8))
+  }
+
+  test("kmvOverlapPairs: union/Jaccard estimates land near truth on " +
+      "uniform hashes; sketch union == sketch of unioned stream") {
+    val rnd = new scala.util.Random(13)
+    val k = 128
+    def draw(n: Int) =
+      Seq.fill(n)(math.abs(rnd.nextLong()) % (1L << 60)).distinct
+    val common = draw(4000)
+    val onlyA = draw(6000).filterNot(common.contains)
+    val onlyB = draw(6000).filterNot(common.contains)
+    val rows = (common ++ onlyA).map(("a", _)) ++
+      (common ++ onlyB).map(("b", _))
+    val sk = Sketches.kmvSketch(rows.toDF("g", "h"), Seq("g"), "h", k)
+    // closure: merging the two per-group sketches gives exactly the
+    // sketch of the concatenated stream
+    val mergedArr = sk.agg(slice(array_sort(array_distinct(
+      flatten(collect_list(col("kmv"))))), 1, k).as("m"))
+      .collect().head.getSeq[Long](0)
+    val wholeArr = Sketches.kmvSketch(rows.map(r => ("all", r._2))
+      .toDF("g", "h"), Seq("g"), "h", k)
+      .collect().head.getSeq[Long](1)
+    assert(mergedArr == wholeArr)
+    val r = Sketches.kmvOverlapPairs(sk, "g", k).collect().head
+    val exactUnion = (common ++ onlyA ++ onlyB).distinct.size.toDouble
+    val exactJac = common.size.toDouble / exactUnion
+    assert(math.abs(r.getAs[Long]("est_union") / exactUnion - 1.0) <
+      4.0 / math.sqrt(k - 1.0))
+    // ρ is a k-sample binomial of the true Jaccard — allow 4 binomial SEs
+    val se = 4.0 * math.sqrt(exactJac * (1 - exactJac) / k)
+    assert(math.abs(r.getAs[Long]("jaccard_ppm") / 1e6 - exactJac) < se,
+      s"jac=${r.getAs[Long]("jaccard_ppm")} exact=$exactJac")
+    assert(math.abs(r.getAs[Long]("est_intersection").toDouble
+      - common.size) < (se + 4.0 / math.sqrt(k - 1.0)) * exactUnion)
+  }
+
+  test("heavyHittersExact == GROUP BY HAVING under forced CMS collisions") {
+    // width 4 over an 80-type vocabulary: nearly every cell collides, so
+    // the gate passes plenty of impostors — the exact confirm must strip
+    // every one of them. Frequencies: item i appears (i % 13 + 1) times.
+    val rows = (0 until 80).flatMap(i => Seq.fill(i % 13 + 1)(s"w$i"))
+    val df = rows.toDF("item")
+    val phiPpm = 18000L // threshold = ceil(0.018 * 557) = 11
+    val got = Sketches.heavyHittersExact(df, "item", phiPpm,
+      width = 4, depth = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = rows.size
+    val th = math.max(1L, (n * phiPpm + 999999L) / 1000000L)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= th).toMap
+    assert(got == exact, s"threshold=$th got=${got.size} exact=${exact.size}")
+    assert(exact.nonEmpty && exact.size < 80) // the gate actually selects
+  }
+
+  test("heavyHittersExact: empty input and all-pass regimes") {
+    val empty = Seq.empty[String].toDF("item")
+    assert(Sketches.heavyHittersExact(empty, "item", 1000L, 8, 2).count() == 0)
+    // phi so low every item passes: output == full exact wordcount
+    val rows = Seq("a", "a", "b", "c", "c", "c").toDF("item")
+    val got = Sketches.heavyHittersExact(rows, "item", 1L, 64, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 3L))
+  }
 }
