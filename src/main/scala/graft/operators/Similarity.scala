@@ -902,6 +902,46 @@ object Similarity {
         col("min_s20"), col("max_s20"), col("sum_s20"),
         (col("min_s20") === col("max_s20")).as("is_dead"))
 
+  /** One-pass upper-triangle GRAM (second-moment) matrix of the embedding
+    * column — XᵀX without ever materializing a pair of ROWS: each vector
+    * emits its own d·(d+1)/2 coordinate products (one codegen'd
+    * nested-transform + explode), and a (d1, d2)-keyed partial agg sums
+    * them. The primitive behind PCA energy / whitening / anisotropy
+    * audits: covariance is `sum_prod/n − mean·meanᵀ` from this plus
+    * [[dimensionStats]], and the top-eigenvalue share falls out of a
+    * driver-side eig of the tiny d×d result.
+    *
+    * Exactness: elements scale to floor(x·2^scaleBits) longs first (the
+    * [[dimensionStats]] discipline), so sums are order-independent
+    * integers and the DuckDB twin matches bit-for-bit. With |x| ≤ 1 the
+    * per-row product is ≤ 2^(2·scaleBits); at the default 20 bits the
+    * BIGINT sum holds to ~2^22 rows — beyond that, drop `scaleBits`
+    * (products shrink 4× per bit) or widen the agg to DECIMAL(38,0);
+    * the audit needs determinism, not 20-bit precision.
+    *
+    * 100 TB shape: map-only product generation; the only exchange carries
+    * ≤ d²/2 rows per partition of map-side state and the output is bounded
+    * by d² — corpus size never appears in the shuffle. */
+  def embeddingGram(corpus: DataFrame, vecCol: String,
+      scaleBits: Int = 20): DataFrame = {
+    require(scaleBits >= 1 && scaleBits <= 30, "scaleBits in [1, 30]")
+    val f = math.pow(2.0, scaleBits.toDouble)
+    val scaled = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(f)).cast("long"))
+    corpus
+      .select(scaled.as("__s"))
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("__s")) - 1),
+        i => transform(
+          sequence(i, size(col("__s")) - 1),
+          j => struct(i.as("d1"), j.as("d2"),
+            (element_at(col("__s"), i + 1) *
+              element_at(col("__s"), j + 1)).as("p")))))).as("__e"))
+      .groupBy(col("__e.d1").cast("long").as("d1"),
+        col("__e.d2").cast("long").as("d2"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__e.p")).as("sum_prod"))
+  }
+
   /** Embedding-space outlier gate (the centroid-distance quality filter of
     * SemDeDup-style pipelines): each vector's cosine to its group's mean
     * embedding; below `threshold` flags the vector as off-manifold for its

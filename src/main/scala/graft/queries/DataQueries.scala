@@ -727,6 +727,13 @@ object DataQueries {
       Similarity.retrievalMetrics(results, relevance, k = 10)
     },
 
+    // One-pass upper-triangle Gram matrix (X^T X) of the embedding column:
+    // each row emits its own d(d+1)/2 scaled-integer coordinate products,
+    // one (d1,d2)-keyed partial agg — shuffle bounded by dim^2, never rows
+    "q268_embedding_gram" -> { (s, dir) =>
+      Similarity.embeddingGram(t(s, dir, "embeddings"), "embedding")
+    },
+
     // Embedding outlier gate: cosine of each vector to its label's exact
     // integer-sum centroid (scale-invariance stands the sum vector in for
     // the mean — no FP-order hazard, no division)
@@ -1561,6 +1568,22 @@ object DataQueries {
          |  CAST((1000000 * SUM(hit)) // COUNT(*) AS BIGINT) AS hit_rate_ppm,
          |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS precision_at_k_ppm
          |FROM allq""".stripMargin,
+
+    "q268_embedding_gram" ->
+      """WITH v AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS s
+        |  FROM embeddings
+        |), pr AS (
+        |  SELECT a.d1 AS d1, b.d2 AS d2, v.s[a.d1 + 1] * v.s[b.d2 + 1] AS p
+        |  FROM v,
+        |    LATERAL (SELECT unnest(generate_series(0, len(v.s) - 1)) AS d1) a,
+        |    LATERAL (SELECT unnest(generate_series(0, len(v.s) - 1)) AS d2) b
+        |  WHERE b.d2 >= a.d1
+        |)
+        |SELECT d1, d2, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(SUM(p) AS BIGINT) AS sum_prod
+        |FROM pr GROUP BY 1, 2""".stripMargin,
 
     "q249_dimension_stats" ->
       """WITH e AS (

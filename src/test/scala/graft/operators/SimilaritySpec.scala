@@ -428,6 +428,36 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) == ((2L, -m / 4, 3 * m / 4, m / 2, false)))
   }
 
+  test("embeddingGram == brute-force scaled X^T X, upper triangle only") {
+    import spark.implicits._
+    val vecs = Seq(
+      Seq(0.5f, -1.0f, 0.25f),
+      Seq(-0.75f, 0.5f, 1.0f),
+      Seq(0.0f, 0.125f, -0.5f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingGram(df, "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val m = 1048576.0
+    val scaled = vecs.map(_.map(x => math.floor(x.toDouble * m).toLong))
+    val want = (for {
+      i <- 0 until 3; j <- i until 3
+    } yield (i.toLong, j.toLong) ->
+      ((3L, scaled.map(s => s(i) * s(j)).sum))).toMap
+    assert(got == want)
+    assert(got.size == 3 * 4 / 2) // d(d+1)/2 — no lower-triangle twins
+    // covariance consistency with dimensionStats: cov(i,j) derives from
+    // sum_prod and the per-dim sums with pure integer inputs
+    val sums = Similarity.dimensionStats(df, "embedding").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val cov01 = got((0L, 1L))._2.toDouble / 3 -
+      (sums(0L).toDouble / 3) * (sums(1L).toDouble / 3)
+    val exact01 = scaled.map(s => s(0) * s(1)).sum / 3.0 -
+      scaled.map(_(0)).sum / 3.0 * (scaled.map(_(1)).sum / 3.0)
+    assert(math.abs(cov01 - exact01) < 1e-9)
+  }
+
   test("kCenterSelect stops early when k exceeds the distinct-point count") {
     import spark.implicits._
     val tiny = Seq(
