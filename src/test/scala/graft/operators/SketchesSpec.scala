@@ -388,6 +388,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("cms: streaming sparse-cell maintenance == batch sketch") {
+    // the sparse CMS is a plain count-agg keyed (j, bucket), so structured
+    // streaming in complete mode maintains the GATE sketch of
+    // heavyHittersExact incrementally — the ingest-side story: cells
+    // accumulate on the stream, the gated exact confirm runs on demand
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = (0 until 2000).map(i => "w" + (i * i % 97))
+    val mem = MemoryStream[String]
+    val q = Sketches.countMinSparse(mem.toDF().toDF("item"), Nil, "item",
+        width = 32, depth = 3)
+      .writeStream.format("memory").queryName("cmscells")
+      .outputMode("complete").start()
+    try {
+      val (b1, b2) = all.splitAt(700)
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      mem.addData(b1); q.processAllAvailable()
+      assert(key(spark.table("cmscells")) ==
+        key(Sketches.countMinSparse(b1.toDF("item"), Nil, "item", 32, 3)))
+      mem.addData(b2); q.processAllAvailable()
+      assert(key(spark.table("cmscells")) ==
+        key(Sketches.countMinSparse(all.toDF("item"), Nil, "item", 32, 3)))
+    } finally q.stop()
+  }
+
   test("kmvOverlapPairs: exact set arithmetic in the below-k regime") {
     // |A|=6, |B|=5, |A∩B|=3, |A∪B|=8 — all below k, so the sketches ARE
     // the hash sets and every estimate must be the exact value
