@@ -1129,4 +1129,34 @@ object CorpusOps {
       .withColumn("simpson", round(
         col("__s2").cast("double") / col("n_tokens") / col("n_tokens"), 6))
       .select(col(groupCol), col("n_tokens"), col("n_types"), col("simpson"))
+
+  /** Frequency SPECTRUM per gram order — how many gram types fall in each
+    * power-of-two count band (band = [[Sketches.bitLength]] of the exact
+    * count) and how much token mass that band carries. The LNRE/Zipf-shape
+    * diagnostic that complements the Heaps-law type-accumulation curve:
+    * the head-band mass drives BPE vocab sizing, the singleton band (band
+    * 1) is the hapax rate memorization audits track, and a band profile
+    * that shifts between corpus versions flags template injection before
+    * any dedup runs.
+    *
+    * All-integer: exact gram counts, hex-bit-length banding — bit-identical
+    * cross-engine, no log() (whose libm rounding differs across engines).
+    *
+    * 100 TB shape: ONE text scan emits all gram orders (tagged structs,
+    * flattened — no per-order re-scan), one wordcount-shaped shuffle with
+    * map-side combine, then a ≤ orders·64-row band roll-up. */
+  def frequencySpectrum(docs: DataFrame, textCol: String,
+      orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(orders.nonEmpty && orders.forall(_ >= 1))
+    val toks = tokens(col(textCol))
+    val tagged = flatten(array(orders.map(n =>
+      transform(shingles(toks, n),
+        g => struct(lit(n).as("n"), g.as("gram")))): _*))
+    docs.select(explode(tagged).as("__e"))
+      .groupBy(col("__e.n").as("n"), col("__e.gram").as("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("n"), Sketches.bitLength(col("__cnt")).as("freq_band"))
+      .agg(count(lit(1)).as("n_types"), sum(col("__cnt")).as("n_grams"),
+        min(col("__cnt")).as("min_cnt"), max(col("__cnt")).as("max_cnt"))
+  }
 }

@@ -684,6 +684,13 @@ object CorpusQueries {
           graft.functions.TextFunctions.tokens(col("text")), 2)).as("gram"))
       graft.operators.Sketches.heavyHittersExact(
         grams, "gram", phiPpm = 1500L, width = 1024, depth = 4)
+    },
+
+    // Frequency spectrum per gram order (1/2/3): types and token mass per
+    // power-of-two count band — the Zipf-shape/hapax-rate diagnostic; one
+    // text scan emits all orders, one wordcount shuffle, tiny band roll-up
+    "q269_freq_spectrum" -> { (s, dir) =>
+      graft.operators.CorpusOps.frequencySpectrum(docs(s, dir), "text")
     }
   )
 
@@ -1926,6 +1933,31 @@ object CorpusQueries {
          |SELECT gram, COUNT(*) AS cnt
          |FROM g
          |GROUP BY 1
-         |HAVING COUNT(*) >= (SELECT th FROM t)""".stripMargin
+         |HAVING COUNT(*) >= (SELECT th FROM t)""".stripMargin,
+
+    "q269_freq_spectrum" ->
+      s"""WITH g AS (
+         |  SELECT 1 AS n, unnest(${sqlShingles(1)}) AS gram FROM documents
+         |  UNION ALL
+         |  SELECT 2 AS n, unnest(${sqlShingles(2)}) AS gram FROM documents
+         |  UNION ALL
+         |  SELECT 3 AS n, unnest(${sqlShingles(3)}) AS gram FROM documents
+         |), c AS (
+         |  SELECT n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+         |), b AS (
+         |  SELECT n, cnt,
+         |    (length(printf('%x', cnt)) - 1) * 4 +
+         |      CASE WHEN substr(printf('%x', cnt), 1, 1) = '1' THEN 1
+         |           WHEN substr(printf('%x', cnt), 1, 1) IN ('2', '3')
+         |             THEN 2
+         |           WHEN substr(printf('%x', cnt), 1, 1)
+         |             IN ('4', '5', '6', '7') THEN 3
+         |           ELSE 4 END AS freq_band
+         |  FROM c
+         |)
+         |SELECT n, freq_band, CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         |  MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
+         |FROM b GROUP BY 1, 2""".stripMargin
   )
 }

@@ -543,4 +543,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r("g") == ((4L, 1L, 1.0)))
     assert(r("m") == ((3L, 2L, 0.555556)))
   }
+
+  test("frequencySpectrum: power-of-two bands, hex-digit boundary exact") {
+    import spark.implicits._
+    // unigram counts: a=16 (band 5 — the 0xF->0x10 hex boundary), b=15
+    // (band 4), c=3 (band 2), d=1 (band 1 — hapax)
+    val text = (Seq.fill(16)("a") ++ Seq.fill(15)("b") ++
+      Seq.fill(3)("c") ++ Seq("d")).mkString(" ")
+    val r = graft.operators.CorpusOps
+      .frequencySpectrum(Seq(text).toDF("text"), "text", orders = Seq(1))
+      .collect()
+      .map(x => x.getInt(1) -> ((x.getLong(2), x.getLong(3), x.getLong(4),
+        x.getLong(5)))).toMap
+    assert(r == Map(
+      5 -> ((1L, 16L, 16L, 16L)),
+      4 -> ((1L, 15L, 15L, 15L)),
+      2 -> ((1L, 3L, 3L, 3L)),
+      1 -> ((1L, 1L, 1L, 1L))))
+    // multi-order: one pass tags every order; n_grams per order must equal
+    // the exact gram totals (35 unigrams, 34 bigrams)
+    val multi = graft.operators.CorpusOps
+      .frequencySpectrum(Seq(text).toDF("text"), "text", orders = Seq(1, 2))
+      .collect().groupBy(_.getInt(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(multi == Map(1 -> 35L, 2 -> 34L))
+  }
 }
