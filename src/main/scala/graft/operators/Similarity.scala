@@ -556,6 +556,24 @@ object Similarity {
       .withColumn("fullsig", packed)
   }
 
+  /** Takedown/right-to-erasure on a persisted [[annIndex]] artifact:
+    * remove every indexed row whose id appears in `removals` — the
+    * operational delete a 100 TB similarity index must support without a
+    * rebuild (DMCA/GDPR pulls, licence revocations, dedup-confirmed
+    * casualties). Pure anti-join keyed by id: the artifact is never
+    * re-scanned against the corpus and never re-hashed, and the removal
+    * side (typically a few thousand ids) broadcasts under AQE — no hint,
+    * so a bulk revocation that outgrows one executor degrades to a keyed
+    * shuffle instead of an OOM. Downstream mining from the pruned artifact
+    * is IDENTICAL to mining from an index that never contained the rows
+    * (spec-pinned: the band signatures of surviving rows don't depend on
+    * removed rows) — removed ids vanish both as anchors and as
+    * candidates. */
+  def annIndexRemove(indexArt: DataFrame, removals: DataFrame,
+      idCol: String): DataFrame =
+    indexArt.join(removals.select(col(idCol).as("id")).distinct(),
+      Seq("id"), "left_anti")
+
   /** The from-index twin of [[bandSigFrame]]: the (band, sig)-keyed
     * signature frame derived from a persisted [[annIndex]] artifact — no
     * corpus re-scan and no re-hash, just the map-side explode (vector
@@ -940,6 +958,49 @@ object Similarity {
       .groupBy(col("__e.d1").cast("long").as("d1"),
         col("__e.d2").cast("long").as("d2"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("__e.p")).as("sum_prod"))
+  }
+
+  /** Deterministic Johnson–Lindenstrauss sign projection: each output
+    * coordinate is Σᵢ ±sᵢ over the scaled-integer input coordinates, with
+    * the ±1 matrix derived from the PORTABLE md5 hash of "j:i" (parity of
+    * [[graft.functions.TextFunctions.portableHash60]]'s value) — so the
+    * projection is bit-identical across engines AND across runs with no
+    * stored matrix: any reader can re-derive it from (outDim, dim) alone.
+    * Achlioptas 2001 gives the JL distortion bound for ±1 entries:
+    * pairwise distances survive within (1±ε) at outDim = O(log n / ε²).
+    * The cheap front-end of everything downstream — LSH over fewer dims,
+    * coarse clustering, drift checks on a 4× smaller frame.
+    *
+    * Output: (id, out_dim, proj_s20) — exploded rows, exact BIGINTs
+    * (|Σ| ≤ dim·2^20 at the default scale).
+    *
+    * 100 TB shape: the sign matrix is outDim×dim literals baked into the
+    * plan (hashes computed ONCE at plan build, never per row); projection
+    * is pure map-side codegen'd multiply-adds — zero shuffle, zero
+    * driver-side state beyond the plan itself. */
+  def jlProject(corpus: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, scaleBits: Int = 20): DataFrame = {
+    require(dim >= 1 && outDim >= 1 && scaleBits >= 1 && scaleBits <= 30)
+    val f = math.pow(2.0, scaleBits.toDouble)
+    def sign(j: Int, i: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+      // first 15 hex chars = 60 bits: 7 bytes + the high nibble of byte 7;
+      // parity is just byte 7's nibble bit — but mirror the full hash60
+      // derivation so the SQL twin is the verbatim portable formula
+      val h = BigInt(1, d.take(8)).toLong >>> 4
+      if ((h & 1L) == 1L) 1L else -1L
+    }
+    val scaled = transform(asDouble(col(vecCol)),
+      x => floor(x * lit(f)).cast("long"))
+    val projs = array((0 until outDim).map { j =>
+      (0 until dim).map(i =>
+        element_at(col("__s"), i + 1) * lit(sign(j, i))).reduce(_ + _)
+    }: _*)
+    corpus.select(col(idCol), scaled.as("__s"))
+      .select(col(idCol), posexplode(projs).as(Seq("out_dim", "proj_s20")))
+      .select(col(idCol), col("out_dim").cast("long").as("out_dim"),
+        col("proj_s20"))
   }
 
   /** Embedding-space outlier gate (the centroid-distance quality filter of

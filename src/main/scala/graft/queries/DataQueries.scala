@@ -727,6 +727,31 @@ object DataQueries {
       Similarity.retrievalMetrics(results, relevance, k = 10)
     },
 
+    // Deterministic JL sign projection to 16 dims: the +/-1 matrix is
+    // md5-parity of "j:i" (re-derivable by any engine from shape alone),
+    // baked into the plan as literals — map-only, zero shuffle
+    "q270_jl_projection" -> { (s, dir) =>
+      Similarity.jlProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, outDim = 16)
+    },
+
+    // Index takedown: remove every vec_id % 10 == 0 row from the persisted
+    // ANN artifact by anti-join (no rebuild, no re-hash), then mine hard
+    // negatives from the pruned index; oracle = exact top-k over the
+    // corpus that never contained those rows
+    "q271_index_takedown" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      val bands = math.min(32, 64 / bits)
+      val art = Similarity.annIndex(e, "vec_id", "embedding", "label",
+        dim = 64, bands = bands, bitsPerBand = bits).localCheckpoint(true)
+      val pruned = Similarity.annIndexRemove(art,
+        e.filter(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
+        "vec_id")
+      Similarity.hardNegativesAnnFromIndex(pruned, k = 3,
+        bands = bands, bitsPerBand = bits)
+    },
+
     // One-pass upper-triangle Gram matrix (X^T X) of the embedding column:
     // each row emits its own d(d+1)/2 scaled-integer coordinate products,
     // one (d1,d2)-keyed partial agg — shuffle bounded by dim^2, never rows
@@ -1568,6 +1593,28 @@ object DataQueries {
          |  CAST((1000000 * SUM(hit)) // COUNT(*) AS BIGINT) AS hit_rate_ppm,
          |  CAST(SUM(p_ppm) // COUNT(*) AS BIGINT) AS precision_at_k_ppm
          |FROM allq""".stripMargin,
+
+    "q270_jl_projection" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS s
+        |  FROM embeddings
+        |), jd AS (
+        |  SELECT a.j AS j, b.i AS i,
+        |    CASE WHEN CAST(concat('0x', substr(md5(
+        |        CAST(a.j AS VARCHAR) || ':' || CAST(b.i AS VARCHAR)),
+        |        1, 15)) AS BIGINT) % 2 = 1
+        |      THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(generate_series(0, 15)) AS j) a,
+        |       (SELECT unnest(generate_series(0, 63)) AS i) b
+        |)
+        |SELECT v.vec_id, CAST(jd.j AS BIGINT) AS out_dim,
+        |  CAST(SUM(v.s[jd.i + 1] * jd.sgn) AS BIGINT) AS proj_s20
+        |FROM v, jd GROUP BY 1, 2""".stripMargin,
+
+    "q271_index_takedown" ->
+      sqlHardNegatives.replace("FROM embeddings",
+        "FROM embeddings WHERE vec_id % 10 <> 0"),
 
     "q268_embedding_gram" ->
       """WITH v AS (

@@ -458,6 +458,76 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cov01 - exact01) < 1e-9)
   }
 
+  test("jlProject: brute-force equality and JL distance preservation") {
+    import spark.implicits._
+    // brute force on a tiny input: recompute signs from the portable md5
+    // definition (first 15 hex chars of md5("j:i"), parity -> +/-1)
+    def sgn(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1L else -1L
+    }
+    val vecs = Seq(Seq(0.5f, -1.0f, 0.25f), Seq(-0.75f, 0.5f, 1.0f))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.jlProject(df, "vec_id", "embedding",
+        dim = 3, outDim = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val m = 1048576.0
+    val scaled = vecs.map(_.map(x => math.floor(x.toDouble * m).toLong))
+    for (id <- 0 until 2; j <- 0 until 2)
+      assert(got((id.toLong, j.toLong)) ==
+        (0 until 3).map(i => scaled(id)(i) * sgn(j, i)).sum)
+    // JL property: on random 64-dim vectors projected to 32, pairwise
+    // squared distances are preserved in expectation — check the
+    // empirical distortion of each pair stays within a loose (1 +/- 0.9)
+    // band after the 1/outDim normalization (sign JL per Achlioptas 2001)
+    val rnd = new scala.util.Random(5)
+    val rv = Seq.fill(12)(Seq.fill(64)(rnd.nextFloat() * 2 - 1))
+    val rdf = rv.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(rdf, "vec_id", "embedding",
+        dim = 64, outDim = 32).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2).toDouble / m))
+      .toMap
+    val sv = rv.map(_.map(x => math.floor(x.toDouble * m) / m))
+    for (a <- 0 until 12; b <- (a + 1) until 12) {
+      val d2 = sv(a).zip(sv(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      val p2 = proj(a.toLong).zip(proj(b.toLong))
+        .map { case (x, y) => (x - y) * (x - y) }.sum / 32.0
+      assert(p2 > 0.1 * d2 && p2 < 1.9 * d2, s"pair($a,$b): $p2 vs $d2")
+    }
+  }
+
+  test("annIndexRemove: takedown == an index that never held the rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val emb = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val art = Similarity.annIndex(emb, "vec_id", "embedding", "label",
+      dim = 16, bands = 8, bitsPerBand = 2)
+    val removals = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"))
+    val pruned = Similarity.annIndexRemove(art, removals, "vec_id")
+    val never = Similarity.annIndex(emb.filter(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding", "label", dim = 16, bands = 8, bitsPerBand = 2)
+    def mine(a: org.apache.spark.sql.DataFrame) =
+      Similarity.hardNegativesAnnFromIndex(a, k = 2,
+        bands = 8, bitsPerBand = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSet
+    assert(mine(pruned) == mine(never))
+    // removed ids appear neither as anchors nor as candidates
+    val ids = mine(pruned).flatMap(t => Seq(t._1, t._2))
+    assert(ids.forall(_ % 4 != 0) && ids.nonEmpty)
+    // duplicate removal rows are harmless (distinct inside the operator)
+    val twice = Similarity.annIndexRemove(art,
+      removals.union(removals), "vec_id")
+    assert(twice.count() == pruned.count())
+  }
+
   test("kCenterSelect stops early when k exceeds the distinct-point count") {
     import spark.implicits._
     val tiny = Seq(
