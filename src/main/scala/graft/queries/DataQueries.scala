@@ -730,9 +730,11 @@ object DataQueries {
     // Deterministic JL sign projection to 16 dims: the +/-1 matrix is
     // md5-parity of "j:i" (re-derivable by any engine from shape alone),
     // baked into the plan as literals — map-only, zero shuffle
+    // spreadIfSmall: the map pass fans out 16 multiply-add sums per row
+    // from a one-split file — size-gated spread, no exchange at scale
     "q270_jl_projection" -> { (s, dir) =>
-      Similarity.jlProject(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, outDim = 16)
+      Similarity.jlProject(Tables.spreadIfSmall(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, outDim = 16)
     },
 
     // Index takedown: remove every vec_id % 10 == 0 row from the persisted
@@ -755,8 +757,12 @@ object DataQueries {
     // One-pass upper-triangle Gram matrix (X^T X) of the embedding column:
     // each row emits its own d(d+1)/2 scaled-integer coordinate products,
     // one (d1,d2)-keyed partial agg — shuffle bounded by dim^2, never rows
+    // spreadIfSmall: the d(d+1)/2-per-row product fan-out is the work —
+    // a one-split scan would serialize it (7.2x for 10x data measured on
+    // 4 tasks at sf1; the spread restores map-side parallelism)
     "q268_embedding_gram" -> { (s, dir) =>
-      Similarity.embeddingGram(t(s, dir, "embeddings"), "embedding")
+      Similarity.embeddingGram(Tables.spreadIfSmall(s, dir, "embeddings"),
+        "embedding")
     },
 
     // Embedding outlier gate: cosine of each vector to its label's exact
