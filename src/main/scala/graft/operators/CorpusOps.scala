@@ -1130,6 +1130,43 @@ object CorpusOps {
         col("__s2").cast("double") / col("n_tokens") / col("n_tokens"), 6))
       .select(col(groupCol), col("n_tokens"), col("n_types"), col("simpson"))
 
+  /** EXACT total-variation drift of each group's token distribution from
+    * the whole-corpus mixture — `tv_ppm = ⌊10⁶ · ½ Σ_t |c_gt/N_g − C_t/N|⌋`
+    * as pure integer arithmetic: the per-token term is
+    * |c_gt·N − C_t·N_g| (DECIMAL(38,0), order-free addition), and the
+    * tokens a group has NEVER seen collapse to one closed-form term
+    * `(N − Σ_{t∈g} C_t)·N_g` — so the plan never materializes the
+    * group×vocabulary cross product the naive TV formula implies. The
+    * corpus-mixture diagnostic the mixture-fitting family (q74/q87/q107)
+    * consumes: a source whose tv_ppm moves between snapshots changed its
+    * content, not just its size; no log/entropy, so no libm divergence.
+    *
+    * 100 TB shape: the (group, token) wordcount shuffle dominates
+    * (map-side combined); the global-count frame re-aggregates that
+    * output keyed by token; group totals and the 1-row N broadcast.
+    * Everything after the two count shuffles is group-bounded. */
+  def tokenDistributionDrift(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(tokens(col(textCol))).as("tok"))
+    val cgt = toks.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val ct = cgt.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val ng = cgt.groupBy(col("g")).agg(sum(col("c")).as("ng"))
+    val n = ct.agg(sum(col("ct")).as("n"))
+    cgt.join(ct, "tok")
+      .join(broadcast(ng), "g")
+      .crossJoin(broadcast(n))
+      .withColumn("__term", expr(
+        "abs(CAST(c AS DECIMAL(38,0)) * n - CAST(ct AS DECIMAL(38,0)) * ng)"))
+      .groupBy(col("g"), col("ng"), col("n"))
+      .agg(sum(col("__term")).as("__pres"), sum(col("ct")).as("__sg"))
+      .select(col("g").as(groupCol), col("ng").as("n_tokens"), expr(
+        """CAST((__pres + (CAST(n AS DECIMAL(38,0)) - __sg) *
+          |  CAST(ng AS DECIMAL(38,0))) * 1000000
+          |  DIV (2 * CAST(ng AS DECIMAL(38,0)) * n) AS BIGINT)"""
+          .stripMargin.replace("\n", " ")).as("tv_ppm"))
+  }
+
   /** Frequency SPECTRUM per gram order — how many gram types fall in each
     * power-of-two count band (band = [[Sketches.bitLength]] of the exact
     * count) and how much token mass that band carries. The LNRE/Zipf-shape

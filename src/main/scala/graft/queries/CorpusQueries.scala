@@ -691,6 +691,14 @@ object CorpusQueries {
     // text scan emits all orders, one wordcount shuffle, tiny band roll-up
     "q269_freq_spectrum" -> { (s, dir) =>
       graft.operators.CorpusOps.frequencySpectrum(docs(s, dir), "text")
+    },
+
+    // Exact TV distance of each source's token distribution from the
+    // corpus mixture, integer ppm — absent-token mass folded into one
+    // closed-form term, never a group x vocab cross product
+    "q272_source_drift" -> { (s, dir) =>
+      graft.operators.CorpusOps.tokenDistributionDrift(
+        docs(s, dir), "source", "text")
     }
   )
 
@@ -1958,6 +1966,32 @@ object CorpusQueries {
          |SELECT n, freq_band, CAST(COUNT(*) AS BIGINT) AS n_types,
          |  CAST(SUM(cnt) AS BIGINT) AS n_grams,
          |  MIN(cnt) AS min_cnt, MAX(cnt) AS max_cnt
-         |FROM b GROUP BY 1, 2""".stripMargin
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q272_source_drift" ->
+      s"""WITH toks AS (
+         |  SELECT source AS g, unnest($sqlToks) AS tok FROM documents
+         |), cgt AS (
+         |  SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+         |), ct AS (
+         |  SELECT tok, CAST(SUM(c) AS BIGINT) AS ct FROM cgt GROUP BY 1
+         |), ng AS (
+         |  SELECT g, CAST(SUM(c) AS BIGINT) AS ng FROM cgt GROUP BY 1
+         |), n AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct
+         |), terms AS (
+         |  SELECT cgt.g,
+         |    abs(CAST(cgt.c AS HUGEINT) * n.n - CAST(ct.ct AS HUGEINT)
+         |      * ng.ng) AS term,
+         |    ct.ct AS ct
+         |  FROM cgt JOIN ct USING (tok) JOIN ng USING (g) CROSS JOIN n
+         |), a AS (
+         |  SELECT g, SUM(term) AS pres, CAST(SUM(ct) AS HUGEINT) AS sg
+         |  FROM terms GROUP BY 1
+         |)
+         |SELECT a.g AS source, ng.ng AS n_tokens,
+         |  CAST((pres + (n.n - sg) * CAST(ng.ng AS HUGEINT)) * 1000000
+         |       // (2 * CAST(ng.ng AS HUGEINT) * n.n) AS BIGINT) AS tv_ppm
+         |FROM a JOIN ng USING (g) CROSS JOIN n""".stripMargin
   )
 }

@@ -544,6 +544,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r("m") == ((3L, 2L, 0.555556)))
   }
 
+  test("tokenDistributionDrift: exact TV distance, absent-mass closed form") {
+    import spark.implicits._
+    // corpus: A = "x x y" (N_A=3), B = "y z" (N_B=2); mixture N=5 with
+    // C = {x:2, y:2, z:1}. Exact TV(A) = 1/2(|2/3-2/5|+|1/3-2/5|+|0-1/5|)
+    // = 4/15 -> 266666 ppm (floor); TV(B) = 1/2(2/5+1/10+3/10) = 0.4
+    // -> 400000 ppm. B's x-term only enters via the absent-mass closed
+    // form — the formula never sees a (B, x) row.
+    val d = Seq(("A", "x x y"), ("B", "y z")).toDF("source", "text")
+    val r = graft.operators.CorpusOps
+      .tokenDistributionDrift(d, "source", "text")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2))))
+      .toMap
+    assert(r == Map("A" -> ((3L, 266666L)), "B" -> ((2L, 400000L))))
+    // identical distributions drift zero
+    val same = Seq(("A", "x y"), ("B", "x y")).toDF("source", "text")
+    assert(graft.operators.CorpusOps
+      .tokenDistributionDrift(same, "source", "text")
+      .collect().forall(_.getLong(2) == 0L))
+  }
+
   test("frequencySpectrum: power-of-two bands, hex-digit boundary exact") {
     import spark.implicits._
     // unigram counts: a=16 (band 5 — the 0xF->0x10 hex boundary), b=15
