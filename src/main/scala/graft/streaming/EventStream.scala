@@ -617,6 +617,33 @@ object EventStream {
       }
       .start()
 
+  case class KmvRow(g: String, h: Long)
+  case class KmvState(g: String, kmv: Seq[Long])
+
+  /** Streaming maintenance of the per-group KMV sketch
+    * ([[graft.operators.Sketches.kmvSketch]]): state is the sorted k
+    * smallest distinct hashes seen so far — k longs per group, the sketch
+    * bound, enforced on every batch — and each touched group emits its
+    * refreshed artifact (update mode). Because KMV is closed under union,
+    * the state after ANY batch equals the batch sketch over the whole
+    * stream so far (spec-pinned), so an ingest pipeline can maintain the
+    * [[graft.operators.Sketches.kmvOverlapPairs]] inputs on the live
+    * stream and never re-scan history. The bucket-merge is pure local
+    * array math; the only exchange is the groupByKey clustering. */
+  def maintainKmvSketch(rows: Dataset[KmvRow], k: Int): Dataset[KmvState] = {
+    import rows.sparkSession.implicits._
+    require(k >= 2, "kmv needs k >= 2")
+    rows
+      .groupByKey(_.g)
+      .mapGroupsWithState[Seq[Long], KmvState](GroupStateTimeout.NoTimeout) {
+        case (g, it, state) =>
+          val merged = (state.getOption.getOrElse(Seq.empty[Long]).iterator
+            ++ it.map(_.h)).toSeq.distinct.sorted.take(k)
+          state.update(merged)
+          KmvState(g, merged)
+      }
+  }
+
   case class UploadEvent(upload_id: Long, seq: Long, status: String)
   case class UploadState(upload_id: Long, status: String, n_transitions: Int)
 

@@ -414,6 +414,38 @@ class SketchesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmv: streaming k-minima state == batch sketch after every batch") {
+    // KMV is closed under union, so the mapGroupsWithState artifact after
+    // any batch must equal the batch sketch over the data so far — the
+    // live-ingest path for the q266 overlap inputs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val all = Seq.fill(3000)(EventStream.KmvRow(
+      "s" + rnd.nextInt(3), math.abs(rnd.nextLong()) % (1L << 60)))
+    val got = scala.collection.concurrent.TrieMap.empty[String, Seq[Long]]
+    val mem = MemoryStream[EventStream.KmvRow]
+    val q = EventStream.maintainKmvSketch(mem.toDS(), k = 16)
+      .writeStream.outputMode("update")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[EventStream.KmvState],
+          _: Long) =>
+        ds.collect().foreach(s => got(s.g) = s.kmv)
+      }
+      .start()
+    try {
+      def batchSketch(rows: Seq[EventStream.KmvRow]) =
+        Sketches.kmvSketch(rows.toDF("g", "h"), Seq("g"), "h", 16)
+          .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val (b1, b2) = all.splitAt(1100)
+      mem.addData(b1); q.processAllAvailable()
+      assert(got.toMap == batchSketch(b1))
+      mem.addData(b2); q.processAllAvailable()
+      assert(got.toMap == batchSketch(all))
+    } finally q.stop()
+  }
+
   test("kmvOverlapPairs: exact set arithmetic in the below-k regime") {
     // |A|=6, |B|=5, |A∩B|=3, |A∪B|=8 — all below k, so the sketches ARE
     // the hash sets and every estimate must be the exact value
