@@ -511,6 +511,29 @@ class SketchesSpec extends SparkSpec {
     assert(exact.nonEmpty && exact.size < 80) // the gate actually selects
   }
 
+  test("heavyHittersExact plan: join-free literal gate, one exchange") {
+    import spark.implicits._
+    // a PARQUET scan, not a local Seq: Catalyst's ConvertToLocalRelation
+    // pre-evaluates any deterministic filter over a LocalRelation (even
+    // under a repartition, after pushdown), which would erase the gate
+    // from the physical plan and void the assertion
+    val rows = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+        .as("item"))
+    val df = Sketches.heavyHittersExact(rows, "item", 10000L,
+      width = 64, depth = 3)
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    val s = df.queryExecution.executedPlan.toString
+    // the gate probes a LITERAL cell array — no join anywhere in the
+    // confirm plan, and the element_at gate filter sits BELOW the lowest
+    // exchange (top-down print: after the last Exchange line), so only
+    // gate survivors ever cross a shuffle
+    assert(!s.contains("Join"), s)
+    val tail = s.substring(s.lastIndexOf("Exchange hashpartitioning"))
+    assert(tail.contains("Filter") && tail.contains("element_at"),
+      s"gate filter not below the lowest exchange:\n$s")
+  }
+
   test("heavyHittersExact: empty input and all-pass regimes") {
     val empty = Seq.empty[String].toDF("item")
     assert(Sketches.heavyHittersExact(empty, "item", 1000L, 8, 2).count() == 0)
