@@ -506,6 +506,19 @@ object Sketches {
       .agg(sort_array(collect_list(col("__h"))).as("kmv"))
   }
 
+  /** Merge [[kmvSketch]] artifacts across a partition axis (per-day
+    * sketches → the period sketch), the [[cmsMergeSparse]]/[[hdrMerge]]
+    * twin for KMV: closure under union makes the k smallest distinct
+    * hashes of the merged arrays exactly the sketch of the concatenated
+    * streams. `keepGroupCols` names the group columns that survive; the
+    * dropped ones are the merge axis. One ≤k·axes-row agg per kept
+    * group. */
+  def kmvMergeSketches(sketch: DataFrame, keepGroupCols: Seq[String],
+      k: Int): DataFrame =
+    sketch.groupBy(keepGroupCols.map(col): _*)
+      .agg(slice(array_sort(array_distinct(
+        flatten(collect_list(col("kmv"))))), 1, k).as("kmv"))
+
   /** Distinct-count estimate from a k-minima array: groups still below k
     * distinct values report exactly, else (k-1)·H/h_k (the
     * [[kmvDistinct]] estimator on the stored artifact). */

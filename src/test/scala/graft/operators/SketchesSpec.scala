@@ -473,8 +473,7 @@ class SketchesSpec extends SparkSpec {
     val sk = Sketches.kmvSketch(rows.toDF("g", "h"), Seq("g"), "h", k)
     // closure: merging the two per-group sketches gives exactly the
     // sketch of the concatenated stream
-    val mergedArr = sk.agg(slice(array_sort(array_distinct(
-      flatten(collect_list(col("kmv"))))), 1, k).as("m"))
+    val mergedArr = Sketches.kmvMergeSketches(sk, Seq.empty, k)
       .collect().head.getSeq[Long](0)
     val wholeArr = Sketches.kmvSketch(rows.map(r => ("all", r._2))
       .toDF("g", "h"), Seq("g"), "h", k)
