@@ -948,6 +948,9 @@ object Similarity {
       x => floor(x * lit(f)).cast("long"))
     corpus
       .select(scaled.as("__s"))
+      // null/empty vectors carry no moments — and size(null) = -1 would
+      // otherwise drive sequence() descending and emit phantom dims
+      .where(size(col("__s")) >= 1)
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("__s")) - 1),
         i => transform(
@@ -998,6 +1001,9 @@ object Similarity {
         element_at(col("__s"), i + 1) * lit(sign(j, i))).reduce(_ + _)
     }: _*)
     corpus.select(col(idCol), scaled.as("__s"))
+      // a null or short vector would null element_at terms and emit null
+      // projections — reject rather than silently degrade
+      .where(size(col("__s")) === dim)
       .select(col(idCol), posexplode(projs).as(Seq("out_dim", "proj_s20")))
       .select(col(idCol), col("out_dim").cast("long").as("out_dim"),
         col("proj_s20"))

@@ -456,6 +456,15 @@ class SimilaritySpec extends SparkSpec {
     val exact01 = scaled.map(s => s(0) * s(1)).sum / 3.0 -
       scaled.map(_(0)).sum / 3.0 * (scaled.map(_(1)).sum / 3.0)
     assert(math.abs(cov01 - exact01) < 1e-9)
+    // null/empty vectors are excluded, not phantom-dim'd; short vectors
+    // are rejected by jlProject rather than nulled
+    val dirty = Seq((1L, Seq(1.0f, 2.0f)), (2L, null), (3L, Seq.empty[Float]))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.embeddingGram(dirty, "embedding").collect()
+      .forall(r => r.getLong(0) >= 0 && r.getLong(2) == 1L))
+    assert(Similarity.jlProject(dirty, "vec_id", "embedding",
+      dim = 2, outDim = 4).select("vec_id").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("jlProject: brute-force equality and JL distance preservation") {
