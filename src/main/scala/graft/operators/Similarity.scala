@@ -1009,6 +1009,38 @@ object Similarity {
         col("proj_s20"))
   }
 
+  /** Anisotropy read-out of an [[embeddingGram]] result: the share of
+    * total second-moment energy on the top eigenvector, via power
+    * iteration on the COLLECTED d×d matrix — the one place driver-side
+    * math is the right call (the matrix is dim²-bounded regardless of
+    * corpus size; a 64-dim Gram is 32 KB). Returns (topEigenvalue /
+    * trace) in [1/d, 1]: ≈1/d for isotropic embeddings, →1 when the
+    * space collapses onto one direction (the "anisotropic embedding"
+    * failure mode that makes cosine similarity saturate). Driver-side FP
+    * — a diagnostic number, deliberately NOT an oracle surface. */
+  def gramTopEigenShare(gram: DataFrame, iters: Int = 100): Double = {
+    val rows = gram.select(col("d1").cast("int"), col("d2").cast("int"),
+      col("sum_prod").cast("double"), col("n_vecs").cast("double")).collect()
+    require(rows.nonEmpty, "empty gram")
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val v = r.getDouble(2) / r.getDouble(3)
+      m(r.getInt(0))(r.getInt(1)) = v
+      m(r.getInt(1))(r.getInt(0)) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => m(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n > 0) { v = w.map(_ / n); lambda = n }
+    }
+    val trace = (0 until d).map(i => m(i)(i)).sum
+    if (trace <= 0) 0.0 else lambda / trace
+  }
+
   /** Embedding-space outlier gate (the centroid-distance quality filter of
     * SemDeDup-style pipelines): each vector's cosine to its group's mean
     * embedding; below `threshold` flags the vector as off-manifold for its

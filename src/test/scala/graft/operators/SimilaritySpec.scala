@@ -510,6 +510,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("gramTopEigenShare: isotropic ~ 1/d, collapsed -> 1") {
+    import spark.implicits._
+    // collapsed: every vector is a multiple of (1, 1) — all energy on one
+    // eigenvector, share = 1 (within power-iteration tolerance)
+    val collapsed = (1 to 8).map(i => (i.toLong, Seq(i * 0.1f, i * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cShare = Similarity.gramTopEigenShare(
+      Similarity.embeddingGram(collapsed, "embedding"))
+    assert(cShare > 0.999, s"collapsed share=$cShare")
+    // isotropic-ish: axis-aligned unit vectors in alternation — equal
+    // diagonal, zero cross terms, share = 1/2 exactly for d=2
+    val iso = (1 to 8).map(i => (i.toLong,
+      if (i % 2 == 0) Seq(1.0f, 0.0f) else Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val iShare = Similarity.gramTopEigenShare(
+      Similarity.embeddingGram(iso, "embedding"))
+    assert(math.abs(iShare - 0.5) < 1e-6, s"isotropic share=$iShare")
+  }
+
   test("annIndexRemove: takedown == an index that never held the rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
