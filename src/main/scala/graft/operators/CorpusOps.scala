@@ -1181,16 +1181,21 @@ object CorpusOps {
     *
     * 100 TB shape: ONE text scan emits all gram orders (tagged structs,
     * flattened — no per-order re-scan), one wordcount-shaped shuffle with
-    * map-side combine, then a ≤ orders·64-row band roll-up. */
+    * map-side combine, then a ≤ orders·64-row band roll-up. Gram TYPES are
+    * keyed by their fused 60-bit shingle hash, not the string — the
+    * codegen'd [[graft.functions.TextFunctions.shingleHashes60All]] pass
+    * replaces an interpreted higher-order chain, and the count shuffle
+    * carries longs instead of n-gram strings. The identical md5 hash in
+    * the DuckDB twin keeps the result exact even under a (≈2⁻⁶⁰) key
+    * collision, since both engines would merge the same pair. */
   def frequencySpectrum(docs: DataFrame, textCol: String,
       orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     require(orders.nonEmpty && orders.forall(_ >= 1))
-    val toks = tokens(col(textCol))
     val tagged = flatten(array(orders.map(n =>
-      transform(shingles(toks, n),
-        g => struct(lit(n).as("n"), g.as("gram")))): _*))
+      transform(shingleHashes60All(col(textCol), n),
+        h => struct(lit(n).as("n"), h.as("gh")))): _*))
     docs.select(explode(tagged).as("__e"))
-      .groupBy(col("__e.n").as("n"), col("__e.gram").as("gram"))
+      .groupBy(col("__e.n").as("n"), col("__e.gh").as("gh"))
       .agg(count(lit(1)).as("__cnt"))
       .groupBy(col("n"), Sketches.bitLength(col("__cnt")).as("freq_band"))
       .agg(count(lit(1)).as("n_types"), sum(col("__cnt")).as("n_grams"),

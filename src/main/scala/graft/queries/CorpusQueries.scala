@@ -1944,14 +1944,16 @@ object CorpusQueries {
          |HAVING COUNT(*) >= (SELECT th FROM t)""".stripMargin,
 
     "q269_freq_spectrum" ->
-      s"""WITH g AS (
-         |  SELECT 1 AS n, unnest(${sqlShingles(1)}) AS gram FROM documents
+      s"""WITH g0 AS (
+         |  SELECT 1 AS n, unnest(${sqlShingles(1)}) AS s FROM documents
          |  UNION ALL
-         |  SELECT 2 AS n, unnest(${sqlShingles(2)}) AS gram FROM documents
+         |  SELECT 2 AS n, unnest(${sqlShingles(2)}) AS s FROM documents
          |  UNION ALL
-         |  SELECT 3 AS n, unnest(${sqlShingles(3)}) AS gram FROM documents
+         |  SELECT 3 AS n, unnest(${sqlShingles(3)}) AS s FROM documents
+         |), g AS (
+         |  SELECT n, $sqlHash60 AS gh FROM g0
          |), c AS (
-         |  SELECT n, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+         |  SELECT n, gh, COUNT(*) AS cnt FROM g GROUP BY 1, 2
          |), b AS (
          |  SELECT n, cnt,
          |    (length(printf('%x', cnt)) - 1) * 4 +
