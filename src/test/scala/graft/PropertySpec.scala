@@ -250,4 +250,67 @@ class PropertySpec extends SparkSpec {
       else assert(nRem == 0L && clean.nonEmpty)
     }
   }
+
+  test("property: heavyHittersExact == brute force over random streams " +
+      "and sketch shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 6) {
+      // random vocab size, Zipf-ish frequencies, random sketch geometry
+      val vocab = 20 + rnd.nextInt(120)
+      val rows = (0 until 2500).map(_ =>
+        "t" + (math.pow(rnd.nextDouble(), 2.5) * vocab).toInt)
+      val phi = Seq(2000L, 8000L, 25000L)(trial % 3)
+      val width = Seq(4, 32, 256)(trial % 3) // includes collision-heavy
+      val got = graft.operators.Sketches.heavyHittersExact(
+        rows.toDF("item"), "item", phi, width, depth = 1 + trial % 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val th = math.max(1L, (rows.size * phi + 999999L) / 1000000L)
+      val exact = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter(_._2 >= th).toMap
+      assert(got == exact, s"trial=$trial th=$th")
+    }
+  }
+
+  test("property: kmvOverlapPairs is exact below k for random set pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    for (_ <- 0 until 5) {
+      val a = Seq.fill(5 + rnd.nextInt(50))(rnd.nextInt(200).toLong).distinct
+      val b = Seq.fill(5 + rnd.nextInt(50))(rnd.nextInt(200).toLong).distinct
+      val sk = graft.operators.Sketches.kmvSketch(
+        (a.map(("a", _)) ++ b.map(("b", _))).toDF("g", "h"),
+        Seq("g"), "h", k = 256) // both sets below k -> exact regime
+      val r = graft.operators.Sketches.kmvOverlapPairs(sk, "g", 256)
+        .collect().head
+      val union = (a ++ b).distinct.size
+      val inter = a.toSet.intersect(b.toSet).size
+      assert(r.getAs[Long]("est_union") == union)
+      assert(r.getAs[Long]("est_intersection") == inter)
+      assert(r.getAs[Long]("jaccard_ppm") == 1000000L * inter / union)
+    }
+  }
+
+  test("property: frequencySpectrum band totals == exact gram counts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val docs = Seq.fill(40)(
+      Seq.fill(1 + rnd.nextInt(30))("w" + rnd.nextInt(12)).mkString(" "))
+    val out = graft.operators.CorpusOps
+      .frequencySpectrum(docs.toDF("text"), "text", orders = Seq(1, 2))
+      .collect()
+    def grams(n: Int) = docs.flatMap(_.split(" ").sliding(n)
+      .filter(_.size == n).map(_.mkString(" ")).toSeq)
+    for (n <- Seq(1, 2)) {
+      val cnts = grams(n).groupBy(identity).view.mapValues(_.size.toLong)
+      val rowsN = out.filter(_.getInt(0) == n)
+      assert(rowsN.map(_.getLong(3)).sum == cnts.values.sum) // token mass
+      assert(rowsN.map(_.getLong(2)).sum == cnts.size)       // type count
+      // band bounds: every band's min/max sit inside [2^(b-1), 2^b - 1]
+      rowsN.foreach { r =>
+        val b = r.getInt(1)
+        assert(r.getLong(4) >= (1L << (b - 1)) && r.getLong(5) < (1L << b))
+      }
+    }
+  }
 }
