@@ -514,6 +514,51 @@ object CorpusOps {
       .drop("__rk", targetCol)
   }
 
+  /** [[applyMixture]]'s UPSAMPLING complement: when a domain's target
+    * EXCEEDS its size (the small-high-quality-source epoch trick every
+    * LLM mixture uses), emit ⌊target/size⌋ full epochs of every document
+    * plus one extra copy of the first `target mod size` documents in md5
+    * order — exactly `target` rows per domain, deterministic, no RNG.
+    * Output: the input columns plus `epoch` (0-based copy index), so
+    * downstream shuffling/packing can interleave epochs instead of
+    * concatenating them. Domains already at or above target are NOT
+    * downsampled here (compose with [[applyMixture]] for that side);
+    * their docs emit epoch 0 once.
+    *
+    * 100 TB shape: targets broadcast; the only exchange is the per-domain
+    * md5 rank window (one partition per domain — domains are the coarse
+    * axis, row counts per domain bound the window; for a single mega
+    * domain, rank only decides the REMAINDER copies, so pre-aggregate
+    * cnt and skip ranking when target mod size == 0). The copy fan-out is
+    * a map-side `explode(sequence(...))` — rows are produced, never
+    * shuffled twice. */
+  def upsampleMixture(
+      docs: DataFrame,
+      idCol: String,
+      domainCol: String,
+      targets: DataFrame,
+      targetCol: String = "n_target"
+  ): DataFrame = {
+    import graft.functions.Predicates.idiv
+    val idStr = col(idCol).cast("string")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(idStr.cast("binary")).asc, col(idCol).asc)
+    val cnts = docs.groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
+    docs
+      .join(broadcast(targets.select(col(domainCol), col(targetCol))),
+        Seq(domainCol))
+      .join(broadcast(cnts), Seq(domainCol))
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__copies",
+        greatest(lit(1L),
+          idiv(col(targetCol), col("__cnt")) +
+            when(col("__rk") <= pmod(col(targetCol), col("__cnt")), 1L)
+              .otherwise(0L)))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__rk", "__copies", "__cnt", targetCol)
+  }
+
   /** Surprisal-proxy document scoring on Count-Min estimates: rarity(t) =
     * floor(10⁶ / est_count(t)) from a GLOBAL [[Sketches.countMin]] sketch;
     * doc score = Σ_tokens rarity — high for documents of rare vocabulary,

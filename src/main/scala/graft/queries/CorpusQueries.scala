@@ -699,6 +699,18 @@ object CorpusQueries {
     "q272_source_drift" -> { (s, dir) =>
       graft.operators.CorpusOps.tokenDistributionDrift(
         docs(s, dir), "source", "text")
+    },
+
+    // Epoch upsampling to a 40-doc target per source: full epochs for
+    // every doc plus md5-order remainder copies — exactly target rows per
+    // undersized source, deterministic, epoch index exposed for packing
+    "q273_upsample_mixture" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val targets = d.groupBy(col("source"))
+        .agg(lit(40L).as("n_target"))
+      graft.operators.CorpusOps
+        .upsampleMixture(d, "doc_id", "source", targets)
+        .select(col("doc_id"), col("source"), col("epoch"))
     }
   )
 
@@ -1994,6 +2006,25 @@ object CorpusQueries {
          |SELECT a.g AS source, ng.ng AS n_tokens,
          |  CAST((pres + (n.n - sg) * CAST(ng.ng AS HUGEINT)) * 1000000
          |       // (2 * CAST(ng.ng AS HUGEINT) * n.n) AS BIGINT) AS tv_ppm
-         |FROM a JOIN ng USING (g) CROSS JOIN n""".stripMargin
+         |FROM a JOIN ng USING (g) CROSS JOIN n""".stripMargin,
+
+    "q273_upsample_mixture" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS cnt FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+        |  FROM documents
+        |), x AS (
+        |  SELECT r.doc_id, r.source,
+        |    greatest(1, 40 // cnt +
+        |      CASE WHEN rk <= 40 % cnt THEN 1 ELSE 0 END) AS copies
+        |  FROM r JOIN c USING (source)
+        |)
+        |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        |FROM x, LATERAL (
+        |  SELECT unnest(generate_series(0, CAST(copies - 1 AS BIGINT)))
+        |    AS e) g""".stripMargin
   )
 }

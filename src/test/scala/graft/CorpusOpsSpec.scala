@@ -544,6 +544,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r("m") == ((3L, 2L, 0.555556)))
   }
 
+  test("upsampleMixture: exact target via full epochs + md5 remainder") {
+    import spark.implicits._
+    val docs = (1L to 5L).map(i => (i, "small", "t" + i)) ++
+      (1L to 9L).map(i => (100 + i, "big", "t" + i))
+    val df = docs.toDF("doc_id", "source", "text")
+    val targets = Seq(("small", 12L), ("big", 4L)).toDF("source", "n_target")
+    val out = graft.operators.CorpusOps
+      .upsampleMixture(df, "doc_id", "source", targets)
+      .select("doc_id", "source", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // small (5 docs, target 12): 12 rows — every doc twice, 2 docs thrice
+    val small = out.filter(_._2 == "small")
+    assert(small.length == 12)
+    val perDoc = small.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perDoc.values.toSeq.sorted == Seq(2, 2, 2, 3, 3))
+    // epochs are 0-based contiguous per doc
+    small.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // big (9 docs, target 4 < size): NOT downsampled — epoch 0 once each
+    val big = out.filter(_._2 == "big")
+    assert(big.length == 9 && big.forall(_._3 == 0L))
+  }
+
   test("tokenDistributionDrift: exact TV distance, absent-mass closed form") {
     import spark.implicits._
     // corpus: A = "x x y" (N_A=3), B = "y z" (N_B=2); mixture N=5 with
