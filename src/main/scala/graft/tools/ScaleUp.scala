@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * exact duplicates, and unperturbed replicas would blow every near-dup
   * pair query quadratically instead of linearly.
   *
-  * Usage: tools/run.sh graft.tools.ScaleUp <srcSfDir> <dstDir> <factor> [skew]
+  * Usage: tools/run.sh graft.tools.ScaleUp <srcSfDir> <dstDir> <factor>
+  * [skew[,decorrelate]]
   *
   * The optional `skew` mode is the mega-site fixture: after replication,
   * 90% of `events.user_id` and 90% of `orders.o_custkey` (with the
@@ -28,7 +29,22 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, dst, factor) = (args(0), args(1), args(2).toInt)
-    val skew = args.length > 3 && args(3) == "skew"
+    val modes = if (args.length > 3) args(3).split(",").toSet
+      else Set.empty[String]
+    val skew = modes("skew")
+    // decorrelate: break CROSS-replica near-duplicate structure while
+    // preserving it WITHIN each replica. The default suffix perturbation
+    // only kills exact twins — replica pairs keep Jaccard ≈ 0.97 and
+    // cosine ≈ 0.999, so the corpus's TRUE near-dup pair mass grows
+    // C(replicas, 2)-quadratically and every pair-emitting query is
+    // output-bound at higher tiers (measured: q27 sf10 = 110× for 10×
+    // data, 100× the pairs). With decorrelate, ~1/3 of tokens are
+    // replica-salted ((2/3)^5 ≈ 13% shingle survival → cross-replica
+    // Jaccard ≈ 0.07) and replica embeddings are re-drawn at random —
+    // near-dup mass then grows LINEARLY (each replica's internal twins),
+    // which is what a real 10× corpus does, so engine scaling is
+    // measurable separately from output growth.
+    val decorrelate = modes("decorrelate")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
@@ -91,18 +107,34 @@ object ScaleUp {
       megaSite((col("user_id") + col("r") * userS)).as("user_id"),
       col("event_type"), col("value"),
       col("props")), "events")
-    // per-replica text perturbation keeps the near-dup rate linear
-    val text2 = when(col("r") === 0, col("text"))
-      .otherwise(concat(col("text"), lit(" zrep"), col("r")))
+    // per-replica text perturbation: suffix token kills exact twins only;
+    // decorrelate mode salts ~1/3 of tokens (deterministic in (token, r))
+    // so cross-replica shingle overlap collapses below any near-dup
+    // threshold while within-replica overlap is untouched (same token →
+    // same rewrite inside a replica)
+    val perturbed =
+      if (decorrelate)
+        array_join(transform(split(trim(col("text")), "\\s+"), t =>
+          when(pmod(xxhash64(t, col("r")), lit(3L)) === 0,
+            concat(t, lit("x"), col("r"))).otherwise(t)), " ")
+      else concat(col("text"), lit(" zrep"), col("r"))
+    val text2 = when(col("r") === 0, col("text")).otherwise(perturbed)
     write(replicate(documents).select(shifted("doc_id", docS),
       text2.as("text"), col("lang"), col("source"),
       length(text2).cast("long").as("n_chars")), "documents")
-    // seeded per-element noise re-aims replica vectors (cosine structure
-    // within a replica is preserved; cross-replica twins disappear)
-    val vec2 = transform(col("embedding"), (x, i) =>
-      when(col("r") === 0, x).otherwise((x +
-        (pmod(xxhash64(col("vec_id"), i, col("r")), lit(1000L))
-          .cast("double") / 1000.0 - 0.5) * 0.1).cast("float")))
+    // seeded per-element noise re-aims replica vectors; decorrelate mode
+    // re-draws them entirely (cross-replica cosine ~ N(0, 1/sqrt(d)),
+    // below any near-dup threshold — near-dup mass stays replica 0's)
+    val vec2 =
+      if (decorrelate)
+        transform(col("embedding"), (x, i) =>
+          when(col("r") === 0, x).otherwise(
+            (pmod(xxhash64(col("vec_id"), i, col("r")), lit(2000L))
+              .cast("double") / 1000.0 - 1.0).cast("float")))
+      else transform(col("embedding"), (x, i) =>
+        when(col("r") === 0, x).otherwise((x +
+          (pmod(xxhash64(col("vec_id"), i, col("r")), lit(1000L))
+            .cast("double") / 1000.0 - 0.5) * 0.1).cast("float")))
     write(replicate(embeddings).select(shifted("vec_id", vecS),
       vec2.as("embedding"), col("label")), "embeddings")
 
