@@ -486,6 +486,34 @@ object Dedup {
       .agg(min(coalesce(col("cluster_id"), col("id"))).as("cluster_id"))
   }
 
+  /** Soft dedup: keep every near-duplicate but DOWNWEIGHT it by its
+    * cluster size, so each near-dup component contributes ~one document
+    * of training mass (`weight_ppm = 1e6 div cluster_size`; singletons
+    * keep 1e6). The sampling-weight alternative to hard removal — hard
+    * dedup deletes information a high-quality duplicate may carry, while
+    * no dedup lets a 10k-copy boilerplate blob dominate the mixture;
+    * weights feed [[Sampling.weightedSample]] or an epoch-sampling loss
+    * directly. Output: idCol + `cluster_key` (component id; own id for
+    * singletons) + `cluster_size` + `weight_ppm`.
+    *
+    * 100 TB shape: components from [[clusterPairsStar]] (edge-bounded
+    * rounds), then the size agg and its join back are two shuffles keyed
+    * by `cluster_key` — never a pair-set or corpus-squared stage. The
+    * integral division keeps weights engine-exact (FP 1/size is not). */
+  def softDedupWeights(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = clusterPairsStar(pairs).withColumnRenamed("id", idCol)
+    val keyed = docs.select(col(idCol)).join(labels, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_key"))
+    val sizes = keyed.groupBy(col("cluster_key"))
+      .agg(count(lit(1)).as("cluster_size"))
+    keyed.join(sizes, Seq("cluster_key"))
+      .select(col(idCol), col("cluster_key"), col("cluster_size"),
+        graft.functions.Predicates.idiv(lit(1000000L), col("cluster_size"))
+          .as("weight_ppm"))
+  }
+
   /** Per-doc 32-bit SimHash fingerprints. Exact-duplicate clusters share a
     * fingerprint; near-dup detection joins on fingerprint bands. */
   def simhashDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =

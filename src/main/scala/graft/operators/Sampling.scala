@@ -64,6 +64,32 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Leakage-safe split: near-duplicate CLUSTERS, not documents, are the
+    * unit of train/val/test assignment. A document-keyed [[hashSplit]]
+    * routinely places two near-duplicates on opposite sides of the
+    * train/test boundary — the eval-contamination channel document-level
+    * decontamination reports can't close, because the leaked document IS
+    * legitimately in the corpus. Here every doc takes `cluster_key` =
+    * its near-dup component id (own id for singletons) from the
+    * large/small-star components over `pairs`, and the split is a pure
+    * function of that key — so a near-dup pair can never straddle splits,
+    * and assignment stays append-consistent for clusters the append does
+    * not touch (a genuinely new cluster may fuse two old ones; only those
+    * reassign).
+    *
+    * 100 TB shape: [[Dedup.clusterPairsStar]] rounds are bounded by the
+    * (shrinking) edge set, the label join back to `docs` is one shuffle
+    * keyed by the id, and the split itself is map-only. Output: `docs` +
+    * `cluster_key` + `split`. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPpm: Long, valPpm: Long): DataFrame = {
+    val labels = Dedup.clusterPairsStar(pairs).withColumnRenamed("id", idCol)
+    val keyed = docs.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    hashSplit(keyed, col("cluster_key"), trainPpm, valPpm)
+  }
+
   /** EXACT-quota stratified split: within every stratum, rows order by
     * (hash60(id), id) — a deterministic permutation — and the first
     * floor(n·trainPpm/1e6) go to train, the next floor(n·(train+val)Ppm/

@@ -489,6 +489,32 @@ object DataQueries {
           n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5))
     },
 
+    // Leakage-safe split: near-dup CLUSTERS are the unit of train/val/
+    // test assignment, so a near-dup pair can never straddle train and
+    // test — the eval-contamination channel a doc-keyed hash split leaves
+    // open. Split is a pure md5-threshold function of the cluster key
+    // (append-consistent for untouched clusters); report shape = docs +
+    // distinct clusters per split
+    "q274_leakage_safe_split" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      graft.operators.Sampling.leakageSafeSplit(docs(s, dir), "doc_id",
+          pairs, trainPpm = 800000L, valPpm = 100000L)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_key")).as("n_clusters"))
+    },
+
+    // Soft dedup: every near-duplicate kept but downweighted by its
+    // cluster size (weight_ppm = 1e6 div size) — each cluster contributes
+    // ~one doc of training mass; the weights feed weightedSample/loss
+    // scaling instead of hard removal
+    "q275_soft_dedup_weights" -> { (s, dir) =>
+      val pairs = Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      Dedup.softDedupWeights(docs(s, dir), "doc_id", pairs)
+    },
+
     // 32-bit SimHash fingerprints
     "q28_simhash" -> { (s, dir) =>
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
@@ -1173,6 +1199,73 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // q50's component CTE -> cluster-keyed md5-threshold split (q263's
+    // hash construction over the cluster key instead of the doc id)
+    "q274_leakage_safe_split" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), edges AS (
+         |  SELECT id_1 AS u, id_2 AS v FROM p
+         |  UNION SELECT id_2, id_1 FROM p
+         |), walk(id, label) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
+         |), cl AS (
+         |  SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id
+         |), k AS (
+         |  SELECT doc.doc_id, COALESCE(cl.cluster_id, doc.doc_id) AS ck
+         |  FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.id
+         |), h AS (
+         |  SELECT doc_id, ck,
+         |    CAST(concat('0x', substr(md5(CAST(ck AS VARCHAR)), 1, 15))
+         |      AS BIGINT) % 1000000 AS hm
+         |  FROM k
+         |)
+         |SELECT CASE WHEN hm < 800000 THEN 'train'
+         |            WHEN hm < 900000 THEN 'val' ELSE 'test' END AS split,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_clusters
+         |FROM h GROUP BY 1""".stripMargin,
+
+    // q50's component CTE -> per-doc cluster size and 1e6 div size weight
+    "q275_soft_dedup_weights" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), edges AS (
+         |  SELECT id_1 AS u, id_2 AS v FROM p
+         |  UNION SELECT id_2, id_1 FROM p
+         |), walk(id, label) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
+         |), cl AS (
+         |  SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id
+         |), k AS (
+         |  SELECT doc.doc_id, COALESCE(cl.cluster_id, doc.doc_id) AS ck
+         |  FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.id
+         |), sz AS (
+         |  SELECT ck, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM k GROUP BY 1
+         |)
+         |SELECT k.doc_id, k.ck AS cluster_key, sz.cluster_size,
+         |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
+         |FROM k JOIN sz ON k.ck = sz.ck""".stripMargin,
 
     // exact pair ids (q27 identity) -> per-source flagged counts
     "q241_dup_burden" ->

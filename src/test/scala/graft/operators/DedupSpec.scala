@@ -289,4 +289,32 @@ class DedupSpec extends SparkSpec {
     // cannot silently diverge the gate
     assert(maxBucket < 1000L, s"bucket of $maxBucket would be shed")
   }
+
+  test("softDedupWeights: weight = 1e6 div cluster size, singletons 1e6, " +
+      "cluster mass ≈ one document") {
+    import spark.implicits._
+    val d = (1L to 20L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    // one 3-cluster (1-2-3 via chain) and one 2-cluster (7,9)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_1", "id_2")
+    val out = Dedup.softDedupWeights(d, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 20)
+    Seq(1L, 2L, 3L).foreach(i => assert(out(i) == ((1L, 3L, 333333L))))
+    Seq(7L, 9L).foreach(i => assert(out(i) == ((7L, 2L, 500000L))))
+    assert(out(4L) == ((4L, 1L, 1000000L))) // singleton keeps full weight
+    // per-cluster weight mass never exceeds 1e6 and is within one
+    // truncation step of it
+    val mass = out.values.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    mass.foreach { case (ck, s) =>
+      assert(s <= 1000000L && s > 1000000L - out.size,
+        s"cluster $ck mass $s")
+    }
+    // empty pair set: everything a singleton at full weight
+    val none = Dedup.softDedupWeights(d, "doc_id",
+        Seq.empty[(Long, Long)].toDF("id_1", "id_2"))
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(none == Set((1L, 1000000L)))
+  }
 }

@@ -100,4 +100,44 @@ class SamplingSpec extends SparkSpec {
       .select("id", "split").as[(Long, String)].collect().toSet
     assert(again == first)
   }
+
+  test("leakageSafeSplit: no near-dup pair straddles two splits; " +
+      "singletons match the plain hash split on their own id") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // a 3-chain (1-2, 2-3), a 2-cluster (10-11), and a far pair (50-150)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 150L))
+      .toDF("id_1", "id_2")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+      800000L, 100000L)
+    val m = out.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(m.size == 200)
+    // every pair's endpoints share a split (transitively: the whole chain)
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (50L, 150L)).foreach {
+      case (a, b) => assert(m(a) == m(b), s"pair ($a,$b) straddles splits")
+    }
+    // cluster_key is the component minimum; singletons keep their own id
+    val keys = out.select("doc_id", "cluster_key").as[(Long, Long)]
+      .collect().toMap
+    assert(keys(1L) == 1L && keys(2L) == 1L && keys(3L) == 1L)
+    assert(keys(10L) == 10L && keys(11L) == 10L && keys(150L) == 50L)
+    assert(keys(42L) == 42L)
+    // singleton assignment == plain hashSplit on the id (append-consistent
+    // with a later doc-keyed split of never-clustered rows)
+    val plain = Sampling.hashSplit(docs, col("doc_id"), 800000L, 100000L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L, 50L, 150L)
+    m.keys.filterNot(clustered).foreach(id => assert(m(id) == plain(id)))
+  }
+
+  test("leakageSafeSplit: empty pair set degenerates to hashSplit") {
+    val docs = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_1", "id_2")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", noPairs,
+        800000L, 100000L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val plain = Sampling.hashSplit(docs, col("doc_id"), 800000L, 100000L)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(out == plain)
+  }
 }
