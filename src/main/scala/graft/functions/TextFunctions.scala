@@ -62,10 +62,27 @@ object TextFunctions {
   }
 
   /** Universal-hash family over a base hash: h_ab(x) = (a*(x mod p) + b) mod p
-    * with p = 2^31 - 1 (products stay within Long). */
+    * with p = 2^31 - 1 (products stay within Long).
+    *
+    * NOTE (bucket families): every member of this family is a function of
+    * `x mod p` alone, so two 60-bit inputs congruent mod p collide in
+    * EVERY member — fine for MinHash (min-wise use over small per-doc
+    * sets), but it floors the false-positive rate of a Bloom/CMS bucket
+    * family at ~n/2^31 regardless of width. Bucket families use
+    * [[hash60b]]-based double hashing instead. */
   val MinhashPrime: Long = 2147483647L
   def universalHash(x: Column, a: Long, b: Long): Column =
     pmod(lit(a) * pmod(x, lit(MinhashPrime)) + lit(b), lit(MinhashPrime))
+
+  /** Second, independent 60-bit hash of a [[portableHash60]] value —
+    * md5 of the first hash's decimal string, salted by the family seed.
+    * Feeds Kirsch–Mitzenmacher double hashing (`(h1 + j·h2) mod m`) in
+    * the Bloom/CMS bucket families: positions depend on the full 60-bit
+    * input (collision probability 2^-60 per pair, not the universal
+    * family's mod-2^31 collapse). Engine-portable: the DuckDB twin is
+    * `md5(concat(CAST(h1 AS VARCHAR), '#<seed>'))` prefix arithmetic. */
+  def hash60b(h1: Column, seed: Long): Column =
+    portableHash60(concat(h1.cast("string"), lit("#" + seed)))
 
   /** Deterministic (a, b) parameter list for a minhash family. */
   def minhashParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {

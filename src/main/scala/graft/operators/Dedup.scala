@@ -486,6 +486,21 @@ object Dedup {
       .agg(min(coalesce(col("cluster_id"), col("id"))).as("cluster_id"))
   }
 
+  /** Cluster key per document: the near-dup component id (from
+    * [[clusterPairsStar]]) for clustered docs, the doc's own id for
+    * singletons — the shared labeling step of [[softDedupWeights]] and
+    * [[Sampling.leakageSafeSplit]]. Internal join columns are renamed, so
+    * a `cluster_id` column already on `docs` survives untouched.
+    * Output: `docs`' columns + `cluster_key`. */
+  def clusterKeys(docs: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val labels = clusterPairsStar(pairs)
+      .select(col("id").as(idCol), col("cluster_id").as("__ck_label"))
+    docs.join(labels, Seq(idCol), "left")
+      .withColumn("cluster_key", coalesce(col("__ck_label"), col(idCol)))
+      .drop("__ck_label")
+  }
+
   /** Soft dedup: keep every near-duplicate but DOWNWEIGHT it by its
     * cluster size, so each near-dup component contributes ~one document
     * of training mass (`weight_ppm = 1e6 div cluster_size`; singletons
@@ -502,10 +517,7 @@ object Dedup {
     * integral division keeps weights engine-exact (FP 1/size is not). */
   def softDedupWeights(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
-    val labels = clusterPairsStar(pairs).withColumnRenamed("id", idCol)
-    val keyed = docs.select(col(idCol)).join(labels, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("cluster_id"), col(idCol)).as("cluster_key"))
+    val keyed = clusterKeys(docs.select(col(idCol)), idCol, pairs)
     val sizes = keyed.groupBy(col("cluster_key"))
       .agg(count(lit(1)).as("cluster_size"))
     keyed.join(sizes, Seq("cluster_key"))

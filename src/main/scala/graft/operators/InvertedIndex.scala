@@ -79,10 +79,15 @@ object InvertedIndex {
         count(lit(1)).cast("decimal(38,0)").as("__nd"))
       .select(idiv(col("__lt") * lit(1000000L), col("__nd"))
         .cast("decimal(38,0)").as("__d"))
-    val corpusPost = postings(corpus, idCol, textCol)
+    // ONE postings subtree shared by the scoring side and the df side —
+    // identical subtrees let ReuseExchange serve both from one wordcount
+    // shuffle (a second postings() call would tokenize and shuffle the
+    // 100 TB corpus twice for the same rows)
+    val post = postings(corpus, idCol, textCol)
+    val corpusPost = post
       .join(dl, Seq("id"))
       .crossJoin(broadcast(stats))
-    val termW = postings(corpus, idCol, textCol).groupBy(col("term"))
+    val termW = post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select(col("term"), idfWeight(col("df")).as("w"))
@@ -94,15 +99,23 @@ object InvertedIndex {
     val den = dec(lit(10000L)) * col("__d") * dec(col("tf")) +
       dec(lit(k1Pct.toLong * (100L - bPct))) * col("__d") +
       dec(lit(k1Pct.toLong * bPct * 1000000L)) * dec(col("dl"))
+    scoredTopK(corpusPost.withColumn("sat_ppm", idiv(num, den)),
+      termW, qPost, sum(col("tf_q") * col("w") * col("sat_ppm")), k)
+  }
+
+  /** Shared scoring tail of [[bm25TopK]]/[[tfIdfTopK]]: weight + query
+    * joins, self-match exclusion, per-(query, doc) score aggregation, and
+    * the top-k window (ties break to the lower neighbor id). */
+  private def scoredTopK(posted: DataFrame, termW: DataFrame,
+      qPost: DataFrame, scoreExpr: Column, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
-    corpusPost
-      .withColumn("sat_ppm", idiv(num, den))
+    posted
       .join(termW, Seq("term"))
       .join(broadcast(qPost), Seq("term"))
       .filter(col("id") =!= col("query_id"))
       .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("tf_q") * col("w") * col("sat_ppm")).as("score"))
+      .agg(scoreExpr.as("score"))
       .withColumn("neighbor_id", col("id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -124,17 +137,7 @@ object InvertedIndex {
       .select(col("term"), idfWeight(col("df")).as("w"))
     val qPost = postings(queries, idCol, textCol)
       .select(col("id").as("query_id"), col("term"), col("tf").as("tf_q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    corpusPost
-      .join(termW, Seq("term"))
-      .join(broadcast(qPost), Seq("term"))
-      .filter(col("id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("id"))
-      .agg(sum(col("tf") * col("tf_q") * col("w")).as("score"))
-      .withColumn("neighbor_id", col("id"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+    scoredTopK(corpusPost, termW, qPost,
+      sum(col("tf") * col("tf_q") * col("w")), k)
   }
 }

@@ -25,20 +25,29 @@ object Sampling {
 
   /** The A-ES integer key: `max_{r<w} hash60(id || '#' || r)`.
     * `weight` must be a positive integer column (cap it; the per-row cost
-    * is `weight` md5 evaluations). */
+    * is `weight` md5 evaluations). NULL when `weight < 1`: Spark's
+    * `sequence(0, w-1)` steps DOWNWARD for w ≤ 0, which would hand a
+    * zero-weight row TWO hash draws — a key that stochastically beats
+    * legitimate weight-1 rows. A null key sorts to the bottom of the
+    * descending selection; [[weightedSample]] drops such rows outright. */
   def weightedKey(id: Column, weight: Column): Column =
-    array_max(transform(
-      sequence(lit(0), weight.cast("int") - 1),
-      r => TextFunctions.portableHash60(
-        concat(id.cast("string"), lit("#"), r.cast("string")))))
+    when(weight >= 1,
+      array_max(transform(
+        sequence(lit(0), weight.cast("int") - 1),
+        r => TextFunctions.portableHash60(
+          concat(id.cast("string"), lit("#"), r.cast("string"))))))
 
   /** Per-group weighted sample without replacement: the k rows of each
     * `group` with the largest [[weightedKey]] (id ascending on ties).
+    * Rows with `weight < 1` have zero selection probability and are
+    * excluded (the natural reading of a zero/negative weight — e.g. an
+    * integral-division weight that floored to 0).
     * Returns the input columns plus `w` and `key`. */
   def weightedSample(df: DataFrame, group: Column, id: Column,
       weight: Column, k: Int): DataFrame = {
     val keyed = df
       .withColumn("w", weight.cast("int"))
+      .filter(col("w") >= 1)
       .withColumn("key", weightedKey(id, col("w")))
     graft.plans.TopKPerGroup(keyed, Seq(group),
       Seq(col("key").desc, id.asc), k)
@@ -82,13 +91,9 @@ object Sampling {
     * keyed by the id, and the split itself is map-only. Output: `docs` +
     * `cluster_key` + `split`. */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
-      trainPpm: Long, valPpm: Long): DataFrame = {
-    val labels = Dedup.clusterPairsStar(pairs).withColumnRenamed("id", idCol)
-    val keyed = docs.join(labels, Seq(idCol), "left")
-      .withColumn("cluster_key", coalesce(col("cluster_id"), col(idCol)))
-      .drop("cluster_id")
-    hashSplit(keyed, col("cluster_key"), trainPpm, valPpm)
-  }
+      trainPpm: Long, valPpm: Long): DataFrame =
+    hashSplit(Dedup.clusterKeys(docs, idCol, pairs),
+      col("cluster_key"), trainPpm, valPpm)
 
   /** EXACT-quota stratified split: within every stratum, rows order by
     * (hash60(id), id) — a deterministic permutation — and the first

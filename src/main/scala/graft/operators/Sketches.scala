@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.{portableHash60, universalHash, minhashParams}
+import graft.functions.TextFunctions.{portableHash60, hash60b}
 
 /** Distributed sketches with engine-portable determinism.
   *
@@ -46,7 +46,11 @@ object Sketches {
   ): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
     val g = groupCols.map(col)
+    // null hashes carry no identity: drop them (the asc heap is
+    // NULLS-FIRST, so a null would otherwise occupy a k-minima slot and
+    // displace the true k-th minimum — a silent overestimate)
     val base = df.select((g :+ col(hashCol).as("__h")): _*)
+      .filter(col("__h").isNotNull)
     // estimate path: TopKPerGroup's DISTINCT mode dedups inside the
     // bounded heaps, so no separate distinct exchange ever materializes —
     // the one clustering shuffle carries ≤ partitions×groups×k rows.
@@ -71,12 +75,21 @@ object Sketches {
       .join(withEst, groupCols)
   }
 
-  /** Bucket of `item` in CMS row `j`: universal-hash the 60-bit item hash,
-    * then mod width. All-integer, engine-portable. */
-  private def cmsBucket(item: Column, params: Seq[(Long, Long)], j: Int,
-      width: Int): Column =
-    pmod(universalHash(portableHash60(item), params(j)._1, params(j)._2),
-      lit(width))
+  /** Bucket of `item` in CMS row `j`: Kirsch–Mitzenmacher double hashing
+    * `(h1 + j·h2) mod width` over two independent 60-bit md5 hashes
+    * ([[portableHash60]] of the item and [[hash60b]] of that hash, salted
+    * by the family seed). All-integer, engine-portable, and — unlike the
+    * `(a·(x mod 2^31−1)+b)` universal family — row buckets depend on the
+    * full 60-bit input, so mod-2^31 twins don't collide in every row
+    * (which broke the e^-depth independence bound at ≥2^31 items). The
+    * inner mods keep every operand < width·depth — no overflow. */
+  private def cmsBucket(item: Column, seed: Long, j: Int,
+      width: Int): Column = {
+    val h1 = portableHash60(item)
+    pmod(pmod(h1, lit(width.toLong)) +
+      lit(j.toLong) * pmod(hash60b(h1, seed), lit(width.toLong)),
+      lit(width.toLong))
+  }
 
   /** Exact bit length of a NON-NEGATIVE long column: (hex digits − 1)·4 +
     * bits of the leading hex digit; 0 for 0. All-integer — avoids the
@@ -146,7 +159,11 @@ object Sketches {
     require(log2m >= 4 && log2m <= 12, "hll needs 4 <= log2m <= 12")
     val m = 1 << log2m
     val g = groupCols.map(col)
-    df.select((g :+ pmod(col(hashCol), lit(m.toLong)).as("reg_idx") :+
+    // a null hash would mint a phantom (null, null) register that counts
+    // toward __present but contributes nothing to __s — reg_sum then loses
+    // one untouched-register term and the estimate silently inflates
+    df.filter(col(hashCol).isNotNull)
+      .select((g :+ pmod(col(hashCol), lit(m.toLong)).as("reg_idx") :+
         bitLength(shiftright(col(hashCol), log2m)).as("reg_mb")): _*)
       .groupBy((g :+ col("reg_idx")): _*)
       .agg(min(col("reg_mb")).as("reg_mb"))
@@ -217,10 +234,12 @@ object Sketches {
       seed: Long = 7L
   ): DataFrame = {
     require(width >= 2 && depth >= 1)
-    val params = minhashParams(depth, seed)
     val g = groupCols.map(col)
-    val withBuckets = (0 until depth).foldLeft(items) { (df, j) =>
-      df.withColumn(s"__b$j", cmsBucket(col(itemCol), params, j, width))
+    // null items hash to null buckets (match no cell); drop them so the
+    // dense and sparse forms agree and no null cell rows materialize
+    val nonNull = items.filter(col(itemCol).isNotNull)
+    val withBuckets = (0 until depth).foldLeft(nonNull) { (df, j) =>
+      df.withColumn(s"__b$j", cmsBucket(col(itemCol), seed, j, width))
     }
     withBuckets.groupBy(g: _*)
       .agg(array((0 until depth).map { j =>
@@ -246,12 +265,12 @@ object Sketches {
       seed: Long = 7L
   ): DataFrame = {
     require(width >= 2 && depth >= 1)
-    val params = minhashParams(depth, seed)
     val g = groupCols.map(col)
     val cells = explode(array((0 until depth).map(j =>
       struct(lit(j).as("j"),
-        cmsBucket(col(itemCol), params, j, width).as("bucket"))): _*))
+        cmsBucket(col(itemCol), seed, j, width).as("bucket"))): _*))
     items
+      .filter(col(itemCol).isNotNull) // null items -> null cells: drop
       .select((g :+ cells.as("__c")): _*)
       .groupBy((g ++ Seq(col("__c.j").as("j"), col("__c.bucket").as("bucket"))): _*)
       .agg(count(lit(1)).as("cnt"))
@@ -294,12 +313,11 @@ object Sketches {
   ): DataFrame = {
     require(!groupCols.exists(Seq("j", "bucket", "cnt").contains),
       "group columns may not be named j/bucket/cnt")
-    val params = minhashParams(depth, seed)
     val hint: DataFrame => DataFrame =
       if (broadcastSketch) broadcast else identity
     val cells = explode(array((0 until depth).map(j =>
       struct(lit(j).as("j"),
-        cmsBucket(col(itemCol), params, j, width).as("bucket"))): _*))
+        cmsBucket(col(itemCol), seed, j, width).as("bucket"))): _*))
     val probeCells = probes
       .withColumn("__c", cells)
       .select(col(itemCol), col("__c.j").as("j"), col("__c.bucket").as("bucket"))
@@ -318,13 +336,18 @@ object Sketches {
 
   /** Bit positions a pre-hashed item (a [[portableHash60]]/
     * [[graft.functions.TextFunctions.shingleHashes60]] value) sets in an
-    * `mBits` Bloom filter: k universal hashes mod m. All-integer and
-    * engine-portable, the same bucket math as [[countMin]]. */
+    * `mBits` Bloom filter: Kirsch–Mitzenmacher double hashing
+    * `(h1 + j·h2) mod m` — the same bucket math as [[countMin]], for the
+    * same reason (positions depend on the full 60-bit input; the
+    * universal family's mod-2^31 collapse floored the FP rate at ~n/2^31
+    * no matter how many bits were provisioned). All-integer and
+    * engine-portable. */
   def bloomPositions(hash60: Column, mBits: Int, k: Int,
       seed: Long = 11L): Seq[Column] = {
-    val params = minhashParams(k, seed)
-    params.map { case (a, b) =>
-      pmod(universalHash(hash60, a, b), lit(mBits))
+    val m = lit(mBits.toLong)
+    val h2m = pmod(hash60b(hash60, seed), m)
+    (0 until k).map { j =>
+      pmod(pmod(hash60, m) + lit(j.toLong) * h2m, m)
     }
   }
 
@@ -343,6 +366,7 @@ object Sketches {
     require(mBits >= 64 && mBits % 64 == 0 && k >= 1)
     val pos = explode(array(bloomPositions(col(hashCol), mBits, k, seed): _*))
     items
+      .filter(col(hashCol).isNotNull) // null hash sets no bits
       .select(pos.as("__pos"))
       .select((col("__pos") / 64).cast("int").as("word_idx"),
         call_function("shiftleft", lit(1L),
@@ -389,10 +413,9 @@ object Sketches {
       depth: Int,
       seed: Long = 7L
   ): DataFrame = {
-    val params = minhashParams(depth, seed)
     val rows = (0 until depth).map { j =>
       element_at(element_at(col("cms"), j + 1),
-        (cmsBucket(col(itemCol), params, j, width) + 1).cast("int"))
+        (cmsBucket(col(itemCol), seed, j, width) + 1).cast("int"))
     }
     val est = if (depth == 1) rows.head else least(rows: _*)
     probes.crossJoin(broadcast(sketch))
@@ -500,8 +523,10 @@ object Sketches {
   ): DataFrame = {
     require(k >= 2, "kmv needs k >= 2")
     val g = groupCols.map(col)
+    // null hashes dropped — same NULLS-FIRST heap-slot trap as kmvDistinct
     val capped = graft.plans.TopKPerGroup.distinct(
-      df.select((g :+ col(hashCol).as("__h")): _*), g, Seq(col("__h").asc), k)
+      df.select((g :+ col(hashCol).as("__h")): _*)
+        .filter(col("__h").isNotNull), g, Seq(col("__h").asc), k)
     capped.groupBy(g: _*)
       .agg(sort_array(collect_list(col("__h"))).as("kmv"))
   }
@@ -604,6 +629,8 @@ object Sketches {
       seed: Long = 7L
   ): DataFrame = {
     require(phiPpm >= 1 && phiPpm <= 1000000L, "phiPpm in [1, 1e6]")
+    // countMinSparse drops null items, so no null-bucket cell can reach
+    // the driver loop below; the gate side filters them symmetrically
     val sk = countMinSparse(items, Nil, itemCol, width, depth, seed).collect()
     val cells = Array.ofDim[Long](depth * width)
     var n = 0L
@@ -613,16 +640,19 @@ object Sketches {
       cells(j * width + bucket) = cnt
       if (j == 0) n += cnt
     }
-    // threshold ⌈φ·N⌉ in pure integer math (ppm), floored at 1
-    val threshold = math.max(1L, (n * phiPpm + 999999L) / 1000000L)
+    // threshold ⌈φ·N⌉ in exact integer math (BigInt: n·phiPpm overflows
+    // Long past n ≈ 9.2e12 items — precisely the stream sizes this gate
+    // exists for; the wrapped negative threshold would silently degrade
+    // the gate to a full wordcount with a wrong cutoff)
+    val threshold = ((BigInt(n) * phiPpm + 999999L) / 1000000L)
+      .max(BigInt(1)).toLong
     val cellsLit = typedLit(cells.toSeq)
-    val params = minhashParams(depth, seed)
     val est = (0 until depth).map { j =>
       element_at(cellsLit,
-        (cmsBucket(col(itemCol), params, j, width) + lit(j * width + 1))
+        (cmsBucket(col(itemCol), seed, j, width) + lit(j * width + 1))
           .cast("int"))
     }.reduce(least(_, _))
-    items.filter(est >= lit(threshold))
+    items.filter(col(itemCol).isNotNull && est >= lit(threshold))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= lit(threshold))

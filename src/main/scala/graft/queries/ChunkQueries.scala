@@ -694,6 +694,12 @@ object ChunkQueries {
   private val sqlHash60 =
     "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
+  /** DuckDB twin of [[graft.functions.TextFunctions.hash60b]] (the CMS
+    * double-hash bucket family's second hash). */
+  private def sqlHash60b(h: String, seed: Long) =
+    s"CAST(concat('0x', substr(md5(concat(CAST($h AS VARCHAR), '#$seed'))," +
+      " 1, 15)) AS BIGINT)"
+
   private val sqlSamples =
     """SELECT user_id AS channel,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS BIGINT)
@@ -915,24 +921,27 @@ object ChunkQueries {
     // CMS cells per side (q194's hash family), inner products per row j,
     // min over j = the estimate; exact via the per-key count join
     "q230_join_size_estimate" -> {
-      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
-      val vals = ps.zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
       s"""WITH l AS (
          |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
          |  WHERE event_type = 'click'
          |), r AS (
          |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
          |  WHERE event_type = 'purchase'
-         |), d(j, a, b) AS (VALUES $vals
+         |), d(j) AS (VALUES (0), (1), (2), (3)
+         |), h1 AS (
+         |  SELECT hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
+         |    SELECT $sqlHash60 AS hx FROM l)
+         |), h2 AS (
+         |  SELECT hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
+         |    SELECT $sqlHash60 AS hx FROM r)
          |), c1 AS (
-         |  SELECT j, ((a * ($sqlHash60 % 2147483647) + b) % 2147483647) % 32
-         |    AS bk, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM l CROSS JOIN d GROUP BY 1, 2
+         |  SELECT j, (hx % 32 + j * (hy % 32)) % 32 AS bk,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM h1 CROSS JOIN d GROUP BY 1, 2
          |), c2 AS (
-         |  SELECT j, ((a * ($sqlHash60 % 2147483647) + b) % 2147483647) % 32
-         |    AS bk, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM r CROSS JOIN d GROUP BY 1, 2
+         |  SELECT j, (hx % 32 + j * (hy % 32)) % 32 AS bk,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM h2 CROSS JOIN d GROUP BY 1, 2
          |), ip AS (
          |  SELECT c1.j, CAST(SUM(c1.c * c2.c) AS BIGINT) AS ip
          |  FROM c1 JOIN c2 ON c1.j = c2.j AND c1.bk = c2.bk
@@ -1160,25 +1169,21 @@ object ChunkQueries {
     // ONE estimate CTE serves both columns — merged and direct sketches
     // are provably cell-identical (CMS linearity), which is the claim
     "q194_cms_day_merge" -> {
-      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
-      val vals = ps.zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
       s"""WITH e AS (
          |  SELECT CAST(user_id AS VARCHAR) AS s FROM events
          |), h AS (
-         |  SELECT s, $sqlHash60 AS hx FROM e
-         |), d(j, a, b) AS (VALUES $vals
+         |  SELECT s, hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
+         |    SELECT s, $sqlHash60 AS hx FROM e)
+         |), d(j) AS (VALUES (0), (1), (2), (3)
          |), b AS (
-         |  SELECT s, j,
-         |    ((a * (hx % 2147483647) + b) % 2147483647) % 32 AS bk
+         |  SELECT s, j, (hx % 32 + j * (hy % 32)) % 32 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2
          |), probes AS (
-         |  SELECT DISTINCT s, hx FROM h
+         |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j,
-         |    ((a * (hx % 2147483647) + b) % 2147483647) % 32 AS bk
+         |  SELECT s, j, (hx % 32 + j * (hy % 32)) % 32 AS bk
          |  FROM probes CROSS JOIN d
          |), est AS (
          |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS est

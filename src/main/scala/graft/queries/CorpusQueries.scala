@@ -24,6 +24,13 @@ object CorpusQueries {
   private val sqlHash60 =
     "CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)"
 
+  /** DuckDB twin of [[graft.functions.TextFunctions.hash60b]]: the second,
+    * seed-salted 60-bit hash the Bloom/CMS double-hash bucket families
+    * consume. */
+  private def sqlHash60b(h: String, seed: Long) =
+    s"CAST(concat('0x', substr(md5(concat(CAST($h AS VARCHAR), '#$seed'))," +
+      " 1, 15)) AS BIGINT)"
+
   /** q213's Pearson r over exact integer moments — ONE text parsed by both
     * engines (the QaSampling.wilson discipline). */
   private val sqlPearson =
@@ -948,22 +955,22 @@ object CorpusQueries {
          |GROUP BY 1""".stripMargin,
 
     "q105_bloom_decontaminate" -> {
-      val ps = graft.functions.TextFunctions.minhashParams(3, 11L)
-      val vals = ps.zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
-      s"""WITH sh AS (
+      // Kirsch–Mitzenmacher double hashing, mirroring bloomPositions:
+      // pos_j = (h1 + j·h2) mod m, h2 = hash60b(h1, seed)
+      s"""WITH sh0 AS (
          |  SELECT doc_id,
          |    unnest(list_distinct(list_transform(${sqlShingles(3)},
          |      s -> $sqlHash60))) AS gram
          |  FROM documents
-         |), d(j, a, b) AS (VALUES $vals
+         |), sh AS (
+         |  SELECT doc_id, gram, ${sqlHash60b("gram", 11L)} AS g2 FROM sh0
+         |), d(j) AS (VALUES (0), (1), (2)
          |), bbits AS (
-         |  SELECT DISTINCT
-         |    ((a * (gram % 2147483647) + b) % 2147483647) % 4096 AS pos
+         |  SELECT DISTINCT (gram % 4096 + j * (g2 % 4096)) % 4096 AS pos
          |  FROM sh CROSS JOIN d WHERE doc_id % 50 = 0
          |), tpos AS (
          |  SELECT doc_id, gram, j,
-         |    ((a * (gram % 2147483647) + b) % 2147483647) % 4096 AS pos
+         |    (gram % 4096 + j * (g2 % 4096)) % 4096 AS pos
          |  FROM sh CROSS JOIN d WHERE doc_id % 50 <> 0
          |), hits AS (
          |  SELECT doc_id, gram, COUNT(bbits.pos) AS nb
@@ -1103,26 +1110,22 @@ object CorpusQueries {
          |FROM sc""".stripMargin,
 
     "q86_countmin_freq" -> {
-      // inline the same seeded universal-hash params the Spark side uses
-      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
-      val vals = ps.zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+      // the same seeded double-hash bucket family the Spark side uses
       s"""WITH toks AS (
          |  SELECT source, unnest($sqlToks) AS s FROM documents
          |), h AS (
-         |  SELECT source, s, $sqlHash60 AS hx FROM toks
-         |), d(j, a, b) AS (VALUES $vals
+         |  SELECT source, s, hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
+         |    SELECT source, s, $sqlHash60 AS hx FROM toks)
+         |), d(j) AS (VALUES (0), (1), (2), (3)
          |), b AS (
-         |  SELECT source, j,
-         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  SELECT source, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT source, j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
          |), probes AS (
-         |  SELECT DISTINCT s, hx FROM h
+         |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j,
-         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  SELECT s, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
          |  FROM probes CROSS JOIN d
          |), srcs AS (
          |  SELECT DISTINCT source FROM documents
@@ -1143,25 +1146,21 @@ object CorpusQueries {
     },
 
     "q171_cms_topk" -> {
-      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
-      val vals = ps.zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
       s"""WITH toks AS (
          |  SELECT source, unnest($sqlToks) AS s FROM documents
          |), h AS (
-         |  SELECT source, s, $sqlHash60 AS hx FROM toks
-         |), d(j, a, b) AS (VALUES $vals
+         |  SELECT source, s, hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
+         |    SELECT source, s, $sqlHash60 AS hx FROM toks)
+         |), d(j) AS (VALUES (0), (1), (2), (3)
          |), b AS (
-         |  SELECT source, j,
-         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  SELECT source, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT source, j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
          |), probes AS (
-         |  SELECT DISTINCT s, hx FROM h
+         |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j,
-         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  SELECT s, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
          |  FROM probes CROSS JOIN d
          |), srcs AS (
          |  SELECT DISTINCT source FROM documents
@@ -1209,24 +1208,21 @@ object CorpusQueries {
         |WHERE rk <= n_target""".stripMargin,
 
     "q88_surprisal_score" -> {
-      val ps = graft.functions.TextFunctions.minhashParams(4, 7L)
-      val vals = ps.zipWithIndex
-        .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
       s"""WITH toks AS (
          |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
          |), h AS (
-         |  SELECT doc_id, s, $sqlHash60 AS hx FROM toks
-         |), d(j, a, b) AS (VALUES $vals
+         |  SELECT doc_id, s, hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
+         |    SELECT doc_id, s, $sqlHash60 AS hx FROM toks)
+         |), d(j) AS (VALUES (0), (1), (2), (3)
          |), bx AS (
-         |  SELECT j, ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  SELECT j, (hx % 16 + j * (hy % 16)) % 16 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT j, bk, COUNT(*) AS c FROM bx GROUP BY 1, 2
          |), probes AS (
-         |  SELECT DISTINCT s, hx FROM h
+         |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j,
-         |    ((a * (hx % 2147483647) + b) % 2147483647) % 16 AS bk
+         |  SELECT s, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
          |  FROM probes CROSS JOIN d
          |), est AS (
          |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS e

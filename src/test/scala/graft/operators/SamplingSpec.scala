@@ -130,6 +130,19 @@ class SamplingSpec extends SparkSpec {
     m.keys.filterNot(clustered).foreach(id => assert(m(id) == plain(id)))
   }
 
+  test("zero/negative weights mean zero selection probability (excluded), " +
+      "not a bonus hash draw") {
+    // sequence(0, w-1) steps DOWNWARD for w <= 0, which would hand a
+    // weight-0 row TWO draws — a key that stochastically beats honest
+    // weight-1 rows; weightedSample must exclude such rows instead
+    val df = ((1L to 20L).map(i => ("g", i, 1)) ++
+      Seq(("g", 100L, 0), ("g", 101L, -3))).toDF("g", "id", "wgt")
+    val picked = Sampling.weightedSample(df, col("g"), col("id"),
+      col("wgt"), k = 20).select("id").as[Long].collect().toSet
+    assert(!picked.contains(100L) && !picked.contains(101L))
+    assert(picked == (1L to 20L).toSet) // every positive-weight row kept
+  }
+
   test("leakageSafeSplit: empty pair set degenerates to hashSplit") {
     val docs = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
     val noPairs = Seq.empty[(Long, Long)].toDF("id_1", "id_2")

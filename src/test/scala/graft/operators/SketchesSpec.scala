@@ -542,4 +542,58 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("a" -> 2L, "b" -> 1L, "c" -> 3L))
   }
+
+  test("bucket families separate mod-2^31 twins (double hashing, not the " +
+      "universal family's mod-p collapse)") {
+    // two 60-bit hashes congruent mod 2^31-1: under the (a·(x mod p)+b)
+    // family EVERY bloom position and EVERY cms row bucket coincided —
+    // flooring bloom FP at ~n/2^31 regardless of provisioned bits
+    val p = 2147483647L
+    val twins = Seq(12345L, 12345L + p, 12345L + 7L * p).toDF("h")
+    val posCols = Sketches.bloomPositions(col("h"), mBits = 4096, k = 5)
+    val pos = twins.select(array(posCols: _*).as("pos"))
+      .collect().map(_.getSeq[Long](0).toVector)
+    assert(pos.distinct.length == 3,
+      s"mod-p twins share all bloom positions: ${pos.mkString(" | ")}")
+    // same separation for CMS buckets: the sparse cell sets must differ
+    // across the twins' single-item sketches (strings hash via
+    // portableHash60 internally, so craft twin STRINGS is not needed —
+    // feed the hashes through a probe frame and compare bucket vectors)
+    val cells = Seq(12345L, 12345L + p).map { h =>
+      Sketches.countMinSparse(Seq(h.toString).toDF("item"), Nil,
+        "item", width = 1024, depth = 4)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    }
+    // twin STRINGS do not hash to mod-p-congruent values, so this pins
+    // only that buckets vary with j (K-M double hashing in effect)
+    assert(cells.head.map(_._1) == Set(0, 1, 2, 3))
+  }
+
+  test("null items/hashes are dropped, not counted (kmv, hll, cms, " +
+      "heavy hitters)") {
+    val withNull = Seq(Some(100L), Some(200L), Some(300L), None)
+      .toDF("h")
+    // kmv: null must not occupy a k-minima slot (k=3 → kth would be the
+    // null under NULLS-FIRST asc). 3 distinct reals < k+1 → exact count 3
+    val kmv = Sketches.kmvDistinct(withNull.withColumn("g", lit("g")),
+      Seq("g"), "h", k = 4).collect().head
+    assert(kmv.getAs[Long]("est_distinct") == 3L)
+    // kmvSketch: array holds only the real hashes
+    val arr = Sketches.kmvSketch(withNull.withColumn("g", lit("g")),
+      Seq("g"), "h", k = 4).collect().head.getSeq[Long](1)
+    assert(arr == Seq(100L, 200L, 300L))
+    // hll: no phantom register — present registers == distinct real hashes
+    val regs = Sketches.hllRegisters(withNull.withColumn("g", lit("g")),
+      Seq("g"), "h", log2m = 4).collect()
+    assert(regs.length == 3 && regs.forall(!_.isNullAt(1)))
+    // cms sparse: no null-bucket cells
+    val items = Seq(Some("a"), Some("b"), None).toDF("item")
+    val cells = Sketches.countMinSparse(items, Nil, "item", 16, 2).collect()
+    assert(cells.forall(!_.isNullAt(1)))
+    assert(cells.map(_.getLong(2)).sum == 4L) // 2 items × 2 rows
+    // heavy hitters: a null item must not NPE the driver cell loop
+    val hh = Sketches.heavyHittersExact(items, "item", 1L, 16, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a" -> 1L, "b" -> 1L))
+  }
 }
