@@ -348,8 +348,13 @@ object CorpusOps {
     val idStr = col(idCol).cast("string")
     val w = Window.partitionBy(col("shard"))
       .orderBy(md5(idStr.cast("binary")).asc, col(idCol).asc)
+    // null text counts -1 (size of null) and '' counts 1 (tokens('') is
+    // ['']) — either corrupts the running offset of every later doc in
+    // the shard; no-content docs contribute 0 tokens
+    val nTok = when(col(textCol).isNull || trim(col(textCol)) === "", lit(0L))
+      .otherwise(size(tokens(col(textCol))).cast("long"))
     docs
-      .select(col(idCol), size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .select(col(idCol), nTok.as("n_tokens"))
       .withColumn("shard", pmod(portableHash60(idStr), lit(nShards)))
       .withColumn("__end", sum(col("n_tokens")).over(w))
       .withColumn("__start", col("__end") - col("n_tokens"))
@@ -718,9 +723,14 @@ object CorpusOps {
       .select(col(domainCol), col("tok"), col("__g.tau_idx").as("tau_idx"),
         floor(col("__g.w") * lit(1000000.0)).cast("long").as("w_int"))
     val tot = g.groupBy(col("tau_idx")).agg(sum(col("w_int")).as("__tw"))
+    // DECIMAL(38,0) products: budget·w_int reaches 2.5e13·1e12 on a
+    // 100 TB corpus with tau=1 weights — 2^63 wraps silently, DECIMAL
+    // holds it exactly (same discipline as tokenDistributionDrift)
     val scored = g.join(tot, Seq("tau_idx"))
-      .withColumn("__target", expr(s"($budgetTokens * w_int) div __tw"))
-      .withColumn("__over", expr("(1000000 * __target) div tok"))
+      .withColumn("__target", expr(
+        s"(CAST($budgetTokens AS DECIMAL(38,0)) * w_int) div __tw"))
+      .withColumn("__over", expr(
+        "(CAST(1000000 AS DECIMAL(38,0)) * __target) div tok"))
       .groupBy(col("tau_idx"))
       .agg(max(col("__over")).as("max_oversample_ppm"))
       .withColumn("feasible",
@@ -750,12 +760,17 @@ object CorpusOps {
   ): DataFrame = {
     require(maxTokens >= 1, "chunkDocuments needs maxTokens >= 1")
     val toks = tokens(col(textCol))
-    val chunks = when(size(toks) === 0, array().cast("array<string>"))
+    // guarded token count: tokens(null) is null (size = -1, which would
+    // drive sequence() DESCENDING and emit phantom null chunks) and
+    // tokens('') is [''] (one bogus token) — both are no-content docs
+    val nTok = when(col(textCol).isNull || trim(col(textCol)) === "", lit(0))
+      .otherwise(size(toks))
+    val chunks = when(nTok === 0, array().cast("array<string>"))
       .otherwise(transform(
-        sequence(lit(0), floor((size(toks) - 1) / maxTokens).cast("int")),
+        sequence(lit(0), floor((nTok - 1) / maxTokens).cast("int")),
         i => array_join(slice(toks, i * maxTokens + 1, lit(maxTokens)), " ")))
     docs
-      .select(col(idCol), size(toks).as("__n"),
+      .select(col(idCol), nTok.as("__n"),
         posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
       .withColumn("n_tokens",
         least(col("__n") - col("chunk_idx") * maxTokens, lit(maxTokens))
@@ -785,7 +800,11 @@ object CorpusOps {
       idCol: String,
       textCol: String
   ): DataFrame = {
-    val fp = md5(col(textCol).cast("binary"))
+    // null text gets a sentinel fingerprint: md5(null) is null, and a
+    // null hash fails every equality below — an id present in BOTH
+    // snapshots with null text would otherwise be reported removed+added
+    val fp = coalesce(md5(col(textCol).cast("binary")),
+      lit("__null_text__"))
     val p = prev.select(col(idCol).as("id"), fp.as("__oh"))
     val c = curr.select(col(idCol).as("id"), fp.as("__nh"))
     val j = p.join(c, Seq("id"), "full")

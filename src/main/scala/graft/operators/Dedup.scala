@@ -714,7 +714,7 @@ object Dedup {
     val b = v.select(col("block"), col("id").as("id_2"), col("v").as("v_2"))
     a.join(b, Seq("block"))
       .filter(col("id_1") < col("id_2"))
-      .withColumn("cosine", round(Similarity.dot(col("v_1"), col("v_2")), 6))
+      .withColumn("cosine", round(Similarity.nanSafe(Similarity.dot(col("v_1"), col("v_2"))), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_1"), col("id_2"), col("cosine"))
   }

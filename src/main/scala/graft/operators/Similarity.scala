@@ -36,13 +36,27 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** NaN→null guard for similarity scores: Spark orders NaN GREATER than
+    * every double, so one corrupt coordinate (or a zero-norm vector's
+    * 0/0) would pass every `cosine >= threshold` gate and rank FIRST
+    * under `cosine.desc` — the corrupt vector becomes everyone's nearest
+    * neighbor. As null it fails the gates and sorts last instead. */
+  def nanSafe(c: Column): Column = when(!isnan(c), c)
+
+  def cosine(a: Column, b: Column): Column = {
+    // zero-norm guard: under ANSI mode 0.0/0.0 THROWS (not NaN) — a
+    // single zero vector would kill the whole job; null it instead
+    val den = norm(a) * norm(b)
+    nanSafe(when(den =!= 0.0, dot(a, b) / den))
+  }
 
   /** Unit-normalize a double array (v / ||v||): pay the norm ONCE per vector
     * so downstream pairwise cosine is a single dot product. */
   def normalize(a: Column): Column = {
     val n = norm(a)
-    transform(a, x => x / n)
+    // zero-norm vectors null out whole (ANSI: x/0.0 throws); a null
+    // vector then null-propagates through dot → cosine → threshold gates
+    when(n =!= 0.0, transform(a, x => x / n))
   }
 
   private def asDouble(vecCol: Column): Column =
@@ -300,7 +314,7 @@ object Similarity {
       .filter(col("band") ===
         firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
       .withColumn("cosine",
-        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
+        round(nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
@@ -388,7 +402,7 @@ object Similarity {
       // the SAME dot/(nrm·nrm) rounded double as the separate paths — the
       // fused form must stay bit-identical to the one-shot and exact forms
       .withColumn("cosine",
-        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
+        round(nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))), 6))
       .withColumn("__same", col("__ql") === col("__nl"))
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("__same"))
@@ -717,7 +731,7 @@ object Similarity {
       .filter(col("band") ===
         firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
       .withColumn("cosine",
-        round(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn")), 6))
+        round(nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
     (scored, bRows)
   }
@@ -1085,7 +1099,10 @@ object Similarity {
     * never the corpus. */
   def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
     exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id"))
+      // distinct: a duplicate (query, neighbor) row on the approx side
+      // (e.g. a union of per-shard top-k lists) would fan out the join
+      // and inflate BOTH n_exact and n_hit — the retrievalMetrics guard
+      .join(approx.select(col("query_id"), col("neighbor_id")).distinct()
         .withColumn("__hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("query_id"))
@@ -1176,14 +1193,18 @@ object Similarity {
   /** Deterministic Lloyd refinement: `iterations` assign/mean steps over a
     * fixed centroid seed (each step: map-only assignment + one groupBy per
     * dimension mean). A k-means stand-in good enough to shape IVF buckets;
-    * plug a trained model in production. */
+    * plug a trained model in production. Per-dimension means are computed
+    * as integer-scaled sums (floor(x·2^20)) divided ONCE — a raw double
+    * avg() merges partials in shuffle-fetch order, so centroid low bits
+    * (and boundary vectors' cluster assignment) would vary run to run. */
   def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, iterations: Int): DataFrame =
     (1 to iterations).foldLeft(centroids) { (cents, _) =>
       assignClusters(corpus, idCol, vecCol, cents)
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(floor(col("x") * lit(1048576.0)).cast("long"))
+          .cast("double") / (count(lit(1)) * lit(1048576.0))).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
@@ -1310,6 +1331,17 @@ object Similarity {
     val b = sOk.select(blkC ++ Seq(col("band"), col("sig"),
       col("id").as("id_2"), col("fullsig").as("__f2")): _*)
     val joined = a.join(b, bucketKey).filter(col("id_1") < col("id_2"))
+    // Cap-pressure semantics of the two dedup forms DIFFER, deliberately:
+    // the packed filter keeps a pair only at its globally-first collision
+    // band, so a pair whose first shared bucket was cap-shed is dropped
+    // even if a later shared bucket survived; the distinct() fallback
+    // keeps any pair with at least one surviving bucket. The packed rule
+    // sheds exactly the pairs whose first collision lands in a hot
+    // (boilerplate-blob) bucket — the population the cap exists to shed —
+    // and buys the no-exchange dedup; recovering the fallback's rule
+    // would need a pair-keyed exchange (min surviving band), the cost the
+    // packed form exists to avoid. At the gate no bucket reaches the cap
+    // (spec-pinned), so the two forms are machine-checked equal there.
     val candidates = if (packedFits) {
       joined.filter(col("band") ===
           firstCollisionBand(col("__f1"), col("__f2"), bands, bitsPerBand))
@@ -1318,7 +1350,7 @@ object Similarity {
     val pairs = candidates
       .join(v.select(col("id").as("id_1"), col("v").as("v_1")), "id_1")
       .join(v.select(col("id").as("id_2"), col("v").as("v_2")), "id_2")
-      .withColumn("cosine", round(dot(col("v_1"), col("v_2")), 6))
+      .withColumn("cosine", round(nanSafe(dot(col("v_1"), col("v_2"))), 6))
       .filter(col("cosine") >= threshold)
       .select(col("id_1"), col("id_2"), col("cosine"))
     // materialize the (small) pair set, then release the cached vectors so
@@ -1367,7 +1399,7 @@ object Similarity {
       col("v").as("v_b"))
     a.join(b, Seq("centroid_id"))
       .filter(col("keep_id") < col("id"))
-      .withColumn("cosine", round(dot(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine", round(nanSafe(dot(col("v_a"), col("v_b"))), 6))
       .filter(col("cosine") >= threshold)
       .groupBy(col("id"))
       .agg(
@@ -1404,8 +1436,7 @@ object Similarity {
   def pqAssign(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16): DataFrame = {
     val sub = pqSubVectors(corpus, idCol, vecCol, m)
-    val cb = broadcast(sub.filter(col("id") < k)
-      .select(col("s"), col("id").as("code"), col("sv").as("cv")))
+    val cb = broadcast(pqCodebook(corpus, idCol, vecCol, m, k))
     val w = Window.partitionBy(col("id"), col("s"))
       .orderBy(col("d_micro").asc, col("code").asc)
     sub.join(cb, Seq("s"))
@@ -1413,6 +1444,21 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("id"), col("s"), col("code"))
+  }
+
+  /** The (s, code, cv) PQ codebook shared by [[pqAssign]]/[[pqTopK]]/
+    * [[ivfPqTopK]]: sub-vectors of the first `k` corpus vectors IN ID
+    * ORDER, codes 0..k−1 by that order (== the id for dense 0-based id
+    * spaces, which the former `id < k` filter silently required — UUID or
+    * offset ids yielded a short or empty codebook and empty PQ results
+    * with no error). TakeOrdered keeps the seed pick at k rows map-side. */
+  private def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): DataFrame = {
+    val firstK = corpus.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1)
+        .cast("long").as("__code"), col(vecCol).as("__cv"))
+    pqSubVectors(firstK, "__code", "__cv", m)
+      .select(col("s"), col("id").as("code"), col("sv").as("cv"))
   }
 
   /** PQ approximate top-k via asymmetric distance computation: per query,
@@ -1424,8 +1470,7 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, kNeighbors: Int, m: Int = 8, k: Int = 16): DataFrame = {
     val codes = pqAssign(corpus, idCol, vecCol, m, k)
-    val cb = pqSubVectors(corpus, idCol, vecCol, m).filter(col("id") < k)
-      .select(col("s"), col("id").as("code"), col("sv").as("cv"))
+    val cb = pqCodebook(corpus, idCol, vecCol, m, k)
     val qTable = pqSubVectors(queries, idCol, vecCol, m)
       .select(col("id").as("query_id"), col("s"), col("sv"))
       .join(cb, Seq("s"))
@@ -1480,8 +1525,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val codes = pqAssign(corpus, idCol, vecCol, m, kCodes)
       .withColumnRenamed("id", "neighbor_id")
-    val cb = pqSubVectors(corpus, idCol, vecCol, m).filter(col("id") < kCodes)
-      .select(col("s"), col("id").as("code"), col("sv").as("cv"))
+    val cb = pqCodebook(corpus, idCol, vecCol, m, kCodes)
     val qTable = pqSubVectors(queries, idCol, vecCol, m)
       .select(col("id").as("query_id"), col("s"), col("sv"))
       .join(cb, Seq("s"))

@@ -612,4 +612,41 @@ class CorpusOpsSpec extends SparkSpec {
       .view.mapValues(_.map(_.getLong(3)).sum).toMap
     assert(multi == Map(1 -> 35L, 2 -> 34L))
   }
+
+  test("null/empty text is zero content, never phantom rows or -1 tokens " +
+      "(chunkDocuments, packSequences)") {
+    // size(tokens(null)) = -1 and tokens('') = [''] — ungarded, the
+    // former drove sequence() DESCENDING (phantom null chunks with
+    // n_tokens = -1) and both corrupted packSequences' running offsets
+    val d = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]),
+      (3L, "   "), (4L, "d e")).toDF("doc_id", "text")
+    val chunks = CorpusOps.chunkDocuments(d, "doc_id", "text", maxTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    // docs 2 and 3 produce NO rows; 1 and 4 chunk normally
+    assert(chunks.map(_._1).toSet == Set(1L, 4L))
+    assert(chunks.toSet == Set((1L, 0, "a b", 2L), (1L, 1, "c", 1L),
+      (4L, 0, "d e", 2L)))
+    val packed = CorpusOps.packSequences(d, "doc_id", "text",
+        nShards = 1, seqLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(packed(2L) == 0L && packed(3L) == 0L)
+    assert(packed(1L) == 3L && packed(4L) == 2L)
+  }
+
+  test("snapshotDiff: a doc with null text in both snapshots is unchanged," +
+      " not removed+added") {
+    val prev = Seq((1L, "same"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val curr = Seq((1L, "same"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.snapshotDiff(prev, curr, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+    assert(r.toSet == Set((1L, 1L, "unchanged"), (2L, 2L, "unchanged")))
+    // null -> set transition is 'changed' (same id, different fingerprint)
+    val curr2 = Seq((1L, "same"), (2L, "now set")).toDF("doc_id", "text")
+    val r2 = CorpusOps.snapshotDiff(prev, curr2, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getString(2))).toMap
+    assert(r2(2L) == "changed")
+  }
 }

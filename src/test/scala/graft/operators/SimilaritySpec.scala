@@ -698,4 +698,57 @@ class SimilaritySpec extends SparkSpec {
     val far = vecs.maxBy { case (id, v) => (sqd(seed, v), -id) }._1
     assert(out(1).getAs[Long]("vec_id") == far)
   }
+
+  test("recallAtK: duplicate approx rows (sharded top-k unions) do not " +
+      "fan out the join") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(exact, approx).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L &&
+      r.getLong(3) == 500000L, r.toString)
+  }
+
+  test("NaN cosine (corrupt coordinate / zero-norm vector) never wins: " +
+      "null-guarded out of thresholds and rankings") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), "x"),
+      (2L, Array(0.9f, 0.1f), "x"),
+      (3L, Array(Float.NaN, 1.0f), "x"), // corrupt encoder output
+      (4L, Array(0.0f, 0.0f), "x")       // zero norm: 0/0 = NaN
+    ).toDF("vec_id", "embedding", "label")
+    // brute-force top-k: the NaN/zero vectors must not outrank real ones
+    val top = Similarity.bruteForceTopK(corpus,
+        corpus.filter(col("vec_id") === 1L), "vec_id", "embedding", k = 1)
+      .collect().head
+    assert(top.getAs[Long]("neighbor_id") == 2L,
+      s"NaN vector won the ranking: $top")
+    // SRP-LSH near-dup pairs: NaN cosines fail the threshold gate
+    val pairs = Similarity.rpLshNearDupPairs(corpus, "vec_id", "embedding",
+        threshold = 0.5, bands = 2, bitsPerBand = 2, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => Set(a, b).subsetOf(Set(1L, 2L)) },
+      s"corrupt vector emitted as near-dup: ${pairs.mkString(",")}")
+  }
+
+  test("pqTopK works on non-zero-based id spaces (codebook = first k by " +
+      "id order, not id < k)") {
+    import spark.implicits._
+    val base = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      col("embedding"))
+    val q = base.filter(col("vec_id") < 10005L)
+    val r = Similarity.pqTopK(base, q, "vec_id", "embedding", 5)
+    assert(r.count() == 25L, "offset ids must still yield full top-k")
+    // identical geometry to the 0-based corpus: same neighbors modulo the
+    // id shift (codebook entries are the same first-16 vectors)
+    val r0 = Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5L),
+      "vec_id", "embedding", 5)
+      .collect().map(x => (x.getLong(0) + 10000L, x.getLong(1) + 10000L,
+        x.getLong(2), x.getInt(3))).toSet
+    val rS = r.collect().map(x => (x.getLong(0), x.getLong(1),
+      x.getLong(2), x.getInt(3))).toSet
+    assert(rS == r0)
+  }
 }
