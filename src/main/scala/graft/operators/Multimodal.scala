@@ -49,15 +49,24 @@ object Multimodal {
   /** Frame-sampling plan for video-ish payloads: one row per sampled frame
     * index (every `stride`-th frame). The explode is the real distributed
     * shape; the per-frame decode is the same stub boundary. */
-  def sampleFrames(df: DataFrame, binCol: String, stride: Int): DataFrame =
+  def sampleFrames(df: DataFrame, binCol: String, stride: Int): DataFrame = {
+    require(stride > 0, "sampleFrames needs stride > 0")
     withImageMeta(df, binCol)
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("image_meta.n_frames") - 1, lit(stride))))
+  }
 
   /** Pluggable per-partition codec: `open()` once per partition (codec
     * contexts, model weights), `decode` per payload, `close()` at partition
     * end. The production swap point — a JNI/FFmpeg/ImageIO decoder drops in
-    * without touching the dataflow. */
+    * without touching the dataflow.
+    *
+    * IMPLEMENT AS A CLASS, NOT A SCALA `object`, when open/close manage
+    * real resources: task closures deserialize per task (own instance),
+    * but a Scala object's readResolve returns the JVM SINGLETON — two
+    * concurrent tasks on one executor would share it, and one task's
+    * completion close() would free the codec context mid-decode of the
+    * other. (The no-op-lifecycle [[StubDecoder]] is exempt.) */
   trait PayloadDecoder extends Serializable {
     def open(): Unit = ()
     def close(): Unit = ()
@@ -105,7 +114,11 @@ object Multimodal {
         .foreach(_.addTaskCompletionListener[Unit](_ => close()))
       val wrapped = it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ decoder.decode(bytes))
+        // null payload -> all-null decoder fields (the decodeImageMetaStub
+        // twin's behavior), never a decoder NPE
+        val fields = if (bytes == null) decoder.schema.map(_ => null)
+          else decoder.decode(bytes)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ fields)
       }
       exhaustionFallback(wrapped, close)
     }(enc)
@@ -149,9 +162,14 @@ object Multimodal {
         .foreach(_.addTaskCompletionListener[Unit](_ => close()))
       val wrapped = it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val (magic, w, h, f) = decoder.decode(bytes)
-        org.apache.spark.sql.Row.fromSeq(row.toSeq :+
-          org.apache.spark.sql.Row(bytes.length.toLong, magic, w, h, f))
+        // null payload -> null meta struct (the SQL stub twin yields null
+        // fields on null input), never bytes.length on null
+        val meta = if (bytes == null) null
+        else {
+          val (magic, w, h, f) = decoder.decode(bytes)
+          org.apache.spark.sql.Row(bytes.length.toLong, magic, w, h, f)
+        }
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ meta)
       }
       exhaustionFallback(wrapped, close)
     }(enc)

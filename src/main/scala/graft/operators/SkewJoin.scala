@@ -47,20 +47,31 @@ object SkewJoin {
     * This is the pre-join measurement that decides between a plain
     * shuffle join, [[saltedInnerJoin]], and trusting AQE's skew split. */
   def audit(df: DataFrame, keys: Seq[String]): DataFrame = {
+    // persist (not localCheckpoint): the per-key frame can be billions of
+    // rows on the audited side, and checkpoint blocks are only freed by
+    // RDD GC — persist lets the explicit unpersist below release them
+    // deterministically once the 1-row audit materializes
     val perKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // two consumers below; avoid double agg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = perKey.agg(count(lit(1)).as("n_keys"),
       sum(col("c")).as("n_rows"), max(col("c")).as("max_key_rows"))
+    // DECIMAL(38,0) cross-multiply: c·n_keys reaches 1e10·1e9 on the
+    // 100 TB side this audit exists for — a Long wrap would classify
+    // extreme skew as NOT skewed (and 1e6·max_key_rows can wrap too)
     val hot = perKey
       .crossJoin(broadcast(tot.select(col("n_keys").as("__nk"),
         col("n_rows").as("__nr"))))
-      .filter(expr("c * __nk > 2 * __nr"))
+      .filter(expr("CAST(c AS DECIMAL(38,0)) * __nk > " +
+        "2 * CAST(__nr AS DECIMAL(38,0))"))
       .agg(count(lit(1)).as("n_hot_keys"))
-    tot.crossJoin(broadcast(hot))
+    val out = tot.crossJoin(broadcast(hot))
       .withColumn("top_share_ppm",
-        expr("(1000000 * max_key_rows) div n_rows"))
+        expr("(CAST(1000000 AS DECIMAL(38,0)) * max_key_rows) div n_rows"))
       .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
         col("n_hot_keys"), col("top_share_ppm"))
+      .localCheckpoint(true) // 1 row; release the per-key frame's blocks
+    perKey.unpersist()
+    out
   }
 
   /** Skew-adaptive inner join: [[audit]] the skewed side once (a 1-row

@@ -151,13 +151,28 @@ object EventStream {
       userCol: String,
       usCol: String,
       valueCol: String,
-      stepMicros: Long
+      stepMicros: Long,
+      maxTicksPerKey: Long = 10000000L
   ): DataFrame = {
     require(stepMicros > 0)
     import org.apache.spark.sql.expressions.Window
     val u = col(userCol); val ts = col(usCol); val v = col(valueCol)
     val vType = events.schema(valueCol).dataType
+    // a single key's grid materializes as ONE sequence() array — a 7-day
+    // span at 0.1 s steps is 6e6 elements in one row, and past ~2.1e9
+    // Spark throws mid-job. Fail LOUD per offending key with the span
+    // that tripped it instead of OOMing an executor: callers widen the
+    // step or pre-split the span (the knob exists to be raised knowingly).
     val bounds = events.groupBy(u).agg(min(ts).as("__t0"), max(ts).as("__t1"))
+      .withColumn("__nticks",
+        (col("__t1") - col("__t0")) / lit(stepMicros) + lit(1L))
+      .withColumn("__t1",
+        when(col("__nticks") <= maxTicksPerKey, col("__t1"))
+          .otherwise(raise_error(concat(
+            lit(s"resampleFill: key grid exceeds $maxTicksPerKey ticks ("),
+            col("__nticks"), lit(" at step "), lit(stepMicros),
+            lit("us) — widen stepMicros or raise maxTicksPerKey")))))
+      .drop("__nticks")
     val grid = bounds.select(u,
         explode(sequence(col("__t0"), col("__t1"), lit(stepMicros))).as(usCol))
       .withColumn(valueCol, lit(null).cast(vType))
@@ -315,12 +330,18 @@ object EventStream {
       .groupBy(col(keyCol))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(when(col("__nxt").isNotNull,
+        // a NULL-valued segment is UNKNOWN time: excluded from numerator
+        // AND denominator (numerator-only exclusion silently biased the
+        // average low by the unknown segment's share of the span). For
+        // all-non-null histories __tsum telescopes to exactly the span.
+        sum(when(col("__nxt").isNotNull && col(valueCol).isNotNull,
           col(valueCol) * (col("__nxt") - col(usCol)))).as("__wsum"),
+        sum(when(col("__nxt").isNotNull && col(valueCol).isNotNull,
+          col("__nxt") - col(usCol))).as("__tsum"),
         (max(col(usCol)) - min(col(usCol))).as("span_us"))
       .withColumn("twap",
-        when(col("span_us") > 0,
-          round(col("__wsum").cast("double") / col("span_us"), 6)))
+        when(col("__tsum") > 0,
+          round(col("__wsum").cast("double") / col("__tsum"), 6)))
       .select(col(keyCol), col("n_events"), col("span_us"), col("twap"))
   }
 
@@ -605,14 +626,23 @@ object EventStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.write.mode("overwrite").parquet(s"$outDir/staged/batch_id=$id")
         val spark = batch.sparkSession
-        val all = spark.read.parquet(s"$outDir/staged")
-          .drop("batch_id")
-        graft.operators.CorpusOps
-          .assembleCorpus(all, "doc_id", "text", minTokens, benchEvery, n,
-            nShards, seqLen)
-          .write.mode("overwrite").parquet(s"$outDir/result")
+        val conf = spark.sparkContext.hadoopConfiguration
+        // fresh-checkpoint guard (the sibling sinks' discipline): a later
+        // staged batch id than the current one means a restarted stream
+        // with reset batch ids is about to overwrite accumulated batches
+        priorPartIds(s"$outDir/staged", "batch_id=", id, conf)
+        // empty micro-batches write nothing: a data-less parquet dir
+        // would poison the staged read's schema inference
+        if (!batch.isEmpty) {
+          batch.write.mode("overwrite").parquet(s"$outDir/staged/batch_id=$id")
+          val all = spark.read.parquet(s"$outDir/staged")
+            .drop("batch_id")
+          graft.operators.CorpusOps
+            .assembleCorpus(all, "doc_id", "text", minTokens, benchEvery, n,
+              nShards, seqLen)
+            .write.mode("overwrite").parquet(s"$outDir/result")
+        }
         ()
       }
       .start()
@@ -646,26 +676,38 @@ object EventStream {
 
   case class UploadEvent(upload_id: Long, seq: Long, status: String)
   case class UploadState(upload_id: Long, status: String, n_transitions: Int)
+  /** Internal state of [[trackUploadStates]]: the OUTPUT stays
+    * [[UploadState]], but the state carries the seq of the status it
+    * holds — without it, a delayed lower-seq event arriving in a LATER
+    * micro-batch would overwrite a newer status (cross-batch ordering is
+    * not the per-batch sort's job). */
+  case class UploadSeqState(status: String, n_transitions: Int,
+      last_seq: Long)
 
   /** T6: the mri_upload state machine (`Inserting` → `InsertionComplete`,
     * `base_pipeline.py:86-87,269-272`) as `mapGroupsWithState`: the latest
-    * status per upload plus a transition count. Batch Datasets run the same
+    * status per upload (latest = highest `seq` EVER SEEN, batch-order
+    * independent) plus a transition count. Batch Datasets run the same
     * code path (single synthetic batch). */
   def trackUploadStates(events: Dataset[UploadEvent]): Dataset[UploadState] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.upload_id)
-      .mapGroupsWithState[UploadState, UploadState](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[UploadSeqState, UploadState](
+          GroupStateTimeout.NoTimeout) {
         case (id, evts, state) =>
-          val sorted = evts.toSeq.sortBy(_.seq)
+          val sorted = evts.toSeq.sortBy(e => (e.seq, e.status))
           val prior = state.getOption
-          val next = UploadState(
-            id,
-            sorted.lastOption.map(_.status)
-              .orElse(prior.map(_.status)).getOrElse("Unknown"),
-            prior.map(_.n_transitions).getOrElse(0) + sorted.size)
-          state.update(next)
-          next
+          val (status, lastSeq) = (prior, sorted.lastOption) match {
+            case (Some(p), Some(b)) if b.seq < p.last_seq =>
+              (p.status, p.last_seq) // whole batch is late data
+            case (_, Some(b)) => (b.status, b.seq)
+            case (Some(p), None) => (p.status, p.last_seq)
+            case (None, None) => ("Unknown", Long.MinValue)
+          }
+          val n = prior.map(_.n_transitions).getOrElse(0) + sorted.size
+          state.update(UploadSeqState(status, n, lastSeq))
+          UploadState(id, status, n)
       }
   }
 }

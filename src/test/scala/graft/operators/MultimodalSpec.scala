@@ -24,6 +24,29 @@ class MultimodalSpec extends SparkSpec {
     viaHarness.foreach { case (k, v) => assert(v == viaColumn(k), s"id $k") }
   }
 
+  test("null payload: null meta struct from the harness — parity with the " +
+      "Column stub twin, never a decoder NPE") {
+    val withNull = Seq((1L, "x".getBytes("UTF-8")),
+        (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val viaHarness = Multimodal.decodePartitioned(withNull, "payload")
+      .select(col("id"), col("image_meta"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    assert(viaHarness(1L).isDefined && viaHarness(2L).isEmpty)
+    val rowDecoder = new Multimodal.RowDecoder {
+      def schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType)))
+      def decode(bytes: Array[Byte]) = Seq(bytes.length.toLong)
+    }
+    val rows = Multimodal.decodeRowsPartitioned(withNull, "payload",
+        rowDecoder)
+      .select(col("id"), col("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows == Map(1L -> Some(1L), 2L -> None))
+  }
+
   test("decoder lifecycle: open/close once per partition, streaming") {
     val opens = spark.sparkContext.longAccumulator("opens")
     val closes = spark.sparkContext.longAccumulator("closes")

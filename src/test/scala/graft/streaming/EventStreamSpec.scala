@@ -420,6 +420,30 @@ class EventStreamSpec extends SparkSpec {
     assert(out(2L) == ("Inserting", 1))
   }
 
+  test("trackUploadStates: a late lower-seq event in a LATER micro-batch " +
+      "never regresses the status") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    val mem = MemoryStream[EventStream.UploadEvent]
+    val q = EventStream.trackUploadStates(mem.toDS())
+      .writeStream.format("memory").queryName("uslate")
+      .outputMode("update").start()
+    mem.addData(EventStream.UploadEvent(7L, 5L, "InsertionComplete"))
+    q.processAllAvailable()
+    // delayed seq=2 arrives after seq=5 was already absorbed
+    mem.addData(EventStream.UploadEvent(7L, 2L, "Inserting"))
+    q.processAllAvailable()
+    val out = spark.table("uslate").groupBy("upload_id")
+      .agg(max_by(col("status"), col("n_transitions")).as("status"),
+        max(col("n_transitions")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    q.stop()
+    // the late event still counts as a transition, but the status stays
+    // the highest-seq one ever seen
+    assert(out(7L) == ("InsertionComplete", 2), out.toString)
+  }
+
   test("asOfLast: latest prior marker per key, no marker -> NULL, ties by id") {
     import spark.implicits._
     val ev = Seq(
