@@ -501,6 +501,27 @@ object Dedup {
       .drop("__ck_label")
   }
 
+  /** Near-dup canonical selection — the HARD-removal enforcement step
+    * ([[softDedupWeights]] is its keep-but-downweight alternative): one
+    * kept document per near-dup component, the member with the highest
+    * `scoreCol` (ties to the lowest id) — [[exactKeepBest]]'s policy
+    * lifted from identical-text groups to near-duplicate components.
+    * Output: `cluster_key` + `kept_id` + `kept_score` + `n_members`
+    * (singletons keep themselves with n_members = 1).
+    *
+    * 100 TB shape: [[clusterPairsStar]] components + ONE agg keyed by
+    * `cluster_key`; the argmax rides the agg as `min(struct(-score, id))`
+    * — no window, no second pass. */
+  def nearDupKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame =
+    clusterKeys(docs.select(col(idCol), col(scoreCol)), idCol, pairs)
+      .groupBy(col("cluster_key"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+          .as("__best"))
+      .select(col("cluster_key"), col("__best.id").as("kept_id"),
+        (-col("__best.ns")).as("kept_score"), col("n_members"))
+
   /** Soft dedup: keep every near-duplicate but DOWNWEIGHT it by its
     * cluster size, so each near-dup component contributes ~one document
     * of training mass (`weight_ppm = 1e6 div cluster_size`; singletons

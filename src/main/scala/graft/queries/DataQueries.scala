@@ -515,6 +515,20 @@ object DataQueries {
       Dedup.softDedupWeights(docs(s, dir), "doc_id", pairs)
     },
 
+    // Near-dup canonical selection (q275's hard-removal counterpart):
+    // keep the longest member per near-dup component, ties to the lowest
+    // id — exactKeepBest's policy lifted to near-dup clusters
+    "q276_neardup_keep_best" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashLshPairs(d, "doc_id", "text",
+        n = 5, bands = 16, rowsPerBand = 4, threshold = 0.5)
+      Dedup.nearDupKeepBest(
+        d.withColumn("n_tokens",
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")),
+        "doc_id", pairs, "n_tokens")
+    },
+
     // 32-bit SimHash fingerprints
     "q28_simhash" -> { (s, dir) =>
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
@@ -1266,6 +1280,42 @@ object DataQueries {
          |SELECT k.doc_id, k.ck AS cluster_key, sz.cluster_size,
          |  CAST(1000000 // sz.cluster_size AS BIGINT) AS weight_ppm
          |FROM k JOIN sz ON k.ck = sz.ck""".stripMargin,
+
+    // q50's component CTE -> per-cluster argmax (max token count, tie to
+    // the lowest id) — exactKeepBest's policy over near-dup components
+    "q276_neardup_keep_best" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, list_distinct(${sqlShingles(5)}) AS sh FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id_1, b.doc_id AS id_2
+         |  FROM d a JOIN d b ON a.doc_id < b.doc_id
+         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+         |    AND len(list_distinct(a.sh || b.sh)) > 0
+         |    AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |          / len(list_distinct(a.sh || b.sh)), 6) >= 0.5
+         |), edges AS (
+         |  SELECT id_1 AS u, id_2 AS v FROM p
+         |  UNION SELECT id_2, id_1 FROM p
+         |), walk(id, label) AS (
+         |  SELECT DISTINCT u, u FROM edges
+         |  UNION
+         |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
+         |), cl AS (
+         |  SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id
+         |), k AS (
+         |  SELECT doc.doc_id, COALESCE(cl.cluster_id, doc.doc_id) AS ck,
+         |    CAST(len(regexp_split_to_array(trim(doc.text), '\\s+'))
+         |      AS BIGINT) AS nt
+         |  FROM documents doc LEFT JOIN cl ON doc.doc_id = cl.id
+         |), r AS (
+         |  SELECT ck, doc_id, nt, ROW_NUMBER() OVER (
+         |    PARTITION BY ck ORDER BY nt DESC, doc_id ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY ck) AS nm
+         |  FROM k
+         |)
+         |SELECT ck AS cluster_key, doc_id AS kept_id, nt AS kept_score,
+         |  CAST(nm AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1""".stripMargin,
 
     // exact pair ids (q27 identity) -> per-source flagged counts
     "q241_dup_burden" ->

@@ -290,6 +290,24 @@ class DedupSpec extends SparkSpec {
     assert(maxBucket < 1000L, s"bucket of $maxBucket would be shed")
   }
 
+  test("nearDupKeepBest: per-component argmax score, ties to lowest id, " +
+      "singletons keep themselves") {
+    import spark.implicits._
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 4L), (9L, 4L), (4L, 1L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_1", "id_2")
+    val out = Dedup.nearDupKeepBest(d, "doc_id", pairs, "score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // cluster {1,2,3}: max score 9 held by 2 and 3 -> lowest id 2 wins
+    assert(out(1L) == ((2L, 9L, 3L)))
+    // cluster {7,9}: tie at 4 -> id 7
+    assert(out(7L) == ((7L, 4L, 2L)))
+    // singleton keeps itself
+    assert(out(4L) == ((4L, 1L, 1L)))
+    assert(out.size == 3)
+  }
+
   test("softDedupWeights: weight = 1e6 div cluster size, singletons 1e6, " +
       "cluster mass ≈ one document") {
     import spark.implicits._
