@@ -1,11 +1,9 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** BLAKE2b (RFC 7693), the reference's file-content hash
@@ -121,6 +119,8 @@ object Blake2bCore {
   * the fallback keeps the surrounding stage in codegen. */
 case class Blake2b(child: Expression, outLen: Int = 64)
     extends UnaryExpression with CodegenFallback {
+  // fail at construction, not per-row mid-query on the first evaluation
+  require(outLen >= 1 && outLen <= 64, s"blake2b outLen 1..64, got $outLen")
   override def dataType: DataType = StringType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {

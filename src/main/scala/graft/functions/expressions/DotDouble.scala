@@ -30,6 +30,7 @@ case class DotDoubleExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -39,12 +40,22 @@ case class DotDoubleExpr(left: Expression, right: Expression)
         s"dot_double requires array<double> inputs, got ($l, $r)")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    DotDouble.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  // length mismatch -> NULL, matching the zip_with twin (whose padded
+  // nulls null the whole aggregate): a truncated embedding must surface
+  // as null, never as a plausible-but-partial score that silently
+  // corrupts KNN/near-dup rankings
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else DotDouble.dot(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.expressions.DotDouble.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+         |else { ${ev.value} = graft.functions.expressions.DotDouble.dot($a, $b); }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DotDoubleExpr = copy(left = l, right = r)

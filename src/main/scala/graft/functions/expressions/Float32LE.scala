@@ -10,7 +10,9 @@ object Float32LE {
     * Float.MinValue sentinel is never produced — out-of-bounds yields NaN
     * (mapped to null by the expression). */
   def read(b: Array[Byte], off: Int): Double = {
-    if (off < 0 || off + 4 > b.length) return Double.NaN
+    // `off > b.length - 4`, not `off + 4 > b.length`: the latter wraps
+    // negative for offsets near Int.MaxValue and would pass the check
+    if (off < 0 || off > b.length - 4) return Double.NaN
     val bits = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
       ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
     java.lang.Float.intBitsToFloat(bits).toDouble
@@ -21,7 +23,9 @@ object Float32LE {
   * little-endian float32 — the piece Column arithmetic can't express, needed
   * for the NIfTI-1 `pixdim` voxel steps (`python/lib/imaging_lib/nifti.py:
   * 7-31`; header floats at fixed offsets). Null when the buffer is too
-  * short. */
+  * short — AND for a genuinely-stored NaN payload (the two are conflated
+  * deliberately: a NaN header float is garbage either way, and null keeps
+  * the value out of every downstream comparison). */
 case class Float32LEExpr(child: Expression, offset: Int) extends UnaryExpression {
 
   override def dataType: DataType = DoubleType

@@ -23,10 +23,13 @@ object MinhashSignature {
     java.util.Arrays.fill(mins, Long.MaxValue)
     var i = 0
     while (i < n) {
-      val xm = arr.getLong(i) % Prime // inputs are 60-bit non-negative hashes
+      // floorMod, not %: the SQL-registered form accepts ANY array<bigint>,
+      // and a negative input under plain % would go negative, win every
+      // min, and silently diverge from the pmod() declarative twin
+      val xm = java.lang.Math.floorMod(arr.getLong(i), Prime)
       var j = 0
       while (j < k) {
-        val h = (as(j) * xm + bs(j)) % Prime
+        val h = java.lang.Math.floorMod(as(j) * xm + bs(j), Prime)
         if (h < mins(j)) mins(j) = h
         j += 1
       }

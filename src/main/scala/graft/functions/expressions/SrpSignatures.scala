@@ -15,6 +15,11 @@ object SrpSignatures {
     * `flatPlanes` is row-major: plane p occupies [p·dim, (p+1)·dim). */
   def compute(vec: ArrayData, flatPlanes: Array[Double], bands: Int,
       bitsPerBand: Int, dim: Int): ArrayData = {
+    // a malformed row shorter than the plane dimension must not read past
+    // the array end (UnsafeArrayData reads adjacent memory SILENTLY with
+    // asserts off; generic arrays throw) — missing coordinates are 0.0,
+    // the DotDouble.dot min() discipline
+    val lim = math.min(dim, vec.numElements())
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -24,7 +29,7 @@ object SrpSignatures {
         val off = (b * bitsPerBand + j) * dim
         var d = 0.0
         var i = 0
-        while (i < dim) {
+        while (i < lim) {
           d += vec.getDouble(i) * flatPlanes(off + i)
           i += 1
         }

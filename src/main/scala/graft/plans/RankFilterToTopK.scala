@@ -65,8 +65,20 @@ object RankFilterToTopK extends Rule[LogicalPlan] {
           !child.isInstanceOf[TopKPerGroupNode] =>
       limitFrom(cond, al.exprId) match {
         case Some(k) if k >= 1 =>
+          // Spark's own InferWindowGroupLimit (main optimizer batch, i.e.
+          // BEFORE extraOptimizations) may already have inserted a
+          // WindowGroupLimit under this exact Window — inferred from the
+          // very rank filter matched here. Strip it: the heap node
+          // subsumes its bounding, and keeping both would add a redundant
+          // partial pass whose exec sorts the raw partition locally — the
+          // sort this rewrite exists to avoid.
+          val base = child match {
+            case org.apache.spark.sql.catalyst.plans.logical
+              .WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+            case other => other
+          }
           f.copy(child = w.withNewChildren(
-            Seq(TopKPerGroupNode(part, order, k, distinct = false, child))))
+            Seq(TopKPerGroupNode(part, order, k, distinct = false, base))))
         case _ => f
       }
   }

@@ -122,6 +122,18 @@ case class TopKPerGroupExec(
     val childOutput = child.output
     val kk = k
     val dedup = distinct
+    // Memory bound for the PARTIAL pass: the per-group state map holds at
+    // most this many groups; when a new group would exceed it, the map is
+    // DRAINED to the output and restarted. Emitting per-chunk top-k is
+    // sound — a row in the partition-wide local top-k of group G is also
+    // in the top-k of whichever chunk held it, so the union of chunk
+    // top-ks is a superset the final clustered pass reduces exactly.
+    // Without this, a high-cardinality group key (the shape
+    // RankFilterToTopK auto-rewrites) held every group's heap on-heap at
+    // once and could OOM where the Window plan would have spilled. The
+    // final pass never flushes: its groups are clustered but interleaved,
+    // and a mid-partition drain would emit >k rows per group.
+    val maxGroups = if (partial) 131072 else Int.MaxValue
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       val ordering: Ordering[InternalRow] =
@@ -135,8 +147,7 @@ case class TopKPerGroupExec(
           java.util.TreeSet[InternalRow]]()
         val cmp: java.util.Comparator[InternalRow] =
           (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
-        while (iter.hasNext) {
-          val row = iter.next()
+        def insert(row: InternalRow): Unit = {
           val key = groupProj(row)
           var set = sets.get(key)
           if (set == null) {
@@ -147,17 +158,22 @@ case class TopKPerGroupExec(
           else if (ordering.compare(row, set.last()) < 0 &&
             set.add(row.copy())) set.pollLast()
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        sets.values().forEach { set => set.forEach(r => out += r) }
-        out.iterator
+        def drain(): Iterator[InternalRow] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          sets.values().forEach { set => set.forEach(r => out += r) }
+          sets.clear()
+          out.iterator
+        }
+        def atCap(row: InternalRow): Boolean =
+          sets.size >= maxGroups && sets.get(groupProj(row)) == null
+        flushingIterator(iter, insert, drain, atCap)
       } else {
         // max-heap under the sort order: head = worst kept row, evicted
         // when a better row arrives. UnsafeRow keys/values are COPIED
         // (iterator rows are reused buffers).
         val heaps = new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.PriorityQueue[InternalRow]]()
-        while (iter.hasNext) {
-          val row = iter.next()
+        def insert(row: InternalRow): Unit = {
           val key = groupProj(row)
           var pq = heaps.get(key)
           if (pq == null) {
@@ -169,14 +185,48 @@ case class TopKPerGroupExec(
             pq.dequeue(); pq.enqueue(row.copy())
           }
         }
-        val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-        heaps.values().forEach { pq =>
-          out ++= pq.toSeq.sorted(ordering)
+        def drain(): Iterator[InternalRow] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          heaps.values().forEach { pq => out ++= pq.toSeq.sorted(ordering) }
+          heaps.clear()
+          out.iterator
         }
-        out.iterator
+        def atCap(row: InternalRow): Boolean =
+          heaps.size >= maxGroups && heaps.get(groupProj(row)) == null
+        flushingIterator(iter, insert, drain, atCap)
       }
     }, preservesPartitioning = true)
   }
+
+  /** Consume `input` through `insert`, draining the per-group state to the
+    * output whenever `atCap(row)` says the next row would mint a group
+    * beyond the memory bound; one final drain at exhaustion. */
+  private def flushingIterator(
+      input: Iterator[InternalRow],
+      insert: InternalRow => Unit,
+      drain: () => Iterator[InternalRow],
+      atCap: InternalRow => Boolean): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private var pending: Iterator[InternalRow] = Iterator.empty
+      private var done = false
+      private def fill(): Unit = {
+        while (!pending.hasNext && !done) {
+          var flushed = false
+          while (input.hasNext && !flushed) {
+            val row = input.next()
+            if (atCap(row)) {
+              val stash = row.copy()
+              pending = drain()
+              insert(stash)
+              flushed = true
+            } else insert(row)
+          }
+          if (!flushed) { pending = drain(); done = true }
+        }
+      }
+      override def hasNext: Boolean = { fill(); pending.hasNext }
+      override def next(): InternalRow = { fill(); pending.next() }
+    }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
     copy(child = c)

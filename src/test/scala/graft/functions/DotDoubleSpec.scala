@@ -42,4 +42,14 @@ class DotDoubleSpec extends SparkSpec {
     val r = df.select(Similarity.dot(col("a"), col("b"))).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("length mismatch -> null, matching the zip_with twin (never a " +
+      "plausible truncated partial score)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val r = df.select(Similarity.dot(col("a"), col("b")).as("d"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, x) -> s + x)")
+        .as("twin")).collect()(0)
+    assert(r.isNullAt(0), "truncated dot must be null")
+    assert(r.isNullAt(1), "twin sanity: zip_with pads nulls -> null sum")
+  }
 }

@@ -59,4 +59,28 @@ class ExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("integer literal"))
   }
+
+  test("SQL-surface guards: arity errors, bigint-literal range check, " +
+      "simhash64 registered") {
+    GraftFunctionRegistry.registerTemp(spark)
+    val missing = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c')").collect()
+    }
+    assert(missing.getMessage.contains("argument"), missing.getMessage)
+    // a bigint literal out of Int range must error, not truncate to n=1
+    val big = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', 4294967297)").collect()
+    }
+    assert(big.getMessage.contains("out of Int range"), big.getMessage)
+    // the 64-bit scale-path fingerprint is reachable from SQL and matches
+    // the Column form
+    val viaSql = spark.sql("SELECT simhash64('alpha beta gamma')")
+      .collect()(0).getLong(0)
+    import spark.implicits._
+    val viaCol = Seq("alpha beta gamma").toDF("t")
+      .select(graft.functions.TextFunctions.simhash64Fused(
+        org.apache.spark.sql.functions.col("t")))
+      .collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+  }
 }

@@ -96,4 +96,17 @@ class RankFilterToTopKSpec extends SparkSpec {
     df.collect()
     assert(!df.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
   }
+
+  test("Spark's InferWindowGroupLimit node is stripped, not doubled") {
+    // the main optimizer's InferWindowGroupLimit runs BEFORE
+    // extraOptimizations and inserts a WindowGroupLimit under the same
+    // Window this rule matches; keeping both would re-sort every raw
+    // partition locally under the heap node
+    val df = ranked(2)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerGroup"), optimized)
+    assert(!optimized.contains("WindowGroupLimit"),
+      s"redundant WindowGroupLimit kept under the heap node:\n$optimized")
+  }
 }

@@ -63,6 +63,21 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(custom == (1 to 3).flatMap(g => Seq((g, 1), (g, 3), (g, 5))).toSet)
   }
 
+  test("partial-pass group cap: >131072 distinct groups flush mid-partition " +
+      "and the final result is still exact") {
+    import spark.implicits._
+    // 150k groups x 2 rows in ONE partition forces at least one drain of
+    // the partial pass's state map (cap 131072); the flushed per-chunk
+    // top-k unions must still reduce to the exact per-group minimum
+    val n = 150000
+    val df = (0 until n).flatMap(g => Seq((g, g * 2 + 1), (g, g * 2)))
+      .toDF("g", "v").coalesce(1)
+    val out = TopKPerGroup(df, Seq(col("g")), Seq(col("v").asc), k = 1)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(out.size == n)
+    assert((0 until n).forall(g => out(g) == g * 2), "wrong minima")
+  }
+
   test("distinct mode: eviction keeps the k smallest distinct keys") {
     import spark.implicits._
     // descending arrival order forces repeated evictions; duplicates of
