@@ -30,8 +30,16 @@ object Catalog {
       idCol: String
   ): DataFrame = {
     val keyCols = naturalKey.map(col)
+    // NULL-SAFE anti-join: plain key equality never matches NULL keys, so
+    // a null-key row would re-insert with a fresh id on every run —
+    // breaking the idempotency contract for exactly the rows the
+    // nulls-last ordinal sort says this function expects
+    val dictKeys = broadcast(dict.select(
+      naturalKey.map(c => col(c).as(s"__d_$c")): _*))
+    val antiCond = naturalKey.map(c => col(c) <=> col(s"__d_$c"))
+      .reduce(_ && _)
     val newKeys = incoming.select(keyCols: _*).distinct()
-      .join(broadcast(dict.select(keyCols: _*)), naturalKey, "left_anti")
+      .join(dictKeys, antiCond, "left_anti")
     val maxId = dict.select(coalesce(max(col(idCol)), lit(0L)).cast("long"))
       .first().getLong(0)
     // newKeys is distinct, so the global ordinal == dense_rank; assigned via
@@ -93,7 +101,10 @@ object Catalog {
       .groupBy(entityCols.map(col): _*)
       .agg(max(col(existingRunCol)).as("max_existing_run"))
     incoming
-      .join(broadcast(maxExisting), entityCols, "left")
+      // no broadcast hint: the per-entity aggregate grows with the catalog
+      // (entity cardinality is unbounded at scale) — let AQE pick; a
+      // forced broadcast of an unbounded aggregate is a driver OOM
+      .join(maxExisting, entityCols, "left")
       .withColumn("run_number",
         coalesce(col("max_existing_run"), lit(0)) +
           row_number().over(
@@ -116,7 +127,12 @@ object Catalog {
   ): DataFrame = {
     val candidate = (pmod(hash(col(keyCol), lit(seed)), lit(900000)) + 100000)
       .as("cand_id_try")
-    val tried = incoming.withColumn("cand_id_try", candidate)
+    // one row per key: a duplicated incoming key whose hash collides with
+    // an existing id would otherwise reach the fallback ranking TWICE and
+    // receive two different CandIDs (the collision-free path dedups via
+    // the rn=1 filter, so dedup here keeps the two paths consistent)
+    val incomingKeys = incoming.select(col(keyCol)).distinct()
+    val tried = incomingKeys.withColumn("cand_id_try", candidate)
     val collisions = tried
       .join(existing.select(col(existingIdCol).as("cand_id_try")),
         Seq("cand_id_try"), "left_semi")
@@ -135,7 +151,7 @@ object Catalog {
     // domain is a fixed 900k values, so enumerating it is scale-free; keys
     // beyond a fully-exhausted domain are dropped (the reference would
     // retry forever).
-    val needFallback = incoming.select(col(keyCol))
+    val needFallback = incomingKeys
       .join(winners.select(col(keyCol)), Seq(keyCol), "left_anti")
     val used = existing.select(col(existingIdCol).cast("long").as("id"))
       .unionByName(winners.select(col("CandID").as("id")))

@@ -55,11 +55,13 @@ object HeaderUpdater {
       val isDicom = parsed != null &&
         parsed.getOrElse("study_uid", "").nonEmpty
       val seriesOk = isDicom && series.forall { n =>
-        // trimwhitespace + 0: Perl numeric coercion of the IS value
+        // trimwhitespace + 0: Perl numeric coercion of the IS value —
+        // the LEADING numeric prefix only ("1-2" coerces to 1; interior
+        // signs and >19-digit strings made the old takeWhile+toLong
+        // THROW where Perl never does), 0 when no digits lead
         val raw = parsed.getOrElse("series_number", "").trim
-        raw.takeWhile(c => c.isDigit || c == '-' || c == '+') match {
-          case s if s.nonEmpty &&
-            s.exists(_.isDigit) => s.toLong == n.toLong
+        "^[+-]?\\d{1,18}".r.findFirstIn(raw) match {
+          case Some(p) if p.exists(_.isDigit) => p.toLong == n.toLong
           case _ => 0L == n.toLong
         }
       }
@@ -147,13 +149,17 @@ object HeaderUpdater {
     val keyTags = spec.keyTags
     rebuildArchives(spark, dir, glob, { content =>
       val walked = DicomTagParser.describe(content)
+      // e.value is NULL for non-text VRs and implicit-VR tags outside the
+      // summary set — a spec key tag resolving to one of those must hash
+      // as "" (Perl undef), not NPE the executor
       val isDicom = walked.exists(e =>
-        e.group == 0x0020 && e.element == 0x000D && e.value.nonEmpty)
+        e.group == 0x0020 && e.element == 0x000D &&
+          Option(e.value).exists(_.nonEmpty))
       if (!isDicom) content
       else {
         val keyhash = keyTags.map { case (g, el) =>
           walked.find(e => e.group == g && e.element == el)
-            .map(_.value.trim).getOrElse("") + "---"
+            .flatMap(e => Option(e.value)).map(_.trim).getOrElse("") + "---"
         }.mkString
         setsByHash.get(keyhash) match {
           case Some(sets) =>
@@ -169,7 +175,14 @@ object HeaderUpdater {
     * expand partition-parallel, `update` runs row-local on every file
     * member, the rebuild regroups members per archive (ONE exchange keyed
     * by archive path — each group is one study archive, the boundedness
-    * the reference assumes when extracting an archive into one tempdir). */
+    * the reference assumes when extracting an archive into one tempdir).
+    *
+    * INTEGRITY CONTRACT: the rebuild trusts the parse. The hardened read
+    * path ([[graft.sources.TarGzSource]]) deliberately stops at the first
+    * malformed header / truncated gzip stream (its bomb-guard posture),
+    * so an archive that fails integrity would rebuild SHORT — run the
+    * read-side `scanAudit` first and exclude flagged archives; never
+    * point a destructive header-update run at unaudited input. */
   private def rebuildArchives(spark: SparkSession, dir: String, glob: String,
       update: Array[Byte] => Array[Byte]): Dataset[RebuiltArchive] = {
     import spark.implicits._
@@ -180,20 +193,32 @@ object HeaderUpdater {
         // nested bundles rebuild from their member rows; other members
         // update in place
         val nested = ms.filter(_.nested_in != null).groupBy(_.nested_in)
+        // a directory member whose stored name lacks the trailing '/'
+        // (legal in tar — dir-ness lives in the typeflag) must keep its
+        // dir-ness through TarSink, which re-derives it from the name
+        def dirName(p: String): String = if (p.endsWith("/")) p else p + "/"
         val entries = ms.filter(_.nested_in == null)
           .sortBy(_.member_path)
           .map { m =>
             if (nested.contains(m.member_path)) {
               val inner = nested(m.member_path).sortBy(_.member_path).map {
                 im =>
-                  im.member_path -> (if (im.is_dir) Array.emptyByteArray
-                  else update(im.content))
+                  (if (im.is_dir) dirName(im.member_path)
+                  else im.member_path) ->
+                    (if (im.is_dir) Array.emptyByteArray
+                    else update(im.content))
               }
               m.member_path -> TarSink.gzipBytes(TarSink.tarBytes(inner))
-            } else if (m.is_dir) m.member_path -> Array.emptyByteArray
+            } else if (m.is_dir) dirName(m.member_path) -> Array.emptyByteArray
             else m.member_path -> update(m.content)
           }
-        RebuiltArchive(path, TarSink.tarBytes(entries))
+        // a .tar.gz/.tgz outer archive must be rewritten gzip-compressed —
+        // a plain tar under the unchanged gz name lies to every consumer
+        // that trusts the extension
+        val tar = TarSink.tarBytes(entries)
+        val content = if (path.endsWith(".tar.gz") || path.endsWith(".tgz"))
+          TarSink.gzipBytes(tar) else tar
+        RebuiltArchive(path, content)
       }
   }
 
@@ -204,7 +229,10 @@ object HeaderUpdater {
     import rebuilt.sparkSession.implicits._
     rebuilt.flatMap { r =>
       TarGzSource.expandArchive(r.archive_path, r.content).flatMap { m =>
-        if (m.is_dir || m.nested_in == null) Nil
+        // TOP-LEVEL members parse too: updateArchives rewrites them, and
+        // skipping them made this proof surface vacuous for flat archives
+        // (nested bundle blobs parse as non-DICOM and drop naturally)
+        if (m.is_dir) Nil
         else {
           val parsed = DicomTagParser.parse(m.content)
           if (parsed == null || parsed.getOrElse("study_uid", "").isEmpty) Nil

@@ -155,30 +155,51 @@ object TarSink {
     (("0" * (len - 1 - s.length)) + s + " ").getBytes(java.nio.charset.StandardCharsets.US_ASCII)
   }
 
-  /** POSIX ustar image of `entries` (name ≤ 100 chars; dirs end with '/'). */
+  private def header(nameBytes: Array[Byte], size: Long,
+      typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](512)
+    System.arraycopy(nameBytes, 0, h, 0, math.min(nameBytes.length, 100))
+    System.arraycopy(octalField(420, 8), 0, h, 100, 8)
+    System.arraycopy(octalField(0, 8), 0, h, 108, 8)
+    System.arraycopy(octalField(0, 8), 0, h, 116, 8)
+    System.arraycopy(octalField(size, 12), 0, h, 124, 12)
+    System.arraycopy(octalField(0, 12), 0, h, 136, 12)
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    h(156) = typeflag.toByte
+    System.arraycopy("ustar 00".getBytes("UTF-8"), 0, h, 257, 8)
+    val sum = h.map(_ & 0xFF).sum.toLong
+    System.arraycopy(octalField(sum, 7), 0, h, 148, 7)
+    h(155) = ' '
+    h
+  }
+
+  private def padTo512(out: java.io.ByteArrayOutputStream, n: Int): Unit =
+    out.write(new Array[Byte]((512 - n % 512) % 512))
+
+  /** POSIX ustar image of `entries` (dirs end with '/'). Names longer than
+    * the 100-byte ustar field are emitted as GNU 'L' longname entries —
+    * the same form [[TarArchive.listEntries]] folds back — so round-trips
+    * of deep DICOM paths (SOPInstanceUID-named files under study/series
+    * dirs routinely exceed 100 bytes) never throw. */
   def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     entries.foreach { case (name, data) =>
-      require(name.getBytes("UTF-8").length <= 100, s"name too long for ustar short field: $name")
       val isDir = name.endsWith("/")
-      val h = new Array[Byte](512)
       val nb = name.getBytes("UTF-8")
-      System.arraycopy(nb, 0, h, 0, nb.length)
-      System.arraycopy(octalField(420, 8), 0, h, 100, 8)
-      System.arraycopy(octalField(0, 8), 0, h, 108, 8)
-      System.arraycopy(octalField(0, 8), 0, h, 116, 8)
-      System.arraycopy(octalField(if (isDir) 0 else data.length.toLong, 12), 0, h, 124, 12)
-      System.arraycopy(octalField(0, 12), 0, h, 136, 12)
-      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-      h(156) = (if (isDir) '5' else '0').toByte
-      System.arraycopy("ustar 00".getBytes("UTF-8"), 0, h, 257, 8)
-      val sum = h.map(_ & 0xFF).sum.toLong
-      System.arraycopy(octalField(sum, 7), 0, h, 148, 7)
-      h(155) = ' '
-      out.write(h)
+      if (nb.length > 100) {
+        // GNU longname: an 'L' entry whose DATA is the NUL-terminated
+        // full path, followed by the real header with a truncated name
+        val nameData = nb :+ 0.toByte
+        out.write(header("././@LongLink".getBytes("UTF-8"),
+          nameData.length.toLong, 'L'))
+        out.write(nameData)
+        padTo512(out, nameData.length)
+      }
+      out.write(header(nb, if (isDir) 0 else data.length.toLong,
+        if (isDir) '5' else '0'))
       if (!isDir) {
         out.write(data)
-        out.write(new Array[Byte]((512 - data.length % 512) % 512))
+        padTo512(out, data.length)
       }
     }
     out.write(new Array[Byte](1024))

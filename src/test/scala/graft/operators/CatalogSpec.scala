@@ -81,4 +81,40 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
     assert(out == Map(1 -> "y", 2 -> "z"))
   }
+
+  test("getOrCreate: NULL natural keys are idempotent (null-safe anti-join)") {
+    import spark.implicits._
+    val dict = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("ScannerID", "model")
+    val incoming = Seq(Option.empty[String], Option("a"), Option("b"))
+      .toDF("model")
+    val out = Catalog.getOrCreate(dict, incoming, Seq("model"), "ScannerID")
+    val rows = out.collect()
+      .map(r => Option(r.getAs[String]("model")) -> r.getLong(0))
+    // the null key matched the dict's existing null row — NOT re-inserted
+    assert(rows.length == 3, rows.mkString(","))
+    assert(rows.toMap == Map(Some("a") -> 1L, None -> 2L, Some("b") -> 3L))
+    // re-run over the result: fixpoint
+    val again = Catalog.getOrCreate(out, incoming, Seq("model"), "ScannerID")
+    assert(again.count() == 3)
+  }
+
+  test("generateCandIds: duplicated incoming keys get exactly ONE id, " +
+      "even when their hash collides with an existing id") {
+    import spark.implicits._
+    // force a collision: existing holds exactly the id key "dup" hashes to
+    import org.apache.spark.sql.functions.{pmod, hash, lit, col}
+    val probe = Seq("dup").toDF("k")
+      .select((pmod(hash(col("k"), lit(42)), lit(900000)) + 100000).as("id"))
+      .collect().head.getInt(0).toLong
+    val existing = Seq(probe).toDF("CandID")
+    val incoming = Seq("dup", "dup", "other").toDF("k")
+    val out = Catalog.generateCandIds(incoming, "k", existing)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.length == 2, out.mkString(","))
+    val byKey = out.toMap
+    assert(byKey.size == 2 && byKey.contains("dup") && byKey.contains("other"))
+    assert(byKey("dup") != probe, "collided id must not be reused")
+    assert(out.map(_._2).distinct.length == 2)
+  }
 }

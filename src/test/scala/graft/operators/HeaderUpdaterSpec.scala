@@ -94,4 +94,47 @@ class HeaderUpdaterSpec extends SparkSpec {
         Seq("(0020,0011)\t1\tNoSuchDicomField\tX"), keyCols = 1)
     }
   }
+
+  test("gz outer archives rebuild gzip-compressed; flat top-level DICOM " +
+      "members are rewritten and reparsed; Perl numeric coercion never throws") {
+    val dir = SyntheticFixtures.freshDir("huspec3")
+    def slice(series: String): Array[Byte] =
+      SyntheticFixtures.dicomBytes(Seq(
+        SyntheticFixtures.dicomElem(0x0010, 0x0010, "PN", "ORIG^NAME"),
+        SyntheticFixtures.dicomElem(0x0020, 0x000D, "UI", "1.2.3.43"),
+        SyntheticFixtures.dicomElem(0x0020, 0x0011, "IS", series)))
+    // FLAT archive: DICOM files at tar top level, gz-compressed outer,
+    // one member with the Perl-coercible series string "1-2" (leading 1)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "FLAT.tar.gz"),
+      TarSink.gzipBytes(TarSink.tarBytes(Seq(
+        "a.dcm" -> slice("1"),
+        "b.dcm" -> slice("1-2"),   // old takeWhile+toLong THREW here
+        "c.dcm" -> slice("2")))))
+    val rebuilt = HeaderUpdater.updateArchives(spark, dir,
+      Seq(("PatientName", "NEW^NAME")), targetSeries = Some(1))
+    val arcs = rebuilt.collect()
+    assert(arcs.length == 1)
+    // the .tar.gz path must hold GZIP bytes, not a bare tar
+    val c = arcs.head.content
+    assert((c(0) & 0xFF) == 0x1f && (c(1) & 0xFF) == 0x8b,
+      "rebuilt .tar.gz is not gzip-compressed")
+    // reparse covers TOP-LEVEL members now: a and b (series 1 via
+    // coercion) renamed, c untouched
+    val out = HeaderUpdater.reparse(rebuilt).collect()
+      .map(r => r.getAs[String]("member_path") ->
+        r.getAs[String]("patient_name")).toMap
+    assert(out == Map(
+      "a.dcm" -> "NEW^NAME",
+      "b.dcm" -> "NEW^NAME",
+      "c.dcm" -> "ORIG^NAME"), out.toString)
+  }
+
+  test("names past the 100-byte ustar field round-trip via GNU longname") {
+    val long = "deep/" + ("d" * 60) + "/" + ("f" * 60) + ".dcm"
+    val img = TarSink.tarBytes(Seq(long -> Array[Byte](1, 2, 3)))
+    val back = graft.sources.TarArchive.listEntries(img)
+    assert(back.map(_.path) == Seq(long))
+    assert(back.head.data.toSeq == Seq[Byte](1, 2, 3))
+  }
 }
