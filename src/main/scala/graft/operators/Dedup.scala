@@ -511,16 +511,22 @@ object Dedup {
     *
     * 100 TB shape: [[clusterPairsStar]] components + ONE agg keyed by
     * `cluster_key`; the argmax rides the agg as `min(struct(-score, id))`
-    * — no window, no second pass. */
+    * — no window, no second pass. A NULL score ranks LAST (Spark's
+    * struct-min orders NULL fields first ascending, so a raw `-score`
+    * would let a null-score member beat every real score): the sort key
+    * coalesces to +∞ and the kept score is carried verbatim as a third
+    * struct field, so an all-null cluster still reports `kept_score`
+    * NULL rather than a sentinel. */
   def nearDupKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: String): DataFrame =
     clusterKeys(docs.select(col(idCol), col(scoreCol)), idCol, pairs)
       .groupBy(col("cluster_key"))
       .agg(count(lit(1)).as("n_members"),
-        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
-          .as("__best"))
+        min(struct(
+          coalesce(-col(scoreCol), lit(Double.PositiveInfinity)).as("ns"),
+          col(idCol).as("id"), col(scoreCol).as("sc"))).as("__best"))
       .select(col("cluster_key"), col("__best.id").as("kept_id"),
-        (-col("__best.ns")).as("kept_score"), col("n_members"))
+        col("__best.sc").as("kept_score"), col("n_members"))
 
   /** Soft dedup: keep every near-duplicate but DOWNWEIGHT it by its
     * cluster size, so each near-dup component contributes ~one document

@@ -6,6 +6,15 @@ import graft.functions.TextFunctions.{portableHash60, hash60b}
 
 /** Distributed sketches with engine-portable determinism.
   *
+  * NULL contract: null hashes/items carry no identity and are dropped
+  * before aggregation everywhere ([[kmvDistinct]], [[kmvSketch]],
+  * [[hllRegisters]], [[countMin]], [[bloom]]) — so a group whose hashes
+  * are ALL null is ABSENT from the output (no zero-estimate row). A
+  * downstream join that needs per-group presence must left-join from the
+  * group dimension and `coalesce(est, 0)`; emitting phantom zero rows
+  * from inside the sketch would cost an extra unfiltered pass per build
+  * for a regime (all-null group) the corpus tables never produce.
+  *
   * [[kmvDistinct]] is the k-minimum-values distinct-count estimator
   * (Bar-Yossef et al. 2002): keep the k smallest distinct hash values per
   * group; if the k-th smallest is `h_k` on a hash space of size `H`, the
@@ -82,12 +91,19 @@ object Sketches {
     * `(a·(x mod 2^31−1)+b)` universal family — row buckets depend on the
     * full 60-bit input, so mod-2^31 twins don't collide in every row
     * (which broke the e^-depth independence bound at ≥2^31 items). The
-    * inner mods keep every operand < width·depth — no overflow. */
+    * inner mods keep every operand < width·depth — no overflow.
+    *
+    * The step hash is forced into [1, width−1]: with `h2 ≡ 0 (mod width)`
+    * every row bucket collapses to `h1 mod width` — probability 1/width
+    * per item (1/16 at the width-16 oracle defaults), partially undoing
+    * the independence double hashing buys. `1 + h2 mod (width−1)` cannot
+    * be ≡ 0, and (width−1 coprime concerns aside) keeps the per-pair
+    * collision probability at the 2^-60 double-hash bound. */
   private def cmsBucket(item: Column, seed: Long, j: Int,
       width: Int): Column = {
     val h1 = portableHash60(item)
-    pmod(pmod(h1, lit(width.toLong)) +
-      lit(j.toLong) * pmod(hash60b(h1, seed), lit(width.toLong)),
+    val step = lit(1L) + pmod(hash60b(h1, seed), lit((width - 1).toLong))
+    pmod(pmod(h1, lit(width.toLong)) + lit(j.toLong) * step,
       lit(width.toLong))
   }
 
@@ -345,7 +361,9 @@ object Sketches {
   def bloomPositions(hash60: Column, mBits: Int, k: Int,
       seed: Long = 11L): Seq[Column] = {
     val m = lit(mBits.toLong)
-    val h2m = pmod(hash60b(hash60, seed), m)
+    // step in [1, m-1]: h2 ≡ 0 (mod m) would collapse all k positions to
+    // h1 mod m for that item (see cmsBucket)
+    val h2m = lit(1L) + pmod(hash60b(hash60, seed), lit((mBits - 1).toLong))
     (0 until k).map { j =>
       pmod(pmod(hash60, m) + lit(j.toLong) * h2m, m)
     }

@@ -935,11 +935,11 @@ object ChunkQueries {
          |  SELECT hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
          |    SELECT $sqlHash60 AS hx FROM r)
          |), c1 AS (
-         |  SELECT j, (hx % 32 + j * (hy % 32)) % 32 AS bk,
+         |  SELECT j, (hx % 32 + j * (1 + hy % 31)) % 32 AS bk,
          |    CAST(COUNT(*) AS BIGINT) AS c
          |  FROM h1 CROSS JOIN d GROUP BY 1, 2
          |), c2 AS (
-         |  SELECT j, (hx % 32 + j * (hy % 32)) % 32 AS bk,
+         |  SELECT j, (hx % 32 + j * (1 + hy % 31)) % 32 AS bk,
          |    CAST(COUNT(*) AS BIGINT) AS c
          |  FROM h2 CROSS JOIN d GROUP BY 1, 2
          |), ip AS (
@@ -1176,14 +1176,14 @@ object ChunkQueries {
          |    SELECT s, $sqlHash60 AS hx FROM e)
          |), d(j) AS (VALUES (0), (1), (2), (3)
          |), b AS (
-         |  SELECT s, j, (hx % 32 + j * (hy % 32)) % 32 AS bk
+         |  SELECT s, j, (hx % 32 + j * (1 + hy % 31)) % 32 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2
          |), probes AS (
          |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j, (hx % 32 + j * (hy % 32)) % 32 AS bk
+         |  SELECT s, j, (hx % 32 + j * (1 + hy % 31)) % 32 AS bk
          |  FROM probes CROSS JOIN d
          |), est AS (
          |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS est

@@ -966,11 +966,11 @@ object CorpusQueries {
          |  SELECT doc_id, gram, ${sqlHash60b("gram", 11L)} AS g2 FROM sh0
          |), d(j) AS (VALUES (0), (1), (2)
          |), bbits AS (
-         |  SELECT DISTINCT (gram % 4096 + j * (g2 % 4096)) % 4096 AS pos
+         |  SELECT DISTINCT (gram % 4096 + j * (1 + g2 % 4095)) % 4096 AS pos
          |  FROM sh CROSS JOIN d WHERE doc_id % 50 = 0
          |), tpos AS (
          |  SELECT doc_id, gram, j,
-         |    (gram % 4096 + j * (g2 % 4096)) % 4096 AS pos
+         |    (gram % 4096 + j * (1 + g2 % 4095)) % 4096 AS pos
          |  FROM sh CROSS JOIN d WHERE doc_id % 50 <> 0
          |), hits AS (
          |  SELECT doc_id, gram, COUNT(bbits.pos) AS nb
@@ -1118,14 +1118,14 @@ object CorpusQueries {
          |    SELECT source, s, $sqlHash60 AS hx FROM toks)
          |), d(j) AS (VALUES (0), (1), (2), (3)
          |), b AS (
-         |  SELECT source, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
+         |  SELECT source, j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT source, j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
          |), probes AS (
          |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
+         |  SELECT s, j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
          |  FROM probes CROSS JOIN d
          |), srcs AS (
          |  SELECT DISTINCT source FROM documents
@@ -1153,14 +1153,14 @@ object CorpusQueries {
          |    SELECT source, s, $sqlHash60 AS hx FROM toks)
          |), d(j) AS (VALUES (0), (1), (2), (3)
          |), b AS (
-         |  SELECT source, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
+         |  SELECT source, j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT source, j, bk, COUNT(*) AS c FROM b GROUP BY 1, 2, 3
          |), probes AS (
          |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
+         |  SELECT s, j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
          |  FROM probes CROSS JOIN d
          |), srcs AS (
          |  SELECT DISTINCT source FROM documents
@@ -1215,14 +1215,14 @@ object CorpusQueries {
          |    SELECT doc_id, s, $sqlHash60 AS hx FROM toks)
          |), d(j) AS (VALUES (0), (1), (2), (3)
          |), bx AS (
-         |  SELECT j, (hx % 16 + j * (hy % 16)) % 16 AS bk
+         |  SELECT j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
          |  FROM h CROSS JOIN d
          |), cnts AS (
          |  SELECT j, bk, COUNT(*) AS c FROM bx GROUP BY 1, 2
          |), probes AS (
          |  SELECT DISTINCT s, hx, hy FROM h
          |), pb AS (
-         |  SELECT s, j, (hx % 16 + j * (hy % 16)) % 16 AS bk
+         |  SELECT s, j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
          |  FROM probes CROSS JOIN d
          |), est AS (
          |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS e

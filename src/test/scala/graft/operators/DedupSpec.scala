@@ -308,6 +308,26 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 3)
   }
 
+  test("nearDupKeepBest: a NULL score ranks LAST, never beats a real " +
+      "score; an all-null cluster keeps the lowest id with kept_score " +
+      "null") {
+    import spark.implicits._
+    // struct-min orders NULL fields first ascending, so a raw -score key
+    // let a null-score member win its component (round-8 ADVICE)
+    val d = Seq((1L, Some(5L)), (2L, None), (3L, Some(9L)),
+      (7L, None), (9L, None)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_1", "id_2")
+    val out = Dedup.nearDupKeepBest(d, "doc_id", pairs, "score")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+      }.toMap
+    // cluster {1,2,3}: real max 9 (id 3) beats the null-score member 2
+    assert(out(1L) == ((3L, Some(9L), 3L)))
+    // all-null cluster {7,9}: lowest id kept, score reported as null
+    assert(out(7L) == ((7L, None, 2L)))
+  }
+
   test("softDedupWeights: weight = 1e6 div cluster size, singletons 1e6, " +
       "cluster mass ≈ one document") {
     import spark.implicits._
