@@ -195,4 +195,76 @@ object Catalog {
     right.join(a, joinCond, "left")
       .select(right.columns.map(col) :+ col(s"__a_$anchorIdCol").as(anchorIdCol): _*)
   }
+
+  /** The `updateMRI_Upload.pl` vertical
+    * (`dicom-archive/updateMRI_Upload.pl:227-271`): for a batch of upload
+    * requests (an archive path + a decompressed source location each),
+    * classify every request against the `tarchive` and `mri_upload`
+    * catalogs and emit the `mri_upload` columns for the insertable ones.
+    * Per request, in the reference's evaluation order:
+    *
+    *   1. `already_uploaded` — some `mri_upload` row joins a `tarchive`
+    *      row whose ArchiveLocation matches (the script's
+    *      FILE_NOT_UNIQUE exit, `MriUploadOB::getWithTarchive`);
+    *   2. `tarchive_missing` / `tarchive_ambiguous` — the tarchive
+    *      lookup finds 0 / >1 rows (the script's die "Unexpected number
+    *      of tarchive records");
+    *   3. `inserted` — exactly one tarchive row: the output carries
+    *      `TarchiveID`, `UploadedBy`, `UploadDate`,
+    *      `DecompressedLocation` (`MriUploadOB::insert`).
+    *
+    * Both reference lookups match by BASENAME — `CONCAT('/',
+    * ArchiveLocation) LIKE '%/<basename(path)>'`
+    * (`MriUploadOB.pm:120-129`, `TarchiveOB.pm:115-123`), a
+    * leading-wildcard LIKE MySQL can only table-scan. Here the basename
+    * is extracted on both sides once, which turns every probe into a
+    * plain EQUI-join on the basename key: hash-joinable, AQE-broadcastable
+    * when the request batch is small, and never a scan-per-request.
+    *
+    * Batch contract: requests are classified against the catalogs AS OF
+    * the batch start (the reference's sequential per-run behavior of a
+    * second same-archive run erroring is the next batch's
+    * `already_uploaded`, after the sink appends this batch's inserts).
+    *
+    * Scale posture: two equi-joins on the basename key; the
+    * uploaded-basename set and the per-basename tarchive roll-up are
+    * catalog-bounded aggregates, so AQE broadcasts them against any
+    * request-batch size — no shuffle of the request side beyond its own
+    * join key. */
+  def updateMriUpload(
+      requests: DataFrame,
+      pathCol: String,
+      sourceCol: String,
+      tarchive: DataFrame,
+      mriUpload: DataFrame,
+      uploadedBy: String,
+      uploadDate: String
+  ): DataFrame = {
+    val base = (p: Column) => regexp_extract(p, "[^/]+$", 0)
+    val tarBase = tarchive
+      .select(col("TarchiveID"), base(col("ArchiveLocation")).as("__base"))
+    // reference order matters: an ambiguous-basename archive that ALSO has
+    // an upload row reports already_uploaded, not ambiguous
+    val uploaded = mriUpload.select(col("TarchiveID"))
+      .join(tarBase, Seq("TarchiveID"))
+      .select(col("__base")).distinct()
+      .withColumn("__up", lit(true))
+    val candidates = tarBase.groupBy(col("__base"))
+      .agg(count(lit(1)).as("__n"), min(col("TarchiveID")).as("__tid"))
+    val ins = col("__up").isNull && col("__n") === 1
+    requests
+      .withColumn("__base", base(col(pathCol)))
+      .join(uploaded, Seq("__base"), "left")
+      .join(candidates, Seq("__base"), "left")
+      .select(
+        col(pathCol), col(sourceCol),
+        when(col("__up"), lit("already_uploaded"))
+          .when(col("__n").isNull, lit("tarchive_missing"))
+          .when(col("__n") > 1, lit("tarchive_ambiguous"))
+          .otherwise(lit("inserted")).as("outcome"),
+        when(ins, col("__tid")).as("TarchiveID"),
+        when(ins, lit(uploadedBy)).as("UploadedBy"),
+        when(ins, lit(uploadDate)).as("UploadDate"),
+        when(ins, col(sourceCol)).as("DecompressedLocation"))
+  }
 }

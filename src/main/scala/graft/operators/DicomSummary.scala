@@ -185,6 +185,62 @@ object DicomSummary {
     val s = series(filesDf)
     DicomStudyTables(tarchive(filesDf), s, files(filesDf, s))
   }
+
+  /** The `dicomSummary.pl -comparedir` / `-dbcompare` diff report
+    * (`dicom-archive/dicomSummary.pl:106-107,229-254`): the reference
+    * renders two summaries (a directory's and another directory's or the
+    * DB-archived one, `read_db_metadata`) to temp files and shells out to
+    * `sdiff`/`diff -q`. Here the diff is computed over the summary
+    * RELATION itself: a null-safe full-outer join on the summary key and
+    * a long-form mismatch projection — one row per (key, field) with
+    * `status` ∈ `missing_left` (right-only key — the `>` sdiff lines),
+    * `missing_right` (`<` lines), `field_diff` (`|` lines, both values
+    * shown), `match` (only with `includeMatches = true`, the full sdiff
+    * listing; the default is `diff`'s differences-only view). Values are
+    * compared AS STRINGS — the rendered meta-file line is what the
+    * reference diffs, so "1.0" vs "1" is a difference here too.
+    *
+    * Scale posture: one equi-join on the summary key (summaries are
+    * acquisition-level — tiny next to the file tables) and a
+    * fields-per-row explode that multiplies rows AFTER the join; no
+    * window, no second pass. */
+  def compareSummaries(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      compareCols: Seq[String],
+      includeMatches: Boolean = false
+  ): DataFrame = {
+    val l = left.select(
+      keyCols.map(c => col(c).as(s"__lk_$c")) ++
+        compareCols.map(c => col(c).cast("string").as(s"__l_$c")) :+
+        lit(true).as("__lp"): _*)
+    val r = right.select(
+      keyCols.map(c => col(c).as(s"__rk_$c")) ++
+        compareCols.map(c => col(c).cast("string").as(s"__r_$c")) :+
+        lit(true).as("__rp"): _*)
+    val cond = keyCols.map(c => col(s"__lk_$c") <=> col(s"__rk_$c"))
+      .reduce(_ && _)
+    val keyOut = keyCols.map(c =>
+      coalesce(col(s"__lk_$c"), col(s"__rk_$c")).as(c))
+    val fields = array(compareCols.map(c => struct(
+      lit(c).as("field"), col(s"__l_$c").as("left_value"),
+      col(s"__r_$c").as("right_value"))): _*)
+    val status =
+      when(col("__lp").isNull, lit("missing_left"))
+        .when(col("__rp").isNull, lit("missing_right"))
+        .when(!(col("field.left_value") <=> col("field.right_value")),
+          lit("field_diff"))
+        .otherwise(lit("match"))
+    val long = l.join(r, cond, "full_outer")
+      .select(keyOut ++ Seq(col("__lp"), col("__rp"),
+        explode(fields).as("field")): _*)
+      .select(keyCols.map(col) ++ Seq(col("field.field").as("field"),
+        col("field.left_value").as("left_value"),
+        col("field.right_value").as("right_value"),
+        status.as("status")): _*)
+    if (includeMatches) long else long.filter(col("status") =!= "match")
+  }
 }
 
 case class DicomStudyTables(

@@ -96,6 +96,24 @@ object DomainQueries {
         part, Seq("p_brand"), "brand_id")
     },
 
+    // dicomSummary.pl -dbcompare diff report (dicomSummary.pl:106-107,
+    // 229-254): directory summary vs DB-archived summary as a full-outer
+    // join + long-form mismatch projection. Fixtures derive from part:
+    // the "directory" side drops keys ≡3 (mod 11), the "DB" side drops
+    // keys ≡5 (mod 13) and perturbs p_size for keys ≡0 (mod 7) — so
+    // missing_left / missing_right / field_diff all populate at every sf
+    "q278_summary_dbcompare" -> { (s, dir) =>
+      val base = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"), col("p_size"), col("p_brand"))
+      val dirSum = base.filter(pmod(col("p_partkey"), lit(11)) =!= 3)
+      val dbSum = base.filter(pmod(col("p_partkey"), lit(13)) =!= 5)
+        .withColumn("p_size",
+          when(pmod(col("p_partkey"), lit(7)) === 0, col("p_size") + 1)
+            .otherwise(col("p_size")))
+      DicomSummary.compareSummaries(dirSum, dbSum, Seq("p_partkey"),
+        Seq("p_type", "p_size", "p_brand"))
+    },
+
     // A11 age-at-scan: reference formula years + months/12 + days/365 with
     // raw component differences (summary_write.py:147-163)
     "q20_age_at_scan" -> { (s, dir) =>
@@ -182,6 +200,40 @@ object DomainQueries {
         |UNION ALL
         |SELECT m + CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT), p_brand
         |FROM novel, mx""".stripMargin,
+
+    // string-compared field diff (the rendered meta-file line is what the
+    // reference sdiffs), same fixture derivation as the Spark side
+    "q278_summary_dbcompare" ->
+      """WITH l AS (
+        |  SELECT p_partkey AS k, p_type, p_size, p_brand FROM part
+        |  WHERE p_partkey % 11 <> 3
+        |), r AS (
+        |  SELECT p_partkey AS k, p_type,
+        |    CASE WHEN p_partkey % 7 = 0 THEN p_size + 1 ELSE p_size END
+        |      AS p_size, p_brand
+        |  FROM part WHERE p_partkey % 13 <> 5
+        |), j AS (
+        |  SELECT COALESCE(l.k, r.k) AS p_partkey,
+        |    l.k IS NOT NULL AS lp, r.k IS NOT NULL AS rp,
+        |    CAST(l.p_type AS VARCHAR) AS lt, CAST(r.p_type AS VARCHAR) AS rt,
+        |    CAST(l.p_size AS VARCHAR) AS ls, CAST(r.p_size AS VARCHAR) AS rs,
+        |    CAST(l.p_brand AS VARCHAR) AS lb, CAST(r.p_brand AS VARCHAR) AS rb
+        |  FROM l FULL OUTER JOIN r ON l.k = r.k
+        |), x AS (
+        |  SELECT p_partkey, 'p_type' AS field, lt AS left_value,
+        |    rt AS right_value, lp, rp FROM j
+        |  UNION ALL SELECT p_partkey, 'p_size', ls, rs, lp, rp FROM j
+        |  UNION ALL SELECT p_partkey, 'p_brand', lb, rb, lp, rp FROM j
+        |)
+        |SELECT p_partkey, field, left_value, right_value,
+        |  CASE WHEN NOT lp THEN 'missing_left'
+        |       WHEN NOT rp THEN 'missing_right'
+        |       WHEN left_value IS DISTINCT FROM right_value
+        |         THEN 'field_diff'
+        |       ELSE 'match' END AS status
+        |FROM x
+        |WHERE NOT (lp AND rp
+        |  AND left_value IS NOT DISTINCT FROM right_value)""".stripMargin,
 
     // integer-scaled rounding (N/4380 cents via floor((N*100+2190)/4380)) —
     // must mirror DicomSummary.ageAtScan exactly; see its comment

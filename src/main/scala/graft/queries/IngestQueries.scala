@@ -927,6 +927,39 @@ object IngestQueries {
       graft.streaming.EventStream.trackUploadStates(events).toDF()
     },
 
+    // updateMRI_Upload.pl vertical (dicom-archive/updateMRI_Upload.pl:
+    // 227-271): batch classification of upload requests against the
+    // tarchive + mri_upload catalogs. Fixtures derive from orders so the
+    // oracle is plain SQL: archives exist for keys !≡4 (mod 5), keys
+    // ≡0 (mod 100) get an ambiguous same-basename twin in another year
+    // dir, keys ≡0 (mod 3) are already uploaded, requests are keys
+    // ≡0 (mod 7) — all four outcomes populated at every sf
+    "q277_update_mri_upload" -> { (s, dir) =>
+      val ok = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("k"))
+      val tar0 = ok.filter(pmod(col("k"), lit(5)) =!= 4)
+        .select(col("k").as("TarchiveID"),
+          concat(lit("2019/DCM-"), col("k").cast("string"), lit(".tar"))
+            .as("ArchiveLocation"))
+      val twins = ok
+        .filter(pmod(col("k"), lit(100)) === 0 && pmod(col("k"), lit(5)) =!= 4)
+        .select((col("k") + lit(10000000L)).as("TarchiveID"),
+          concat(lit("2020/DCM-"), col("k").cast("string"), lit(".tar"))
+            .as("ArchiveLocation"))
+      val mriUpload = tar0.filter(pmod(col("TarchiveID"), lit(3)) === 0)
+        .select(col("TarchiveID"))
+      val requests = ok.filter(pmod(col("k"), lit(7)) === 0)
+        .select(
+          concat(lit("/data/tarchive/2019/DCM-"), col("k").cast("string"),
+            lit(".tar")).as("tarchive_path"),
+          concat(lit("/incoming/upload-"), col("k").cast("string"))
+            .as("source_location"))
+      graft.operators.Catalog.updateMriUpload(requests,
+        "tarchive_path", "source_location",
+        tar0.unionByName(twins), mriUpload,
+        uploadedBy = "lorisadmin", uploadDate = "2026-08-15 00:00:00")
+    },
+
     // tarchive_validation.pl vertical: every exit gate (binding, md5,
     // center, plus the non-blocking candidate ladder), scanner
     // get-or-create with the serial-only re-probe, alias-regex center
@@ -1453,6 +1486,51 @@ object IngestQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // updateMRI_Upload.pl: same fixture derivation, same basename-keyed
+    // classification (the reference's CONCAT('/',loc) LIKE '%/<basename>'
+    // IS basename equality when basenames contain no '/')
+    "q277_update_mri_upload" ->
+      """WITH ok AS (SELECT o_orderkey AS k FROM orders),
+        |tar0 AS (
+        |  SELECT k AS tid, '2019/DCM-' || CAST(k AS VARCHAR) || '.tar' AS loc
+        |  FROM ok WHERE k % 5 <> 4
+        |), twins AS (
+        |  SELECT k + 10000000 AS tid,
+        |    '2020/DCM-' || CAST(k AS VARCHAR) || '.tar' AS loc
+        |  FROM ok WHERE k % 100 = 0 AND k % 5 <> 4
+        |), tar AS (SELECT * FROM tar0 UNION ALL SELECT * FROM twins
+        |), tb AS (
+        |  SELECT tid, regexp_extract(loc, '[^/]+$') AS base FROM tar
+        |), upb AS (
+        |  SELECT DISTINCT base FROM tb
+        |  WHERE tid IN (SELECT tid FROM tar0 WHERE tid % 3 = 0)
+        |), cand AS (
+        |  SELECT base, COUNT(*) AS n, MIN(tid) AS mintid FROM tb GROUP BY 1
+        |), req AS (
+        |  SELECT
+        |    '/data/tarchive/2019/DCM-' || CAST(k AS VARCHAR) || '.tar'
+        |      AS tarchive_path,
+        |    '/incoming/upload-' || CAST(k AS VARCHAR) AS source_location,
+        |    'DCM-' || CAST(k AS VARCHAR) || '.tar' AS base
+        |  FROM ok WHERE k % 7 = 0
+        |)
+        |SELECT r.tarchive_path, r.source_location,
+        |  CASE WHEN upb.base IS NOT NULL THEN 'already_uploaded'
+        |       WHEN cand.n IS NULL THEN 'tarchive_missing'
+        |       WHEN cand.n > 1 THEN 'tarchive_ambiguous'
+        |       ELSE 'inserted' END AS outcome,
+        |  CASE WHEN upb.base IS NULL AND cand.n = 1
+        |       THEN cand.mintid END AS "TarchiveID",
+        |  CASE WHEN upb.base IS NULL AND cand.n = 1
+        |       THEN 'lorisadmin' END AS "UploadedBy",
+        |  CASE WHEN upb.base IS NULL AND cand.n = 1
+        |       THEN '2026-08-15 00:00:00' END AS "UploadDate",
+        |  CASE WHEN upb.base IS NULL AND cand.n = 1
+        |       THEN r.source_location END AS "DecompressedLocation"
+        |FROM req r
+        |LEFT JOIN upb ON r.base = upb.base
+        |LEFT JOIN cand ON r.base = cand.base""".stripMargin,
+
     // tarchive_validation.pl: one pinned row per exit gate; the three
     // candidate-mismatch flavors ride validated rows (the reference sets
     // IsTarchiveValidated despite them)

@@ -117,4 +117,41 @@ class CatalogSpec extends SparkSpec {
     assert(byKey("dup") != probe, "collided id must not be reused")
     assert(out.map(_._2).distinct.length == 2)
   }
+
+  test("updateMriUpload: the four updateMRI_Upload.pl outcomes — insert, " +
+      "already-uploaded (wins over ambiguity, reference order), missing, " +
+      "ambiguous — all matched by BASENAME, not full path") {
+    import spark.implicits._
+    val tarchive = Seq(
+      (21L, "2019/DCM-a.tar"),           // fresh -> inserted
+      (22L, "2019/DCM-b.tar"),           // already uploaded
+      (23L, "2019/DCM-c.tar"),           // ambiguous twin of 24
+      (24L, "2020/DCM-c.tar"),
+      (25L, "2019/DCM-d.tar"),           // ambiguous twin of 26, but 26
+      (26L, "2020/DCM-d.tar")            //   is uploaded -> already wins
+    ).toDF("TarchiveID", "ArchiveLocation")
+    val mriUpload = Seq(22L, 26L).toDF("TarchiveID")
+    val requests = Seq(
+      ("/data/t/2019/DCM-a.tar", "/in/a"),
+      ("/data/t/2019/DCM-b.tar", "/in/b"),
+      ("/data/t/2019/DCM-c.tar", "/in/c"),
+      ("/data/t/2019/DCM-d.tar", "/in/d"),
+      ("/data/t/2019/DCM-x.tar", "/in/x") // no tarchive row
+    ).toDF("p", "src")
+    val out = Catalog.updateMriUpload(requests, "p", "src", tarchive,
+      mriUpload, "lorisadmin", "2026-08-15 00:00:00")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("/data/t/2019/DCM-a.tar").getString(2) == "inserted")
+    assert(out("/data/t/2019/DCM-a.tar").getLong(3) == 21L)
+    assert(out("/data/t/2019/DCM-a.tar").getString(4) == "lorisadmin")
+    assert(out("/data/t/2019/DCM-a.tar").getString(6) == "/in/a")
+    assert(out("/data/t/2019/DCM-b.tar").getString(2) == "already_uploaded")
+    assert(out("/data/t/2019/DCM-b.tar").isNullAt(3))
+    assert(out("/data/t/2019/DCM-c.tar").getString(2) == "tarchive_ambiguous")
+    // reference evaluation order: getWithTarchive count>0 exits BEFORE the
+    // tarchive lookup could see the ambiguity
+    assert(out("/data/t/2019/DCM-d.tar").getString(2) == "already_uploaded")
+    assert(out("/data/t/2019/DCM-x.tar").getString(2) == "tarchive_missing")
+    assert(out.size == 5)
+  }
 }

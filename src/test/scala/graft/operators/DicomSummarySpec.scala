@@ -136,4 +136,35 @@ class DicomSummarySpec extends SparkSpec {
     assert(planJobs == before)
     guarded.count()
   }
+
+  test("compareSummaries: missing_left / missing_right / field_diff / " +
+      "match (the dicomSummary.pl -dbcompare xdiff semantics as columns); " +
+      "values compared as rendered strings; null == null matches") {
+    import spark.implicits._
+    val l = Seq((1L, Some("t1"), Some(10)), (2L, Some("t2"), Some(20)),
+      (3L, None: Option[String], Some(30))).toDF("k", "descr", "size")
+    val r = Seq((1L, Some("t1"), Some(11)), (3L, None: Option[String],
+      Some(30)), (4L, Some("t4"), Some(40))).toDF("k", "descr", "size")
+    val diffs = DicomSummary.compareSummaries(l, r, Seq("k"),
+      Seq("descr", "size"))
+      .collect().map(x => (x.getLong(0), x.getString(1)) ->
+        ((x.getString(2), x.getString(3), x.getString(4)))).toMap
+    // k=1: descr matches (absent from the diff view), size differs
+    assert(diffs((1L, "size")) == (("10", "11", "field_diff")))
+    assert(!diffs.contains((1L, "descr")))
+    // k=2 exists only left -> every field reports missing_right
+    assert(diffs((2L, "descr")) == (("t2", null, "missing_right")))
+    assert(diffs((2L, "size")) == (("20", null, "missing_right")))
+    // k=3: null descr on both sides is a MATCH (null-safe), size matches
+    assert(!diffs.contains((3L, "descr")) && !diffs.contains((3L, "size")))
+    // k=4 exists only right -> missing_left
+    assert(diffs((4L, "size")) == ((null, "40", "missing_left")))
+    assert(diffs.size == 5)
+    // includeMatches = the full sdiff listing: every (key, field) row
+    val full = DicomSummary.compareSummaries(l, r, Seq("k"),
+      Seq("descr", "size"), includeMatches = true)
+    assert(full.count() == 8) // 4 keys x 2 fields
+    assert(full.filter(
+      org.apache.spark.sql.functions.col("status") === "match").count() == 3)
+  }
 }
