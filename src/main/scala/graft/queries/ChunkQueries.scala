@@ -56,6 +56,46 @@ object ChunkQueries {
       EphysChunker.chunkStats(samples(s, dir), 32)
     },
 
+    // mass_electrophysiology_chunking.py selection (python/scripts/
+    // mass_electrophysiology_chunking.py:58-73 + lib/physio/chunking.py:
+    // 14-41): the reference loops an ID range, skips files whose
+    // 'electrophysiology_chunked_dataset_path' parameter exists, and
+    // routes by type to ctf-/edf-/eeglab-to-chunks. Set-oriented: one
+    // range filter + one left join against the chunked-marker parameter
+    // rows (the not-yet-chunked anti-join, kept as a flag so skips are
+    // visible like the reference's log line) + a type-routing projection.
+    // Fixtures from part: ids !≡4 (mod 5) exist (range-loop gaps), type
+    // cycles ctf/edf/set/bdf (bdf = the unsupported-type error path),
+    // ids ≡0 (mod 3) already chunked; a second parameter name exercises
+    // the name filter
+    "q279_chunking_selection" -> { (s, dir) =>
+      val part = t(s, dir, "part")
+      val files = part.filter(pmod(col("p_partkey"), lit(5)) =!= 4)
+        .select(col("p_partkey").as("physio_file_id"),
+          when(pmod(col("p_partkey"), lit(4)) === 0, "ctf")
+            .when(pmod(col("p_partkey"), lit(4)) === 1, "edf")
+            .when(pmod(col("p_partkey"), lit(4)) === 2, "set")
+            .otherwise("bdf").as("file_type"))
+      val params = part.filter(pmod(col("p_partkey"), lit(3)) <= 1)
+        .select(col("p_partkey").as("physio_file_id"),
+          when(pmod(col("p_partkey"), lit(3)) === 0,
+            "electrophysiology_chunked_dataset_path")
+            .otherwise("electrophysiology_annotation_file_path")
+            .as("parameter_name"))
+      val chunked = params
+        .filter(col("parameter_name") ===
+          "electrophysiology_chunked_dataset_path")
+        .select(col("physio_file_id"), lit(true).as("__chunked"))
+      files.filter(col("physio_file_id").between(100L, 120000L))
+        .join(chunked, Seq("physio_file_id"), "left")
+        .select(col("physio_file_id"), col("file_type"),
+          when(col("__chunked"), lit("skip_already_chunked"))
+            .when(col("file_type") === "ctf", lit("ctf-to-chunks"))
+            .when(col("file_type") === "edf", lit("edf-to-chunks"))
+            .when(col("file_type") === "set", lit("eeglab-to-chunks"))
+            .otherwise(lit("unsupported_type")).as("action"))
+    },
+
     // T2: integer-deterministic downsampling pyramid plan
     "q34_pyramid_plan" -> { (s, dir) =>
       EphysChunker.pyramidPlan(samples(s, dir), 8)
@@ -1281,6 +1321,25 @@ object ChunkQueries {
         |)
         |SELECT user_id, event_id, us, marker_us, us - marker_us AS gap_us
         |FROM g WHERE event_type = 'purchase'""".stripMargin,
+
+    "q279_chunking_selection" ->
+      """WITH files AS (
+        |  SELECT p_partkey AS physio_file_id,
+        |    CASE p_partkey % 4 WHEN 0 THEN 'ctf' WHEN 1 THEN 'edf'
+        |         WHEN 2 THEN 'set' ELSE 'bdf' END AS file_type
+        |  FROM part WHERE p_partkey % 5 <> 4
+        |), chunked AS (
+        |  SELECT p_partkey AS physio_file_id FROM part
+        |  WHERE p_partkey % 3 = 0
+        |)
+        |SELECT f.physio_file_id, f.file_type,
+        |  CASE WHEN c.physio_file_id IS NOT NULL THEN 'skip_already_chunked'
+        |       WHEN f.file_type = 'ctf' THEN 'ctf-to-chunks'
+        |       WHEN f.file_type = 'edf' THEN 'edf-to-chunks'
+        |       WHEN f.file_type = 'set' THEN 'eeglab-to-chunks'
+        |       ELSE 'unsupported_type' END AS action
+        |FROM files f LEFT JOIN chunked c USING (physio_file_id)
+        |WHERE f.physio_file_id BETWEEN 100 AND 120000""".stripMargin,
 
     "q33_ephys_chunks" ->
       s"""WITH s AS ($sqlSamples),

@@ -598,8 +598,109 @@ object MaintQueries {
         }
         .toDF("file", "tag_group", "tag_element", "vr", "vl", "value",
           "field_name")
+    },
+
+    // get_dicom_info.pl field-selection mode (get_dicom_info.pl:128-195):
+    // ordered field table over a DICOM file list — requested-order
+    // columns, UNDEF for empty fields, the computed slicepos pseudo-field
+    // (position · sign-corrected orientation normal), and the croft skip
+    // for files lacking ImagePositionPatient. Exactly-representable
+    // position values make the pinned rows float-stable: axial
+    // (1\0\0\0\1\0) -> slicepos = z; coronal (1\0\0\0\0\-1) -> normal
+    // (0,-1,0) flips to (0,1,0) -> slicepos = -y
+    "q280_dicom_info_table" -> { (s, _) =>
+      import graft.sources.{DicomSource, SyntheticFixtures}
+      val dir = SyntheticFixtures.freshDir("q280")
+      def put(name: String, bytes: Array[Byte]): Unit =
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, name), bytes)
+      def scan(series: String, te: String, pname: String,
+          posOrient: Seq[(Int, Int, String, String)]): Array[Byte] =
+        SyntheticFixtures.dicomBytes(
+          Seq(SyntheticFixtures.dicomElem(0x0008, 0x0060, "CS", "MR"),
+            SyntheticFixtures.dicomElem(0x0010, 0x0010, "PN", pname)) ++
+          (if (te.isEmpty) Nil
+           else Seq(SyntheticFixtures.dicomElem(0x0018, 0x0081, "DS", te))) ++
+          Seq(SyntheticFixtures.dicomElem(0x0020, 0x0011, "IS", series)) ++
+          posOrient.map { case (g, e, vr, v) =>
+            SyntheticFixtures.dicomElem(g, e, vr, v) })
+      put("axial.dcm", scan("2", "25.5", "SUB01", Seq(
+        (0x0020, 0x0032, "DS", "12.5\\-25.25\\100.5"),
+        (0x0020, 0x0037, "DS", "1\\0\\0\\0\\1\\0"))))
+      put("coronal.dcm", scan("3", "80", "SUB02", Seq(
+        (0x0020, 0x0032, "DS", "5\\-37.75\\10"),
+        (0x0020, 0x0037, "DS", "1\\0\\0\\0\\0\\-1"))))
+      put("no_te.dcm", scan("4", "", "SUB03", Seq(
+        (0x0020, 0x0032, "DS", "0\\0\\-50.25"),
+        (0x0020, 0x0037, "DS", "1\\0\\0\\0\\1\\0"))))
+      put("no_pos.dcm", scan("5", "30", "SUB04", Nil)) // croft skip
+      put("notes.txt", "not a dicom".getBytes("US-ASCII"))
+      DicomSource.fieldTable(s,
+        DicomSource.scanDir(s, dir)
+          .withColumn("path", element_at(split(col("path"), "/"), -1)),
+        Seq("filename", "series_number", "echo_time", "patient_name",
+          "slicepos"))
+    },
+
+    // DTI.pm getRejectedDirections + DTIPrepRegister insertPipelineSummary
+    // (DTI.pm:1151-1233, DTIPrepRegister.pl:1252-1300): QC XML reports ->
+    // minc-header feedback rows. Report 2 is DTIPrepNoReg: intergradient
+    // header skipped, its count subtracted from total_rejected
+    "q281_dtiprep_qc_feedback" -> { (s, _) =>
+      import s.implicits._
+      def grad(n: String, st: String) =
+        s"""<entry parameter="gradient_$n"><processing>$st</processing></entry>"""
+      val xml1 = s"""<?xml version="1.0"?><QCResultSettings>
+        |<entry parameter="DWI Check">
+        |${grad("0000", "INCLUDE")}${grad("0001", "EXCLUDE_SLICECHECK")}
+        |${grad("0002", "INCLUDE")}${grad("0003", "EXCLUDE_GRADIENTCHECK")}
+        |${grad("0007", "EXCLUDE_SLICECHECK")}
+        |${grad("0010", "EXCLUDE_INTERLACECHECK")}${grad("0011", "INCLUDE")}
+        |</entry></QCResultSettings>""".stripMargin
+      val xml2 = s"""<?xml version="1.0"?><QCResultSettings>
+        |<entry parameter="DWI Check">
+        |${grad("0000", "INCLUDE")}${grad("0001", "EXCLUDE_GRADIENTCHECK")}
+        |${grad("0002", "EXCLUDE_SLICECHECK")}${grad("0003", "INCLUDE")}
+        |</entry></QCResultSettings>""".stripMargin
+      val reports = Seq((1, xml1, "DTIPrepReg"), (2, xml2, "DTIPrepNoReg"))
+        .toDF("file_id", "xml", "scan_type")
+      graft.operators.DtiQc.pipelineSummaryHeaders(
+        reports, "file_id", "xml", "scan_type")
+    },
+
+    // DTI.pm createDTIhashref/determinePreprocOutputs (DTI.pm:324-397):
+    // protocol-XML-driven output naming per raw DWI file
+    "q282_dtiprep_outputs" -> { (s, _) =>
+      import s.implicits._
+      val prot = Seq((1, dtiProtocolXml)).toDF("prot_id", "xml")
+      val protRows = graft.operators.DtiQc.protocolRows(prot, "prot_id", "xml")
+      val files = Seq("native/sub1_dti.mnc", "native/sub2_run-02_dti.mnc")
+        .toDF("file_path")
+      graft.operators.DtiQc.preprocOutputs(files, "file_path",
+        "/data/out/DTIPrep", "protocol.xml", protRows)
+    },
+
+    // DTI.pm readDTIPrepXMLprot (DTI.pm:282-293): the XML protocol as a
+    // (path, name, value) relation — nested entries extend the path,
+    // repeated <value> leaves (IMAGE_size) produce one row each in
+    // document order (XML::Simple's ForceArray)
+    "q283_dtiprep_protocol" -> { (s, _) =>
+      import s.implicits._
+      graft.operators.DtiQc.protocolRows(
+        Seq((1, dtiProtocolXml)).toDF("prot_id", "xml"), "prot_id", "xml")
     }
   )
+
+  /** Shared DTIPrep XML protocol fixture for q282/q283. */
+  private val dtiProtocolXml: String =
+    """<?xml version="1.0"?><ProtocolSettings>
+      |<entry parameter="QC_QCedDWIFileNameSuffix"><value>_QCed.nrrd</value></entry>
+      |<entry parameter="QC_reportFileNameSuffix"><value>_QCReport.txt</value></entry>
+      |<entry parameter="DTI_bCompute"><value>Yes</value></entry>
+      |<entry parameter="IMAGE_bCheck">
+      |<entry parameter="IMAGE_size"><value>96</value><value>96</value><value>65</value></entry>
+      |<value>Yes</value>
+      |</entry></ProtocolSettings>""".stripMargin
 
   /** Shared composition for q144/q145 — the addSeriesAndFileRecords.pl
     * vertical over a two-series fixture archive. */
@@ -968,6 +1069,64 @@ object MaintQueries {
         |  ('scan.dcm', '0020', '000D', 'UI', 10, '1.2.3.9000',
         |   'study_uid')
         |) AS t(file, tag_group, tag_element, vr, vl, value,
-        |       field_name)""".stripMargin
+        |       field_name)""".stripMargin,
+
+    // get_dicom_info.pl: requested-order field table; no_pos.dcm (croft
+    // skip) and notes.txt (isDicomImage gate) produce no row; all three
+    // slicepos values are exactly representable doubles
+    "q280_dicom_info_table" ->
+      """SELECT * FROM (VALUES
+        |  ('axial.dcm', '2', '25.5', 'SUB01', CAST(100.5 AS DOUBLE)),
+        |  ('coronal.dcm', '3', '80', 'SUB02', CAST(37.75 AS DOUBLE)),
+        |  ('no_te.dcm', '4', 'UNDEF', 'SUB03', CAST(-50.25 AS DOUBLE))
+        |) AS t(filename, series_number, echo_time, patient_name,
+        |       slicepos)""".stripMargin,
+
+    // DTI.pm QC feedback: report 1 (DTIPrepReg) carries all four headers;
+    // report 2 (DTIPrepNoReg) skips intergradient and subtracts its count
+    // from total (2 excluded - 1 intergradient = 1)
+    "q281_dtiprep_qc_feedback" ->
+      """SELECT * FROM (VALUES
+        |  ('1', 'processing:slicewise_rejected', '''Directions 1,7(2)'''),
+        |  ('1', 'processing:interlace_rejected', '''Directions 10(1)'''),
+        |  ('1', 'processing:intergradient_rejected',
+        |   '''Directions 3(1)'''),
+        |  ('1', 'processing:total_rejected', '4'),
+        |  ('2', 'processing:slicewise_rejected', '''Directions 2(1)'''),
+        |  ('2', 'processing:interlace_rejected', '''Directions (0)'''),
+        |  ('2', 'processing:total_rejected', '1')
+        |) AS t(file_id, header, value)""".stripMargin,
+
+    "q282_dtiprep_outputs" ->
+      """SELECT * FROM (VALUES
+        |  ('native/sub1_dti.mnc',
+        |   '/data/out/DTIPrep/sub1_dti.nrrd',
+        |   '/data/out/DTIPrep/protocol.xml',
+        |   '/data/out/DTIPrep/sub1_dti_XMLQCResult.xml',
+        |   '/data/out/DTIPrep/sub1_dti_QCReport.txt',
+        |   '/data/out/DTIPrep/sub1_dti_QCed.nrrd',
+        |   '/data/out/DTIPrep/sub1_dti_QCed.mnc'),
+        |  ('native/sub2_run-02_dti.mnc',
+        |   '/data/out/DTIPrep/sub2_run-02_dti.nrrd',
+        |   '/data/out/DTIPrep/protocol.xml',
+        |   '/data/out/DTIPrep/sub2_run-02_dti_XMLQCResult.xml',
+        |   '/data/out/DTIPrep/sub2_run-02_dti_QCReport.txt',
+        |   '/data/out/DTIPrep/sub2_run-02_dti_QCed.nrrd',
+        |   '/data/out/DTIPrep/sub2_run-02_dti_QCed.mnc')
+        |) AS t(file_path, raw_nrrd, qc_protocol, qc_report_xml,
+        |       qc_report_txt, qced_nrrd, qced_minc)""".stripMargin,
+
+    // repeated <value> leaves (IMAGE_size) produce one row EACH — the
+    // two '96' rows are intentional duplicates
+    "q283_dtiprep_protocol" ->
+      """SELECT * FROM (VALUES
+        |  ('1', 'QC_QCedDWIFileNameSuffix', 'value', '_QCed.nrrd'),
+        |  ('1', 'QC_reportFileNameSuffix', 'value', '_QCReport.txt'),
+        |  ('1', 'DTI_bCompute', 'value', 'Yes'),
+        |  ('1', 'IMAGE_bCheck/IMAGE_size', 'value', '96'),
+        |  ('1', 'IMAGE_bCheck/IMAGE_size', 'value', '96'),
+        |  ('1', 'IMAGE_bCheck/IMAGE_size', 'value', '65'),
+        |  ('1', 'IMAGE_bCheck', 'value', 'Yes')
+        |) AS t(prot_id, path, name, value)""".stripMargin
   )
 }

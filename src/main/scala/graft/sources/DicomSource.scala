@@ -121,6 +121,95 @@ object DicomSource {
         col("h")("modality").as("modality"))
   }
 
+  /** `get_dicom_info.pl` field-selection table
+    * (`dicom-archive/get_dicom_info.pl:128-195`): one output row per DICOM
+    * image file, one column per requested field IN THE REQUESTED ORDER
+    * (the CLI's option order; `-labels` prints the header line — here the
+    * column names ARE the labels). Fields are the DCMSUM tag names
+    * ([[DicomTagParser.wantedTags]]) plus the two pseudo-fields the
+    * reference computes: `filename` and `slicepos` (ImagePositionPatient
+    * · slice direction cosine, where the cosine is the sign-corrected
+    * normalized cross product of the converted ImageOrientationPatient
+    * column/row vectors — `get_dicom_info.pl:137-160,254-333`). Empty or
+    * absent tag values print `errorString` (`-error_string`, default
+    * UNDEF); files without a 3-value ImagePositionPatient are SKIPPED
+    * entirely when `slicepos` is requested (the reference's croft list);
+    * an invalid orientation degrades to slicepos 0.0 (the reference warns
+    * and continues with zero vectors). Non-DICOM files produce no row
+    * (the `isDicomImage` gate).
+    *
+    * Scale posture: a single row-local flatMap over the binary scan — no
+    * shuffle anywhere; the projection to ordered columns is a map-typed
+    * select Catalyst codegens. */
+  def fieldTable(spark: SparkSession, files: DataFrame, fields: Seq[String],
+      errorString: String = "UNDEF"): DataFrame = {
+    import spark.implicits._
+    val wantSlice = fields.contains("slicepos")
+    val parsed = files.select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val elems = DicomTagParser.describe(bytes)
+        if (elems.isEmpty) None
+        else {
+          // first non-empty value wins per tag (the reference reads each
+          // tag once); keep both the named-field map and the two
+          // geometry tags
+          val byName = scala.collection.mutable.Map.empty[String, String]
+          var posRaw: String = null
+          var orientRaw: String = null
+          elems.foreach { e =>
+            if (e.value != null && e.value.nonEmpty) {
+              if (e.field_name != null && !byName.contains(e.field_name))
+                byName(e.field_name) = e.value
+              val tag = (e.group << 16) | e.element
+              if (tag == 0x00200032 && posRaw == null) posRaw = e.value
+              if (tag == 0x00200037 && orientRaw == null) orientRaw = e.value
+            }
+          }
+          def dicomList(v: String): Array[Double] =
+            if (v == null) Array.empty
+            else v.split("\\\\").map { x =>
+              try x.trim.toDouble catch { case _: NumberFormatException => 0.0 }
+            }
+          // convert_coordinates: negate x and y (DICOM LPS -> scanner XYZ)
+          def convert(a: Array[Double]): Array[Double] =
+            Array(-a(0), -a(1), a(2))
+          val pos = dicomList(posRaw)
+          if (wantSlice && pos.length != 3) None // croft skip
+          else {
+            val slicepos: Double =
+              if (!wantSlice) 0.0
+              else {
+                val o = dicomList(orientRaw)
+                val (c, r) =
+                  if (o.length == 6) (convert(o.take(3)), convert(o.drop(3)))
+                  else (Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0))
+                val n = Array(
+                  c(1) * r(2) - c(2) * r(1),
+                  c(2) * r(0) - c(0) * r(2),
+                  c(0) * r(1) - c(1) * r(0))
+                var mag = math.sqrt(n(0) * n(0) + n(1) * n(1) + n(2) * n(2))
+                if (mag <= 0) mag = 1
+                var mx = n(0)
+                if (math.abs(n(1)) > math.abs(mx)) mx = n(1)
+                if (math.abs(n(2)) > math.abs(mx)) mx = n(2)
+                if (mx < 0) mag = -mag
+                val p = convert(pos)
+                (p(0) * n(0) + p(1) * n(1) + p(2) * n(2)) / mag
+              }
+            Some((path, byName.toMap, slicepos))
+          }
+        }
+      }
+    parsed.toDF("__file", "__vals", "__slicepos")
+      .select(fields.map {
+        case "filename" => col("__file").as("filename")
+        case "slicepos" => col("__slicepos").as("slicepos")
+        case f => coalesce(element_at(col("__vals"), lit(f)),
+          lit(errorString)).as(f)
+      }: _*)
+  }
+
   /** Bridge the scan schema to [[graft.operators.DicomSummary]]'s input
     * (the `dicom_files` fixture shape): DICOM `YYYYMMDD` strings become
     * dates, scanner fields take the tarchive-facing names. Completes the
