@@ -19,6 +19,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 final class ShuffleTelemetry {
   private val readB = new AtomicLong
   private val writeB = new AtomicLong
+  private val drainsN = new AtomicLong
 
   def install(sc: SparkContext): Unit = sc.addSparkListener(new SparkListener {
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -27,8 +28,22 @@ final class ShuffleTelemetry {
         readB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         writeB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
+      // TopKPerGroup cap-triggered partial drains (its SQLMetric rides the
+      // task accumulators): each drain re-emits <= k rows per seen group
+      // into the exchange, so a nonzero count here is shuffle INFLATION
+      // the byte counters alone would misattribute to data volume.
+      if (te.taskInfo != null) te.taskInfo.accumulables.foreach { a =>
+        if (a.name.exists(_ == graft.plans.TopKPerGroup.DrainMetricName))
+          a.update.foreach {
+            case n: Long => drainsN.addAndGet(n)
+            case _ => ()
+          }
+      }
     }
   })
+
+  /** Cumulative cap-triggered TopKPerGroup partial drains. */
+  def drains(): Long = drainsN.get
 
   /** Current (read, write) byte counters without draining the bus — use
     * for the BEFORE sample (the previous settled() left the bus empty). */

@@ -188,6 +188,43 @@ object Similarity {
     * ntz = bit_count(~z & (z-1)) identity. The one-shot, incremental and
     * rpLsh paths all MUST share this expression — the incremental ==
     * one-shot merge invariant depends on it being bit-identical. */
+  /** Session-conf switch for the ANN miners' exact-verify placement.
+    * "injoin" (default): both bucket-join sides CARRY their vector and the
+    * cosine is computed inside the join — shuffled volume is n×bands
+    * vector rows, zero pair-keyed exchanges. "fetch": the bucket join
+    * carries only (id, lbl, fullsig); vectors ride band-0 rows once and
+    * the cosine is computed after two id-keyed joins against the vector
+    * frame — shuffled volume is n vectors + 2× the candidate-pair ids.
+    * The crossover is geometry- and dim-dependent (in-join pays
+    * bands×dim doubles per vector; fetch pays pair-keyed vector
+    * traffic): see docs/SCALE.md "miner verify A/B" for the sf1
+    * measurements that set the default. */
+  val VerifyModeKey = "spark.graft.miner.verify"
+
+  private def fetchVerify(df: DataFrame): Boolean =
+    df.sparkSession.conf.get(VerifyModeKey, "injoin") == "fetch"
+
+  /** The "fetch" verify: score narrow candidate pairs by two id-keyed
+    * joins against the one-row-per-id vector frame. Emits the pairs'
+    * columns + the SAME rounded cosine expression as the in-join path. */
+  private def scoreFetched(pairs: DataFrame, vecs: DataFrame): DataFrame = {
+    val q = vecs.select(col("id").as("query_id"), col("v").as("__qv"),
+      col("nrm").as("__qn"))
+    val n = vecs.select(col("id").as("neighbor_id"), col("v").as("__nv"),
+      col("nrm").as("__nn"))
+    pairs.join(q, Seq("query_id")).join(n, Seq("neighbor_id"))
+      .withColumn("cosine", round(
+        nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))),
+        6))
+      .select(pairs.columns.map(col) :+ col("cosine"): _*)
+  }
+
+  /** One vector row per id out of a band-signature frame: band-0 rows
+    * carry (v, nrm) in BOTH verify modes ([[bandSigFrame]] nulls the
+    * vector on bands 1.. under "fetch"). */
+  private def vecsFromSigs(s: DataFrame): DataFrame =
+    s.filter(col("band") === 0).select(col("id"), col("v"), col("nrm"))
+
   private[operators] def firstCollisionBand(
       sigA: Column, sigB: Column, bands: Int, bitsPerBand: Int): Column = {
     val groupLowBits = lit((0 until bands)
@@ -243,10 +280,19 @@ object Similarity {
     // task). The partition count is EXPLICIT: AQE sizes coalescing by the
     // exchange's bytes, which under-provisions a stage that expands
     // |bucket|× after it. Also pre-aligns the bucket-size groupBy.
+    // under "fetch" verify the vector/norm ride ONLY the band-0 row (one
+    // per id): the repartition exchange and the cache then hold n vectors
+    // instead of n×bands — the whole point of that mode
+    val vCol = if (fetchVerify(v)) when(col("band") === 0, col("v"))
+      else col("v")
+    val nrmCol = if (fetchVerify(v)) when(col("band") === 0, col("nrm"))
+      else col("nrm")
     v.select(col("id"), col("lbl"), col("v"), col("nrm"), sigArr.as("sigs"))
       .select(col("id"), col("lbl"), col("v"), col("nrm"),
         packed.as("fullsig"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
+      .select(col("id"), col("lbl"), vCol.as("v"), nrmCol.as("nrm"),
+        col("fullsig"), col("band"), col("sig"))
       .repartition(v.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
       // n×bands rows CARRYING the vector and its norm — the exact verify
@@ -297,22 +343,29 @@ object Similarity {
       .filter(col("__bsz") <= maxBucketSize)
     val joinKey = if (sameLabel) Seq("__lbl", "band", "sig")
       else Seq("band", "sig")
-    val a = sOk.select(col("band"), col("sig"), col("id").as("query_id"),
-      col("lbl").as("__ql"), col("lbl").as("__lbl"),
-      col("v").as("__qv"), col("nrm").as("__qn"),
-      col("fullsig").as("__qf"))
-    val b = sOk.select(col("band"), col("sig"), col("id").as("neighbor_id"),
-      col("lbl").as("__nl"), col("lbl").as("__lbl"),
-      col("v").as("__nv"), col("nrm").as("__nn"),
-      col("fullsig").as("__nf"))
+    val fetch = fetchVerify(s)
+    val vq = if (fetch) Nil
+      else Seq(col("v").as("__qv"), col("nrm").as("__qn"))
+    val vn = if (fetch) Nil
+      else Seq(col("v").as("__nv"), col("nrm").as("__nn"))
+    val a = sOk.select(Seq(col("band"), col("sig"),
+      col("id").as("query_id"), col("lbl").as("__ql"),
+      col("lbl").as("__lbl"), col("fullsig").as("__qf")) ++ vq: _*)
+    val b = sOk.select(Seq(col("band"), col("sig"),
+      col("id").as("neighbor_id"), col("lbl").as("__nl"),
+      col("lbl").as("__lbl"), col("fullsig").as("__nf")) ++ vn: _*)
     val labelPred =
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
       else col("__ql") =!= col("__nl")
-    a.hint("SHUFFLE_HASH").join(b, joinKey)
+    val matched = a.hint("SHUFFLE_HASH").join(b, joinKey)
       .filter(labelPred)
       .filter(col("band") ===
         firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
+    if (fetch)
+      scoreFetched(matched.select(col("query_id"), col("neighbor_id")),
+        vecsFromSigs(s))
+    else matched
       .withColumn("cosine",
         round(nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))), 6))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
@@ -353,7 +406,13 @@ object Similarity {
     * modes. */
   private def fusedBothModesFromRows(
       rows: DataFrame, bands: Int, bitsPerBand: Int, maxBucketSize: Int,
-      requireBatchSide: Boolean
+      requireBatchSide: Boolean,
+      // "fetch"-verify vector source. None = the rows' own band-0 rows
+      // (valid for whole-corpus signature frames); the INCREMENTAL caller
+      // passes the artifact vectors explicitly — its index side is pruned
+      // to touched buckets, which can drop an id's band-0 row while other
+      // bands still generate pairs.
+      fetchVecs: Option[DataFrame] = None
   ): DataFrame = {
     // both cap populations as WINDOW counts: the frame is already hash-
     // partitioned by (band, sig), which co-locates (lbl, band, sig) too,
@@ -377,33 +436,42 @@ object Similarity {
       .withColumn("__grp",
         when(col("__bsz") <= maxBucketSize, lit(""))
           .otherwise(concat(lit("L"), col("lbl").cast("string"))))
+    val fetch = fetchVerify(rows)
     val isb = (suffix: String) =>
       if (requireBatchSide) Seq(col("__isb").as(s"__$suffix")) else Nil
+    val vq = if (fetch) Nil
+      else Seq(col("v").as("__qv"), col("nrm").as("__qn"))
+    val vn = if (fetch) Nil
+      else Seq(col("v").as("__nv"), col("nrm").as("__nn"))
     val a = annotated.select(Seq(col("__grp"), col("band"), col("sig"),
       col("lbl").as("__ql"), col("id").as("query_id"),
-      col("v").as("__qv"), col("nrm").as("__qn"),
-      col("fullsig").as("__qf")) ++ isb("ab"): _*)
+      col("fullsig").as("__qf")) ++ vq ++ isb("ab"): _*)
     val b = annotated.select(Seq(col("__grp"), col("band"), col("sig"),
       col("lbl").as("__nl"), col("id").as("neighbor_id"),
-      col("v").as("__nv"), col("nrm").as("__nn"),
-      col("fullsig").as("__nf")) ++ isb("nb"): _*)
+      col("fullsig").as("__nf")) ++ vn ++ isb("nb"): _*)
     // (band, sig) hash partitioning satisfies the (grp, band, sig) join's
     // clustering requirement (subset rule), so the ONE bucket join still
     // runs exchange-free over the cached signature frame
     val pairs0 = a.hint("SHUFFLE_HASH").join(b, Seq("__grp", "band", "sig"))
     val pairs = if (requireBatchSide)
       pairs0.filter(col("__ab") || col("__nb")) else pairs0
-    pairs
+    val matched = pairs
       // keep cross-label pairs and NON-SELF same-label pairs
       .filter(col("__ql") =!= col("__nl") ||
         col("query_id") =!= col("neighbor_id"))
       .filter(col("band") ===
         firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
+      .withColumn("__same", col("__ql") === col("__nl"))
+    if (fetch)
+      scoreFetched(matched.select(col("query_id"), col("neighbor_id"),
+          col("__same")), fetchVecs.getOrElse(vecsFromSigs(rows)))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"),
+          col("__same"))
+    else matched
       // the SAME dot/(nrm·nrm) rounded double as the separate paths — the
       // fused form must stay bit-identical to the one-shot and exact forms
       .withColumn("cosine",
         round(nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))), 6))
-      .withColumn("__same", col("__ql") === col("__nl"))
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("__same"))
   }
@@ -430,9 +498,19 @@ object Similarity {
       bands: Int, bitsPerBand: Int, maxBucketSize: Int
   ): (DataFrame, DataFrame) = {
     val spark = batchArt.sparkSession
+    val fetch = fetchVerify(batchArt)
+    // under "fetch" verify the band rows are NARROW (no vector at all —
+    // the artifacts themselves are the vector source, so not even the
+    // band-0 carry is needed)
     def vBandRows(art: DataFrame): DataFrame =
-      art.select(col("id"), col("lbl"), col("fullsig"), col("v"),
-        col("nrm"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      if (fetch)
+        art.select(col("id"), col("lbl"), col("fullsig"),
+          lit(null).cast("array<double>").as("v"),
+          lit(null).cast("double").as("nrm"),
+          posexplode(col("sigs")).as(Seq("band", "sig")))
+      else
+        art.select(col("id"), col("lbl"), col("fullsig"), col("v"),
+          col("nrm"), posexplode(col("sigs")).as(Seq("band", "sig")))
     val bRows = vBandRows(batchArt)
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
@@ -442,8 +520,12 @@ object Similarity {
       .join(touched, Seq("band", "sig"), "left_semi")
     val allRows = iRows.withColumn("__isb", lit(false))
       .unionByName(bRows.withColumn("__isb", lit(true)))
+    val vecs =
+      if (fetch) Some(indexArt.select(col("id"), col("v"), col("nrm"))
+        .unionByName(batchArt.select(col("id"), col("v"), col("nrm"))))
+      else None
     (fusedBothModesFromRows(allRows, bands, bitsPerBand,
-      maxBucketSize, requireBatchSide = true), bRows)
+      maxBucketSize, requireBatchSide = true, fetchVecs = vecs), bRows)
   }
 
   /** Contrastive TRIPLET assembly: for every anchor, its hardest positive
@@ -592,12 +674,20 @@ object Similarity {
     * signature frame derived from a persisted [[annIndex]] artifact — no
     * corpus re-scan and no re-hash, just the map-side explode (vector
     * and norm carried for the in-join verify) re-keyed and cached. */
-  private def artSigFrame(art: DataFrame): DataFrame =
+  private def artSigFrame(art: DataFrame): DataFrame = {
+    // same band-0-only vector carry as bandSigFrame under "fetch" verify
+    val vCol = if (fetchVerify(art)) when(col("band") === 0, col("v"))
+      else col("v")
+    val nrmCol = if (fetchVerify(art)) when(col("band") === 0, col("nrm"))
+      else col("nrm")
     art.select(col("id"), col("lbl"), col("v"), col("nrm"), col("fullsig"),
         posexplode(col("sigs")).as(Seq("band", "sig")))
+      .select(col("id"), col("lbl"), vCol.as("v"), nrmCol.as("nrm"),
+        col("fullsig"), col("band"), col("sig"))
       .repartition(art.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** One-shot [[hardNegativesAnn]] FROM a persisted [[annIndex]] artifact:
     * the artifact already carries vectors, norms and band signatures, so
@@ -684,16 +774,25 @@ object Similarity {
       if (sameLabel) rows.withColumn("__lbl", col("lbl")) else rows
     val keyCols = if (sameLabel) Seq("__lbl", "band", "sig")
       else Seq("band", "sig")
-    // band rows CARRY the vector and its norm: the exact verify happens
-    // INSIDE the bucket join, so the shuffled volume is n×bands vector
-    // rows — never candidate-pairs × vectors. (The id-keyed verify-join
-    // formulation shuffles every candidate pair with a vector attached:
-    // measured 27M wide rows / 733 MB / 66 s at the sf1 rehearsal vs
-    // 3 s for this shape. At 100 TB the pair set dwarfs n×bands even
-    // harder, and no broadcast can save an id-keyed join there.)
+    // In-join verify: band rows CARRY the vector and its norm, so the
+    // exact verify happens INSIDE the bucket join and the shuffled volume
+    // is n×bands vector rows — never candidate-pairs × vectors. (The
+    // earlier pairs-carry-vectors formulation shuffled every candidate
+    // pair with a vector attached: measured 27M wide rows / 733 MB / 66 s
+    // at the sf1 rehearsal vs 3 s for this shape.) The NARROW alternative
+    // ("fetch" verify, spark.graft.miner.verify=fetch) keeps the band
+    // rows vector-free and scores pairs by two id-keyed joins against the
+    // artifact vectors — see docs/SCALE.md "miner verify A/B".
+    val fetch = fetchVerify(batchArt)
     def vBandRows(art: DataFrame): DataFrame =
-      art.select(col("id"), col("lbl"), col("fullsig"), col("v"),
-        col("nrm"), posexplode(col("sigs")).as(Seq("band", "sig")))
+      if (fetch)
+        art.select(col("id"), col("lbl"), col("fullsig"),
+          lit(null).cast("array<double>").as("v"),
+          lit(null).cast("double").as("nrm"),
+          posexplode(col("sigs")).as(Seq("band", "sig")))
+      else
+        art.select(col("id"), col("lbl"), col("fullsig"), col("v"),
+          col("nrm"), posexplode(col("sigs")).as(Seq("band", "sig")))
     val bRows = keyed(vBandRows(batchArt))
       .repartition(spark.sessionState.conf.numShufflePartitions,
         col("band"), col("sig"))
@@ -711,28 +810,36 @@ object Similarity {
     val ok = allRows.withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .filter(col("__bsz") <= maxBucketSize)
+    val vq = if (fetch) Nil
+      else Seq(col("v").as("__qv"), col("nrm").as("__qn"))
+    val vn = if (fetch) Nil
+      else Seq(col("v").as("__nv"), col("nrm").as("__nn"))
     val a = ok.select(keyCols.map(col) ++ Seq(col("id").as("query_id"),
       col("lbl").as("__ql"), col("fullsig").as("__qf"),
-      col("v").as("__qv"), col("nrm").as("__qn"),
-      col("__isb").as("__ab")): _*)
+      col("__isb").as("__ab")) ++ vq: _*)
     val b = ok.select(keyCols.map(col) ++ Seq(col("id").as("neighbor_id"),
       col("lbl").as("__nl"), col("fullsig").as("__nf"),
-      col("v").as("__nv"), col("nrm").as("__nn"),
-      col("__isb").as("__nb")): _*)
+      col("__isb").as("__nb")) ++ vn: _*)
     val labelPred =
       if (sameLabel) col("__ql") === col("__nl") &&
         col("query_id") =!= col("neighbor_id")
       else col("__ql") =!= col("__nl")
     // the SAME dot/(nrm·nrm) double expression as the one-shot path —
     // identical value where both paths emit a pair
-    val scored = a.hint("SHUFFLE_HASH").join(b, keyCols)
+    val matched = a.hint("SHUFFLE_HASH").join(b, keyCols)
       .filter(col("__ab") || col("__nb"))
       .filter(labelPred)
       .filter(col("band") ===
         firstCollisionBand(col("__qf"), col("__nf"), bands, bitsPerBand))
-      .withColumn("cosine",
-        round(nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))), 6))
-      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val scored =
+      if (fetch)
+        scoreFetched(matched.select(col("query_id"), col("neighbor_id")),
+          indexArt.select(col("id"), col("v"), col("nrm"))
+            .unionByName(batchArt.select(col("id"), col("v"), col("nrm"))))
+      else matched
+        .withColumn("cosine",
+          round(nanSafe(dot(col("__qv"), col("__nv")) / (col("__qn") * col("__nn"))), 6))
+        .select(col("query_id"), col("neighbor_id"), col("cosine"))
     (scored, bRows)
   }
 

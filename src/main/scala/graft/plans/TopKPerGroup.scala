@@ -69,6 +69,14 @@ object TopKPerGroup {
     if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+
+  /** SQLMetric name of the partial pass's cap-triggered drain counter —
+    * [[graft.ShuffleTelemetry]] matches task accumulators by this name. */
+  val DrainMetricName = "cap-triggered partial drains"
+
+  /** Session conf key bounding the partial pass's per-partition group-state
+    * map (default 131072); tests shrink it to force drains. */
+  val MaxPartialGroupsKey = "spark.graft.topk.maxPartialGroups"
 }
 
 /** Logical node: declarative "keep first k rows per group under order". */
@@ -116,6 +124,10 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
+  override lazy val metrics = Map(
+    "numDrains" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, TopKPerGroup.DrainMetricName))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupE = groupExprs
     val orderE = orderExprs
@@ -133,12 +145,22 @@ case class TopKPerGroupExec(
     // once and could OOM where the Window plan would have spilled. The
     // final pass never flushes: its groups are clustered but interleaved,
     // and a mid-partition drain would emit >k rows per group.
-    val maxGroups = if (partial) 131072 else Int.MaxValue
+    // Conf-overridable so DrainSpec can force the drain path on small data.
+    val maxGroups = if (partial)
+      conf.getConfString(TopKPerGroup.MaxPartialGroupsKey, "131072").toInt
+    else Int.MaxValue
+    val drainMetric = longMetric("numDrains")
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(groupE, childOutput)
       val ordering: Ordering[InternalRow] =
         org.apache.spark.sql.catalyst.expressions.RowOrdering
           .create(orderE, childOutput).asInstanceOf[Ordering[InternalRow]]
+      // tryInsert does ONE projection + ONE map lookup per row and returns
+      // false IFF the row would mint a NEW group while the state map is at
+      // the cap (the caller drains and re-tries, which trivially succeeds
+      // on the emptied map). The former separate atCap(row) gate repeated
+      // both the projection and the lookup — 2x key hashing on every
+      // partial-pass row.
       if (dedup) {
         // distinct mode: a k-bounded sorted set per group — comparator
         // equality IS the dedup (distinct by the sort key); last() =
@@ -147,16 +169,18 @@ case class TopKPerGroupExec(
           java.util.TreeSet[InternalRow]]()
         val cmp: java.util.Comparator[InternalRow] =
           (a: InternalRow, b: InternalRow) => ordering.compare(a, b)
-        def insert(row: InternalRow): Unit = {
+        def tryInsert(row: InternalRow): Boolean = {
           val key = groupProj(row)
           var set = sets.get(key)
           if (set == null) {
+            if (sets.size >= maxGroups) return false
             set = new java.util.TreeSet[InternalRow](cmp)
             sets.put(key.copy(), set)
           }
           if (set.size < kk) set.add(row.copy())
           else if (ordering.compare(row, set.last()) < 0 &&
             set.add(row.copy())) set.pollLast()
+          true
         }
         def drain(): Iterator[InternalRow] = {
           val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -164,19 +188,18 @@ case class TopKPerGroupExec(
           sets.clear()
           out.iterator
         }
-        def atCap(row: InternalRow): Boolean =
-          sets.size >= maxGroups && sets.get(groupProj(row)) == null
-        flushingIterator(iter, insert, drain, atCap)
+        flushingIterator(iter, tryInsert, drain, drainMetric)
       } else {
         // max-heap under the sort order: head = worst kept row, evicted
         // when a better row arrives. UnsafeRow keys/values are COPIED
         // (iterator rows are reused buffers).
         val heaps = new java.util.HashMap[UnsafeRow,
           scala.collection.mutable.PriorityQueue[InternalRow]]()
-        def insert(row: InternalRow): Unit = {
+        def tryInsert(row: InternalRow): Boolean = {
           val key = groupProj(row)
           var pq = heaps.get(key)
           if (pq == null) {
+            if (heaps.size >= maxGroups) return false
             pq = scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering)
             heaps.put(key.copy(), pq)
           }
@@ -184,6 +207,7 @@ case class TopKPerGroupExec(
           else if (ordering.compare(row, pq.head) < 0) {
             pq.dequeue(); pq.enqueue(row.copy())
           }
+          true
         }
         def drain(): Iterator[InternalRow] = {
           val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
@@ -191,21 +215,23 @@ case class TopKPerGroupExec(
           heaps.clear()
           out.iterator
         }
-        def atCap(row: InternalRow): Boolean =
-          heaps.size >= maxGroups && heaps.get(groupProj(row)) == null
-        flushingIterator(iter, insert, drain, atCap)
+        flushingIterator(iter, tryInsert, drain, drainMetric)
       }
     }, preservesPartitioning = true)
   }
 
-  /** Consume `input` through `insert`, draining the per-group state to the
-    * output whenever `atCap(row)` says the next row would mint a group
-    * beyond the memory bound; one final drain at exhaustion. */
+  /** Consume `input` through `tryInsert`, draining the per-group state to
+    * the output whenever it reports the next row would mint a group beyond
+    * the memory bound (counted in `drains` — each cap drain re-emits ≤ k
+    * rows per seen group into the exchange, so the count makes that
+    * shuffle inflation observable); one final uncounted drain at
+    * exhaustion. */
   private def flushingIterator(
       input: Iterator[InternalRow],
-      insert: InternalRow => Unit,
+      tryInsert: InternalRow => Boolean,
       drain: () => Iterator[InternalRow],
-      atCap: InternalRow => Boolean): Iterator[InternalRow] =
+      drains: org.apache.spark.sql.execution.metric.SQLMetric)
+      : Iterator[InternalRow] =
     new Iterator[InternalRow] {
       private var pending: Iterator[InternalRow] = Iterator.empty
       private var done = false
@@ -214,12 +240,13 @@ case class TopKPerGroupExec(
           var flushed = false
           while (input.hasNext && !flushed) {
             val row = input.next()
-            if (atCap(row)) {
+            if (!tryInsert(row)) {
               val stash = row.copy()
               pending = drain()
-              insert(stash)
+              drains += 1
+              tryInsert(stash)
               flushed = true
-            } else insert(row)
+            }
           }
           if (!flushed) { pending = drain(); done = true }
         }

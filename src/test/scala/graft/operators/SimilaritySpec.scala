@@ -317,6 +317,97 @@ class SimilaritySpec extends SparkSpec {
     assert(inc == oneShot)
   }
 
+  test("recall guard at the sf1-tier geometry: with the corpus at " +
+      "autoBitsPerBand = 7 (9x7 negative banding), the label-block-sized " +
+      "positive pass still finds the EXACT hardest positive for every " +
+      "sampled anchor") {
+    // the round-8 ADVICE concern: at 9 bands x 7 bits, a low-cosine
+    // hardest positive's two-seed recall is ~0.4 — the fix is sizing the
+    // positive geometry by the largest LABEL BLOCK (per-(lbl,band,sig)
+    // bucketing), which this guard pins at a corpus big enough to resolve
+    // the dangerous tier: 2000 sf0.1 vectors x 9 perturbed replicas with
+    // per-replica labels = n 18000 (corpus bits 7) while every label
+    // block stays ~200 (block bits = minBits 2 -> 32x2 positive banding)
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val reps = spark.range(9).select(col("id").cast("int").as("rep"))
+    val big = base.crossJoin(reps).select(
+      (col("vec_id") + col("rep").cast("long") * 100000L).as("vec_id"),
+      (col("label") + col("rep") * 100).as("label"),
+      transform(col("embedding"), (x, i) => x.cast("double") +
+        pmod(hash(col("vec_id"), col("rep"), i), lit(1000)).cast("double")
+          / 100000.0).as("embedding"))
+      .localCheckpoint(true)
+    val stats = big.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), max(col("c"))).first()
+    assert(Similarity.autoBitsPerBand(stats.getLong(0), minBits = 2) == 7,
+      s"corpus must sit at the 7-bit tier, n=${stats.getLong(0)}")
+    assert(Similarity.autoBitsPerBand(stats.getLong(1), minBits = 2) == 2)
+    val (pos, _) = Similarity.tripletMiningSides(big, "vec_id",
+      "embedding", "label", dim = 64, bands = 9, bitsPerBand = 7,
+      posBands = 32, posBitsPerBand = 2)
+    val anchors = (0L until 25L).toSet
+    val mined = pos.filter(col("query_id").isin(anchors.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // exact hardest positive per sampled anchor, same (cosine desc, id
+    // asc) tie rule and 6-dp HALF_UP rounding as the miner
+    val rows = big.collect().map(r => (r.getLong(0),
+      r.getSeq[Double](2).toArray, r.getInt(1)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byAnchor = rows.filter(r => anchors(r._1)).map { case (id, v, l) =>
+      val best = rows.filter(r => r._1 != id && r._3 == l)
+        .map(r => (r._1, cos(v, r._2)))
+        .minBy { case (nid, c) => (-c, nid) }
+      id -> best
+    }.toMap
+    assert(mined.keySet == anchors, s"anchors dropped: ${anchors -- mined.keySet}")
+    anchors.foreach { a =>
+      assert(mined(a) == byAnchor(a),
+        s"anchor $a: mined ${mined(a)} != exact ${byAnchor(a)}")
+    }
+  }
+
+  test("\"fetch\" verify == \"injoin\" verify (pair set AND cosines), " +
+      "one-shot and incremental, fused and per-mode geometries") {
+    // the two verify placements differ ONLY in where the exact cosine is
+    // computed (inside the bucket join vs after an id-keyed vector
+    // fetch); the pair sets and rounded cosines must be identical
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    def mine() = key(Similarity.tripletMining(emb, "vec_id", "embedding",
+      "label", dim = 64))
+    def mineSplit() = key(Similarity.tripletMining(emb, "vec_id",
+      "embedding", "label", dim = 64, bands = 16, bitsPerBand = 4,
+      posBands = 32, posBitsPerBand = 2))
+    def mineInc() = {
+      val index = emb.filter(col("vec_id") < 350)
+      val batch = emb.filter(col("vec_id") >= 350)
+      val seeds = Seq(42L, 1042L)
+      val idxArts = seeds.map(sd => Similarity.annIndex(index, "vec_id",
+        "embedding", "label", dim = 64, seed = sd))
+      val (pp, pn) = Similarity.tripletMiningSides(index, "vec_id",
+        "embedding", "label", dim = 64, seeds = seeds)
+      key(Similarity.tripletMiningIncremental(idxArts, idxArts,
+        pp, pn, batch, "vec_id", "embedding", "label", dim = 64,
+        seeds = seeds))
+    }
+    val (inj, injSplit, injInc) = (mine(), mineSplit(), mineInc())
+    spark.conf.set(Similarity.VerifyModeKey, "fetch")
+    try {
+      assert(mine() == inj)
+      assert(mineSplit() == injSplit)
+      assert(mineInc() == injInc)
+    } finally spark.conf.unset(Similarity.VerifyModeKey)
+  }
+
   test("fused both-modes scored == separate per-mode scored, with caps " +
       "forcing both join-group regimes") {
     val v = emb.select(col("vec_id").as("id"), col("label").as("lbl"),

@@ -78,6 +78,41 @@ class TopKPerGroupSpec extends SparkSpec {
     assert((0 until n).forall(g => out(g) == g * 2), "wrong minima")
   }
 
+  test("cap drains are VISIBLE: the numDrains SQLMetric counts exactly " +
+      "the cap-triggered flushes (final exhaustion drain uncounted) and " +
+      "the conf-shrunk cap still yields exact results") {
+    import spark.implicits._
+    spark.conf.set(TopKPerGroup.MaxPartialGroupsKey, "100")
+    try {
+      // 350 groups x 2 rows in ONE partition with cap 100: group #101,
+      // #201, #301 each trigger a drain -> expect exactly 3 on the
+      // PARTIAL exec's metric; results stay exact
+      val n = 350
+      val df = (0 until n).flatMap(g => Seq((g, g * 2 + 1), (g, g * 2)))
+        .toDF("g", "v").coalesce(1)
+      val out = TopKPerGroup(df, Seq(col("g")), Seq(col("v").asc), k = 1)
+      val got = out.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got.size == n && (0 until n).forall(g => got(g) == g * 2))
+      // AQE wraps stages; flatten across AdaptiveSparkPlanExec /
+      // QueryStageExec boundaries to reach the partial exec's metric
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flatten(p: SparkPlan): Seq[SparkPlan] =
+        p +: (p.children.flatMap(flatten) ++ (p match {
+          case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: QueryStageExec => flatten(q.plan)
+          case _ => Seq.empty[SparkPlan]
+        }))
+      val drains = flatten(out.queryExecution.executedPlan).collect {
+        case e: TopKPerGroupExec if e.partial => e.metrics("numDrains").value
+      }
+      assert(drains == Seq(3L), s"drain metric: $drains")
+      // rows arrive grouped (2 per group back-to-back), so each drain
+      // emits ~100 groups x 1 row: the shuffle carries ~n rows total and
+      // the metric is the witness that flushes (not data volume) shaped it
+    } finally spark.conf.unset(TopKPerGroup.MaxPartialGroupsKey)
+  }
+
   test("distinct mode: eviction keeps the k smallest distinct keys") {
     import spark.implicits._
     // descending arrival order forces repeated evictions; duplicates of
