@@ -377,6 +377,67 @@ object IngestQueries {
           col("c0_sum_sq"))
     },
 
+    // Multimodal VIDEO with a real container parser: binaryFile scan →
+    // per-partition harness running the pure-JVM RIFF/AVI header walk.
+    // Codec payloads stay opaque (the pluggable-decoder boundary); the
+    // container supplies everything a corpus filters on — geometry,
+    // handler fourcc, exact-integer fps/duration, idx1 frame/keyframe
+    // counts. An NTSC 30000/1001 stream pins the integer fps math; junk
+    // bytes decode to NULLs
+    "q284_avi_decode" -> { (s, _) =>
+      import graft.operators.{AviCodec, Multimodal}
+      val dir = SyntheticFixtures.materialize("q284", "clip.avi",
+        AviCodec.aviBytes(320, 240, scale = 1, rate = 30, handler = "MJPG",
+          frames = (0 until 10).map(i => Array.fill[Byte](10 * (i + 1))(i.toByte)),
+          keyEvery = 4))
+      SyntheticFixtures.materialize("q284", "ntsc.avi",
+        AviCodec.aviBytes(640, 480, scale = 1001, rate = 30000,
+          handler = "dvsd",
+          frames = (0 until 5).map(i => Array.fill[Byte](6 * (i + 1))(i.toByte)),
+          keyEvery = 2))
+      SyntheticFixtures.materialize("q284", "junk.avi",
+        "not a video".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.avi")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          AviCodec.AviMetaDecoder)
+        .select(col("file_name"), col("magic"), col("width"), col("height"),
+          col("total_frames"), col("n_streams"), col("video_handler"),
+          col("fps_ppm"), col("duration_ms"), col("n_indexed_frames"),
+          col("n_keyframes"))
+    },
+
+    // Frame-level sampling WITHOUT a codec: the idx1 frame index as a
+    // table (byte offset/size/keyframe per frame), stride-sampled — the
+    // shape a video training pipeline uses to pick frames BEFORE paying
+    // any decode: the sampled (offset, size) list is the byte-range fetch
+    // plan for the expensive stage
+    "q285_avi_frame_sample" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.AviCodec
+      val dir = SyntheticFixtures.materialize("q285", "clip.avi",
+        AviCodec.aviBytes(320, 240, scale = 1, rate = 30, handler = "MJPG",
+          frames = (0 until 10).map(i => Array.fill[Byte](10 * (i + 1))(i.toByte)),
+          keyEvery = 4))
+      SyntheticFixtures.materialize("q285", "ntsc.avi",
+        AviCodec.aviBytes(640, 480, scale = 1001, rate = 30000,
+          handler = "dvsd",
+          frames = (0 until 5).map(i => Array.fill[Byte](6 * (i + 1))(i.toByte)),
+          keyEvery = 2))
+      DicomSource.scanDir(s, dir, "*.avi")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (f, b) =>
+          AviCodec.frameIndex(b).zipWithIndex.collect {
+            case (e, i) if i % 3 == 0 =>
+              (f, i, e.ckid, e.keyframe, e.offset, e.size)
+          }
+        }
+        .toDF("file_name", "frame_no", "ckid", "keyframe", "offset", "size")
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -1945,6 +2006,38 @@ object IngestQueries {
         |   CAST(NULL AS INTEGER))
         |) AS t(file_name, magic, width, height, color_type,
         |       sum_r, sum_g, sum_b, top_left_rgb)""".stripMargin,
+
+    // AVI container decode: fps_ppm = rate*10^6 div scale (NTSC
+    // 30000/1001 -> 29970029), duration_ms = frames*10^9 div fps_ppm;
+    // junk bytes -> one all-NULL row
+    "q284_avi_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('clip.avi', 'AVI ', 320, 240, CAST(10 AS BIGINT), 1, 'MJPG',
+        |   CAST(30000000 AS BIGINT), CAST(333 AS BIGINT),
+        |   CAST(10 AS BIGINT), CAST(3 AS BIGINT)),
+        |  ('ntsc.avi', 'AVI ', 640, 480, 5, 1, 'dvsd',
+        |   29970029, 166, 5, 3),
+        |  ('junk.avi', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(file_name, magic, width, height, total_frames, n_streams,
+        |       video_handler, fps_ppm, duration_ms, n_indexed_frames,
+        |       n_keyframes)""".stripMargin,
+
+    // idx1 stride-3 sample: offsets are movi-relative (first frame at 4,
+    // then +8+size each, sizes all even so no pad); keyframes every 4th
+    // (clip) / 2nd (ntsc) frame
+    "q285_avi_frame_sample" ->
+      """SELECT * FROM (VALUES
+        |  ('clip.avi', 0, '00dc', true,  CAST(4 AS BIGINT), CAST(10 AS BIGINT)),
+        |  ('clip.avi', 3, '00dc', false, 88, 40),
+        |  ('clip.avi', 6, '00dc', false, 262, 70),
+        |  ('clip.avi', 9, '00dc', false, 526, 100),
+        |  ('ntsc.avi', 0, '00dc', true,  4, 6),
+        |  ('ntsc.avi', 3, '00dc', false, 64, 24)
+        |) AS t(file_name, frame_no, ckid, keyframe, "offset", "size")""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES
