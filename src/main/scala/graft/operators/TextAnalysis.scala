@@ -59,4 +59,51 @@ object TextAnalysis {
         + least(stopRatio * lit(3.0), lit(0.3)),
       6)
   }
+
+  /** The script classes a multilingual-corpus audit splits on. Each is a
+    * (name, Java-regex character class) pair; `script_mix` counts per
+    * class with codegen'd `regexp_count` — map-only at any scale. */
+  val scriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "\\p{IsLatin}",
+    "cyrillic" -> "\\p{IsCyrillic}",
+    "greek" -> "\\p{IsGreek}",
+    "arabic" -> "\\p{IsArabic}",
+    "cjk" -> "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}]",
+    "digit" -> "\\p{Nd}")
+
+  /** Per-document script-mix audit: per-class character counts, the
+    * dominant script (argmax over the letter classes, ties to the
+    * earlier class, all-zero → 'none'), and a code-mixed flag — a second
+    * script holding ≥ `mixedThresholdPpm` of the letter mass. The gate a
+    * multilingual pipeline runs BEFORE per-language routing: mislabeled
+    * and code-mixed documents poison per-language tokenizers and
+    * language-filtered training mixes. Integer counts + one integer
+    * cross-multiplication per class — no FP, exact twins. */
+  def scriptMix(df: DataFrame, textCol: String,
+      mixedThresholdPpm: Long = 100000L): DataFrame = {
+    val letterClasses = scriptClasses.filter(_._1 != "digit")
+    val counted = letterClasses.foldLeft(
+      df.withColumn("n_digit",
+        regexp_count(col(textCol), lit("\\p{Nd}")).cast("long"))) {
+      case (acc, (name, re)) =>
+        acc.withColumn(s"n_$name",
+          regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val letterCols = letterClasses.map { case (n, _) => col(s"n_$n") }
+    val total = letterCols.reduce(_ + _)
+    val best = letterCols.reduce((a, b) => greatest(a, b))
+    val dominant = letterClasses.foldLeft(when(best <= 0, "none")) {
+      case (acc, (name, _)) => acc.when(col(s"n_$name") === best, name)
+    }.otherwise("none")
+    // code-mixed: some non-dominant letter class carries >= threshold of
+    // the letter mass (integer cross-multiplication, no division)
+    val mixed = letterClasses.map { case (name, _) =>
+      col(s"n_$name") < best &&
+        col(s"n_$name") * lit(1000000L) >= lit(mixedThresholdPpm) * total
+    }.reduce(_ || _)
+    counted
+      .withColumn("n_letters", total)
+      .withColumn("dominant_script", dominant)
+      .withColumn("is_code_mixed", coalesce(mixed, lit(false)))
+  }
 }

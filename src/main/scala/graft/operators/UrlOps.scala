@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization for web-corpus dedup — the normalization a
+  * crawled training corpus applies BEFORE any content hashing, because
+  * the same page arrives under dozens of surface forms (scheme/host
+  * case, default ports, `www.`, tracking parameters, fragments,
+  * parameter order). One canonical form turns URL-keyed dedup into the
+  * exact-dedup shuffle the engine already has ([[Dedup.exactDedup]]'s
+  * one content-hash groupBy), so the whole operator stays map-only +
+  * one aggregation at 100 TB.
+  *
+  * Everything is built from codegen'd built-ins (`parse_url`, regex,
+  * higher-order array functions) — no UDF in the hot path. The contract
+  * (documented, spec-pinned):
+  *   - scheme and host lowercase; a leading `www.` is stripped
+  *   - default ports drop (http:80, https:443); explicit others stay
+  *   - the fragment drops
+  *   - tracking parameters drop (`utm_*` prefix and the click-id set
+  *     fbclid/gclid/msclkid/mc_cid/mc_eid/igshid); survivors sort
+  *     lexicographically, empty query drops its `?`
+  *   - a trailing `/` on the path drops (the bare-host form has no path)
+  *   - unparseable URLs canonicalize to NULL (they fail closed into the
+  *     "no canonical key" bucket rather than colliding on a garbage key)
+  */
+object UrlOps {
+
+  /** Exact-match click-id keys; `utm_` is handled as a prefix. */
+  private val trackingKeys =
+    Seq("fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid")
+
+  /** The canonical form of a URL column (NULL when unparseable). */
+  def canonicalize(url: Column): Column = {
+    val proto = lower(try_parse_url(url, lit("PROTOCOL")))
+    val host = regexp_replace(lower(try_parse_url(url, lit("HOST"))),
+      "^www\\.", "")
+    // AUTHORITY carries host[:port]; pull the explicit port if any
+    val port = regexp_extract(try_parse_url(url, lit("AUTHORITY")),
+      ":(\\d+)$", 1)
+    val keepPort = port =!= "" &&
+      !(proto === "http" && port === "80") &&
+      !(proto === "https" && port === "443")
+    val path = regexp_replace(coalesce(try_parse_url(url, lit("PATH")),
+      lit("")), "/+$", "")
+    val params = filter(
+      split(coalesce(try_parse_url(url, lit("QUERY")), lit("")), "&"),
+      p => {
+        val key = substring_index(p, "=", 1)
+        p =!= "" && !key.startsWith("utm_") &&
+          !key.isin(trackingKeys.map(lit(_)): _*)
+      })
+    val query = array_join(array_sort(params), "&")
+    when(proto.isNull || host.isNull || proto === "" || host === "", lit(null))
+      .otherwise(concat(
+        proto, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(query =!= "", concat(lit("?"), query)).otherwise(lit(""))))
+  }
+
+  /** The canonical host (lowercased, `www.`-stripped) — the per-site
+    * rollup key for crawl budgeting and per-domain caps. */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(lower(try_parse_url(url, lit("HOST"))), "^www\\.", "")
+
+  /** URL-keyed dedup report: one row per canonical URL that occurs at
+    * all, keeping the smallest id as canonical doc and counting copies.
+    * NULL-canonical rows (unparseable URLs) are excluded — they have no
+    * shared key to collide on. One map-only projection + one groupBy:
+    * the exact-dedup shuffle shape. */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"), canonicalize(col(urlCol)).as("canonical"))
+      .where(col("canonical").isNotNull)
+      .groupBy(col("canonical"))
+      .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+}

@@ -718,8 +718,65 @@ object CorpusQueries {
       graft.operators.CorpusOps
         .upsampleMixture(d, "doc_id", "source", targets)
         .select(col("doc_id"), col("source"), col("epoch"))
+    },
+
+    // Web-corpus URL canonicalization (the normalization BEFORE any
+    // content hash): scheme/host lowercase, www. strip, default-port
+    // drop, fragment drop, utm_*/click-id strip, surviving params
+    // sorted, trailing-slash strip; unparseable -> NULL (fail closed).
+    // Entirely codegen'd built-ins (parse_url + higher-order array
+    // functions) — map-only at any scale
+    "q289_url_canonicalize" -> { (s, _) =>
+      urlFixture(s).select(col("id"),
+        graft.operators.UrlOps.canonicalize(col("url")).as("canonical"))
+    },
+
+    // URL-keyed dedup on the canonical form: one groupBy — the
+    // exact-dedup shuffle shape; min-id survivor + copy count per
+    // canonical URL, NULL keys excluded (no shared key to collide on)
+    "q290_url_dedup" -> { (s, _) =>
+      graft.operators.UrlOps.urlDedup(urlFixture(s), "url", "id")
+    },
+
+    // Script-mix audit (the gate BEFORE per-language routing): per-class
+    // character counts via codegen'd regexp_count, dominant-script
+    // argmax, and the ≥10%-of-letter-mass code-mixed flag by integer
+    // cross-multiplication. Multi-script fixture rows are hand-counted
+    // in the oracle; the synthetic corpus is ASCII so the interesting
+    // scripts need carried-in text
+    "q292_script_mix" -> { (s, _) =>
+      import s.implicits._
+      val d = Seq(
+        (1L, "hello world 123"),
+        (2L, "Привет hello"),
+        (3L, "日本語のテキスト"),
+        (4L, "αβγ"),
+        (5L, "42 + 17 = 59"),
+        (6L, "mixed مرحبا text")
+      ).toDF("doc_id", "text")
+      graft.operators.TextAnalysis.scriptMix(d, "text")
+        .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
+          col("n_greek"), col("n_arabic"), col("n_cjk"), col("n_digit"),
+          col("n_letters"), col("dominant_script"), col("is_code_mixed"))
     }
   )
+
+  /** Surface-form URL zoo: case, default/explicit ports, userinfo,
+    * tracking params, fragments, trailing slashes, an unparseable row —
+    * each canonical form hand-computed in the oracle. */
+  private def urlFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+      (2L, "https://example.com/a/b?b=2&a=1"),
+      (3L, "http://example.com:8080//x?gclid=z"),
+      (4L, "http://News.Site.org/article/"),
+      (5L, "https://example.com/"),
+      (6L, "https://example.com"),
+      (7L, "not a url"),
+      (8L, "http://user@www.shop.io:80/cart?fbclid=abc&item=7")
+    ).toDF("id", "url")
+  }
 
   val oracle: Map[String, String] = Map(
     // bigrams as an unnested struct list (i -> (t[i], t[i+1])); counts,
@@ -2021,6 +2078,45 @@ object CorpusQueries {
         |SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
         |FROM x, LATERAL (
         |  SELECT unnest(generate_series(0, CAST(copies - 1 AS BIGINT)))
-        |    AS e) g""".stripMargin
+        |    AS e) g""".stripMargin,
+
+    // canonical forms hand-computed per the documented contract; the
+    // dedup groups follow from them (min id survives, copies counted)
+    "q289_url_canonicalize" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'https://example.com/a/b?a=1&b=2'),
+        |  (2, 'https://example.com/a/b?a=1&b=2'),
+        |  (3, 'http://example.com:8080//x'),
+        |  (4, 'http://news.site.org/article'),
+        |  (5, 'https://example.com'),
+        |  (6, 'https://example.com'),
+        |  (7, CAST(NULL AS VARCHAR)),
+        |  (8, 'http://shop.io/cart?item=7')
+        |) AS t(id, canonical)""".stripMargin,
+
+    "q290_url_dedup" ->
+      """SELECT * FROM (VALUES
+        |  ('https://example.com/a/b?a=1&b=2', CAST(1 AS BIGINT),
+        |   CAST(2 AS BIGINT)),
+        |  ('http://example.com:8080//x', 3, 1),
+        |  ('http://news.site.org/article', 4, 1),
+        |  ('https://example.com', 5, 2),
+        |  ('http://shop.io/cart?item=7', 8, 1)
+        |) AS t(canonical, keep_id, n_copies)""".stripMargin,
+
+    // hand-counted characters per script class; row 2 and row 6 cross
+    // the 10%-of-letter-mass second-script threshold
+    "q292_script_mix" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(10 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |   CAST(3 AS BIGINT), CAST(10 AS BIGINT), 'latin', false),
+        |  (2, 5, 6, 0, 0, 0, 0, 11, 'cyrillic', true),
+        |  (3, 0, 0, 0, 0, 8, 0, 8, 'cjk', false),
+        |  (4, 0, 0, 3, 0, 0, 0, 3, 'greek', false),
+        |  (5, 0, 0, 0, 0, 0, 6, 0, 'none', false),
+        |  (6, 9, 0, 0, 5, 0, 0, 14, 'latin', true)
+        |) AS t(doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+        |       n_digit, n_letters, dominant_script, is_code_mixed)""".stripMargin
   )
 }

@@ -529,6 +529,27 @@ object DataQueries {
         "doc_id", pairs, "n_tokens")
     },
 
+    // Diversified retrieval serving: MMR re-rank over a bounded
+    // candidate table — exact-integer objective (λppm·rel −
+    // (1e6−λppm)·maxSimPpm), floor-ppm cosine, (score desc, id asc)
+    // ties; the fixture's duplicate-direction candidate is deferred
+    // behind a diverse lower-relevance one, the behavior that justifies
+    // the operator. Fixture vectors have integer-exact cosines so every
+    // score is hand-computable
+    "q291_mmr_rerank" -> { (s, _) =>
+      import s.implicits._
+      val cand = Seq(
+        (10L, 1L, 900000L, Array(1f, 0f)),
+        (10L, 2L, 880000L, Array(1f, 0f)),
+        (10L, 3L, 500000L, Array(0f, 1f)),
+        (10L, 4L, 400000L, Array(3f, 4f)),
+        (20L, 5L, 100000L, Array(1f, 0f)),
+        (20L, 6L, 100000L, Array(0f, 1f))
+      ).toDF("q", "id", "rel", "vec")
+      graft.operators.Rerank.mmrRerank(cand, "q", "id", "rel", "vec",
+        k = 3, lambdaPpm = 700000L)
+    },
+
     // 32-bit SimHash fingerprints
     "q28_simhash" -> { (s, dir) =>
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
@@ -1316,6 +1337,18 @@ object DataQueries {
          |SELECT ck AS cluster_key, doc_id AS kept_id, nt AS kept_score,
          |  CAST(nm AS BIGINT) AS n_members
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // hand-computed greedy walk (integer micro²-units): step scores in
+    // the Spark-side comment; the rel-tie at query 20 breaks id-asc
+    "q291_mmr_rerank" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(10 AS BIGINT), 1, CAST(1 AS BIGINT),
+        |   CAST(630000000000 AS BIGINT)),
+        |  (10, 2, 3, 350000000000),
+        |  (10, 3, 2, 316000000000),
+        |  (20, 1, 5, 70000000000),
+        |  (20, 2, 6, 70000000000)
+        |) AS t(query_id, rank, doc_id, mmr_score)""".stripMargin,
 
     // exact pair ids (q27 identity) -> per-source flagged counts
     "q241_dup_burden" ->

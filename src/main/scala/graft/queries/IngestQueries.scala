@@ -438,6 +438,101 @@ object IngestQueries {
         .toDF("file_name", "frame_no", "ckid", "keyframe", "offset", "size")
     },
 
+    // Multimodal VIDEO, modern-container leg: ISO-BMFF (MP4) box walk
+    // through the same per-partition harness. Brand, track count, movie
+    // + media clocks as exact integer ms (duration·1000 div timescale),
+    // 16.16 tkhd geometry, sample-entry fourccs, stsz/stss counts. A
+    // version-1 fixture pins the 64-bit paths (v1 mvhd/tkhd/mdhd, co64);
+    // junk bytes decode to NULLs
+    "q286_mp4_decode" -> { (s, _) =>
+      import graft.operators.{Mp4Codec, Multimodal}
+      val dir = SyntheticFixtures.materialize("q286", "movie.mp4",
+        Mp4Codec.mp4Bytes("isom", 1000, 2500, 640, 360, "avc1",
+          sampleSizes = Seq(10, 20, 30, 40, 50),
+          stscRuns = Seq((1, 2), (3, 1)), syncSamples = Seq(1, 4),
+          mediaTimescale = 30000, mediaDuration = 75075,
+          audioFormat = Some("mp4a")))
+      SyntheticFixtures.materialize("q286", "hires.mp4",
+        Mp4Codec.mp4Bytes("mp42", 90000, 90090, 1920, 1080, "hvc1",
+          sampleSizes = Seq(100, 100), stscRuns = Seq((1, 1)),
+          syncSamples = Nil, mediaTimescale = 600, mediaDuration = 600,
+          version1 = true))
+      SyntheticFixtures.materialize("q286", "junk.mp4",
+        "not a video".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.mp4")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          Mp4Codec.Mp4MetaDecoder)
+        .select(col("file_name"), col("magic"), col("n_tracks"),
+          col("width"), col("height"), col("video_codec"),
+          col("audio_codec"), col("duration_ms"), col("video_duration_ms"),
+          col("n_samples"), col("n_keyframes"))
+    },
+
+    // Sample-level byte-range planning WITHOUT a codec: the MP4 sample
+    // tables (stsz sizes, stsc sample->chunk runs, stco/co64 chunk
+    // offsets, stss sync set) resolved to a TABLE of absolute
+    // (offset, size, keyframe) rows — the stsc run arithmetic is the part
+    // every naive reader gets wrong, so the oracle pins a 2,2,1-chunk
+    // layout sample by sample. Keyframe-only selection then becomes a
+    // relational filter emitting the byte-range fetch plan for the
+    // expensive decode stage
+    "q287_mp4_sample_index" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.Mp4Codec
+      val dir = SyntheticFixtures.materialize("q287", "movie.mp4",
+        Mp4Codec.mp4Bytes("isom", 1000, 2500, 640, 360, "avc1",
+          sampleSizes = Seq(10, 20, 30, 40, 50),
+          stscRuns = Seq((1, 2), (3, 1)), syncSamples = Seq(1, 4),
+          mediaTimescale = 30000, mediaDuration = 75075,
+          audioFormat = Some("mp4a")))
+      SyntheticFixtures.materialize("q287", "hires.mp4",
+        Mp4Codec.mp4Bytes("mp42", 90000, 90090, 1920, 1080, "hvc1",
+          sampleSizes = Seq(100, 100), stscRuns = Seq((1, 1)),
+          syncSamples = Nil, mediaTimescale = 600, mediaDuration = 600,
+          version1 = true))
+      DicomSource.scanDir(s, dir, "*.mp4")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (f, b) =>
+          Mp4Codec.sampleIndex(b).map(e =>
+            (f, e.sampleNo, e.chunkNo, e.keyframe, e.offset, e.size))
+        }
+        .toDF("file_name", "sample_no", "chunk_no", "keyframe", "offset",
+          "size")
+    },
+
+    // Multimodal IMAGE, web-corpus leg: JPEG marker-segment walk (the
+    // format the bulk of a scraped image corpus arrives in). Everything
+    // an image pipeline filters on precedes the first SOS — geometry,
+    // precision, component count, progressive vs baseline (decoder
+    // routing), JFIF/Exif presence. One file is encoded by the JDK's OWN
+    // ImageIO writer (independent-writer pin; its table counts are
+    // encoder-chosen so the projection sticks to encoder-guaranteed
+    // fields); one is a hand-built progressive SOF2 with Exif; junk
+    // bytes decode to NULLs
+    "q288_jpeg_decode" -> { (s, _) =>
+      import graft.operators.{JpegCodec, Multimodal}
+      val dir = SyntheticFixtures.materialize("q288", "photo.jpg",
+        JpegCodec.imageIoJpeg(17, 9))
+      SyntheticFixtures.materialize("q288", "scan.jpg",
+        JpegCodec.jpegBytes(640, 480, 8, 3, progressive = true,
+          nQuant = 2, huffClasses = Seq(0, 1, 0, 1), subsamplingH = 2,
+          subsamplingV = 1, withExif = true))
+      SyntheticFixtures.materialize("q288", "junk.jpg",
+        "not an image".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.jpg")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          JpegCodec.JpegMetaDecoder)
+        .select(col("file_name"), col("magic"), col("width"),
+          col("height"), col("precision"), col("n_components"),
+          col("progressive"), col("has_jfif"), col("has_exif"))
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -2038,6 +2133,54 @@ object IngestQueries {
         |  ('ntsc.avi', 0, '00dc', true,  4, 6),
         |  ('ntsc.avi', 3, '00dc', false, 64, 24)
         |) AS t(file_name, frame_no, ckid, keyframe, "offset", "size")""".stripMargin,
+
+    // MP4 box walk: movie clock 2500/1000s -> 2500ms; media clock
+    // 75075/30000s -> 2502ms (integer div); v1 fixture 90090/90000 ->
+    // 1001ms; absent stss -> n_keyframes = n_samples; junk -> NULL row
+    "q286_mp4_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('movie.mp4', 'isom', 2, 640, 360, 'avc1', 'mp4a',
+        |   CAST(2500 AS BIGINT), CAST(2502 AS BIGINT),
+        |   CAST(5 AS BIGINT), CAST(2 AS BIGINT)),
+        |  ('hires.mp4', 'mp42', 1, 1920, 1080, 'hvc1',
+        |   CAST(NULL AS VARCHAR), 1001, 1000, 2, 2),
+        |  ('junk.mp4', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(file_name, magic, n_tracks, width, height, video_codec,
+        |       audio_codec, duration_ms, video_duration_ms, n_samples,
+        |       n_keyframes)""".stripMargin,
+
+    // stsc run map (1,2),(3,1) over sizes 10..50: chunks hold samples
+    // {1,2},{3,4},{5}; ftyp is 20 bytes so the mdat payload starts at 28;
+    // chunk offsets 28/58/128, intra-chunk offsets accumulate stsz sizes.
+    // hires.mp4: co64 offsets, no stss -> all keyframes
+    "q287_mp4_sample_index" ->
+      """SELECT * FROM (VALUES
+        |  ('movie.mp4', 1, 1, true,  CAST(28 AS BIGINT), CAST(10 AS BIGINT)),
+        |  ('movie.mp4', 2, 1, false, 38, 20),
+        |  ('movie.mp4', 3, 2, false, 58, 30),
+        |  ('movie.mp4', 4, 2, true,  88, 40),
+        |  ('movie.mp4', 5, 3, false, 128, 50),
+        |  ('hires.mp4', 1, 1, true, 28, 100),
+        |  ('hires.mp4', 2, 2, true, 128, 100)
+        |) AS t(file_name, sample_no, chunk_no, keyframe, "offset", "size")""".stripMargin,
+
+    // JPEG pre-SOS walk: the ImageIO row pins only encoder-guaranteed
+    // fields (dims we set, 8-bit, 3-component YCbCr, baseline, JFIF
+    // APP0, no Exif); the hand-built row pins progressive SOF2 + Exif
+    "q288_jpeg_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('photo.jpg', 'JPEG', 17, 9, 8, 3, false, true, false),
+        |  ('scan.jpg', 'JPEG', 640, 480, 8, 3, true, true, true),
+        |  ('junk.jpg', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS INTEGER), CAST(NULL AS BOOLEAN),
+        |   CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN))
+        |) AS t(file_name, magic, width, height, precision, n_components,
+        |       progressive, has_jfif, has_exif)""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES
