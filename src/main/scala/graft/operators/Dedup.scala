@@ -621,6 +621,25 @@ object Dedup {
     Seq(1, 2, 4, 8, 16).find(_ >= maxHamming + 1).get
   }
 
+  /** Generic banded-hamming near-dup pairs over ANY precomputed 64-bit
+    * fingerprint column — the entry point that lets non-text
+    * fingerprints (perceptual image hashes from [[ImageHash]], audio
+    * envelope prints) ride the exact SimHash machinery: pigeonhole
+    * banding (`bands` must divide 64 and exceed `maxHamming` —
+    * [[simhash64BandsFor]] gives the optimum), one (band, sig) shuffle,
+    * popcount-XOR verify. Emits (id_1, id_2, hamming). */
+  def hammingNearDupPairs(
+      df: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4, maxHamming: Int = 3, maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(64 % bands == 0 && bands > maxHamming,
+      "pigeonhole needs bands | 64 and bands > maxHamming")
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"), col(hashCol).cast("long")
+        .as("simhash")),
+      64 / bands, bands, maxHamming, maxBucketSize)
+  }
+
   /** Shared banded-hamming candidate machinery of the SimHash family:
     * explode each fingerprint into `bands` (band, sig) bucket keys
     * (logical shifts — bit 63 of the 64-bit form must not smear), pair

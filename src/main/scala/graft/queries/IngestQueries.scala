@@ -533,6 +533,115 @@ object IngestQueries {
           col("progressive"), col("has_jfif"), col("has_exif"))
     },
 
+    // Perceptual image hash (dHash-64) through the raster codecs: exact
+    // integer luma + 9x8 area means, bit = left-cell > right-cell. The
+    // 18x8 x-gradients make every cell mean hand-computable: ascending
+    // -> 0, descending -> all 64 bits (-1), a single tweaked pixel
+    // flips exactly bit 0; the SAME raster as PNG hashes identically
+    // (container invariance); junk -> NULL row
+    "q293_image_dhash" -> { (s, _) =>
+      import graft.operators.{ImageHash, Multimodal}
+      val dir = SyntheticFixtures.materialize("q293", "a.bmp",
+        SyntheticFixtures.bmpBytes(dhashGradient(identity)))
+      SyntheticFixtures.materialize("q293", "a2.bmp",
+        SyntheticFixtures.bmpBytes(dhashTweaked))
+      SyntheticFixtures.materialize("q293", "b.bmp",
+        SyntheticFixtures.bmpBytes(dhashGradient(x => 17 - x)))
+      SyntheticFixtures.materialize("q293", "a.png",
+        SyntheticFixtures.pngBytes(dhashGradient(identity)))
+      SyntheticFixtures.materialize("q293", "junk.bmp",
+        "BMjunk".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.*")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          ImageHash.DhashDecoder)
+        .select(col("file_name"), col("width"), col("height"),
+          col("dhash"))
+    },
+
+    // Image near-dup pairs: the dHash column rides the SAME pigeonhole
+    // banded-hamming machinery as 64-bit SimHash
+    // (Dedup.hammingNearDupPairs) — the tweaked copy at hamming 1, the
+    // cross-container identical copy at 0, the inverted gradient
+    // isolated (no shared band bucket)
+    "q294_image_neardup" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.{Dedup, ImageHash}
+      val dir = SyntheticFixtures.materialize("q294", "a.bmp",
+        SyntheticFixtures.bmpBytes(dhashGradient(identity)))
+      SyntheticFixtures.materialize("q294", "a2.bmp",
+        SyntheticFixtures.bmpBytes(dhashTweaked))
+      SyntheticFixtures.materialize("q294", "b.bmp",
+        SyntheticFixtures.bmpBytes(dhashGradient(x => 17 - x)))
+      SyntheticFixtures.materialize("q294", "a.png",
+        SyntheticFixtures.pngBytes(dhashGradient(identity)))
+      val ids = Map("a.bmp" -> 1L, "a2.bmp" -> 2L, "b.bmp" -> 3L,
+        "a.png" -> 4L)
+      val hashes = DicomSource.scanDir(s, dir, "*.*")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (f, b) =>
+          ImageHash.dhash64Auto(b).map(h => (ids(f), h))
+        }
+        .toDF("id", "dhash")
+      Dedup.hammingNearDupPairs(hashes, "id", "dhash",
+        bands = 4, maxHamming = 3)
+    },
+
+    // Perceptual AUDIO fingerprint (energy-envelope sign deltas, 65
+    // integer-boundary windows -> 64 comparison bits) through the WAV
+    // codec: monotone-up energies -> all bits (-1), monotone-down -> 0,
+    // and the 2x-GAINED copy prints IDENTICALLY (scaling samples by c
+    // scales every energy by c², preserving all comparisons — the
+    // invariance that makes it a dedup key, not a checksum)
+    "q295_audio_envelope" -> { (s, _) =>
+      import graft.operators.{AudioHash, Multimodal}
+      val asc = (0 until 130).map(i => i / 2)
+      val dir = SyntheticFixtures.materialize("q295", "asc.wav",
+        SyntheticFixtures.wavBytes(Seq(asc), 8000))
+      SyntheticFixtures.materialize("q295", "desc.wav",
+        SyntheticFixtures.wavBytes(Seq(asc.map(64 - _)), 8000))
+      SyntheticFixtures.materialize("q295", "loud.wav",
+        SyntheticFixtures.wavBytes(Seq(asc.map(_ * 2)), 8000))
+      SyntheticFixtures.materialize("q295", "junk.wav",
+        "not audio".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.wav")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          AudioHash.EnvelopePrintDecoder)
+        .select(col("file_name"), col("n_channels"), col("sample_rate"),
+          col("n_frames"), col("envelope_print"))
+    },
+
+    // Audio near-dup pairs on the envelope prints — the same pigeonhole
+    // banded-hamming shuffle as SimHash and the image dHash: the
+    // re-gained copy at hamming 0, the inverted envelope isolated
+    "q296_audio_neardup" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.{AudioHash, Dedup}
+      val asc = (0 until 130).map(i => i / 2)
+      val dir = SyntheticFixtures.materialize("q296", "asc.wav",
+        SyntheticFixtures.wavBytes(Seq(asc), 8000))
+      SyntheticFixtures.materialize("q296", "desc.wav",
+        SyntheticFixtures.wavBytes(Seq(asc.map(64 - _)), 8000))
+      SyntheticFixtures.materialize("q296", "loud.wav",
+        SyntheticFixtures.wavBytes(Seq(asc.map(_ * 2)), 8000))
+      val ids = Map("asc.wav" -> 1L, "loud.wav" -> 2L, "desc.wav" -> 3L)
+      val prints = DicomSource.scanDir(s, dir, "*.wav")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (f, b) =>
+          AudioHash.envelopePrintWav(b).map(p => (ids(f), p))
+        }
+        .toDF("id", "print")
+      Dedup.hammingNearDupPairs(prints, "id", "print",
+        bands = 4, maxHamming = 3)
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -1535,6 +1644,21 @@ object IngestQueries {
 
   // q122/q123 shared fixture: two uploads — 80 fully deletable with every
   // footprint table populated, 81 blocked by QC + comments
+  /** 18x8 x-gradient raster for the dHash fixtures: gray value f(x)
+    * packed RGB, so BT.601 luma equals f(x) exactly and every 9x8 cell
+    * mean is hand-computable. */
+  private def dhashGradient(f: Int => Int): Seq[Seq[Int]] =
+    (0 until 8).map(_ => (0 until 18).map { x =>
+      val v = f(x); (v << 16) | (v << 8) | v
+    })
+
+  /** The ascending gradient with pixel (0,0) lifted to gray 5: flips
+    * exactly dHash bit 0. */
+  private def dhashTweaked: Seq[Seq[Int]] = {
+    val g = dhashGradient(identity)
+    g.updated(0, g(0).updated(0, 0x050505))
+  }
+
   private def delUploads(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq((80L, 500L), (81L, 501L)).toDF("UploadID", "TarchiveID")
@@ -2181,6 +2305,47 @@ object IngestQueries {
         |   CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN))
         |) AS t(file_name, magic, width, height, precision, n_components,
         |       progressive, has_jfif, has_exif)""".stripMargin,
+
+    // dHash cells on the 18x8 gradients: ascending means 2j (never >
+    // right neighbor) -> 0; descending 16-2j (always >) -> all 64 bits
+    // = -1; the (0,0)=5 tweak lifts cell(0,0) to 3 > 2 -> bit 0 -> 1;
+    // the PNG copy of the ascending raster matches its BMP hash
+    "q293_image_dhash" ->
+      """SELECT * FROM (VALUES
+        |  ('a.bmp', 18, 8, CAST(0 AS BIGINT)),
+        |  ('a2.bmp', 18, 8, 1),
+        |  ('b.bmp', 18, 8, -1),
+        |  ('a.png', 18, 8, 0),
+        |  ('junk.bmp', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT))
+        |) AS t(file_name, width, height, dhash)""".stripMargin,
+
+    // banded-hamming pairs over the pinned hashes {0, 1, -1, 0}
+    "q294_image_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 1),
+        |  (1, 4, 0),
+        |  (2, 4, 1)
+        |) AS t(id_1, id_2, hamming)""".stripMargin,
+
+    // envelope prints: window w holds samples {2w,2w+1} so energies are
+    // 2w² (ascending -> all 64 bits = -1), 2(64-w)² (descending -> 0);
+    // the 2x-gained copy scales energies by 4 and prints -1 identically
+    "q295_audio_envelope" ->
+      """SELECT * FROM (VALUES
+        |  ('asc.wav', 1, 8000, CAST(130 AS BIGINT), CAST(-1 AS BIGINT)),
+        |  ('desc.wav', 1, 8000, 130, 0),
+        |  ('loud.wav', 1, 8000, 130, -1),
+        |  ('junk.wav', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(file_name, n_channels, sample_rate, n_frames,
+        |       envelope_print)""".stripMargin,
+
+    // prints {-1, -1, 0}: only the gain pair collides
+    "q296_audio_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0)
+        |) AS t(id_1, id_2, hamming)""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES
