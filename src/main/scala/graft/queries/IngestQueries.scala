@@ -642,6 +642,48 @@ object IngestQueries {
         bands = 4, maxHamming = 3)
     },
 
+    // WebDataset-style multimodal shard intake: tar shards whose members
+    // pair by basename stem (000001.bmp + 000001.txt), expanded
+    // partition-parallel by the tar source (row-local, no shuffle),
+    // image members decoded through the perceptual-hash RowDecoder,
+    // caption members joined back by (shard, stem) — missing captions
+    // surface as has_caption=false audit rows, and the cross-shard
+    // duplicate raster shows as an identical dhash. The intake shape a
+    // 100 TB image-text corpus actually arrives in
+    "q297_webdataset_intake" -> { (s, _) =>
+      import graft.operators.{ImageHash, Multimodal}
+      val dir = SyntheticFixtures.materialize("q297", "shard-000.tar",
+        graft.sources.TarSink.tarBytes(Seq(
+          "000001.bmp" -> SyntheticFixtures.bmpBytes(
+            dhashGradient(identity)),
+          "000001.txt" -> "ascending gradient".getBytes("UTF-8"),
+          "000002.bmp" -> SyntheticFixtures.bmpBytes(
+            dhashGradient(x => 17 - x)),
+          "000002.txt" -> "descending gradient".getBytes("UTF-8"),
+          "000003.bmp" -> SyntheticFixtures.bmpBytes(dhashTweaked))))
+      SyntheticFixtures.materialize("q297", "shard-001.tar",
+        graft.sources.TarSink.tarBytes(Seq(
+          "000004.bmp" -> SyntheticFixtures.bmpBytes(
+            dhashGradient(identity)),
+          "000004.txt" -> "another ascending".getBytes("UTF-8"))))
+      val m = TarGzSource.members(s, dir, glob = "*.tar").toDF()
+        .filter(!col("is_dir"))
+        .select(
+          element_at(split(col("archive_path"), "/"), -1).as("shard"),
+          substring_index(col("member_path"), ".", 1).as("sample_id"),
+          element_at(split(col("member_path"), "\\."), -1).as("ext"),
+          col("content"))
+      val imgs = Multimodal.decodeRowsPartitioned(
+          m.where(col("ext") === "bmp").drop("ext"), "content",
+          ImageHash.DhashDecoder)
+        .drop("content")
+      val captions = m.where(col("ext") === "txt")
+        .select(col("shard"), col("sample_id"),
+          col("content").cast("string").as("caption"))
+      imgs.join(captions, Seq("shard", "sample_id"), "left")
+        .withColumn("has_caption", col("caption").isNotNull)
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -2346,6 +2388,21 @@ object IngestQueries {
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 0)
         |) AS t(id_1, id_2, hamming)""".stripMargin,
+
+    // stem-paired shard members: 000003 has no caption row; 000004 in
+    // the second shard repeats the ascending raster -> dhash 0 again
+    "q297_webdataset_intake" ->
+      """SELECT * FROM (VALUES
+        |  ('shard-000.tar', '000001', 18, 8, CAST(0 AS BIGINT),
+        |   'ascending gradient', true),
+        |  ('shard-000.tar', '000002', 18, 8, -1,
+        |   'descending gradient', true),
+        |  ('shard-000.tar', '000003', 18, 8, 1,
+        |   CAST(NULL AS VARCHAR), false),
+        |  ('shard-001.tar', '000004', 18, 8, 0,
+        |   'another ascending', true)
+        |) AS t(shard, sample_id, width, height, dhash, caption,
+        |       has_caption)""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES
