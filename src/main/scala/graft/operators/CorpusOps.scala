@@ -1265,4 +1265,55 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_types"), sum(col("__cnt")).as("n_grams"),
         min(col("__cnt")).as("min_cnt"), max(col("__cnt")).as("max_cnt"))
   }
+
+  /** Gopher-style document-quality rule bundle (Rae et al. 2021 §A1.1,
+    * the rule set modern web corpora filter with) as one map-only
+    * projection — every threshold an exact INTEGER cross-multiplication
+    * so the verdicts are engine-portable and the DuckDB twin is the
+    * same formula text:
+    *   - word count in [minWords, maxWords]
+    *   - mean word length in [3, 10]  (3·n ≤ Σlen ≤ 10·n)
+    *   - symbol-to-word ratio ≤ 1/10  (10·symbols ≤ words; symbols are
+    *     '#' and ellipses)
+    *   - ≥ 80% of words contain an alphabetic char (5·alpha ≥ 4·n)
+    *   - ≥ 2 distinct Gopher stopwords present
+    * Line-shape rules (bullet/ellipsis line fractions) need line
+    * structure the corpus interchange may not carry; they live with the
+    * unit-level ops ([[unitDedup]]'s unit table). Emits per-rule
+    * booleans plus the conjunction — keep the booleans, not just the
+    * verdict: per-rule attrition is the report quality tuning reads. */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    // sum of token lengths == chars minus whitespace (same identity the
+    // oracle uses)
+    val sumLen = length(regexp_replace(trim(col(textCol)), "\\s+", ""))
+      .cast("long")
+    val nSymbols = regexp_count(col(textCol), lit("#|\\.\\.\\.|…"))
+      .cast("long")
+    val nAlpha = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have",
+      "with")
+    val nStops = gopherStops.map(w =>
+      when(array_contains(toks, w), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"),
+        sumLen.as("sum_word_len"), nSymbols.as("n_symbols"),
+        nAlpha.as("n_alpha_words"), nStops.as("n_stopwords"))
+      .withColumn("ok_word_count",
+        col("n_words").between(minWords, maxWords))
+      .withColumn("ok_mean_word_len",
+        lit(3L) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10L) * col("n_words"))
+      .withColumn("ok_symbol_ratio",
+        lit(10L) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_alpha_words",
+        lit(5L) * col("n_alpha_words") >= lit(4L) * col("n_words"))
+      .withColumn("ok_stopwords", col("n_stopwords") >= 2L)
+      .withColumn("passes_all",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_alpha_words") &&
+          col("ok_stopwords"))
+  }
 }

@@ -758,6 +758,15 @@ object CorpusQueries {
         .select(col("doc_id"), col("n_latin"), col("n_cyrillic"),
           col("n_greek"), col("n_arabic"), col("n_cjk"), col("n_digit"),
           col("n_letters"), col("dominant_script"), col("is_code_mixed"))
+    },
+
+    // Gopher quality-rule bundle over the real corpus: one map-only
+    // projection, every threshold an integer cross-multiplication; the
+    // DuckDB twin computes the same counts and the same inequalities
+    // (word-count split is real at this corpus: 10-99 words vs the
+    // [50, 100000] gate)
+    "q298_gopher_rules" -> { (s, dir) =>
+      CorpusOps.gopherRules(docs(s, dir), "doc_id", "text")
     }
   )
 
@@ -2117,6 +2126,48 @@ object CorpusQueries {
         |  (5, 0, 0, 0, 0, 0, 6, 0, 'none', false),
         |  (6, 9, 0, 0, 5, 0, 0, 14, 'latin', true)
         |) AS t(doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
-        |       n_digit, n_letters, dominant_script, is_code_mixed)""".stripMargin
+        |       n_digit, n_letters, dominant_script, is_code_mixed)""".stripMargin,
+
+    // same integer counts, same cross-multiplied inequalities
+    "q298_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $sqlToks AS toks,
+         |    len(regexp_replace(trim(text), '\\s+', '', 'g'))
+         |      AS sum_word_len,
+         |    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_symbols
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(sum_word_len AS BIGINT) AS sum_word_len,
+         |    CAST(n_symbols AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+         |      AS BIGINT) AS n_alpha_words,
+         |    CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'be') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'that') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'have') THEN 1 ELSE 0 END)
+         |      + (CASE WHEN list_contains(toks, 'with') THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_stopwords
+         |  FROM t
+         |)
+         |SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha_words,
+         |  n_stopwords,
+         |  n_words BETWEEN 50 AND 100000 AS ok_word_count,
+         |  (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+         |    AS ok_mean_word_len,
+         |  10 * n_symbols <= n_words AS ok_symbol_ratio,
+         |  5 * n_alpha_words >= 4 * n_words AS ok_alpha_words,
+         |  n_stopwords >= 2 AS ok_stopwords,
+         |  (n_words BETWEEN 50 AND 100000
+         |    AND 3 * n_words <= sum_word_len
+         |    AND sum_word_len <= 10 * n_words
+         |    AND 10 * n_symbols <= n_words
+         |    AND 5 * n_alpha_words >= 4 * n_words
+         |    AND n_stopwords >= 2) AS passes_all
+         |FROM c""".stripMargin
   )
 }

@@ -649,4 +649,31 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getString(2))).toMap
     assert(r2(2L) == "changed")
   }
+
+  test("gopherRules: each rule trips on its own pathology and the " +
+      "healthy document passes all") {
+    import spark.implicits._
+    val healthy = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the and of that"
+    val docs = Seq(
+      (1L, healthy),                                   // passes everything
+      (2L, "the and of that " + (1 to 10).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 60).map(_ => "supercalifragilistic").mkString(" ") +
+        " the and"),                                   // mean word len > 10
+      (4L, (1 to 60).map(_ => "# ...").mkString(" ") + " the and"),
+      (5L, (1 to 60).map(_ => "1234").mkString(" ") + " the and of"),
+      (6L, (1 to 64).map(i => s"word$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_alpha_words", "ok_stopwords", "passes_all")
+      .collect().map(r => (0 to 5).map(r.getBoolean))
+    assert(got(0) == Seq(true, true, true, true, true, true))
+    assert(got(1)(0) == false && got(1)(5) == false) // too few words
+    assert(got(2)(1) == false)                        // words too long
+    assert(got(3)(2) == false)                        // symbol-heavy
+    assert(got(4)(3) == false)                        // digit words
+    assert(got(5)(4) == false)                        // stopword-free
+  }
 }
