@@ -222,4 +222,178 @@ object JpegCodec {
     javax.imageio.ImageIO.write(img, "jpg", out)
     out.toByteArray
   }
+
+  // ----------------- EXIF (APP1 TIFF IFD0) ----------------------------
+
+  /** One IFD0 entry rendered to a table row: (tag, type, count, value).
+    * SHORT/LONG values render as decimal; ASCII as the NUL-trimmed
+    * string; other types as the raw value-field hex (opaque but
+    * deterministic). */
+  final case class ExifEntry(tag: Int, tpe: Int, count: Long, value: String)
+
+  /** The APP1 "Exif\u0000\u0000" TIFF block's IFD0 as a table — the
+    * orientation/camera metadata an image pipeline normalizes on,
+    * parsed with both byte orders ("II" little-endian, "MM" big-endian)
+    * and every offset bounds-checked against the segment. None for
+    * missing/malformed EXIF — never a throw on hostile bytes. */
+  def exifEntries(b: Array[Byte]): Option[Seq[ExifEntry]] = {
+    // walk segments to the first APP1 with the Exif identifier
+    if (b.length < 4 || (b(0) & 0xFF) != 0xFF || (b(1) & 0xFF) != 0xD8)
+      return None
+    var off = 2
+    var tiff = -1
+    var tiffEnd = -1
+    while (off + 4 <= b.length && tiff < 0) {
+      if ((b(off) & 0xFF) != 0xFF) return None
+      while (off + 1 < b.length && (b(off + 1) & 0xFF) == 0xFF) off += 1
+      if (off + 1 >= b.length) return None
+      val marker = b(off + 1) & 0xFF
+      off += 2
+      if (marker == 0xD8 || marker == 0x01 ||
+        (marker >= 0xD0 && marker <= 0xD7)) ()
+      else if (marker == 0xD9 || marker == 0xDA) return None // no EXIF
+      else {
+        if (off + 2 > b.length) return None
+        val len = u16(b, off)
+        if (len < 2 || off + len > b.length) return None
+        if (marker == 0xE1 && len >= 10 &&
+          new String(b, off + 2, 4, "US-ASCII") == "Exif" &&
+          b(off + 6) == 0 && b(off + 7) == 0) {
+          tiff = off + 8
+          tiffEnd = off + len
+        }
+        off += len
+      }
+    }
+    if (tiff < 0 || tiffEnd - tiff < 8) return None
+    val le = b(tiff) == 'I' && b(tiff + 1) == 'I'
+    val be = b(tiff) == 'M' && b(tiff + 1) == 'M'
+    if (!le && !be) return None
+    def rd16(o: Int): Int =
+      if (le) (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+      else ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+    def rd32(o: Int): Long =
+      if (le) ((b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF).toLong << 24)) &
+        0xFFFFFFFFL
+      else (((b(o) & 0xFF).toLong << 24) | ((b(o + 1) & 0xFF) << 16) |
+        ((b(o + 2) & 0xFF) << 8) | (b(o + 3) & 0xFF)) & 0xFFFFFFFFL
+    if (rd16(tiff + 2) != 42) return None
+    val ifd0 = rd32(tiff + 4)
+    if (ifd0 < 8 || tiff + ifd0 + 2 > tiffEnd) return None
+    val base = (tiff + ifd0).toInt
+    val n = rd16(base)
+    if (base + 2 + n * 12 > tiffEnd) return None // lying entry count
+    val typeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 7 -> 1,
+      9 -> 4, 10 -> 8)
+    val out = (0 until n).map { i =>
+      val e = base + 2 + i * 12
+      val tag = rd16(e)
+      val tpe2 = rd16(e + 2)
+      val count = rd32(e + 4)
+      val sz = typeSize.getOrElse(tpe2, 1)
+      val byteLen = sz.toLong * count
+      val valOff =
+        if (byteLen <= 4) e + 8
+        else {
+          val o = rd32(e + 8)
+          if (tiff + o + byteLen > tiffEnd || o < 8) return None
+          (tiff + o).toInt
+        }
+      val value = tpe2 match {
+        case 2 => // ASCII: NUL-terminated
+          val raw = new String(b, valOff,
+            math.min(byteLen, (tiffEnd - valOff).toLong).toInt, "US-ASCII")
+          raw.takeWhile(_ != '\u0000')
+        case 3 => (0 until math.min(count, 4L).toInt)
+          .map(k => rd16(valOff + 2 * k)).mkString(",")
+        case 4 => (0 until math.min(count, 2L).toInt)
+          .map(k => rd32(valOff + 4 * k)).mkString(",")
+        case 5 => if (count >= 1) s"${rd32(valOff)}/${rd32(valOff + 4)}"
+          else ""
+        case _ => (0 until math.min(byteLen, 4L).toInt)
+          .map(k => f"${b(valOff + k) & 0xFF}%02x").mkString
+      }
+      ExifEntry(tag, tpe2, count, value)
+    }
+    Some(out)
+  }
+
+  /** Convenience lookups over [[exifEntries]]: the fields pipelines act
+    * on (orientation 0x0112, make 0x010F, model 0x0110, datetime
+    * 0x0132). */
+  def exifSummary(b: Array[Byte]): Option[(Int, String, String, String)] =
+    exifEntries(b).map { es =>
+      def find(tag: Int): Option[String] =
+        es.find(_.tag == tag).map(_.value)
+      (find(0x0112).flatMap(v => v.split(",").headOption)
+        .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(0),
+        find(0x010F).orNull, find(0x0110).orNull, find(0x0132).orNull)
+    }
+
+  /** Fixture writer: a TIFF IFD0 APP1 payload (independent of the
+    * reader — big- or little-endian, inline and offset values). */
+  def exifApp1(le: Boolean,
+      entries: Seq[(Int, Int, Seq[Any])]): Array[Byte] = {
+    def w16(v: Int): Array[Byte] =
+      if (le) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      else Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def w32(v: Long): Array[Byte] =
+      if (le) Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      else Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    // serialize values; ASCII gets a trailing NUL
+    val rendered = entries.map { case (tag, tpe, vs) =>
+      val bytes = tpe match {
+        case 2 => (vs.head.asInstanceOf[String] + "\u0000")
+          .getBytes("US-ASCII")
+        case 3 => vs.flatMap(v => w16(v.asInstanceOf[Int])).toArray
+        case 4 => vs.flatMap(v => w32(v.asInstanceOf[Int].toLong)).toArray
+        case 5 => vs.grouped(2).flatMap(p => w32(p(0).asInstanceOf[Int]
+          .toLong) ++ w32(p(1).asInstanceOf[Int].toLong)).toArray
+        case _ => vs.map(v => v.asInstanceOf[Int].toByte).toArray
+      }
+      val count = tpe match {
+        case 2 => bytes.length
+        case 3 => vs.length
+        case 4 => vs.length
+        case 5 => vs.length / 2
+        case _ => bytes.length
+      }
+      (tag, tpe, count, bytes)
+    }
+    val n = rendered.length
+    var tailOff = 8L + 2 + n * 12 + 4 // after IFD0 + next-IFD pointer
+    val tail = new java.io.ByteArrayOutputStream()
+    val ifd = new java.io.ByteArrayOutputStream()
+    ifd.write(w16(n), 0, 2)
+    rendered.foreach { case (tag, tpe, count, bytes) =>
+      ifd.write(w16(tag), 0, 2)
+      ifd.write(w16(tpe), 0, 2)
+      ifd.write(w32(count.toLong), 0, 4)
+      if (bytes.length <= 4) {
+        val padded = bytes ++ Array.fill[Byte](4 - bytes.length)(0)
+        ifd.write(padded, 0, 4)
+      } else {
+        ifd.write(w32(tailOff), 0, 4)
+        tail.write(bytes, 0, bytes.length)
+        tailOff += bytes.length
+      }
+    }
+    ifd.write(w32(0L), 0, 4) // no IFD1
+    val tiff = (if (le) "II" else "MM").getBytes("US-ASCII") ++ w16(42) ++
+      w32(8L) ++ ifd.toByteArray ++ tail.toByteArray
+    ("Exif".getBytes("US-ASCII") :+ 0.toByte :+ 0.toByte) ++ tiff
+  }
+
+  /** [[jpegBytes]] with a REAL EXIF APP1 payload spliced in. */
+  def jpegBytesWithExif(width: Int, height: Int,
+      app1Payload: Array[Byte]): Array[Byte] = {
+    val plain = jpegBytes(width, height, 8, 3, progressive = false,
+      nQuant = 1, huffClasses = Seq(0, 1))
+    // splice after SOI + APP0 (APP0 length is fixed at 18 in the writer)
+    val cut = 2 + 18
+    plain.take(cut) ++ seg(0xE1, app1Payload) ++ plain.drop(cut)
+  }
 }

@@ -684,6 +684,44 @@ object IngestQueries {
         .withColumn("has_caption", col("caption").isNotNull)
     },
 
+    // EXIF extraction (the orientation/camera normalization every image
+    // pipeline runs before training): APP1 TIFF IFD0 walk in BOTH byte
+    // orders — inline SHORTs, offset ASCII, rationals — summarized to
+    // the acted-on fields. Row-local inside the scan; EXIF-less and
+    // junk files fail closed to NULLs
+    "q299_exif_decode" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.JpegCodec
+      val dir = SyntheticFixtures.materialize("q299", "cam_le.jpg",
+        JpegCodec.jpegBytesWithExif(33, 21, JpegCodec.exifApp1(le = true,
+          Seq((0x0112, 3, Seq(6)), (0x010F, 2, Seq("ACME")),
+            (0x0110, 2, Seq("X100")),
+            (0x0132, 2, Seq("2020:01:02 03:04:05")),
+            (0x011A, 5, Seq(72, 1))))))
+      SyntheticFixtures.materialize("q299", "cam_be.jpg",
+        JpegCodec.jpegBytesWithExif(8, 8, JpegCodec.exifApp1(le = false,
+          Seq((0x0112, 3, Seq(1)), (0x010F, 2, Seq("MMCO"))))))
+      SyntheticFixtures.materialize("q299", "plain.jpg",
+        JpegCodec.imageIoJpeg(5, 5))
+      SyntheticFixtures.materialize("q299", "junk.jpg",
+        "not an image".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      DicomSource.scanDir(s, dir, "*.jpg")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .map { case (f, b) =>
+          val n = JpegCodec.exifEntries(b).map(_.length)
+          JpegCodec.exifSummary(b) match {
+            case Some((o, make, model, dt)) =>
+              (f, Some(o), Option(make), Option(model), Option(dt),
+                n)
+            case None => (f, None, None, None, None, None)
+          }
+        }
+        .toDF("file_name", "orientation", "make", "model", "datetime",
+          "n_entries")
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -2403,6 +2441,22 @@ object IngestQueries {
         |   'another ascending', true)
         |) AS t(shard, sample_id, width, height, dhash, caption,
         |       has_caption)""".stripMargin,
+
+    // IFD0 walks: LE fixture carries all five tags (rational renders
+    // 72/1); BE fixture only orientation+make; EXIF-less files -> NULLs
+    "q299_exif_decode" ->
+      """SELECT * FROM (VALUES
+        |  ('cam_le.jpg', 6, 'ACME', 'X100', '2020:01:02 03:04:05', 5),
+        |  ('cam_be.jpg', 1, 'MMCO', CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), 2),
+        |  ('plain.jpg', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS INTEGER)),
+        |  ('junk.jpg', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |   CAST(NULL AS INTEGER))
+        |) AS t(file_name, orientation, make, model, datetime,
+        |       n_entries)""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES
