@@ -640,6 +640,63 @@ object Dedup {
       64 / bands, bands, maxHamming, maxBucketSize)
   }
 
+  /** The hamming-fingerprint index ARTIFACT: one (band, sig, id, hash)
+    * row per band per item — the persisted form a continuous-admission
+    * deployment writes ONCE (partitionable by (band, sig)) so that each
+    * arriving batch probes band keys instead of re-scanning payloads.
+    * The image/audio analogue of [[lshIndex]]. */
+  def hammingIndex(df: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    hammingBandRows(df.select(col(idCol).as("id"),
+      col(hashCol).cast("long").as("hash")), bands)
+  }
+
+  /** Continuous-admission near-dup gate over a persisted
+    * [[hammingIndex]]: the new batch's band rows join the index's
+    * (band, sig) buckets — batch-only banding work, no payload
+    * re-decode, no index re-hash — then exact popcount verify. Emits
+    * (id_batch, id_index, hamming). Split-equals-whole is exact (a pair
+    * collides iff SOME band matches, which is invariant to which side
+    * holds each item — spec-pinned), so admission order never changes
+    * the pair set. */
+  def incrementalHammingMatches(index: DataFrame, batch: DataFrame,
+      idCol: String, hashCol: String, bands: Int = 4, maxHamming: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(64 % bands == 0 && bands > maxHamming,
+      "pigeonhole needs bands | 64 and bands > maxHamming")
+    val idxBuckets = index
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(struct(col("id"), col("hash"))).as("ds"))
+      .filter(size(col("ds")) <= maxBucketSize)
+    hammingBandRows(batch.select(col(idCol).as("id"),
+        col(hashCol).cast("long").as("hash")), bands)
+      .join(idxBuckets, Seq("band", "sig"))
+      .select(col("id").as("id_batch"), col("hash").as("h_batch"),
+        explode(col("ds")).as("d"))
+      .select(col("id_batch"), col("h_batch"),
+        col("d.id").as("id_index"), col("d.hash").as("h_index"))
+      .filter(col("id_batch") =!= col("id_index"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("h_batch").bitwiseXOR(col("h_index"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_batch"), col("id_index"), col("hamming"))
+  }
+
+  /** (id, hash) → one (band, sig, id, hash) row per band (logical
+    * shifts; bit 63 must not smear). */
+  private def hammingBandRows(h: DataFrame, bands: Int): DataFrame = {
+    val bitsPerBand = 64 / bands
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    h.select(col("id"), col("hash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("hash"), b * bitsPerBand)
+            .bitwiseAND(lit(mask)).as("sig"))): _*)).as("bs"))
+      .select(col("bs.band"), col("bs.sig"), col("id"), col("hash"))
+  }
+
   /** Shared banded-hamming candidate machinery of the SimHash family:
     * explode each fingerprint into `bands` (band, sig) bucket keys
     * (logical shifts — bit 63 of the 64-bit form must not smear), pair

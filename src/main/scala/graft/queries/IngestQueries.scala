@@ -722,6 +722,32 @@ object IngestQueries {
           "n_entries")
     },
 
+    // Continuous image-dedup admission: the perceptual-hash index
+    // ARTIFACT (band, sig, id, hash — the image analogue of the q259
+    // text LSH artifact) probed by a new batch — batch-only banding
+    // work, no payload re-decode of the accumulated corpus. The tweaked
+    // copy admits at hamming 1 against the indexed original, the
+    // re-encoded PNG copy at 0; split==whole is spec-pinned so
+    // admission order never changes the pair set
+    "q300_image_incremental_neardup" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.{Dedup, ImageHash}
+      val corpus = Seq(
+        (1L, SyntheticFixtures.bmpBytes(dhashGradient(identity))),
+        (3L, SyntheticFixtures.bmpBytes(dhashGradient(x => 17 - x))))
+      val batch = Seq(
+        (2L, SyntheticFixtures.bmpBytes(dhashTweaked)),
+        (4L, SyntheticFixtures.pngBytes(dhashGradient(identity))))
+      def hashes(rows: Seq[(Long, Array[Byte])]) =
+        rows.flatMap { case (i, b) =>
+          ImageHash.dhash64Auto(b).map(h => (i, h))
+        }.toDF("id", "dhash")
+      val index = Dedup.hammingIndex(hashes(corpus), "id", "dhash",
+        bands = 4).localCheckpoint(true) // the persisted-artifact stand-in
+      Dedup.incrementalHammingMatches(index, hashes(batch), "id",
+        "dhash", bands = 4, maxHamming = 3)
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -2457,6 +2483,14 @@ object IngestQueries {
         |   CAST(NULL AS INTEGER))
         |) AS t(file_name, orientation, make, model, datetime,
         |       n_entries)""".stripMargin,
+
+    // batch {tweak(1), png-copy(0)} vs index {asc(0), desc(-1)}: the
+    // asc bucket catches both, desc shares no band with either
+    "q300_image_incremental_neardup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 1),
+        |  (4, 1, 0)
+        |) AS t(id_batch, id_index, hamming)""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES

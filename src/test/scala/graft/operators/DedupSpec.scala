@@ -355,4 +355,35 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
     assert(none == Set((1L, 1000000L)))
   }
+
+  test("incrementalHammingMatches: split-equals-whole — index-internal " +
+      "+ batch-internal + cross probes reproduce the one-shot pair set " +
+      "exactly, so admission order never changes the result") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // 12 base prints plus near-dup copies at <=3 flipped bits
+    val base = (1L to 12L).map(i => i -> rnd.nextLong())
+    val copies = base.take(5).zipWithIndex.map { case ((i, h), k) =>
+      val flips = (0 to k % 4).map(_ => 1L << rnd.nextInt(64))
+        .foldLeft(0L)(_ | _)
+      (i + 100L) -> (h ^ flips)
+    }
+    val all = (base ++ copies).toDF("id", "h")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b), r.getInt(2))
+      }.toSet
+    val whole = canon(Dedup.hammingNearDupPairs(all, "id", "h",
+      bands = 4, maxHamming = 3))
+    val idxSide = all.where(col("id") % 2 === 0)
+    val batSide = all.where(col("id") % 2 =!= 0)
+    val split =
+      canon(Dedup.hammingNearDupPairs(idxSide, "id", "h", 4, 3)) ++
+      canon(Dedup.hammingNearDupPairs(batSide, "id", "h", 4, 3)) ++
+      canon(Dedup.incrementalHammingMatches(
+        Dedup.hammingIndex(idxSide, "id", "h", 4), batSide, "id", "h",
+        bands = 4, maxHamming = 3))
+    assert(split == whole && whole.nonEmpty)
+  }
 }
