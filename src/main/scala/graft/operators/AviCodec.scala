@@ -123,6 +123,25 @@ object AviCodec {
     Nil
   }
 
+  /** Absolute byte offset of the `movi` LIST's type fourcc — the base
+    * the `idx1` offsets are relative to (first frame chunk at base+4,
+    * frame PAYLOAD at base + entry.offset + 8 past the chunk header).
+    * None for non-AVI or index-less structure. */
+  def moviOffset(bytes: Array[Byte]): Option[Int] = {
+    if (!isAvi(bytes)) return None
+    var off = 12
+    val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+    while (off + 12 <= end) {
+      val id = tag(bytes, off)
+      val size = u32(bytes, off + 4)
+      if (off + 8 + size > end) return None
+      if (id == "LIST" && tag(bytes, off + 8) == "movi") return Some(off + 8)
+      val sz = size.toInt
+      off += 8 + sz + (sz & 1)
+    }
+    None
+  }
+
   val metaSchema: StructType = StructType(Seq(
     StructField("magic", StringType),
     StructField("width", IntegerType),

@@ -124,6 +124,24 @@ object Multimodal {
     }(enc)
   }
 
+  /** Cheap magic-byte media-type sniff — the intake-triage dispatch in
+    * front of the per-format decoders (runs on a bounded prefix; no
+    * decode work). Returns one of bmp/png/jpeg/wav/avi/mp4/other. */
+  def detectType(bytes: Array[Byte]): String = {
+    def tag(o: Int) = if (bytes.length >= o + 4)
+      new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    else ""
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "bmp"
+    else if (bytes.length >= 8 && (bytes(0) & 0xFF) == 0x89 &&
+      tag(1).startsWith("PNG")) "png"
+    else if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8) "jpeg"
+    else if (tag(0) == "RIFF" && tag(8) == "WAVE") "wav"
+    else if (tag(0) == "RIFF" && tag(8) == "AVI ") "avi"
+    else if (tag(4) == "ftyp") "mp4"
+    else "other"
+  }
+
   /** Idempotent close wrapper. */
   private def closeOnce(close: () => Unit): () => Unit = {
     val done = new java.util.concurrent.atomic.AtomicBoolean(false)

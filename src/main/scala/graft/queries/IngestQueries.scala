@@ -748,6 +748,75 @@ object IngestQueries {
         "dhash", bands = 4, maxHamming = 3)
     },
 
+    // The byte-range fetch plan CONSUMED: keyframe-only selection over
+    // the idx1 index (a relational filter), then only the selected
+    // (offset, size) ranges are touched — the decode stage (stub: exact
+    // payload byte-sum) reads len(selected) slices, never the full
+    // stream. Frame payloads are fill(i) of length 10(i+1)/6(i+1) so
+    // every sum is hand-computable
+    "q301_avi_keyframe_fetch" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.AviCodec
+      val dir = SyntheticFixtures.materialize("q301", "clip.avi",
+        AviCodec.aviBytes(320, 240, scale = 1, rate = 30, handler = "MJPG",
+          frames = (0 until 10).map(i => Array.fill[Byte](10 * (i + 1))(i.toByte)),
+          keyEvery = 4))
+      SyntheticFixtures.materialize("q301", "ntsc.avi",
+        AviCodec.aviBytes(640, 480, scale = 1001, rate = 30000,
+          handler = "dvsd",
+          frames = (0 until 5).map(i => Array.fill[Byte](6 * (i + 1))(i.toByte)),
+          keyEvery = 2))
+      DicomSource.scanDir(s, dir, "*.avi")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (f, b) =>
+          val base = AviCodec.moviOffset(b).getOrElse(-1)
+          AviCodec.frameIndex(b).zipWithIndex.collect {
+            case (e, i) if e.keyframe && base >= 0 =>
+              val start = base + e.offset.toInt + 8
+              var sum = 0L
+              var k = 0
+              while (k < e.size.toInt) { sum += b(start + k) & 0xFF; k += 1 }
+              (f, i, e.offset, e.size, sum)
+          }
+        }
+        .toDF("file_name", "frame_no", "offset", "size", "payload_sum")
+    },
+
+    // Mixed-media intake triage: ONE directory scan, magic-byte type
+    // dispatch (bounded-prefix sniff, no decode), per-type counts — the
+    // first report a multimodal ingest runs before routing payloads to
+    // their per-format decoders
+    "q302_media_datacard" -> { (s, _) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val dir = SyntheticFixtures.materialize("q302", "a.bmp",
+        SyntheticFixtures.bmpBytes(dhashGradient(identity)))
+      SyntheticFixtures.materialize("q302", "b.png",
+        SyntheticFixtures.pngBytes(dhashGradient(identity)))
+      SyntheticFixtures.materialize("q302", "c.jpg",
+        graft.operators.JpegCodec.imageIoJpeg(4, 4))
+      SyntheticFixtures.materialize("q302", "d.wav",
+        SyntheticFixtures.wavBytes(Seq(Seq(1, -1, 2, -2)), 8000))
+      SyntheticFixtures.materialize("q302", "e.avi",
+        graft.operators.AviCodec.aviBytes(32, 24, 1, 30, "MJPG",
+          Seq(Array[Byte](1, 2)), keyEvery = 1))
+      SyntheticFixtures.materialize("q302", "f.mp4",
+        graft.operators.Mp4Codec.mp4Bytes("isom", 1000, 1000, 16, 16,
+          "avc1", Seq(4), Seq((1, 1)), Seq(1), 1000, 1000))
+      SyntheticFixtures.materialize("q302", "g.bin",
+        "mystery bytes".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      SyntheticFixtures.materialize("q302", "h.bmp",
+        SyntheticFixtures.bmpBytes(dhashTweaked))
+      DicomSource.scanDir(s, dir, "*.*")
+        .select(col("content")).as[Array[Byte]]
+        .map(Multimodal.detectType)
+        .toDF("media_type")
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_files"))
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -2491,6 +2560,27 @@ object IngestQueries {
         |  (CAST(2 AS BIGINT), CAST(1 AS BIGINT), 1),
         |  (4, 1, 0)
         |) AS t(id_batch, id_index, hamming)""".stripMargin,
+
+    // keyframes every 4th (clip: 0,4,8) / 2nd (ntsc: 0,2,4); offsets
+    // accumulate 8+size; payload_sum = value*length of the fill bytes
+    "q301_avi_keyframe_fetch" ->
+      """SELECT * FROM (VALUES
+        |  ('clip.avi', 0, CAST(4 AS BIGINT), CAST(10 AS BIGINT),
+        |   CAST(0 AS BIGINT)),
+        |  ('clip.avi', 4, 136, 50, 200),
+        |  ('clip.avi', 8, 428, 90, 720),
+        |  ('ntsc.avi', 0, 4, 6, 0),
+        |  ('ntsc.avi', 2, 38, 18, 36),
+        |  ('ntsc.avi', 4, 96, 30, 120)
+        |) AS t(file_name, frame_no, "offset", "size", payload_sum)""".stripMargin,
+
+    // eight files, one scan: 2 bmp + one each of the other five magics
+    // + one unknown
+    "q302_media_datacard" ->
+      """SELECT * FROM (VALUES
+        |  ('bmp', CAST(2 AS BIGINT)), ('png', 1), ('jpeg', 1),
+        |  ('wav', 1), ('avi', 1), ('mp4', 1), ('other', 1)
+        |) AS t(media_type, n_files)""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES

@@ -51,4 +51,15 @@ class AviCodecSpec extends AnyFunSuite {
     assert(AviCodec.decode(lying).isEmpty ||
       AviCodec.frameIndex(lying).isEmpty)
   }
+
+  test("moviOffset anchors the idx1 offsets: every frame's payload " +
+      "slice at base+offset+8 equals the bytes the writer put there") {
+    val base = AviCodec.moviOffset(clip).get
+    AviCodec.frameIndex(clip).zipWithIndex.foreach { case (e, i) =>
+      val start = base + e.offset.toInt + 8
+      val payload = clip.slice(start, start + e.size.toInt)
+      assert(payload.toSeq == Array.fill[Byte](10 * (i + 1))(i.toByte).toSeq)
+    }
+    assert(AviCodec.moviOffset("junk".getBytes("US-ASCII")).isEmpty)
+  }
 }

@@ -86,6 +86,23 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalSpec.opens.get() == 4)
     assert(MultimodalSpec.closes.get() == 4)
   }
+  test("detectType: magic-byte dispatch across all seven classes, " +
+      "bounded-prefix safe on truncated bytes") {
+    import graft.sources.SyntheticFixtures
+    val img = Seq(Seq(0x010203, 0x040506))
+    assert(Multimodal.detectType(SyntheticFixtures.bmpBytes(img)) == "bmp")
+    assert(Multimodal.detectType(SyntheticFixtures.pngBytes(img)) == "png")
+    assert(Multimodal.detectType(JpegCodec.imageIoJpeg(2, 2)) == "jpeg")
+    assert(Multimodal.detectType(
+      SyntheticFixtures.wavBytes(Seq(Seq(1, 2)), 8000)) == "wav")
+    assert(Multimodal.detectType(AviCodec.aviBytes(8, 8, 1, 30, "MJPG",
+      Seq(Array[Byte](1)), 1)) == "avi")
+    assert(Multimodal.detectType(Mp4Codec.mp4Bytes("isom", 1, 1, 1, 1,
+      "avc1", Seq(1), Seq((1, 1)), Seq(1), 1, 1)) == "mp4")
+    assert(Multimodal.detectType("xx".getBytes("US-ASCII")) == "other")
+    assert(Multimodal.detectType(Array.empty[Byte]) == "other")
+    assert(Multimodal.detectType("RIF".getBytes("US-ASCII")) == "other")
+  }
 }
 
 object MultimodalSpec {
