@@ -106,4 +106,29 @@ object TextAnalysis {
       .withColumn("dominant_script", dominant)
       .withColumn("is_code_mixed", coalesce(mixed, lit(false)))
   }
+
+  /** Vocabulary-coverage / OOV-rate report per group: the top
+    * `vocabSize` corpus words by count (ties word-asc — a total order,
+    * so both engines cut the same vocabulary) stand in for a tokenizer
+    * vocab; each group reports its token count, OOV count, and integer
+    * oov_ppm. The pre-training gate that catches a source whose domain
+    * the tokenizer never saw (code, another language) before it wastes
+    * sequence length as byte-fallback garbage. One wordcount shuffle +
+    * a TakeOrdered vocab (bounded, broadcast back) + one group agg. */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val words = docs.select(col(groupCol).as("grp"),
+        explode(tokens(col(textCol))).as("word"))
+      .where(col("word") =!= "")
+    val vocab = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(vocabSize)
+      .select(col("word"), lit(1).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("grp").as(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm", expr("n_oov * 1000000 div n_tokens"))
+  }
 }

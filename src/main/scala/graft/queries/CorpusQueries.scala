@@ -760,6 +760,16 @@ object CorpusQueries {
           col("n_letters"), col("dominant_script"), col("is_code_mixed"))
     },
 
+    // Vocabulary-coverage / OOV report per source against the corpus
+    // top-20 vocabulary (ties word-asc, a total order both engines cut
+    // identically): one wordcount shuffle, bounded vocab broadcast back,
+    // integer ppm — the tokenizer-fit gate before committing a source
+    // to a training mix
+    "q303_vocab_coverage" -> { (s, dir) =>
+      graft.operators.TextAnalysis.vocabCoverage(docs(s, dir), "source",
+        "text", vocabSize = 20)
+    },
+
     // Gopher quality-rule bundle over the real corpus: one map-only
     // projection, every threshold an integer cross-multiplication; the
     // DuckDB twin computes the same counts and the same inequalities
@@ -2127,6 +2137,25 @@ object CorpusQueries {
         |  (6, 9, 0, 0, 5, 0, 0, 14, 'latin', true)
         |) AS t(doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
         |       n_digit, n_letters, dominant_script, is_code_mixed)""".stripMargin,
+
+    // same top-20 cut (count desc, word asc) and integer ppm
+    "q303_vocab_coverage" ->
+      s"""WITH w AS (
+         |  SELECT source AS grp, unnest($sqlToks) AS word FROM documents
+         |), w2 AS (
+         |  SELECT grp, word FROM w WHERE word <> ''
+         |), v AS (
+         |  SELECT word FROM (
+         |    SELECT word, count(*) AS c FROM w2 GROUP BY word
+         |    ORDER BY c DESC, word ASC LIMIT 20)
+         |)
+         |SELECT grp AS source,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM v))
+         |    AS BIGINT) AS n_oov,
+         |  CAST(count(*) FILTER (WHERE word NOT IN (SELECT word FROM v))
+         |    * 1000000 // count(*) AS BIGINT) AS oov_ppm
+         |FROM w2 GROUP BY grp""".stripMargin,
 
     // same integer counts, same cross-multiplied inequalities
     "q298_gopher_rules" ->
