@@ -817,6 +817,65 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_files"))
     },
 
+    // The tarshard DSv2 connector, BATCH leg: spark.read
+    // .format("tarshard") — one row per member, stems/exts split for
+    // WebDataset pairing; this projection is metadata-only so the scan
+    // schema DROPS the content column (pruning is spec-asserted) and no
+    // payload byte array ever enters a row
+    "q304_tarshard_read" -> { (s, _) =>
+      val dir = SyntheticFixtures.freshDir("q304")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "shard-000.tar"),
+        graft.sources.TarSink.tarBytes(Seq(
+          "000001.bmp" -> SyntheticFixtures.bmpBytes(
+            dhashGradient(identity)),
+          "000001.txt" -> "ascending gradient".getBytes("UTF-8"),
+          "000002.bmp" -> SyntheticFixtures.bmpBytes(
+            dhashGradient(x => 17 - x)),
+          "000002.txt" -> "descending gradient".getBytes("UTF-8"),
+          "000003.bmp" -> SyntheticFixtures.bmpBytes(dhashTweaked))))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "shard-001.tar"),
+        graft.sources.TarSink.tarBytes(Seq(
+          "000004.bmp" -> SyntheticFixtures.bmpBytes(
+            dhashGradient(identity)),
+          "000004.txt" -> "another ascending".getBytes("UTF-8"))))
+      s.read.format("tarshard").load(dir)
+        .select(col("shard_name"), col("sample_id"), col("ext"),
+          col("size"))
+    },
+
+    // The tarshard connector, STREAMING leg: continuous shard arrival
+    // through the shared seen-file log (per-shard exactly-once across
+    // restarts — the watch loop a multimodal ingest tails all day),
+    // drained into a memory sink under the gate. Stream == batch is
+    // spec-pinned; this pins the streamed rows themselves
+    "q305_tarshard_stream" -> { (s, _) =>
+      val dir = SyntheticFixtures.freshDir("q305")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "shard-000.tar"),
+        graft.sources.TarSink.tarBytes(Seq(
+          "000001.bmp" -> SyntheticFixtures.bmpBytes(
+            dhashGradient(identity)),
+          "000001.txt" -> "ascending gradient".getBytes("UTF-8"))))
+      val ckpt = SyntheticFixtures.freshDir("q305_ckpt")
+      val q = s.readStream.format("tarshard").load(dir)
+        .select(col("shard_name"), col("sample_id"), col("ext"),
+          col("size"))
+        .writeStream.format("memory").queryName("q305_sink")
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "shard-001.tar"),
+          graft.sources.TarSink.tarBytes(Seq(
+            "000002.bmp" -> SyntheticFixtures.bmpBytes(dhashTweaked),
+            "000002.txt" -> "tweaked".getBytes("UTF-8"))))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table("q305_sink")
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -2581,6 +2640,28 @@ object IngestQueries {
         |  ('bmp', CAST(2 AS BIGINT)), ('png', 1), ('jpeg', 1),
         |  ('wav', 1), ('avi', 1), ('mp4', 1), ('other', 1)
         |) AS t(media_type, n_files)""".stripMargin,
+
+    // 18x8 24-bit BMP = 54 + 56*8 = 502 bytes; txt sizes are the
+    // caption byte lengths
+    "q304_tarshard_read" ->
+      """SELECT * FROM (VALUES
+        |  ('shard-000.tar', '000001', 'bmp', CAST(502 AS BIGINT)),
+        |  ('shard-000.tar', '000001', 'txt', 18),
+        |  ('shard-000.tar', '000002', 'bmp', 502),
+        |  ('shard-000.tar', '000002', 'txt', 19),
+        |  ('shard-000.tar', '000003', 'bmp', 502),
+        |  ('shard-001.tar', '000004', 'bmp', 502),
+        |  ('shard-001.tar', '000004', 'txt', 17)
+        |) AS t(shard_name, sample_id, ext, "size")""".stripMargin,
+
+    // two arrival waves, one shard each
+    "q305_tarshard_stream" ->
+      """SELECT * FROM (VALUES
+        |  ('shard-000.tar', '000001', 'bmp', CAST(502 AS BIGINT)),
+        |  ('shard-000.tar', '000001', 'txt', 18),
+        |  ('shard-001.tar', '000002', 'bmp', 502),
+        |  ('shard-001.tar', '000002', 'txt', 7)
+        |) AS t(shard_name, sample_id, ext, "size")""".stripMargin,
 
     "q165_wav_decode" ->
       """SELECT * FROM (VALUES
