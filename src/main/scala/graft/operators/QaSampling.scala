@@ -153,4 +153,21 @@ object QaSampling {
       .withColumn("lo", expr(wilson("-")))
       .withColumn("hi", expr(wilson("+")))
       .select(col(groupCol), col("n"), col("n_err"), col("lo"), col("hi"))
+
+  /** Privacy-governance audit before a metadata table ships with a
+    * corpus: k-anonymity (every quasi-identifier combination must cover
+    * ≥ k rows) and l-diversity (each combination must carry ≥ l
+    * DISTINCT sensitive values — a large group with one sensitive value
+    * still leaks). One groupBy on the quasi-identifier tuple; exact
+    * integer counts; emits per-combination rows with both verdicts so
+    * the violating combinations ARE the remediation worklist. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("k_anonymous", col("n_rows") >= k)
+      .withColumn("l_diverse", col("n_sensitive") >= l)
+  }
 }

@@ -529,6 +529,20 @@ object DataQueries {
         "doc_id", pairs, "n_tokens")
     },
 
+    // Privacy-governance audit before metadata ships with a corpus:
+    // k-anonymity (quasi-identifier combos must cover >= k rows) AND
+    // l-diversity (>= l distinct sensitive values per combo — a big
+    // group with one sensitive value still leaks). One groupBy on the
+    // quasi tuple, exact integer counts; violating combos ARE the
+    // remediation worklist
+    "q306_k_anonymity" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .withColumn("bal_sign",
+          when(col("c_acctbal") < 0, "neg").otherwise("pos"))
+      graft.operators.QaSampling.kAnonymityAudit(c,
+        Seq("c_nationkey", "c_mktsegment"), "bal_sign", k = 10, l = 2)
+    },
+
     // Diversified retrieval serving: MMR re-rank over a bounded
     // candidate table — exact-integer objective (λppm·rel −
     // (1e6−λppm)·maxSimPpm), floor-ppm cosine, (score desc, id asc)
@@ -1337,6 +1351,17 @@ object DataQueries {
          |SELECT ck AS cluster_key, doc_id AS kept_id, nt AS kept_score,
          |  CAST(nm AS BIGINT) AS n_members
          |FROM r WHERE rn = 1""".stripMargin,
+
+    // same quasi tuple, same integer thresholds
+    "q306_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |    ELSE 'pos' END) AS BIGINT) AS n_sensitive,
+        |  count(*) >= 10 AS k_anonymous,
+        |  count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |    ELSE 'pos' END) >= 2 AS l_diverse
+        |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin,
 
     // hand-computed greedy walk (integer micro²-units): step scores in
     // the Spark-side comment; the rel-tie at query 20 breaks id-asc

@@ -876,6 +876,25 @@ object IngestQueries {
       s.table("q305_sink")
     },
 
+    // The composed END-TO-END multimodal assembly (image-text twin of
+    // the q99 text north star): shards -> stem pairing -> decode ->
+    // geometry gate -> perceptual near-dup components -> manifest. The
+    // tweak and the PNG re-encode both collapse into the ascending
+    // gradient's component; the caption-less, corrupt, and thumbnail
+    // samples each die at their own gate
+    "q307_multimodal_assembly" -> { (s, _) =>
+      graft.operators.MultimodalAssembly.manifest(
+        assemblyPairs(s, "q307"), minWidth = 10)
+    },
+
+    // The per-stage attrition audit over the SAME stage frames (7
+    // images -> 6 paired -> 5 decodable -> 4 geometry-ok -> 2 kept) —
+    // the data-genealogy row reviewers read first
+    "q308_multimodal_attrition" -> { (s, _) =>
+      graft.operators.MultimodalAssembly.attrition(
+        assemblyPairs(s, "q308"), minWidth = 10)
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -1878,6 +1897,43 @@ object IngestQueries {
 
   // q122/q123 shared fixture: two uploads — 80 fully deletable with every
   // footprint table populated, 81 blocked by QC + comments
+  /** Two WebDataset shards exercising every assembly gate, read back
+    * through the tarshard connector and stem-paired into the
+    * (id, sample_id, shard_name, content, caption) frame
+    * [[graft.operators.MultimodalAssembly]] consumes. */
+  private def assemblyPairs(s: SparkSession, tag: String): DataFrame = {
+    val dir = SyntheticFixtures.freshDir(tag)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-000.tar"),
+      graft.sources.TarSink.tarBytes(Seq(
+        "000001.bmp" -> SyntheticFixtures.bmpBytes(dhashGradient(identity)),
+        "000001.txt" -> "ascending gradient".getBytes("UTF-8"),
+        "000002.bmp" -> SyntheticFixtures.bmpBytes(
+          dhashGradient(x => 17 - x)),
+        "000002.txt" -> "descending gradient".getBytes("UTF-8"),
+        "000003.bmp" -> SyntheticFixtures.bmpBytes(dhashTweaked),
+        "000003.txt" -> "tweaked copy".getBytes("UTF-8"),
+        "000005.bmp" -> SyntheticFixtures.bmpBytes(
+          dhashGradient(identity)))))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-001.tar"),
+      graft.sources.TarSink.tarBytes(Seq(
+        "000004.png" -> SyntheticFixtures.pngBytes(dhashGradient(identity)),
+        "000004.txt" -> "png copy".getBytes("UTF-8"),
+        "000006.bmp" -> "BMjunk".getBytes("US-ASCII"),
+        "000006.txt" -> "corrupt".getBytes("UTF-8"),
+        "000007.bmp" -> SyntheticFixtures.bmpBytes(
+          Seq.fill(4)(Seq.fill(4)(0x102030))),
+        "000007.txt" -> "tiny".getBytes("UTF-8"))))
+    val m = s.read.format("tarshard").load(dir)
+    val imgs = m.where(col("ext") =!= "txt")
+      .select(col("sample_id"), col("shard_name"), col("content"))
+    val caps = m.where(col("ext") === "txt")
+      .select(col("sample_id"), col("content").cast("string").as("caption"))
+    imgs.join(caps, Seq("sample_id"), "left")
+      .withColumn("id", col("sample_id").cast("long"))
+  }
+
   /** 18x8 x-gradient raster for the dHash fixtures: gray value f(x)
     * packed RGB, so BT.601 luma equals f(x) exactly and every 9x8 cell
     * mean is hand-computable. */
@@ -2653,6 +2709,25 @@ object IngestQueries {
         |  ('shard-001.tar', '000004', 'bmp', 502),
         |  ('shard-001.tar', '000004', 'txt', 17)
         |) AS t(shard_name, sample_id, ext, "size")""".stripMargin,
+
+    // survivors: the ascending gradient beats its tweak (id 3) and its
+    // PNG re-encode (id 4) to the canonical slot; the descending
+    // gradient is its own component
+    "q307_multimodal_assembly" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '000001', 'shard-000.tar', 18, 8,
+        |   CAST(0 AS BIGINT), 'ascending gradient'),
+        |  (2, '000002', 'shard-000.tar', 18, 8, -1,
+        |   'descending gradient')
+        |) AS t(id, sample_id, shard_name, width, height, dhash,
+        |       caption)""".stripMargin,
+
+    // 7 image members -> 6 with captions -> 5 decodable -> 4 at
+    // geometry -> 2 canonical
+    "q308_multimodal_attrition" ->
+      """SELECT CAST(7 AS BIGINT) AS n_images, CAST(6 AS BIGINT) AS n_paired,
+        |  CAST(5 AS BIGINT) AS n_decoded, CAST(4 AS BIGINT) AS n_geometry_ok,
+        |  CAST(2 AS BIGINT) AS n_kept""".stripMargin,
 
     // two arrival waves, one shard each
     "q305_tarshard_stream" ->
