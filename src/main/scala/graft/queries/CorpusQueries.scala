@@ -760,6 +760,50 @@ object CorpusQueries {
           col("n_letters"), col("dominant_script"), col("is_code_mixed"))
     },
 
+    // Post-training data, SFT leg: per-conversation structural
+    // validation over parsed message arrays (optional leading system,
+    // strict user/assistant alternation, assistant-final, no empty
+    // content) — all higher-order array functions, map-only; per-rule
+    // booleans kept for attrition. Fixture trips each rule separately
+    "q309_chat_validation" -> { (s, _) =>
+      import s.implicits._
+      val schema = org.apache.spark.sql.types.DataType.fromDDL(
+        "array<struct<role:string,content:string>>")
+      val df = Seq(
+        (1L, """[{"role":"system","content":"be helpful"},""" +
+          """{"role":"user","content":"hi"},""" +
+          """{"role":"assistant","content":"hello"}]"""),
+        (2L, """[{"role":"user","content":"hi"},""" +
+          """{"role":"assistant","content":"hello"},""" +
+          """{"role":"user","content":"thanks"}]"""),
+        (3L, """[{"role":"assistant","content":"hi"}]"""),
+        (4L, """[{"role":"user","content":"a"},""" +
+          """{"role":"user","content":"b"},""" +
+          """{"role":"assistant","content":"c"}]"""),
+        (5L, """[{"role":"user","content":"hi"},""" +
+          """{"role":"assistant","content":"  "}]""")
+      ).toDF("conv_id", "raw")
+        .select(col("conv_id"), from_json(col("raw"), schema)
+          .as("messages"))
+      graft.operators.ChatData.validateChats(df, "conv_id", "messages")
+    },
+
+    // Post-training data, preference leg: chosen/rejected integrity +
+    // prompt copy counts (duplicate prompts leak preference labels
+    // between epochs and splits); one prompt-keyed count join
+    "q310_preference_pairs" -> { (s, _) =>
+      import s.implicits._
+      val df = Seq(
+        (1L, "p1", "good answer", "bad answer"),
+        (2L, "p2", "same", "same"),
+        (3L, "p3", "x", ""),
+        (4L, "p4", "a", "b"),
+        (5L, "p4", "c", "d")
+      ).toDF("pair_id", "prompt", "chosen", "rejected")
+      graft.operators.ChatData.validatePreferencePairs(df, "pair_id",
+        "prompt", "chosen", "rejected")
+    },
+
     // Vocabulary-coverage / OOV report per source against the corpus
     // top-20 vocabulary (ties word-asc, a total order both engines cut
     // identically): one wordcount shuffle, bounded vocab broadcast back,
@@ -2137,6 +2181,29 @@ object CorpusQueries {
         |  (6, 9, 0, 0, 5, 0, 0, 14, 'latin', true)
         |) AS t(doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
         |       n_digit, n_letters, dominant_script, is_code_mixed)""".stripMargin,
+
+    // each conversation trips exactly one rule (conv 1 is clean)
+    "q309_chat_validation" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 3, true, true, true, true, true),
+        |  (2, 3, true, true, false, true, false),
+        |  (3, 1, false, false, true, true, false),
+        |  (4, 3, true, false, true, true, false),
+        |  (5, 2, true, true, true, false, false)
+        |) AS t(conv_id, n_turns, ok_opening, ok_alternation,
+        |       ok_ends_assistant, ok_no_empty, is_valid)""".stripMargin,
+
+    // pair 2 identical sides, pair 3 empty side, pairs 4/5 share a
+    // prompt
+    "q310_preference_pairs" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), true, true, CAST(1 AS BIGINT), true),
+        |  (2, true, false, 1, false),
+        |  (3, false, true, 1, false),
+        |  (4, true, true, 2, false),
+        |  (5, true, true, 2, false)
+        |) AS t(pair_id, ok_nonempty, ok_distinct, n_prompt_copies,
+        |       is_train_ready)""".stripMargin,
 
     // same top-20 cut (count desc, word asc) and integer ppm
     "q303_vocab_coverage" ->
