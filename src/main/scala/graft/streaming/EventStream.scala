@@ -460,6 +460,53 @@ object EventStream {
       }
       .start()
 
+  /** Continuous MEDIA-dedup admission — the perceptual-fingerprint twin
+    * of [[streamingNearDupDedup]]: the stream carries (id, 64-bit
+    * print) rows already fingerprinted at ingest (dHash / envelope
+    * print — payload bytes never reach the stream), each micro-batch
+    * probes the accumulated [[graft.operators.Dedup.hammingIndex]]
+    * partitions strictly BEFORE its own batch id, writes its
+    * cross-batch matches, then appends its own band rows as
+    * `batch_id=<id>`. Replay-idempotent (per-batch overwrite + `< id`
+    * prior filter); stream == sequential incremental admission is
+    * spec-pinned, exact by the side-invariant band-collision argument. */
+  def streamingMediaDedup(
+      prints: DataFrame,
+      indexDir: String,
+      matchesDir: String,
+      checkpointDir: String,
+      idCol: String = "id",
+      hashCol: String = "dhash",
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    prints.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val priorIds = priorPartIds(indexDir, "batch_id=", id, conf)
+        val batIdx = graft.operators.Dedup
+          .hammingIndex(batch.toDF(), idCol, hashCol, bands)
+          .localCheckpoint(true)
+        if (!batIdx.isEmpty) {
+          if (priorIds.nonEmpty) {
+            val prior = spark.read.option("basePath", indexDir)
+              .parquet(indexDir).filter(col("batch_id") < id)
+              .drop("batch_id")
+            graft.operators.Dedup.incrementalHammingMatches(
+                prior, batch.toDF(), idCol, hashCol, bands, maxHamming,
+                maxBucketSize)
+              .write.mode("overwrite").parquet(s"$matchesDir/batch=$id")
+          }
+          batIdx.write.mode("overwrite").parquet(s"$indexDir/batch_id=$id")
+        }
+        ()
+      }
+      .start()
+
   /** Continuous hard-negative maintenance — the STREAMING form of the
     * q254 incremental-mining contract: each micro-batch of labeled
     * vectors folds into the persisted [[graft.operators.Similarity

@@ -491,4 +491,47 @@ class EventStreamSpec extends SparkSpec {
     assert(out(8L) == ((0L, None))) // back-to-back purchase: no markers
     assert(out.size == 3) // user 2's unconverted clicks emit nothing
   }
+
+  test("streamingMediaDedup == sequential incremental hamming " +
+      "admission; index partitioned per batch for replay idempotency") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    // three waves of 64-bit prints; wave 1 carries a 1-bit tweak of a
+    // wave-0 print, wave 2 an exact copy of a wave-0 print
+    val rnd = new scala.util.Random(77)
+    val base = (1L to 9L).map(i => (i, rnd.nextLong()))
+    val waves = Seq(
+      base.take(3),
+      base.slice(3, 6) :+ ((101L, base.head._2 ^ 1L)),
+      base.drop(6) :+ ((102L, base(1)._2)))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_smedia").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStream.streamingMediaDedup(
+      mem.toDF().toDF("id", "dhash"),
+      s"$root/index", s"$root/matches", s"$root/ckpt")
+    waves.foreach { w =>
+      mem.addData(w.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.read.parquet(s"$root/matches")
+      .select("id_batch", "id_index", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def df(w: Seq[(Long, Long)]) = w.toDF("id", "dhash")
+    val expected = (1 to 2).flatMap { i =>
+      graft.operators.Dedup.incrementalHammingMatches(
+        graft.operators.Dedup.hammingIndex(
+          df(waves.take(i).flatten), "id", "dhash", 4),
+        df(waves(i)), "id", "dhash", bands = 4, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.toSet
+    assert(expected.nonEmpty && got == expected)
+    assert(got.contains((101L, 1L, 1)) && got.contains((102L, 2L, 0)))
+    val idx = spark.read.parquet(s"$root/index")
+    assert(idx.select("batch_id").distinct().count() == 3)
+    // 4 band rows per ingested print
+    assert(idx.count() == waves.map(_.size).sum * 4)
+  }
 }
