@@ -1316,4 +1316,33 @@ object CorpusOps {
           col("ok_symbol_ratio") && col("ok_alpha_words") &&
           col("ok_stopwords"))
   }
+
+  /** Sequence-length capacity planning: for each candidate `seqLen`,
+    * the exact-integer bounds every packing strategy lives between —
+    * `naive_sequences` = Σ ⌈n_i/L⌉ (each document alone in its
+    * sequences: the no-packing upper bound) and `ideal_sequences` =
+    * ⌈Σn_i/L⌉ (perfect bin packing: the lower bound) — plus the naive
+    * padding waste in ppm. ONE token-count scan serves every candidate
+    * length (the lengths explode against per-doc counts); the report is
+    * what picks L before committing a 100 TB tokenization run to it.
+    * All integer arithmetic; the DuckDB twin is the same formula. */
+  def packingEfficiency(docs: DataFrame, textCol: String,
+      seqLens: Seq[Int]): DataFrame = {
+    require(seqLens.nonEmpty && seqLens.forall(_ > 0))
+    val counts = docs.select(size(tokens(col(textCol))).cast("long")
+      .as("n_tokens"))
+    counts
+      .select(col("n_tokens"), explode(array(seqLens.map(lit): _*))
+        .as("seq_len"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(expr("(n_tokens + seq_len - 1) div seq_len"))
+          .as("naive_sequences"))
+      .withColumn("ideal_sequences",
+        expr("(total_tokens + seq_len - 1) div seq_len"))
+      .withColumn("naive_waste_ppm",
+        expr("(naive_sequences * seq_len - total_tokens) * 1000000" +
+          " div (naive_sequences * seq_len)"))
+  }
 }

@@ -75,4 +75,21 @@ object UrlOps {
       .where(col("canonical").isNotNull)
       .groupBy(col("canonical"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-host crawl cap: keep at most `n` rows per canonical host, the
+    * deterministic md5-order pick (the Dolma/C4-style per-domain quota
+    * that stops one sprawling site from dominating a mix). One
+    * host-partitioned window — never unpartitioned; hostless
+    * (unparseable) rows are excluded, consistent with [[urlDedup]]. */
+  def perHostCap(df: DataFrame, urlCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n > 0, "perHostCap needs n > 0")
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol).as("id"), canonicalHost(col(urlCol)).as("host"))
+      .where(col("host").isNotNull && col("host") =!= "")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(md5(col("id").cast("string")), col("id"))))
+      .where(col("pos") <= n)
+  }
 }

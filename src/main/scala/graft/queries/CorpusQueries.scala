@@ -760,6 +760,22 @@ object CorpusQueries {
           col("n_letters"), col("dominant_script"), col("is_code_mixed"))
     },
 
+    // Sequence-length capacity planning over the real corpus: for each
+    // candidate seq_len the exact bounds every packing strategy lives
+    // between (naive per-doc ceil vs perfect-pack ceil) + naive padding
+    // waste ppm — one token-count scan serves every candidate
+    "q311_packing_efficiency" -> { (s, dir) =>
+      CorpusOps.packingEfficiency(docs(s, dir), "text",
+        Seq(32, 64, 128, 256))
+    },
+
+    // Per-host crawl cap: md5-order top-2 per canonical host — the
+    // per-domain quota that stops one sprawling site from dominating a
+    // mix; hostless rows excluded (fail-closed, as in urlDedup)
+    "q312_per_host_cap" -> { (s, _) =>
+      graft.operators.UrlOps.perHostCap(urlFixture(s), "url", "id", n = 2)
+    },
+
     // Post-training data, SFT leg: per-conversation structural
     // validation over parsed message arrays (optional leading system,
     // strict user/assistant alternation, assistant-final, no empty
@@ -2181,6 +2197,37 @@ object CorpusQueries {
         |  (6, 9, 0, 0, 5, 0, 0, 14, 'latin', true)
         |) AS t(doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
         |       n_digit, n_letters, dominant_script, is_code_mixed)""".stripMargin,
+
+    // same ceil identities ((n + L - 1) div L) and integer ppm
+    "q311_packing_efficiency" ->
+      s"""WITH c AS (
+         |  SELECT len($sqlToks) AS n FROM documents
+         |), e AS (
+         |  SELECT n, unnest([32, 64, 128, 256]) AS seq_len FROM c
+         |)
+         |SELECT seq_len,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(sum((n + seq_len - 1) // seq_len) AS BIGINT)
+         |    AS naive_sequences,
+         |  CAST((sum(n) + seq_len - 1) // seq_len AS BIGINT)
+         |    AS ideal_sequences,
+         |  CAST((sum((n + seq_len - 1) // seq_len) * seq_len - sum(n))
+         |    * 1000000 // (sum((n + seq_len - 1) // seq_len) * seq_len)
+         |    AS BIGINT) AS naive_waste_ppm
+         |FROM e GROUP BY seq_len""".stripMargin,
+
+    // md5-order per-host pick: md5('6') < md5('1') < md5('2') <
+    // md5('5') < md5('3') puts ids 6,1 in example.com's quota (the
+    // :8080 row shares the host — canonicalHost ignores ports);
+    // unparseable id 7 is excluded
+    "q312_per_host_cap" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(6 AS BIGINT), 'example.com', 1),
+        |  (1, 'example.com', 2),
+        |  (8, 'shop.io', 1),
+        |  (4, 'news.site.org', 1)
+        |) AS t(id, host, pos)""".stripMargin,
 
     // each conversation trips exactly one rule (conv 1 is clean)
     "q309_chat_validation" ->
