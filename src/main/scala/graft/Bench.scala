@@ -32,6 +32,11 @@ object Bench {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same session posture as Verify: the full extension surface
+      // (SQL functions, TopKPerGroup strategy, RankFilterToTopK) is
+      // what gets benchmarked, exactly as a cluster sets
+      // spark.sql.extensions
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

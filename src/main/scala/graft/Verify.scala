@@ -14,6 +14,11 @@ object Verify {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the library's own session posture: SQL function registry +
+      // TopKPerGroup strategy + RankFilterToTopK rewrite run UNDER the
+      // oracle gate, exactly as a cluster deployment would set
+      // spark.sql.extensions
+      .withExtensions(new graft.functions.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -41,33 +41,43 @@ object ChatData {
           .as("ok_alternation"),
         coalesce(try_element_at(roles, lit(-1)) === "assistant", lit(false))
           .as("ok_ends_assistant"),
-        (!exists(msgs, m =>
-          length(trim(m.getField("content"))) === 0)).as("ok_no_empty"))
+        // NULL content counts as empty (coalesce inner to true) and a
+        // NULL/empty messages array fails the rule (coalesce outer to
+        // false) — every rule column is a concrete boolean, so per-rule
+        // attrition counts stay exact
+        coalesce(!exists(msgs, m =>
+          coalesce(length(trim(m.getField("content"))) === 0, lit(true))),
+          lit(false)).as("ok_no_empty"))
       .withColumn("is_valid",
         col("ok_opening") && col("ok_alternation") &&
           col("ok_ends_assistant") && col("ok_no_empty"))
   }
 
-  /** Preference-pair (chosen/rejected) integrity: both sides present
-    * and non-empty, sides DISTINCT (an identical pair carries zero
-    * preference signal), and the prompt's copy count across the dataset
-    * (duplicate prompts leak preference labels between epochs and
-    * between train/eval). One prompt-keyed count join — the exact-dedup
-    * shuffle shape. */
+  /** Preference-pair (chosen/rejected) integrity: prompt present and
+    * non-blank, both sides present and non-empty, sides DISTINCT (an
+    * identical pair carries zero preference signal), and the prompt's
+    * copy count across the dataset (duplicate prompts leak preference
+    * labels between epochs and between train/eval). One prompt-keyed
+    * count join — the exact-dedup shuffle shape. The join is null-safe
+    * (`<=>`): a NULL prompt (missing field in JSONL intake) stays in the
+    * report flagged `ok_prompt = false` instead of silently vanishing
+    * from the very gate meant to surface it. */
   def validatePreferencePairs(df: DataFrame, pairIdCol: String,
       promptCol: String, chosenCol: String,
       rejectedCol: String): DataFrame = {
     val copies = df.groupBy(col(promptCol).as("__p"))
       .agg(count(lit(1)).as("n_prompt_copies"))
-    df.join(copies, col(promptCol) === col("__p"))
+    df.join(copies, col(promptCol) <=> col("__p"))
       .select(col(pairIdCol),
+        (length(trim(coalesce(col(promptCol), lit("")))) > 0)
+          .as("ok_prompt"),
         (length(trim(coalesce(col(chosenCol), lit("")))) > 0 &&
           length(trim(coalesce(col(rejectedCol), lit("")))) > 0)
           .as("ok_nonempty"),
         (!(col(chosenCol) <=> col(rejectedCol))).as("ok_distinct"),
         col("n_prompt_copies"))
       .withColumn("is_train_ready",
-        col("ok_nonempty") && col("ok_distinct") &&
+        col("ok_prompt") && col("ok_nonempty") && col("ok_distinct") &&
           col("n_prompt_copies") === 1L)
   }
 }

@@ -1329,8 +1329,12 @@ object CorpusOps {
   def packingEfficiency(docs: DataFrame, textCol: String,
       seqLens: Seq[Int]): DataFrame = {
     require(seqLens.nonEmpty && seqLens.forall(_ > 0))
-    val counts = docs.select(size(tokens(col(textCol))).cast("long")
-      .as("n_tokens"))
+    // same null/blank guard as packSequences/chunkDocuments: a NULL
+    // text doc would contribute size(...) = -1 and corrupt the sums
+    val counts = docs.select(
+      when(col(textCol).isNull || trim(col(textCol)) === "", lit(0L))
+        .otherwise(size(tokens(col(textCol))).cast("long"))
+        .as("n_tokens"))
     counts
       .select(col("n_tokens"), explode(array(seqLens.map(lit): _*))
         .as("seq_len"))

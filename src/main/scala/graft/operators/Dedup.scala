@@ -132,10 +132,14 @@ object Dedup {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_sig")
 
-    val buckets = banded
+    // count-first shed (see shedOvercapBuckets): the size guard must
+    // bound the AGGREGATION BUFFER, not just downstream fan-out — a
+    // boilerplate signature at corpus scale would otherwise concentrate
+    // the population in one collect_list before the filter ever runs
+    val buckets = shedOvercapBuckets(banded,
+        Seq("band_idx", "band_sig"), 2L, maxBucketSize.toLong)
       .groupBy(col("band_idx"), col("band_sig"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
 
     val candidates = buckets
       .select(explode(col("ids")).as("id_1"), col("ids"))
@@ -253,11 +257,13 @@ object Dedup {
     val bat = batchArt.select(col("id"), col("sh"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the production artifact: index buckets keyed by (band, signature) —
-    // capped, so one boilerplate signature cannot quadratic-blow the probe
-    val idxBuckets = bandRows(idx)
+    // capped count-first (shedOvercapBuckets), so one boilerplate
+    // signature can neither quadratic-blow the probe NOR concentrate the
+    // index in a single collect_list buffer before the cap applies
+    val idxBuckets = shedOvercapBuckets(bandRows(idx),
+        Seq("band_idx", "band_sig"), 1L, maxBucketSize.toLong)
       .groupBy(col("band_idx"), col("band_sig"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) <= maxBucketSize)
     val candidates = bandRows(bat)
       .join(idxBuckets, Seq("band_idx", "band_sig"))
       .select(col("id").as("batch_id"), explode(col("ids")).as("index_id"))
@@ -332,10 +338,13 @@ object Dedup {
         i => slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)))))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "band_sig")
-    val candidates = banded
+    // calibration is deliberately UNCAPPED (it measures every colliding
+    // pair the config would surface), but the >=2 gate still goes
+    // count-first so singleton buckets never buffer
+    val candidates = shedOvercapBuckets(banded,
+        Seq("band_idx", "band_sig"), 2L, Long.MaxValue)
       .groupBy(col("band_idx"), col("band_sig"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")) >= 2)
       .select(col("ids"))
       .select(explode(col("ids")).as("id_1"), col("ids"))
       .select(col("id_1"), explode(col("ids")).as("id_2"))
@@ -665,10 +674,10 @@ object Dedup {
       maxBucketSize: Int = 10000): DataFrame = {
     require(64 % bands == 0 && bands > maxHamming,
       "pigeonhole needs bands | 64 and bands > maxHamming")
-    val idxBuckets = index
+    val idxBuckets = shedOvercapBuckets(index,
+        Seq("band", "sig"), 1L, maxBucketSize.toLong)
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(struct(col("id"), col("hash"))).as("ds"))
-      .filter(size(col("ds")) <= maxBucketSize)
     hammingBandRows(batch.select(col(idCol).as("id"),
         col(hashCol).cast("long").as("hash")), bands)
       .join(idxBuckets, Seq("band", "sig"))
@@ -682,6 +691,43 @@ object Dedup {
         bit_count(col("h_batch").bitwiseXOR(col("h_index"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_batch"), col("id_index"), col("hamming"))
+  }
+
+  /** Count-first bucket shed shared by every banded family: aggregate
+    * `count(*)` per bucket key (partial-aggregatable — a mega-bucket
+    * contributes ONE count row per map partition, never its members),
+    * keep keys whose population lies in [minSize, maxSize], and
+    * semi-join the banded rows back. The subsequent `collect_list`
+    * groupBy therefore only ever buffers buckets already known to be
+    * within bounds — a degenerate signature (blank image, empty doc,
+    * boilerplate page) holding 10⁹ members costs a handful of count
+    * rows instead of a single-task OOM. Result-identical to filtering
+    * on `size(collect_list)` after the fact (same surviving bucket
+    * set); the count shuffle is tiny and the semi-join + final groupBy
+    * share one hash partitioning on the bucket keys. */
+  private def shedOvercapBuckets(banded: DataFrame, keys: Seq[String],
+      minSize: Long, maxSize: Long): DataFrame = {
+    val kept = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .filter(col("__bucket_n").between(minSize, maxSize))
+      .select(keys.map(col): _*)
+    banded.join(kept, keys, "left_semi")
+  }
+
+  /** Audit surface for the hamming family's `maxBucketSize` shed — the
+    * [[incrementalLshBucketSizes]] twin for
+    * [[hammingNearDupPairs]]/[[incrementalHammingMatches]]: the
+    * (band, sig) bucket populations under the SAME banding. Any bucket
+    * at or over the cap is a fingerprint whose matches the main pass
+    * silently drops (no silent caps: the shed must be visible — run it
+    * alongside a media-dedup pass and alert on the over-cap rows). */
+  def hammingBucketSizes(df: DataFrame, idCol: String, hashCol: String,
+      bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    hammingBandRows(df.select(col(idCol).as("id"),
+        col(hashCol).cast("long").as("hash")), bands)
+      .groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_size"))
   }
 
   /** (id, hash) → one (band, sig, id, hash) row per band (logical
@@ -713,10 +759,13 @@ object Dedup {
           shiftrightunsigned(col("simhash"), b * bitsPerBand)
             .bitwiseAND(lit(mask)).as("sig"))): _*)).as("bs"))
       .select(col("id"), col("simhash"), col("bs.band"), col("bs.sig"))
-    val buckets = banded
+    // count-first shed: a constant fingerprint (blank/black images all
+    // hashing dHash=0, empty docs) must never concentrate the corpus in
+    // one collect_list buffer — exactly the inputs media dedup exists for
+    val buckets = shedOvercapBuckets(banded,
+        Seq("band", "sig"), 2L, maxBucketSize.toLong)
       .groupBy(col("band"), col("sig"))
       .agg(collect_list(struct(col("id"), col("simhash"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucketSize))
     buckets
       .select(explode(col("ds")).as("d1"), col("ds"))
       .select(col("d1.id").as("id_1"), col("d1.simhash").as("h1"),

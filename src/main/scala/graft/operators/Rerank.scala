@@ -24,8 +24,11 @@ import org.apache.spark.sql.types._
   * objective stays in integer micro²-units —
   * `score = λppm·rel_ppm − (10⁶−λppm)·maxSimPpm` — so ties and ranks
   * are deterministic and oracle-pinnable. First pick has no selected
-  * set: maxSim term is 0, i.e. pure relevance. Ties break (score desc,
-  * id asc).
+  * set: maxSim term is 0, i.e. pure relevance. From the second pick on
+  * the penalty is the true max-similarity — NEGATIVE cosines count (a
+  * candidate anti-correlated with everything selected gets a boost,
+  * per the original MMR objective; no clamp at 0). Ties break (score
+  * desc, id asc).
   */
 object Rerank {
 
@@ -76,8 +79,13 @@ object Rerank {
           r.getSeq[Float](3).toArray)).toArray
         val picked = new Array[Boolean](cand.length)
         // running max-sim-to-selected per remaining candidate: O(C)
-        // updates per pick instead of O(|S|·C) re-probes
-        val maxSim = new Array[Long](cand.length)
+        // updates per pick instead of O(|S|·C) re-probes. Long.MinValue
+        // is the "no selected set yet" sentinel: the first pick scores
+        // pure relevance, and from then on the penalty is the TRUE
+        // max_{s in S} sim — negative cosines included (an
+        // anti-correlated selected set makes a candidate MORE
+        // attractive, as Carbonell-Goldstein MMR specifies)
+        val maxSim = Array.fill(cand.length)(Long.MinValue)
         val out = scala.collection.mutable.ArrayBuffer.empty[Row]
         var rank = 1
         val kk = math.min(k, cand.length)
@@ -87,8 +95,9 @@ object Rerank {
           var i = 0
           while (i < cand.length) {
             if (!picked(i)) {
+              val pen = if (maxSim(i) == Long.MinValue) 0L else maxSim(i)
               val s = lambdaPpm * cand(i)._2 -
-                (1000000L - lambdaPpm) * maxSim(i)
+                (1000000L - lambdaPpm) * pen
               if (s > bestScore ||
                   (s == bestScore && best >= 0 &&
                     cand(i)._1 < cand(best)._1)) {

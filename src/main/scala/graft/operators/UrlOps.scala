@@ -78,18 +78,30 @@ object UrlOps {
 
   /** Per-host crawl cap: keep at most `n` rows per canonical host, the
     * deterministic md5-order pick (the Dolma/C4-style per-domain quota
-    * that stops one sprawling site from dominating a mix). One
-    * host-partitioned window — never unpartitioned; hostless
-    * (unparseable) rows are excluded, consistent with [[urlDedup]]. */
+    * that stops one sprawling site from dominating a mix). Hostless
+    * (unparseable) rows are excluded, consistent with [[urlDedup]].
+    *
+    * Routed through [[graft.plans.TopKPerGroup]]'s bounded heaps rather
+    * than a `row_number()` window: one mega-host (the crawl reality this
+    * operator exists for — a single domain with 10⁸ pages) would make
+    * the window fully SORT that host's partition just to keep n rows;
+    * the heap form bounds every partition's state at n rows per host
+    * BEFORE the exchange. The `pos` rank is then a window over the
+    * already-capped table — ≤ n rows per host by construction, so its
+    * sort is trivially bounded and it reuses the heap pass's hash
+    * partitioning (no second exchange). */
   def perHostCap(df: DataFrame, urlCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n > 0, "perHostCap needs n > 0")
     import org.apache.spark.sql.expressions.Window
-    df.select(col(idCol).as("id"), canonicalHost(col(urlCol)).as("host"))
+    val base = df
+      .select(col(idCol).as("id"), canonicalHost(col(urlCol)).as("host"))
       .where(col("host").isNotNull && col("host") =!= "")
+      .withColumn("__k", md5(col("id").cast("string")))
+    graft.plans.TopKPerGroup(base,
+        Seq(col("host")), Seq(col("__k").asc, col("id").asc), n)
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("host"))
-          .orderBy(md5(col("id").cast("string")), col("id"))))
-      .where(col("pos") <= n)
+        Window.partitionBy(col("host")).orderBy(col("__k"), col("id"))))
+      .drop("__k")
   }
 }

@@ -797,7 +797,10 @@ object CorpusQueries {
           """{"role":"user","content":"b"},""" +
           """{"role":"assistant","content":"c"}]"""),
         (5L, """[{"role":"user","content":"hi"},""" +
-          """{"role":"assistant","content":"  "}]""")
+          """{"role":"assistant","content":"  "}]"""),
+        // missing content field -> NULL after from_json: counts as empty
+        (6L, """[{"role":"user","content":"hi"},""" +
+          """{"role":"assistant"}]""")
       ).toDF("conv_id", "raw")
         .select(col("conv_id"), from_json(col("raw"), schema)
           .as("messages"))
@@ -810,11 +813,14 @@ object CorpusQueries {
     "q310_preference_pairs" -> { (s, _) =>
       import s.implicits._
       val df = Seq(
-        (1L, "p1", "good answer", "bad answer"),
-        (2L, "p2", "same", "same"),
-        (3L, "p3", "x", ""),
-        (4L, "p4", "a", "b"),
-        (5L, "p4", "c", "d")
+        (1L, Some("p1"), "good answer", "bad answer"),
+        (2L, Some("p2"), "same", "same"),
+        (3L, Some("p3"), "x", ""),
+        (4L, Some("p4"), "a", "b"),
+        (5L, Some("p4"), "c", "d"),
+        // NULL prompt (missing JSONL field): must SURVIVE the count
+        // join and be flagged, not vanish
+        (6L, None: Option[String], "a", "b")
       ).toDF("pair_id", "prompt", "chosen", "rejected")
       graft.operators.ChatData.validatePreferencePairs(df, "pair_id",
         "prompt", "chosen", "rejected")
@@ -2229,28 +2235,31 @@ object CorpusQueries {
         |  (4, 'news.site.org', 1)
         |) AS t(id, host, pos)""".stripMargin,
 
-    // each conversation trips exactly one rule (conv 1 is clean)
+    // each conversation trips exactly one rule (conv 1 is clean;
+    // conv 6's missing content field is NULL -> counts as empty)
     "q309_chat_validation" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 3, true, true, true, true, true),
         |  (2, 3, true, true, false, true, false),
         |  (3, 1, false, false, true, true, false),
         |  (4, 3, true, false, true, true, false),
-        |  (5, 2, true, true, true, false, false)
+        |  (5, 2, true, true, true, false, false),
+        |  (6, 2, true, true, true, false, false)
         |) AS t(conv_id, n_turns, ok_opening, ok_alternation,
         |       ok_ends_assistant, ok_no_empty, is_valid)""".stripMargin,
 
     // pair 2 identical sides, pair 3 empty side, pairs 4/5 share a
-    // prompt
+    // prompt, pair 6 NULL prompt (kept by the null-safe join, flagged)
     "q310_preference_pairs" ->
       """SELECT * FROM (VALUES
-        |  (CAST(1 AS BIGINT), true, true, CAST(1 AS BIGINT), true),
-        |  (2, true, false, 1, false),
-        |  (3, false, true, 1, false),
-        |  (4, true, true, 2, false),
-        |  (5, true, true, 2, false)
-        |) AS t(pair_id, ok_nonempty, ok_distinct, n_prompt_copies,
-        |       is_train_ready)""".stripMargin,
+        |  (CAST(1 AS BIGINT), true, true, true, CAST(1 AS BIGINT), true),
+        |  (2, true, true, false, 1, false),
+        |  (3, true, false, true, 1, false),
+        |  (4, true, true, true, 2, false),
+        |  (5, true, true, true, 2, false),
+        |  (6, false, true, true, 1, false)
+        |) AS t(pair_id, ok_prompt, ok_nonempty, ok_distinct,
+        |       n_prompt_copies, is_train_ready)""".stripMargin,
 
     // same top-20 cut (count desc, word asc) and integer ppm
     "q303_vocab_coverage" ->

@@ -141,6 +141,13 @@ private[v2] class TarShardPartitionReader(
   private def members(): Iterator[(String, Long, Array[Byte])] = {
     val path = new Path(part.path)
     val fs = path.getFileSystem(FileListing.conf(confMap))
+    // a >2 GB shard would silently truncate length.toInt negative and
+    // kill the stage with NegativeArraySizeException — fail descriptive
+    // instead (WebDataset convention keeps shards ~100 MB-1 GB)
+    require(part.length <= Int.MaxValue.toLong,
+      s"tarshard member ${part.path} is ${part.length} bytes; shards " +
+        "over 2 GiB are not supported by the in-memory walker — " +
+        "re-shard the archive (WebDataset convention is <= 1 GiB/shard)")
     val buf = new Array[Byte](part.length.toInt)
     val in = fs.open(path)
     try in.readFully(0, buf) finally in.close()

@@ -43,18 +43,26 @@ class ChatDataSpec extends SparkSpec {
   }
 
   test("preference pairs: NULL sides count as empty, null-safe " +
-      "distinctness, copy counts by prompt") {
+      "distinctness, copy counts by prompt, and NULL prompts survive " +
+      "the count join flagged not-train-ready") {
     import spark.implicits._
     val df = Seq(
       (1L, Some("p"), Some("a"), Option.empty[String]),
-      (2L, Some("q"), Option.empty[String], Option.empty[String])
+      (2L, Some("q"), Option.empty[String], Option.empty[String]),
+      (3L, Option.empty[String], Some("a"), Some("b")),
+      (4L, Option.empty[String], Some("c"), Some("d"))
     ).toDF("pair_id", "prompt", "chosen", "rejected")
     val got = ChatData.validatePreferencePairs(df, "pair_id", "prompt",
         "chosen", "rejected")
       .orderBy("pair_id")
       .collect().map(r => (r.getBoolean(1), r.getBoolean(2),
-        r.getBoolean(4)))
-    assert(got(0) == ((false, true, false)))  // null rejected: not ready
-    assert(got(1) == ((false, false, false))) // null <=> null: identical
+        r.getBoolean(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.length == 4) // NULL-prompt rows did NOT vanish
+    assert(got(0) == ((true, false, true, 1L, false)))  // null rejected
+    assert(got(1) == ((true, false, false, 1L, false))) // null <=> null
+    // the two NULL prompts count as copies of each other and are
+    // flagged ok_prompt = false
+    assert(got(2) == ((false, true, true, 2L, false)))
+    assert(got(3) == ((false, true, true, 2L, false)))
   }
 }

@@ -386,4 +386,70 @@ class DedupSpec extends SparkSpec {
         bands = 4, maxHamming = 3))
     assert(split == whole && whole.nonEmpty)
   }
+
+  test("planted mega-bucket: a constant fingerprint population is shed " +
+      "COUNT-FIRST — the collect_list aggregate sits above a left-semi " +
+      "guard, so the degenerate bucket never buffers, and under-cap " +
+      "pairs are unaffected") {
+    import spark.implicits._
+    // 500 blank-image prints (dHash = 0: every band sig collides) + one
+    // genuine near-dup pair in its own bucket
+    val h1 = 0x123456789abcdef0L
+    val rows = (1L to 500L).map(i => (i, 0L)) ++
+      Seq((1001L, h1), (1002L, h1 ^ 1L))
+    val df = rows.toDF("id", "h")
+    val out = Dedup.hammingNearDupPairs(df, "id", "h",
+      bands = 4, maxHamming = 3, maxBucketSize = 100)
+    // functional: only the under-cap pair survives; the zero bucket
+    // (4 bands x 500 members, all over cap) contributes nothing
+    val got = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1001L, 1002L, 1)))
+    // structural: EVERY collect_list aggregate in the plan is fed by a
+    // left-semi join (the count-first shed) — the property that bounds
+    // the aggregation buffer itself, not just downstream fan-out
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList}
+    val aggs = out.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.exists {
+        case ae: AggregateExpression =>
+          ae.aggregateFunction.isInstanceOf[CollectList]
+        case _ => false
+      }) => a
+    }
+    assert(aggs.nonEmpty)
+    aggs.foreach { a =>
+      assert(a.child.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty, "collect_list aggregate lacks the count-first semi-join guard")
+    }
+    // and the same shed set stays result-identical to the historical
+    // post-collect filter on a NON-degenerate input: cap high enough to
+    // keep everything == brute force over all prints
+    val uncapped = Dedup.hammingNearDupPairs(df, "id", "h",
+        bands = 4, maxHamming = 3, maxBucketSize = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = rows.toArray
+    val brute = (for {
+      (i1, ha) <- all; (i2, hb) <- all if i1 < i2
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (i1, i2, d)).toSet
+    assert(uncapped == brute)
+  }
+
+  test("hammingBucketSizes audit twin makes the mega-bucket shed " +
+      "visible: the zero-signature buckets report exactly the planted " +
+      "population in every band") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, 0L)) ++
+      Seq((1001L, 0x123456789abcdef0L))
+    val sizes = Dedup.hammingBucketSizes(rows.toDF("id", "h"), "id", "h",
+        bands = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 4).foreach { b => assert(sizes((b, 0L)) == 500L) }
+    // over-cap alert surface: exactly the buckets a maxBucketSize=100
+    // run of hammingNearDupPairs silently drops
+    assert(sizes.count { case (_, n) => n > 100L } == 4)
+  }
 }

@@ -51,6 +51,26 @@ class RerankSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 3L, 4L, 2L))
   }
 
+  test("negative cosine to the selected set BOOSTS the candidate " +
+      "(true MMR penalty, no clamp at 0)") {
+    import spark.implicits._
+    // id1 picked first (rel-argmax). id2 is the same direction
+    // (sim 1e6), id3 is ANTI-correlated (sim -1e6): with lambda 0.5,
+    // id3's score = .5*0 - .5*(-1e6) = +5e11 beats id2's
+    // .5*900000 - .5*1e6 = -5e10 despite id2's far higher relevance —
+    // exactly the case a clamp-at-0 would invert
+    val cand = Seq(
+      (1L, 1L, 1000000L, Array(1f, 0f)),
+      (1L, 2L, 900000L, Array(1f, 0f)),
+      (1L, 3L, 0L, Array(-1f, 0f))
+    ).toDF("q", "id", "rel", "vec")
+    val got = Rerank.mmrRerank(cand, "q", "id", "rel", "vec", k = 3,
+        lambdaPpm = 500000L)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 500000000000L), (3L, 500000000000L),
+      (2L, -50000000000L)))
+  }
+
   test("k beyond the group size emits the whole group; k bounds the " +
       "output otherwise") {
     assert(Rerank.mmrRerank(fixture, "q", "id", "rel", "vec", 100,

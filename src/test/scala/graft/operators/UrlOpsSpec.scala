@@ -64,4 +64,41 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("https://a.io/p?utm_campaign=1&utm_medium=2",
       "https://a.io/p?") == Seq("https://a.io/p", "https://a.io/p"))
   }
+
+  test("perHostCap: bounded-heap plan (TopKPerGroupExec, no full sort " +
+      "of the host partition) and md5-order picks match the window form " +
+      "on a hot host") {
+    import spark.implicits._
+    // a mega-host (200 pages on one domain) + two small hosts
+    val rows = (1L to 200L).map(i => (i, s"https://big.example.com/p$i")) ++
+      Seq((501L, "https://tiny.io/a"), (502L, "https://tiny.io/b"),
+        (503L, "https://tiny.io/c"), (601L, "https://solo.net/x"))
+    val df = rows.toDF("id", "url")
+    val out = UrlOps.perHostCap(df, "url", "id", n = 2)
+    // structural: the cap runs through the bounded-heap operator; the
+    // only Sort in the plan is the post-cap rank window (<= n rows per
+    // host by construction), never a pre-cap sort of the raw host rows
+    val phys = out.queryExecution.executedPlan
+    assert(phys.toString.contains("TopKPerGroup"),
+      "perHostCap did not plan through TopKPerGroupExec")
+    val sorts = phys.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    sorts.foreach { s =>
+      assert(s.collectFirst {
+        case t: graft.plans.TopKPerGroupExec => t }.nonEmpty,
+        "found a Sort NOT fed by the bounded-heap cap (full host sort)")
+    }
+    // functional: identical pick to the reference row_number() form
+    val expected = df
+      .select(col("id"), UrlOps.canonicalHost(col("url")).as("host"))
+      .where(col("host").isNotNull && col("host") =!= "")
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("host"))
+          .orderBy(md5(col("id").cast("string")), col("id"))))
+      .where(col("pos") <= 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == expected && got.size == 2 + 2 + 1)
+  }
 }
