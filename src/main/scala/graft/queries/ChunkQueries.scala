@@ -56,6 +56,16 @@ object ChunkQueries {
       EphysChunker.chunkStats(samples(s, dir), 32)
     },
 
+    // §2.10 custom Aggregator[IN,BUF,OUT]: the FUSED single-pass form of
+    // q33 — count/min/max + the edge-pad last value in ONE typed UDAF
+    // whose merge is associative (map-side partial aggregation), instead
+    // of three built-in aggs + a second pass for the pad value. The
+    // oracle is the q33 declarative twin + arg_max for last_value
+    "q313_chunk_stats_fused" -> { (s, dir) =>
+      graft.operators.ChunkStatsAggregator
+        .chunkStatsFused(samples(s, dir), 32)
+    },
+
     // mass_electrophysiology_chunking.py selection (python/scripts/
     // mass_electrophysiology_chunking.py:58-73 + lib/physio/chunking.py:
     // 14-41): the reference loops an ID range, skips files whose
@@ -1350,6 +1360,24 @@ object ChunkQueries {
          |  FROM s GROUP BY channel, sample_index // 32
          |)
          |SELECT channel, chunk_index, n_samples, chunk_min, chunk_max,
+         |  chunk_index = MAX(chunk_index) OVER (PARTITION BY channel) AS is_last,
+         |  CASE WHEN chunk_index = MAX(chunk_index) OVER (PARTITION BY channel)
+         |       THEN n_samples ELSE 32 END AS valid_samples
+         |FROM c""".stripMargin,
+
+    // q33's twin + arg_max(value, sample_index) for the edge-pad value
+    // (sample_index is unique per channel, so arg_max is deterministic)
+    "q313_chunk_stats_fused" ->
+      s"""WITH s AS ($sqlSamples),
+         |c AS (
+         |  SELECT channel, sample_index // 32 AS chunk_index,
+         |    CAST(COUNT(*) AS INTEGER) AS n_samples,
+         |    MIN(value) AS chunk_min, MAX(value) AS chunk_max,
+         |    arg_max(value, sample_index) AS last_value
+         |  FROM s GROUP BY channel, sample_index // 32
+         |)
+         |SELECT channel, chunk_index, n_samples, chunk_min, chunk_max,
+         |  last_value,
          |  chunk_index = MAX(chunk_index) OVER (PARTITION BY channel) AS is_last,
          |  CASE WHEN chunk_index = MAX(chunk_index) OVER (PARTITION BY channel)
          |       THEN n_samples ELSE 32 END AS valid_samples
