@@ -560,6 +560,34 @@ object IngestQueries {
           col("dhash"))
     },
 
+    // DCT perceptual hash (pHash-64) next to dHash through ONE raster
+    // decode (PerceptualDecoder): exact-integer 32x32 luma grid ->
+    // fixed-point (2^14, StrictMath-built) 32-point DCT-II -> low-freq
+    // 8x8 block -> bit = coefficient > exact median of the 63 AC terms.
+    // The robust admission key for the recompression/resize cases
+    // dHash's doc scopes out (PhashSpec pins JPEG-roundtrip hamming<=10
+    // vs distinct >=20 on the same fixtures). Deterministic rasters
+    // (seeded LCG + StrictMath) let the oracle pin measured hashes; the
+    // PNG copy pins container invariance, junk -> NULL row
+    "q314_image_phash" -> { (s, _) =>
+      import graft.operators.{ImageHash, Multimodal}
+      val dir = SyntheticFixtures.materialize("q314", "r1.bmp",
+        SyntheticFixtures.bmpBytes(SyntheticFixtures.richRaster(64, 64, 1)))
+      SyntheticFixtures.materialize("q314", "r1.png",
+        SyntheticFixtures.pngBytes(SyntheticFixtures.richRaster(64, 64, 1)))
+      SyntheticFixtures.materialize("q314", "r2.bmp",
+        SyntheticFixtures.bmpBytes(SyntheticFixtures.richRaster(64, 64, 2)))
+      SyntheticFixtures.materialize("q314", "junk.bmp",
+        "BMjunk".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val scanned = DicomSource.scanDir(s, dir, "*.*")
+        .select(element_at(split(col("path"), "/"), -1).as("file_name"),
+          col("content"))
+      Multimodal.decodeRowsPartitioned(scanned, "content",
+          ImageHash.PerceptualDecoder)
+        .select(col("file_name"), col("width"), col("height"),
+          col("dhash"), col("phash"))
+    },
+
     // Image near-dup pairs: the dHash column rides the SAME pigeonhole
     // banded-hamming machinery as 64-bit SimHash
     // (Dedup.hammingNearDupPairs) — the tweaked copy at hamming 1, the
@@ -2609,6 +2637,19 @@ object IngestQueries {
         |  ('junk.bmp', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
         |   CAST(NULL AS BIGINT))
         |) AS t(file_name, width, height, dhash)""".stripMargin,
+
+    // measured-pin oracle (deterministic rasters: seeded LCG +
+    // StrictMath are bit-identical on every JVM; PhashSpec re-derives
+    // the invariance properties): the PNG copy matches the BMP exactly
+    "q314_image_phash" ->
+      """SELECT * FROM (VALUES
+        |  ('r1.bmp', 64, 64, CAST(-7121413176960754585 AS BIGINT),
+        |   CAST(2143174296828159169 AS BIGINT)),
+        |  ('r1.png', 64, 64, -7121413176960754585, 2143174296828159169),
+        |  ('r2.bmp', 64, 64, -4227661393225407579, 1495107403470583397),
+        |  ('junk.bmp', CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+        |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT))
+        |) AS t(file_name, width, height, dhash, phash)""".stripMargin,
 
     // banded-hamming pairs over the pinned hashes {0, 1, -1, 0}
     "q294_image_neardup" ->

@@ -437,6 +437,28 @@ object SyntheticFixtures {
     o.toByteArray
   }
 
+  /** Deterministic spectrally-rich gray raster (a synthetic "photo"):
+    * sum of 12 seeded low-frequency sinusoids, quantized to 0-255 and
+    * packed 0xRRGGBB with r=g=b (so BT.601 luma equals the value
+    * exactly). Seeded `scala.util.Random` (java.util.Random LCG — bit
+    * stable everywhere) + StrictMath make it byte-identical on every
+    * JVM, which is what lets pHash q-rows pin measured hashes. */
+  def richRaster(w: Int, h: Int, seed: Int): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    val comps = (0 until 12).map { _ =>
+      (rnd.nextInt(6) + 1, rnd.nextInt(6) + 1,
+        rnd.nextDouble() * 2 * StrictMath.PI, 10.0 + rnd.nextDouble() * 25)
+    }
+    (0 until h).map(y => (0 until w).map { x =>
+      val v = 128.0 + comps.map { case (fx, fy, ph, amp) =>
+        amp * StrictMath.sin(
+          2 * StrictMath.PI * (fx * x.toDouble / w + fy * y.toDouble / h) + ph)
+      }.sum
+      val c = math.max(0, math.min(255, v.round.toInt))
+      (c << 16) | (c << 8) | c
+    })
+  }
+
   // --- PNG (via the JDK's ImageIO encoder) ---
 
   /** PNG written by `javax.imageio.ImageIO` — a fully independent encoder
