@@ -947,6 +947,48 @@ object CorpusOps {
           .as("text_clean"))
   }
 
+  /** Boundary-aware sentence list of a text column — the unit relation
+    * builder C4-style unit dedup and packing want instead of
+    * whitespace/fixed-window blocks. The rule set is EXACT-INTEGER by
+    * construction so any engine reproduces it verbatim (no NLP model,
+    * no locale): a sentence ends at a terminator run `[.!?]+` that is
+    * followed by whitespace and an ASCII uppercase letter (or by end of
+    * input). Implemented lookaround-free — mark the boundary with an
+    *  sentinel via one capture-group `regexp_replace`, then split
+    * — because RE2 engines (DuckDB, Go) have no lookahead; the same two
+    * calls reproduce it anywhere. Sentences keep their terminators;
+    * entries are trimmed; empties drop.
+    *
+    * Documented limitation (inherent to the exact rule set): an
+    * abbreviation directly before a capitalized word splits ("Dr.
+    * Smith" → "Dr." | "Smith…") — the price of a rule both engines can
+    * agree on byte-for-byte, and the SAME trade C4's cleaner makes with
+    * its three-sentence rule. Digits after a period do NOT split
+    * ("3. 15"), nor do lowercase continuations ("e.g. example"). */
+  def sentenceArray(text: Column): Column =
+    filter(
+      transform(
+        split(regexp_replace(text, "([.!?])\\s+([A-Z])", "$1$2"),
+          ""),
+        s => trim(s)),
+      s => length(s) > 0)
+
+  /** The sentence unit RELATION: one row per kept sentence —
+    * (id, sent_idx, sentence, n_words), sent_idx = 0-based position in
+    * the split (empty entries skipped, indices preserved... kept dense
+    * via posexplode AFTER the empty-filter so downstream chunkers see
+    * contiguous positions). NULL text yields no rows (posexplode of a
+    * NULL array), consistent with the tokenizing operators. Map-only —
+    * the 100 TB form is this projection feeding [[unitDedup]]'s
+    * hash-count shuffle. */
+  def sentenceUnits(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol),
+        posexplode(sentenceArray(col(textCol)))
+          .as(Seq("sent_idx", "sentence")))
+      .withColumn("n_words",
+        size(split(col("sentence"), "\\s+")).cast("long"))
+
   def unitDedup(
       docs: DataFrame,
       idCol: String,

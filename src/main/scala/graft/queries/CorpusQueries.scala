@@ -480,6 +480,41 @@ object CorpusQueries {
       CorpusOps.unitDedup(docs(s, dir), "doc_id", blocks, maxOcc = 1L)
     },
 
+    // Sentence-boundary unit RELATION: exact-integer rule set
+    // (terminator run + whitespace + following ASCII uppercase),
+    // lookaround-free so RE2 engines reproduce it verbatim. The fixture
+    // walks the contract: digit/lowercase continuations do NOT split,
+    // ?!-runs stay with their sentence, the documented abbreviation
+    // limitation ("Dr." splits), multi-space normalization in n_words,
+    // empty text yields no rows
+    "q315_sentence_units" -> { (s, _) =>
+      import s.implicits._
+      val d = Seq(
+        (1L, "Hello world. This is graft. It works!"),
+        (2L, "Pi is 3.14 not 3. 15 ok"),
+        (3L, "e.g. lowercase follows. But Uppercase splits."),
+        (4L, "Dr. Smith went home. He slept?! Deeply so."),
+        (5L, "No terminator at all"),
+        (6L, ""),
+        (7L, "Multi   spaces. Next one.")
+      ).toDF("doc_id", "text")
+      CorpusOps.sentenceUnits(d, "doc_id", "text")
+    },
+
+    // C4-style unit dedup over SENTENCE units (the boundary-aware
+    // upgrade of q157's fixed blocks): the shared boilerplate sentence
+    // is deleted from every doc carrying it, original content survives
+    "q316_sentence_unit_dedup" -> { (s, _) =>
+      import s.implicits._
+      val d = Seq(
+        (1L, "Real content here. Subscribe to our newsletter. More real text!"),
+        (2L, "Different content. Subscribe to our newsletter. Unique ending?"),
+        (3L, "Totally original thoughts. Nothing shared here!")
+      ).toDF("doc_id", "text")
+      CorpusOps.unitDedup(d, "doc_id",
+        CorpusOps.sentenceArray(col("text")), maxOcc = 1L)
+    },
+
     // BPE round-1 statistic: adjacent-character pair frequencies weighted
     // by word frequency, top-20 merge candidates. Iteration cost rides the
     // distinct-word table (|vocab|), not the corpus — the one corpus scan
@@ -1649,6 +1684,47 @@ object CorpusQueries {
          |    ' ' ORDER BY u.pos), '') AS text_clean
          |FROM u LEFT JOIN c ON u.unit = c.unit
          |GROUP BY u.doc_id""".stripMargin,
+
+    // computed twin over the same carried-in rows: the identical
+    // mark-then-split (RE2 regexp_replace with the g flag — DuckDB
+    // replaces first-only by default) reproduces the boundary rule
+    // byte-for-byte
+    "q315_sentence_units" ->
+      """WITH t(doc_id, text) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'Hello world. This is graft. It works!'),
+        |  (2, 'Pi is 3.14 not 3. 15 ok'),
+        |  (3, 'e.g. lowercase follows. But Uppercase splits.'),
+        |  (4, 'Dr. Smith went home. He slept?! Deeply so.'),
+        |  (5, 'No terminator at all'),
+        |  (6, ''),
+        |  (7, 'Multi   spaces. Next one.')
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      string_split(regexp_replace(text, '([.!?])\s+([A-Z])',
+        |        '\1' || chr(1) || '\2', 'g'), chr(1)), x -> trim(x)),
+        |      x -> len(x) > 0) AS arr
+        |  FROM t
+        |), e AS (
+        |  SELECT doc_id, arr,
+        |    unnest(generate_series(1, len(arr))) AS i
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
+        |  arr[i] AS sentence,
+        |  CAST(len(string_split_regex(arr[i], '\s+')) AS BIGINT)
+        |    AS n_words
+        |FROM e""".stripMargin,
+
+    // hand-pinned: 'Subscribe to our newsletter.' occurs twice corpus-
+    // wide (> maxOcc 1) and is deleted from both carriers
+    "q316_sentence_unit_dedup" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |   'Real content here. More real text!'),
+        |  (2, 1, 'Different content. Unique ending?'),
+        |  (3, 0, 'Totally original thoughts. Nothing shared here!')
+        |) AS t(doc_id, n_removed, text_clean)""".stripMargin,
 
     "q158_bpe_pairs" ->
       s"""WITH w AS (

@@ -676,4 +676,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(4)(3) == false)                        // digit words
     assert(got(5)(4) == false)                        // stopword-free
   }
+
+  test("sentenceUnits: boundary zoo — digit/lowercase continuations " +
+      "never split, ?!-runs stay attached, the documented abbreviation " +
+      "split, empty text yields no rows, n_words normalizes multi-space") {
+    val d = Seq(
+      (1L, "Hello world. This is graft. It works!"),
+      (2L, "Pi is 3.14 not 3. 15 ok"),
+      (4L, "Dr. Smith went home. He slept?! Deeply so."),
+      (6L, ""),
+      (7L, "Multi   spaces. Next one.")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.sentenceUnits(d, "doc_id", "text")
+      .orderBy("doc_id", "sent_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "Hello world.", 2L), (1L, 1, "This is graft.", 3L),
+      (1L, 2, "It works!", 2L),
+      (2L, 0, "Pi is 3.14 not 3. 15 ok", 7L),
+      (4L, 0, "Dr.", 1L), (4L, 1, "Smith went home.", 3L),
+      (4L, 2, "He slept?!", 2L), (4L, 3, "Deeply so.", 2L),
+      (7L, 0, "Multi   spaces.", 2L), (7L, 1, "Next one.", 2L)))
+  }
+
+  test("sentenceArray feeds unitDedup: the corpus-wide boilerplate " +
+      "sentence is deleted from every carrier, original content intact") {
+    val d = Seq(
+      (1L, "Real content here. Subscribe now. More real text!"),
+      (2L, "Different content. Subscribe now. Unique ending?"),
+      (3L, "Totally original thoughts. Nothing shared!")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.unitDedup(d, "doc_id",
+        CorpusOps.sentenceArray(col("text")), maxOcc = 1L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, "Real content here. More real text!"),
+      (2L, 1L, "Different content. Unique ending?"),
+      (3L, 0L, "Totally original thoughts. Nothing shared!")))
+  }
 }
