@@ -923,6 +923,24 @@ object IngestQueries {
         assemblyPairs(s, "q308"), minWidth = 10)
     },
 
+    // The q307/q308 assembly on a STREAM: the same 7 pairs arrive in two
+    // waves through assembleMultimodalIncremental — expensive stages
+    // (pairing gate, decode, payload drop) run once per pair on arrival,
+    // the global near-dup refresh recomputes over staged METADATA only
+    // (canonical selection is non-monotonic: wave-2's PNG re-encode
+    // merges into wave-1's component). Final manifest == q307's oracle
+    "q317_assembly_incremental" -> { (s, _) =>
+      val out = assemblyIncrementalRun(s, "q317")
+      s.read.parquet(s"$out/manifest")
+    },
+
+    // ... and the accumulated attrition row == q308's oracle (per-batch
+    // pre-decode counts staged alongside, summed at refresh)
+    "q318_assembly_incremental_attrition" -> { (s, _) =>
+      val out = assemblyIncrementalRun(s, "q318")
+      s.read.parquet(s"$out/attrition")
+    },
+
     // Audio feature extraction THROUGH the relational engine: decoded
     // first-channel samples explode into 8-sample windows; per-window
     // integer energy gates speech vs silence (energy >= 10000·n, i.e.
@@ -1929,6 +1947,34 @@ object IngestQueries {
     * through the tarshard connector and stem-paired into the
     * (id, sample_id, shard_name, content, caption) frame
     * [[graft.operators.MultimodalAssembly]] consumes. */
+  /** Drives [[graft.streaming.EventStream.assembleMultimodalIncremental]]
+    * over the q307 fixture split into two arrival waves (ids 1-3, then
+    * 4-7: the PNG re-encode and the caption-less dup arrive AFTER the
+    * component they belong to); returns the output root holding
+    * `manifest/` and `attrition/`. */
+  private def assemblyIncrementalRun(s: SparkSession, tag: String): String = {
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val out = SyntheticFixtures.freshDir(tag + "_out")
+    val ckpt = SyntheticFixtures.freshDir(tag + "_ckpt")
+    val rows = assemblyPairs(s, tag)
+      .select(col("id"), col("sample_id"), col("shard_name"),
+        col("content"), col("caption"))
+      .collect() // 7 fixture rows — bounded by construction
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getAs[Array[Byte]](3), Option(r.getString(4))))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, Array[Byte], Option[String])]
+    val q = graft.streaming.EventStream.assembleMultimodalIncremental(
+      mem.toDF().toDF("id", "sample_id", "shard_name", "content",
+        "caption"),
+      out, ckpt, minWidth = 10)
+    try Seq(rows.filter(_._1 <= 3L), rows.filter(_._1 > 3L)).foreach { w =>
+      mem.addData(w.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    out
+  }
+
   private def assemblyPairs(s: SparkSession, tag: String): DataFrame = {
     val dir = SyntheticFixtures.freshDir(tag)
     java.nio.file.Files.write(
@@ -2762,6 +2808,24 @@ object IngestQueries {
         |   'descending gradient')
         |) AS t(id, sample_id, shard_name, width, height, dhash,
         |       caption)""".stripMargin,
+
+    // stream == batch: the incremental refresh converges to exactly
+    // q307's manifest, wave boundaries notwithstanding
+    "q317_assembly_incremental" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), '000001', 'shard-000.tar', 18, 8,
+        |   CAST(0 AS BIGINT), 'ascending gradient'),
+        |  (2, '000002', 'shard-000.tar', 18, 8, -1,
+        |   'descending gradient')
+        |) AS t(id, sample_id, shard_name, width, height, dhash,
+        |       caption)""".stripMargin,
+
+    // ... and to exactly q308's attrition row (summed per-batch
+    // pre-decode counts + globally recomputed later stages)
+    "q318_assembly_incremental_attrition" ->
+      """SELECT CAST(7 AS BIGINT) AS n_images, CAST(6 AS BIGINT) AS n_paired,
+        |  CAST(5 AS BIGINT) AS n_decoded, CAST(4 AS BIGINT) AS n_geometry_ok,
+        |  CAST(2 AS BIGINT) AS n_kept""".stripMargin,
 
     // 7 image members -> 6 with captions -> 5 decodable -> 4 at
     // geometry -> 2 canonical

@@ -694,6 +694,98 @@ object EventStream {
       }
       .start()
 
+  /** The q307/q308 multimodal assembly on a STREAM of arriving
+    * image-text pairs — the image-side twin of
+    * [[assembleCorpusIncremental]] (R52's text discipline), with one
+    * structural improvement the payloads force: the EXPENSIVE stages
+    * (pairing gate, raster decode, payload drop) run exactly ONCE per
+    * pair on arrival — map-only, inside the micro-batch — and only
+    * fixed-width metadata rows (id, stem, shard, width, height, dhash,
+    * caption) are staged per batch. The refresh that follows each batch
+    * recomputes the GLOBAL near-dup components + min-id canonicals +
+    * manifest + attrition over the staged metadata (8-byte keys, never
+    * payloads): canonical selection is non-monotonic — a new image can
+    * MERGE two previously-distinct components and change a canonical —
+    * so no append-mode operator can express it; deterministic refresh
+    * over once-decoded metadata is the honest incremental form, and it
+    * converges to [[graft.operators.MultimodalAssembly.manifest]]'s
+    * exact output (spec-pinned parity).
+    *
+    * Per-batch pre-decode counts (n_images, n_paired) stage alongside —
+    * the refresh cannot recount rows it never staged — so
+    * `result/attrition` always equals the batch
+    * [[graft.operators.MultimodalAssembly.attrition]] over everything
+    * arrived. Exactly-once: per-batch partition OVERWRITE + the
+    * fresh-checkpoint guard, as every sibling sink here. */
+  def assembleMultimodalIncremental(
+      pairsStream: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      minWidth: Int,
+      bands: Int = 4,
+      maxHamming: Int = 3
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    pairsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val priorIds = priorPartIds(s"$outDir/staged", "batch_id=", id, conf)
+        if (!batch.isEmpty) {
+          // arrival work, once per pair: pairing gate -> decode ->
+          // payload DROP (only metadata survives this block)
+          val images = batch.toDF().localCheckpoint(true)
+          val paired = images.where(col("caption").isNotNull)
+          val decoded = graft.operators.Multimodal
+            .decodeRowsPartitioned(paired, "content",
+              graft.operators.ImageHash.DhashDecoder)
+            .where(col("dhash").isNotNull)
+            .drop("content")
+            .localCheckpoint(true)
+          images.agg(count(lit(1)).as("n_images"))
+            .crossJoin(broadcast(
+              paired.agg(count(lit(1)).as("n_paired"))))
+            .write.mode("overwrite")
+            .parquet(s"$outDir/staged_counts/batch_id=$id")
+          // empty decoded batches write no staged partition (a data-less
+          // parquet dir would poison schema inference) but their counts
+          // above still reach the attrition sums
+          if (!decoded.isEmpty)
+            decoded.write.mode("overwrite")
+              .parquet(s"$outDir/staged/batch_id=$id")
+          // global refresh over staged METADATA only
+          if (!decoded.isEmpty || priorIds.nonEmpty) {
+            val staged = spark.read.parquet(s"$outDir/staged")
+              .drop("batch_id").localCheckpoint(true)
+            val gated = staged.where(col("width") >= minWidth)
+            val dupPairs = graft.operators.Dedup.hammingNearDupPairs(
+              gated, "id", "dhash", bands, maxHamming)
+            val keep = graft.operators.Dedup
+              .clusterKeys(gated, "id", dupPairs)
+              .groupBy(col("cluster_key")).agg(min(col("id")).as("id"))
+              .select(col("id"))
+            val kept = gated.join(keep, Seq("id"), "left_semi")
+              .localCheckpoint(true)
+            kept.select(col("id"), col("sample_id"), col("shard_name"),
+                col("width"), col("height"), col("dhash"), col("caption"))
+              .write.mode("overwrite").parquet(s"$outDir/manifest")
+            spark.read.parquet(s"$outDir/staged_counts")
+              .agg(sum(col("n_images")).as("n_images"),
+                sum(col("n_paired")).as("n_paired"))
+              .crossJoin(broadcast(
+                staged.agg(count(lit(1)).as("n_decoded"))))
+              .crossJoin(broadcast(
+                gated.agg(count(lit(1)).as("n_geometry_ok"))))
+              .crossJoin(broadcast(
+                kept.agg(count(lit(1)).as("n_kept"))))
+              .write.mode("overwrite").parquet(s"$outDir/attrition")
+          }
+        }
+        ()
+      }
+      .start()
+
   case class KmvRow(g: String, h: Long)
   case class KmvState(g: String, kmv: Seq[Long])
 

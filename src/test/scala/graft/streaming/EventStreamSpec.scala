@@ -534,4 +534,69 @@ class EventStreamSpec extends SparkSpec {
     // 4 band rows per ingested print
     assert(idx.count() == waves.map(_.size).sum * 4)
   }
+
+  test("assembleMultimodalIncremental == batch manifest/attrition over " +
+      "everything arrived, including a cross-wave component merge; " +
+      "payloads decode once (staged rows are metadata-only)") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    import graft.sources.SyntheticFixtures
+    def gradient(f: Int => Int): Seq[Seq[Int]] =
+      (0 until 8).map(_ => (0 until 18).map { x =>
+        val v = f(x); (v << 16) | (v << 8) | v
+      })
+    val asc = gradient(identity)
+    val tweak = asc.updated(0, asc(0).updated(0, 0x050505))
+    // wave 0: ascending original + descending; wave 1: the 1-bit tweak
+    // (merges into 1's component) + a caption-less dup + junk; wave 2:
+    // the PNG re-encode of 1 (cross-wave merge again) + a thumbnail
+    val waves: Seq[Seq[(Long, String, String, Array[Byte], Option[String])]] = Seq(
+      Seq((1L, "000001", "s0", SyntheticFixtures.bmpBytes(asc),
+            Some("ascending gradient")),
+          (2L, "000002", "s0", SyntheticFixtures.bmpBytes(
+            gradient(x => 17 - x)), Some("descending gradient"))),
+      Seq((3L, "000003", "s0", SyntheticFixtures.bmpBytes(tweak),
+            Some("tweaked copy")),
+          (5L, "000005", "s0", SyntheticFixtures.bmpBytes(asc), None),
+          (6L, "000006", "s1", "BMjunk".getBytes("US-ASCII"),
+            Some("corrupt"))),
+      Seq((4L, "000004", "s1", SyntheticFixtures.pngBytes(asc),
+            Some("png copy")),
+          (7L, "000007", "s1", SyntheticFixtures.bmpBytes(
+            Seq.fill(4)(Seq.fill(4)(0x102030))), Some("tiny"))))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_smmasm").toString
+    val mem = MemoryStream[(Long, String, String, Array[Byte], Option[String])]
+    val q = EventStream.assembleMultimodalIncremental(
+      mem.toDF().toDF("id", "sample_id", "shard_name", "content",
+        "caption"),
+      root, s"$root/ckpt", minWidth = 10)
+    try waves.foreach { w =>
+      mem.addData(w.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    def canonM(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "sample_id", "shard_name", "width", "height",
+        "dhash", "caption")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getString(6))).toSet
+    val allPairs = waves.flatten
+      .toDF("id", "sample_id", "shard_name", "content", "caption")
+    val gotM = canonM(spark.read.parquet(s"$root/manifest"))
+    val expM = canonM(graft.operators.MultimodalAssembly
+      .manifest(allPairs, minWidth = 10))
+    assert(gotM == expM && gotM.map(_._1) == Set(1L, 2L))
+    def canonA(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_images", "n_paired", "n_decoded", "n_geometry_ok",
+        "n_kept")
+      .collect().map(r => (0 to 4).map(r.getLong)).toSeq
+    val gotA = canonA(spark.read.parquet(s"$root/attrition"))
+    val expA = canonA(graft.operators.MultimodalAssembly
+      .attrition(allPairs, minWidth = 10))
+    assert(gotA == expA && gotA == Seq(Seq(7L, 6L, 5L, 4L, 2L)))
+    // staged rows are metadata-only: the payload column never persists
+    val staged = spark.read.parquet(s"$root/staged")
+    assert(!staged.columns.contains("content"))
+    assert(staged.count() == 5) // one row per decodable paired image
+  }
 }
