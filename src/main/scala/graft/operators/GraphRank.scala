@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph ranking for web-corpus curation — the quality-weighting
+  * signal a crawl-derived training mix uses next to [[UrlOps]]'s
+  * canonicalization and per-host caps (Common-Crawl-style pipelines
+  * weight domains by centrality before sampling; see the public
+  * PageRank formulation, Brin & Page 1998). The iteration is the star-CC
+  * pattern the engine already runs ([[Dedup]]): a fixed number of
+  * join+aggregate rounds with `localCheckpoint` lineage truncation —
+  * rank state is one (id, rank_ppm) row per node, contributions are one
+  * edge-keyed shuffle per round, nothing driver-side but two 1-row-class
+  * scalars (node count; per-round dangling mass rides a broadcast 1-row
+  * frame).
+  *
+  * Exact-integer contract (the house FP-free discipline — ranks are
+  * ppm-scaled Longs, every division is floor `div`, so any engine
+  * reproduces the values bit-for-bit and ties are deterministic):
+  *   - r₀(v) = 10⁶ for every node (nodes = distinct src ∪ dst)
+  *   - share(s→d) = r(s) div out_deg(s)
+  *   - dangling mass D = Σ r(v) over nodes with no outgoing edge
+  *   - r'(v) = (10⁶ − damping) + damping·(Σ_in share + D div n) div 10⁶
+  * Multi-edges count with multiplicity (a weighted vote); pass a
+  * `.distinct()` edge set for the simple-graph form. Floor division
+  * leaks ≤1 ppm per division, so total mass drifts down by parts-per-
+  * million per round — the price of exactness, irrelevant to ordering.
+  */
+object GraphRank {
+
+  /** `iters` rounds of damped PageRank over (srcCol, dstCol) edges →
+    * (id, rank_ppm). `dampingPpm` defaults to the canonical 0.85. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampingPpm: Long = 850000L): DataFrame = {
+    require(iters >= 1, "pageRank needs iters >= 1")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      "dampingPpm must be in [0, 1e6]")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .localCheckpoint(true)
+    // ONE driver-side scalar for the whole run (1-row-class read, the
+    // same justification as the ANN routing reads): n parameterizes the
+    // dangling share as a literal
+    val n = nodes.count()
+    var rank = nodes.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val withDeg = rank.join(outDeg,
+        rank("id") === outDeg("src"), "left")
+      // dangling mass as a BROADCAST 1-row frame — never a collect
+      val dang = withDeg.where(col("out_deg").isNull)
+        .agg(coalesce(sum(col("rank_ppm")), lit(0L)).as("__dang"))
+      val contrib = withDeg.where(col("out_deg").isNotNull)
+        .select(col("id").as("src"),
+          expr("rank_ppm div out_deg").as("__share"))
+        .join(e, "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("__share")).as("__in"))
+      rank = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(1000000L - dampingPpm) +
+            expr(s"$dampingPpm * (coalesce(__in, 0L) + (__dang div $n))" +
+              " div 1000000").cast("long")).as("rank_ppm"))
+        .localCheckpoint(true)
+    }
+    rank
+  }
+}

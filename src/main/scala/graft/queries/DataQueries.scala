@@ -569,6 +569,22 @@ object DataQueries {
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
     },
 
+    // Link-graph centrality for crawl-quality weighting: integer-ppm
+    // PageRank (floor-div shares, broadcast dangling mass, star-CC-style
+    // checkpointed rounds) over the REAL customer->supplier bipartite
+    // graph — every supplier is a dangling sink, so the
+    // dangling-redistribution path is exercised at table scale. The
+    // DuckDB twin unrolls the same two exact-integer iterations
+    "q319_pagerank" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+        .distinct()
+      graft.operators.GraphRank.pageRank(e, "src", "dst", iters = 2)
+    },
+
     // The composed training-data prep pipeline (the BASELINE.json north
     // star, end to end): normalize -> exact-dedup to canonical docs ->
     // min-length quality gate -> deterministic 50% sample. Every stage is a
@@ -1563,6 +1579,47 @@ object DataQueries {
          |  SELECT e.v, w.label FROM walk w JOIN edges e ON w.id = e.u
          |)
          |SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+
+    // the same two exact-integer rounds unrolled: floor-div shares,
+    // dangling mass summed per round, ppm damping — bit-identical by
+    // construction (SUM promotes to HUGEINT; final CAST pins BIGINT)
+    "q319_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), nodes AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), deg AS (
+        |  SELECT src, COUNT(*) AS d FROM e GROUP BY src
+        |), nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |d0 AS (
+        |  SELECT COALESCE(SUM(r0.r), 0) AS dang
+        |  FROM r0 LEFT JOIN deg ON r0.id = deg.src WHERE deg.d IS NULL
+        |), c0 AS (
+        |  SELECT e.dst AS id, SUM(r0.r // deg.d) AS inp
+        |  FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst
+        |), r1 AS (
+        |  SELECT nodes.id,
+        |    150000 + 850000 * (COALESCE(c0.inp, 0)
+        |      + (SELECT dang FROM d0) // (SELECT n FROM nn)) // 1000000 AS r
+        |  FROM nodes LEFT JOIN c0 ON nodes.id = c0.id
+        |), d1 AS (
+        |  SELECT COALESCE(SUM(r1.r), 0) AS dang
+        |  FROM r1 LEFT JOIN deg ON r1.id = deg.src WHERE deg.d IS NULL
+        |), c1 AS (
+        |  SELECT e.dst AS id, SUM(r1.r // deg.d) AS inp
+        |  FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst
+        |), r2 AS (
+        |  SELECT nodes.id,
+        |    150000 + 850000 * (COALESCE(c1.inp, 0)
+        |      + (SELECT dang FROM d1) // (SELECT n FROM nn)) // 1000000 AS r
+        |  FROM nodes LEFT JOIN c1 ON nodes.id = c1.id
+        |)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_ppm
+        |FROM r2""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tok AS (

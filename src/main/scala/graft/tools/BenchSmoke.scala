@@ -24,8 +24,19 @@ import graft.SparkEntry
   * the driver's exact harness (forked sbt JVM, -Xmx32g, local[32],
   * lexical query order, full-suite heap state) — so the committed numbers
   * and the driver's scored numbers measure the same thing. Refresh the
-  * same way after a verified win (two sbt Bench runs, min per query), not
-  * with this tool's direct-JVM `--write` (kept for quick local loops).
+  * same way after a verified win (two sbt Bench runs, min per query).
+  *
+  * SEPARATE SMOKE CALIBRATION (round 10, closes the r9 harness-gap
+  * note): this tool's own timings come from a direct `java -cp` JVM and
+  * repeatably measure a stable five-query set ~1.7× the sbt minima at
+  * byte-identical shuffle — a warmup/JIT harness gap, not a plan delta —
+  * so comparing direct-JVM timings against the sbt baseline cries wolf
+  * on an unchanged tree. The timing compare therefore uses this tool's
+  * OWN calibration file `tools/bench_smoke_baseline.json` (written by
+  * `--write` from the SAME direct-JVM harness; `--write` no longer
+  * touches the sbt baseline), falling back to the sbt baseline only
+  * when the smoke calibration is absent. The shuffle baseline stays
+  * shared — shuffle bytes are run-mode-independent.
   */
 object BenchSmoke {
   // sub-0.5s baselines are scheduler/GC noise at local[8] (the committed
@@ -44,7 +55,13 @@ object BenchSmoke {
     // baseline methodology requires from the sbt harness), so the shuffle
     // baseline can be refreshed alone from this direct-JVM tool
     val writeShuffleOnly = flags.contains("--write-shuffle")
-    val baselinePath = java.nio.file.Paths.get("tools/bench_baseline.json")
+    // the sbt-harness baseline (driver methodology) — FALLBACK only
+    val sbtBaselinePath =
+      java.nio.file.Paths.get("tools/bench_baseline.json")
+    // this tool's own direct-JVM calibration — what --write writes and
+    // what the timing compare prefers
+    val baselinePath =
+      java.nio.file.Paths.get("tools/bench_smoke_baseline.json")
     val shuffleBaselinePath =
       java.nio.file.Paths.get("tools/bench_shuffle_baseline.json")
 
@@ -103,16 +120,24 @@ object BenchSmoke {
       println(s"[benchsmoke] baseline written: ${results.length} queries" +
         (if (write) " (timings + shuffle)" else " (shuffle only)"))
     } else {
-      val baseline: Map[String, Double] =
-        if (!java.nio.file.Files.exists(baselinePath)) Map.empty
+      def loadBaseline(p: java.nio.file.Path): Map[String, Double] =
+        if (!java.nio.file.Files.exists(p)) Map.empty
         else {
-          val txt = new String(
-            java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
           // tolerate both separators: --write emits `"k":v`, the
           // sbt-harness baseline refresh emits `"k": v`
           """"([^"]+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
+      val smoke = loadBaseline(baselinePath)
+      val baseline: Map[String, Double] =
+        if (smoke.nonEmpty) smoke else loadBaseline(sbtBaselinePath)
+      if (smoke.isEmpty)
+        println("[benchsmoke] no smoke calibration " +
+          "(tools/bench_smoke_baseline.json) — falling back to the sbt " +
+          "baseline; expect the documented direct-JVM warmup gap on " +
+          "sub-4s queries (run --write on a verified-green tree to " +
+          "calibrate)")
       var failures = 0
       results.foreach { case (name, t1) =>
         baseline.get(name) match {
