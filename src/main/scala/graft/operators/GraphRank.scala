@@ -30,14 +30,15 @@ import org.apache.spark.sql.functions._
 object GraphRank {
 
   /** `iters` rounds of damped PageRank over (srcCol, dstCol) edges →
-    * (id, rank_ppm). `dampingPpm` defaults to the canonical 0.85. */
+    * (id, rank_ppm). Node ids keep their input type (long vec ids,
+    * string hosts from [[UrlOps.hostGraph]] — anything joinable).
+    * `dampingPpm` defaults to the canonical 0.85. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, dampingPpm: Long = 850000L): DataFrame = {
     require(iters >= 1, "pageRank needs iters >= 1")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       "dampingPpm must be in [0, 1e6]")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))

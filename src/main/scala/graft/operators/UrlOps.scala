@@ -76,6 +76,24 @@ object UrlOps {
       .groupBy(col("canonical"))
       .agg(min(col("id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Host-level link graph from (page URL, outlink-array) rows — the
+    * edge extractor that feeds [[GraphRank.pageRank]] for domain-quality
+    * weighting (the Common-Crawl-style curation signal: rank hosts by
+    * centrality before sampling a training mix). Contract: one vote per
+    * DISTINCT (src_host, dst_host) pair (a site linking another from
+    * 10⁴ pages votes once), self-links dropped, unparseable/hostless
+    * ends fail closed (consistent with [[urlDedup]]/[[perHostCap]]).
+    * Map-only explode + one distinct — the 100 TB shape. */
+  def hostGraph(df: DataFrame, urlCol: String,
+      outlinksCol: String): DataFrame =
+    df.select(canonicalHost(col(urlCol)).as("src_host"),
+        explode(col(outlinksCol)).as("__out"))
+      .select(col("src_host"), canonicalHost(col("__out")).as("dst_host"))
+      .where(col("src_host").isNotNull && col("src_host") =!= "" &&
+        col("dst_host").isNotNull && col("dst_host") =!= "" &&
+        col("src_host") =!= col("dst_host"))
+      .distinct()
+
   /** Per-host crawl cap: keep at most `n` rows per canonical host, the
     * deterministic md5-order pick (the Dolma/C4-style per-domain quota
     * that stops one sprawling site from dominating a mix). Hostless

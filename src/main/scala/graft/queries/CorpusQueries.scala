@@ -811,6 +811,28 @@ object CorpusQueries {
       graft.operators.UrlOps.perHostCap(urlFixture(s), "url", "id", n = 2)
     },
 
+    // Crawl-governance composition: hostGraph (canonical-host edges,
+    // one vote per distinct pair, self-links/hostless dropped) feeding
+    // string-keyed integer-ppm PageRank — the domain-quality weight a
+    // training mix samples by. The fixture graph is isomorphic to
+    // GraphRankSpec's hand-computed walk (alpha->beta, alpha->gamma,
+    // beta->alpha; gamma dangling), so every rank is hand-pinned
+    "q320_host_pagerank" -> { (s, _) =>
+      import s.implicits._
+      val pages = Seq(
+        (1L, "https://www.alpha.com/a", Seq("https://beta.com/x",
+          "https://beta.com/y", "http://gamma.org/z")),
+        (2L, "https://alpha.com/b", Seq("https://beta.com/q",
+          "https://ALPHA.com/self")), // dup edge + self-link: both drop
+        (3L, "https://beta.com/home", Seq("https://www.alpha.com/")),
+        (4L, "::bad::", Seq("https://alpha.com/ignored")) // hostless src
+      ).toDF("page_id", "url", "outlinks")
+      graft.operators.GraphRank.pageRank(
+          graft.operators.UrlOps.hostGraph(pages, "url", "outlinks"),
+          "src_host", "dst_host", iters = 2)
+        .withColumnRenamed("id", "host")
+    },
+
     // Post-training data, SFT leg: per-conversation structural
     // validation over parsed message arrays (optional leading system,
     // strict user/assistant alternation, assistant-final, no empty
@@ -2310,6 +2332,15 @@ object CorpusQueries {
         |  (8, 'shop.io', 1),
         |  (4, 'news.site.org', 1)
         |) AS t(id, host, pos)""".stripMargin,
+
+    // hand-pinned from the GraphRankSpec walk (the host graph is
+    // isomorphic to its 3-node fixture): 2 exact-integer iterations
+    "q320_host_pagerank" ->
+      """SELECT * FROM (VALUES
+        |  ('alpha.com', CAST(1122777 AS BIGINT)),
+        |  ('beta.com', 938610),
+        |  ('gamma.org', 938610)
+        |) AS t(host, rank_ppm)""".stripMargin,
 
     // each conversation trips exactly one rule (conv 1 is clean;
     // conv 6's missing content field is NULL -> counts as empty)
