@@ -1359,6 +1359,74 @@ object CorpusOps {
           col("ok_stopwords"))
   }
 
+  /** T5/UL2-style span-corruption sample prep (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning", §3.1.4): turn each
+    * document into a (input_text, target_text) denoising pair — masked
+    * spans replaced by `<extra_id_k>` sentinels in the input, the
+    * target enumerating each sentinel followed by its masked tokens.
+    * Everything is DETERMINISTIC and engine-portable (the house
+    * discipline): span starts are positions whose
+    * [[portableHash60]](id:pos) lands under `densityPpm / meanSpan` of
+    * the ppm dial, span length is `1 + (h div 10⁶) mod (2·meanSpan−1)`
+    * (mean = meanSpan, so the expected masked fraction ≈ densityPpm),
+    * overlapping spans merge into runs. Same-seeded runs on any engine
+    * produce byte-identical pairs — which is what makes resumable /
+    * reproducible objective prep possible at 100 TB.
+    *
+    * Scale shape: one posexplode, one distinct on covered positions,
+    * one per-document window (bounded by document length — documents
+    * are the natural unit), one groupBy(id) roll-up. Docs with no
+    * tokens yield no row (posexplode of an empty array), consistent
+    * with [[unitDedup]]. The final sentinel T5 appends after the last
+    * span is omitted (documented contract — both engines agree
+    * trivially either way). */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+      densityPpm: Long, meanSpan: Int): DataFrame = {
+    require(densityPpm >= 0 && densityPpm <= 1000000L,
+      "densityPpm must be in [0, 1e6]")
+    require(meanSpan >= 1, "meanSpan must be >= 1")
+    val startPpm = densityPpm / meanSpan
+    val t = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val h = portableHash60(concat(col("id").cast("string"), lit(":"),
+      col("pos").cast("string")))
+    // covered positions of every selected span, merged by distinct —
+    // positions past the document end simply never join back
+    val covered = t.withColumn("__h", h)
+      .where(col("__h") % 1000000L < startPpm)
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + (expr("__h div 1000000") % (2 * meanSpan - 1))
+          .cast("int"))).as("pos"))
+      .distinct()
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val marked = t
+      .join(covered.withColumn("__c", lit(true)), Seq("id", "pos"), "left")
+      .select(col("id"), col("pos"), col("tok"),
+        coalesce(col("__c"), lit(false)).as("m"))
+      .withColumn("run_start",
+        col("m") && !lag(col("m"), 1, false).over(w))
+      .withColumn("run_idx",
+        (sum(when(col("run_start"), 1L).otherwise(0L)).over(w) - 1)
+          .cast("int"))
+    val sentinel =
+      concat(lit("<extra_id_"), col("run_idx").cast("string"), lit(">"))
+    val inputPiece = when(!col("m"), col("tok"))
+      .when(col("run_start"), sentinel)
+    val targetPiece =
+      when(col("run_start"), concat(sentinel, lit(" "), col("tok")))
+        .when(col("m"), col("tok"))
+    def joined(piece: Column): Column = concat_ws(" ",
+      transform(
+        filter(array_sort(collect_list(struct(col("pos"), piece.as("p")))),
+          x => x.getField("p").isNotNull),
+        x => x.getField("p")))
+    marked.groupBy(col("id"))
+      .agg(joined(inputPiece).as("input_text"),
+        joined(targetPiece).as("target_text"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"))
+  }
+
   /** Sequence-length capacity planning: for each candidate `seqLen`,
     * the exact-integer bounds every packing strategy lives between —
     * `naive_sequences` = Σ ⌈n_i/L⌉ (each document alone in its

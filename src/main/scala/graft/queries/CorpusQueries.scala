@@ -501,6 +501,16 @@ object CorpusQueries {
       CorpusOps.sentenceUnits(d, "doc_id", "text")
     },
 
+    // T5-style span corruption over the REAL corpus: deterministic
+    // hash-driven span starts/lengths (density 15%, mean span 3),
+    // merged runs, <extra_id_k> sentinels; the DuckDB twin replays the
+    // identical md5-prefix dice, so every (input, target) pair is
+    // byte-compared at 500 docs
+    "q321_span_corruption" -> { (s, dir) =>
+      CorpusOps.spanCorruption(docs(s, dir), "doc_id", "text",
+        densityPpm = 150000L, meanSpan = 3)
+    },
+
     // C4-style unit dedup over SENTENCE units (the boundary-aware
     // upgrade of q157's fixed blocks): the shared boilerplate sentence
     // is deleted from every doc carrying it, original content survives
@@ -1737,6 +1747,54 @@ object CorpusQueries {
         |  CAST(len(string_split_regex(arr[i], '\s+')) AS BIGINT)
         |    AS n_words
         |FROM e""".stripMargin,
+
+    // the identical md5-prefix dice replayed: start iff
+    // h(id:pos) % 1e6 < 150000/3, len = 1 + (h//1e6) % 5; string_agg
+    // skips the NULL pieces exactly as the Spark filter does
+    "q321_span_corruption" ->
+      s"""WITH tt AS (
+         |  SELECT doc_id, $sqlToks AS tk FROM documents
+         |), t1 AS (
+         |  SELECT doc_id, unnest(generate_series(1, len(tk))) AS i, tk
+         |  FROM tt
+         |), tok AS (
+         |  SELECT doc_id, i - 1 AS pos, tk[i] AS tok,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+         |      || CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+         |  FROM t1
+         |), starts AS (
+         |  SELECT doc_id, pos AS s, (hv // 1000000) % 5 AS ext
+         |  FROM tok WHERE hv % 1000000 < 50000
+         |), covered AS (
+         |  SELECT DISTINCT doc_id, s + u AS pos
+         |  FROM starts, unnest(generate_series(0, ext)) AS g(u)
+         |), m0 AS (
+         |  SELECT tok.doc_id, tok.pos, tok.tok,
+         |    covered.pos IS NOT NULL AS m
+         |  FROM tok LEFT JOIN covered
+         |    ON tok.doc_id = covered.doc_id AND tok.pos = covered.pos
+         |), m1 AS (
+         |  SELECT *, m AND NOT coalesce(
+         |    lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false)
+         |    AS run_start
+         |  FROM m0
+         |), m2 AS (
+         |  SELECT *, CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INTEGER)
+         |    AS run_idx
+         |  FROM m1
+         |)
+         |SELECT doc_id AS id,
+         |  COALESCE(string_agg(CASE WHEN NOT m THEN tok
+         |    WHEN run_start THEN '<extra_id_' || run_idx || '>' END,
+         |    ' ' ORDER BY pos), '') AS input_text,
+         |  COALESCE(string_agg(CASE WHEN run_start
+         |      THEN '<extra_id_' || run_idx || '> ' || tok
+         |    WHEN m THEN tok END, ' ' ORDER BY pos), '') AS target_text,
+         |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |  CAST(SUM(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_spans
+         |FROM m2 GROUP BY doc_id""".stripMargin,
 
     // hand-pinned: 'Subscribe to our newsletter.' occurs twice corpus-
     // wide (> maxOcc 1) and is deleted from both carriers

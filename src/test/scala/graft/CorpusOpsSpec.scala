@@ -716,4 +716,55 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, 1L, "Different content. Unique ending?"),
       (3L, 0L, "Totally original thoughts. Nothing shared!")))
   }
+
+  test("spanCorruption: reconstruction property — splicing each target " +
+      "span back over its input sentinel reproduces the original token " +
+      "stream; density 0 masks nothing; deterministic across runs") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (3L, "one two three"),
+      (4L, (1 to 200).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.spanCorruption(d, "doc_id", "text",
+        densityPpm = 300000L, meanSpan = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val orig = d.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.split("\\s+").toSeq).toMap
+    out.foreach { case (id, input, target, nMasked, nSpans) =>
+      // parse target into span lists keyed by sentinel index
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) {
+          cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt
+          spans(cur) = Vector.empty
+        } else spans(cur) = spans(cur) :+ t
+      }
+      assert(spans.size.toLong == nSpans)
+      assert(spans.values.map(_.size).sum.toLong == nMasked)
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Vector(t)
+      }.toSeq
+      assert(rebuilt == orig(id), s"doc $id failed reconstruction")
+      if (id == 4L) assert(nSpans > 1L && nMasked > nSpans)
+    }
+    // density 0: nothing masked, input == whitespace-normalized text
+    val none = CorpusOps.spanCorruption(d, "doc_id", "text", 0L, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    none.foreach { case (id, input, target, n) =>
+      assert(n == 0L && target == "" &&
+        input.split(" ").toSeq == orig(id))
+    }
+    // determinism
+    val again = CorpusOps.spanCorruption(d, "doc_id", "text",
+        densityPpm = 300000L, meanSpan = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+  }
 }
