@@ -73,4 +73,49 @@ object GraphRank {
     }
     rank
   }
+
+  /** HITS hubs/authorities (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") — the complementary centrality pair for
+    * bipartite-ish curation graphs (portal sites vs content sites;
+    * customers vs suppliers): `iters` rounds of
+    *   auth(v) = Σ_{u→v} hub(u),   hub(u) = Σ_{u→v} auth(v),
+    * each side max-normalized to the ppm scale per round
+    * (`x·10⁶ div max` — the integer form of HITS' norm step, exact and
+    * deterministic; ordering is what HITS is used for, and floor
+    * division never reorders). Same iteration scaffold as [[pageRank]]:
+    * edge-keyed shuffles, 1-row broadcast max frames, checkpointed
+    * rounds. Assumes a non-empty edge set (an empty graph has no max to
+    * normalize by). Output: (id, hub_ppm, auth_ppm). */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "hits needs iters >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val aRaw = e.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("h")).as("__raw"))
+      val aMax = aRaw.agg(max(col("__raw")).as("__max"))
+      auth = nodes.join(aRaw, Seq("id"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("id"),
+          expr("coalesce(__raw, 0L) * 1000000 div __max").as("a"))
+        .localCheckpoint(true)
+      val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum(col("a")).as("__raw"))
+      val hMax = hRaw.agg(max(col("__raw")).as("__max"))
+      hub = nodes.join(hRaw, Seq("id"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("id"),
+          expr("coalesce(__raw, 0L) * 1000000 div __max").as("h"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))
+  }
 }

@@ -564,6 +564,19 @@ object DataQueries {
         k = 3, lambdaPpm = 700000L)
     },
 
+    // HITS hubs/authorities over the same real bipartite graph:
+    // customers are pure hubs, suppliers pure authorities — one round,
+    // integer max-normalization, the complementary centrality to q319
+    "q322_hits" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("src"),
+          (col("l_suppkey").cast("long") + 1000000L).as("dst"))
+        .distinct()
+      graft.operators.GraphRank.hits(e, "src", "dst", iters = 1)
+    },
+
     // 32-bit SimHash fingerprints
     "q28_simhash" -> { (s, dir) =>
       Dedup.simhashDocs(docs(s, dir), "doc_id", "text")
@@ -1620,6 +1633,35 @@ object DataQueries {
         |)
         |SELECT CAST(id AS BIGINT) AS id, CAST(r AS BIGINT) AS rank_ppm
         |FROM r2""".stripMargin,
+
+    // one HITS round unrolled: auth then hub, each max-normalized with
+    // floor division (SUM promotes to HUGEINT; final CASTs pin BIGINT)
+    "q322_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), nodes AS (
+        |  SELECT src AS id FROM e UNION SELECT dst FROM e
+        |), h0 AS (
+        |  SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes
+        |), ar AS (
+        |  SELECT e.dst AS id, SUM(h0.h) AS raw
+        |  FROM e JOIN h0 ON e.src = h0.id GROUP BY e.dst
+        |), a1 AS (
+        |  SELECT nodes.id,
+        |    COALESCE(ar.raw, 0) * 1000000 // (SELECT MAX(raw) FROM ar) AS a
+        |  FROM nodes LEFT JOIN ar ON nodes.id = ar.id
+        |), hr AS (
+        |  SELECT e.src AS id, SUM(a1.a) AS raw
+        |  FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src
+        |), h1 AS (
+        |  SELECT nodes.id,
+        |    COALESCE(hr.raw, 0) * 1000000 // (SELECT MAX(raw) FROM hr) AS h
+        |  FROM nodes LEFT JOIN hr ON nodes.id = hr.id
+        |)
+        |SELECT CAST(h1.id AS BIGINT) AS id, CAST(h1.h AS BIGINT) AS hub_ppm,
+        |  CAST(a1.a AS BIGINT) AS auth_ppm
+        |FROM h1 JOIN a1 ON h1.id = a1.id""".stripMargin,
 
     "q28_simhash" ->
       s"""WITH tok AS (

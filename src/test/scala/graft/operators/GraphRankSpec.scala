@@ -50,6 +50,23 @@ class GraphRankSpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("hits: hand-computed 2 rounds on 1->2, 1->3, 2->3 — node 1 the " +
+      "pure hub, node 3 the pure authority, max-normalization exact") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    // round 1: a_raw = {2: 1e6, 3: 2e6} -> a = {2: 500000, 3: 1e6, 1: 0}
+    //          h_raw = {1: 1.5e6, 2: 1e6} -> h = {1: 1e6, 2: 666666, 3: 0}
+    // round 2: a_raw = {2: 1e6, 3: 1666666} -> a = {2: 600000, 3: 1e6}
+    //          h_raw = {1: 1600000, 2: 1e6} -> h = {1: 1e6, 2: 625000}
+    val got = GraphRank.hits(e, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1000000L, 0L)),
+      2L -> ((625000L, 600000L)),
+      3L -> ((0L, 1000000L))))
+  }
+
   test("a sink-heavy graph keeps total mass bounded: floor division " +
       "leaks at most iters * (n + edges) ppm of the initial mass") {
     import spark.implicits._
