@@ -1427,6 +1427,57 @@ object CorpusOps {
         sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"))
   }
 
+  /** Fill-in-the-middle objective prep (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the code-corpus sibling of [[spanCorruption]]: a deterministic
+    * per-document dice picks `fimRatePpm` of documents, splits each
+    * into (prefix, middle, suffix) at two hash-chosen token boundaries,
+    * and reorders with sentinels — PSM
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M`, or SPM
+    * `<fim_suffix> S <fim_prefix> P <fim_middle> M` for `spmRatePpm`
+    * of the transformed docs (the paper's joint PSM+SPM training).
+    * Untransformed docs pass through whitespace-normalized
+    * (`mode = 'plain'`).
+    *
+    * Entirely MAP-ONLY (tokens, two md5-prefix dice, three slices — no
+    * shuffle at all: the ideal 100 TB transform), and deterministic on
+    * any engine: boundaries are `a = h(id:a) mod (n+1)`,
+    * `b = a + h(id:b) mod (n−a+1)`, so a re-run or a different engine
+    * reproduces every sample byte-for-byte. Empty segments drop from
+    * the joined output (both engines filter `''` before joining).
+    * Output: (id, mode, text_out, n_prefix, n_middle, n_suffix). */
+  def fimTransform(docs: DataFrame, idCol: String, textCol: String,
+      fimRatePpm: Long, spmRatePpm: Long): DataFrame = {
+    require(fimRatePpm >= 0 && fimRatePpm <= 1000000L &&
+      spmRatePpm >= 0 && spmRatePpm <= 1000000L,
+      "rates must be in [0, 1e6] ppm")
+    val toks = tokens(col(textCol))
+    val n = size(toks).cast("long")
+    def dice(tag: String): Column = portableHash60(
+      concat(col(idCol).cast("string"), lit(":" + tag)))
+    val isFim = dice("fim") % 1000000L < fimRatePpm
+    val isSpm = dice("spm") % 1000000L < spmRatePpm
+    val a = (dice("a") % (n + 1L)).cast("int")
+    val b = (a + (dice("b") % (n - a + 1L)).cast("int"))
+    val prefix = array_join(slice(toks, lit(1), a), " ")
+    val middle = array_join(slice(toks, a + 1, (b - a)), " ")
+    val suffix = array_join(slice(toks, b + 1, (n.cast("int") - b)), " ")
+    def joinNonEmpty(parts: Column*): Column = concat_ws(" ",
+      filter(array(parts: _*), x => x =!= ""))
+    docs.select(col(idCol).as("id"),
+      when(!isFim, lit("plain"))
+        .when(isSpm, lit("spm")).otherwise(lit("psm")).as("mode"),
+      when(!isFim, array_join(toks, " "))
+        .when(isSpm, joinNonEmpty(lit("<fim_suffix>"), suffix,
+          lit("<fim_prefix>"), prefix, lit("<fim_middle>"), middle))
+        .otherwise(joinNonEmpty(lit("<fim_prefix>"), prefix,
+          lit("<fim_suffix>"), suffix, lit("<fim_middle>"), middle))
+        .as("text_out"),
+      when(isFim, a.cast("long")).otherwise(lit(0L)).as("n_prefix"),
+      when(isFim, (b - a).cast("long")).otherwise(lit(0L)).as("n_middle"),
+      when(isFim, (n - b)).otherwise(lit(0L)).as("n_suffix"))
+  }
+
   /** Sequence-length capacity planning: for each candidate `seqLen`,
     * the exact-integer bounds every packing strategy lives between —
     * `naive_sequences` = Σ ⌈n_i/L⌉ (each document alone in its

@@ -511,6 +511,15 @@ object CorpusQueries {
         densityPpm = 150000L, meanSpan = 3)
     },
 
+    // FIM objective prep over the REAL corpus: doc-level md5 dice pick
+    // 50% of docs, hash-chosen (prefix, middle, suffix) boundaries,
+    // PSM/SPM reorder with sentinels (50/50 among transformed) — all
+    // map-only; the twin replays the identical dice and slices
+    "q323_fim_transform" -> { (s, dir) =>
+      CorpusOps.fimTransform(docs(s, dir), "doc_id", "text",
+        fimRatePpm = 500000L, spmRatePpm = 500000L)
+    },
+
     // C4-style unit dedup over SENTENCE units (the boundary-aware
     // upgrade of q157's fixed blocks): the shared boilerplate sentence
     // is deleted from every doc carrying it, original content survives
@@ -1747,6 +1756,48 @@ object CorpusQueries {
         |  CAST(len(string_split_regex(arr[i], '\s+')) AS BIGINT)
         |    AS n_words
         |FROM e""".stripMargin,
+
+    // the identical doc-level dice and token slices replayed: a =
+    // h(id:a) % (n+1), b = a + h(id:b) % (n-a+1); empty segments drop
+    // before joining exactly as the Spark filter does
+    "q323_fim_transform" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, tk, len(tk) AS n,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 15)) AS BIGINT) % 1000000 < 500000 AS is_fim,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':spm'), 1, 15)) AS BIGINT) % 1000000 < 500000 AS is_spm,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 15)) AS BIGINT) AS ha,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 15)) AS BIGINT) AS hb
+        |  FROM d
+        |), s AS (
+        |  SELECT doc_id, tk, n, is_fim, is_spm,
+        |    ha % (n + 1) AS a,
+        |    ha % (n + 1) + hb % (n - ha % (n + 1) + 1) AS b
+        |  FROM h
+        |), p AS (
+        |  SELECT doc_id, is_fim, is_spm, a, b, n,
+        |    array_to_string(tk[1:a], ' ') AS pre,
+        |    array_to_string(tk[a+1:b], ' ') AS mid,
+        |    array_to_string(tk[b+1:n], ' ') AS suf,
+        |    array_to_string(tk, ' ') AS plain
+        |  FROM s
+        |)
+        |SELECT doc_id AS id,
+        |  CASE WHEN NOT is_fim THEN 'plain'
+        |       WHEN is_spm THEN 'spm' ELSE 'psm' END AS mode,
+        |  CASE WHEN NOT is_fim THEN plain
+        |       WHEN is_spm THEN array_to_string(list_filter(
+        |         ['<fim_suffix>', suf, '<fim_prefix>', pre,
+        |          '<fim_middle>', mid], x -> x <> ''), ' ')
+        |       ELSE array_to_string(list_filter(
+        |         ['<fim_prefix>', pre, '<fim_suffix>', suf,
+        |          '<fim_middle>', mid], x -> x <> ''), ' ') END AS text_out,
+        |  CAST(CASE WHEN is_fim THEN a ELSE 0 END AS BIGINT) AS n_prefix,
+        |  CAST(CASE WHEN is_fim THEN b - a ELSE 0 END AS BIGINT) AS n_middle,
+        |  CAST(CASE WHEN is_fim THEN n - b ELSE 0 END AS BIGINT) AS n_suffix
+        |FROM p""".stripMargin,
 
     // the identical md5-prefix dice replayed: start iff
     // h(id:pos) % 1e6 < 150000/3, len = 1 + (h//1e6) % 5; string_agg

@@ -767,4 +767,42 @@ class CorpusOpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4))).sortBy(_._1)
     assert(again.toSeq == out.toSeq)
   }
+
+  test("fimTransform: reconstruction property - prefix+middle+suffix " +
+      "reassembles the original token stream for both PSM and SPM; " +
+      "plain rows pass through; rate 0 transforms nothing") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val out = CorpusOps.fimTransform(d, "doc_id", "text", 500000L, 500000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val orig = d.collect().map(r => r.getLong(0) ->
+      r.getString(1).trim.split("\\s+").toSeq).toMap
+    val modes = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(modes.keySet == Set("plain", "psm", "spm"))
+    assert(modes("plain") > 100 && modes("psm") > 50 && modes("spm") > 50)
+    out.foreach { case (id, mode, text, np, nm, ns) =>
+      val o = orig(id)
+      if (mode == "plain") {
+        assert(text.split(" ").toSeq == o && np == 0 && nm == 0 && ns == 0)
+      } else {
+        assert(np + nm + ns == o.length.toLong)
+        // parse sections back out by sentinel
+        def section(name: String): Seq[String] = {
+          val parts = text.split(" ").toSeq
+          val i = parts.indexOf(s"<fim_$name>")
+          assert(i >= 0, s"doc $id missing <fim_$name>")
+          parts.drop(i + 1).takeWhile(!_.startsWith("<fim_"))
+        }
+        val rebuilt = section("prefix") ++ section("middle") ++
+          section("suffix")
+        assert(rebuilt == o, s"doc $id failed FIM reconstruction")
+        assert(section("prefix").length.toLong == np)
+        assert(section("middle").length.toLong == nm)
+      }
+    }
+    // rate 0: everything plain
+    assert(CorpusOps.fimTransform(d, "doc_id", "text", 0L, 500000L)
+      .where(col("mode") =!= "plain").count() == 0)
+  }
 }
