@@ -1427,6 +1427,42 @@ object CorpusOps {
         sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"))
   }
 
+  /** Content-addressed corpus manifest — the dataset-versioning
+    * artifact a reproducibility audit asks for: per shard, the doc
+    * count, character volume, and an ORDER-INVARIANT digest (md5 over
+    * the per-document digests sorted lexicographically, so shuffles,
+    * repartitions, and insertion order never change it — only content
+    * does). [[corpusRootDigest]] folds the shard digests the same way
+    * into ONE corpus fingerprint: two corpora are content-identical iff
+    * the roots match, and a drifted shard is found by diffing shard
+    * rows. Per-doc digest covers id AND text, so id remaps surface too.
+    *
+    * Scale contract: one shard-keyed shuffle; the sorted-concat inside
+    * a shard is bounded by the SHARD size (the caller's partition unit
+    * — size shards as you size files; the digest list is 32 bytes/doc).
+    * NULL text digests under a reserved sentinel distinct from any real
+    * text. */
+  def corpusManifest(docs: DataFrame, idCol: String, textCol: String,
+      shardCol: String): DataFrame = {
+    val dg = md5(concat(col(idCol).cast("string"), lit(":"),
+      coalesce(col(textCol), lit("\u0000"))).cast("binary"))
+    docs.select(col(shardCol).as("shard"), dg.as("__d"),
+        coalesce(length(col(textCol)), lit(0)).cast("long").as("__len"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__len")).as("sum_chars"),
+        md5(concat_ws("", array_sort(collect_list(col("__d"))))
+          .cast("binary")).as("shard_digest"))
+  }
+
+  /** One-row corpus fingerprint over a [[corpusManifest]]: shard
+    * digests fold order-invariantly into the root. */
+  def corpusRootDigest(manifest: DataFrame): DataFrame =
+    manifest.agg(count(lit(1)).as("n_shards"),
+      sum(col("n_docs")).as("n_docs"),
+      md5(concat_ws("", array_sort(collect_list(col("shard_digest"))))
+        .cast("binary")).as("root_digest"))
+
   /** Fill-in-the-middle objective prep (Bavarian et al. 2022,
     * "Efficient Training of Language Models to Fill in the Middle") —
     * the code-corpus sibling of [[spanCorruption]]: a deterministic

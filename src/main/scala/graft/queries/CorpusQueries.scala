@@ -520,6 +520,23 @@ object CorpusQueries {
         fimRatePpm = 500000L, spmRatePpm = 500000L)
     },
 
+    // Content-addressed corpus manifest over the REAL corpus (4 synthetic
+    // shards by doc_id mod): order-invariant per-shard digests (md5 over
+    // sorted per-doc digests), the dataset-versioning artifact — both
+    // engines derive the identical hex
+    "q324_corpus_manifest" -> { (s, dir) =>
+      CorpusOps.corpusManifest(
+        docs(s, dir).withColumn("shard", pmod(col("doc_id"), lit(4))),
+        "doc_id", "text", "shard")
+    },
+
+    // ... and the one-row corpus root fingerprint over that manifest
+    "q325_corpus_root_digest" -> { (s, dir) =>
+      CorpusOps.corpusRootDigest(CorpusOps.corpusManifest(
+        docs(s, dir).withColumn("shard", pmod(col("doc_id"), lit(4))),
+        "doc_id", "text", "shard"))
+    },
+
     // C4-style unit dedup over SENTENCE units (the boundary-aware
     // upgrade of q157's fixed blocks): the shared boilerplate sentence
     // is deleted from every doc carrying it, original content survives
@@ -1756,6 +1773,36 @@ object CorpusQueries {
         |  CAST(len(string_split_regex(arr[i], '\s+')) AS BIGINT)
         |    AS n_words
         |FROM e""".stripMargin,
+
+    // the same order-invariant fold: per-doc md5(id:text), shard digest
+    // = md5 of the digests concatenated in lexicographic order
+    "q324_corpus_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS dg,
+        |    len(text) AS l
+        |  FROM documents
+        |)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(l) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(dg, '' ORDER BY dg)) AS shard_digest
+        |FROM d GROUP BY shard""".stripMargin,
+
+    "q325_corpus_root_digest" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS shard,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS dg
+        |  FROM documents
+        |), m AS (
+        |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    md5(string_agg(dg, '' ORDER BY dg)) AS shard_digest
+        |  FROM d GROUP BY shard
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  md5(string_agg(shard_digest, '' ORDER BY shard_digest))
+        |    AS root_digest
+        |FROM m""".stripMargin,
 
     // the identical doc-level dice and token slices replayed: a =
     // h(id:a) % (n+1), b = a + h(id:b) % (n-a+1); empty segments drop

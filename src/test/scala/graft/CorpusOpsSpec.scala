@@ -805,4 +805,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.fimTransform(d, "doc_id", "text", 0L, 500000L)
       .where(col("mode") =!= "plain").count() == 0)
   }
+
+  test("corpusManifest/rootDigest: order-invariant (repartition and " +
+      "row order never change digests), content-sensitive (one changed " +
+      "char changes the shard digest and the root), NULL text digests " +
+      "under the reserved sentinel") {
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+      .withColumn("shard", pmod(col("doc_id"), lit(4)))
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.corpusManifest(df, "doc_id", "text", "shard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    val base = manifest(d)
+    assert(base.length == 4)
+    assert(manifest(d.repartition(17, col("text"))) == base)
+    assert(manifest(d.orderBy(col("text").desc)) == base)
+    // flip one character in one doc: exactly that shard's digest moves
+    val tweaked = d.withColumn("text",
+      when(col("doc_id") === 5, concat(col("text"), lit("X")))
+        .otherwise(col("text")))
+    val tw = manifest(tweaked)
+    assert(tw.zip(base).count { case (a, b) => a != b } == 1)
+    assert(tw(1) != base(1) && tw(1)._2 == base(1)._2) // shard 1, same n
+    def root(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.corpusRootDigest(CorpusOps.corpusManifest(df, "doc_id",
+        "text", "shard")).collect().head.getString(2)
+    assert(root(d) != root(tweaked))
+    assert(root(d) == root(d.repartition(5)))
+    // NULL text neither crashes nor collides with empty text
+    import spark.implicits._
+    val withNull = Seq((1L, Option.empty[String], 0L),
+      (2L, Some(""), 0L)).toDF("doc_id", "text", "shard")
+    val m = CorpusOps.corpusManifest(withNull, "doc_id", "text", "shard")
+      .collect().head
+    assert(m.getLong(1) == 2L && m.getLong(2) == 0L)
+  }
 }
