@@ -1373,13 +1373,15 @@ object CorpusOps {
     * produce byte-identical pairs — which is what makes resumable /
     * reproducible objective prep possible at 100 TB.
     *
-    * Scale shape: one posexplode, one distinct on covered positions,
-    * one per-document window (bounded by document length — documents
-    * are the natural unit), one groupBy(id) roll-up. Docs with no
-    * tokens yield no row (posexplode of an empty array), consistent
-    * with [[unitDedup]]. The final sentinel T5 appends after the last
-    * span is omitted (documented contract — both engines agree
-    * trivially either way). */
+    * Scale shape: the big (token) side shuffles ONCE, keyed by id —
+    * covered positions aggregate into a per-document `collect_set`
+    * (map-side partial, dedup for free, bounded by document length —
+    * documents are the natural unit, the same bound the window needs
+    * anyway), the id-keyed join / window / final roll-up all share that
+    * one hash partitioning. Docs with no tokens yield no row
+    * (posexplode of an empty array), consistent with [[unitDedup]]. The
+    * final sentinel T5 appends after the last span is omitted
+    * (documented contract — both engines agree trivially either way). */
   def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
       densityPpm: Long, meanSpan: Int): DataFrame = {
     require(densityPpm >= 0 && densityPpm <= 1000000L,
@@ -1390,19 +1392,23 @@ object CorpusOps {
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
     val h = portableHash60(concat(col("id").cast("string"), lit(":"),
       col("pos").cast("string")))
-    // covered positions of every selected span, merged by distinct —
-    // positions past the document end simply never join back
+    // covered positions of every selected span, folded into ONE
+    // doc-length-bounded set per document (collect_set dedups overlap
+    // merges map-side) — positions past the document end simply never
+    // match a real token
     val covered = t.withColumn("__h", h)
       .where(col("__h") % 1000000L < startPpm)
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + (expr("__h div 1000000") % (2 * meanSpan - 1))
           .cast("int"))).as("pos"))
-      .distinct()
+      .groupBy(col("id"))
+      .agg(collect_set(col("pos")).as("__cov"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val marked = t
-      .join(covered.withColumn("__c", lit(true)), Seq("id", "pos"), "left")
+      .join(covered, Seq("id"), "left")
       .select(col("id"), col("pos"), col("tok"),
-        coalesce(col("__c"), lit(false)).as("m"))
+        coalesce(array_contains(col("__cov"), col("pos")), lit(false))
+          .as("m"))
       .withColumn("run_start",
         col("m") && !lag(col("m"), 1, false).over(w))
       .withColumn("run_idx",
