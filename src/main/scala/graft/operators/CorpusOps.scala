@@ -1433,6 +1433,76 @@ object CorpusOps {
         sum(when(col("run_start"), 1L).otherwise(0L)).as("n_spans"))
   }
 
+  /** Data-constrained epoch allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models"): given per-source
+    * token counts, target mix weights, a total token budget, and a
+    * repetition cap (max epochs any source may be repeated), compute
+    * the per-source allocation by exact-integer water-filling — sources
+    * whose weighted share exceeds `maxEpochsPpm × n_tokens` are CAPPED
+    * there and the excess budget redistributes proportionally over the
+    * uncapped sources, repeating until stable (≤ one round per source,
+    * and the loop runs on the DRIVER over the collected source table —
+    * a bounded artifact: sources are the mixture dimension, dozens, the
+    * same justification as the k-centroid reads; the CORPUS never moves
+    * here). All floor division; same inputs → same allocation anywhere.
+    *
+    * Output: (source, n_tokens, weight_ppm, alloc_tokens, epochs_ppm,
+    * capped) — `epochs_ppm = alloc·10⁶ div n_tokens`, the dial a
+    * training run reads to know how many times each source repeats. */
+  def epochAllocation(sources: DataFrame, sourceCol: String,
+      nTokensCol: String, weightPpmCol: String, targetTokens: Long,
+      maxEpochsPpm: Long): DataFrame = {
+    require(targetTokens >= 0 && maxEpochsPpm > 0)
+    val spark = sources.sparkSession
+    // bounded collect: one row per mixture source
+    val rows = sources.select(col(sourceCol).cast("string"),
+        col(nTokensCol).cast("long"), col(weightPpmCol).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    case class S(src: String, n: Long, w: Long, alloc: Long,
+      capped: Boolean)
+    var st = rows.map { case (s, n, w) =>
+      S(s, n, w, 0L, capped = false) }.toSeq
+    var budget = targetTokens
+    var changed = true
+    while (changed && budget > 0 && st.exists(!_.capped)) {
+      changed = false
+      val wSum = st.filter(!_.capped).map(_.w).sum
+      if (wSum <= 0) {
+        // no weight left to absorb the budget: stop (under-allocation
+        // is reported, never silently stretched)
+        budget = 0
+      } else {
+        val next = st.map { s =>
+          if (s.capped) s
+          else {
+            val share = s.alloc + budget * s.w / wSum
+            val cap = maxEpochsPpm * s.n / 1000000L
+            if (share >= cap) { changed = true; s.copy(alloc = cap, capped = true) }
+            else s.copy(alloc = share)
+          }
+        }
+        val spent = next.map(_.alloc).sum - st.map(_.alloc).sum
+        // un-capped allocations are provisional: they re-derive next
+        // round from the remaining budget, so roll them back unless the
+        // loop is ending
+        if (changed) {
+          st = next.map(s => if (s.capped) s else s.copy(alloc = 0L))
+          budget = targetTokens - st.filter(_.capped).map(_.alloc).sum
+        } else {
+          st = next
+          budget -= spent
+        }
+      }
+    }
+    import spark.implicits._
+    st.map { s =>
+      val epochs = if (s.n <= 0) 0L else s.alloc * 1000000L / s.n
+      (s.src, s.n, s.w, s.alloc, epochs, s.capped)
+    }.toDF("source", "n_tokens", "weight_ppm", "alloc_tokens",
+      "epochs_ppm", "capped")
+  }
+
   /** Content-addressed corpus manifest — the dataset-versioning
     * artifact a reproducibility audit asks for: per shard, the doc
     * count, character volume, and an ORDER-INVARIANT digest (md5 over

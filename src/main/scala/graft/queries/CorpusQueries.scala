@@ -520,6 +520,21 @@ object CorpusQueries {
         fimRatePpm = 500000L, spmRatePpm = 500000L)
     },
 
+    // Data-constrained epoch allocation (Muennighoff-style water-fill):
+    // 1M-token budget over four sources at a 2-epoch repetition cap —
+    // books and code cap, the excess redistributes over web/wiki
+    // proportionally; every number is the hand-computed exact-integer
+    // walk (also pinned in CorpusOpsSpec)
+    "q326_epoch_allocation" -> { (s, _) =>
+      import s.implicits._
+      val src = Seq(
+        ("web", 600000L, 500000L), ("books", 100000L, 300000L),
+        ("code", 50000L, 150000L), ("wiki", 200000L, 50000L)
+      ).toDF("source", "n_tokens", "weight_ppm")
+      CorpusOps.epochAllocation(src, "source", "n_tokens", "weight_ppm",
+        targetTokens = 1000000L, maxEpochsPpm = 2000000L)
+    },
+
     // Content-addressed corpus manifest over the REAL corpus (4 synthetic
     // shards by doc_id mod): order-invariant per-shard digests (md5 over
     // sorted per-doc digests), the dataset-versioning artifact — both
@@ -1773,6 +1788,19 @@ object CorpusQueries {
         |  CAST(len(string_split_regex(arr[i], '\s+')) AS BIGINT)
         |    AS n_words
         |FROM e""".stripMargin,
+
+    // hand-computed water-fill: round 1 caps books (300000->200000) and
+    // code (150000->100000); round 2 splits the remaining 700000 over
+    // web:wiki = 500000:50000 -> 636363/63636 (floors)
+    "q326_epoch_allocation" ->
+      """SELECT * FROM (VALUES
+        |  ('web', CAST(600000 AS BIGINT), CAST(500000 AS BIGINT),
+        |   CAST(636363 AS BIGINT), CAST(1060605 AS BIGINT), false),
+        |  ('books', 100000, 300000, 200000, 2000000, true),
+        |  ('code', 50000, 150000, 100000, 2000000, true),
+        |  ('wiki', 200000, 50000, 63636, 318180, false)
+        |) AS t(source, n_tokens, weight_ppm, alloc_tokens, epochs_ppm,
+        |       capped)""".stripMargin,
 
     // the same order-invariant fold: per-doc md5(id:text), shard digest
     // = md5 of the digests concatenated in lexicographic order

@@ -840,4 +840,29 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().head
     assert(m.getLong(1) == 2L && m.getLong(2) == 0L)
   }
+
+  test("epochAllocation: hand-computed water-filling - two sources cap " +
+      "at 2 epochs, the excess redistributes proportionally over the " +
+      "uncapped pair; floors under-allocate by at most one token per " +
+      "source") {
+    val src = Seq(
+      ("web", 600000L, 500000L), ("books", 100000L, 300000L),
+      ("code", 50000L, 150000L), ("wiki", 200000L, 50000L)
+    ).toDF("source", "n_tokens", "weight_ppm")
+    val got = CorpusOps.epochAllocation(src, "source", "n_tokens",
+        "weight_ppm", targetTokens = 1000000L, maxEpochsPpm = 2000000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    assert(got("books") == ((200000L, 2000000L, true)))
+    assert(got("code") == ((100000L, 2000000L, true)))
+    assert(got("web") == ((636363L, 1060605L, false)))
+    assert(got("wiki") == ((63636L, 318180L, false)))
+    // everything capped: allocation stops at the repetition bound
+    val tiny = Seq(("a", 10L, 600000L), ("b", 10L, 400000L))
+      .toDF("source", "n_tokens", "weight_ppm")
+    val all = CorpusOps.epochAllocation(tiny, "source", "n_tokens",
+        "weight_ppm", 1000000L, 3000000L)
+      .collect().map(r => (r.getLong(3), r.getBoolean(5)))
+    assert(all.forall { case (alloc, capped) => alloc == 30L && capped })
+  }
 }
