@@ -42,10 +42,12 @@ object ChatData {
         coalesce(try_element_at(roles, lit(-1)) === "assistant", lit(false))
           .as("ok_ends_assistant"),
         // NULL content counts as empty (coalesce inner to true) and a
-        // NULL/empty messages array fails the rule (coalesce outer to
-        // false) — every rule column is a concrete boolean, so per-rule
-        // attrition counts stay exact
-        coalesce(!exists(msgs, m =>
+        // NULL/empty messages array fails the rule — exists() over an
+        // EMPTY array is false (not NULL), so the size guard is what
+        // actually fails the zero-message case; the outer coalesce
+        // catches the NULL-array case. Every rule column is a concrete
+        // boolean, so per-rule attrition counts stay exact
+        coalesce(size(msgs) > 0 && !exists(msgs, m =>
           coalesce(length(trim(m.getField("content"))) === 0, lit(true))),
           lit(false)).as("ok_no_empty"))
       .withColumn("is_valid",

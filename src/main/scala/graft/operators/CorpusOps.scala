@@ -1459,6 +1459,13 @@ object CorpusOps {
         col(nTokensCol).cast("long"), col(weightPpmCol).cast("long"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a negative weight would silently corrupt wSum and every share
+    // derived from it — fail descriptively instead
+    rows.find(_._3 < 0).foreach { r =>
+      throw new IllegalArgumentException(
+        s"epochAllocation: source '${r._1}' has negative weight_ppm" +
+          s" ${r._3}; weights must be >= 0")
+    }
     case class S(src: String, n: Long, w: Long, alloc: Long,
       capped: Boolean)
     var st = rows.map { case (s, n, w) =>
@@ -1476,8 +1483,17 @@ object CorpusOps {
         val next = st.map { s =>
           if (s.capped) s
           else {
-            val share = s.alloc + budget * s.w / wSum
-            val cap = maxEpochsPpm * s.n / 1000000L
+            // BigInt products: budget·w overflows Long once targetTokens
+            // exceeds ~9.2×10¹² with full ppm weights — multi-trillion-
+            // token budgets are squarely in this operator's domain, and
+            // the loop is a driver-side fold over dozens of rows, so the
+            // widening costs nothing. Shares are ≤ targetTokens by
+            // construction; the cap clamps at Long.MaxValue (an
+            // effectively-uncapped source, never a negative wrap).
+            val share = s.alloc +
+              (BigInt(budget) * s.w / wSum).toLong
+            val cap = (BigInt(maxEpochsPpm) * s.n / 1000000L)
+              .min(BigInt(Long.MaxValue)).toLong
             if (share >= cap) { changed = true; s.copy(alloc = cap, capped = true) }
             else s.copy(alloc = share)
           }
@@ -1497,7 +1513,8 @@ object CorpusOps {
     }
     import spark.implicits._
     st.map { s =>
-      val epochs = if (s.n <= 0) 0L else s.alloc * 1000000L / s.n
+      val epochs = if (s.n <= 0) 0L
+        else (BigInt(s.alloc) * 1000000L / s.n).toLong
       (s.src, s.n, s.w, s.alloc, epochs, s.capped)
     }.toDF("source", "n_tokens", "weight_ppm", "alloc_tokens",
       "epochs_ppm", "capped")
@@ -1516,12 +1533,19 @@ object CorpusOps {
     * Scale contract: one shard-keyed shuffle; the sorted-concat inside
     * a shard is bounded by the SHARD size (the caller's partition unit
     * — size shards as you size files; the digest list is 32 bytes/doc).
-    * NULL text digests under a reserved sentinel distinct from any real
-    * text. */
+    * The per-doc digest hashes id and text SEPARATELY before folding
+    * (md5(md5(id) || ':' || md5(text))): both inner digests are fixed
+    * 32-hex, so no (id, text) boundary ambiguity exists — a raw
+    * `id:text` concat would let ('a:b','c') collide with ('a','b:c'),
+    * exactly the drift this artifact exists to pin. NULL text folds the
+    * 4-char literal 'null', which no 32-hex md5 can equal, so a NULL
+    * never collides with any real text either. */
   def corpusManifest(docs: DataFrame, idCol: String, textCol: String,
       shardCol: String): DataFrame = {
-    val dg = md5(concat(col(idCol).cast("string"), lit(":"),
-      coalesce(col(textCol), lit("\u0000"))).cast("binary"))
+    val dg = md5(concat(
+      md5(col(idCol).cast("string").cast("binary")), lit(":"),
+      coalesce(md5(col(textCol).cast("binary")), lit("null")))
+      .cast("binary"))
     docs.select(col(shardCol).as("shard"), dg.as("__d"),
         coalesce(length(col(textCol)), lit(0)).cast("long").as("__len"))
       .groupBy(col("shard"))

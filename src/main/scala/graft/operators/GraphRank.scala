@@ -63,12 +63,24 @@ object GraphRank {
         .join(e, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("__share")).as("__in"))
+      // floor(damping·x/10⁶) via the exact split
+      //   a·(x div 10⁶) + (a·(x mod 10⁶)) div 10⁶
+      // (x = q·10⁶ + r ⟹ a·x/10⁶ = a·q + a·r/10⁶ with a·q integral):
+      // the naive a·x product wraps Long once ~10¹³ ppm of mass
+      // concentrates on one node (≈10⁷ full-weight in-neighbors — a
+      // routine mega-hub on a 10⁸-host crawl graph), which under ANSI
+      // is a job-killing ArithmeticException on exactly the run this
+      // operator exists for. Here a·q ≤ dampingPpm·(Σmass/10⁶) and
+      // a·r < 10¹², both safely inside Long for any graph whose total
+      // ppm mass itself fits a Long (the operator's standing bound).
       rank = nodes.join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dang))
+        .withColumn("__x", expr(s"coalesce(__in, 0L) + (__dang div $n)"))
         .select(col("id"),
           (lit(1000000L - dampingPpm) +
-            expr(s"$dampingPpm * (coalesce(__in, 0L) + (__dang div $n))" +
-              " div 1000000").cast("long")).as("rank_ppm"))
+            expr(s"(__x div 1000000) * $dampingPpm" +
+              s" + ($dampingPpm * (__x % 1000000)) div 1000000")
+              .cast("long")).as("rank_ppm"))
         .localCheckpoint(true)
     }
     rank
@@ -101,10 +113,17 @@ object GraphRank {
       val aRaw = e.join(hub.select(col("id").as("src"), col("h")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h")).as("__raw"))
       val aMax = aRaw.agg(max(col("__raw")).as("__max"))
+      // max-normalize exactly without the raw·10⁶ Long product (which
+      // wraps past 2⁶³ at in-degree ≈9.2×10⁶ — routine for a crawl-graph
+      // hub): widen THIS ONE step to DECIMAL(38,0). raw·10⁶ ≤ mass·10⁶
+      // ≈ 9.2×10²⁴ sits far inside decimal-38, `div` on decimals is
+      // Spark's IntegralDivide (floor, returns BIGINT) — the value is
+      // bit-identical to the all-Long form wherever that form survives.
       auth = nodes.join(aRaw, Seq("id"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("id"),
-          expr("coalesce(__raw, 0L) * 1000000 div __max").as("a"))
+          expr("cast(cast(coalesce(__raw, 0L) as decimal(38,0))" +
+            " * 1000000 div __max as long)").as("a"))
         .localCheckpoint(true)
       val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("__raw"))
@@ -112,7 +131,8 @@ object GraphRank {
       hub = nodes.join(hRaw, Seq("id"), "left")
         .crossJoin(broadcast(hMax))
         .select(col("id"),
-          expr("coalesce(__raw, 0L) * 1000000 div __max").as("h"))
+          expr("cast(cast(coalesce(__raw, 0L) as decimal(38,0))" +
+            " * 1000000 div __max as long)").as("h"))
         .localCheckpoint(true)
     }
     hub.join(auth, Seq("id"))

@@ -908,7 +908,12 @@ object CorpusQueries {
           """{"role":"assistant","content":"  "}]"""),
         // missing content field -> NULL after from_json: counts as empty
         (6L, """[{"role":"user","content":"hi"},""" +
-          """{"role":"assistant"}]""")
+          """{"role":"assistant"}]"""),
+        // empty conversation: exists() over [] is false (not NULL), so
+        // only the size(msgs) > 0 guard fails ok_no_empty here
+        (7L, """[]"""),
+        // malformed JSON -> NULL array: every rule coalesces to false
+        (8L, """not json""")
       ).toDF("conv_id", "raw")
         .select(col("conv_id"), from_json(col("raw"), schema)
           .as("messages"))
@@ -1802,12 +1807,14 @@ object CorpusQueries {
         |) AS t(source, n_tokens, weight_ppm, alloc_tokens, epochs_ppm,
         |       capped)""".stripMargin,
 
-    // the same order-invariant fold: per-doc md5(id:text), shard digest
-    // = md5 of the digests concatenated in lexicographic order
+    // the same order-invariant fold: per-doc md5(md5(id)||':'||md5(text))
+    // (fixed-width inner digests: no id/text boundary ambiguity), shard
+    // digest = md5 of the digests concatenated in lexicographic order
     "q324_corpus_manifest" ->
       """WITH d AS (
         |  SELECT doc_id % 4 AS shard,
-        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS dg,
+        |    md5(md5(CAST(doc_id AS VARCHAR)) || ':'
+        |        || COALESCE(md5(text), 'null')) AS dg,
         |    len(text) AS l
         |  FROM documents
         |)
@@ -1819,7 +1826,8 @@ object CorpusQueries {
     "q325_corpus_root_digest" ->
       """WITH d AS (
         |  SELECT doc_id % 4 AS shard,
-        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS dg
+        |    md5(md5(CAST(doc_id AS VARCHAR)) || ':'
+        |        || COALESCE(md5(text), 'null')) AS dg
         |  FROM documents
         |), m AS (
         |  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -2527,15 +2535,19 @@ object CorpusQueries {
         |) AS t(host, rank_ppm)""".stripMargin,
 
     // each conversation trips exactly one rule (conv 1 is clean;
-    // conv 6's missing content field is NULL -> counts as empty)
+    // conv 6's missing content field is NULL -> counts as empty;
+    // conv 7 is an EMPTY array — size guard fails ok_no_empty; conv 8
+    // is malformed JSON -> NULL array, every rule false, n_turns NULL)
     "q309_chat_validation" ->
       """SELECT * FROM (VALUES
-        |  (CAST(1 AS BIGINT), 3, true, true, true, true, true),
+        |  (CAST(1 AS BIGINT), CAST(3 AS INTEGER), true, true, true, true, true),
         |  (2, 3, true, true, false, true, false),
         |  (3, 1, false, false, true, true, false),
         |  (4, 3, true, false, true, true, false),
         |  (5, 2, true, true, true, false, false),
-        |  (6, 2, true, true, true, false, false)
+        |  (6, 2, true, true, true, false, false),
+        |  (7, 0, false, false, false, false, false),
+        |  (8, NULL, false, false, false, false, false)
         |) AS t(conv_id, n_turns, ok_opening, ok_alternation,
         |       ok_ends_assistant, ok_no_empty, is_valid)""".stripMargin,
 

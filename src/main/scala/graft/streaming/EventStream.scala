@@ -780,6 +780,19 @@ object EventStream {
               .crossJoin(broadcast(
                 kept.agg(count(lit(1)).as("n_kept"))))
               .write.mode("overwrite").parquet(s"$outDir/attrition")
+          } else {
+            // arrivals happened but NOTHING staged yet (every image so
+            // far junk/unpaired): the attrition artifact must still
+            // exist and count them — the contract is "attrition always
+            // equals the batch attrition over everything arrived", and
+            // the staged table is simply empty here
+            spark.read.parquet(s"$outDir/staged_counts")
+              .agg(sum(col("n_images")).as("n_images"),
+                sum(col("n_paired")).as("n_paired"))
+              .withColumn("n_decoded", lit(0L))
+              .withColumn("n_geometry_ok", lit(0L))
+              .withColumn("n_kept", lit(0L))
+              .write.mode("overwrite").parquet(s"$outDir/attrition")
           }
         }
         ()

@@ -839,6 +839,18 @@ class CorpusOpsSpec extends SparkSpec {
     val m = CorpusOps.corpusManifest(withNull, "doc_id", "text", "shard")
       .collect().head
     assert(m.getLong(1) == 2L && m.getLong(2) == 0L)
+    // no (id, text) boundary ambiguity: ('a:b','c') vs ('a','b:c')
+    // produced IDENTICAL digests under a raw id:text concat — the
+    // separately-hashed form must tell them apart
+    def sd(id: String, text: String): String =
+      CorpusOps.corpusManifest(
+        Seq((id, text, 0L)).toDF("doc_id", "text", "shard"),
+        "doc_id", "text", "shard").collect().head.getString(3)
+    assert(sd("a:b", "c") != sd("a", "b:c"))
+    // a text equal to any would-be sentinel cannot collide with NULL
+    assert(sd("x", "null") != CorpusOps.corpusManifest(
+      Seq(("x", Option.empty[String], 0L)).toDF("doc_id", "text",
+        "shard"), "doc_id", "text", "shard").collect().head.getString(3))
   }
 
   test("epochAllocation: hand-computed water-filling - two sources cap " +
@@ -864,5 +876,33 @@ class CorpusOpsSpec extends SparkSpec {
         "weight_ppm", 1000000L, 3000000L)
       .collect().map(r => (r.getLong(3), r.getBoolean(5)))
     assert(all.forall { case (alloc, capped) => alloc == 30L && capped })
+  }
+
+  test("epochAllocation: multi-trillion-token budgets survive (the " +
+      "budget*w and cap products overflow Long without BigInt " +
+      "widening); negative weights fail descriptively") {
+    import spark.implicits._
+    // 15T target with full-ppm weights: budget*w ~ 1.5e19 > Long.Max
+    val big = Seq(("web", 20000000000000L, 900000L),
+      ("code", 5000000000000L, 100000L))
+      .toDF("source", "n_tokens", "weight_ppm")
+    val got = CorpusOps.epochAllocation(big, "source", "n_tokens",
+        "weight_ppm", targetTokens = 15000000000000L,
+        maxEpochsPpm = 4000000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))).toMap
+    // floors: web gets 13.5T (0.675 epochs), code 1.5T (0.3 epochs) —
+    // nobody near the 4-epoch cap, every share positive and exact
+    assert(got("web") == ((13500000000000L, 675000L, false)))
+    assert(got("code") == ((1500000000000L, 300000L, false)))
+    // epochs_ppm itself needs the BigInt: alloc*1e6 ~ 1.35e19 > Long.Max
+    assert(got.values.forall { case (a, e, _) => a > 0 && e > 0 })
+    val bad = Seq(("web", 100L, -5L)).toDF("source", "n_tokens",
+      "weight_ppm")
+    val ex = intercept[IllegalArgumentException] {
+      CorpusOps.epochAllocation(bad, "source", "n_tokens", "weight_ppm",
+        1000L, 2000000L)
+    }
+    assert(ex.getMessage.contains("negative weight_ppm"))
   }
 }

@@ -23,6 +23,16 @@ class ChatDataSpec extends SparkSpec {
       .orderBy("conv_id")
       .collect().map(r => (r.getLong(0), r.getBoolean(6)))
     assert(got.toSeq == Seq((1L, false), (2L, false), (3L, false)))
+    // per-rule attrition is exact for the degenerate rows too: an EMPTY
+    // array fails ok_no_empty (exists() over [] is false, so the size
+    // guard — not the coalesce — is what fires), and a NULL array fails
+    // every rule
+    val rules = ChatData.validateChats(df, "conv_id", "messages")
+      .orderBy("conv_id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(5)))
+    // conv 2's lone system turn has real content, so ITS ok_no_empty
+    // holds (it fails on opening/alternation instead)
+    assert(rules.toSeq == Seq((1L, false), (2L, true), (3L, false)))
   }
 
   test("a long strictly-alternating conversation with a system prefix " +

@@ -67,6 +67,34 @@ class GraphRankSpec extends SparkSpec {
       3L -> ((0L, 1000000L))))
   }
 
+  test("mega-hub at Long-edge magnitudes: 11M full-weight in-neighbors " +
+      "(damping*mass product > 2^63 under the naive multiply) rank " +
+      "exactly — the divide-before-multiply split and the DECIMAL(38,0) " +
+      "HITS normalize never wrap") {
+    import org.apache.spark.sql.functions._
+    // 11e6 sources each with out_deg 1 pointing at hub 0: the hub's
+    // in-mass after one round is 1.1e13 ppm, so the old
+    // damping*(x) product is 850000 * 1.1e13 = 9.35e18 > Long.Max —
+    // an ANSI ArithmeticException before the fix. Exact expected rank:
+    // 150000 + 850000 * 11e6 (x mod 1e6 = 0; dang = hub's 1e6,
+    // div n = 0 at n = 11e6 + 1).
+    val k = 11000000L
+    val e = spark.range(k).select((col("id") + 1L).as("src"),
+      lit(0L).as("dst"))
+    val hub = GraphRank.pageRank(e, "src", "dst", iters = 1)
+      .where(col("id") === 0L).collect().head.getLong(1)
+    assert(hub == 150000L + 850000L * k)
+    // HITS on the same graph: authority raw at the hub is 1.1e13, so
+    // the old raw*1e6 normalize product is 1.1e19 > Long.Max. The hub
+    // is THE max, so auth_ppm = exactly 1e6; every source hub-side
+    // normalizes to 1e6 too (all equal raws).
+    val h = GraphRank.hits(e, "src", "dst", iters = 1)
+    val hubRow = h.where(col("id") === 0L).collect().head
+    assert(hubRow.getLong(1) == 0L && hubRow.getLong(2) == 1000000L)
+    assert(h.where(col("id") =!= 0L && col("hub_ppm") =!= 1000000L)
+      .count() == 0L)
+  }
+
   test("a sink-heavy graph keeps total mass bounded: floor division " +
       "leaks at most iters * (n + edges) ppm of the initial mass") {
     import spark.implicits._

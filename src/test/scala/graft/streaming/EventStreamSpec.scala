@@ -599,4 +599,42 @@ class EventStreamSpec extends SparkSpec {
     assert(!staged.columns.contains("content"))
     assert(staged.count() == 5) // one row per decodable paired image
   }
+
+  test("assembleMultimodalIncremental: a first wave where NOTHING " +
+      "decodes still writes the attrition artifact (arrivals counted, " +
+      "zero survivors) — it must never claim no data arrived") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    import graft.sources.SyntheticFixtures
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_smmjunk").toString
+    val mem = MemoryStream[(Long, String, String, Array[Byte], Option[String])]
+    val q = EventStream.assembleMultimodalIncremental(
+      mem.toDF().toDF("id", "sample_id", "shard_name", "content",
+        "caption"),
+      root, s"$root/ckpt", minWidth = 10)
+    def attr() = spark.read.parquet(s"$root/attrition")
+      .select("n_images", "n_paired", "n_decoded", "n_geometry_ok",
+        "n_kept")
+      .collect().map(r => (0 to 4).map(r.getLong)).toSeq
+    try {
+      // wave 0: one junk payload + one unpaired (caption-less) image —
+      // zero staged rows, but BOTH must show up in attrition
+      mem.addData(Seq(
+        (1L, "000001", "s0", "BMjunk".getBytes("US-ASCII"),
+          Some("corrupt")),
+        (2L, "000002", "s0", "BMjunk2".getBytes("US-ASCII"), None)))
+      q.processAllAvailable()
+      assert(attr() == Seq(Seq(2L, 1L, 0L, 0L, 0L)))
+      // wave 1: a real image — the staged path takes over and the
+      // attrition keeps counting everything arrived
+      val px = (0 until 8).map(_ => (0 until 18).map(x =>
+        (x << 16) | (x << 8) | x))
+      mem.addData(Seq((3L, "000003", "s0",
+        SyntheticFixtures.bmpBytes(px), Some("real"))))
+      q.processAllAvailable()
+      assert(attr() == Seq(Seq(3L, 2L, 1L, 1L, 1L)))
+    } finally q.stop()
+  }
 }
