@@ -1982,9 +1982,14 @@ object IngestQueries {
       graft.sources.TarSink.tarBytes(Seq(
         "000001.bmp" -> SyntheticFixtures.bmpBytes(dhashGradient(identity)),
         "000001.txt" -> "ascending gradient".getBytes("UTF-8"),
+        // the DISTINCT image is spectrally rich (>=29 bits from the
+        // gradient family in BOTH hashes): a mirrored smooth ramp is
+        // pHash-CLOSE to the ascending one (measured 5 bits — low
+        // frequencies barely move under mirroring), so it would merge
+        // under the dual-key gate and test nothing
         "000002.bmp" -> SyntheticFixtures.bmpBytes(
-          dhashGradient(x => 17 - x)),
-        "000002.txt" -> "descending gradient".getBytes("UTF-8"),
+          SyntheticFixtures.richRaster(18, 8, 2)),
+        "000002.txt" -> "textured photo".getBytes("UTF-8"),
         "000003.bmp" -> SyntheticFixtures.bmpBytes(dhashTweaked),
         "000003.txt" -> "tweaked copy".getBytes("UTF-8"),
         "000005.bmp" -> SyntheticFixtures.bmpBytes(
@@ -2797,16 +2802,18 @@ object IngestQueries {
         |  ('shard-001.tar', '000004', 'txt', 17)
         |) AS t(shard_name, sample_id, ext, "size")""".stripMargin,
 
-    // survivors: the ascending gradient beats its tweak (id 3) and its
-    // PNG re-encode (id 4) to the canonical slot; the descending
-    // gradient is its own component
+    // survivors: the ascending gradient beats its tweak (id 3, dHash
+    // leg) and its PNG re-encode (id 4, identical raster) to the
+    // canonical slot; the textured photo is its own component under
+    // BOTH perceptual keys
     "q307_multimodal_assembly" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), '000001', 'shard-000.tar', 18, 8,
-        |   CAST(0 AS BIGINT), 'ascending gradient'),
-        |  (2, '000002', 'shard-000.tar', 18, 8, -1,
-        |   'descending gradient')
-        |) AS t(id, sample_id, shard_name, width, height, dhash,
+        |   CAST(0 AS BIGINT), CAST(4294967297 AS BIGINT),
+        |   'ascending gradient'),
+        |  (2, '000002', 'shard-000.tar', 18, 8,
+        |   5427988375290688949, 762544518645284383, 'textured photo')
+        |) AS t(id, sample_id, shard_name, width, height, dhash, phash,
         |       caption)""".stripMargin,
 
     // stream == batch: the incremental refresh converges to exactly
@@ -2814,10 +2821,11 @@ object IngestQueries {
     "q317_assembly_incremental" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), '000001', 'shard-000.tar', 18, 8,
-        |   CAST(0 AS BIGINT), 'ascending gradient'),
-        |  (2, '000002', 'shard-000.tar', 18, 8, -1,
-        |   'descending gradient')
-        |) AS t(id, sample_id, shard_name, width, height, dhash,
+        |   CAST(0 AS BIGINT), CAST(4294967297 AS BIGINT),
+        |   'ascending gradient'),
+        |  (2, '000002', 'shard-000.tar', 18, 8,
+        |   5427988375290688949, 762544518645284383, 'textured photo')
+        |) AS t(id, sample_id, shard_name, width, height, dhash, phash,
         |       caption)""".stripMargin,
 
     // ... and to exactly q308's attrition row (summed per-batch

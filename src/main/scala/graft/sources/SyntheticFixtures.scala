@@ -459,6 +459,60 @@ object SyntheticFixtures {
     })
   }
 
+  /** JPEG's lossy luma pipeline, emulated exactly as an encoder applies
+    * it: per 8×8 block, level-shift, orthonormal 2D DCT-II, quantize by
+    * the JPEG Annex-K luminance table, dequantize, inverse DCT, clamp.
+    * (The repo has no JPEG pixel decoder by design — this applies the
+    * SAME transform a re-encode applies to a raster, so specs and
+    * q-rows can exercise "survives recompression" claims with a
+    * deterministic, engine-portable fixture: StrictMath only.) */
+  def jpegRoundtrip(img: Seq[Seq[Int]]): Seq[Seq[Int]] = {
+    val annexK = Array(
+      Array(16, 11, 10, 16, 24, 40, 51, 61),
+      Array(12, 12, 14, 19, 26, 58, 60, 55),
+      Array(14, 13, 16, 24, 40, 57, 69, 56),
+      Array(14, 17, 22, 29, 51, 87, 80, 62),
+      Array(18, 22, 37, 56, 68, 109, 103, 77),
+      Array(24, 35, 55, 64, 81, 104, 113, 92),
+      Array(49, 64, 78, 87, 103, 121, 120, 101),
+      Array(72, 92, 95, 98, 112, 100, 103, 99))
+    val h = img.length; val w = img.head.length
+    val g = Array.tabulate(h, w)((y, x) => (img(y)(x) & 0xFF) - 128.0)
+    def alpha(u: Int) = if (u == 0) StrictMath.sqrt(0.125) else 0.5
+    val out = Array.ofDim[Int](h, w)
+    var by = 0
+    while (by < h) {
+      var bx = 0
+      while (bx < w) {
+        val f = Array.ofDim[Double](8, 8)
+        for (u <- 0 until 8; v <- 0 until 8) {
+          var acc = 0.0
+          for (y <- 0 until 8; x <- 0 until 8)
+            acc += g(by + y)(bx + x) *
+              StrictMath.cos((2 * x + 1) * v * StrictMath.PI / 16) *
+              StrictMath.cos((2 * y + 1) * u * StrictMath.PI / 16)
+          f(u)(v) = alpha(u) * alpha(v) * acc
+        }
+        // the lossy step: quantize / dequantize
+        for (u <- 0 until 8; v <- 0 until 8)
+          f(u)(v) = StrictMath.round(f(u)(v) / annexK(u)(v)).toDouble *
+            annexK(u)(v)
+        for (y <- 0 until 8; x <- 0 until 8) {
+          var acc = 0.0
+          for (u <- 0 until 8; v <- 0 until 8)
+            acc += alpha(u) * alpha(v) * f(u)(v) *
+              StrictMath.cos((2 * x + 1) * v * StrictMath.PI / 16) *
+              StrictMath.cos((2 * y + 1) * u * StrictMath.PI / 16)
+          val c = math.max(0, math.min(255, (acc + 128.0).round.toInt))
+          out(by + y)(bx + x) = (c << 16) | (c << 8) | c
+        }
+        bx += 8
+      }
+      by += 8
+    }
+    out.map(_.toSeq).toSeq
+  }
+
   // --- PNG (via the JDK's ImageIO encoder) ---
 
   /** PNG written by `javax.imageio.ImageIO` — a fully independent encoder

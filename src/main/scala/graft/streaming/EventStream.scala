@@ -701,7 +701,9 @@ object EventStream {
     * (pairing gate, raster decode, payload drop) run exactly ONCE per
     * pair on arrival — map-only, inside the micro-batch — and only
     * fixed-width metadata rows (id, stem, shard, width, height, dhash,
-    * caption) are staged per batch. The refresh that follows each batch
+    * phash, caption) are staged per batch ([[graft.operators.ImageHash.
+    * PerceptualDecoder]]: both perceptual keys from the one decode).
+    * The refresh that follows each batch
     * recomputes the GLOBAL near-dup components + min-id canonicals +
     * manifest + attrition over the staged metadata (8-byte keys, never
     * payloads): canonical selection is non-monotonic — a new image can
@@ -723,7 +725,9 @@ object EventStream {
       checkpointDir: String,
       minWidth: Int,
       bands: Int = 4,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      phashBands: Int = 16,
+      phashMaxHamming: Int = 10
   ): org.apache.spark.sql.streaming.StreamingQuery =
     pairsStream.writeStream
       .outputMode("append")
@@ -739,7 +743,7 @@ object EventStream {
           val paired = images.where(col("caption").isNotNull)
           val decoded = graft.operators.Multimodal
             .decodeRowsPartitioned(paired, "content",
-              graft.operators.ImageHash.DhashDecoder)
+              graft.operators.ImageHash.PerceptualDecoder)
             .where(col("dhash").isNotNull)
             .drop("content")
             .localCheckpoint(true)
@@ -759,8 +763,12 @@ object EventStream {
             val staged = spark.read.parquet(s"$outDir/staged")
               .drop("batch_id").localCheckpoint(true)
             val gated = staged.where(col("width") >= minWidth)
-            val dupPairs = graft.operators.Dedup.hammingNearDupPairs(
-              gated, "id", "dhash", bands, maxHamming)
+            // the shared dual-key admission: dHash at tight radius,
+            // pHash at its wider JPEG-class radius, pair sets unioned —
+            // literally MultimodalAssembly's helper, so stream == batch
+            val dupPairs = graft.operators.MultimodalAssembly
+              .dualKeyDupPairs(gated, bands, maxHamming, phashBands,
+                phashMaxHamming)
             val keep = graft.operators.Dedup
               .clusterKeys(gated, "id", dupPairs)
               .groupBy(col("cluster_key")).agg(min(col("id")).as("id"))
@@ -768,7 +776,8 @@ object EventStream {
             val kept = gated.join(keep, Seq("id"), "left_semi")
               .localCheckpoint(true)
             kept.select(col("id"), col("sample_id"), col("shard_name"),
-                col("width"), col("height"), col("dhash"), col("caption"))
+                col("width"), col("height"), col("dhash"), col("phash"),
+                col("caption"))
               .write.mode("overwrite").parquet(s"$outDir/manifest")
             spark.read.parquet(s"$outDir/staged_counts")
               .agg(sum(col("n_images")).as("n_images"),

@@ -551,11 +551,15 @@ class EventStreamSpec extends SparkSpec {
     // wave 0: ascending original + descending; wave 1: the 1-bit tweak
     // (merges into 1's component) + a caption-less dup + junk; wave 2:
     // the PNG re-encode of 1 (cross-wave merge again) + a thumbnail
+    // the distinct image is spectrally rich: a mirrored ramp is
+    // pHash-close to the ascending one and would merge under the
+    // dual-key admission (see MultimodalAssemblySpec)
     val waves: Seq[Seq[(Long, String, String, Array[Byte], Option[String])]] = Seq(
       Seq((1L, "000001", "s0", SyntheticFixtures.bmpBytes(asc),
             Some("ascending gradient")),
           (2L, "000002", "s0", SyntheticFixtures.bmpBytes(
-            gradient(x => 17 - x)), Some("descending gradient"))),
+            SyntheticFixtures.richRaster(18, 8, 2)),
+            Some("textured photo"))),
       Seq((3L, "000003", "s0", SyntheticFixtures.bmpBytes(tweak),
             Some("tweaked copy")),
           (5L, "000005", "s0", SyntheticFixtures.bmpBytes(asc), None),
@@ -577,9 +581,10 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
     def canonM(df: org.apache.spark.sql.DataFrame) = df
       .select("id", "sample_id", "shard_name", "width", "height",
-        "dhash", "caption")
+        "dhash", "phash", "caption")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-        r.getInt(3), r.getInt(4), r.getLong(5), r.getString(6))).toSet
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSet
     val allPairs = waves.flatten
       .toDF("id", "sample_id", "shard_name", "content", "caption")
     val gotM = canonM(spark.read.parquet(s"$root/manifest"))
