@@ -56,7 +56,212 @@ object CorpusQueries {
       | || '.7 ref ' || CAST(doc_id * 1000000007 + 123456789 AS VARCHAR)"""
       .stripMargin.replace("\n", "")
 
+  /** Pinned HTML fixture for the boilerplate-extraction rows — one
+    * realistic page (nav/footer link farms, script/style/comment
+    * payloads, two prose paragraphs), one escaped-markup + entities
+    * page, one CDATA + inline-tags + link-farm page, one all-boilerplate
+    * page (attrition-visible empty output). Single-line, no single
+    * quotes, so the SAME literal interpolates into the DuckDB VALUES. */
+  private val htmlDocs: Seq[(Long, String)] = Seq(
+    (1L, "<html><head><title>Site</title><style>body { color: red; }" +
+      "</style><script>var the = \"of and to in is that for on with\";" +
+      "</script></head><body><nav><a href=\"/\">Home</a> " +
+      "<a href=\"/products\">Products</a> <a href=\"/about\">About us" +
+      "</a></nav><!-- the comment of the year, full of the stopwords -->" +
+      "<div class=\"content\"><p>The quick brown fox jumped over the " +
+      "lazy dog and the dog was not amused by any of it at all.</p>" +
+      "<p>It is a truth universally acknowledged that a single man in " +
+      "possession of a good fortune must be in want of a wife.</p></div>" +
+      "<footer><a href=\"/tos\">Terms of service</a> <a href=\"/privacy\">" +
+      "Privacy</a> <a href=\"/jobs\">Jobs</a></footer></body></html>"),
+    (2L, "<p>We saw that the &lt;b&gt;tag&lt;/b&gt; of the page was in " +
+      "the source and the parser kept it as text for the readers.</p>" +
+      "<p>He said &quot;the answer&quot; was&nbsp;in the book of the " +
+      "elders and the escape of the escape is &amp;lt; which stays " +
+      "literal.</p>"),
+    (3L, "<p><![CDATA[the raw cdata of the world]]>The <b>bold</b> and " +
+      "the <i>italic</i> words of the text are all kept in the flow of " +
+      "the sentence as it was written.</p><div><a href=\"/1\">the link " +
+      "one of the list</a> <a href=\"/2\">the link two of the list</a> " +
+      "<a href=\"/3\">the link three of the list</a></div>"),
+    (4L, "<nav><a href=\"/\">Home</a> <a href=\"/a\">A</a></nav>" +
+      "<footer>copyright</footer>"))
+
+  private def htmlDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    htmlDocs.toDF("id", "html")
+  }
+
+  private val htmlValuesSql: String = htmlDocs
+    .map { case (i, h) => s"    (CAST($i AS BIGINT), '$h')" }
+    .mkString("(VALUES\n", ",\n", ") AS t(id, html)")
+
+  /** DuckDB twin of [[graft.operators.HtmlExtract]]'s block text
+    * normalization: tag strip → entity decode (&amp; LAST) → whitespace
+    * collapse, applied to `v`. */
+  private def sqlHtmlText(v: String): String =
+    "trim(regexp_replace(replace(replace(replace(replace(replace(" +
+      s"replace(replace(regexp_replace($v, '<[^>]*>', ' ', 'g'), " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), " +
+      "'&apos;', chr(39)), '&nbsp;', ' '), '&amp;', '&'), " +
+      "'\\s+', ' ', 'g'))"
+
+  /** DuckDB twins of the region-drop + block-split stages. */
+  private val sqlHtmlClean: String =
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(regexp_replace(html, " +
+      "'(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), " +
+      "'(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), " +
+      "'(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'), " +
+      "'(?is)<template\\b[^>]*>.*?</template>', ' ', 'g'), " +
+      "'(?s)<!--.*?-->', ' ', 'g'), " +
+      "'(?s)<!\\[CDATA\\[.*?\\]\\]>', ' ', 'g')"
+
+  private val sqlHtmlBlockSplit: String =
+    "'(?i)</?(?:p|div|h[1-6]|li|ul|ol|dl|dt|dd|table|thead|tbody|tr|td|" +
+      "th|section|article|header|footer|nav|aside|main|figure|" +
+      "figcaption|blockquote|pre|address|fieldset|form|hr|br|title|" +
+      "head|body|html)(?:\\s[^>]*)?/?>'"
+
+  private val sqlHtmlStopRe: String =
+    "'\\b(" + graft.operators.HtmlExtract.stopwords.mkString("|") + ")\\b'"
+
+  /** The scored-blocks CTE both html q-rows share: per doc, the list of
+    * non-empty blocks with (txt, n_chars, n_words, n_anchor_chars,
+    * link_ppm, stop_ppm, keep) — the literal SQL form of
+    * [[graft.operators.HtmlExtract]]'s blockStructs. */
+  private val sqlHtmlScored: String =
+    s"""WITH src AS (
+       |  SELECT * FROM $htmlValuesSql
+       |), clean AS (
+       |  SELECT id, $sqlHtmlClean AS c FROM src
+       |), scored AS (
+       |  SELECT id, list_transform(list_filter(list_transform(
+       |    regexp_split_to_array(c, $sqlHtmlBlockSplit),
+       |    b -> struct_pack(
+       |      txt := ${sqlHtmlText("b")},
+       |      anchor := CAST(coalesce(list_sum(list_transform(
+       |        regexp_extract_all(b, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+       |        a -> len(${sqlHtmlText("a")}))), 0) AS BIGINT))),
+       |    s0 -> len(s0.txt) > 0),
+       |    s1 -> struct_pack(
+       |      txt := s1.txt,
+       |      n_chars := CAST(len(s1.txt) AS BIGINT),
+       |      n_words := CAST(len(str_split(s1.txt, ' ')) AS BIGINT),
+       |      n_anchor_chars := s1.anchor,
+       |      link_ppm := s1.anchor * 1000000 // len(s1.txt),
+       |      stop_ppm := CAST(len(regexp_extract_all(lower(s1.txt),
+       |          $sqlHtmlStopRe)) AS BIGINT)
+       |        * 1000000 // len(str_split(s1.txt, ' ')),
+       |      keep := len(str_split(s1.txt, ' ')) >= 5
+       |        AND s1.anchor * 1000000 // len(s1.txt) <= 200000
+       |        AND CAST(len(regexp_extract_all(lower(s1.txt),
+       |            $sqlHtmlStopRe)) AS BIGINT)
+       |          * 1000000 // len(str_split(s1.txt, ' ')) >= 30000)) AS g
+       |  FROM clean
+       |)""".stripMargin
+
+  /** The q329-q331 WARC fixture: one plain segment (warcinfo + the
+    * first two [[htmlDocs]] pages as HTTP responses) and one
+    * per-record-gzip segment (pages 3 and 4) — so the composed
+    * q330 intake produces EXACTLY q327's rows. */
+  private def warcHttpPayload(html: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Bytes the HTTP prefix adds before the html body (status line +
+    * one header + blank line) — pins content_length in the oracle. */
+  private val warcHttpOverhead: Int =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".length
+
+  private def warcFixtureFiles: Seq[(String, Array[Byte])] = {
+    import graft.sources.WarcIO
+    def resp(id: Long, html: String) = (Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:$id>",
+      "WARC-Target-URI" -> s"https://docs.example/page/$id",
+      "WARC-Date" -> "2026-08-16T00:00:00Z",
+      "Content-Type" -> "application/http; msgtype=response"),
+      warcHttpPayload(html))
+    val info = (Seq("WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:info>"),
+      "software: graft".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Seq(
+      "seg-00000.warc" -> WarcIO.warcBytes(Seq(info,
+        resp(1, htmlDocs(0)._2), resp(2, htmlDocs(1)._2))),
+      "seg-00001.warc.gz" -> WarcIO.warcGzBytes(Seq(
+        resp(3, htmlDocs(2)._2), resp(4, htmlDocs(3)._2))))
+  }
+
+  private def warcFixtureDir(tag: String): String = {
+    val dir = graft.sources.SyntheticFixtures.freshDir(tag)
+    warcFixtureFiles.foreach { case (n, b) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, n), b) }
+    dir
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HTML -> text boilerplate extraction (the crawl front-end stage):
+    // block segmentation at block-level tags, per-block length /
+    // link-density / stopword-density gates, kept prose joined by
+    // newline — map-only Column pipeline, mirrored block-for-block by
+    // the DuckDB twin over the same pinned adversarial fixture
+    "q327_html_extract" -> { (s, _) =>
+      graft.operators.HtmlExtract.extractText(htmlDf(s), "id", "html")
+    },
+
+    // WARC (ISO 28500) crawl intake through the DSv2 connector: one
+    // plain segment (warcinfo + 2 responses) + one per-record-gzip
+    // segment (2 responses), metadata projection only — the payload
+    // columns stay pruned out of the scan
+    "q329_warc_read" -> { (s, _) =>
+      s.read.format("warc").load(warcFixtureDir("q329"))
+        .select(col("warc_name"), col("record_type"), col("target_uri"),
+          col("http_status"), col("content_length"))
+    },
+
+    // ... and the composed crawl front-end END TO END: WARC responses
+    // -> HTTP bodies -> boilerplate extraction. The bodies ARE the
+    // q327 fixture pages, so this row is pinned by the SAME DuckDB
+    // twin — wire format and extraction verified as one path
+    "q330_warc_html_extract" -> { (s, _) =>
+      val pages = s.read.format("warc").load(warcFixtureDir("q330"))
+        .where(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+          .cast("long").as("id"), col("body").cast("string").as("html"))
+      graft.operators.HtmlExtract.extractText(pages, "id", "html")
+    },
+
+    // ... and the STREAMING twin of the intake: segments arrive in two
+    // waves through readStream.format("warc") (the SeenFileLog
+    // exactly-once loop), metadata lands in a memory sink
+    "q331_warc_stream" -> { (s, _) =>
+      val dir = graft.sources.SyntheticFixtures.freshDir("q331")
+      val ckpt = graft.sources.SyntheticFixtures.freshDir("q331_ckpt")
+      val waves = warcFixtureFiles
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, waves.head._1), waves.head._2)
+      val q = s.readStream.format("warc").load(dir)
+        .select(col("warc_name"), col("record_type"), col("target_uri"))
+        .writeStream.format("memory").queryName("q331_sink")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        waves.tail.foreach { case (name, bytes) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, name), bytes)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table("q331_sink")
+    },
+
+    // ... and the per-block audit rows (the gates' working made
+    // visible: every density and the verdict per block)
+    "q328_html_blocks" -> { (s, _) =>
+      graft.operators.HtmlExtract.blockMetrics(htmlDf(s), "id", "html")
+    },
+
     // Corpus bigram LM: top-3 continuations per context word, exact counts
     // + integer-ppm conditional probability; one (w1,w2) count shuffle, a
     // co-partitioned context roll-up, bounded-heap k-selection
@@ -977,6 +1182,68 @@ object CorpusQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the full extraction pipeline replayed in SQL: same region drops,
+    // same block split, same per-block text normalization and integer
+    // density gates, kept blocks joined by newline
+    "q327_html_extract" ->
+      s"""$sqlHtmlScored
+         |SELECT id,
+         |  array_to_string(list_transform(list_filter(g, s -> s.keep),
+         |    s -> s.txt), chr(10)) AS text,
+         |  CAST(len(g) AS BIGINT) AS n_blocks,
+         |  CAST(len(list_filter(g, s -> s.keep)) AS BIGINT) AS n_kept
+         |FROM scored""".stripMargin,
+
+    // record metadata hand-pinned; content_length = HTTP prefix bytes
+    // + page bytes, computed from the same pinned fixture literals
+    "q329_warc_read" -> {
+      val respRows = htmlDocs.map { case (i, h) =>
+        s"  ('seg-0000${if (i <= 2) 0 else 1}.warc" +
+          s"${if (i <= 2) "" else ".gz"}', 'response', " +
+          s"'https://docs.example/page/$i', 200, " +
+          s"${warcHttpOverhead + h.length})"
+      }.mkString(",\n")
+      s"""SELECT * FROM (VALUES
+         |  ('seg-00000.warc', 'warcinfo', CAST(NULL AS VARCHAR),
+         |   CAST(NULL AS INTEGER), CAST(15 AS BIGINT)),
+         |$respRows
+         |) AS t(warc_name, record_type, target_uri, http_status,
+         |       content_length)""".stripMargin
+    },
+
+    // the composed intake emits exactly the q327 rows (same pages,
+    // same twin) — reusing the full-pipeline SQL verbatim
+    "q330_warc_html_extract" ->
+      s"""$sqlHtmlScored
+         |SELECT id,
+         |  array_to_string(list_transform(list_filter(g, s -> s.keep),
+         |    s -> s.txt), chr(10)) AS text,
+         |  CAST(len(g) AS BIGINT) AS n_blocks,
+         |  CAST(len(list_filter(g, s -> s.keep)) AS BIGINT) AS n_kept
+         |FROM scored""".stripMargin,
+
+    // two arrival waves through the seen-file log: all five records
+    "q331_warc_stream" ->
+      """SELECT * FROM (VALUES
+        |  ('seg-00000.warc', 'warcinfo', CAST(NULL AS VARCHAR)),
+        |  ('seg-00000.warc', 'response', 'https://docs.example/page/1'),
+        |  ('seg-00000.warc', 'response', 'https://docs.example/page/2'),
+        |  ('seg-00001.warc.gz', 'response', 'https://docs.example/page/3'),
+        |  ('seg-00001.warc.gz', 'response', 'https://docs.example/page/4')
+        |) AS t(warc_name, record_type, target_uri)""".stripMargin,
+
+    // the per-block audit unrolled positionally (0-based, matching
+    // posexplode over the same filtered list)
+    "q328_html_blocks" ->
+      s"""$sqlHtmlScored
+         |SELECT id, CAST(i - 1 AS BIGINT) AS block_idx,
+         |  g[i].txt AS text, g[i].n_chars AS n_chars,
+         |  g[i].n_words AS n_words,
+         |  g[i].n_anchor_chars AS n_anchor_chars,
+         |  g[i].link_ppm AS link_ppm, g[i].stop_ppm AS stop_ppm,
+         |  g[i].keep AS keep
+         |FROM scored, unnest(generate_series(1, len(g))) AS u(i)""".stripMargin,
+
     // bigrams as an unnested struct list (i -> (t[i], t[i+1])); counts,
     // context totals, ppm and rank mirror bigramTopK exactly
     "q182_bigram_lm" ->
