@@ -326,6 +326,29 @@ object CorpusOps {
         round(col("__s").cast("double") / col("__tot"), 6).as("weight"))
   }
 
+  /** Centrality-weighted mixture targets — the composition that turns
+    * [[graft.operators.GraphRank.pageRank]] host ranks (over
+    * [[graft.operators.UrlOps.hostGraph]]) into per-host document
+    * budgets for [[applyMixture]]: `n_target = budget·rank div Σrank`,
+    * exact-integer proportional allocation (floors under-allocate by
+    * < 1 doc per host — the water-fill in [[epochAllocation]] exists
+    * for when that matters). THIS is the production reason the link
+    * graph is here: crawl-quality weighting of the training mix.
+    *
+    * One broadcast 1-row total; the product widens through
+    * DECIMAL(38,0) so a 10¹²-doc budget times a 10¹³-ppm rank cannot
+    * wrap ([[GraphRank]]'s overflow discipline). */
+  def rankWeightedTargets(ranks: DataFrame, keyCol: String,
+      rankCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "rankWeightedTargets needs budget >= 0")
+    ranks
+      .crossJoin(broadcast(
+        ranks.agg(sum(col(rankCol)).as("__tot"))))
+      .select(col(keyCol),
+        expr(s"cast(cast($rankCol as decimal(38,0)) * $budget" +
+          " div __tot as long)").as("n_target"))
+  }
+
   /** Sequence packing: assign every document its position in the
     * fixed-length training-sequence stream (the concat-and-chunk step that
     * turns a shuffled corpus into model batches). Within each shard

@@ -60,6 +60,147 @@ object TextAnalysis {
       6)
   }
 
+  // ------------------------------------------------------------------
+  // Hashed char-n-gram language ID — the upgrade over the marker-word
+  // argmax above (the cld/langid.py family's core signal re-expressed
+  // in the house integer style): character trigrams carry language
+  // identity even when no function word appears (short strings, verb
+  // phrases, compounds), which is exactly where marker counting
+  // degrades to 'und'.
+  // ------------------------------------------------------------------
+
+  /** Shared text normalization for profile building AND scoring —
+    * MUST stay byte-identical between the Scala (driver, profile
+    * build) and Column/SQL (scoring) forms: lowercase, every
+    * non-letter → space, collapse runs, trim, pad one space each side
+    * (so word-boundary trigrams exist). */
+  private[operators] def normForNgrams(s: String): String = {
+    val collapsed = s.toLowerCase
+      .replaceAll("[^\\p{L} ]", " ")
+      .replaceAll(" +", " ")
+      .trim
+    " " + collapsed + " "
+  }
+
+  private[operators] def normForNgramsCol(text: Column): Column =
+    concat(lit(" "),
+      trim(regexp_replace(regexp_replace(lower(text), "[^\\p{L} ]", " "),
+        " +", " ")),
+      lit(" "))
+
+  /** Build per-language hashed trigram profiles from seed text: each
+    * language's trigram counts fold into `dim` buckets
+    * (`md5-prefix60 mod dim` — [[graft.functions.TextFunctions
+    * .portableHash60]]'s exact Scala twin), weights are
+    * count·10⁶ div total (ppm of the language's trigram mass, so
+    * differently-sized seeds compare fairly). DRIVER-side over a few
+    * KB of seed text — the profile is a broadcast-scale constant, the
+    * same artifact class as the mixture tables. */
+  def buildLanguageProfiles(samples: Seq[(String, String)], dim: Int)
+      : Seq[(String, Array[Long])] =
+    samples.map { case (lang, text) =>
+      val n = normForNgrams(text)
+      val grams = (0 to n.length - 3).map(i => n.substring(i, i + 3))
+      val buckets = new Array[Long](dim)
+      grams.foreach { g =>
+        val h = graft.functions.expressions.HashExprs.md5Prefix60(
+          g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        buckets((h % dim).toInt) = buckets((h % dim).toInt) + 1L
+      }
+      val total = math.max(grams.size.toLong, 1L)
+      lang -> buckets.map(c => c * 1000000L / total)
+    }
+
+  /** Bundled seed text for the five marker languages (a few sentences
+    * of generic prose each — enough trigram mass to separate them; a
+    * production deployment passes its own corpus samples). */
+  val defaultProfileSamples: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog while the " +
+      "children were reading their books in the library and the " +
+      "weather outside was getting colder every evening through the " +
+      "autumn months with rain falling quietly on the old roof " +
+      "yesterday morning she brought fresh bread from the bakery and " +
+      "everyone gathered around the kitchen table to share breakfast " +
+      "together before walking down the long road towards the little " +
+      "school where they would spend most of their day learning about " +
+      "history and science and writing short stories about things " +
+      "they had seen during their summer holidays by the sea"),
+    "es" -> ("el rapido zorro marron salta sobre el perro perezoso " +
+      "mientras los ninos leian sus libros en la biblioteca y el " +
+      "tiempo afuera se volvia mas frio cada noche durante los meses " +
+      "de otono con la lluvia cayendo sobre el viejo tejado ayer por " +
+      "la manana ella trajo pan fresco de la panaderia y todos se " +
+      "reunieron alrededor de la mesa de la cocina para compartir el " +
+      "desayuno juntos antes de caminar por el largo camino hacia la " +
+      "pequena escuela donde pasarian la mayor parte del dia " +
+      "aprendiendo historia y ciencias y escribiendo cuentos cortos " +
+      "sobre las cosas que habian visto durante sus vacaciones de " +
+      "verano junto al mar"),
+    "fr" -> ("le renard brun rapide saute par dessus le chien " +
+      "paresseux pendant que les enfants lisaient leurs livres dans " +
+      "la bibliotheque et le temps dehors devenait plus froid chaque " +
+      "soir pendant les mois d automne avec la pluie qui tombait " +
+      "doucement sur le vieux toit hier matin elle a apporte du pain " +
+      "frais de la boulangerie et tout le monde s est reuni autour de " +
+      "la table de la cuisine pour partager le petit dejeuner " +
+      "ensemble avant de marcher sur la longue route vers la petite " +
+      "ecole ou ils passeraient la plus grande partie de leur journee " +
+      "a apprendre l histoire et les sciences et a ecrire de courtes " +
+      "histoires sur les choses qu ils avaient vues pendant leurs " +
+      "vacances d ete au bord de la mer"),
+    "de" -> ("der schnelle braune fuchs springt uber den faulen hund " +
+      "wahrend die kinder ihre bucher in der bibliothek lasen und das " +
+      "wetter draussen jeden abend kalter wurde durch die " +
+      "herbstmonate mit regen der leise auf das alte dach fiel " +
+      "gestern morgen brachte sie frisches brot von der backerei und " +
+      "alle versammelten sich um den kuchentisch um gemeinsam zu " +
+      "fruhstucken bevor sie den langen weg zur kleinen schule " +
+      "gingen wo sie den grossten teil ihres tages damit verbringen " +
+      "wurden geschichte und naturwissenschaften zu lernen und kurze " +
+      "geschichten uber die dinge zu schreiben die sie wahrend ihrer " +
+      "sommerferien am meer gesehen hatten"),
+    "pt" -> ("a rapida raposa marrom pula sobre o cachorro preguicoso " +
+      "enquanto as criancas liam seus livros na biblioteca e o tempo " +
+      "la fora ficava mais frio a cada noite durante os meses de " +
+      "outono com a chuva caindo sobre o velho telhado ontem de " +
+      "manha ela trouxe pao fresco da padaria e todos se reuniram ao " +
+      "redor da mesa da cozinha para compartilhar o cafe da manha " +
+      "juntos antes de caminhar pela longa estrada ate a pequena " +
+      "escola onde passariam a maior parte do dia aprendendo " +
+      "historia e ciencias e escrevendo contos curtos sobre as " +
+      "coisas que tinham visto durante as suas ferias de verao " +
+      "junto ao mar"))
+
+  /** N-gram language ID: normalize, slice char trigrams, integer-dot
+    * each language's broadcast bucket-weight array (`Σ w[h(g) mod
+    * dim]` — the [[graft.operators.CorpusOps.scoreHashedLinear]]
+    * shape), argmax with ties to the earlier language; zero total
+    * score → 'und'. Pure Column pipeline (transform + aggregate +
+    * element_at over array literals): map-only, engine-portable. */
+  def languageIdNgram(text: Column,
+      profiles: Seq[(String, Array[Long])], dim: Int): Column = {
+    val norm = normForNgramsCol(text)
+    // Spark's sequence(1, n) runs DESCENDING for n < 1 (an all-space
+    // normalization leaves 2 chars), which would fabricate junk grams —
+    // guard to the empty array (DuckDB's generate_series is already
+    // empty there, so the guard is also what keeps the twins aligned)
+    val grams = when(length(norm) >= 3,
+      transform(sequence(lit(1), length(norm) - 2),
+        i => norm.substr(i, lit(3))))
+      .otherwise(array_repeat(lit(""), 0))
+    val scores = profiles.map { case (lang, weights) =>
+      val wArr = array(weights.map(lit(_)): _*)
+      lang -> aggregate(grams, lit(0L), (acc, g) =>
+        acc + element_at(wArr,
+          (pmod(graft.functions.TextFunctions.portableHash60(g),
+            lit(dim.toLong)) + 1L).cast("int")))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, sc)) =>
+      acc.when(sc === best, lang)
+    }.otherwise("und")
+  }
+
   /** The script classes a multilingual-corpus audit splits on. Each is a
     * (name, Java-regex character class) pair; `script_mix` counts per
     * class with codegen'd `regexp_count` — map-only at any scale. */

@@ -200,6 +200,47 @@ object CorpusQueries {
     dir
   }
 
+  /** The q320/q332 link-graph fixture (isomorphic to GraphRankSpec's
+    * hand-computed walk: alpha→beta, alpha→gamma, beta→alpha; gamma
+    * dangling; dup edge + self-link + hostless row all drop). */
+  private def hostPages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      (1L, "https://www.alpha.com/a", Seq("https://beta.com/x",
+        "https://beta.com/y", "http://gamma.org/z")),
+      (2L, "https://alpha.com/b", Seq("https://beta.com/q",
+        "https://ALPHA.com/self")), // dup edge + self-link: both drop
+      (3L, "https://beta.com/home", Seq("https://www.alpha.com/")),
+      (4L, "::bad::", Seq("https://alpha.com/ignored")) // hostless src
+    ).toDF("page_id", "url", "outlinks")
+  }
+
+  /** q333's held-out multilingual sentences (same as
+    * TextAnalysisSpec's — NONE appear in the profile seeds). */
+  private val langFixture: Seq[(Long, String, String)] = Seq(
+    (1L, "en", "she walked home slowly carrying three heavy bags"),
+    (2L, "en", "birds sing loudly when morning light appears"),
+    (3L, "en", "we finished our homework before dinner was ready"),
+    (4L, "es", "ella camina despacio hacia su casa cada manana"),
+    (5L, "es", "los pajaros cantan cuando llega la luz del dia"),
+    (6L, "es", "terminamos nuestra tarea antes de cenar anoche"),
+    (7L, "fr", "elle marche lentement vers sa maison chaque matin"),
+    (8L, "fr", "les oiseaux chantent quand la lumiere arrive"),
+    (9L, "fr", "nous avons fini nos devoirs avant le diner hier soir"),
+    (10L, "de", "sie geht jeden morgen langsam zu ihrem haus"),
+    (11L, "de", "die vogel singen wenn das licht am morgen kommt"),
+    (12L, "de", "wir beendeten unsere hausaufgaben vor dem abendessen"),
+    (13L, "pt", "ela caminha devagar para sua casa toda manha"),
+    (14L, "pt", "os passaros cantam quando chega a luz do dia"),
+    (15L, "pt", "acabamos nossa licao antes do jantar ontem a noite"))
+
+  private val langIdDim = 256
+
+  private def langFixtureDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    langFixture.toDF("id", "lang", "text")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HTML -> text boilerplate extraction (the crawl front-end stage):
     // block segmentation at block-level tags, per-block length /
@@ -1074,19 +1115,47 @@ object CorpusQueries {
     // GraphRankSpec's hand-computed walk (alpha->beta, alpha->gamma,
     // beta->alpha; gamma dangling), so every rank is hand-pinned
     "q320_host_pagerank" -> { (s, _) =>
-      import s.implicits._
-      val pages = Seq(
-        (1L, "https://www.alpha.com/a", Seq("https://beta.com/x",
-          "https://beta.com/y", "http://gamma.org/z")),
-        (2L, "https://alpha.com/b", Seq("https://beta.com/q",
-          "https://ALPHA.com/self")), // dup edge + self-link: both drop
-        (3L, "https://beta.com/home", Seq("https://www.alpha.com/")),
-        (4L, "::bad::", Seq("https://alpha.com/ignored")) // hostless src
-      ).toDF("page_id", "url", "outlinks")
       graft.operators.GraphRank.pageRank(
-          graft.operators.UrlOps.hostGraph(pages, "url", "outlinks"),
+          graft.operators.UrlOps.hostGraph(hostPages(s), "url",
+            "outlinks"),
           "src_host", "dst_host", iters = 2)
         .withColumnRenamed("id", "host")
+    },
+
+    // The link graph's PRODUCTION composition, end to end: hostGraph ->
+    // integer-ppm PageRank -> rank-proportional per-host doc budgets
+    // (rankWeightedTargets: budget*rank div SUM(rank), DECIMAL-widened)
+    // -> applyMixture's deterministic md5-order per-host sample. The
+    // crawl-quality prior actually weighting a training mix
+    "q332_rank_weighted_mixture" -> { (s, _) =>
+      import s.implicits._
+      val ranks = graft.operators.GraphRank.pageRank(
+          graft.operators.UrlOps.hostGraph(hostPages(s), "url",
+            "outlinks"),
+          "src_host", "dst_host", iters = 2)
+        .withColumnRenamed("id", "host")
+      val targets = CorpusOps.rankWeightedTargets(ranks, "host",
+        "rank_ppm", budget = 6L)
+      val docsByHost = Seq(
+        (1L, "alpha.com"), (2L, "alpha.com"), (3L, "alpha.com"),
+        (4L, "beta.com"), (5L, "beta.com"), (6L, "beta.com"),
+        (7L, "gamma.org"), (8L, "gamma.org"), (9L, "gamma.org")
+      ).toDF("doc_id", "host")
+      CorpusOps.applyMixture(docsByHost, "doc_id", "host", targets)
+    },
+
+    // Hashed char-trigram language ID vs the marker baseline over the
+    // HELD-OUT multilingual fixture: integer dot of each doc's trigram
+    // buckets with the broadcast per-language ppm profiles (built from
+    // the bundled seeds), argmax with ties to the earlier language
+    "q333_language_id_ngram" -> { (s, _) =>
+      val profiles = graft.operators.TextAnalysis.buildLanguageProfiles(
+        graft.operators.TextAnalysis.defaultProfileSamples, langIdDim)
+      langFixtureDf(s).select(col("id"), col("lang").as("lang_true"),
+        graft.operators.TextAnalysis.languageId(col("text"))
+          .as("lang_marker"),
+        graft.operators.TextAnalysis.languageIdNgram(col("text"),
+          profiles, langIdDim).as("lang_ngram"))
     },
 
     // Post-training data, SFT leg: per-conversation structural
@@ -1182,6 +1251,85 @@ object CorpusQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // targets hand-derived from q320's pinned ranks (alpha 1122777,
+    // beta/gamma 938610; Σ 2999997; budget 6 → floor: 2/1/1); the
+    // md5-order per-host sample is COMPUTED, mirroring applyMixture
+    "q332_rank_weighted_mixture" ->
+      """WITH docs AS (
+        |  SELECT * FROM (VALUES
+        |    (1, 'alpha.com'), (2, 'alpha.com'), (3, 'alpha.com'),
+        |    (4, 'beta.com'), (5, 'beta.com'), (6, 'beta.com'),
+        |    (7, 'gamma.org'), (8, 'gamma.org'), (9, 'gamma.org')
+        |  ) AS t(doc_id, host)
+        |), tg AS (
+        |  SELECT * FROM (VALUES
+        |    ('alpha.com', 2), ('beta.com', 1), ('gamma.org', 1)
+        |  ) AS x(host, n_target)
+        |), r AS (
+        |  SELECT d.doc_id, d.host, tg.n_target,
+        |    ROW_NUMBER() OVER (PARTITION BY d.host
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC,
+        |        d.doc_id ASC) AS rk
+        |  FROM docs d JOIN tg USING (host)
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, host
+        |FROM r WHERE rk <= n_target""".stripMargin,
+
+    // the full trigram scoring replayed: same normalization, same
+    // md5-prefix60 buckets, same ppm weight arrays (interpolated from
+    // the SAME profile build), same earlier-language tie rule — plus
+    // the marker argmax next to it
+    "q333_language_id_ngram" -> {
+      val profiles = graft.operators.TextAnalysis.buildLanguageProfiles(
+        graft.operators.TextAnalysis.defaultProfileSamples, langIdDim)
+      val fixtureRows = langFixture.map { case (i, l, t) =>
+        s"    (CAST($i AS BIGINT), '$l', '$t')" }.mkString(",\n")
+      def score(w: Array[Long]): String =
+        s"coalesce(list_sum(list_transform(grams, g1 -> " +
+          s"(${w.mkString("[", ", ", "]")})[CAST(" +
+          "CAST(concat('0x', substr(md5(g1), 1, 15)) AS BIGINT)" +
+          s" % $langIdDim AS INTEGER) + 1])), 0)"
+      val scoreCols = profiles.map { case (l, w) =>
+        s"    ${score(w)} AS s_$l" }.mkString(",\n")
+      val markerCols = graft.operators.TextAnalysis.defaultMarkers
+        .map { case (l, ws) =>
+          s"    len(regexp_extract_all(lower(text), " +
+            s"'\\b(${ws.mkString("|")})\\b')) AS c_$l"
+        }.mkString(",\n")
+      val langs = profiles.map(_._1)
+      def argmax(prefix: String): String = {
+        val best = langs.map(l => s"$prefix$l").mkString("greatest(", ", ", ")")
+        "CASE WHEN " + best + " <= 0 THEN 'und' " +
+          langs.map(l => s"WHEN $prefix$l = $best THEN '$l'")
+            .mkString(" ") + " ELSE 'und' END"
+      }
+      s"""WITH src AS (
+         |  SELECT * FROM (VALUES
+         |$fixtureRows
+         |  ) AS t(id, lang, text)
+         |), nm AS (
+         |  SELECT id, lang, text,
+         |    ' ' || trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^\\p{L} ]', ' ', 'g'), ' +', ' ', 'g')) || ' ' AS n
+         |  FROM src
+         |), gr AS (
+         |  SELECT id, lang, text,
+         |    CASE WHEN len(n) >= 3 THEN list_transform(
+         |      generate_series(1, len(n) - 2), i -> substr(n, i, 3))
+         |    ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM nm
+         |), sc AS (
+         |  SELECT id, lang, text,
+         |$scoreCols,
+         |$markerCols
+         |  FROM gr
+         |)
+         |SELECT id, lang AS lang_true,
+         |  ${argmax("c_")} AS lang_marker,
+         |  ${argmax("s_")} AS lang_ngram
+         |FROM sc""".stripMargin
+    },
+
     // the full extraction pipeline replayed in SQL: same region drops,
     // same block split, same per-block text normalization and integer
     // density gates, kept blocks joined by newline

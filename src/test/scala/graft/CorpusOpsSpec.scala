@@ -878,6 +878,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(all.forall { case (alloc, capped) => alloc == 30L && capped })
   }
 
+  test("rankWeightedTargets: exact proportional floors from pinned " +
+      "ranks; a web-scale budget times a mega-hub rank cannot wrap " +
+      "(DECIMAL-widened product)") {
+    import spark.implicits._
+    val ranks = Seq(("alpha.com", 1122777L), ("beta.com", 938610L),
+      ("gamma.org", 938610L)).toDF("host", "rank_ppm")
+    val got = CorpusOps.rankWeightedTargets(ranks, "host", "rank_ppm",
+        budget = 6L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("alpha.com" -> 2L, "beta.com" -> 1L,
+      "gamma.org" -> 1L))
+    // overflow posture: budget 10^12 docs, one hub holding 1.1e13 ppm
+    // of rank mass — the naive Long product is 1.1e25, far past 2^63
+    val big = Seq(("hub", 11000000000000L), ("rest", 1000000L))
+      .toDF("host", "rank_ppm")
+    val bigGot = CorpusOps.rankWeightedTargets(big, "host", "rank_ppm",
+        budget = 1000000000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bigGot("hub") == 999999909090L) // floor(1e12*1.1e13/1.1000001e13)
+    assert(bigGot("rest") == 90909L)
+    assert(bigGot.values.sum <= 1000000000000L)
+  }
+
   test("epochAllocation: multi-trillion-token budgets survive (the " +
       "budget*w and cap products overflow Long without BigInt " +
       "widening); negative weights fail descriptively") {
