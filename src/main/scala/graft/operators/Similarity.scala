@@ -23,6 +23,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Eager lineage-truncating materialization at MEMORY_AND_DISK_SER —
+    * the staging level for the miner family's banded intermediates:
+    * serialized blocks hold ONE byte array per block instead of one
+    * object per row, which is what keeps full-suite sf1 runs from
+    * GC-scattering around the same shuffle fingerprint (docs/SCALE.md,
+    * round-11 note). Small per-anchor outputs stay on the default
+    * level — re-read cost there is in the noise either way. */
+  private[graft] def stageSer(df: DataFrame): DataFrame =
+    df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** Dot product of two double arrays (left-to-right summation). Evaluated
     * by the codegen'd allocation-free
     * [[graft.functions.expressions.DotDoubleExpr]]; bit-identical to the

@@ -746,8 +746,9 @@ object DataQueries {
       val e = t(s, dir, "embeddings")
       val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
       val bands = math.min(32, 64 / bits)
-      val art = Similarity.annIndex(e, "vec_id", "embedding", "label",
-        dim = 64, bands = bands, bitsPerBand = bits).localCheckpoint(true)
+      val art = Similarity.stageSer(
+        Similarity.annIndex(e, "vec_id", "embedding", "label",
+          dim = 64, bands = bands, bitsPerBand = bits))
       Similarity.hardNegativesAnnFromIndex(art, k = 3,
         bands = bands, bitsPerBand = bits)
     },
@@ -772,14 +773,16 @@ object DataQueries {
       val posBands = math.min(32, 64 / posBits)
       // per-seed artifacts MATERIALIZED once; prior sides and the fold
       // both mine from them (no index re-scan, no re-hash)
-      val negIdx = seeds.map(sd => Similarity.annIndex(index, "vec_id",
-        "embedding", "label", dim = 64, bands = bands, bitsPerBand = bits,
-        seed = sd).localCheckpoint(true))
+      val negIdx = seeds.map(sd => Similarity.stageSer(
+        Similarity.annIndex(index, "vec_id",
+          "embedding", "label", dim = 64, bands = bands,
+          bitsPerBand = bits, seed = sd)))
       val posIdx =
         if (posBands == bands && posBits == bits) negIdx
-        else seeds.map(sd => Similarity.annIndex(index, "vec_id",
-          "embedding", "label", dim = 64, bands = posBands,
-          bitsPerBand = posBits, seed = sd).localCheckpoint(true))
+        else seeds.map(sd => Similarity.stageSer(
+          Similarity.annIndex(index, "vec_id",
+            "embedding", "label", dim = 64, bands = posBands,
+            bitsPerBand = posBits, seed = sd)))
       val (pp, pn) = Similarity.tripletMiningSidesFromIndexes(negIdx, posIdx,
         bands = bands, bitsPerBand = bits,
         posBands = posBands, posBitsPerBand = posBits)
@@ -849,8 +852,9 @@ object DataQueries {
       val e = t(s, dir, "embeddings")
       val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
       val bands = math.min(32, 64 / bits)
-      val art = Similarity.annIndex(e, "vec_id", "embedding", "label",
-        dim = 64, bands = bands, bitsPerBand = bits).localCheckpoint(true)
+      val art = Similarity.stageSer(
+        Similarity.annIndex(e, "vec_id", "embedding", "label",
+          dim = 64, bands = bands, bitsPerBand = bits))
       val pruned = Similarity.annIndexRemove(art,
         e.filter(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
         "vec_id")
