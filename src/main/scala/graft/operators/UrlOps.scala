@@ -122,4 +122,129 @@ object UrlOps {
         Window.partitionBy(col("host")).orderBy(col("__k"), col("id"))))
       .drop("__k")
   }
+
+  // ------------------------------------------------------------------
+  // Robots Exclusion Protocol (RFC 9309) — the crawl-GOVERNANCE gate:
+  // a training corpus assembled from a crawl is expected to honor each
+  // host's robots.txt, and an audit asks for the decision per URL with
+  // the rule that made it. Parsing and evaluation are both relational
+  // (per-host windows + a host-keyed join), so the gate runs at corpus
+  // scale like every other operator here.
+  // ------------------------------------------------------------------
+
+  /** Parse robots.txt bodies into rule rows:
+    * (host, group_id, line_no, directive, value).
+    *
+    * RFC 9309 grouping: one or more consecutive `User-agent` lines
+    * open a group; the `Allow`/`Disallow` lines that follow belong to
+    * it until the next UA line that follows a rule line. Expressed as
+    * one per-host window pass: a group starts at a UA line whose
+    * predecessor is NOT a UA line; `group_id` is the running count of
+    * starts. Comments (`#` to end of line) strip first; directives
+    * match case-insensitively; unknown directives (Crawl-delay,
+    * Sitemap, ...) drop. Agent values lowercase (the RFC says product
+    * tokens compare case-insensitively); rule paths keep their case
+    * (paths are case-sensitive). */
+  def parseRobots(robots: DataFrame, hostCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = robots.select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("line_no", "__raw")))
+      .withColumn("__line",
+        trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .filter(col("__line") =!= "")
+      .withColumn("directive",
+        lower(trim(substring_index(col("__line"), ":", 1))))
+      .withColumn("value",
+        trim(expr("substring(__line, instr(__line, ':') + 1)")))
+      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+    val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
+    lines
+      .withColumn("__ua", col("directive") === "user-agent")
+      .withColumn("__start", col("__ua") &&
+        !coalesce(lag(col("__ua"), 1).over(w), lit(false)))
+      .withColumn("group_id",
+        sum(col("__start").cast("long")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("host"), col("group_id"),
+        col("line_no").cast("long").as("line_no"), col("directive"),
+        when(col("__ua"), lower(col("value")))
+          .otherwise(col("value")).as("value"))
+  }
+
+  /** Translate one robots rule path into the regex that implements its
+    * RFC matching: every regex metachar escapes EXCEPT `*` (→ `.*`)
+    * and a TRAILING `$` (→ end anchor; `$` anywhere else is
+    * literal). */
+  private def robotsPattern(path: Column): Column = {
+    val anchored = path.endsWith("$")
+    val body = when(anchored, expr("substring(value, 1, length(value) - 1)"))
+      .otherwise(path)
+    val escaped = regexp_replace(body,
+      "([.\\[\\]{}()+?^$|\\\\])", "\\\\$1")
+    concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Evaluate [[parseRobots]] rules for `agent` over a URL table:
+    * (url, host, allowed, matched_rule, matched_path).
+    *
+    * Group selection per RFC 9309: the groups naming our agent exactly
+    * (case-insensitive) if any exist for the host, else the `*`
+    * groups; multiple matching groups merge. Decision per URL: among
+    * rules whose path-pattern matches the URL path (RFC wildcards:
+    * `*` anywhere, `$` end anchor), the LONGEST rule wins and `allow`
+    * wins length ties (the published Google semantics); no matching
+    * rule — or no robots.txt for the host at all — allows. Empty rule
+    * paths (`Disallow:` alone = no restriction) drop at parse-eval
+    * boundary. A URL with an empty path evaluates as `/`.
+    *
+    * Shape: the chosen-rule table is host-keyed and small relative to
+    * the URL table (one row per rule line); the join shuffles by host
+    * (or broadcasts under AQE), then one max_by per URL — no window
+    * over the URL side. */
+  def evaluateRobots(urls: DataFrame, urlCol: String, rules: DataFrame,
+      agent: String): DataFrame = {
+    val agents = rules.filter(col("directive") === "user-agent")
+      .select(col("host"), col("group_id"), col("value").as("ua"))
+    val exact = agents.filter(col("ua") === agent.toLowerCase)
+      .select(col("host"), col("group_id")).distinct()
+    val star = agents.filter(col("ua") === "*")
+      .select(col("host"), col("group_id")).distinct()
+      .join(exact.select(col("host")).distinct(), Seq("host"),
+        "left_anti")
+    val chosen = exact.union(star)
+    val paths = rules
+      .filter(col("directive").isin("allow", "disallow") &&
+        col("value") =!= "")
+      .join(chosen, Seq("host", "group_id"), "left_semi")
+      .select(col("host"), col("directive"), col("value"),
+        robotsPattern(col("value")).as("__pat"))
+    val u = urls.select(col(urlCol).as("url"),
+        canonicalHost(col(urlCol)).as("host"),
+        coalesce(
+          when(try_parse_url(col(urlCol), lit("PATH")) === "", lit("/"))
+            .otherwise(try_parse_url(col(urlCol), lit("PATH"))),
+          lit("/")).as("__path"))
+    val matched = u.join(paths, Seq("host"))
+      .filter(regexp_like(col("__path"), col("__pat")))
+      .groupBy(col("url"), col("host"))
+      .agg(max_by(
+        struct(col("directive"), col("value")),
+        // longest rule wins; allow beats disallow on equal length; the
+        // path string itself breaks exact ties deterministically
+        struct(length(col("value")),
+          (col("directive") === "allow").cast("int"),
+          col("value"))).as("__win"))
+      .select(col("url"), col("host"),
+        (col("__win.directive") === "allow").as("allowed"),
+        col("__win.directive").as("matched_rule"),
+        col("__win.value").as("matched_path"))
+    u.select(col("url"), col("host")).join(matched.drop("host"),
+        Seq("url"), "left")
+      .select(col("url"), col("host"),
+        coalesce(col("allowed"), lit(true)).as("allowed"),
+        col("matched_rule"), col("matched_path"))
+  }
 }

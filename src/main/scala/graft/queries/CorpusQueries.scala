@@ -241,7 +241,91 @@ object CorpusQueries {
     langFixture.toDF("id", "lang", "text")
   }
 
+  /** q334/q335 robots fixture: two hosts, grouped UA lines, comments,
+    * unknown directives, wildcards, a $-anchored rule, an agent whose
+    * groups merge. No single quotes, so the SAME literal interpolates
+    * into the DuckDB VALUES. */
+  private val robotsFixture: Seq[(String, String)] = Seq(
+    "a.com" -> ("# crawl policy\n" +
+      "User-agent: alphabot\nUser-agent: betabot\n" +
+      "Disallow: /private/\nAllow: /private/press/\n\n" +
+      "User-agent: *\nDisallow: /tmp/\nDisallow: /search$\n" +
+      "Allow: /tmp/public*\nCrawl-delay: 10\n" +
+      "Sitemap: https://a.com/sitemap.xml\n\n" +
+      "User-agent: alphabot\nDisallow: /alpha-only/\n"),
+    "b.com" -> ("User-agent: *\nDisallow: /\nAllow: /public/\n"))
+
+  private val robotsEvalUrls: Seq[String] = Seq(
+    "https://a.com/tmp/secret", "https://a.com/tmp/public-data",
+    "https://a.com/search", "https://a.com/search/results",
+    "https://a.com/private/x", "https://a.com",
+    "https://b.com/anything", "https://b.com/public/doc",
+    "https://no-robots.com/x", "::bad::")
+
+  private def robotsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    robotsFixture.toDF("host", "txt")
+  }
+
+  /** The shared parse CTE chain of the two robots twins (through the
+    * `rules` table — the literal SQL form of [[graft.operators.UrlOps
+    * .parseRobots]]). */
+  private val sqlRobotsRules: String = {
+    val values = robotsFixture.map { case (h, t) => s"    ('$h', '$t')" }
+      .mkString(",\n")
+    s"""WITH src AS (
+       |  SELECT * FROM (VALUES
+       |$values
+       |  ) AS t(host, txt)
+       |), rlines AS (
+       |  SELECT host, i - 1 AS line_no,
+       |    trim(regexp_replace(t[i], '#.*$$', '')) AS line
+       |  FROM (SELECT host, str_split(txt, chr(10)) AS t FROM src),
+       |    unnest(generate_series(1, len(t))) AS u(i)
+       |), typed AS (
+       |  SELECT host, line_no,
+       |    lower(trim(str_split(line, ':')[1])) AS directive,
+       |    trim(substr(line, strpos(line, ':') + 1)) AS value
+       |  FROM rlines
+       |  WHERE line <> ''
+       |    AND lower(trim(str_split(line, ':')[1]))
+       |      IN ('user-agent', 'allow', 'disallow')
+       |), grp AS (
+       |  SELECT *, directive = 'user-agent' AS ua,
+       |    (directive = 'user-agent' AND NOT coalesce(
+       |      lag(directive = 'user-agent') OVER (
+       |        PARTITION BY host ORDER BY line_no), false)) AS gstart
+       |  FROM typed
+       |), rules AS (
+       |  SELECT host,
+       |    CAST(SUM(CASE WHEN gstart THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY host ORDER BY line_no
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS group_id,
+       |    CAST(line_no AS BIGINT) AS line_no, directive,
+       |    CASE WHEN ua THEN lower(value) ELSE value END AS value
+       |  FROM grp
+       |)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Robots Exclusion Protocol parse (RFC 9309): comment strip, group
+    // formation at consecutive UA lines, unknown directives dropped —
+    // one per-host window pass, mirrored line-for-line by the twin
+    "q334_robots_parse" -> { (s, _) =>
+      graft.operators.UrlOps.parseRobots(robotsDf(s), "host", "txt")
+    },
+
+    // ... and the per-URL crawl-governance decision for one agent:
+    // exact-agent groups (merged) else the * groups, RFC wildcard
+    // matching, longest rule wins with allow on ties, fail-open for
+    // hosts without robots and unparseable URLs
+    "q335_robots_eval" -> { (s, _) =>
+      import s.implicits._
+      graft.operators.UrlOps.evaluateRobots(
+        robotsEvalUrls.toDF("url"), "url",
+        graft.operators.UrlOps.parseRobots(robotsDf(s), "host", "txt"),
+        agent = "gammabot")
+    },
     // HTML -> text boilerplate extraction (the crawl front-end stage):
     // block segmentation at block-level tags, per-block length /
     // link-density / stopword-density gates, kept prose joined by
@@ -1251,6 +1335,69 @@ object CorpusQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "q334_robots_parse" ->
+      s"""$sqlRobotsRules
+         |SELECT host, group_id, line_no, directive, value FROM rules""".stripMargin,
+
+    // group selection, RFC wildcard translation (escape all metachars
+    // except * -> .* and a TRAILING $ -> anchor), longest-match with
+    // allow-wins-ties via one ROW_NUMBER, fail-open left join
+    "q335_robots_eval" -> {
+      val urlValues = robotsEvalUrls.map(u => s"    ('$u')")
+        .mkString(",\n")
+      s"""$sqlRobotsRules, agents AS (
+         |  SELECT host, group_id, value AS ua FROM rules
+         |  WHERE directive = 'user-agent'
+         |), exact AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = 'gammabot'
+         |), star AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = '*' AND host NOT IN (SELECT host FROM exact)
+         |), chosen AS (
+         |  SELECT * FROM exact UNION SELECT * FROM star
+         |), paths AS (
+         |  SELECT r.host, r.directive, r.value,
+         |    '^' || replace(
+         |      regexp_replace(
+         |        CASE WHEN r.value LIKE '%$$' THEN
+         |          substr(r.value, 1, len(r.value) - 1) ELSE r.value END,
+         |        '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'),
+         |      '*', '.*')
+         |      || CASE WHEN r.value LIKE '%$$' THEN '$$' ELSE '' END AS pat
+         |  FROM rules r
+         |  JOIN chosen c ON r.host = c.host AND r.group_id = c.group_id
+         |  WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
+         |), uu AS (
+         |  SELECT * FROM (VALUES
+         |$urlValues
+         |  ) AS t(url)
+         |), u AS (
+         |  SELECT url,
+         |    CASE WHEN regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)
+         |        = '' THEN NULL
+         |      ELSE regexp_replace(lower(regexp_extract(url,
+         |        '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') END AS host,
+         |    CASE WHEN regexp_extract(url,
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'
+         |      ELSE regexp_extract(url,
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END AS path
+         |  FROM uu
+         |), mm AS (
+         |  SELECT u.url, p.directive, p.value,
+         |    ROW_NUMBER() OVER (PARTITION BY u.url
+         |      ORDER BY len(p.value) DESC,
+         |        (p.directive = 'allow') DESC, p.value DESC) AS rn
+         |  FROM u JOIN paths p ON u.host = p.host
+         |  WHERE regexp_matches(u.path, p.pat)
+         |)
+         |SELECT u.url, u.host,
+         |  coalesce(m.directive = 'allow', true) AS allowed,
+         |  m.directive AS matched_rule, m.value AS matched_path
+         |FROM u LEFT JOIN (SELECT * FROM mm WHERE rn = 1) m
+         |  ON u.url = m.url""".stripMargin
+    },
+
     // targets hand-derived from q320's pinned ranks (alpha 1122777,
     // beta/gamma 938610; Σ 2999997; budget 6 → floor: 2/1/1); the
     // md5-order per-host sample is COMPUTED, mirroring applyMixture

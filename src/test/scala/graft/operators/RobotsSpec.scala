@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309): grouping, agent selection,
+  * longest-match decisions, wildcards, and the fail-open contracts. */
+class RobotsSpec extends SparkSpec {
+
+  private val robotsTxt =
+    """# crawl policy
+      |User-agent: alphabot
+      |User-agent: betabot
+      |Disallow: /private/
+      |Allow: /private/press/
+      |
+      |User-agent: *
+      |Disallow: /tmp/
+      |Disallow: /search$
+      |Allow: /tmp/public*
+      |Crawl-delay: 10
+      |Sitemap: https://a.com/sitemap.xml
+      |
+      |User-agent: alphabot
+      |Disallow: /alpha-only/
+      |""".stripMargin
+
+  private def rules(txts: (String, String)*) = {
+    import spark.implicits._
+    UrlOps.parseRobots(txts.toSeq.toDF("host", "txt"), "host", "txt")
+  }
+
+  private def eval(agent: String, urls: Seq[String],
+      txts: (String, String)*) = {
+    import spark.implicits._
+    UrlOps.evaluateRobots(urls.toDF("url"), "url",
+        rules(txts: _*), agent)
+      .collect().map(r => r.getString(0) ->
+        ((r.getBoolean(2), Option(r.getString(3)), Option(r.getString(4)))))
+      .toMap
+  }
+
+  test("parse: consecutive UA lines share a group, rules bind to the " +
+      "group above them, comments and unknown directives drop, agent " +
+      "values lowercase, paths keep case") {
+    val r = rules("a.com" -> robotsTxt)
+      .orderBy("line_no")
+      .collect().map(x => (x.getLong(1), x.getString(3), x.getString(4)))
+    assert(r.toSeq == Seq(
+      (1L, "user-agent", "alphabot"),
+      (1L, "user-agent", "betabot"),
+      (1L, "disallow", "/private/"),
+      (1L, "allow", "/private/press/"),
+      (2L, "user-agent", "*"),
+      (2L, "disallow", "/tmp/"),
+      (2L, "disallow", "/search$"),
+      (2L, "allow", "/tmp/public*"),
+      (3L, "user-agent", "alphabot"),
+      (3L, "disallow", "/alpha-only/")))
+  }
+
+  test("evaluate for a named agent: its groups MERGE (both alphabot " +
+      "groups apply), the * group does not; longest rule wins and " +
+      "allow beats disallow on ties") {
+    val got = eval("AlphaBot", Seq(
+      "https://a.com/private/x",        // disallow /private/
+      "https://a.com/private/press/x",  // allow wins (longer)
+      "https://a.com/alpha-only/y",     // second alphabot group merges
+      "https://a.com/tmp/anything",     // * group NOT consulted
+      "https://a.com/other"),           // no rule -> allowed
+      "a.com" -> robotsTxt)
+    assert(got("https://a.com/private/x") ==
+      ((false, Some("disallow"), Some("/private/"))))
+    assert(got("https://a.com/private/press/x") ==
+      ((true, Some("allow"), Some("/private/press/"))))
+    assert(got("https://a.com/alpha-only/y") ==
+      ((false, Some("disallow"), Some("/alpha-only/"))))
+    assert(got("https://a.com/tmp/anything") == ((true, None, None)))
+    assert(got("https://a.com/other") == ((true, None, None)))
+  }
+
+  test("evaluate for an unlisted agent: the * group applies; '*' " +
+      "wildcards and the '$' end anchor match per the RFC") {
+    val got = eval("gammabot", Seq(
+      "https://a.com/tmp/secret",       // disallow /tmp/
+      "https://a.com/tmp/public-data",  // allow /tmp/public* (longer)
+      "https://a.com/search",           // $-anchored disallow
+      "https://a.com/search/results",   // anchor does NOT match deeper
+      "https://a.com/private/x"),       // alphabot group not consulted
+      "a.com" -> robotsTxt)
+    assert(got("https://a.com/tmp/secret")._1 == false)
+    assert(got("https://a.com/tmp/public-data")._1 == true)
+    assert(got("https://a.com/search") ==
+      ((false, Some("disallow"), Some("/search$"))))
+    assert(got("https://a.com/search/results") == ((true, None, None)))
+    assert(got("https://a.com/private/x") == ((true, None, None)))
+  }
+
+  test("fail-open contracts: host without robots.txt allows; an " +
+      "unparseable URL allows with NULL host; empty Disallow is no " +
+      "restriction; regex metachars in paths stay literal") {
+    val got = eval("anybot", Seq(
+      "https://no-robots.com/anything",
+      "::bad::"),
+      "a.com" -> robotsTxt)
+    assert(got("https://no-robots.com/anything")._1 == true)
+    assert(got("::bad::")._1 == true)
+    val meta = eval("anybot", Seq(
+      "https://m.com/a.b/c",    // '.' literal: matches the rule
+      "https://m.com/aXb/c",    // would match if '.' were regex
+      "https://m.com/ok"),
+      "m.com" -> "User-agent: *\nDisallow: /a.b/\nDisallow:\n")
+    assert(meta("https://m.com/a.b/c")._1 == false)
+    assert(meta("https://m.com/aXb/c")._1 == true)
+    assert(meta("https://m.com/ok")._1 == true)
+  }
+
+  test("a bare-host URL evaluates as path '/': 'Disallow: /' blocks " +
+      "the whole host including its root") {
+    val got = eval("anybot", Seq(
+      "https://closed.com",
+      "https://closed.com/deep/page"),
+      "closed.com" -> "User-agent: *\nDisallow: /\n")
+    assert(got.values.forall(!_._1))
+  }
+}
