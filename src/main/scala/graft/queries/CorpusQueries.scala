@@ -326,6 +326,25 @@ object CorpusQueries {
         graft.operators.UrlOps.parseRobots(robotsDf(s), "host", "txt"),
         agent = "gammabot")
     },
+
+    // The governed-intake composition, end to end: robots decision ->
+    // keep only allowed URLs -> bounded per-host cap (the q312 heap) —
+    // the admission path a compliant crawl corpus runs before any
+    // content ever downloads. IDs are the fixture positions, so the
+    // md5-order cap is deterministic and twin-computable
+    "q336_governed_host_cap" -> { (s, _) =>
+      import s.implicits._
+      val urls = robotsEvalUrls.zipWithIndex
+        .map { case (u, i) => (i.toLong + 1L, u) }.toDF("id", "url")
+      val decisions = graft.operators.UrlOps.evaluateRobots(
+        urls, "url",
+        graft.operators.UrlOps.parseRobots(robotsDf(s), "host", "txt"),
+        agent = "gammabot")
+      val allowed = urls.join(
+        decisions.where(col("allowed")).select(col("url")),
+        Seq("url"), "left_semi")
+      graft.operators.UrlOps.perHostCap(allowed, "url", "id", n = 2)
+    },
     // HTML -> text boilerplate extraction (the crawl front-end stage):
     // block segmentation at block-level tags, per-block length /
     // link-density / stopword-density gates, kept prose joined by
@@ -1396,6 +1415,71 @@ object CorpusQueries {
          |  m.directive AS matched_rule, m.value AS matched_path
          |FROM u LEFT JOIN (SELECT * FROM mm WHERE rn = 1) m
          |  ON u.url = m.url""".stripMargin
+    },
+
+    // the q335 decision CTEs + allowed filter + the md5-order per-host
+    // cap (hostless rows fail closed, as perHostCap documents)
+    "q336_governed_host_cap" -> {
+      val urlValues = robotsEvalUrls.zipWithIndex
+        .map { case (u, i) => s"    (CAST(${i + 1} AS BIGINT), '$u')" }
+        .mkString(",\n")
+      s"""$sqlRobotsRules, agents AS (
+         |  SELECT host, group_id, value AS ua FROM rules
+         |  WHERE directive = 'user-agent'
+         |), exact AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = 'gammabot'
+         |), star AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = '*' AND host NOT IN (SELECT host FROM exact)
+         |), chosen AS (
+         |  SELECT * FROM exact UNION SELECT * FROM star
+         |), paths AS (
+         |  SELECT r.host, r.directive, r.value,
+         |    '^' || replace(
+         |      regexp_replace(
+         |        CASE WHEN r.value LIKE '%$$' THEN
+         |          substr(r.value, 1, len(r.value) - 1) ELSE r.value END,
+         |        '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'),
+         |      '*', '.*')
+         |      || CASE WHEN r.value LIKE '%$$' THEN '$$' ELSE '' END AS pat
+         |  FROM rules r
+         |  JOIN chosen c ON r.host = c.host AND r.group_id = c.group_id
+         |  WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
+         |), uu AS (
+         |  SELECT * FROM (VALUES
+         |$urlValues
+         |  ) AS t(id, url)
+         |), u AS (
+         |  SELECT id, url,
+         |    CASE WHEN regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)
+         |        = '' THEN NULL
+         |      ELSE regexp_replace(lower(regexp_extract(url,
+         |        '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') END AS host,
+         |    CASE WHEN regexp_extract(url,
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'
+         |      ELSE regexp_extract(url,
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END AS path
+         |  FROM uu
+         |), mm AS (
+         |  SELECT u.url, p.directive, p.value,
+         |    ROW_NUMBER() OVER (PARTITION BY u.url
+         |      ORDER BY len(p.value) DESC,
+         |        (p.directive = 'allow') DESC, p.value DESC) AS rn
+         |  FROM u JOIN paths p ON u.host = p.host
+         |  WHERE regexp_matches(u.path, p.pat)
+         |), alw AS (
+         |  SELECT u.id, u.host
+         |  FROM u LEFT JOIN (SELECT * FROM mm WHERE rn = 1) m
+         |    ON u.url = m.url
+         |  WHERE coalesce(m.directive = 'allow', true)
+         |    AND u.host IS NOT NULL AND u.host <> ''
+         |)
+         |SELECT id, host, CAST(pos AS INTEGER) AS pos FROM (
+         |  SELECT id, host, ROW_NUMBER() OVER (PARTITION BY host
+         |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS pos
+         |  FROM alw)
+         |WHERE pos <= 2""".stripMargin
     },
 
     // targets hand-derived from q320's pinned ranks (alpha 1122777,
