@@ -157,6 +157,17 @@ object TextFunctions {
   def docFingerprint(text: Column, n: Int = 5): Column =
     array_min(shingleHashes60(text, n))
 
+  /** True when `c`'s chars, read as bytes (a latin-1 decode of raw
+    * bytes -- every char <= U+00FF), form a structurally valid UTF-8
+    * sequence: the classic validation regex, surrogate and overlong
+    * ranges excluded. Shared by [[repairMojibake]] (validity proven
+    * BEFORE `decode` runs -- Spark 4's decode raises on malformed
+    * input) and [[CharsetDecode]]'s mislabeled-utf-8 detection (a
+    * binary cast to string keeps invalid bytes RAW inside UTF8String,
+    * so only this chars-as-bytes reading sees them). */
+  def isUtf8Bytes(c: Column): Column =
+    c.rlike("^(?:[\u0000-\u007F]|[\u00C2-\u00DF][\u0080-\u00BF]|\u00E0[\u00A0-\u00BF][\u0080-\u00BF]|[\u00E1-\u00EC][\u0080-\u00BF]{2}|\u00ED[\u0080-\u009F][\u0080-\u00BF]|[\u00EE-\u00EF][\u0080-\u00BF]{2}|\u00F0[\u0090-\u00BF][\u0080-\u00BF]{2}|[\u00F1-\u00F3][\u0080-\u00BF]{3}|\u00F4[\u0080-\u008F][\u0080-\u00BF]{2})*$")
+
   /** Mojibake repair — the encoding-corruption fix of corpus cleaning:
     * text that was UTF-8 bytes mis-decoded as Latin-1 (the classic
     * "CafA(c)") re-encodes to its original bytes losslessly, so the repair
@@ -172,8 +183,7 @@ object TextFunctions {
     * prose (which fails the structure check) never degrades. */
   def repairMojibake(c: Column): Column = {
     val suspicious = c.rlike("[\u00C2-\u00DF][\u0080-\u00BF]")
-    val validUtf8 = c.rlike("^(?:[\u0000-\u007F]|[\u00C2-\u00DF][\u0080-\u00BF]|\u00E0[\u00A0-\u00BF][\u0080-\u00BF]|[\u00E1-\u00EC][\u0080-\u00BF]{2}|\u00ED[\u0080-\u009F][\u0080-\u00BF]|[\u00EE-\u00EF][\u0080-\u00BF]{2}|\u00F0[\u0090-\u00BF][\u0080-\u00BF]{2}|[\u00F1-\u00F3][\u0080-\u00BF]{3}|\u00F4[\u0080-\u008F][\u0080-\u00BF]{2})*$")
-    when(suspicious && validUtf8,
+    when(suspicious && isUtf8Bytes(c),
       decode(encode(c, "ISO-8859-1"), "UTF-8")).otherwise(c)
   }
 }

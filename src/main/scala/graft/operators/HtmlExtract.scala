@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * backreferences are used anywhere, so RE2 runs every pattern):
   *   1. drop non-content regions (script/style/noscript/template
   *      elements, comments, CDATA)
-  *   2. split on block-level tags (p, div, h1-h6, li, td, br, ...)
+  *   2. neutralize block tags INSIDE anchor elements (card/nav markup
+  *      wraps blocks in `<a>`; the anchor must survive the split whole
+  *      or its text sheds its anchor chars), then split on block-level
+  *      tags (p, div, h1-h6, li, td, br, ...)
   *   3. per block: anchor-text length (from `<a>` spans BEFORE tag
   *      strip), then tag-strip → entity-decode → whitespace-normalize,
   *      word count, stopword occurrences
@@ -84,6 +87,29 @@ object HtmlExtract {
 
   private val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
 
+  private val anchorRe = "(?is)<a\\b[^>]*>.*?</a>"
+
+  /** Anchors that WRAP block content (`<a href=..><div>Products</div>
+    * </a>` — the standard modern nav/card markup) would be severed from
+    * their text by the block split: the anchor chars land in one block,
+    * the text in another, and a link farm in that shape evades the
+    * link-density gate. Neutralize block-boundary tags INSIDE each
+    * anchor element first (an anchor is one navigation unit — its
+    * content reads as one block), so every anchor survives the split
+    * whole and its chars count where its text lands. Rebuilt by
+    * interleaving the split-around-anchors pieces with the cleaned
+    * anchors — pure array functions, still map-only. */
+  private def mergeAnchorBlocks(doc: Column): Column = {
+    val anchors = regexp_extract_all(doc, lit(anchorRe), lit(0))
+    val cleaned = transform(anchors,
+      a => regexp_replace(a, blockSplitRe, " "))
+    val pieces = split(doc, anchorRe, -1)
+    when(size(cleaned) === 0, doc).otherwise(
+      aggregate(sequence(lit(1), size(cleaned)), element_at(pieces, 1),
+        (acc, i) => concat(acc, element_at(cleaned, i),
+          element_at(pieces, i + 1))))
+  }
+
   /** Per-block audit rows: (id, block_idx, text, n_chars, n_words,
     * n_anchor_chars, link_ppm, stop_ppm, keep) — one row per non-empty
     * block. The gates' working is VISIBLE here; [[extractText]] folds
@@ -122,7 +148,7 @@ object HtmlExtract {
     * readability — Catalyst collapses them into one projection. */
   private def blockStructs(html: Column, minWords: Int,
       maxLinkPpm: Long, minStopPpm: Long): Column = {
-    val blocks = split(dropRegions(html), blockSplitRe)
+    val blocks = split(mergeAnchorBlocks(dropRegions(html)), blockSplitRe)
     val counted = transform(blocks, b => {
       val anchorLen = aggregate(
         regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
@@ -161,4 +187,90 @@ object HtmlExtract {
     * value ≤ 10⁶, so the double division is exact. */
   private def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
+
+  // ------------------------------------------------------------------
+  // Outlink extraction — the stage that closes the crawl loop: WARC →
+  // HTML → (page, outlink) edges → [[UrlOps.hostGraph]] →
+  // [[GraphRank.pageRank]] → rank-weighted mixture targets. Map-only
+  // Column code like the text path: regexp collect + a per-href
+  // resolve lambda, no shuffle, no UDF.
+  // ------------------------------------------------------------------
+
+  /** RFC 3986 `remove_dot_segments` over a path column: fold the
+    * `/`-split segments, dropping `.`, popping one segment per `..`
+    * (never past the root). One deviation, documented: a TRAILING
+    * `..`/`.` yields `/a` rather than the RFC's `/a/` (link targets,
+    * not directory listings — the distinction never survives
+    * [[UrlOps.canonicalize]] anyway, which strips trailing slashes). */
+  private def removeDotSegments(p: Column): Column = {
+    val segs = split(p, "/")
+    val folded = aggregate(segs, slice(segs, 1, 0),
+      (acc, s) => when(s === ".", acc)
+        .when(s === "..",
+          when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1))
+            .otherwise(acc))
+        .otherwise(concat(acc, array(s))))
+    val joined = array_join(folded, "/")
+    when(joined === "", lit("/")).otherwise(joined)
+  }
+
+  /** Resolve one (entity-decoded, quote-stripped) href against an
+    * absolute base URL: fragment strips; non-http(s) schemes
+    * (mailto:, javascript:, tel:, data:) and empty/fragment-only
+    * hrefs yield NULL; protocol-relative `//host/..` takes the base
+    * scheme; root-relative and relative paths resolve against the
+    * base authority/directory with dot-segment normalization; an
+    * href's query string passes through untouched. NULL when the base
+    * itself is not absolute http(s) (nothing sound to resolve
+    * against — fail closed, the [[UrlOps]] discipline). */
+  private def resolveHref(base: Column, href0: Column): Column = {
+    val href = regexp_replace(trim(href0), "#.*$", "")
+    val scheme = lower(regexp_extract(href,
+      "^([a-zA-Z][a-zA-Z0-9+.\\-]*):", 1))
+    val baseScheme = lower(regexp_extract(base,
+      "^([a-zA-Z][a-zA-Z0-9+.\\-]*)://", 1))
+    val baseAuth = regexp_extract(base,
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)", 1)
+    val basePath = regexp_extract(base,
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
+    val baseDir = when(basePath.contains("/"),
+      regexp_replace(basePath, "/[^/]*$", "/")).otherwise(lit("/"))
+    val hrefPath = regexp_extract(href, "^([^?]*)", 1)
+    val hrefQuery = when(href.contains("?"),
+      regexp_replace(href, "^[^?]*", "")).otherwise(lit(""))
+    val rootCol = concat(baseScheme, lit("://"), baseAuth)
+    val okBase = baseScheme.isin("http", "https") && baseAuth =!= ""
+    when(scheme.isin("http", "https"), href)
+      .when(scheme =!= "", lit(null))
+      .when(!okBase, lit(null))
+      .when(href.startsWith("//"), concat(baseScheme, lit(":"), href))
+      .when(href.startsWith("/"),
+        concat(rootCol, removeDotSegments(hrefPath), hrefQuery))
+      .when(href =!= "",
+        concat(rootCol, removeDotSegments(concat(baseDir, hrefPath)),
+          hrefQuery))
+      .otherwise(lit(null))
+  }
+
+  /** (id, url, outlinks): every `<a href>` target per page, resolved
+    * to an absolute URL honoring `<base href>` (first occurrence, per
+    * the HTML spec), in document order, unresolvable/non-http targets
+    * dropped. Feeds [[UrlOps.hostGraph]] directly. Anchors inside
+    * script/style/comment regions never count ([[dropRegions]] runs
+    * first); `&amp;` entities in attribute values decode. */
+  def extractLinks(docs: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val doc = dropRegions(col(htmlCol))
+    val baseHref = regexp_extract(doc,
+      "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*[\"']?([^\\s>\"']+)", 1)
+    val base = when(baseHref =!= "", decodeEntities(baseHref))
+      .otherwise(col(urlCol))
+    val rawHrefs = regexp_extract_all(doc,
+      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+      lit(1))
+    val resolved = transform(rawHrefs, h => resolveHref(base,
+      decodeEntities(regexp_replace(h, "^[\"']|[\"']$", ""))))
+    docs.select(col(idCol).as("id"), col(urlCol).as("url"),
+      filter(resolved, h => h.isNotNull).as("outlinks"))
+  }
 }

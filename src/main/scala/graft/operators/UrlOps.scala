@@ -144,12 +144,15 @@ object UrlOps {
     * match case-insensitively; unknown directives (Crawl-delay,
     * Sitemap, ...) drop. Agent values lowercase (the RFC says product
     * tokens compare case-insensitively); rule paths keep their case
-    * (paths are case-sensitive). */
+    * (paths are case-sensitive). Lines split on `\r?\n` — real-world
+    * robots.txt is dominantly CRLF-encoded, and `trim` strips only
+    * spaces, so a bare-`\n` split would leave a trailing `\r` on every
+    * directive value and silently fail-open the whole file. */
   def parseRobots(robots: DataFrame, hostCol: String,
       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots.select(col(hostCol).as("host"),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
           .as(Seq("line_no", "__raw")))
       .withColumn("__line",
         trim(regexp_replace(col("__raw"), "#.*$", "")))
@@ -193,7 +196,11 @@ object UrlOps {
     * Group selection per RFC 9309: the groups naming our agent exactly
     * (case-insensitive) if any exist for the host, else the `*`
     * groups; multiple matching groups merge. Decision per URL: among
-    * rules whose path-pattern matches the URL path (RFC wildcards:
+    * rules whose pattern matches the URL's PATH + `?` + QUERY (the
+    * RFC-9309/Google match target — rules like `Disallow: /search?q=`
+    * or a wildcard-then-`?sessionid=` pattern gate on the query
+    * string, and a `$`-anchored
+    * `Disallow: /search$` must NOT block `/search?q=x`; RFC wildcards:
     * `*` anywhere, `$` end anchor), the LONGEST rule wins and `allow`
     * wins length ties (the published Google semantics); no matching
     * rule — or no robots.txt for the host at all — allows. Empty rule
@@ -221,12 +228,15 @@ object UrlOps {
       .join(chosen, Seq("host", "group_id"), "left_semi")
       .select(col("host"), col("directive"), col("value"),
         robotsPattern(col("value")).as("__pat"))
+    val path = coalesce(
+      when(try_parse_url(col(urlCol), lit("PATH")) === "", lit("/"))
+        .otherwise(try_parse_url(col(urlCol), lit("PATH"))),
+      lit("/"))
+    val query = try_parse_url(col(urlCol), lit("QUERY"))
     val u = urls.select(col(urlCol).as("url"),
         canonicalHost(col(urlCol)).as("host"),
-        coalesce(
-          when(try_parse_url(col(urlCol), lit("PATH")) === "", lit("/"))
-            .otherwise(try_parse_url(col(urlCol), lit("PATH"))),
-          lit("/")).as("__path"))
+        when(query.isNotNull, concat(path, lit("?"), query))
+          .otherwise(path).as("__path"))
     val matched = u.join(paths, Seq("host"))
       .filter(regexp_like(col("__path"), col("__pat")))
       .groupBy(col("url"), col("host"))

@@ -85,7 +85,37 @@ object CorpusQueries {
       "one of the list</a> <a href=\"/2\">the link two of the list</a> " +
       "<a href=\"/3\">the link three of the list</a></div>"),
     (4L, "<nav><a href=\"/\">Home</a> <a href=\"/a\">A</a></nav>" +
-      "<footer>copyright</footer>"))
+      "<footer>copyright</footer>"),
+    // block-wrapping anchors (the modern nav/card markup): the anchor
+    // WRAPS a div whose text is wordy and stopword-dense enough to pass
+    // the prose gates — only the merged anchor accounting catches it
+    (5L, "<div class=\"cards\"><a href=\"/p1\"><div>The tour of the " +
+      "products and the list of the plans for the teams</div></a>" +
+      "<a href=\"/p2\"><div>The story of the company and the people " +
+      "behind it in the press</div></a></div><p>The careful reader of " +
+      "the report will see that the cards above are links and that " +
+      "only this paragraph is the prose of the page.</p>"),
+    // the charset trio (non-ASCII prose; per-page WARC encodings are
+    // pinned in warcPageEncodings): 6 declared latin-1, 7 MISLABELED
+    // cp1252-under-utf-8 (curly quote + euro), 8 charset only in meta
+    (6L, "<p>The café of the town was the place where the " +
+      "décor of the old days was kept for the visitors and the " +
+      "friends of the house.</p>"),
+    (7L, "<p>The board said it was the company’s plan and the " +
+      "café was the venue of the meeting at a cost of €5 " +
+      "for each of the guests.</p>"),
+    (8L, "<meta charset=\"iso-8859-1\"><p>The résumé of " +
+      "the report was the summary of the season and the theme of " +
+      "the day for the team.</p>"),
+    // outlink page: base-href redirect, absolute, protocol-relative,
+    // relative, ../, root-relative, fragment-only and mailto (dropped)
+    (9L, "<base href=\"https://base.example/dir/\"><p>The page of the " +
+      "links was the last of the set and the prose of it was the " +
+      "filler of the test.</p><a href=\"https://beta.example/abs\">x" +
+      "</a> <a href=\"//gamma.example/proto\">y</a> " +
+      "<a href=\"rel/one\">z</a> <a href=\"../up\">u</a> " +
+      "<a href=\"/root\">r</a> <a href=\"#frag\">f</a> " +
+      "<a href=\"mailto:a@b.example\">m</a>"))
 
   private def htmlDf(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -126,6 +156,21 @@ object CorpusQueries {
   private val sqlHtmlStopRe: String =
     "'\\b(" + graft.operators.HtmlExtract.stopwords.mkString("|") + ")\\b'"
 
+  /** Twin of [[graft.operators.HtmlExtract]]'s mergeAnchorBlocks:
+    * block tags inside anchor elements neutralize before the block
+    * split (pieces-around-anchors interleaved with cleaned anchors). */
+  private val sqlAnchorFull: String = "'(?is)<a\\b[^>]*>.*?</a>'"
+  private val sqlHtmlMerged: String =
+    s"""CASE WHEN len(regexp_extract_all(c, $sqlAnchorFull)) = 0 THEN c
+       |    ELSE regexp_split_to_array(c, $sqlAnchorFull)[1] ||
+       |      array_to_string(list_transform(
+       |        generate_series(1, len(regexp_extract_all(c, $sqlAnchorFull))),
+       |        i -> regexp_replace(
+       |               regexp_extract_all(c, $sqlAnchorFull)[i],
+       |               $sqlHtmlBlockSplit, ' ', 'g') ||
+       |             regexp_split_to_array(c, $sqlAnchorFull)[i + 1]), '')
+       |    END""".stripMargin
+
   /** The scored-blocks CTE both html q-rows share: per doc, the list of
     * non-empty blocks with (txt, n_chars, n_words, n_anchor_chars,
     * link_ppm, stop_ppm, keep) — the literal SQL form of
@@ -133,8 +178,10 @@ object CorpusQueries {
   private val sqlHtmlScored: String =
     s"""WITH src AS (
        |  SELECT * FROM $htmlValuesSql
-       |), clean AS (
+       |), clean0 AS (
        |  SELECT id, $sqlHtmlClean AS c FROM src
+       |), clean AS (
+       |  SELECT id, $sqlHtmlMerged AS c FROM clean0
        |), scored AS (
        |  SELECT id, list_transform(list_filter(list_transform(
        |    regexp_split_to_array(c, $sqlHtmlBlockSplit),
@@ -162,35 +209,47 @@ object CorpusQueries {
        |)""".stripMargin
 
   /** The q329-q331 WARC fixture: one plain segment (warcinfo + the
-    * first two [[htmlDocs]] pages as HTTP responses) and one
-    * per-record-gzip segment (pages 3 and 4) — so the composed
-    * q330 intake produces EXACTLY q327's rows. */
-  private def warcHttpPayload(html: String): Array[Byte] =
-    ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html)
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    * first two [[htmlDocs]] pages as HTTP responses), one
+    * per-record-gzip segment (pages 3-5), and one charset segment
+    * (pages 6-8, non-UTF-8 body encodings) — so the composed q330
+    * intake produces EXACTLY q327's rows, including the pages only a
+    * charset-aware decode extracts. */
+  private val warcPageEncodings: Map[Long, (String, String)] = Map(
+    6L -> ("text/html; charset=iso-8859-1", "ISO-8859-1"),
+    7L -> ("text/html; charset=utf-8", "windows-1252"), // mislabeled
+    8L -> ("text/html", "ISO-8859-1")) // only <meta> names it
 
-  /** Bytes the HTTP prefix adds before the html body (status line +
-    * one header + blank line) — pins content_length in the oracle. */
-  private val warcHttpOverhead: Int =
-    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".length
+  private def warcHttpPayload(id: Long, html: String): Array[Byte] = {
+    val (ctype, cs) = warcPageEncodings.getOrElse(id,
+      ("text/html", "UTF-8"))
+    s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1) ++
+      html.getBytes(java.nio.charset.Charset.forName(cs))
+  }
+
+  private def warcSegOf(id: Long): String =
+    if (id <= 2) "seg-00000.warc"
+    else if (id <= 5) "seg-00001.warc.gz"
+    else "seg-00002.warc"
 
   private def warcFixtureFiles: Seq[(String, Array[Byte])] = {
     import graft.sources.WarcIO
-    def resp(id: Long, html: String) = (Seq(
+    def resp(id: Long) = (Seq(
       "WARC-Type" -> "response",
       "WARC-Record-ID" -> s"<urn:uuid:$id>",
       "WARC-Target-URI" -> s"https://docs.example/page/$id",
       "WARC-Date" -> "2026-08-16T00:00:00Z",
       "Content-Type" -> "application/http; msgtype=response"),
-      warcHttpPayload(html))
+      warcHttpPayload(id, htmlDocs(id.toInt - 1)._2))
     val info = (Seq("WARC-Type" -> "warcinfo",
       "WARC-Record-ID" -> "<urn:uuid:info>"),
       "software: graft".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Seq(
-      "seg-00000.warc" -> WarcIO.warcBytes(Seq(info,
-        resp(1, htmlDocs(0)._2), resp(2, htmlDocs(1)._2))),
-      "seg-00001.warc.gz" -> WarcIO.warcGzBytes(Seq(
-        resp(3, htmlDocs(2)._2), resp(4, htmlDocs(3)._2))))
+      "seg-00000.warc" -> WarcIO.warcBytes(info +: Seq(resp(1), resp(2))),
+      "seg-00001.warc.gz" -> WarcIO.warcGzBytes(
+        Seq(resp(3), resp(4), resp(5))),
+      "seg-00002.warc" -> WarcIO.warcBytes(
+        Seq(resp(6), resp(7), resp(8), resp(9))))
   }
 
   private def warcFixtureDir(tag: String): String = {
@@ -232,9 +291,18 @@ object CorpusQueries {
     (12L, "de", "wir beendeten unsere hausaufgaben vor dem abendessen"),
     (13L, "pt", "ela caminha devagar para sua casa toda manha"),
     (14L, "pt", "os passaros cantam quando chega a luz do dia"),
-    (15L, "pt", "acabamos nossa licao antes do jantar ontem a noite"))
+    (15L, "pt", "acabamos nossa licao antes do jantar ontem a noite"),
+    (16L, "it", "lei cammina lentamente verso la sua casa ogni mattina"),
+    (17L, "it", "gli uccelli cantano quando arriva la luce del giorno"),
+    (18L, "it", "abbiamo finito i nostri compiti prima di cena ieri sera"),
+    (19L, "nl", "zij loopt elke morgen langzaam naar haar huis"),
+    (20L, "nl", "de vogels zingen wanneer het licht in de ochtend komt"),
+    (21L, "nl", "wij maakten ons huiswerk af voor het avondeten"),
+    (22L, "pl", "ona idzie powoli do swojego domu kazdego ranka"),
+    (23L, "pl", "ptaki spiewaja kiedy przychodzi swiatlo dnia"),
+    (24L, "pl", "skonczylismy nasze zadanie przed kolacja wczoraj"))
 
-  private val langIdDim = 256
+  private val langIdDim = 512
 
   private def langFixtureDf(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -243,21 +311,30 @@ object CorpusQueries {
 
   /** q334/q335 robots fixture: two hosts, grouped UA lines, comments,
     * unknown directives, wildcards, a $-anchored rule, an agent whose
-    * groups merge. No single quotes, so the SAME literal interpolates
-    * into the DuckDB VALUES. */
+    * groups merge, QUERY-string rules, and CRLF line endings on a.com
+    * (the dominant real-world encoding — a bare-\n split leaves \r on
+    * every value and silently fail-opens). No single quotes, so the
+    * SAME literal interpolates into the DuckDB VALUES. */
   private val robotsFixture: Seq[(String, String)] = Seq(
     "a.com" -> ("# crawl policy\n" +
       "User-agent: alphabot\nUser-agent: betabot\n" +
       "Disallow: /private/\nAllow: /private/press/\n\n" +
       "User-agent: *\nDisallow: /tmp/\nDisallow: /search$\n" +
       "Allow: /tmp/public*\nCrawl-delay: 10\n" +
+      "Disallow: /search?q=\nDisallow: /*?sessionid=\n" +
       "Sitemap: https://a.com/sitemap.xml\n\n" +
-      "User-agent: alphabot\nDisallow: /alpha-only/\n"),
+      "User-agent: alphabot\nDisallow: /alpha-only/\n")
+      .replace("\n", "\r\n"),
     "b.com" -> ("User-agent: *\nDisallow: /\nAllow: /public/\n"))
 
   private val robotsEvalUrls: Seq[String] = Seq(
     "https://a.com/tmp/secret", "https://a.com/tmp/public-data",
     "https://a.com/search", "https://a.com/search/results",
+    // query-string match targets: the RFC/Google subject is
+    // path?query, so /search?q=x hits the query rule while the
+    // $-anchored /search$ must not, and /*?sessionid= fires mid-URL
+    "https://a.com/search?q=x", "https://a.com/search?lang=en",
+    "https://a.com/page?sessionid=zz9", "https://a.com/page?id=1",
     "https://a.com/private/x", "https://a.com",
     "https://b.com/anything", "https://b.com/public/doc",
     "https://no-robots.com/x", "::bad::")
@@ -280,7 +357,8 @@ object CorpusQueries {
        |), rlines AS (
        |  SELECT host, i - 1 AS line_no,
        |    trim(regexp_replace(t[i], '#.*$$', '')) AS line
-       |  FROM (SELECT host, str_split(txt, chr(10)) AS t FROM src),
+       |  FROM (SELECT host, regexp_split_to_array(txt, '\\r?\\n') AS t
+       |        FROM src),
        |    unnest(generate_series(1, len(t))) AS u(i)
        |), typed AS (
        |  SELECT host, line_no,
@@ -365,15 +443,39 @@ object CorpusQueries {
     },
 
     // ... and the composed crawl front-end END TO END: WARC responses
-    // -> HTTP bodies -> boilerplate extraction. The bodies ARE the
-    // q327 fixture pages, so this row is pinned by the SAME DuckDB
-    // twin — wire format and extraction verified as one path
+    // -> HTTP bodies -> charset-sniffed decode (header param, <meta>,
+    // UTF-8-validity fallback; pages 6-8 are latin-1 / mislabeled
+    // cp1252 / meta-declared) -> boilerplate extraction. The decoded
+    // bodies ARE the q327 fixture pages, so this row is pinned by the
+    // SAME DuckDB twin — wire format, decode, and extraction verified
+    // as one path
     "q330_warc_html_extract" -> { (s, _) =>
       val pages = s.read.format("warc").load(warcFixtureDir("q330"))
         .where(col("record_type") === "response")
         .select(regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
-          .cast("long").as("id"), col("body").cast("string").as("html"))
+          .cast("long").as("id"),
+          graft.functions.CharsetDecode.decodeHtml(col("body"),
+            col("http_content_type")).as("html"))
       graft.operators.HtmlExtract.extractText(pages, "id", "html")
+    },
+
+    // ... and the link-graph leg of the crawl loop, END TO END from
+    // the same WARC fixture: responses -> charset decode ->
+    // extractLinks (base-href + relative resolution) -> hostGraph
+    // host-pair edges — the input PageRank ranks for the q332
+    // rank-weighted mixture. Map-only until hostGraph's one distinct
+    "q337_warc_link_graph" -> { (s, _) =>
+      val pages = s.read.format("warc").load(warcFixtureDir("q337"))
+        .where(col("record_type") === "response")
+        .select(col("target_uri").as("url"),
+          graft.functions.CharsetDecode.decodeHtml(col("body"),
+            col("http_content_type")).as("html"))
+        .withColumn("id", regexp_extract(col("url"), "/page/(\\d+)$", 1)
+          .cast("long"))
+      val linked = graft.operators.HtmlExtract.extractLinks(
+        pages, "id", "url", "html")
+      graft.operators.UrlOps.hostGraph(linked, "url", "outlinks")
+        .orderBy("src_host", "dst_host")
     },
 
     // ... and the STREAMING twin of the intake: segments arrive in two
@@ -1247,10 +1349,11 @@ object CorpusQueries {
       CorpusOps.applyMixture(docsByHost, "doc_id", "host", targets)
     },
 
-    // Hashed char-trigram language ID vs the marker baseline over the
-    // HELD-OUT multilingual fixture: integer dot of each doc's trigram
-    // buckets with the broadcast per-language ppm profiles (built from
-    // the bundled seeds), argmax with ties to the earlier language
+    // Hashed char-2+3-gram language ID vs the marker baseline over the
+    // HELD-OUT multilingual fixture (8 languages): integer dot of each
+    // doc's gram buckets with the broadcast per-language NB-log
+    // profiles (built from the bundled seeds), argmax with ties to the
+    // earlier language
     "q333_language_id_ngram" -> { (s, _) =>
       val profiles = graft.operators.TextAnalysis.buildLanguageProfiles(
         graft.operators.TextAnalysis.defaultProfileSamples, langIdDim)
@@ -1400,7 +1503,10 @@ object CorpusQueries {
          |    CASE WHEN regexp_extract(url,
          |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'
          |      ELSE regexp_extract(url,
-         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END AS path
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END
+         |      || CASE WHEN regexp_matches(url, '^[a-zA-Z]+://[^#]*\\?')
+         |        THEN '?' || regexp_extract(url, '\\?([^#]*)', 1)
+         |        ELSE '' END AS path
          |  FROM uu
          |), mm AS (
          |  SELECT u.url, p.directive, p.value,
@@ -1459,7 +1565,10 @@ object CorpusQueries {
          |    CASE WHEN regexp_extract(url,
          |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'
          |      ELSE regexp_extract(url,
-         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END AS path
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END
+         |      || CASE WHEN regexp_matches(url, '^[a-zA-Z]+://[^#]*\\?')
+         |        THEN '?' || regexp_extract(url, '\\?([^#]*)', 1)
+         |        ELSE '' END AS path
          |  FROM uu
          |), mm AS (
          |  SELECT u.url, p.directive, p.value,
@@ -1506,10 +1615,11 @@ object CorpusQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, host
         |FROM r WHERE rk <= n_target""".stripMargin,
 
-    // the full trigram scoring replayed: same normalization, same
-    // md5-prefix60 buckets, same ppm weight arrays (interpolated from
-    // the SAME profile build), same earlier-language tie rule — plus
-    // the marker argmax next to it
+    // the full 2+3-gram scoring replayed: same normalization, same
+    // md5-prefix60 buckets, same NB-log weight arrays (interpolated
+    // from the SAME profile build), same earlier-language tie rule —
+    // plus the marker argmax next to it (over the 5-language marker
+    // roster; the ngram argmax covers all 8 profiled languages)
     "q333_language_id_ngram" -> {
       val profiles = graft.operators.TextAnalysis.buildLanguageProfiles(
         graft.operators.TextAnalysis.defaultProfileSamples, langIdDim)
@@ -1527,13 +1637,19 @@ object CorpusQueries {
           s"    len(regexp_extract_all(lower(text), " +
             s"'\\b(${ws.mkString("|")})\\b')) AS c_$l"
         }.mkString(",\n")
-      val langs = profiles.map(_._1)
-      def argmax(prefix: String): String = {
+      def argmaxOf(prefix: String, langs: Seq[String]): String = {
         val best = langs.map(l => s"$prefix$l").mkString("greatest(", ", ", ")")
         "CASE WHEN " + best + " <= 0 THEN 'und' " +
           langs.map(l => s"WHEN $prefix$l = $best THEN '$l'")
             .mkString(" ") + " ELSE 'und' END"
       }
+      // marker argmax runs over the marker set (5 languages), the
+      // ngram argmax over the profile set (8) — two distinct rosters
+      def argmax(prefix: String): String =
+        if (prefix == "c_")
+          argmaxOf(prefix,
+            graft.operators.TextAnalysis.defaultMarkers.map(_._1))
+        else argmaxOf(prefix, profiles.map(_._1))
       s"""WITH src AS (
          |  SELECT * FROM (VALUES
          |$fixtureRows
@@ -1545,9 +1661,13 @@ object CorpusQueries {
          |  FROM src
          |), gr AS (
          |  SELECT id, lang, text,
-         |    CASE WHEN len(n) >= 3 THEN list_transform(
-         |      generate_series(1, len(n) - 2), i -> substr(n, i, 3))
-         |    ELSE CAST([] AS VARCHAR[]) END AS grams
+         |    list_concat(
+         |      CASE WHEN len(n) >= 3 THEN list_transform(
+         |        generate_series(1, len(n) - 1), i -> substr(n, i, 2))
+         |      ELSE CAST([] AS VARCHAR[]) END,
+         |      CASE WHEN len(n) >= 3 THEN list_transform(
+         |        generate_series(1, len(n) - 2), i -> substr(n, i, 3))
+         |      ELSE CAST([] AS VARCHAR[]) END) AS grams
          |  FROM nm
          |), sc AS (
          |  SELECT id, lang, text,
@@ -1573,14 +1693,14 @@ object CorpusQueries {
          |  CAST(len(list_filter(g, s -> s.keep)) AS BIGINT) AS n_kept
          |FROM scored""".stripMargin,
 
-    // record metadata hand-pinned; content_length = HTTP prefix bytes
-    // + page bytes, computed from the same pinned fixture literals
+    // record metadata hand-pinned; content_length = the actual payload
+    // byte count, computed from the same pinned fixture builder (the
+    // charset pages' byte length differs from their char length)
     "q329_warc_read" -> {
       val respRows = htmlDocs.map { case (i, h) =>
-        s"  ('seg-0000${if (i <= 2) 0 else 1}.warc" +
-          s"${if (i <= 2) "" else ".gz"}', 'response', " +
+        s"  ('${warcSegOf(i)}', 'response', " +
           s"'https://docs.example/page/$i', 200, " +
-          s"${warcHttpOverhead + h.length})"
+          s"${warcHttpPayload(i, h).length})"
       }.mkString(",\n")
       s"""SELECT * FROM (VALUES
          |  ('seg-00000.warc', 'warcinfo', CAST(NULL AS VARCHAR),
@@ -1608,8 +1728,25 @@ object CorpusQueries {
         |  ('seg-00000.warc', 'response', 'https://docs.example/page/1'),
         |  ('seg-00000.warc', 'response', 'https://docs.example/page/2'),
         |  ('seg-00001.warc.gz', 'response', 'https://docs.example/page/3'),
-        |  ('seg-00001.warc.gz', 'response', 'https://docs.example/page/4')
+        |  ('seg-00001.warc.gz', 'response', 'https://docs.example/page/4'),
+        |  ('seg-00001.warc.gz', 'response', 'https://docs.example/page/5'),
+        |  ('seg-00002.warc', 'response', 'https://docs.example/page/6'),
+        |  ('seg-00002.warc', 'response', 'https://docs.example/page/7'),
+        |  ('seg-00002.warc', 'response', 'https://docs.example/page/8'),
+        |  ('seg-00002.warc', 'response', 'https://docs.example/page/9')
         |) AS t(warc_name, record_type, target_uri)""".stripMargin,
+
+    // host edges hand-derived from the pinned page-9 link set (pages
+    // 1/3/5 emit only same-host links, which hostGraph drops): the
+    // base-href redirects relative targets to base.example, the
+    // protocol-relative target takes https, the absolute target keeps
+    // its host; fragment-only and mailto hrefs never become edges
+    "q337_warc_link_graph" ->
+      """SELECT * FROM (VALUES
+        |  ('docs.example', 'base.example'),
+        |  ('docs.example', 'beta.example'),
+        |  ('docs.example', 'gamma.example')
+        |) AS t(src_host, dst_host)""".stripMargin,
 
     // the per-block audit unrolled positionally (0-based, matching
     // posexplode over the same filtered list)

@@ -104,43 +104,60 @@ private[v2] class WarcScan(
       .map(p => p: InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required, confMap)
+    WarcReaderFactory(required, confMap, maxRecordBytes)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new SeenFileLogStream(options, glob, confMap, checkpointLocation,
-      WarcReaderFactory(required, confMap))
+      WarcReaderFactory(required, confMap, maxRecordBytes))
+
+  private def maxRecordBytes: Long =
+    Option(options.get("maxRecordBytes")).map(_.toLong)
+      .getOrElse(1L << 30)
 }
 
 private[v2] case class WarcReaderFactory(
-    required: StructType, confMap: Map[String, String])
+    required: StructType, confMap: Map[String, String],
+    maxRecordBytes: Long)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(p.asInstanceOf[ListedFile], required, confMap)
+    new WarcPartitionReader(p.asInstanceOf[ListedFile], required, confMap,
+      maxRecordBytes)
 }
 
 private[v2] class WarcPartitionReader(
     part: ListedFile, required: StructType,
-    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
+    confMap: Map[String, String], maxRecordBytes: Long)
+    extends PartitionReader[InternalRow] {
 
   private val needHttp = required.fieldNames
     .exists(n => n == "http_status" || n == "http_content_type" ||
       n == "body")
   private var it: Iterator[WarcIO.Record] = _
+  private var open: java.io.InputStream = _
   private var current: InternalRow = _
 
+  /** RECORD-streaming walk: the segment is never materialized whole —
+    * the raw FS stream (wrapped in a `GZIPInputStream` when the file
+    * starts with the gzip magic; per-record members inflate as one
+    * concatenated stream) feeds [[WarcIO.streamRecords]], so memory is
+    * bounded by one record regardless of segment size. CommonCrawl
+    * segments (~1 GiB gzipped, 4-5 GiB inflated) read fine; the
+    * per-record `maxRecordBytes` bound (option, default 1 GiB) is the
+    * decompression-bomb guard. */
   private def records(): Iterator[WarcIO.Record] = {
     val path = new Path(part.path)
     val fs = path.getFileSystem(FileListing.conf(confMap))
-    require(part.length <= Int.MaxValue.toLong,
-      s"warc file ${part.path} is ${part.length} bytes; files over " +
-        "2 GiB are not supported by the in-memory walker — split the " +
-        "segment (CommonCrawl convention is ~1 GiB per file)")
-    val buf = new Array[Byte](part.length.toInt)
-    val in = fs.open(path)
-    try in.readFully(0, buf) finally in.close()
-    val raw = if (TarArchive.isGzip(buf)) TarArchive.gunzip(buf) else buf
-    WarcIO.parseAll(raw).iterator
+    val buffered = new java.io.BufferedInputStream(fs.open(path), 1 << 16)
+    buffered.mark(2)
+    val magic = new Array[Byte](2)
+    val got = buffered.read(magic)
+    buffered.reset()
+    open =
+      if (got == 2 && TarArchive.isGzip(magic))
+        new java.util.zip.GZIPInputStream(buffered, 1 << 16)
+      else buffered
+    WarcIO.streamRecords(open, maxRecordBytes)
   }
 
   override def next(): Boolean = {
@@ -149,12 +166,14 @@ private[v2] class WarcPartitionReader(
     val r = it.next()
     val name = new Path(part.path).getName
     // the HTTP split runs ONCE per record, and only when the
-    // projection asks for an http_* or body column
+    // projection asks for an http_* or body column; non-response
+    // records (warcinfo, request, metadata) carry NO HTTP message
+    // body, so their body/http_* columns are null — a consumer
+    // filtering on body alone never ingests non-content payloads
+    val isResponse = r.field("WARC-Type").contains("response")
     val (status, httpHdrs, body) =
-      if (needHttp && r.field("WARC-Type").contains("response"))
-        WarcIO.httpParts(r.payload)
-      else if (needHttp) (None, Map.empty[String, String], r.payload)
-      else (None, Map.empty[String, String], Array.emptyByteArray)
+      if (needHttp && isResponse) WarcIO.httpParts(r.payload)
+      else (None, Map.empty[String, String], null: Array[Byte])
     val out = new Array[Any](required.length)
     required.fields.zipWithIndex.foreach { case (f, i) =>
       out(i) = f.name match {
@@ -170,7 +189,11 @@ private[v2] class WarcPartitionReader(
           r.field("WARC-Date").map(UTF8String.fromString).orNull
         case "content_type" =>
           r.field("Content-Type").map(UTF8String.fromString).orNull
-        case "content_length" => r.payload.length.toLong
+        case "content_length" =>
+          // the named field when present (truthful even for a record
+          // whose over-bound payload was skipped), else the byte count
+          r.field("Content-Length").flatMap(_.toLongOption)
+            .getOrElse(r.payload.length.toLong)
         case "http_status" => status.map(Integer.valueOf).orNull
         case "http_content_type" =>
           httpHdrs.get("content-type").map(UTF8String.fromString).orNull
@@ -184,5 +207,5 @@ private[v2] class WarcPartitionReader(
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = if (open != null) open.close()
 }

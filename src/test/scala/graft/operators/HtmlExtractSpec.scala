@@ -112,6 +112,86 @@ class HtmlExtractSpec extends SparkSpec {
     assert(relaxed.getLong(3) == 1L)
   }
 
+  test("block-wrapping anchors (<a><div>text</div></a> card markup): " +
+      "the anchor text is NOT severed from its chars by the block " +
+      "split — a wordy link-card farm still fails the link-density " +
+      "gate while sibling prose survives") {
+    val html = "<div class=\"cards\">" +
+      "<a href=\"/p1\"><div>The tour of the products and the list of " +
+      "the plans for the teams</div></a>" +
+      "<a href=\"/p2\"><div>The story of the company and the people " +
+      "behind it in the press</div></a></div>" +
+      s"<p>$prose</p>"
+    val got = run((1L, html))(1L)
+    // without anchor-block merging the two cards pass every gate
+    // (wordy, stopword-dense, seemingly 0 anchor chars) and ship
+    assert(!got._1.contains("tour of the products"))
+    assert(!got._1.contains("story of the company"))
+    assert(got._1.contains("quick brown fox"))
+    assert(got._3 == 1L)
+    // inline anchors inside prose still keep their block intact
+    val inline = run((2L,
+      s"<p>$prose See <a href=\"/more\">the notes</a> for more.</p>"))(2L)
+    assert(inline._1.contains("quick brown fox") &&
+      inline._1.contains("the notes"))
+  }
+
+  private def links(url: String, html: String): Seq[String] = {
+    import spark.implicits._
+    HtmlExtract.extractLinks(Seq((1L, url, html)).toDF("id", "url", "html"),
+        "id", "url", "html")
+      .collect().head.getSeq[String](2).toSeq
+  }
+
+  test("extractLinks resolution: absolute kept, protocol-relative " +
+      "takes the base scheme, root-relative and relative resolve " +
+      "against the page, ../ and ./ normalize, fragments and " +
+      "non-http schemes drop, &amp; decodes") {
+    val got = links("https://site.example/dir/page.html",
+      "<a href=\"https://other.example/x\">a</a>" +
+        "<a href=\"//proto.example/y\">b</a>" +
+        "<a href=\"/rooted/z\">c</a>" +
+        "<a href=\"sibling.html\">d</a>" +
+        "<a href=\"./same/one\">e</a>" +
+        "<a href=\"../up/two\">f</a>" +
+        "<a href=\"a/../b/./c\">g</a>" +
+        "<a href=\"q?x=1&amp;y=2\">h</a>" +
+        "<a href=\"#frag\">i</a>" +
+        "<a href=\"page.html#sec\">j</a>" +
+        "<a href=\"mailto:a@b.c\">k</a>" +
+        "<a href=\"javascript:void(0)\">l</a>" +
+        "<a href='single.html'>m</a>" +
+        "<a href=unquoted.html>n</a>")
+    assert(got == Seq(
+      "https://other.example/x",
+      "https://proto.example/y",
+      "https://site.example/rooted/z",
+      "https://site.example/dir/sibling.html",
+      "https://site.example/dir/same/one",
+      "https://site.example/up/two",
+      "https://site.example/dir/b/c",
+      "https://site.example/dir/q?x=1&y=2",
+      "https://site.example/dir/page.html",
+      "https://site.example/dir/single.html",
+      "https://site.example/dir/unquoted.html"))
+  }
+
+  test("extractLinks honors <base href> (first occurrence) for " +
+      "relative targets; anchors in script/comment regions never " +
+      "count; an unparseable page URL fails closed for relatives " +
+      "but still passes absolutes through") {
+    val got = links("https://site.example/dir/page.html",
+      "<base href=\"https://base.example/assets/\">" +
+        "<a href=\"lib/app.js\">a</a><a href=\"/rooted\">b</a>" +
+        "<script>var s = '<a href=\"/never\">x</a>';</script>" +
+        "<!-- <a href=\"/ghost\">y</a> -->")
+    assert(got == Seq("https://base.example/assets/lib/app.js",
+      "https://base.example/rooted"))
+    val bad = links("::notaurl::",
+      "<a href=\"rel/x\">a</a><a href=\"https://abs.example/y\">b</a>")
+    assert(bad == Seq("https://abs.example/y"))
+  }
+
   test("determinism + empty/degenerate inputs: empty html, html with " +
       "no tags at all, unclosed tags") {
     val noTags = "The plain text of the document is the whole of the " +

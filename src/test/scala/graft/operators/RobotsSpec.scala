@@ -115,6 +115,44 @@ class RobotsSpec extends SparkSpec {
     assert(meta("https://m.com/ok")._1 == true)
   }
 
+  test("CRLF-encoded robots.txt parses identically to the LF form — " +
+      "no trailing \\r survives on agents or rule paths") {
+    val lf = rules("a.com" -> robotsTxt).orderBy("line_no")
+      .collect().map(x => (x.getLong(1), x.getString(3), x.getString(4)))
+    val crlf = rules("a.com" -> robotsTxt.replace("\n", "\r\n"))
+      .orderBy("line_no")
+      .collect().map(x => (x.getLong(1), x.getString(3), x.getString(4)))
+    assert(crlf.toSeq == lf.toSeq)
+    // the failure mode this pins: a trailing \r on the UA value would
+    // stop 'alphabot' from ever matching, fail-opening the host
+    val got = eval("alphabot", Seq("https://a.com/private/x"),
+      "a.com" -> robotsTxt.replace("\n", "\r\n"))
+    assert(got("https://a.com/private/x")._1 == false)
+  }
+
+  test("rules match against path?query (RFC 9309/Google): " +
+      "'Disallow: /search?q=*' blocks /search?q=x but not /search, " +
+      "'/*?sessionid=' fires mid-URL, and a $-anchored '/search$' " +
+      "does NOT block a query-bearing /search?q=x") {
+    val txt = "User-agent: *\nDisallow: /search?q=*\n" +
+      "Disallow: /*?sessionid=\nDisallow: /exact$\n"
+    val got = eval("anybot", Seq(
+      "https://q.com/search?q=x",       // query rule matches
+      "https://q.com/search",           // no query -> rule inert
+      "https://q.com/page?sessionid=9", // mid-URL wildcard query rule
+      "https://q.com/page?id=9",        // different param: allowed
+      "https://q.com/exact",            // $ anchor on the bare path
+      "https://q.com/exact?x=1"),       // query breaks the $ anchor
+      "q.com" -> txt)
+    assert(got("https://q.com/search?q=x") ==
+      ((false, Some("disallow"), Some("/search?q=*"))))
+    assert(got("https://q.com/search") == ((true, None, None)))
+    assert(got("https://q.com/page?sessionid=9")._1 == false)
+    assert(got("https://q.com/page?id=9") == ((true, None, None)))
+    assert(got("https://q.com/exact")._1 == false)
+    assert(got("https://q.com/exact?x=1") == ((true, None, None)))
+  }
+
   test("a bare-host URL evaluates as path '/': 'Disallow: /' blocks " +
       "the whole host including its root") {
     val got = eval("anybot", Seq(

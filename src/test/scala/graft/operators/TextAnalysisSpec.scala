@@ -24,13 +24,22 @@ class TextAnalysisSpec extends SparkSpec {
     (12L, "de", "wir beendeten unsere hausaufgaben vor dem abendessen"),
     (13L, "pt", "ela caminha devagar para sua casa toda manha"),
     (14L, "pt", "os passaros cantam quando chega a luz do dia"),
-    (15L, "pt", "acabamos nossa licao antes do jantar ontem a noite"))
+    (15L, "pt", "acabamos nossa licao antes do jantar ontem a noite"),
+    (16L, "it", "lei cammina lentamente verso la sua casa ogni mattina"),
+    (17L, "it", "gli uccelli cantano quando arriva la luce del giorno"),
+    (18L, "it", "abbiamo finito i nostri compiti prima di cena ieri sera"),
+    (19L, "nl", "zij loopt elke morgen langzaam naar haar huis"),
+    (20L, "nl", "de vogels zingen wanneer het licht in de ochtend komt"),
+    (21L, "nl", "wij maakten ons huiswerk af voor het avondeten"),
+    (22L, "pl", "ona idzie powoli do swojego domu kazdego ranka"),
+    (23L, "pl", "ptaki spiewaja kiedy przychodzi swiatlo dnia"),
+    (24L, "pl", "skonczylismy nasze zadanie przed kolacja wczoraj"))
 
-  test("measured on held-out sentences: the trigram profile beats the " +
-      "marker-word argmax decisively (13/15 vs 6/15 at dim = 256 — " +
-      "short marker-free sentences are exactly where markers die)") {
+  test("measured on held-out sentences over EIGHT languages: the " +
+      "2+3-gram profile beats the marker-word argmax decisively " +
+      "(short marker-free sentences are exactly where markers die)") {
     import spark.implicits._
-    val dim = 256
+    val dim = 512
     val profiles = TextAnalysis.buildLanguageProfiles(
       TextAnalysis.defaultProfileSamples, dim)
     val got = heldOut.toDF("id", "lang", "text")
@@ -41,21 +50,23 @@ class TextAnalysisSpec extends SparkSpec {
       .collect()
     val markerAcc = got.count(r => r.getString(0) == r.getString(1))
     val ngramAcc = got.count(r => r.getString(0) == r.getString(2))
-    assert(ngramAcc >= 13, s"ngram accuracy regressed: $ngramAcc/15")
-    assert(markerAcc == 6, s"marker baseline moved: $markerAcc/15")
+    assert(ngramAcc >= 23, s"ngram accuracy regressed: $ngramAcc/24")
+    assert(markerAcc <= 10, s"marker baseline moved: $markerAcc/24")
     assert(ngramAcc > markerAcc)
   }
 
-  test("profile build: ppm weights sum to ~1e6 per language (floor " +
-      "leak < dim), and the bundled seeds separate pairwise") {
-    val dim = 256
+  test("profile build: NB-log weights are non-negative with a real " +
+      "dynamic range, and the bundled seeds separate pairwise") {
+    val dim = 512
     val profiles = TextAnalysis.buildLanguageProfiles(
       TextAnalysis.defaultProfileSamples, dim)
     assert(profiles.map(_._1) ==
       TextAnalysis.defaultProfileSamples.map(_._1))
     profiles.foreach { case (lang, w) =>
-      val s = w.sum
-      assert(s > 1000000L - dim && s <= 1000000L, s"$lang sum $s")
+      // the uniform shift puts the absent-gram floor at >= 0; seen
+      // grams rise above it (log dynamic range, not a flat mass)
+      assert(w.forall(_ >= 0L), s"$lang has a negative weight")
+      assert(w.max > w.min, s"$lang profile is flat")
     }
     // every seed text self-identifies (sanity of the whole loop)
     import spark.implicits._
@@ -70,7 +81,7 @@ class TextAnalysisSpec extends SparkSpec {
   test("degenerate inputs: empty text, digits-only, and an unprofiled " +
       "script all come back 'und'; two runs agree exactly") {
     import spark.implicits._
-    val dim = 256
+    val dim = 512
     val profiles = TextAnalysis.buildLanguageProfiles(
       TextAnalysis.defaultProfileSamples, dim)
     def ids(rows: (Long, String)*) = rows.toSeq.toDF("id", "text")

@@ -78,6 +78,87 @@ class WarcSpec extends SparkSpec {
       new String(b2, UTF_8) == "not http at all")
   }
 
+  test("chunked transfer-encoding strips its framing (extensions and " +
+      "trailers ignored); malformed framing degrades to the chunks " +
+      "decoded so far") {
+    val chunked = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" +
+      "6;ext=1\r\nthe fi\r\n" +
+      "9\r\nrst chunk\r\n" +
+      "A\r\n and more.\r\n" +
+      "0\r\nX-Trailer: t\r\n\r\n"
+    val (st, _, b) = WarcIO.httpParts(chunked.getBytes(UTF_8))
+    assert(st.contains(200))
+    assert(new String(b, UTF_8) == "the first chunk and more.")
+    val broken = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "4\r\ngood\r\nZZ\r\njunk"
+    val (_, _, b2) = WarcIO.httpParts(broken.getBytes(UTF_8))
+    assert(new String(b2, UTF_8) == "good")
+  }
+
+  test("content-encoding gzip inflates the body (also composed AFTER " +
+      "de-chunking); a body without the gzip magic passes through") {
+    val text = "the gzipped page body of the crawl"
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(text.getBytes(UTF_8)); g.finish(); bos.toByteArray
+    }
+    val plainGz = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n")
+      .getBytes(UTF_8) ++ gz
+    val (_, _, b) = WarcIO.httpParts(plainGz)
+    assert(new String(b, UTF_8) == text)
+    // chunked + gzipped: framing strips first, THEN the inflate
+    val chunkedGz =
+      ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n" +
+        s"Content-Encoding: gzip\r\n\r\n${gz.length.toHexString}\r\n")
+        .getBytes(UTF_8) ++ gz ++ "\r\n0\r\n\r\n".getBytes(UTF_8)
+    val (_, _, b2) = WarcIO.httpParts(chunkedGz)
+    assert(new String(b2, UTF_8) == text)
+    // declared gzip but NOT gzip bytes: untouched
+    val lying = ("HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\n" +
+      "not actually compressed").getBytes(UTF_8)
+    assert(new String(WarcIO.httpParts(lying)._3, UTF_8) ==
+      "not actually compressed")
+  }
+
+  test("streamRecords walks a multi-member segment incrementally: " +
+      "total inflated size far above maxRecordBytes reads fine " +
+      "(memory bounds per record, not per file); an over-bound record " +
+      "surfaces with headers intact and its payload skipped, and the " +
+      "walk continues behind it") {
+    // 40 records of 1 KiB under a 4 KiB per-record bound: total 40 KiB
+    // > bound proves the bound is per record
+    val big = "x" * 1024
+    val recs = (0 until 40).map(i =>
+      (Seq("WARC-Type" -> "resource",
+        "WARC-Record-ID" -> s"<urn:uuid:m$i>"), big.getBytes(UTF_8)))
+    val gz = WarcIO.warcGzBytes(recs)
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz))
+    val got = WarcIO.streamRecords(in, maxRecordBytes = 4096).toSeq
+    assert(got.length == 40 && got.forall(_.payload.length == 1024))
+    // one 10 KiB record between two small ones, bound 4 KiB: the big
+    // record is VISIBLE (headers, empty payload), neighbors intact
+    val mixed = WarcIO.warcBytes(Seq(
+      (Seq("WARC-Type" -> "resource", "WARC-Record-ID" -> "<urn:uuid:a>"),
+        "small one".getBytes(UTF_8)),
+      (Seq("WARC-Type" -> "resource", "WARC-Record-ID" -> "<urn:uuid:b>"),
+        ("y" * 10240).getBytes(UTF_8)),
+      (Seq("WARC-Type" -> "resource", "WARC-Record-ID" -> "<urn:uuid:c>"),
+        "small two".getBytes(UTF_8))))
+    val walked = WarcIO.streamRecords(
+      new java.io.ByteArrayInputStream(mixed), maxRecordBytes = 4096).toSeq
+    assert(walked.map(_.field("WARC-Record-ID").get) ==
+      Seq("<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:c>"))
+    assert(walked(1).payload.isEmpty)
+    assert(new String(walked(2).payload, UTF_8) == "small two")
+    // parseAll is the same walk over an array: identical records
+    val viaParse = WarcIO.parseAll(mixed)
+    assert(viaParse.map(_.field("WARC-Record-ID").get) ==
+      Seq("<urn:uuid:a>", "<urn:uuid:b>", "<urn:uuid:c>"))
+  }
+
   private def writeFixtureDir(): String = {
     val dir = Files.createTempDirectory("graft_warc").toString
     val f1 = Seq(
@@ -122,6 +203,12 @@ class WarcSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(bodies("https://a.com/page")
       .contains("first page of the little crawl"))
+    // non-response records surface NULL body (their raw WARC payload is
+    // not an HTTP message body) — a consumer filtering on body alone
+    // never ingests warcinfo/request payloads as page content
+    val infoBody = df.where(col("record_type") === "warcinfo")
+      .select(col("body")).collect()
+    assert(infoBody.length == 1 && infoBody(0).isNullAt(0))
   }
 
   test("column pruning: a metadata-only projection reads no payload " +
