@@ -158,15 +158,32 @@ object TextFunctions {
     array_min(shingleHashes60(text, n))
 
   /** True when `c`'s chars, read as bytes (a latin-1 decode of raw
-    * bytes -- every char <= U+00FF), form a structurally valid UTF-8
-    * sequence: the classic validation regex, surrogate and overlong
-    * ranges excluded. Shared by [[repairMojibake]] (validity proven
-    * BEFORE `decode` runs -- Spark 4's decode raises on malformed
-    * input) and [[CharsetDecode]]'s mislabeled-utf-8 detection (a
-    * binary cast to string keeps invalid bytes RAW inside UTF8String,
-    * so only this chars-as-bytes reading sees them). */
-  def isUtf8Bytes(c: Column): Column =
-    c.rlike("^(?:[\u0000-\u007F]|[\u00C2-\u00DF][\u0080-\u00BF]|\u00E0[\u00A0-\u00BF][\u0080-\u00BF]|[\u00E1-\u00EC][\u0080-\u00BF]{2}|\u00ED[\u0080-\u009F][\u0080-\u00BF]|[\u00EE-\u00EF][\u0080-\u00BF]{2}|\u00F0[\u0090-\u00BF][\u0080-\u00BF]{2}|[\u00F1-\u00F3][\u0080-\u00BF]{3}|\u00F4[\u0080-\u008F][\u0080-\u00BF]{2})*$")
+    * bytes -- every char <= U+00FF), form a valid UTF-8 sequence.
+    * Implemented as two ITERATIVE probes, never a whole-string
+    * `(?:alt|alt|...)*` regex: Java's Pattern engine recurses once
+    * per iteration of a repeated group, so the classic UTF-8
+    * validation regex stack-overflows around ~100 KB of input -- the
+    * round-12 WarcScale rehearsal found exactly that on 128 KiB crawl
+    * pages. Instead: (1) a char-class scan proves every char is a
+    * byte, then (2) the bytes re-encode and cast back through
+    * UTF8String, whose java-String materialization (forced by the
+    * regexp engine) replaces every malformed sequence with U+FFFD --
+    * the replacement char's presence IS the invalidity verdict.
+    * Overlong/surrogate encodings also decode to U+FFFD, so the old
+    * regex's exclusions are preserved. One documented edge: a GENUINE
+    * U+FFFD already in the bytes reads as invalid -- conservative for
+    * both callers (repairMojibake leaves the string alone;
+    * [[CharsetDecode]] routes an already-corrupt page to the cp1252
+    * fallback). Shared by [[repairMojibake]] (validity proven BEFORE
+    * `decode` runs -- Spark 4's decode raises on malformed input) and
+    * [[CharsetDecode]]'s mislabeled-utf-8 detection (a binary cast
+    * keeps invalid bytes RAW inside UTF8String, so only a
+    * materializing probe sees them). */
+  def isUtf8Bytes(c: Column): Column = {
+    val allBytes = !c.rlike("[^\u0000-\u00FF]")
+    allBytes &&
+      !encode(c, "ISO-8859-1").cast("string").rlike("\uFFFD")
+  }
 
   /** Mojibake repair — the encoding-corruption fix of corpus cleaning:
     * text that was UTF-8 bytes mis-decoded as Latin-1 (the classic

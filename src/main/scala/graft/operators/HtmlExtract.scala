@@ -214,8 +214,11 @@ object HtmlExtract {
     when(joined === "", lit("/")).otherwise(joined)
   }
 
-  /** Resolve one (entity-decoded, quote-stripped) href against an
-    * absolute base URL: fragment strips; non-http(s) schemes
+  /** Resolve one CLEANED href (quote-stripped, entity-decoded,
+    * fragment-stripped, trimmed — the caller binds that pipeline to a
+    * lambda variable ONCE; inlining it at each of the ~10 uses here
+    * was the round-12 13-second-analysis lesson) against an
+    * absolute base URL: non-http(s) schemes
     * (mailto:, javascript:, tel:, data:) and empty/fragment-only
     * hrefs yield NULL; protocol-relative `//host/..` takes the base
     * scheme; root-relative and relative paths resolve against the
@@ -223,8 +226,7 @@ object HtmlExtract {
     * href's query string passes through untouched. NULL when the base
     * itself is not absolute http(s) (nothing sound to resolve
     * against — fail closed, the [[UrlOps]] discipline). */
-  private def resolveHref(base: Column, href0: Column): Column = {
-    val href = regexp_replace(trim(href0), "#.*$", "")
+  private def resolveHref(base: Column, href: Column): Column = {
     val scheme = lower(regexp_extract(href,
       "^([a-zA-Z][a-zA-Z0-9+.\\-]*):", 1))
     val baseScheme = lower(regexp_extract(base,
@@ -257,7 +259,19 @@ object HtmlExtract {
     * the HTML spec), in document order, unresolvable/non-http targets
     * dropped. Feeds [[UrlOps.hostGraph]] directly. Anchors inside
     * script/style/comment regions never count ([[dropRegions]] runs
-    * first); `&amp;` entities in attribute values decode. */
+    * first); `&amp;` entities in attribute values decode.
+    *
+    * Expression-SIZE discipline (the round-12 lesson): the region-
+    * dropped document and the resolved base URL bind ONCE into a
+    * single-element struct, and every downstream reference goes
+    * through the lambda variable. Staged `withColumn`s are NOT
+    * enough -- the moment a Generate (hostGraph's explode) lands on
+    * top, CollapseProject/ColumnPruning merge the projection chain
+    * and re-inline the six-regexp [[dropRegions]] subtree into every
+    * reference: measured 205k expression nodes (vs 3.7k bound) and
+    * ~13 s of optimizer+codegen on a 9-page fixture. Lambda variables
+    * survive the collapse because no optimizer rule substitutes
+    * through a higher-order function. */
   def extractLinks(docs: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): DataFrame = {
     val doc = dropRegions(col(htmlCol))
@@ -265,11 +279,20 @@ object HtmlExtract {
       "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*[\"']?([^\\s>\"']+)", 1)
     val base = when(baseHref =!= "", decodeEntities(baseHref))
       .otherwise(col(urlCol))
-    val rawHrefs = regexp_extract_all(doc,
-      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
+    val hrefs = regexp_extract_all(doc,
+      lit("(?is)<a\\b[^>]*?\\bhref\\s*=\\s*" +
+        "(\"[^\"]*\"|'[^']*'|[^\\s>]+)"),
       lit(1))
-    val resolved = transform(rawHrefs, h => resolveHref(base,
-      decodeEntities(regexp_replace(h, "^[\"']|[\"']$", ""))))
+    val ctx = array(struct(hrefs.as("hs"), base.as("base")))
+    val resolved = element_at(transform(ctx, c =>
+      transform(c.getField("hs"), h0 =>
+        // the cleaned href binds the same way: its quote-strip/
+        // entity-decode/fragment-strip pipeline exists once however
+        // many times the resolver references it
+        element_at(transform(
+          array(trim(regexp_replace(decodeEntities(
+            regexp_replace(h0, "^[\"']|[\"']$", "")), "#.*$", ""))),
+          h => resolveHref(c.getField("base"), h)), 1))), 1)
     docs.select(col(idCol).as("id"), col(urlCol).as("url"),
       filter(resolved, h => h.isNotNull).as("outlinks"))
   }

@@ -23,16 +23,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Eager lineage-truncating materialization at MEMORY_AND_DISK_SER —
-    * the staging level for the miner family's banded intermediates:
-    * serialized blocks hold ONE byte array per block instead of one
-    * object per row, which is what keeps full-suite sf1 runs from
-    * GC-scattering around the same shuffle fingerprint (docs/SCALE.md,
-    * round-11 note). Small per-anchor outputs stay on the default
-    * level — re-read cost there is in the noise either way. */
-  private[graft] def stageSer(df: DataFrame): DataFrame =
-    df.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  /** Eager lineage-truncating materialization whose storage level is
+    * SIZE-AWARE: at or above `serMinRows` corpus rows the artifact
+    * stages at MEMORY_AND_DISK_SER — serialized blocks hold ONE byte
+    * array per block instead of one object per row, which is what
+    * keeps full-suite sf1 runs from GC-scattering around the same
+    * shuffle fingerprint (docs/SCALE.md, round-11 note) — while a
+    * small artifact keeps the default deserialized level, where the
+    * per-access deserialization of a tiny table costs more than the
+    * heap it saves (the round-11 sf0.1 regression on the miner
+    * family). Callers already hold the corpus row count (they size
+    * the banding geometry with it), so the choice costs no extra
+    * job. */
+  private[graft] val serMinRows: Long = 10000L
+  private[graft] def stageSer(df: DataFrame, rows: Long): DataFrame =
+    if (rows >= serMinRows)
+      df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else df.localCheckpoint(true)
 
   /** Dot product of two double arrays (left-to-right summation). Evaluated
     * by the codegen'd allocation-free

@@ -257,4 +257,102 @@ object UrlOps {
         coalesce(col("allowed"), lit(true)).as("allowed"),
         col("matched_rule"), col("matched_path"))
   }
+
+  /** Sitemap discovery from robots.txt — the directive [[parseRobots]]
+    * intentionally drops, surfaced here as crawl SEEDS:
+    * (host, line_no, sitemap_url) per `Sitemap:` line (the directive
+    * is group-independent per RFC 9309 §2.3 / sitemaps.org, so no
+    * group machinery applies). Comments strip; CRLF-safe split; the
+    * URL value keeps its case (URLs are case-sensitive). Map-only. */
+  def robotsSitemaps(robots: DataFrame, hostCol: String,
+      textCol: String): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
+          .as(Seq("line_no", "__raw")))
+      .withColumn("__line",
+        trim(regexp_replace(col("__raw"), "#.*$", "")))
+      .filter(lower(col("__line")).startsWith("sitemap:"))
+      .select(col("host"), col("line_no").cast("long").as("line_no"),
+        trim(expr("substring(__line, instr(__line, ':') + 1)"))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+
+  /** Parse sitemap XML bodies (sitemaps.org `<urlset>` or
+    * `<sitemapindex>`): one row per `<url>`/`<sitemap>` entry —
+    * (id, entry_idx, loc, lastmod, is_index). `is_index` marks
+    * entries that point at FURTHER sitemaps (the crawl walks those
+    * before it has page seeds). `<loc>` values entity-decode (&amp;
+    * is mandatory XML escaping in sitemap URLs); absent `<lastmod>`
+    * is NULL. Pure regexp walk over the entry blocks — map-only, no
+    * XML library, tolerant of malformed tails (unclosed entries
+    * simply do not match). */
+  def parseSitemap(docs: DataFrame, idCol: String,
+      xmlCol: String): DataFrame = {
+    // two backreference-free extracts (RE2-safe, twin-replayable): a
+    // real sitemap file carries ONE kind, so concatenating the two
+    // lists preserves document order
+    def kind(re: String, isIndex: Boolean) =
+      transform(regexp_extract_all(col(xmlCol), lit(re), lit(1)),
+        e => struct(e.as("e"), lit(isIndex).as("idx")))
+    val entries = concat(
+      kind("(?is)<url>(.*?)</url>", isIndex = false),
+      kind("(?is)<sitemap>(.*?)</sitemap>", isIndex = true))
+    val xmlUnescape: Column => Column = c =>
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&apos;" -> "'", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (e, ch)) =>
+          regexp_replace(acc, java.util.regex.Pattern.quote(e), ch) }
+    val lastmod = regexp_extract(col("__e.e"),
+      "(?is)<lastmod>(.*?)</lastmod>", 1)
+    docs.select(col(idCol).as("id"),
+        posexplode(entries).as(Seq("entry_idx", "__e")))
+      .select(col("id"), col("entry_idx").cast("long").as("entry_idx"),
+        xmlUnescape(trim(regexp_extract(col("__e.e"),
+          "(?is)<loc>(.*?)</loc>", 1))).as("loc"),
+        when(lastmod =!= "", trim(lastmod)).as("lastmod"),
+        col("__e.idx").as("is_index"))
+      .filter(col("loc") =!= "")
+  }
+
+  /** Two-level public suffixes for [[registrableDomain]] — the pinned
+    * HEURISTIC core of the public-suffix list (the full PSL is
+    * thousands of rules and ships as data in production; this bounded
+    * set covers the dominant ccTLD second-level registries and is
+    * part of the operator contract, mirrored in oracle twins). */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.mx", "com.ar", "co.in",
+    "co.nz", "co.za", "com.tr", "com.cn", "com.sg", "com.hk", "com.tw")
+
+  /** The registrable domain (eTLD+1) of a host column — the
+    * per-SITE rollup key crawl caps and mixture budgets actually want
+    * (`news.bbc.co.uk` and `www.bbc.co.uk` are one site, `bbc.co.uk`;
+    * host-level caps treat them as two). Rule: a host ending in a
+    * listed two-level suffix keeps its last THREE labels, any other
+    * dotted host its last TWO; bare hosts (localhost) and IPv4
+    * literals pass through unchanged. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastK: Int => Column = k =>
+      array_join(slice(labels, n - (k - 1), lit(k)), ".")
+    val isIp = host.rlike("^\\d+\\.\\d+\\.\\d+\\.\\d+$")
+    val twoLevel = lastK(2).isin(twoLevelSuffixes.map(lit(_)): _*)
+    when(host.isNull || isIp || n <= 1, host)
+      .when(twoLevel && n >= 3, lastK(3))
+      .when(twoLevel, host) // the bare registry suffix itself
+      .otherwise(lastK(2))
+  }
+
+  /** Per-registrable-domain crawl rollup: (domain, n_urls, n_hosts) —
+    * the audit a domain-capped mix reads before budgeting. Hostless
+    * rows fail closed, consistent with [[perHostCap]]. */
+  def domainRollup(df: DataFrame, urlCol: String): DataFrame = {
+    val host = canonicalHost(col(urlCol))
+    df.select(registrableDomain(host).as("domain"), host.as("__h"))
+      .where(col("domain").isNotNull && col("domain") =!= "")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("__h")).as("n_hosts"))
+  }
 }

@@ -385,7 +385,56 @@ object CorpusQueries {
        |)""".stripMargin
   }
 
+  /** q339 sitemap fixture: a urlset (entity-escaped loc, optional
+    * lastmod), a sitemapindex, and a degenerate doc (empty loc +
+    * unclosed entry → zero rows). Single-line, no single quotes. */
+  private val sitemapFixture: Seq[(Long, String)] = Seq(
+    (1L, "<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps" +
+      ".org/schemas/sitemap/0.9\"><url><loc>https://a.com/page1</loc>" +
+      "<lastmod>2026-01-02</lastmod></url><url><loc> " +
+      "https://a.com/page2?x=1&amp;y=2 </loc></url><url>" +
+      "<loc>https://a.com/page3</loc></url></urlset>"),
+    (2L, "<sitemapindex><sitemap><loc>https://a.com/sitemap-a.xml" +
+      "</loc><lastmod>2026-02-03</lastmod></sitemap><sitemap>" +
+      "<loc>https://a.com/sitemap-b.xml</loc></sitemap></sitemapindex>"),
+    (3L, "<urlset><url><loc></loc></url><url>unclosed"))
+
+  /** q340 registrable-domain fixture: ccTLD second-level registries,
+    * plain TLDs, an IPv4 literal, and an unparseable row. */
+  private val domainUrls: Seq[(Long, String)] = Seq(
+    (1L, "https://news.bbc.co.uk/one"), (2L, "https://www.bbc.co.uk/two"),
+    (3L, "https://shop.example.com/x"), (4L, "https://example.com/y"),
+    (5L, "http://10.0.0.7/z"), (6L, "https://deep.sub.site.com.au/a"),
+    (7L, "::bad::"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sitemap discovery: the robots.txt directive parseRobots drops,
+    // surfaced as crawl seeds — CRLF-safe, comment-stripped, URL case
+    // kept; the a.com fixture carries exactly one
+    "q338_robots_sitemaps" -> { (s, _) =>
+      graft.operators.UrlOps.robotsSitemaps(robotsDf(s), "host", "txt")
+    },
+
+    // Sitemap XML parse (urlset + sitemapindex): per-entry loc
+    // (XML-unescaped), optional lastmod, is_index flag; degenerate
+    // docs contribute nothing — backreference-free regexp walk,
+    // replayed entry-for-entry by the twin
+    "q339_sitemap_parse" -> { (s, _) =>
+      import s.implicits._
+      graft.operators.UrlOps.parseSitemap(
+        sitemapFixture.toDF("id", "xml"), "id", "xml")
+    },
+
+    // Registrable-domain (eTLD+1) rollup: the per-SITE key crawl caps
+    // actually budget on (news.bbc.co.uk and www.bbc.co.uk are ONE
+    // site) — two-level public-suffix heuristic, IPv4/bare hosts pass
+    // through, hostless rows fail closed
+    "q340_domain_rollup" -> { (s, _) =>
+      import s.implicits._
+      graft.operators.UrlOps.domainRollup(
+        domainUrls.toDF("id", "url"), "url")
+    },
+
     // Robots Exclusion Protocol parse (RFC 9309): comment strip, group
     // formation at consecutive UA lines, unknown directives dropped —
     // one per-host window pass, mirrored line-for-line by the twin
@@ -1457,6 +1506,99 @@ object CorpusQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the same CRLF-safe comment-stripped line walk as the rules twin,
+    // filtered to the Sitemap directive (group-independent per RFC)
+    "q338_robots_sitemaps" -> {
+      val values = robotsFixture.map { case (h, t) => s"    ('$h', '$t')" }
+        .mkString(",\n")
+      s"""WITH src AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(host, txt)
+         |), rlines AS (
+         |  SELECT host, i - 1 AS line_no,
+         |    trim(regexp_replace(t[i], '#.*$$', '')) AS line
+         |  FROM (SELECT host, regexp_split_to_array(txt, '\\r?\\n') AS t
+         |        FROM src),
+         |    unnest(generate_series(1, len(t))) AS u(i)
+         |)
+         |SELECT host, CAST(line_no AS BIGINT) AS line_no,
+         |  trim(substr(line, strpos(line, ':') + 1)) AS sitemap_url
+         |FROM rlines
+         |WHERE lower(line) LIKE 'sitemap:%'
+         |  AND trim(substr(line, strpos(line, ':') + 1)) <> ''""".stripMargin
+    },
+
+    // entry lists rebuilt with the same backreference-free extracts
+    // (url entries then sitemap entries), unnested with ordinality
+    "q339_sitemap_parse" -> {
+      val values = sitemapFixture.map { case (i, x) =>
+        s"    (CAST($i AS BIGINT), '$x')" }.mkString(",\n")
+      val loc = "trim(regexp_extract(es[i].e, '(?is)<loc>(.*?)</loc>', 1))"
+      val lm = "regexp_extract(es[i].e, '(?is)<lastmod>(.*?)</lastmod>', 1)"
+      s"""WITH src AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(id, xml)
+         |), ent AS (
+         |  SELECT id, list_concat(
+         |    list_transform(regexp_extract_all(xml,
+         |      '(?is)<url>(.*?)</url>', 1),
+         |      e -> struct_pack(e := e, idx := false)),
+         |    list_transform(regexp_extract_all(xml,
+         |      '(?is)<sitemap>(.*?)</sitemap>', 1),
+         |      e -> struct_pack(e := e, idx := true))) AS es
+         |  FROM src
+         |)
+         |SELECT id, CAST(i - 1 AS BIGINT) AS entry_idx,
+         |  replace(replace(replace(replace(replace($loc,
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&apos;', chr(39)), '&amp;', '&') AS loc,
+         |  CASE WHEN $lm <> '' THEN trim($lm) END AS lastmod,
+         |  es[i].idx AS is_index
+         |FROM ent, unnest(generate_series(1, len(es))) AS g(i)
+         |WHERE $loc <> ''""".stripMargin
+    },
+
+    // host → registrable domain via the same pinned two-level-suffix
+    // heuristic, rolled up with distinct-host counts
+    "q340_domain_rollup" -> {
+      val values = domainUrls.map { case (i, u) =>
+        s"    (CAST($i AS BIGINT), '$u')" }.mkString(",\n")
+      val sfx = graft.operators.UrlOps.twoLevelSuffixes
+        .map(x => s"'$x'").mkString(", ")
+      s"""WITH src AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(id, url)
+         |), h AS (
+         |  SELECT id,
+         |    CASE WHEN regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)
+         |        = '' THEN NULL
+         |      ELSE regexp_replace(lower(regexp_extract(url,
+         |        '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') END AS host
+         |  FROM src
+         |), d AS (
+         |  SELECT id, host, str_split(host, '.') AS ls,
+         |    len(str_split(host, '.')) AS n
+         |  FROM h
+         |), r AS (
+         |  SELECT id, host,
+         |    CASE WHEN host IS NULL
+         |        OR regexp_matches(host, '^\\d+\\.\\d+\\.\\d+\\.\\d+$$')
+         |        OR n <= 1 THEN host
+         |      WHEN array_to_string(ls[n-1:n], '.') IN ($sfx) AND n >= 3
+         |        THEN array_to_string(ls[n-2:n], '.')
+         |      WHEN array_to_string(ls[n-1:n], '.') IN ($sfx) THEN host
+         |      ELSE array_to_string(ls[n-1:n], '.') END AS domain
+         |  FROM d
+         |)
+         |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+         |FROM r WHERE domain IS NOT NULL AND domain <> ''
+         |GROUP BY domain""".stripMargin
+    },
+
     "q334_robots_parse" ->
       s"""$sqlRobotsRules
          |SELECT host, group_id, line_no, directive, value FROM rules""".stripMargin,

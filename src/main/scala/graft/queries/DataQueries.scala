@@ -744,11 +744,12 @@ object DataQueries {
     // (autoBitsPerBand); at the gate it resolves to q161's 32 × 2.
     "q258_index_mining" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      val n = e.count()
+      val bits = Similarity.autoBitsPerBand(n, minBits = 2)
       val bands = math.min(32, 64 / bits)
       val art = Similarity.stageSer(
         Similarity.annIndex(e, "vec_id", "embedding", "label",
-          dim = 64, bands = bands, bitsPerBand = bits))
+          dim = 64, bands = bands, bitsPerBand = bits), n)
       Similarity.hardNegativesAnnFromIndex(art, k = 3,
         bands = bands, bitsPerBand = bits)
     },
@@ -776,13 +777,13 @@ object DataQueries {
       val negIdx = seeds.map(sd => Similarity.stageSer(
         Similarity.annIndex(index, "vec_id",
           "embedding", "label", dim = 64, bands = bands,
-          bitsPerBand = bits, seed = sd)))
+          bitsPerBand = bits, seed = sd), stats.getLong(0)))
       val posIdx =
         if (posBands == bands && posBits == bits) negIdx
         else seeds.map(sd => Similarity.stageSer(
           Similarity.annIndex(index, "vec_id",
             "embedding", "label", dim = 64, bands = posBands,
-            bitsPerBand = posBits, seed = sd)))
+            bitsPerBand = posBits, seed = sd), stats.getLong(0)))
       val (pp, pn) = Similarity.tripletMiningSidesFromIndexes(negIdx, posIdx,
         bands = bands, bitsPerBand = bits,
         posBands = posBands, posBitsPerBand = posBits)
@@ -850,11 +851,12 @@ object DataQueries {
     // corpus that never contained those rows
     "q271_index_takedown" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      val bits = Similarity.autoBitsPerBand(e.count(), minBits = 2)
+      val n = e.count()
+      val bits = Similarity.autoBitsPerBand(n, minBits = 2)
       val bands = math.min(32, 64 / bits)
       val art = Similarity.stageSer(
         Similarity.annIndex(e, "vec_id", "embedding", "label",
-          dim = 64, bands = bands, bitsPerBand = bits))
+          dim = 64, bands = bands, bitsPerBand = bits), n)
       val pruned = Similarity.annIndexRemove(art,
         e.filter(pmod(col("vec_id"), lit(10)) === 0).select(col("vec_id")),
         "vec_id")

@@ -101,4 +101,68 @@ class UrlOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
     assert(got == expected && got.size == 2 + 2 + 1)
   }
+
+  test("robotsSitemaps: Sitemap directives surface from robots.txt " +
+      "(CRLF-safe, comment-stripped, case-insensitive directive, URL " +
+      "case preserved); hosts without one yield nothing") {
+    import spark.implicits._
+    val txts = Seq(
+      "a.com" -> ("User-agent: *\r\nDisallow: /x\r\n" +
+        "SITEMAP: https://a.com/SiteMap.xml # primary\r\n" +
+        "sitemap: https://cdn.a.com/extra.xml\r\n"),
+      "b.com" -> "User-agent: *\nDisallow: /\n")
+    val got = UrlOps.robotsSitemaps(txts.toDF("host", "txt"),
+        "host", "txt")
+      .collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(got == Seq(
+      ("a.com", "https://a.com/SiteMap.xml"),
+      ("a.com", "https://cdn.a.com/extra.xml")))
+  }
+
+  test("parseSitemap: urlset entries with entity-decoded locs and " +
+      "optional lastmod; sitemapindex entries flag is_index; empty " +
+      "locs and unclosed entries drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<?xml version=\"1.0\"?><urlset><url>" +
+        "<loc>https://a.com/p1</loc><lastmod>2026-01-02</lastmod></url>" +
+        "<url><loc> https://a.com/p2?x=1&amp;y=2 </loc></url></urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>https://a.com/s-a.xml</loc>" +
+        "</sitemap><sitemap><loc>https://a.com/s-b.xml</loc>" +
+        "<lastmod>2026-02-03</lastmod></sitemap></sitemapindex>"),
+      (3L, "<urlset><url><loc></loc></url><url>unclosed")).toDF("id", "xml")
+    val got = UrlOps.parseSitemap(docs, "id", "xml")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), r.getBoolean(4))).toSet
+    assert(got == Set(
+      (1L, 0L, "https://a.com/p1", Some("2026-01-02"), false),
+      (1L, 1L, "https://a.com/p2?x=1&y=2", None, false),
+      (2L, 0L, "https://a.com/s-a.xml", None, true),
+      (2L, 1L, "https://a.com/s-b.xml", Some("2026-02-03"), true)))
+  }
+
+  test("registrableDomain: two-level public suffixes keep three " +
+      "labels, plain TLDs keep two, IPv4 and bare hosts pass " +
+      "through; domainRollup groups hosts into sites") {
+    import spark.implicits._
+    val hosts = Seq("news.bbc.co.uk", "bbc.co.uk", "co.uk",
+      "shop.example.com", "example.com", "10.0.0.7", "localhost",
+      "deep.sub.site.com.au")
+    val got = hosts.toDF("h")
+      .select(UrlOps.registrableDomain(col("h"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(got == Seq("bbc.co.uk", "bbc.co.uk", "co.uk",
+      "example.com", "example.com", "10.0.0.7", "localhost",
+      "site.com.au"))
+    val urls = Seq(
+      (1L, "https://news.bbc.co.uk/one"), (2L, "https://www.bbc.co.uk/two"),
+      (3L, "https://shop.example.com/x"), (4L, "https://example.com/y"),
+      (5L, "http://10.0.0.7/z"), (6L, "::bad::")).toDF("id", "url")
+    val roll = UrlOps.domainRollup(urls, "url")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(roll == Map(
+      "bbc.co.uk" -> ((2L, 2L)), "example.com" -> ((2L, 2L)),
+      "10.0.0.7" -> ((1L, 1L))))
+  }
 }
