@@ -141,15 +141,18 @@ object UrlOps {
     * one per-host window pass: a group starts at a UA line whose
     * predecessor is NOT a UA line; `group_id` is the running count of
     * starts. Comments (`#` to end of line) strip first; directives
-    * match case-insensitively; unknown directives (Crawl-delay,
-    * Sitemap, ...) drop. Agent values lowercase (the RFC says product
+    * match case-insensitively; directives outside `directives`
+    * (default user-agent/allow/disallow — Crawl-delay and Sitemap have
+    * their own readers, [[robotsCrawlDelay]]/[[robotsSitemaps]]) drop. Agent values lowercase (the RFC says product
     * tokens compare case-insensitively); rule paths keep their case
     * (paths are case-sensitive). Lines split on `\r?\n` — real-world
     * robots.txt is dominantly CRLF-encoded, and `trim` strips only
     * spaces, so a bare-`\n` split would leave a trailing `\r` on every
     * directive value and silently fail-open the whole file. */
   def parseRobots(robots: DataFrame, hostCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      directives: Seq[String] = Seq("user-agent", "allow", "disallow"))
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val lines = robots.select(col(hostCol).as("host"),
         posexplode(split(coalesce(col(textCol), lit("")), "\r?\n"))
@@ -161,7 +164,7 @@ object UrlOps {
         lower(trim(substring_index(col("__line"), ":", 1))))
       .withColumn("value",
         trim(expr("substring(__line, instr(__line, ':') + 1)")))
-      .filter(col("directive").isin("user-agent", "allow", "disallow"))
+      .filter(col("directive").isin(directives.map(d => d: Any): _*))
     val w = Window.partitionBy(col("host")).orderBy(col("line_no"))
     lines
       .withColumn("__ua", col("directive") === "user-agent")
@@ -190,6 +193,23 @@ object UrlOps {
       when(anchored, lit("$")).otherwise(lit("")))
   }
 
+
+  /** RFC 9309 group selection shared by [[evaluateRobots]] and
+    * [[robotsCrawlDelay]]: the groups naming `agent` exactly
+    * (case-insensitive) where any exist for the host, else the `*`
+    * groups; multiple matches merge. */
+  private def chosenGroups(rules: DataFrame, agent: String): DataFrame = {
+    val agents = rules.filter(col("directive") === "user-agent")
+      .select(col("host"), col("group_id"), col("value").as("ua"))
+    val exact = agents.filter(col("ua") === agent.toLowerCase)
+      .select(col("host"), col("group_id")).distinct()
+    val star = agents.filter(col("ua") === "*")
+      .select(col("host"), col("group_id")).distinct()
+      .join(exact.select(col("host")).distinct(), Seq("host"),
+        "left_anti")
+    exact.union(star)
+  }
+
   /** Evaluate [[parseRobots]] rules for `agent` over a URL table:
     * (url, host, allowed, matched_rule, matched_path).
     *
@@ -213,15 +233,7 @@ object UrlOps {
     * over the URL side. */
   def evaluateRobots(urls: DataFrame, urlCol: String, rules: DataFrame,
       agent: String): DataFrame = {
-    val agents = rules.filter(col("directive") === "user-agent")
-      .select(col("host"), col("group_id"), col("value").as("ua"))
-    val exact = agents.filter(col("ua") === agent.toLowerCase)
-      .select(col("host"), col("group_id")).distinct()
-    val star = agents.filter(col("ua") === "*")
-      .select(col("host"), col("group_id")).distinct()
-      .join(exact.select(col("host")).distinct(), Seq("host"),
-        "left_anti")
-    val chosen = exact.union(star)
+    val chosen = chosenGroups(rules, agent)
     val paths = rules
       .filter(col("directive").isin("allow", "disallow") &&
         col("value") =!= "")
@@ -256,6 +268,28 @@ object UrlOps {
       .select(col("url"), col("host"),
         coalesce(col("allowed"), lit(true)).as("allowed"),
         col("matched_rule"), col("matched_path"))
+  }
+
+  /** Per-host `Crawl-delay` for `agent` — the politeness knob most
+    * crawlers honor (non-standard but ubiquitous; [[parseRobots]]'s
+    * default directive set drops it, so this re-parses with it kept).
+    * Group selection is [[evaluateRobots]]'s; among the merged
+    * groups' delays the LARGEST wins (the most polite reading of
+    * conflicting directives). Values parse as non-negative seconds
+    * (fractions legal), emitted as integer `delay_ms`; hosts with no
+    * parseable delay are absent (a downstream scheduler left-joins
+    * and applies its own default). */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String,
+      textCol: String, agent: String): DataFrame = {
+    val rules = parseRobots(robots, hostCol, textCol,
+      directives = Seq("user-agent", "allow", "disallow", "crawl-delay"))
+    rules.filter(col("directive") === "crawl-delay")
+      .join(chosenGroups(rules, agent), Seq("host", "group_id"),
+        "left_semi")
+      .withColumn("__d", expr("try_cast(value AS DOUBLE)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .groupBy(col("host"))
+      .agg(max(round(col("__d") * 1000).cast("long")).as("delay_ms"))
   }
 
   /** Sitemap discovery from robots.txt — the directive [[parseRobots]]

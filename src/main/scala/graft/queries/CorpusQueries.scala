@@ -259,6 +259,61 @@ object CorpusQueries {
     dir
   }
 
+  /** q341 fixture: one segment whose response bodies carry the HTTP
+    * encodings older/raw crawls use -- a `Transfer-Encoding: chunked`
+    * page and a `Content-Encoding: gzip` page. The connector must
+    * hand back the ENTITY bodies (de-chunked, inflated). */
+  private val warcEncodedPages: Seq[(Long, String)] = Seq(
+    (1L, "<p>The chunked page of the crawl was split into frames on " +
+      "the wire and the reader of it must join them into the text " +
+      "of the body.</p>"),
+    (2L, "<p>The gzipped page of the crawl was deflated on the wire " +
+      "and the reader of it must inflate the bytes into the text of " +
+      "the body.</p>"))
+
+  private def warcEncodedFixtureDir(tag: String): String = {
+    import graft.sources.WarcIO
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def rec(id: Long, payload: Array[Byte]) = (Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> s"<urn:uuid:enc$id>",
+      "WARC-Target-URI" -> s"https://enc.example/page/$id",
+      "Content-Type" -> "application/http; msgtype=response"), payload)
+    val chunkedBody = warcEncodedPages.head._2.getBytes(utf8)
+    val half = chunkedBody.length / 2
+    val chunked =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" +
+        half.toHexString + "\r\n").getBytes(utf8) ++
+      chunkedBody.take(half) ++ "\r\n".getBytes(utf8) ++
+      ((chunkedBody.length - half).toHexString + "\r\n")
+        .getBytes(utf8) ++
+      chunkedBody.drop(half) ++ "\r\n0\r\n\r\n".getBytes(utf8)
+    val gzBody = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(warcEncodedPages(1)._2.getBytes(utf8)); g.finish()
+      bos.toByteArray
+    }
+    val gzipped =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        "Content-Encoding: gzip\r\n\r\n").getBytes(utf8) ++ gzBody
+    val dir = graft.sources.SyntheticFixtures.freshDir(tag)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "seg-enc.warc"),
+      WarcIO.warcBytes(Seq(rec(1, chunked), rec(2, gzipped))))
+    dir
+  }
+
+  /** q342 sitemap seeds over a.com: one plainly-allowed page, two
+    * refusals (prefix rule /tmp/, QUERY rule /search?q=), one allowed
+    * via the longer /tmp/public* override, one allowed because the
+    * alphabot-only group is not consulted for gammabot. */
+  private val sitemapSeedLocs: Seq[String] = Seq(
+    "https://a.com/page1", "https://a.com/tmp/secret2",
+    "https://a.com/search?q=deep", "https://a.com/tmp/public-extra",
+    "https://a.com/private/x2")
+
   /** The q320/q332 link-graph fixture (isomorphic to GraphRankSpec's
     * hand-computed walk: alpha→beta, alpha→gamma, beta→alpha; gamma
     * dangling; dup edge + self-link + hostless row all drop). */
@@ -325,7 +380,8 @@ object CorpusQueries {
       "Sitemap: https://a.com/sitemap.xml\n\n" +
       "User-agent: alphabot\nDisallow: /alpha-only/\n")
       .replace("\n", "\r\n"),
-    "b.com" -> ("User-agent: *\nDisallow: /\nAllow: /public/\n"))
+    "b.com" -> ("User-agent: *\nDisallow: /\nAllow: /public/\n" +
+      "Crawl-delay: 0.5\n"))
 
   private val robotsEvalUrls: Seq[String] = Seq(
     "https://a.com/tmp/secret", "https://a.com/tmp/public-data",
@@ -433,6 +489,48 @@ object CorpusQueries {
       import s.implicits._
       graft.operators.UrlOps.domainRollup(
         domainUrls.toDF("id", "url"), "url")
+    },
+
+    // HTTP body encodings through the DSv2 connector: a chunked page
+    // de-frames and a gzip page inflates INSIDE httpParts, so the
+    // body column already carries the entity text — the wire shapes
+    // older/raw crawls use, pinned end to end
+    "q341_warc_encoded_bodies" -> { (s, _) =>
+      s.read.format("warc").load(warcEncodedFixtureDir("q341"))
+        .where(col("record_type") === "response")
+        .select(regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+          .cast("long").as("id"), col("body").cast("string").as("html"))
+    },
+
+    // Sitemap-SEEDED governed intake, the full admission loop: the
+    // sitemap lists candidate URLs, robots governance decides each
+    // (path?query matching — the /search?q= seed is refused), the
+    // per-host cap bounds what survives. Sitemap walk + decision join
+    // + bounded heap in ONE plan
+    "q342_sitemap_seeded_intake" -> { (s, _) =>
+      import s.implicits._
+      val xml = "<urlset>" + sitemapSeedLocs.map(l =>
+        s"<url><loc>$l</loc></url>").mkString + "</urlset>"
+      val seeds = graft.operators.UrlOps.parseSitemap(
+          Seq((1L, xml)).toDF("id", "xml"), "id", "xml")
+        .select((col("entry_idx") + 1L).as("id"), col("loc").as("url"))
+      val decisions = graft.operators.UrlOps.evaluateRobots(
+        seeds, "url",
+        graft.operators.UrlOps.parseRobots(robotsDf(s), "host", "txt"),
+        agent = "gammabot")
+      val allowed = seeds.join(
+        decisions.where(col("allowed")).select(col("url")),
+        Seq("url"), "left_semi")
+      graft.operators.UrlOps.perHostCap(allowed, "url", "id", n = 3)
+    },
+
+    // Per-host Crawl-delay for one agent (the politeness knob): group
+    // selection as q335, largest delay among merged groups, fractional
+    // seconds -> integer ms; a.com keeps its * group delay of 10 s,
+    // b.com its 0.5 s
+    "q343_crawl_delay" -> { (s, _) =>
+      graft.operators.UrlOps.robotsCrawlDelay(robotsDf(s), "host",
+        "txt", agent = "gammabot")
     },
 
     // Robots Exclusion Protocol parse (RFC 9309): comment strip, group
@@ -1505,6 +1603,71 @@ object CorpusQueries {
     ).toDF("id", "url")
   }
 
+  /** The governed-intake twin shared by q336 and q342: robots
+    * decision CTEs over `urlValues` rows (id, url) + allowed filter
+    * + the md5-order per-host cap at `n`. */
+  private def sqlGovernedCap(urlValues: String, n: Int): String =
+    s"""$sqlRobotsRules, agents AS (
+         |  SELECT host, group_id, value AS ua FROM rules
+         |  WHERE directive = 'user-agent'
+         |), exact AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = 'gammabot'
+         |), star AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = '*' AND host NOT IN (SELECT host FROM exact)
+         |), chosen AS (
+         |  SELECT * FROM exact UNION SELECT * FROM star
+         |), paths AS (
+         |  SELECT r.host, r.directive, r.value,
+         |    '^' || replace(
+         |      regexp_replace(
+         |        CASE WHEN r.value LIKE '%$$' THEN
+         |          substr(r.value, 1, len(r.value) - 1) ELSE r.value END,
+         |        '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'),
+         |      '*', '.*')
+         |      || CASE WHEN r.value LIKE '%$$' THEN '$$' ELSE '' END AS pat
+         |  FROM rules r
+         |  JOIN chosen c ON r.host = c.host AND r.group_id = c.group_id
+         |  WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
+         |), uu AS (
+         |  SELECT * FROM (VALUES
+         |$urlValues
+         |  ) AS t(id, url)
+         |), u AS (
+         |  SELECT id, url,
+         |    CASE WHEN regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)
+         |        = '' THEN NULL
+         |      ELSE regexp_replace(lower(regexp_extract(url,
+         |        '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') END AS host,
+         |    CASE WHEN regexp_extract(url,
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'
+         |      ELSE regexp_extract(url,
+         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END
+         |      || CASE WHEN regexp_matches(url, '^[a-zA-Z]+://[^#]*\\?')
+         |        THEN '?' || regexp_extract(url, '\\?([^#]*)', 1)
+         |        ELSE '' END AS path
+         |  FROM uu
+         |), mm AS (
+         |  SELECT u.url, p.directive, p.value,
+         |    ROW_NUMBER() OVER (PARTITION BY u.url
+         |      ORDER BY len(p.value) DESC,
+         |        (p.directive = 'allow') DESC, p.value DESC) AS rn
+         |  FROM u JOIN paths p ON u.host = p.host
+         |  WHERE regexp_matches(u.path, p.pat)
+         |), alw AS (
+         |  SELECT u.id, u.host
+         |  FROM u LEFT JOIN (SELECT * FROM mm WHERE rn = 1) m
+         |    ON u.url = m.url
+         |  WHERE coalesce(m.directive = 'allow', true)
+         |    AND u.host IS NOT NULL AND u.host <> ''
+         |)
+         |SELECT id, host, CAST(pos AS INTEGER) AS pos FROM (
+         |  SELECT id, host, ROW_NUMBER() OVER (PARTITION BY host
+         |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS pos
+         |  FROM alw)
+         |WHERE pos <= $n""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the same CRLF-safe comment-stripped line walk as the rules twin,
     // filtered to the Sitemap directive (group-independent per RFC)
@@ -1599,6 +1762,64 @@ object CorpusQueries {
          |GROUP BY domain""".stripMargin
     },
 
+    // the 4-directive parse CTEs + q335 group selection + max-delay
+    "q343_crawl_delay" -> {
+      val values = robotsFixture.map { case (h, t) => s"    ('$h', '$t')" }
+        .mkString(",\n")
+      s"""WITH src AS (
+         |  SELECT * FROM (VALUES
+         |$values
+         |  ) AS t(host, txt)
+         |), rlines AS (
+         |  SELECT host, i - 1 AS line_no,
+         |    trim(regexp_replace(t[i], '#.*$$', '')) AS line
+         |  FROM (SELECT host, regexp_split_to_array(txt, '\\r?\\n') AS t
+         |        FROM src),
+         |    unnest(generate_series(1, len(t))) AS u(i)
+         |), typed AS (
+         |  SELECT host, line_no,
+         |    lower(trim(str_split(line, ':')[1])) AS directive,
+         |    trim(substr(line, strpos(line, ':') + 1)) AS value
+         |  FROM rlines
+         |  WHERE line <> ''
+         |    AND lower(trim(str_split(line, ':')[1]))
+         |      IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+         |), grp AS (
+         |  SELECT *, directive = 'user-agent' AS ua,
+         |    (directive = 'user-agent' AND NOT coalesce(
+         |      lag(directive = 'user-agent') OVER (
+         |        PARTITION BY host ORDER BY line_no), false)) AS gstart
+         |  FROM typed
+         |), rules AS (
+         |  SELECT host,
+         |    CAST(SUM(CASE WHEN gstart THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY host ORDER BY line_no
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS group_id,
+         |    CAST(line_no AS BIGINT) AS line_no, directive,
+         |    CASE WHEN ua THEN lower(value) ELSE value END AS value
+         |  FROM grp
+         |), agents AS (
+         |  SELECT host, group_id, value AS ua FROM rules
+         |  WHERE directive = 'user-agent'
+         |), exact AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = 'gammabot'
+         |), star AS (
+         |  SELECT DISTINCT host, group_id FROM agents
+         |  WHERE ua = '*' AND host NOT IN (SELECT host FROM exact)
+         |), chosen AS (
+         |  SELECT * FROM exact UNION SELECT * FROM star
+         |)
+         |SELECT r.host,
+         |  CAST(max(CAST(round(TRY_CAST(r.value AS DOUBLE) * 1000) AS BIGINT))
+         |    AS BIGINT) AS delay_ms
+         |FROM rules r JOIN chosen c
+         |  ON r.host = c.host AND r.group_id = c.group_id
+         |WHERE r.directive = 'crawl-delay'
+         |  AND TRY_CAST(r.value AS DOUBLE) >= 0
+         |GROUP BY r.host""".stripMargin
+    },
+
     "q334_robots_parse" ->
       s"""$sqlRobotsRules
          |SELECT host, group_id, line_no, directive, value FROM rules""".stripMargin,
@@ -1667,71 +1888,26 @@ object CorpusQueries {
 
     // the q335 decision CTEs + allowed filter + the md5-order per-host
     // cap (hostless rows fail closed, as perHostCap documents)
-    "q336_governed_host_cap" -> {
-      val urlValues = robotsEvalUrls.zipWithIndex
+    "q336_governed_host_cap" -> sqlGovernedCap(
+      robotsEvalUrls.zipWithIndex
         .map { case (u, i) => s"    (CAST(${i + 1} AS BIGINT), '$u')" }
-        .mkString(",\n")
-      s"""$sqlRobotsRules, agents AS (
-         |  SELECT host, group_id, value AS ua FROM rules
-         |  WHERE directive = 'user-agent'
-         |), exact AS (
-         |  SELECT DISTINCT host, group_id FROM agents
-         |  WHERE ua = 'gammabot'
-         |), star AS (
-         |  SELECT DISTINCT host, group_id FROM agents
-         |  WHERE ua = '*' AND host NOT IN (SELECT host FROM exact)
-         |), chosen AS (
-         |  SELECT * FROM exact UNION SELECT * FROM star
-         |), paths AS (
-         |  SELECT r.host, r.directive, r.value,
-         |    '^' || replace(
-         |      regexp_replace(
-         |        CASE WHEN r.value LIKE '%$$' THEN
-         |          substr(r.value, 1, len(r.value) - 1) ELSE r.value END,
-         |        '([.\\[\\]{}()+?^$$|\\\\])', '\\\\\\1', 'g'),
-         |      '*', '.*')
-         |      || CASE WHEN r.value LIKE '%$$' THEN '$$' ELSE '' END AS pat
-         |  FROM rules r
-         |  JOIN chosen c ON r.host = c.host AND r.group_id = c.group_id
-         |  WHERE r.directive IN ('allow', 'disallow') AND r.value <> ''
-         |), uu AS (
-         |  SELECT * FROM (VALUES
-         |$urlValues
-         |  ) AS t(id, url)
-         |), u AS (
-         |  SELECT id, url,
-         |    CASE WHEN regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)
-         |        = '' THEN NULL
-         |      ELSE regexp_replace(lower(regexp_extract(url,
-         |        '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\\.', '') END AS host,
-         |    CASE WHEN regexp_extract(url,
-         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) = '' THEN '/'
-         |      ELSE regexp_extract(url,
-         |        '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1) END
-         |      || CASE WHEN regexp_matches(url, '^[a-zA-Z]+://[^#]*\\?')
-         |        THEN '?' || regexp_extract(url, '\\?([^#]*)', 1)
-         |        ELSE '' END AS path
-         |  FROM uu
-         |), mm AS (
-         |  SELECT u.url, p.directive, p.value,
-         |    ROW_NUMBER() OVER (PARTITION BY u.url
-         |      ORDER BY len(p.value) DESC,
-         |        (p.directive = 'allow') DESC, p.value DESC) AS rn
-         |  FROM u JOIN paths p ON u.host = p.host
-         |  WHERE regexp_matches(u.path, p.pat)
-         |), alw AS (
-         |  SELECT u.id, u.host
-         |  FROM u LEFT JOIN (SELECT * FROM mm WHERE rn = 1) m
-         |    ON u.url = m.url
-         |  WHERE coalesce(m.directive = 'allow', true)
-         |    AND u.host IS NOT NULL AND u.host <> ''
-         |)
-         |SELECT id, host, CAST(pos AS INTEGER) AS pos FROM (
-         |  SELECT id, host, ROW_NUMBER() OVER (PARTITION BY host
-         |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS pos
-         |  FROM alw)
-         |WHERE pos <= 2""".stripMargin
+        .mkString(",\n"), n = 2),
+
+    // entity bodies hand-pinned: the de-chunked and inflated pages
+    "q341_warc_encoded_bodies" -> {
+      val rows = warcEncodedPages.map { case (i, h) =>
+        s"  (CAST($i AS BIGINT), '$h')" }.mkString(",\n")
+      s"""SELECT * FROM (VALUES
+$rows
+) AS t(id, html)"""
     },
+
+    // the sitemap-seeded admission replayed: seed rows (entry order
+    // = id), the same decision CTEs, cap 3
+    "q342_sitemap_seeded_intake" -> sqlGovernedCap(
+      sitemapSeedLocs.zipWithIndex
+        .map { case (u, i) => s"    (CAST(${i + 1} AS BIGINT), '$u')" }
+        .mkString(",\n"), n = 3),
 
     // targets hand-derived from q320's pinned ranks (alpha 1122777,
     // beta/gamma 938610; Σ 2999997; budget 6 → floor: 2/1/1); the

@@ -161,4 +161,25 @@ class RobotsSpec extends SparkSpec {
       "closed.com" -> "User-agent: *\nDisallow: /\n")
     assert(got.values.forall(!_._1))
   }
+
+  test("robotsCrawlDelay: the agent's merged groups supply the delay " +
+      "(largest wins), fractional seconds become integer ms, junk " +
+      "values drop, hosts without a delay are absent") {
+    import spark.implicits._
+    val txts = Seq(
+      "a.com" -> ("User-agent: alphabot\nCrawl-delay: 2\n\n" +
+        "User-agent: *\nCrawl-delay: 10\n\n" +
+        "User-agent: alphabot\nCrawl-delay: 1.5\n"),
+      "b.com" -> "User-agent: *\nCrawl-delay: 0.5\n",
+      "c.com" -> "User-agent: *\nCrawl-delay: soon\n",
+      "d.com" -> "User-agent: *\nDisallow: /x\n")
+    def delays(agent: String) =
+      UrlOps.robotsCrawlDelay(txts.toDF("host", "txt"), "host", "txt",
+          agent)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alphabot: its two merged groups carry 2 s and 1.5 s -> 2000 ms;
+    // the * group's 10 s is NOT consulted
+    assert(delays("AlphaBot") == Map("a.com" -> 2000L, "b.com" -> 500L))
+    assert(delays("gammabot") == Map("a.com" -> 10000L, "b.com" -> 500L))
+  }
 }
