@@ -1041,6 +1041,99 @@ object CorpusOps {
           sep).as("text_clean"))
   }
 
+  /** Cross-document LINE dedup (the RefinedWeb/FineWeb cleaning stage;
+    * reference analog: the file-level duplicate sweeps of
+    * tools/example_scripts — same intent, line granularity): a line whose
+    * trimmed form appears in MORE than `maxDocs` distinct documents is
+    * boilerplate (cookie banners, nav footers, license headers) and is
+    * removed from EVERY document; surviving lines rejoin in original
+    * order. Differs from [[unitDedup]] on two axes that matter for crawl
+    * text: the unit is the author's own line structure (not a fixed
+    * token window), and the threshold counts DISTINCT documents — a
+    * poem repeating its refrain 10× in one doc is not boilerplate, a
+    * footer appearing once in each of 10k docs is.
+    *
+    * Whitespace-only lines are never counted and never removed (they
+    * would otherwise always cross the threshold and strip every blank
+    * separator); comparison is on the trimmed line, removal keeps the
+    * original untrimmed text of survivors. Output: (id, n_removed,
+    * text_clean). NULL text behaves as "" (one empty line, kept).
+    *
+    * 100 TB shape: lines explode map-side; the distinct-doc count is a
+    * (hash,id)-distinct then a hash-keyed roll-up (two exchanges over
+    * 60-bit keys, map-side combined); the over-threshold flag set joins
+    * back keyed on the SAME hash, reusing the roll-up's partitioning
+    * (no broadcast — the boilerplate set of a real crawl is unbounded);
+    * reconstruction is one id-keyed collect. Line text shuffles once
+    * (with its doc id); every other exchange carries 8-byte keys. */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocs: Long,
+      sep: String = "\n"
+  ): DataFrame = {
+    import graft.functions.TextFunctions.portableHash60
+    val lines = docs
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__k", trim(col("__line")))
+      .withColumn("__h",
+        when(col("__k") =!= "", portableHash60(col("__k"))))
+    val flagged = lines.filter(col("__h").isNotNull)
+      .select(col("__h"), col(idCol)).distinct()
+      .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxDocs)
+      .select(col("__h"), lit(true).as("__f"))
+    lines.join(flagged, Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__f"), lit(1L)).otherwise(lit(0L))).as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(
+                struct(col("__pos"), col("__line"), col("__f")))),
+              x => x.getField("__f").isNull),
+            x => x.getField("__line")),
+          sep).as("text_clean"))
+  }
+
+  /** Per-group k-quantile bucket assignment over an integer score — the
+    * CCNet split (Wenzek et al. 2020: per-language perplexity head /
+    * middle / tail) generalized: docs in each group land in bucket
+    * 0..k−1 by where their score's TIE GROUP starts in the cumulative
+    * distribution (`bucket = min(k−1, k·|strictly below| div n)`), so
+    * equal scores always share a bucket and the rule is exact-integer
+    * on both engines. Output: (id, group, score, bucket).
+    *
+    * 100 TB shape: the q185 [[groupPercentileRank]] discipline — the
+    * corpus collapses to a (group, score) count table first (one
+    * map-side-combined shuffle), the running sum windows over that
+    * bounded domain table, and docs get their bucket back in one join
+    * keyed by (group, score), broadcastable when the score domain is
+    * dictionary-sized. The corpus itself is never sorted — the full
+    * per-language sort CCNet's sharded implementation runs is replaced
+    * by the domain-table cumulative. */
+  def quantileBuckets(df: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k >= 2, "quantileBuckets needs k >= 2")
+    val c = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy(col(groupCol))
+    val dom = c
+      .withColumn("__below", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wn))
+      .withColumn("bucket",
+        least(lit(k - 1L), expr(s"($k * __below) div __n")))
+      .select(col(groupCol), col(scoreCol), col("bucket"))
+    df.join(dom, Seq(groupCol, scoreCol))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("bucket"))
+  }
+
   /** Corpus bigram language-model table: the top-`k` next tokens per
     * context word with exact counts and integer-ppm conditional
     * probability — the classic count-based LM that drives text-statistics

@@ -389,4 +389,80 @@ object UrlOps {
       .agg(count(lit(1)).as("n_urls"),
         count_distinct(col("__h")).as("n_hosts"))
   }
+
+  /** Politeness-respecting fetch schedule for an (already-governed)
+    * frontier: cap each host at `cap` URLs ([[perHostCap]]'s md5-order
+    * bounded heaps), then space that host's fetches by its
+    * [[robotsCrawlDelay]] (or `defaultDelayMs` when the host declares
+    * none): `fetch_at_ms = (pos − 1) · delay_ms`, the offset from the
+    * host's first fetch. The relational form of a crawl scheduler's
+    * per-host queue — what turns an admitted URL SET into a fetch
+    * TIMELINE that honors Crawl-delay.
+    *
+    * Output: (id, url, host, pos, delay_ms, fetch_at_ms).
+    *
+    * 100 TB shape: the heap pass bounds every host at `cap` rows BEFORE
+    * any exchange (a mega-host never forces a sort); the rank window
+    * and the delay join are both host-keyed, reusing the heap pass's
+    * hash partitioning — one effective exchange end to end. The delay
+    * table is per-host (robots-sized), never corpus-sized. */
+  def frontierSchedule(df: DataFrame, urlCol: String, idCol: String,
+      delays: DataFrame, defaultDelayMs: Long, cap: Int): DataFrame = {
+    require(defaultDelayMs >= 0, "frontierSchedule needs defaultDelayMs >= 0")
+    val base = df.select(col(idCol).as("id"), col(urlCol).as("url"),
+        canonicalHost(col(urlCol)).as("host"))
+      .where(col("host").isNotNull && col("host") =!= "")
+      .withColumn("__k", md5(col("id").cast("string")))
+    val capped = graft.plans.TopKPerGroup(base,
+        Seq(col("host")), Seq(col("__k").asc, col("id").asc), cap)
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("host")).orderBy(col("__k"), col("id"))))
+      .drop("__k")
+    capped
+      .join(delays.select(col("host"), col("delay_ms").as("__d")),
+        Seq("host"), "left")
+      .withColumn("delay_ms", coalesce(col("__d"), lit(defaultDelayMs)))
+      .select(col("id"), col("url"), col("host"), col("pos"),
+        col("delay_ms"),
+        ((col("pos") - 1) * col("delay_ms")).as("fetch_at_ms"))
+  }
+
+  /** Recrawl reconciliation of a sitemap against the previous crawl
+    * snapshot — the freshness loop an incremental crawl runs between
+    * visits. `entries` is [[parseSitemap]]'s page table (loc [, lastmod
+    * W3C date]); `snapshot` carries (url, fetched_on 'yyyy-MM-dd') from
+    * the prior wave's manifest. Per URL:
+    *   - `new`     — listed, never fetched;
+    *   - `refetch` — listed with a parseable lastmod DATE strictly
+    *                 after the snapshot's fetch date (time-of-day
+    *                 precision beyond the date is ignored — the
+    *                 conservative daily-granularity reading);
+    *   - `keep`    — listed, fetched, and not provably stale (absent
+    *                 or unparseable lastmod cannot prove staleness);
+    *   - `gone`    — fetched before but no longer listed (the
+    *                 tombstone candidate a take-down audit reads).
+    * Output: (url, action, lastmod, fetched_on).
+    *
+    * 100 TB shape: ONE full-outer join keyed on url; date compare is
+    * map-side. Both inputs are URL-grain (sitemap and manifest), never
+    * content-grain — the plan touches no page bytes. */
+  def recrawlPlan(entries: DataFrame, locCol: String, lastmodCol: String,
+      snapshot: DataFrame, urlCol: String, fetchedCol: String)
+      : DataFrame = {
+    val e = entries.select(col(locCol).as("url"),
+      col(lastmodCol).as("lastmod"), lit(true).as("__listed"))
+    val sn = snapshot.select(col(urlCol).as("url"),
+      col(fetchedCol).as("fetched_on"), lit(true).as("__seen"))
+    val lm = expr("try_cast(substring(lastmod, 1, 10) AS DATE)")
+    val fd = expr("try_cast(fetched_on AS DATE)")
+    e.join(sn, Seq("url"), "full_outer")
+      .withColumn("action",
+        when(col("__seen").isNull, lit("new"))
+          .when(col("__listed").isNull, lit("gone"))
+          .when(lm.isNotNull && fd.isNotNull && lm > fd, lit("refetch"))
+          .otherwise(lit("keep")))
+      .select(col("url"), col("action"), col("lastmod"),
+        col("fetched_on"))
+  }
 }

@@ -400,10 +400,43 @@ object CorpusQueries {
     robotsFixture.toDF("host", "txt")
   }
 
-  /** The shared parse CTE chain of the two robots twins (through the
-    * `rules` table — the literal SQL form of [[graft.operators.UrlOps
-    * .parseRobots]]). */
-  private val sqlRobotsRules: String = {
+  /** q88's Count-Min surprisal chain as CTEs ending in
+    * `s88(doc_id, surprisal, n_tokens)` — shared with the q345
+    * bucketing twin so the scorer cannot diverge between them. */
+  private val sqlSurprisalCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
+       |), h AS (
+       |  SELECT doc_id, s, hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
+       |    SELECT doc_id, s, $sqlHash60 AS hx FROM toks)
+       |), d(j) AS (VALUES (0), (1), (2), (3)
+       |), bx AS (
+       |  SELECT j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
+       |  FROM h CROSS JOIN d
+       |), cnts AS (
+       |  SELECT j, bk, COUNT(*) AS c FROM bx GROUP BY 1, 2
+       |), probes AS (
+       |  SELECT DISTINCT s, hx, hy FROM h
+       |), pb AS (
+       |  SELECT s, j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
+       |  FROM probes CROSS JOIN d
+       |), est AS (
+       |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS e
+       |  FROM pb LEFT JOIN cnts c ON c.j = pb.j AND c.bk = pb.bk
+       |  GROUP BY 1
+       |), r AS (
+       |  SELECT s, CAST(floor(1000000.0 / CAST(e AS DOUBLE)) AS BIGINT) AS rr
+       |  FROM est
+       |), s88 AS (
+       |  SELECT t.doc_id, CAST(SUM(r.rr) AS BIGINT) AS surprisal,
+       |    COUNT(*) AS n_tokens
+       |  FROM toks t JOIN r ON t.s = r.s
+       |  GROUP BY 1
+       |)""".stripMargin
+
+  /** The robots fixture's comment-stripped CRLF-safe line walk — the
+    * common prefix of every robots twin (rules, sitemaps, delays). */
+  private val sqlRobotsLines: String = {
     val values = robotsFixture.map { case (h, t) => s"    ('$h', '$t')" }
       .mkString(",\n")
     s"""WITH src AS (
@@ -416,7 +449,14 @@ object CorpusQueries {
        |  FROM (SELECT host, regexp_split_to_array(txt, '\\r?\\n') AS t
        |        FROM src),
        |    unnest(generate_series(1, len(t))) AS u(i)
-       |), typed AS (
+       |)""".stripMargin
+  }
+
+  /** The shared parse CTE chain of the two robots twins (through the
+    * `rules` table — the literal SQL form of [[graft.operators.UrlOps
+    * .parseRobots]]). */
+  private val sqlRobotsRules: String = {
+    s"""$sqlRobotsLines, typed AS (
        |  SELECT host, line_no,
        |    lower(trim(str_split(line, ':')[1])) AS directive,
        |    trim(substr(line, strpos(line, ':') + 1)) AS value
@@ -454,6 +494,14 @@ object CorpusQueries {
       "</loc><lastmod>2026-02-03</lastmod></sitemap><sitemap>" +
       "<loc>https://a.com/sitemap-b.xml</loc></sitemap></sitemapindex>"),
     (3L, "<urlset><url><loc></loc></url><url>unclosed"))
+
+  /** q347 prior-wave fetch snapshot against the q339 sitemap's page
+    * entries: page1 fetched BEFORE its lastmod (stale), page2 fetched
+    * after, page4 fetched but no longer listed. */
+  private val recrawlSnapshot: Seq[(String, String)] = Seq(
+    ("https://a.com/page1", "2025-12-01"),
+    ("https://a.com/page2?x=1&y=2", "2026-01-15"),
+    ("https://a.com/page4-gone", "2026-01-20"))
 
   /** q340 registrable-domain fixture: ccTLD second-level registries,
     * plain TLDs, an IPv4 literal, and an unparseable row. */
@@ -531,6 +579,70 @@ object CorpusQueries {
     "q343_crawl_delay" -> { (s, _) =>
       graft.operators.UrlOps.robotsCrawlDelay(robotsDf(s), "host",
         "txt", agent = "gammabot")
+    },
+
+    // Cross-document LINE dedup (the RefinedWeb/FineWeb boilerplate
+    // sweep) over the corpus wrapped in deterministic chrome: a header
+    // and footer line shared by EVERY doc (removed everywhere — the
+    // boilerplate case), the unique body line (kept), and the doc's
+    // own 20-char prefix repeated twice (kept — distinct-DOC counting
+    // means a within-doc refrain is not boilerplate)
+    "q344_line_dedup" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        concat(lit("shared promo header\n"), col("text"), lit("\n"),
+          substring(col("text"), 1, 20), lit("\n"),
+          substring(col("text"), 1, 20),
+          lit("\nall rights reserved footer")).as("text"))
+      CorpusOps.lineDedup(d, "doc_id", "text", maxDocs = 1)
+    },
+
+    // CCNet-style quality bucketing: per-doc surprisal-per-token off
+    // the q88 Count-Min rarity scores, split into head/middle/tail
+    // TERTILES per declared language — the domain-table cumulative
+    // (q185 discipline), never a corpus sort
+    "q345_ccnet_buckets" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val scored = CorpusOps.surprisalScore(d, "doc_id", "text",
+          width = 16, depth = 4)
+        .withColumn("score", expr("surprisal div n_tokens"))
+      CorpusOps.quantileBuckets(
+        scored.join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "doc_id", "lang", "score", k = 3)
+    },
+
+    // Politeness-respecting frontier schedule, the full loop: robots
+    // decision -> allowed -> per-host bounded-heap cap -> Crawl-delay
+    // spacing (a.com 10 s from its * group, b.com 0.5 s, hosts with
+    // no robots the 1 s default) — fetch_at_ms turns the admitted SET
+    // into a fetch TIMELINE
+    "q346_frontier_schedule" -> { (s, _) =>
+      import s.implicits._
+      val urls = robotsEvalUrls.zipWithIndex
+        .map { case (u, i) => (i.toLong + 1L, u) }.toDF("id", "url")
+      val decisions = graft.operators.UrlOps.evaluateRobots(
+        urls, "url",
+        graft.operators.UrlOps.parseRobots(robotsDf(s), "host", "txt"),
+        agent = "gammabot")
+      val allowed = urls.join(
+        decisions.where(col("allowed")).select(col("url")),
+        Seq("url"), "left_semi")
+      graft.operators.UrlOps.frontierSchedule(allowed, "url", "id",
+        graft.operators.UrlOps.robotsCrawlDelay(robotsDf(s), "host",
+          "txt", agent = "gammabot"),
+        defaultDelayMs = 1000L, cap = 3)
+    },
+
+    // Recrawl reconciliation: the q339 sitemap's page entries against
+    // the prior wave's fetch snapshot — page1's lastmod postdates its
+    // fetch (refetch), page2 cannot prove staleness (keep), page3 was
+    // never fetched (new), page4 is no longer listed (gone)
+    "q347_recrawl_plan" -> { (s, _) =>
+      import s.implicits._
+      val entries = graft.operators.UrlOps.parseSitemap(
+          sitemapFixture.toDF("id", "xml"), "id", "xml")
+        .where(!col("is_index"))
+      graft.operators.UrlOps.recrawlPlan(entries, "loc", "lastmod",
+        recrawlSnapshot.toDF("url", "fetched_on"), "url", "fetched_on")
     },
 
     // Robots Exclusion Protocol parse (RFC 9309): comment strip, group
@@ -1603,10 +1715,68 @@ object CorpusQueries {
     ).toDF("id", "url")
   }
 
+  /** The 4-directive reparse + group selection + max-delay chain of
+    * [[graft.operators.UrlOps.robotsCrawlDelay]] as appendable CTEs
+    * (dl_-prefixed so they compose with [[sqlRobotsRules]]' names in
+    * one query), ending in `delays(host, delay_ms)`. Shared by the
+    * q343 twin and the q346 schedule twin. */
+  private val sqlCrawlDelayCtes: String =
+    s""", dl_typed AS (
+       |  SELECT host, line_no,
+       |    lower(trim(str_split(line, ':')[1])) AS directive,
+       |    trim(substr(line, strpos(line, ':') + 1)) AS value
+       |  FROM rlines
+       |  WHERE line <> ''
+       |    AND lower(trim(str_split(line, ':')[1]))
+       |      IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+       |), dl_grp AS (
+       |  SELECT *, directive = 'user-agent' AS ua,
+       |    (directive = 'user-agent' AND NOT coalesce(
+       |      lag(directive = 'user-agent') OVER (
+       |        PARTITION BY host ORDER BY line_no), false)) AS gstart
+       |  FROM dl_typed
+       |), dl_rules AS (
+       |  SELECT host,
+       |    CAST(SUM(CASE WHEN gstart THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY host ORDER BY line_no
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS group_id,
+       |    CAST(line_no AS BIGINT) AS line_no, directive,
+       |    CASE WHEN ua THEN lower(value) ELSE value END AS value
+       |  FROM dl_grp
+       |), dl_agents AS (
+       |  SELECT host, group_id, value AS ua FROM dl_rules
+       |  WHERE directive = 'user-agent'
+       |), dl_exact AS (
+       |  SELECT DISTINCT host, group_id FROM dl_agents
+       |  WHERE ua = 'gammabot'
+       |), dl_star AS (
+       |  SELECT DISTINCT host, group_id FROM dl_agents
+       |  WHERE ua = '*' AND host NOT IN (SELECT host FROM dl_exact)
+       |), dl_chosen AS (
+       |  SELECT * FROM dl_exact UNION SELECT * FROM dl_star
+       |), delays AS (
+       |  SELECT r.host,
+       |    CAST(max(CAST(round(TRY_CAST(r.value AS DOUBLE) * 1000)
+       |      AS BIGINT)) AS BIGINT) AS delay_ms
+       |  FROM dl_rules r JOIN dl_chosen c
+       |    ON r.host = c.host AND r.group_id = c.group_id
+       |  WHERE r.directive = 'crawl-delay'
+       |    AND TRY_CAST(r.value AS DOUBLE) >= 0
+       |  GROUP BY r.host
+       |)""".stripMargin
+
   /** The governed-intake twin shared by q336 and q342: robots
     * decision CTEs over `urlValues` rows (id, url) + allowed filter
     * + the md5-order per-host cap at `n`. */
+  // NOTE: plain concatenation, NOT an interpolating stripMargin — the
+  // inner SQL contains `||` concat operators at line starts, which a
+  // second stripMargin would eat as margin markers.
   private def sqlGovernedCap(urlValues: String, n: Int): String =
+    sqlGovernedCapCte(urlValues, n) + "\nSELECT id, host, pos FROM capped"
+
+  /** ... and the same chain stopping at a `capped(id, url, host, pos)`
+    * CTE, so the q346 schedule twin can keep composing. */
+  private def sqlGovernedCapCte(urlValues: String, n: Int): String =
     s"""$sqlRobotsRules, agents AS (
          |  SELECT host, group_id, value AS ua FROM rules
          |  WHERE directive = 'user-agent'
@@ -1656,17 +1826,18 @@ object CorpusQueries {
          |  FROM u JOIN paths p ON u.host = p.host
          |  WHERE regexp_matches(u.path, p.pat)
          |), alw AS (
-         |  SELECT u.id, u.host
+         |  SELECT u.id, u.url, u.host
          |  FROM u LEFT JOIN (SELECT * FROM mm WHERE rn = 1) m
          |    ON u.url = m.url
          |  WHERE coalesce(m.directive = 'allow', true)
          |    AND u.host IS NOT NULL AND u.host <> ''
-         |)
-         |SELECT id, host, CAST(pos AS INTEGER) AS pos FROM (
-         |  SELECT id, host, ROW_NUMBER() OVER (PARTITION BY host
-         |    ORDER BY md5(CAST(id AS VARCHAR)), id) AS pos
-         |  FROM alw)
-         |WHERE pos <= $n""".stripMargin
+         |), capped AS (
+         |  SELECT id, url, host, CAST(pos AS INTEGER) AS pos FROM (
+         |    SELECT id, url, host, ROW_NUMBER() OVER (PARTITION BY host
+         |      ORDER BY md5(CAST(id AS VARCHAR)), id) AS pos
+         |    FROM alw)
+         |  WHERE pos <= $n
+         |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     // the same CRLF-safe comment-stripped line walk as the rules twin,
@@ -1763,61 +1934,95 @@ object CorpusQueries {
     },
 
     // the 4-directive parse CTEs + q335 group selection + max-delay
-    "q343_crawl_delay" -> {
-      val values = robotsFixture.map { case (h, t) => s"    ('$h', '$t')" }
+    // (the factored chain the q346 schedule twin also composes)
+    "q343_crawl_delay" ->
+      (sqlRobotsLines + sqlCrawlDelayCtes +
+        "\nSELECT host, delay_ms FROM delays"),
+
+    // the same sentence-per-line projection, distinct-doc line counts
+    // (grouped on the trimmed line text — the hash-collision-free
+    // reading of lineDedup's 60-bit keys, q157's discipline),
+    // order-preserving reassembly
+    "q344_line_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, 'shared promo header' || chr(10) || text
+        |    || chr(10) || substr(text, 1, 20)
+        |    || chr(10) || substr(text, 1, 20)
+        |    || chr(10) || 'all rights reserved footer' AS text
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, i - 1 AS pos, t[i] AS line, trim(t[i]) AS k
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM d),
+        |    unnest(generate_series(1, len(t))) AS u(i)
+        |), f AS (
+        |  SELECT k, TRUE AS fl
+        |  FROM (SELECT DISTINCT k, doc_id FROM l WHERE k <> '')
+        |  GROUP BY k HAVING COUNT(*) > 1
+        |)
+        |SELECT l.doc_id,
+        |  CAST(SUM(CASE WHEN f.fl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN f.fl IS NULL THEN l.line END,
+        |    chr(10) ORDER BY l.pos), '') AS text_clean
+        |FROM l LEFT JOIN f ON l.k = f.k
+        |GROUP BY l.doc_id""".stripMargin,
+
+    // governed-cap CTEs (cap 3) + the crawl-delay chain + the spacing
+    // arithmetic — the whole admission-to-timeline loop in one replay
+    "q346_frontier_schedule" -> {
+      val urlValues = robotsEvalUrls.zipWithIndex
+        .map { case (u, i) => s"    (CAST(${i + 1} AS BIGINT), '$u')" }
         .mkString(",\n")
+      sqlGovernedCapCte(urlValues, 3) + sqlCrawlDelayCtes +
+        """
+          |SELECT c.id, c.url, c.host, c.pos,
+          |  coalesce(d.delay_ms, 1000) AS delay_ms,
+          |  (c.pos - 1) * coalesce(d.delay_ms, 1000) AS fetch_at_ms
+          |FROM capped c LEFT JOIN delays d USING (host)""".stripMargin
+    },
+
+    // the q339 <url> entry walk (non-index docs only produce these) +
+    // snapshot VALUES + one full-outer reconciliation
+    "q347_recrawl_plan" -> {
+      val values = sitemapFixture.map { case (i, x) =>
+        s"    (CAST($i AS BIGINT), '$x')" }.mkString(",\n")
+      val snap = recrawlSnapshot.map { case (u, f) =>
+        s"    ('$u', '$f')" }.mkString(",\n")
+      val loc = "trim(regexp_extract(es[i].e, '(?is)<loc>(.*?)</loc>', 1))"
+      val lm = "regexp_extract(es[i].e, '(?is)<lastmod>(.*?)</lastmod>', 1)"
       s"""WITH src AS (
          |  SELECT * FROM (VALUES
          |$values
-         |  ) AS t(host, txt)
-         |), rlines AS (
-         |  SELECT host, i - 1 AS line_no,
-         |    trim(regexp_replace(t[i], '#.*$$', '')) AS line
-         |  FROM (SELECT host, regexp_split_to_array(txt, '\\r?\\n') AS t
-         |        FROM src),
-         |    unnest(generate_series(1, len(t))) AS u(i)
-         |), typed AS (
-         |  SELECT host, line_no,
-         |    lower(trim(str_split(line, ':')[1])) AS directive,
-         |    trim(substr(line, strpos(line, ':') + 1)) AS value
-         |  FROM rlines
-         |  WHERE line <> ''
-         |    AND lower(trim(str_split(line, ':')[1]))
-         |      IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
-         |), grp AS (
-         |  SELECT *, directive = 'user-agent' AS ua,
-         |    (directive = 'user-agent' AND NOT coalesce(
-         |      lag(directive = 'user-agent') OVER (
-         |        PARTITION BY host ORDER BY line_no), false)) AS gstart
-         |  FROM typed
-         |), rules AS (
-         |  SELECT host,
-         |    CAST(SUM(CASE WHEN gstart THEN 1 ELSE 0 END) OVER (
-         |      PARTITION BY host ORDER BY line_no
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS group_id,
-         |    CAST(line_no AS BIGINT) AS line_no, directive,
-         |    CASE WHEN ua THEN lower(value) ELSE value END AS value
-         |  FROM grp
-         |), agents AS (
-         |  SELECT host, group_id, value AS ua FROM rules
-         |  WHERE directive = 'user-agent'
-         |), exact AS (
-         |  SELECT DISTINCT host, group_id FROM agents
-         |  WHERE ua = 'gammabot'
-         |), star AS (
-         |  SELECT DISTINCT host, group_id FROM agents
-         |  WHERE ua = '*' AND host NOT IN (SELECT host FROM exact)
-         |), chosen AS (
-         |  SELECT * FROM exact UNION SELECT * FROM star
+         |  ) AS t(id, xml)
+         |), ent AS (
+         |  SELECT id, list_transform(regexp_extract_all(xml,
+         |    '(?is)<url>(.*?)</url>', 1),
+         |    x -> struct_pack(e := x)) AS es
+         |  FROM src
+         |), sm AS (
+         |  SELECT
+         |    replace(replace(replace(replace(replace($loc,
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&apos;', chr(39)), '&amp;', '&') AS url,
+         |    CASE WHEN $lm <> '' THEN trim($lm) END AS lastmod,
+         |    TRUE AS listed
+         |  FROM ent, unnest(generate_series(1, len(es))) AS g(i)
+         |  WHERE $loc <> ''
+         |), sn AS (
+         |  SELECT * FROM (VALUES
+         |$snap
+         |  ) AS t(url, fetched_on)
          |)
-         |SELECT r.host,
-         |  CAST(max(CAST(round(TRY_CAST(r.value AS DOUBLE) * 1000) AS BIGINT))
-         |    AS BIGINT) AS delay_ms
-         |FROM rules r JOIN chosen c
-         |  ON r.host = c.host AND r.group_id = c.group_id
-         |WHERE r.directive = 'crawl-delay'
-         |  AND TRY_CAST(r.value AS DOUBLE) >= 0
-         |GROUP BY r.host""".stripMargin
+         |SELECT coalesce(sm.url, sn.url) AS url,
+         |  CASE WHEN sn.url IS NULL THEN 'new'
+         |    WHEN sm.listed IS NULL THEN 'gone'
+         |    WHEN TRY_CAST(substr(sm.lastmod, 1, 10) AS DATE) IS NOT NULL
+         |      AND TRY_CAST(sn.fetched_on AS DATE) IS NOT NULL
+         |      AND TRY_CAST(substr(sm.lastmod, 1, 10) AS DATE) >
+         |        TRY_CAST(sn.fetched_on AS DATE) THEN 'refetch'
+         |    ELSE 'keep' END AS action,
+         |  sm.lastmod, sn.fetched_on
+         |FROM sm FULL OUTER JOIN sn ON sm.url = sn.url""".stripMargin
     },
 
     "q334_robots_parse" ->
@@ -2563,36 +2768,28 @@ $rows
         |  FROM documents d JOIN tg USING (source)) x
         |WHERE rk <= n_target""".stripMargin,
 
-    "q88_surprisal_score" -> {
-      s"""WITH toks AS (
-         |  SELECT doc_id, unnest($sqlToks) AS s FROM documents
-         |), h AS (
-         |  SELECT doc_id, s, hx, ${sqlHash60b("hx", 7L)} AS hy FROM (
-         |    SELECT doc_id, s, $sqlHash60 AS hx FROM toks)
-         |), d(j) AS (VALUES (0), (1), (2), (3)
-         |), bx AS (
-         |  SELECT j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
-         |  FROM h CROSS JOIN d
-         |), cnts AS (
-         |  SELECT j, bk, COUNT(*) AS c FROM bx GROUP BY 1, 2
-         |), probes AS (
-         |  SELECT DISTINCT s, hx, hy FROM h
-         |), pb AS (
-         |  SELECT s, j, (hx % 16 + j * (1 + hy % 15)) % 16 AS bk
-         |  FROM probes CROSS JOIN d
-         |), est AS (
-         |  SELECT pb.s, MIN(coalesce(c.c, 0)) AS e
-         |  FROM pb LEFT JOIN cnts c ON c.j = pb.j AND c.bk = pb.bk
-         |  GROUP BY 1
-         |), r AS (
-         |  SELECT s, CAST(floor(1000000.0 / CAST(e AS DOUBLE)) AS BIGINT) AS rr
-         |  FROM est
+    "q88_surprisal_score" ->
+      s"""$sqlSurprisalCtes
+         |SELECT doc_id, surprisal, n_tokens FROM s88""".stripMargin,
+
+    // the q88 chain + per-token score + the lang join + the
+    // domain-table tertile (tie groups bucket by where they START in
+    // the cumulative, exactly quantileBuckets' integer rule)
+    "q345_ccnet_buckets" ->
+      s"""$sqlSurprisalCtes, sc AS (
+         |  SELECT s88.doc_id, d.lang, s88.surprisal // s88.n_tokens AS score
+         |  FROM s88 JOIN documents d USING (doc_id)
+         |), dom AS (
+         |  SELECT lang, score,
+         |    coalesce(SUM(c) OVER (PARTITION BY lang ORDER BY score ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS below,
+         |    SUM(c) OVER (PARTITION BY lang) AS n
+         |  FROM (SELECT lang, score, COUNT(*) AS c FROM sc GROUP BY 1, 2)
          |)
-         |SELECT t.doc_id, CAST(SUM(r.rr) AS BIGINT) AS surprisal,
-         |  COUNT(*) AS n_tokens
-         |FROM toks t JOIN r ON t.s = r.s
-         |GROUP BY 1""".stripMargin
-    },
+         |SELECT sc.doc_id, sc.lang, sc.score,
+         |  CAST(LEAST(2, (3 * dom.below) // dom.n) AS BIGINT) AS bucket
+         |FROM sc JOIN dom USING (lang, score)""".stripMargin,
 
     "q92_source_overlap" ->
       s"""WITH sh AS (

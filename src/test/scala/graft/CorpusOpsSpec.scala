@@ -928,4 +928,50 @@ class CorpusOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("negative weight_ppm"))
   }
+
+  test("lineDedup: cross-doc boilerplate lines drop everywhere, a " +
+      "within-doc refrain survives distinct-doc counting, blank lines " +
+      "are immune, trimmed-form matching, order preserved") {
+    val d = Seq(
+      (1L, "HEADER\nunique body one\n\nrefrain\nrefrain\nFOOTER"),
+      (2L, "HEADER\nunique body two\nFOOTER"),
+      (3L, "HEADER\n  FOOTER  \nsolo line")
+    ).toDF("doc_id", "text")
+    val r = CorpusOps.lineDedup(d, "doc_id", "text", maxDocs = 1)
+      .orderBy("doc_id").collect()
+    // doc 1: HEADER/FOOTER in 3 docs -> removed; "refrain" twice but in
+    // ONE doc -> kept; the blank separator is immune
+    assert(r(0).getAs[Long]("n_removed") == 2L)
+    assert(r(0).getAs[String]("text_clean") ==
+      "unique body one\n\nrefrain\nrefrain")
+    assert(r(1).getAs[Long]("n_removed") == 2L)
+    assert(r(1).getAs[String]("text_clean") == "unique body two")
+    // doc 3: "  FOOTER  " trims to the boilerplate form -> removed
+    assert(r(2).getAs[Long]("n_removed") == 2L)
+    assert(r(2).getAs[String]("text_clean") == "solo line")
+  }
+
+  test("lineDedup: NULL text behaves as one empty (kept) line") {
+    val d = Seq((1L, null.asInstanceOf[String]), (2L, "x"))
+      .toDF("doc_id", "text")
+    val r = CorpusOps.lineDedup(d, "doc_id", "text", maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_removed") == 0L)
+    assert(r(0).getAs[String]("text_clean") == "")
+    assert(r(1).getAs[String]("text_clean") == "x")
+  }
+
+  test("quantileBuckets: tie groups bucket by where they START in the " +
+      "cumulative, groups are independent, top bucket capped at k-1") {
+    // group a: 1..6 -> clean tertiles; group b: ties 1,1,1 start at
+    // below=0 -> bucket 0, the 9 at below=3 of n=4 -> (3*3) div 4 = 2
+    val a = Seq.tabulate(6)(i => (i + 1L, "a", i + 1L))
+    val b = Seq((10L, "b", 1L), (11L, "b", 1L), (12L, "b", 1L),
+      (13L, "b", 9L))
+    val r = CorpusOps.quantileBuckets((a ++ b).toDF("id", "g", "score"),
+        "id", "g", "score", k = 3)
+      .orderBy("id").collect()
+    assert(r.map(_.getAs[Long]("bucket")).toSeq ==
+      Seq(0L, 0L, 1L, 1L, 2L, 2L, 0L, 0L, 0L, 2L))
+  }
 }

@@ -165,4 +165,60 @@ class UrlOpsSpec extends SparkSpec {
       "bbc.co.uk" -> ((2L, 2L)), "example.com" -> ((2L, 2L)),
       "10.0.0.7" -> ((1L, 1L))))
   }
+
+  test("frontierSchedule: per-host cap rides the bounded heap, " +
+      "Crawl-delay spaces fetches, undeclared hosts get the default") {
+    import spark.implicits._
+    val urls = Seq((1L, "https://a.com/1"), (2L, "https://a.com/2"),
+      (3L, "https://a.com/3"), (4L, "https://a.com/4"),
+      (5L, "https://b.com/1")).toDF("id", "url")
+    val delays = Seq(("a.com", 2000L)).toDF("host", "delay_ms")
+    val out = UrlOps.frontierSchedule(urls, "url", "id", delays,
+      defaultDelayMs = 700L, cap = 3)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("TopKPerGroup"),
+      "frontierSchedule did not plan through the bounded-heap cap")
+    val rows = out.orderBy("host", "pos").collect()
+    assert(rows.length == 4) // a.com capped 4 -> 3, b.com 1
+    val a = rows.filter(_.getAs[String]("host") == "a.com")
+    assert(a.map(_.getAs[Int]("pos")).toSeq == Seq(1, 2, 3))
+    assert(a.map(_.getAs[Long]("delay_ms")).forall(_ == 2000L))
+    assert(a.map(_.getAs[Long]("fetch_at_ms")).toSeq ==
+      Seq(0L, 2000L, 4000L))
+    val b = rows.filter(_.getAs[String]("host") == "b.com").head
+    assert(b.getAs[Long]("delay_ms") == 700L &&
+      b.getAs[Long]("fetch_at_ms") == 0L)
+  }
+
+  test("recrawlPlan: new/refetch/keep/gone; same-day or unparseable " +
+      "lastmod cannot prove staleness; datetime lastmod compares at " +
+      "day grain") {
+    import spark.implicits._
+    val entries = Seq(
+      ("https://s.com/stale", Some("2026-02-02")),
+      ("https://s.com/fresh", Some("2026-01-01")),
+      ("https://s.com/sameday", Some("2026-01-15T23:59:00+00:00")),
+      ("https://s.com/junk", Some("not-a-date")),
+      ("https://s.com/nolm", None),
+      ("https://s.com/new", Some("2026-03-01"))
+    ).toDF("loc", "lastmod")
+    val snap = Seq(
+      "https://s.com/stale", "https://s.com/fresh",
+      "https://s.com/sameday", "https://s.com/junk",
+      "https://s.com/nolm", "https://s.com/gone")
+      .map((_, "2026-01-15")).toDF("url", "fetched_on")
+    val r = UrlOps.recrawlPlan(entries, "loc", "lastmod",
+        snap, "url", "fetched_on")
+      .collect()
+      .map(x => x.getAs[String]("url") -> x.getAs[String]("action"))
+      .toMap
+    assert(r == Map(
+      "https://s.com/stale" -> "refetch",
+      "https://s.com/fresh" -> "keep",
+      "https://s.com/sameday" -> "keep",
+      "https://s.com/junk" -> "keep",
+      "https://s.com/nolm" -> "keep",
+      "https://s.com/new" -> "new",
+      "https://s.com/gone" -> "gone"))
+  }
 }
