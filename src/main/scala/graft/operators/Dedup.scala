@@ -400,15 +400,18 @@ object Dedup {
           .withColumnRenamed("cluster_id", "n_label"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("n_label")).as("n_min"))
+      // carry the old label THROUGH the round frame: the convergence
+      // count is then a filter over the (lazily) checkpointed round —
+      // one job per round, no join-back against the prior labels (which
+      // cost a second join + a second action every round)
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
-            .as("cluster_id"))
-        .localCheckpoint(true)
-      val changes = updated.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).count()
-      labels = updated
+            .as("cluster_id"),
+          col("cluster_id").as("__old"))
+        .localCheckpoint(false)
+      val changes = updated.filter(col("cluster_id") =!= col("__old")).count()
+      labels = updated.select(col("id"), col("cluster_id"))
       converged = changes == 0
       i += 1
     }
@@ -435,14 +438,22 @@ object Dedup {
     * [[clusterPairs]]; q114 reuses q50's oracle VERBATIM so the
     * equivalence is driver-checked, not just spec-checked. */
   def clusterPairsStar(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym0 = pairs.select(col("id_1").as("u"), col("id_2").as("v"))
-      .union(pairs.select(col("id_2").as("u"), col("id_1").as("v")))
+    // large→small orientation DIRECTLY (greatest/least per input pair ==
+    // the old symmetrize-then-filter(u > v), row for row): ONE distinct
+    // over |pairs| rows instead of over the 2×|pairs| symmetric set, and
+    // — the r12 job-ledger finding — the pair plan upstream materializes
+    // ONCE (the old `nodes` ran the whole un-checkpointed pair machinery
+    // a second time; now nodes derive from the checkpointed edge set).
+    // Invariant u > v is restored every round.
+    var edges = pairs
+      .select(greatest(col("id_1"), col("id_2")).as("u"),
+        least(col("id_1"), col("id_2")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    val nodes = sym0.select(col("u").as("id")).distinct()
       .localCheckpoint(true)
-    // large→small orientation; invariant u > v is restored every round
-    var edges = sym0.filter(col("u") > col("v")).distinct()
-      .localCheckpoint(true)
+    // endpoints of the oriented edge set == endpoints of the symmetric
+    // set; lazy — its one consumer is the final labels join below
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
     // per-round stats for the CHEAP convergence pre-check: (count, hash
     // checksum). Equal stats are necessary for a fixed edge set; the
     // exact exceptAll confirmation runs only when they match, so the
@@ -470,11 +481,15 @@ object Dedup {
       // SMALL-STAR on the large→small edges
       val mins2 = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
       val joined = afterLarge.join(mins2, Seq("u"))
+      // LAZY checkpoint: the statsOf action right below is the round's
+      // one materialization — it computes AND persists the truncated
+      // RDD in a single job (the eager form paid a dedicated
+      // checkpoint job plus the stats job every round)
       val afterSmall = joined.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val st = statsOf(afterSmall)
       if (st == prevStats) {
         // cheap stats agree — confirm EXACTLY before declaring fixpoint.

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * PageRank formulation, Brin & Page 1998). The iteration is the star-CC
   * pattern the engine already runs ([[Dedup]]): a fixed number of
   * join+aggregate rounds with `localCheckpoint` lineage truncation —
-  * rank state is one (id, rank_ppm) row per node, contributions are one
-  * edge-keyed shuffle per round, nothing driver-side but two 1-row-class
-  * scalars (node count; per-round dangling mass rides a broadcast 1-row
-  * frame).
+  * rank state is one (id, out_deg, rank_ppm) row per node (out_deg is
+  * static and rides the state so no round re-joins it), contributions
+  * are one edge-keyed shuffle per round, nothing driver-side but two
+  * 1-row-class scalars (node count; per-round dangling mass rides a
+  * broadcast 1-row frame).
   *
   * Exact-integer contract (the house FP-free discipline — ranks are
   * ppm-scaled Longs, every division is floor `div`, so any engine
@@ -40,24 +41,28 @@ object GraphRank {
       "dampingPpm must be in [0, 1e6]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
+    // static per-node frame (id, out_deg — NULL for dangling): joined
+    // ONCE before the loop instead of re-joining outDeg against the rank
+    // state every round (the r12 job ledger: that per-round join was one
+    // broadcast build + one shuffle per iteration for a value that never
+    // changes). The rank state carries out_deg through the rounds.
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val base = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+      .join(outDeg, col("id") === col("src"), "left")
+      .select(col("id"), col("out_deg"))
       .localCheckpoint(true)
     // ONE driver-side scalar for the whole run (1-row-class read, the
     // same justification as the ANN routing reads): n parameterizes the
     // dangling share as a literal
-    val n = nodes.count()
-    var rank = nodes.withColumn("rank_ppm", lit(1000000L))
+    val n = base.count()
+    var rank = base.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 0 until iters) {
-      val withDeg = rank.join(outDeg,
-        rank("id") === outDeg("src"), "left")
       // dangling mass as a BROADCAST 1-row frame — never a collect
-      val dang = withDeg.where(col("out_deg").isNull)
+      val dang = rank.where(col("out_deg").isNull)
         .agg(coalesce(sum(col("rank_ppm")), lit(0L)).as("__dang"))
-      val contrib = withDeg.where(col("out_deg").isNotNull)
+      val contrib = rank.where(col("out_deg").isNotNull)
         .select(col("id").as("src"),
           expr("rank_ppm div out_deg").as("__share"))
         .join(e, "src")
@@ -73,17 +78,17 @@ object GraphRank {
       // operator exists for. Here a·q ≤ dampingPpm·(Σmass/10⁶) and
       // a·r < 10¹², both safely inside Long for any graph whose total
       // ppm mass itself fits a Long (the operator's standing bound).
-      rank = nodes.join(contrib, Seq("id"), "left")
+      rank = base.join(contrib, Seq("id"), "left")
         .crossJoin(broadcast(dang))
         .withColumn("__x", expr(s"coalesce(__in, 0L) + (__dang div $n)"))
-        .select(col("id"),
+        .select(col("id"), col("out_deg"),
           (lit(1000000L - dampingPpm) +
             expr(s"(__x div 1000000) * $dampingPpm" +
               s" + ($dampingPpm * (__x % 1000000)) div 1000000")
               .cast("long")).as("rank_ppm"))
         .localCheckpoint(true)
     }
-    rank
+    rank.select(col("id"), col("rank_ppm"))
   }
 
   /** HITS hubs/authorities (Kleinberg 1999, "Authoritative sources in a
@@ -119,12 +124,16 @@ object GraphRank {
       // ≈ 9.2×10²⁴ sits far inside decimal-38, `div` on decimals is
       // Spark's IntegralDivide (floor, returns BIGINT) — the value is
       // bit-identical to the all-Long form wherever that form survives.
+      // LAZY checkpoints (here and for hub below): the round frames are
+      // materialized-and-persisted by the first consumer that needs them
+      // (the next round's max broadcast, or the final hub⋈auth join) —
+      // same truncation, two fewer dedicated jobs per round
       auth = nodes.join(aRaw, Seq("id"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("id"),
           expr("cast(cast(coalesce(__raw, 0L) as decimal(38,0))" +
             " * 1000000 div __max as long)").as("a"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a")).as("__raw"))
       val hMax = hRaw.agg(max(col("__raw")).as("__max"))
@@ -133,7 +142,7 @@ object GraphRank {
         .select(col("id"),
           expr("cast(cast(coalesce(__raw, 0L) as decimal(38,0))" +
             " * 1000000 div __max as long)").as("h"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     hub.join(auth, Seq("id"))
       .select(col("id"), col("h").as("hub_ppm"), col("a").as("auth_ppm"))

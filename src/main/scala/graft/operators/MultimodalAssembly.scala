@@ -99,10 +99,16 @@ object MultimodalAssembly {
       phashMaxHamming: Int = 10): DataFrame = {
     val st = stages(pairs, minWidth, bands, maxHamming, phashBands,
       phashMaxHamming)
-    st.images.agg(count(lit(1)).as("n_images"))
-      .crossJoin(broadcast(st.paired.agg(count(lit(1)).as("n_paired"))))
-      .crossJoin(broadcast(st.decoded.agg(count(lit(1)).as("n_decoded"))))
-      .crossJoin(broadcast(st.gated.agg(count(lit(1)).as("n_geometry_ok"))))
+    // n_images + n_paired from ONE pass over the arrival frame
+    // (count(caption) counts exactly the caption-carrying rows the
+    // pairing gate keeps), n_decoded + n_geometry_ok from ONE pass over
+    // the checkpointed metadata (the geometry gate is a predicate of
+    // it) — two stage-frame re-scans and two broadcast builds fewer
+    // than the five-way crossJoin chain, same five columns
+    st.images.agg(count(lit(1)).as("n_images"),
+        count(col("caption")).as("n_paired"))
+      .crossJoin(broadcast(st.decoded.agg(count(lit(1)).as("n_decoded"),
+        count(when(col("width") >= minWidth, 1)).as("n_geometry_ok"))))
       .crossJoin(broadcast(st.kept.agg(count(lit(1)).as("n_kept"))))
   }
 }

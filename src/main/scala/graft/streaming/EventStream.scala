@@ -747,9 +747,11 @@ object EventStream {
             .where(col("dhash").isNotNull)
             .drop("content")
             .localCheckpoint(true)
-          images.agg(count(lit(1)).as("n_images"))
-            .crossJoin(broadcast(
-              paired.agg(count(lit(1)).as("n_paired"))))
+          // ONE pass over the arrival frame: count(caption) is exactly
+          // the pairing gate's survivor count (r12: the broadcast
+          // crossJoin of two single-count aggs was a job per batch)
+          images.agg(count(lit(1)).as("n_images"),
+              count(col("caption")).as("n_paired"))
             .write.mode("overwrite")
             .parquet(s"$outDir/staged_counts/batch_id=$id")
           // empty decoded batches write no staged partition (a data-less
@@ -760,8 +762,12 @@ object EventStream {
               .parquet(s"$outDir/staged/batch_id=$id")
           // global refresh over staged METADATA only
           if (!decoded.isEmpty || priorIds.nonEmpty) {
+            // lazy cache, not an eager checkpoint: the parquet scan's
+            // lineage is already one node, so the checkpoint job bought
+            // nothing — the first consumer populates the cache for the
+            // dual-key bandings / kept join / attrition counts
             val staged = spark.read.parquet(s"$outDir/staged")
-              .drop("batch_id").localCheckpoint(true)
+              .drop("batch_id").persist()
             val gated = staged.where(col("width") >= minWidth)
             // the shared dual-key admission: dHash at tight radius,
             // pHash at its wider JPEG-class radius, pair sets unioned —
@@ -773,22 +779,27 @@ object EventStream {
               .clusterKeys(gated, "id", dupPairs)
               .groupBy(col("cluster_key")).agg(min(col("id")).as("id"))
               .select(col("id"))
-            val kept = gated.join(keep, Seq("id"), "left_semi")
-              .localCheckpoint(true)
+            // lazy cache (the manifest write materializes it; the
+            // attrition count below reuses the cached rows)
+            val kept = gated.join(keep, Seq("id"), "left_semi").persist()
             kept.select(col("id"), col("sample_id"), col("shard_name"),
                 col("width"), col("height"), col("dhash"), col("phash"),
                 col("caption"))
               .write.mode("overwrite").parquet(s"$outDir/manifest")
+            // n_decoded + n_geometry_ok from ONE pass over the cached
+            // staged table (the geometry gate is a predicate of it)
             spark.read.parquet(s"$outDir/staged_counts")
               .agg(sum(col("n_images")).as("n_images"),
                 sum(col("n_paired")).as("n_paired"))
               .crossJoin(broadcast(
-                staged.agg(count(lit(1)).as("n_decoded"))))
-              .crossJoin(broadcast(
-                gated.agg(count(lit(1)).as("n_geometry_ok"))))
+                staged.agg(count(lit(1)).as("n_decoded"),
+                  count(when(col("width") >= minWidth, 1))
+                    .as("n_geometry_ok"))))
               .crossJoin(broadcast(
                 kept.agg(count(lit(1)).as("n_kept"))))
               .write.mode("overwrite").parquet(s"$outDir/attrition")
+            kept.unpersist()
+            staged.unpersist()
           } else {
             // arrivals happened but NOTHING staged yet (every image so
             // far junk/unpaired): the attrition artifact must still
