@@ -474,10 +474,14 @@ object Dedup {
       val adj = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = adj.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // NO distinct here (r12): duplicate (u, v) rows cost nothing —
+      // mins2's partial (map-side) min collapses them before its
+      // exchange, and afterSmall's distinct is the round's dedup point —
+      // while the distinct was a full extra exchange every round
       val afterLarge = adj.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // SMALL-STAR on the large→small edges
       val mins2 = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
       val joined = afterLarge.join(mins2, Seq("u"))
@@ -662,6 +666,58 @@ object Dedup {
       df.select(col(idCol).as("id"), col(hashCol).cast("long")
         .as("simhash")),
       64 / bands, bands, maxHamming, maxBucketSize)
+  }
+
+  /** Multi-key banded-hamming pairs in ONE pass — the fused form of
+    * `union`-ing one [[hammingNearDupPairs]] per fingerprint column
+    * (r12: the dual-key multimodal admission ran the whole
+    * explode→shed→bucket→pair pipeline twice per refresh). Each key
+    * brings its own (bands, maxHamming) geometry; the key ordinal rides
+    * the bucket key, so buckets, the over-cap shed, and the pigeonhole
+    * radius are all evaluated PER KEY exactly as the separate pipelines
+    * did, while the exchange/collect_list/pair machinery is shared.
+    * Result-identical to
+    * `keys.map(hammingNearDupPairs(...)).reduce(union).distinct()`
+    * (DedupSpec pins it). Emits distinct (id_1, id_2, hamming). */
+  private[graft] def fusedHammingNearDupPairs(
+      df: DataFrame, idCol: String,
+      keys: Seq[(String, Int, Int)], // (hashCol, bands, maxHamming)
+      maxBucketSize: Int = 10000): DataFrame = {
+    require(keys.nonEmpty, "need at least one fingerprint key")
+    keys.foreach { case (_, bands, maxHamming) =>
+      require(64 % bands == 0 && bands > maxHamming,
+        "pigeonhole needs bands | 64 and bands > maxHamming") }
+    val entries = keys.zipWithIndex.flatMap { case ((hc, bands, _), ht) =>
+      val bpb = 64 / bands
+      val mask = if (bpb == 64) -1L else (1L << bpb) - 1
+      (0 until bands).map { b =>
+        struct(lit(ht).as("ht"), lit(b).as("band"),
+          shiftrightunsigned(col(hc).cast("long"), b * bpb)
+            .bitwiseAND(lit(mask)).as("sig"),
+          col(hc).cast("long").as("hash"))
+      }
+    }
+    val banded = df
+      .select(col(idCol).as("id"), explode(array(entries: _*)).as("e"))
+      .select(col("id"), col("e.ht").as("ht"), col("e.band").as("band"),
+        col("e.sig").as("sig"), col("e.hash").as("hash"))
+    val buckets = shedOvercapBuckets(banded,
+        Seq("ht", "band", "sig"), 2L, maxBucketSize.toLong)
+      .groupBy(col("ht"), col("band"), col("sig"))
+      .agg(collect_list(struct(col("id"), col("hash"))).as("ds"))
+    val radii = array(keys.map(k => lit(k._3)): _*)
+    buckets
+      .select(col("ht"), explode(col("ds")).as("d1"), col("ds"))
+      .select(col("ht"), col("d1.id").as("id_1"),
+        col("d1.hash").as("h1"), explode(col("ds")).as("d2"))
+      .filter(col("id_1") < col("d2.id"))
+      .select(col("ht"), col("id_1"), col("d2.id").as("id_2"),
+        col("h1"), col("d2.hash").as("h2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= element_at(radii, col("ht") + 1))
+      .select(col("id_1"), col("id_2"), col("hamming"))
+      .distinct()
   }
 
   /** The hamming-fingerprint index ARTIFACT: one (band, sig, id, hash)

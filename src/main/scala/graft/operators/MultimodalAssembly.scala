@@ -74,10 +74,12 @@ object MultimodalAssembly {
     * (id, dhash, phash). */
   private[graft] def dualKeyDupPairs(gated: DataFrame, bands: Int,
       maxHamming: Int, phashBands: Int, phashMaxHamming: Int): DataFrame =
-    Dedup.hammingNearDupPairs(gated, "id", "dhash", bands, maxHamming)
-      .union(Dedup.hammingNearDupPairs(gated, "id", "phash",
-        phashBands, phashMaxHamming))
-      .distinct()
+    // fused single-pass form of union-of-two hammingNearDupPairs —
+    // result-identical (DedupSpec pins fused == union.distinct); the
+    // explode→shed→bucket→pair machinery runs once, not per key
+    Dedup.fusedHammingNearDupPairs(gated, "id",
+      Seq(("dhash", bands, maxHamming),
+        ("phash", phashBands, phashMaxHamming)))
 
   /** The training manifest: one row per surviving image-text sample.
     * Default geometries: dHash 4×16-bit bands / radius 3 (pixel

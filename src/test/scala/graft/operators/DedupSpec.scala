@@ -452,4 +452,33 @@ class DedupSpec extends SparkSpec {
     // run of hammingNearDupPairs silently drops
     assert(sizes.count { case (_, n) => n > 100L } == 4)
   }
+
+  test("fusedHammingNearDupPairs == union of per-key hammingNearDupPairs" +
+      ".distinct, per-key geometry and per-key caps respected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // two independent 64-bit fingerprints per id, planted near-dups in
+    // each key (some overlapping, some key-exclusive), plus a
+    // mega-bucket in key A only (hash 0) that the cap must shed there
+    // while key B still pairs those ids
+    val rows = (1L to 60L).map { i =>
+      val a = if (i <= 20) 0L else rnd.nextLong()
+      val b = rnd.nextLong()
+      (i, a, b)
+    } ++ Seq(
+      (101L, 0x1111222233334444L, 0x5555666677778888L),
+      (102L, 0x1111222233334445L, 0x5555666677778888L), // near in A, equal in B
+      (103L, 0x0f0f0f0f0f0f0f0fL, 0x5555666677778889L)) // near in B to 101/102
+    val df = rows.toDF("id", "dh", "ph")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cap = 15 // sheds the 20-member zero bucket in key A
+    val fused = canon(Dedup.fusedHammingNearDupPairs(df, "id",
+      Seq(("dh", 4, 3), ("ph", 16, 10)), maxBucketSize = cap))
+    val sep = canon(
+      Dedup.hammingNearDupPairs(df, "id", "dh", 4, 3, cap)
+        .union(Dedup.hammingNearDupPairs(df, "id", "ph", 16, 10, cap))
+        .distinct())
+    assert(fused == sep && fused.nonEmpty)
+  }
 }
