@@ -572,7 +572,10 @@ object Dedup {
     * integral division keeps weights engine-exact (FP 1/size is not). */
   def softDedupWeights(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {
+    // materialized once: the frame feeds BOTH the size agg and the join
+    // back — un-checkpointed, the docs⋈labels tail evaluated twice
     val keyed = clusterKeys(docs.select(col(idCol)), idCol, pairs)
+      .localCheckpoint(true)
     val sizes = keyed.groupBy(col("cluster_key"))
       .agg(count(lit(1)).as("cluster_size"))
     keyed.join(sizes, Seq("cluster_key"))

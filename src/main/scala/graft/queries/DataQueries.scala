@@ -918,13 +918,17 @@ object DataQueries {
       val exact = Similarity.bruteForceTopK(e, q, "vec_id", "embedding",
         k = 10).localCheckpoint(true)
       val cents = Similarity.seedCentroids(e, "vec_id", "embedding", 8)
+      // the IVF assignment is nprobe-independent: materialize the index
+      // artifact ONCE and serve all three probe configs from it (the
+      // sweep used to re-assign the corpus per config — r12)
+      val ivfIdx = Similarity.ivfIndex(e, "vec_id", "embedding", cents)
+        .localCheckpoint(true)
+      def ivf(nprobe: Int) = Similarity.ivfTopKFromIndex(ivfIdx, q,
+        "vec_id", "embedding", k = 10, cents, nprobe)
       val configs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-        "ivf_nprobe_1" -> Similarity.ivfTopK(e, q, "vec_id", "embedding",
-          k = 10, cents, nprobe = 1),
-        "ivf_nprobe_2" -> Similarity.ivfTopK(e, q, "vec_id", "embedding",
-          k = 10, cents, nprobe = 2),
-        "ivf_nprobe_4" -> Similarity.ivfTopK(e, q, "vec_id", "embedding",
-          k = 10, cents, nprobe = 4),
+        "ivf_nprobe_1" -> ivf(1),
+        "ivf_nprobe_2" -> ivf(2),
+        "ivf_nprobe_4" -> ivf(4),
         "pq_m8" -> Similarity.pqTopK(e, q, "vec_id", "embedding",
           kNeighbors = 10),
         "sq8" -> Similarity.sq8TopK(e, q, "vec_id", "embedding", k = 10))
