@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench stdout contract (r13): the driver parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as bare JSON. sbt's default LoggedOutput
+// wraps every forked-process line in "[info] " and appends a
+// "[success] Total time..." trailer, so BENCH_r09–r12 all recorded
+// `parsed: null`. StdoutOutput passes the forked stdout/stderr straight
+// through (no prefix), and showSuccess drops the trailer — the compact
+// summary Bench prints after spark.stop() is then the literal last
+// stdout line. Logging-only: no timing or execution change.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

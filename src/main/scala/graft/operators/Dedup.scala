@@ -403,7 +403,11 @@ object Dedup {
       // carry the old label THROUGH the round frame: the convergence
       // count is then a filter over the (lazily) checkpointed round —
       // one job per round, no join-back against the prior labels (which
-      // cost a second join + a second action every round)
+      // cost a second join + a second action every round).
+      // INVARIANT (lazy localCheckpoint): the action immediately below
+      // (the changes count) must scan EVERY partition of this frame —
+      // a partial action (isEmpty/limit) would leave it un-materialized
+      // and later consumers would recompute nondeterministic lineage
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
@@ -488,7 +492,11 @@ object Dedup {
       // LAZY checkpoint: the statsOf action right below is the round's
       // one materialization — it computes AND persists the truncated
       // RDD in a single job (the eager form paid a dedicated
-      // checkpoint job plus the stats job every round)
+      // checkpoint job plus the stats job every round).
+      // INVARIANT: that next action must be a FULL scan of the frame
+      // (statsOf's agg is); a partial probe (isEmpty/limit) would leave
+      // partitions un-materialized and recompute nondeterministic
+      // lineage on the next consumer
       val afterSmall = joined.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(mins2.select(col("u"), col("m").as("v")))
@@ -686,20 +694,7 @@ object Dedup {
       df: DataFrame, idCol: String,
       keys: Seq[(String, Int, Int)], // (hashCol, bands, maxHamming)
       maxBucketSize: Int = 10000): DataFrame = {
-    require(keys.nonEmpty, "need at least one fingerprint key")
-    keys.foreach { case (_, bands, maxHamming) =>
-      require(64 % bands == 0 && bands > maxHamming,
-        "pigeonhole needs bands | 64 and bands > maxHamming") }
-    val entries = keys.zipWithIndex.flatMap { case ((hc, bands, _), ht) =>
-      val bpb = 64 / bands
-      val mask = if (bpb == 64) -1L else (1L << bpb) - 1
-      (0 until bands).map { b =>
-        struct(lit(ht).as("ht"), lit(b).as("band"),
-          shiftrightunsigned(col(hc).cast("long"), b * bpb)
-            .bitwiseAND(lit(mask)).as("sig"),
-          col(hc).cast("long").as("hash"))
-      }
-    }
+    val entries = fusedBandEntries(keys)
     val banded = df
       .select(col(idCol).as("id"), explode(array(entries: _*)).as("e"))
       .select(col("id"), col("e.ht").as("ht"), col("e.band").as("band"),
@@ -721,6 +716,110 @@ object Dedup {
       .filter(col("hamming") <= element_at(radii, col("ht") + 1))
       .select(col("id_1"), col("id_2"), col("hamming"))
       .distinct()
+  }
+
+  /** Shared struct builder of the fused multi-key banding: one
+    * (ht, band, sig, hash) struct per key per band. The bucket keys of
+    * [[fusedHammingNearDupPairs]] and [[fusedBandRows]] are bit-identical
+    * BECAUSE they are built here, once — the streaming probe's soundness
+    * rests on that. */
+  private def fusedBandEntries(
+      keys: Seq[(String, Int, Int)]): Seq[org.apache.spark.sql.Column] = {
+    require(keys.nonEmpty, "need at least one fingerprint key")
+    keys.foreach { case (_, bands, maxHamming) =>
+      require(64 % bands == 0 && bands > maxHamming,
+        "pigeonhole needs bands | 64 and bands > maxHamming") }
+    keys.zipWithIndex.flatMap { case ((hc, bands, _), ht) =>
+      val bpb = 64 / bands
+      val mask = if (bpb == 64) -1L else (1L << bpb) - 1
+      (0 until bands).map { b =>
+        struct(lit(ht).as("ht"), lit(b).as("band"),
+          shiftrightunsigned(col(hc).cast("long"), b * bpb)
+            .bitwiseAND(lit(mask)).as("sig"),
+          col(hc).cast("long").as("hash"))
+      }
+    }
+  }
+
+  /** One (ht, band, sig, id, hash) row per key per band per item — the
+    * multi-key fused sibling of [[hammingIndex]] (plus `carryCols`
+    * passed through untouched). The streaming assembly derives these
+    * rows from its staged metadata to probe whether a batch changes the
+    * near-dup pair set ([[fusedBatchPairDelta]]) without re-running the
+    * admission over the accumulated corpus — the banding is a handful
+    * of shift/mask ops per row, so re-deriving beats persisting a
+    * bands×-larger index artifact. */
+  private[graft] def fusedBandRows(df: DataFrame, idCol: String,
+      keys: Seq[(String, Int, Int)],
+      carryCols: Seq[String] = Nil): DataFrame =
+    df.select((col(idCol).as("id") +: carryCols.map(col)) :+
+        explode(array(fusedBandEntries(keys): _*)).as("e"): _*)
+      .select((Seq(col("e.ht").as("ht"), col("e.band").as("band"),
+        col("e.sig").as("sig"), col("id"), col("e.hash").as("hash")) ++
+        carryCols.map(col)): _*)
+
+  /** Does a new batch CHANGE the fused near-dup pair set over the
+    * accumulated corpus? `idx` is the [[fusedBandRows]] union of
+    * everything staged INCLUDING the batch, with a boolean `is_batch`
+    * column marking the batch's rows. Detects, without running the full
+    * admission ([[fusedHammingNearDupPairs]]):
+    *
+    *  - a SHED FLIP — a bucket whose prior population was pair-eligible
+    *    (within [2, maxBucketSize]) pushed OVER the cap by batch rows:
+    *    the prior pairs of that bucket disappear from a recompute, so
+    *    the pair set changed even though the batch added no pair;
+    *  - a VERIFIED NEW PAIR — in a bucket still within the cap, a batch
+    *    member within its key's hamming radius of another member
+    *    (old or batch).
+    *
+    * If neither exists, the fused pair set over corpus ∪ batch EQUALS
+    * the pair set over the corpus alone: buckets without batch rows are
+    * untouched; already-shed buckets only grow and stay shed; in-cap
+    * buckets keep their old pairs, and every candidate pair touching a
+    * batch row was verified out by the radius check. Cost: ONE action —
+    * a count aggregate over the index (partial-aggregated, mega-buckets
+    * cost count rows; the identical stats subtree under both union
+    * branches is deduplicated by exchange reuse) plus pair verification
+    * confined to buckets holding a batch row — O(batch-adjacent), never
+    * O(corpus²). */
+  private[graft] def fusedBatchPairDelta(idx: DataFrame,
+      keys: Seq[(String, Int, Int)],
+      maxBucketSize: Int = 10000): Boolean = {
+    val cap = maxBucketSize.toLong
+    // tiny by construction: only buckets holding a batch row survive
+    val stats = idx.groupBy(col("ht"), col("band"), col("sig"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("is_batch"), lit(1))).as("nb"))
+      .filter(col("nb") >= 1)
+    val flips = stats
+      .filter(col("n") > cap &&
+        col("n") - col("nb") >= 2 && col("n") - col("nb") <= cap)
+      .select(lit(1).as("__hit"))
+    val cand = stats.filter(col("n") >= 2 && col("n") <= cap)
+      .select(col("ht"), col("band"), col("sig"))
+    val radii = array(keys.map(k => lit(k._3)): _*)
+    // collect_list is safe: cand keeps only buckets within the cap
+    val pairHits = idx.join(cand, Seq("ht", "band", "sig"))
+      .groupBy(col("ht"), col("band"), col("sig"))
+      .agg(collect_list(struct(col("id"), col("hash"), col("is_batch")))
+        .as("ds"))
+      .select(col("ht"), explode(col("ds")).as("a"), col("ds"))
+      .filter(col("a.is_batch"))
+      .select(col("ht"), col("a.id").as("id_a"), col("a.hash").as("h_a"),
+        explode(col("ds")).as("b"))
+      .filter(col("id_a") =!= col("b.id") &&
+        bit_count(col("h_a").bitwiseXOR(col("b.hash")))
+          <= element_at(radii, col("ht") + 1))
+      .select(lit(1).as("__hit"))
+    // AQE off for THIS 0/1-row decision action only: its aggregates are
+    // batch-adjacent-tiny at any corpus size, and AQE's per-exchange
+    // stage-jobs (4-5 of them) are pure fixed cost on a query whose
+    // whole output is one boolean — one job instead of five, per batch
+    val spark = idx.sparkSession
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try !flips.unionByName(pairHits).isEmpty
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   /** The hamming-fingerprint index ARTIFACT: one (band, sig, id, hash)

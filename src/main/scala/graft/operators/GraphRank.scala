@@ -124,10 +124,12 @@ object GraphRank {
       // ≈ 9.2×10²⁴ sits far inside decimal-38, `div` on decimals is
       // Spark's IntegralDivide (floor, returns BIGINT) — the value is
       // bit-identical to the all-Long form wherever that form survives.
-      // LAZY checkpoints (here and for hub below): the round frames are
-      // materialized-and-persisted by the first consumer that needs them
-      // (the next round's max broadcast, or the final hub⋈auth join) —
-      // same truncation, two fewer dedicated jobs per round
+      // LAZY checkpoints (here and for hub below): the loop itself runs
+      // no action, so every round's checkpoint RDD materializes (and
+      // persists) within the job cascade of the FINAL hub⋈auth action —
+      // what the per-round checkpoint buys is logical-plan truncation at
+      // construction time (planning stays O(round), not O(rounds²));
+      // two fewer dedicated jobs per round than the eager form
       auth = nodes.join(aRaw, Seq("id"), "left")
         .crossJoin(broadcast(aMax))
         .select(col("id"),

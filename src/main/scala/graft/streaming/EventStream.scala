@@ -713,12 +713,27 @@ object EventStream {
     * converges to [[graft.operators.MultimodalAssembly.manifest]]'s
     * exact output (spec-pinned parity).
     *
-    * Per-batch pre-decode counts (n_images, n_paired) stage alongside —
-    * the refresh cannot recount rows it never staged — so
+    * Per-batch pre-decode counts (n_images, n_paired, and the
+    * decode-side n_decoded / n_geometry_ok) stage alongside — the
+    * refresh cannot recount rows it never staged, and summing the
+    * per-batch tallies spares it a full staged-table scan — so
     * `result/attrition` always equals the batch
     * [[graft.operators.MultimodalAssembly.attrition]] over everything
     * arrived. Exactly-once: per-batch partition OVERWRITE + the
-    * fresh-checkpoint guard, as every sibling sink here. */
+    * fresh-checkpoint guard, as every sibling sink here.
+    *
+    * r13 refresh economics: the refresh first PROBES whether the batch
+    * changes the near-dup pair set at all
+    * ([[graft.operators.Dedup.fusedBatchPairDelta]] over band-key rows
+    * re-derived map-side from the staged metadata: no shed flip, no
+    * verified new pair). A no-change batch skips the global
+    * admission + connected-components + canonical re-selection — its
+    * gated docs are provably singleton components, so the manifest is
+    * the old manifest ∪ the batch's gated rows (replay-idempotent via a
+    * full-row anti-join) and attrition updates from the per-batch
+    * tallies. A batch that DOES change the pair set (a cross-batch
+    * merge, the non-monotonic case) takes the full refresh exactly as
+    * before. */
   def assembleMultimodalIncremental(
       pairsStream: DataFrame,
       outDir: String,
@@ -735,7 +750,8 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
-        val priorIds = priorPartIds(s"$outDir/staged", "batch_id=", id, conf)
+        val priorIds = priorPartIds(s"$outDir/staged", "batch_id=", id,
+          conf)
         if (!batch.isEmpty) {
           // arrival work, once per pair: pairing gate -> decode ->
           // payload DROP (only metadata survives this block)
@@ -747,73 +763,160 @@ object EventStream {
             .where(col("dhash").isNotNull)
             .drop("content")
             .localCheckpoint(true)
-          // ONE pass over the arrival frame: count(caption) is exactly
-          // the pairing gate's survivor count (r12: the broadcast
-          // crossJoin of two single-count aggs was a job per batch)
+          // per-batch tallies for BOTH stage frames (count(caption) is
+          // exactly the pairing gate's survivor count; the decode-side
+          // counts ride along so the refresh sums per-batch rows
+          // instead of re-scanning the whole staged table). UNION of the
+          // two 1-row aggs, not a broadcast crossJoin — one write job,
+          // no broadcast build; the refresh's null-skipping sums see the
+          // same totals
+          val nullL = lit(null).cast("long")
           images.agg(count(lit(1)).as("n_images"),
               count(col("caption")).as("n_paired"))
+            .select(col("n_images"), col("n_paired"),
+              nullL.as("n_decoded"), nullL.as("n_geometry_ok"))
+            .unionByName(decoded.agg(count(lit(1)).as("n_decoded"),
+                count(when(col("width") >= minWidth, 1))
+                  .as("n_geometry_ok"))
+              .select(nullL.as("n_images"), nullL.as("n_paired"),
+                col("n_decoded"), col("n_geometry_ok")))
             .write.mode("overwrite")
             .parquet(s"$outDir/staged_counts/batch_id=$id")
+          val keys = Seq(("dhash", bands, maxHamming),
+            ("phash", phashBands, phashMaxHamming))
+          val manifestColNames = Seq("id", "sample_id", "shard_name",
+            "width", "height", "dhash", "phash", "caption")
+          val manifestCols = manifestColNames.map(col)
+          val batchEmpty = decoded.isEmpty
+          val gatedBatch = decoded.where(col("width") >= minWidth)
           // empty decoded batches write no staged partition (a data-less
           // parquet dir would poison schema inference) but their counts
           // above still reach the attrition sums
-          if (!decoded.isEmpty)
+          if (!batchEmpty)
             decoded.write.mode("overwrite")
               .parquet(s"$outDir/staged/batch_id=$id")
-          // global refresh over staged METADATA only
-          if (!decoded.isEmpty || priorIds.nonEmpty) {
-            // lazy cache, not an eager checkpoint: the parquet scan's
-            // lineage is already one node, so the checkpoint job bought
-            // nothing — the first consumer populates the cache for the
-            // dual-key bandings / kept join / attrition counts
-            val staged = spark.read.parquet(s"$outDir/staged")
-              .drop("batch_id").persist()
-            val gated = staged.where(col("width") >= minWidth)
-            // the shared dual-key admission: dHash at tight radius,
-            // pHash at its wider JPEG-class radius, pair sets unioned —
-            // literally MultimodalAssembly's helper, so stream == batch
-            val dupPairs = graft.operators.MultimodalAssembly
-              .dualKeyDupPairs(gated, bands, maxHamming, phashBands,
-                phashMaxHamming)
-            val keep = graft.operators.Dedup
-              .clusterKeys(gated, "id", dupPairs)
-              .groupBy(col("cluster_key")).agg(min(col("id")).as("id"))
-              .select(col("id"))
-            // lazy cache (the manifest write materializes it; the
-            // attrition count below reuses the cached rows)
-            val kept = gated.join(keep, Seq("id"), "left_semi").persist()
-            kept.select(col("id"), col("sample_id"), col("shard_name"),
-                col("width"), col("height"), col("dhash"), col("phash"),
-                col("caption"))
-              .write.mode("overwrite").parquet(s"$outDir/manifest")
-            // n_decoded + n_geometry_ok from ONE pass over the cached
-            // staged table (the geometry gate is a predicate of it)
+          // attrition = per-batch tally sums × the kept count; the
+          // coalesce keeps n_decoded / n_geometry_ok non-nullable (the
+          // sums never see an empty input — staged_counts was written
+          // above — but sum() relaxes nullability and the artifact
+          // schema must not drift batch to batch)
+          def writeAttrition(nKept: DataFrame): Unit =
             spark.read.parquet(s"$outDir/staged_counts")
+              .select(col("n_images"), col("n_paired"), col("n_decoded"),
+                col("n_geometry_ok"), nullL.as("n_kept"))
+              // the kept count rides the SAME null-skipping sum as the
+              // per-batch tallies — a union'd 1-row frame, not a
+              // broadcast crossJoin (which cost a broadcast-build job
+              // per refresh)
+              .unionByName(nKept.select(nullL.as("n_images"),
+                nullL.as("n_paired"), nullL.as("n_decoded"),
+                nullL.as("n_geometry_ok"), col("n_kept")))
               .agg(sum(col("n_images")).as("n_images"),
-                sum(col("n_paired")).as("n_paired"))
-              .crossJoin(broadcast(
-                staged.agg(count(lit(1)).as("n_decoded"),
-                  count(when(col("width") >= minWidth, 1))
-                    .as("n_geometry_ok"))))
-              .crossJoin(broadcast(
-                kept.agg(count(lit(1)).as("n_kept"))))
+                sum(col("n_paired")).as("n_paired"),
+                coalesce(sum(col("n_decoded")), lit(0L)).as("n_decoded"),
+                coalesce(sum(col("n_geometry_ok")), lit(0L))
+                  .as("n_geometry_ok"),
+                coalesce(sum(col("n_kept")), lit(0L)).as("n_kept"))
               .write.mode("overwrite").parquet(s"$outDir/attrition")
-            kept.unpersist()
-            staged.unpersist()
-          } else {
+          val sPath = new org.apache.hadoop.fs.Path(s"$outDir/staged")
+          if (sPath.getFileSystem(conf).exists(sPath)) {
+            // ONE read of everything staged (incl. this batch), shared
+            // by the probe and — when it fires — the full refresh; lazy
+            // cache, try/finally so a failed write cannot leak it in a
+            // long-running streaming JVM
+            val stagedAll = spark.read.parquet(s"$outDir/staged").persist()
+            try {
+              // does this batch CHANGE the global near-dup pair set?
+              // (no gated docs cannot; otherwise probe the staged
+              // metadata's band keys — re-derived map-side, bit-identical
+              // to the admission's by shared construction — for shed
+              // flips / verified new pairs). The FIRST staged batch
+              // skips the probe and refreshes unconditionally: there is
+              // no accumulated state to protect yet, and the probe's
+              // per-batch planning cost is the whole point of avoiding
+              val pairsChanged = !batchEmpty && (priorIds.isEmpty || {
+                // pre-filter to batch-ADJACENT buckets before anything
+                // exchanges: only staged rows sharing a band key with
+                // the batch can matter, so the probe's aggregate sees
+                // O(batch-adjacent) rows at any corpus size
+                val batchKeys = graft.operators.Dedup
+                  .fusedBandRows(gatedBatch, "id", keys)
+                  .select(col("ht"), col("band"), col("sig")).distinct()
+                val idx = graft.operators.Dedup.fusedBandRows(
+                  stagedAll.where(col("width") >= minWidth), "id", keys,
+                  carryCols = Seq("batch_id"))
+                  .join(broadcast(batchKeys), Seq("ht", "band", "sig"))
+                  .withColumn("is_batch", col("batch_id") === id)
+                graft.operators.Dedup.fusedBatchPairDelta(idx, keys)
+              })
+              if (pairsChanged) {
+                // FULL refresh over staged METADATA: the shared dual-key
+                // admission (dHash tight, pHash at its JPEG-class radius
+                // — literally MultimodalAssembly's helper, so stream ==
+                // batch), components, min-id canonicals
+                val gated = stagedAll.drop("batch_id")
+                  .where(col("width") >= minWidth)
+                val dupPairs = graft.operators.MultimodalAssembly
+                  .dualKeyDupPairs(gated, bands, maxHamming, phashBands,
+                    phashMaxHamming)
+                val keep = graft.operators.Dedup
+                  .clusterKeys(gated, "id", dupPairs)
+                  .groupBy(col("cluster_key")).agg(min(col("id")).as("id"))
+                  .select(col("id"))
+                val kept = gated.join(keep, Seq("id"), "left_semi")
+                  .persist()
+                try {
+                  kept.select(manifestCols: _*)
+                    .write.mode("overwrite").parquet(s"$outDir/manifest")
+                  writeAttrition(kept.agg(count(lit(1)).as("n_kept")))
+                } finally kept.unpersist()
+              } else {
+                // SKIP the global refresh: the pair set is unchanged, so
+                // every prior component and its canonical stand, and each
+                // new gated doc is provably a singleton component
+                // canonical by itself — manifest' = manifest ∪ gatedBatch
+                val mPath =
+                  new org.apache.hadoop.fs.Path(s"$outDir/manifest")
+                val manifestExists = mPath.getFileSystem(conf).exists(mPath)
+                if (!batchEmpty && !gatedBatch.isEmpty) {
+                  val newRows = gatedBatch.select(manifestCols: _*)
+                  val unioned = (if (manifestExists)
+                      // replay idempotence: a replayed batch's rows are
+                      // already in the manifest — the full-row anti-join
+                      // (kept rows are non-null in every column) removes
+                      // them before re-adding, so the committed result
+                      // is the same either way
+                      spark.read.parquet(s"$outDir/manifest")
+                        .join(broadcast(newRows), manifestColNames,
+                          "left_anti")
+                        .select(manifestCols: _*)
+                        .union(newRows)
+                    else newRows)
+                    // EAGER checkpoint: the union is about to overwrite
+                    // its own input files
+                    .localCheckpoint(true)
+                  unioned.write.mode("overwrite")
+                    .parquet(s"$outDir/manifest")
+                  writeAttrition(unioned.agg(count(lit(1)).as("n_kept")))
+                } else {
+                  // nothing new kept (junk/unpaired/sub-geometry
+                  // arrivals): the manifest stands untouched, but the
+                  // attrition artifact must still count everything
+                  // arrived
+                  val nKept =
+                    if (manifestExists)
+                      spark.read.parquet(s"$outDir/manifest")
+                        .agg(count(lit(1)).as("n_kept"))
+                    else spark.range(1).select(lit(0L).as("n_kept"))
+                  writeAttrition(nKept)
+                }
+              }
+            } finally stagedAll.unpersist()
+          } else
             // arrivals happened but NOTHING staged yet (every image so
             // far junk/unpaired): the attrition artifact must still
-            // exist and count them — the contract is "attrition always
-            // equals the batch attrition over everything arrived", and
-            // the staged table is simply empty here
-            spark.read.parquet(s"$outDir/staged_counts")
-              .agg(sum(col("n_images")).as("n_images"),
-                sum(col("n_paired")).as("n_paired"))
-              .withColumn("n_decoded", lit(0L))
-              .withColumn("n_geometry_ok", lit(0L))
-              .withColumn("n_kept", lit(0L))
-              .write.mode("overwrite").parquet(s"$outDir/attrition")
-          }
+            // exist and count them
+            writeAttrition(spark.range(1).select(lit(0L).as("n_kept")))
         }
         ()
       }

@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainMany {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: tools/run.sh graft.tools.ExplainMany <outDir> <suffix> " +
+          "<sfDir> <q1,q2,...>")
+      sys.exit(2)
+    }
     val (outDir, suffix, sfDir) = (args(0), args(1), args(2))
     val names = args(3).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

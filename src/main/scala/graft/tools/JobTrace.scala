@@ -13,8 +13,15 @@ import org.apache.spark.sql.SparkSession
   */
 object JobTrace {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: tools/run.sh graft.tools.JobTrace <queryName> [sfDir] " +
+          "(sfDir defaults to $SPARK_GRAFT_SF_DIR)")
+      sys.exit(2)
+    }
     val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val sfDir = if (args.length > 1) args(1)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.functions.expressions.GraftExtensions)

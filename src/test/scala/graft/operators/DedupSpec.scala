@@ -481,4 +481,56 @@ class DedupSpec extends SparkSpec {
         .distinct())
     assert(fused == sep && fused.nonEmpty)
   }
+
+  test("fusedBatchPairDelta: NO false negatives (probe silent => pair " +
+      "set over corpus ∪ batch equals the corpus's), and it fires on a " +
+      "verified new pair AND on a shed flip the in-cap pair check alone " +
+      "cannot see") {
+    import spark.implicits._
+    val keys = Seq(("dh", 4, 3), ("ph", 16, 10))
+    val cap = 10
+    def pairsOf(rows: Seq[(Long, Long, Long)]) =
+      Dedup.fusedHammingNearDupPairs(rows.toDF("id", "dh", "ph"), "id",
+          keys, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def probe(corpus: Seq[(Long, Long, Long)],
+        batch: Seq[(Long, Long, Long)]): Boolean = {
+      val bi = Dedup.fusedBandRows(corpus.toDF("id", "dh", "ph"), "id",
+          keys).withColumn("is_batch", lit(false))
+        .union(Dedup.fusedBandRows(batch.toDF("id", "dh", "ph"), "id",
+          keys).withColumn("is_batch", lit(true)))
+      Dedup.fusedBatchPairDelta(bi, keys, maxBucketSize = cap)
+    }
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 30L).map(i => (i, rnd.nextLong(), rnd.nextLong()))
+    // (a) a batch near-dup of a corpus member: pair set grows, probe
+    // MUST fire
+    val dup = Seq((101L, corpus.head._2 ^ 1L, rnd.nextLong()))
+    assert(probe(corpus, dup))
+    assert(pairsOf(corpus ++ dup) != pairsOf(corpus))
+    // (b) shed flip: a 10-member dh=0 bucket is exactly at cap (45
+    // in-bucket pairs); one more member pushes it OVER, so a recompute
+    // DROPS those pairs. The flipped bucket is no longer pair-eligible,
+    // so only the flip check can see it — probe MUST fire
+    val zeros = (201L to 210L).map(i => (i, 0L, rnd.nextLong()))
+    val zcorpus = corpus ++ zeros
+    val zbatch = Seq((299L, 0L, rnd.nextLong()))
+    assert(probe(zcorpus, zbatch))
+    assert(pairsOf(zcorpus ++ zbatch) != pairsOf(zcorpus))
+    // (c) already-shed bucket only grows: 15 members over cap=10 shed
+    // before AND after the batch — no flip, and the bucket is excluded
+    // from the pair check, so a silent probe here is the correct answer
+    val shed = (301L to 315L).map(i => (i, 0L, rnd.nextLong()))
+    val scorpus = corpus ++ shed
+    val sbatch = Seq((399L, 0L, rnd.nextLong()))
+    // (d) the no-false-negative PROPERTY over every scenario above plus
+    // a far-from-everything batch: whenever the probe stays silent the
+    // fused pair sets must be identical
+    val farBatch = Seq((401L, rnd.nextLong(), rnd.nextLong()))
+    for ((c, b) <- Seq((corpus, dup), (zcorpus, zbatch),
+        (scorpus, sbatch), (corpus, farBatch))) {
+      if (!probe(c, b)) assert(pairsOf(c ++ b) == pairsOf(c))
+      if (pairsOf(c ++ b) != pairsOf(c)) assert(probe(c, b))
+    }
+  }
 }

@@ -642,4 +642,84 @@ class EventStreamSpec extends SparkSpec {
       assert(attr() == Seq(Seq(3L, 2L, 1L, 1L, 1L)))
     } finally q.stop()
   }
+
+  test("assembleMultimodalIncremental skip-refresh: a wave with NO new " +
+      "dup pairs appends to the manifest without the global refresh " +
+      "(probe pinned silent on its band index), and a LATER cross-wave " +
+      "merge after the skipped wave still re-canonicalizes exactly") {
+    val sqlc = spark.sqlContext
+    import spark.implicits._
+    implicit val sq = sqlc
+    import graft.sources.SyntheticFixtures
+    def gradient(f: Int => Int): Seq[Seq[Int]] =
+      (0 until 8).map(_ => (0 until 18).map { x =>
+        val v = f(x); (v << 16) | (v << 8) | v
+      })
+    val asc = gradient(identity)
+    val tweak = asc.updated(0, asc(0).updated(0, 0x050505))
+    // wave 0: two distinct images; wave 1: a THIRD distinct image (no
+    // new dup pairs — the skip path); wave 2: the 1-bit tweak of wave
+    // 0's original (cross-wave merge AFTER a skipped wave)
+    val waves: Seq[Seq[(Long, String, String, Array[Byte], Option[String])]] = Seq(
+      Seq((1L, "000001", "s0", SyntheticFixtures.bmpBytes(asc),
+            Some("ascending gradient")),
+          (2L, "000002", "s0", SyntheticFixtures.bmpBytes(
+            SyntheticFixtures.richRaster(18, 8, 2)),
+            Some("textured photo"))),
+      Seq((8L, "000008", "s1", SyntheticFixtures.bmpBytes(
+            SyntheticFixtures.richRaster(18, 8, 5)),
+            Some("another distinct photo"))))
+    val waveMerge: Seq[(Long, String, String, Array[Byte], Option[String])] =
+      Seq((3L, "000003", "s1",
+        SyntheticFixtures.bmpBytes(tweak), Some("tweaked copy")))
+    val root =
+      java.nio.file.Files.createTempDirectory("graft_smmskip").toString
+    val mem = MemoryStream[(Long, String, String, Array[Byte], Option[String])]
+    val q = EventStream.assembleMultimodalIncremental(
+      mem.toDF().toDF("id", "sample_id", "shard_name", "content",
+        "caption"),
+      root, s"$root/ckpt", minWidth = 10)
+    def manifestIds() = spark.read.parquet(s"$root/manifest")
+      .select("id").collect().map(_.getLong(0)).toSet
+    try {
+      waves.foreach { w =>
+        mem.addData(w.toIndexedSeq); q.processAllAvailable()
+      }
+      // after the skip wave: the manifest must already equal the batch
+      // operator over everything arrived
+      assert(manifestIds() == Set(1L, 2L, 8L))
+      mem.addData(waveMerge.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    // the probe's verdict per wave, replayed over the staged metadata's
+    // band keys exactly as the refresh derives them: wave 1 (batch_id=1)
+    // introduced no pair — the refresh was SKIPPED — and wave 2
+    // (batch_id=2) did (full re-canonicalization)
+    val keys = Seq(("dhash", 4, 3), ("phash", 16, 10))
+    def probeOf(batchId: Int) = graft.operators.Dedup.fusedBatchPairDelta(
+      graft.operators.Dedup.fusedBandRows(
+        spark.read.parquet(s"$root/staged").where(col("width") >= 10),
+        "id", keys, carryCols = Seq("batch_id"))
+        .withColumn("is_batch", col("batch_id") === batchId), keys)
+    assert(!probeOf(1) && probeOf(2))
+    // final outputs == the batch operator over everything arrived
+    val allPairs = (waves.flatten ++ waveMerge)
+      .toDF("id", "sample_id", "shard_name", "content", "caption")
+    def canonM(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "sample_id", "shard_name", "width", "height",
+        "dhash", "phash", "caption")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6),
+        r.getString(7))).toSet
+    assert(canonM(spark.read.parquet(s"$root/manifest")) ==
+      canonM(graft.operators.MultimodalAssembly
+        .manifest(allPairs, minWidth = 10)))
+    assert(manifestIds() == Set(1L, 2L, 8L))
+    def canonA(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_images", "n_paired", "n_decoded", "n_geometry_ok",
+        "n_kept")
+      .collect().map(r => (0 to 4).map(r.getLong)).toSeq
+    assert(canonA(spark.read.parquet(s"$root/attrition")) ==
+      canonA(graft.operators.MultimodalAssembly
+        .attrition(allPairs, minWidth = 10)))
+  }
 }
