@@ -593,10 +593,14 @@ object CorpusOps {
     * the all-integer stand-in for "sum of -log p(t)" (a float log would not
     * hash-match across engines; the ranking shape is identical). The
     * composition matters at 100 TB: the corpus-wide frequency table is a
-    * constant-size sketch (never a vocabulary-sized join side), estimates
-    * attach to the distinct-token set, and scoring is one explode + one
-    * token-keyed join (AQE broadcasts it while the vocabulary fits) + one
-    * per-doc sum. */
+    * constant-size sketch (never a vocabulary-sized join side), and the
+    * estimate is evaluated PER OCCURRENCE off the broadcast sketch —
+    * pure map work (d bucket probes of integer math per token), so the
+    * only exchanges are the sketch aggregation and the per-doc sum. The
+    * former shape estimated per DISTINCT token and joined back by token
+    * string: one extra distinct exchange, plus a token-keyed join that
+    * re-shuffles the whole token stream once the vocabulary outgrows a
+    * broadcast — both removed (r13, guide §2.4). */
   def surprisalScore(
       docs: DataFrame,
       idCol: String,
@@ -605,14 +609,12 @@ object CorpusOps {
       depth: Int = 4
   ): DataFrame = {
     val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").isNotNull)
     val sketch = Sketches.countMin(toks, Seq.empty, "tok", width, depth)
-    val rarity = Sketches
-      .cmsEstimate(sketch, toks.select(col("tok")).distinct(), "tok",
-        width, depth)
-      .select(col("tok"),
+    Sketches.cmsEstimate(sketch, toks, "tok", width, depth)
+      .select(col(idCol),
         floor(lit(1000000.0) / col("est_count").cast("double"))
           .cast("long").as("__r"))
-    toks.join(rarity, Seq("tok"))
       .groupBy(col(idCol))
       .agg(sum(col("__r")).as("surprisal"), count(lit(1)).as("n_tokens"))
   }

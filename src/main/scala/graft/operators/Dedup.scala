@@ -449,6 +449,11 @@ object Dedup {
     // ONCE (the old `nodes` ran the whole un-checkpointed pair machinery
     // a second time; now nodes derive from the checkpointed edge set).
     // Invariant u > v is restored every round.
+    // EAGER stays (r13 A/B): a lazy checkpoint here measured 1.06× WORSE
+    // on the family — round 1 reads `edges` from four stage branches
+    // (adj's union + the afterLarge join), and un-cached partitions race
+    // to recompute the pair-machinery tail before the cache fills; the
+    // one dedicated job is cheaper than that transient double-compute
     var edges = pairs
       .select(greatest(col("id_1"), col("id_2")).as("u"),
         least(col("id_1"), col("id_2")).as("v"))

@@ -102,9 +102,13 @@ object MincInsertion {
       eagerCheckpoint: Boolean = true): DataFrame = {
     // multi-consumer ladder midpoints materialize ONCE (batch-sized);
     // plan-shape specs pass eagerCheckpoint=false to inspect the full
-    // unfused logical plan (checkpoints truncate lineage)
+    // unfused logical plan (checkpoints truncate lineage).
+    // LAZY (r13): the dedicated checkpoint job per midpoint is gone —
+    // the first consumer (an ordinal zipWithIndex, a broadcast build, or
+    // the query's final action, all full scans) materializes and caches
+    // the truncated RDD within its own job
     def ckpt(df: DataFrame): DataFrame =
-      if (eagerCheckpoint) df.localCheckpoint(true) else df
+      if (eagerCheckpoint) df.localCheckpoint(false) else df
 
     // ---- 1. input resolution --------------------------------------
     val upDict = uploads.select(col("UploadID").as("upload_id"),

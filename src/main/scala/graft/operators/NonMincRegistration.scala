@@ -81,9 +81,12 @@ object NonMincRegistration {
       files: DataFrame, eagerCheckpoint: Boolean = true): DataFrame = {
     // multi-consumer ladder midpoints materialize ONCE (batch-sized);
     // plan-shape specs pass eagerCheckpoint=false to inspect the full
-    // unfused logical plan (checkpoints truncate lineage)
+    // unfused logical plan (checkpoints truncate lineage).
+    // LAZY (r13): no dedicated checkpoint job — the first consumer (a
+    // broadcast build or the final action, both full scans) materializes
+    // and caches the truncated RDD within its own job
     def ckpt(df: DataFrame): DataFrame =
-      if (eagerCheckpoint) df.localCheckpoint(true) else df
+      if (eagerCheckpoint) df.localCheckpoint(false) else df
 
     // last matching ImagingFileTypes row wins (File.pm:278-282 overwrites
     // $fileType on every match as it loops the table)

@@ -1117,10 +1117,15 @@ object Similarity {
     * Output: (id, out_dim, proj_s20) — exploded rows, exact BIGINTs
     * (|Σ| ≤ dim·2^20 at the default scale).
     *
-    * 100 TB shape: the sign matrix is outDim×dim literals baked into the
-    * plan (hashes computed ONCE at plan build, never per row); projection
-    * is pure map-side codegen'd multiply-adds — zero shuffle, zero
-    * driver-side state beyond the plan itself. */
+    * 100 TB shape: the sign matrix is ONE nested-array literal baked
+    * into the plan (hashes computed ONCE at plan build, never per row);
+    * projection is a pure map-side higher-order row·matrix product —
+    * zero shuffle, zero driver-side state beyond the plan itself. The
+    * r12 form spelled the product as outDim×dim multiply-add expression
+    * leaves; analysis/optimization of that 1024-node tree dominated the
+    * query wall (r13 A/B: 2.9 s → 0.4 s at sf0.1, 3.0 s → 0.7 s at sf1,
+    * bit-identical output — the HOF evaluates the same Long multiply-add
+    * sequence). */
   def jlProject(corpus: DataFrame, idCol: String, vecCol: String,
       dim: Int, outDim: Int, scaleBits: Int = 20): DataFrame = {
     require(dim >= 1 && outDim >= 1 && scaleBits >= 1 && scaleBits <= 30)
@@ -1136,10 +1141,17 @@ object Similarity {
     }
     val scaled = transform(asDouble(col(vecCol)),
       x => floor(x * lit(f)).cast("long"))
-    val projs = array((0 until outDim).map { j =>
-      (0 until dim).map(i =>
-        element_at(col("__s"), i + 1) * lit(sign(j, i))).reduce(_ + _)
-    }: _*)
+    // the ±1 matrix rides the plan as ONE nested-array literal and the
+    // row·matrix product as higher-order transform/zip_with/aggregate —
+    // a ~10-node expression tree instead of outDim×dim (1024) multiply-
+    // add leaves, whose analysis/optimization dominated the query's wall
+    // at fixture scale (r13 A/B; the arithmetic is the same Long
+    // multiply-add sequence, so values are bit-identical)
+    val mat = typedlit((0 until outDim).map(j =>
+      (0 until dim).map(i => sign(j, i))))
+    val projs = transform(mat, row =>
+      aggregate(zip_with(col("__s"), row, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x))
     corpus.select(col(idCol), scaled.as("__s"))
       // a null or short vector would null element_at terms and emit null
       // projections — reject rather than silently degrade

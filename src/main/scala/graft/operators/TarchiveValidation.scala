@@ -75,8 +75,11 @@ object TarchiveValidation {
     // callers hand it the tail of their join ladder: materialize once.
     // Batch-sized (the uploads being processed), never catalog-sized.
     // Plan-shape specs pass eagerCheckpoint=false to see the full plan.
+    // LAZY (r13): the aliasMatch broadcast build (a full scan) is the
+    // first consumer — it materializes and caches the truncated RDD in
+    // its own job instead of a dedicated checkpoint job paying first
     val decoded =
-      if (eagerCheckpoint) decoded0.localCheckpoint(true) else decoded0
+      if (eagerCheckpoint) decoded0.localCheckpoint(false) else decoded0
     // session-first: PSCID + Visit_label → CenterID, lowest CenterID pinned
     val sessionCenter = sessions
       .join(candidates.select(col("ID").as("__cid"), col("PSCID")),
@@ -132,7 +135,8 @@ object TarchiveValidation {
       .groupBy(col("Serial_number").as("s_ser"))
       .agg(min(col("ID")).as("s_id"))
     // two consumers (newTuples + the final join) on the callers' ladder
-    // tail: materialize once (batch-sized, as in resolveCenter)
+    // tail: materialize once (batch-sized, as in resolveCenter); LAZY —
+    // newTuples' distinct/ordinal is a full scan and materializes it
     val probed0 = uploads
       .join(broadcast(exact),
         col("manufacturer") <=> col("x_man") && col("model") <=> col("x_mod") &&
@@ -141,7 +145,7 @@ object TarchiveValidation {
       .join(broadcast(bySerial), col("serial") === col("s_ser"), "left")
       .withColumn("__existing", coalesce(col("x_id"), col("s_id")))
     val probed =
-      if (eagerCheckpoint) probed0.localCheckpoint(true) else probed0
+      if (eagerCheckpoint) probed0.localCheckpoint(false) else probed0
     // distinct unmatched tuples → deterministic new ids above max(ID).
     // All-null tuples (uploads whose archive row was never found) are not
     // scanners — no id is minted for them
