@@ -1572,17 +1572,24 @@ object Similarity {
     * Distances are integer-scaled micro-units (floor(d*1e6+0.5)) so every
     * downstream sum is order-independent and cross-engine exact. */
   def pqAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, k: Int = 16): DataFrame = {
-    val sub = pqSubVectors(corpus, idCol, vecCol, m)
-    val cb = broadcast(pqCodebook(corpus, idCol, vecCol, m, k))
-    val w = Window.partitionBy(col("id"), col("s"))
-      .orderBy(col("d_micro").asc, col("code").asc)
-    sub.join(cb, Seq("s"))
+      m: Int = 8, k: Int = 16): DataFrame =
+    pqAssignWith(pqSubVectors(corpus, idCol, vecCol, m),
+      pqCodebook(corpus, idCol, vecCol, m, k))
+
+  /** [[pqAssign]] body against an already-built codebook, so
+    * [[pqTopK]]/[[ivfPqTopK]] derive the codebook ONCE for both the code
+    * assignment and the query ADC table. Nearest code per (id, s) rides
+    * a partial-aggregated struct-min (the house argmin) instead of a
+    * row_number window: the n×m×k candidate rows combine map-side to
+    * n×m before any exchange and the window sort disappears (r13, guide
+    * §2.3 aggregate-before-shuffle); (d_micro, code) struct-min ==
+    * the former window's (d_micro asc, code asc) first row. */
+  private def pqAssignWith(sub: DataFrame, cb0: DataFrame): DataFrame =
+    sub.join(broadcast(cb0), Seq("s"))
       .withColumn("d_micro", sqDistMicro(col("sv"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("s"), col("code"))
-  }
+      .groupBy(col("id"), col("s"))
+      .agg(min(struct(col("d_micro"), col("code"))).as("__best"))
+      .select(col("id"), col("s"), col("__best.code").as("code"))
 
   /** The (s, code, cv) PQ codebook shared by [[pqAssign]]/[[pqTopK]]/
     * [[ivfPqTopK]]: sub-vectors of the first `k` corpus vectors IN ID
@@ -1607,8 +1614,10 @@ object Similarity {
     * the corpus side). */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, kNeighbors: Int, m: Int = 8, k: Int = 16): DataFrame = {
-    val codes = pqAssign(corpus, idCol, vecCol, m, k)
+    // ONE codebook derivation serves the code assignment AND the query
+    // ADC table (was re-derived by each — r13)
     val cb = pqCodebook(corpus, idCol, vecCol, m, k)
+    val codes = pqAssignWith(pqSubVectors(corpus, idCol, vecCol, m), cb)
     val qTable = pqSubVectors(queries, idCol, vecCol, m)
       .select(col("id").as("query_id"), col("s"), col("sv"))
       .join(cb, Seq("s"))
@@ -1661,9 +1670,11 @@ object Similarity {
     val candidates = bucketed.join(broadcast(probes), Seq("n_cluster"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
-    val codes = pqAssign(corpus, idCol, vecCol, m, kCodes)
-      .withColumnRenamed("id", "neighbor_id")
+    // ONE codebook derivation serves the code assignment AND the query
+    // ADC table (was re-derived by each — r13)
     val cb = pqCodebook(corpus, idCol, vecCol, m, kCodes)
+    val codes = pqAssignWith(pqSubVectors(corpus, idCol, vecCol, m), cb)
+      .withColumnRenamed("id", "neighbor_id")
     val qTable = pqSubVectors(queries, idCol, vecCol, m)
       .select(col("id").as("query_id"), col("s"), col("sv"))
       .join(cb, Seq("s"))
