@@ -5,6 +5,9 @@ set -e
 cd "$(dirname "$0")/.."
 CP="target/scala-2.13/classes:target/scala-2.13/test-classes:/opt/spark/jars/*"
 OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
+# SPARK_EXTRA_JAVA_OPTS: optional -D conf overrides for A/B runs
+# (e.g. -Dspark.io.compression.codec=zstd for the shuffle-codec A/B)
 exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  ${SPARK_EXTRA_JAVA_OPTS:-} \
   -cp "$CP" "$@"
